@@ -12,7 +12,10 @@ object SparkEntry {
   /** All registered query modules. Order is stable; names must be unique. */
   def defs: Seq[QueryDef] =
     graft.queries.CoreQueries.all ++
-    graft.queries.PipelineQueries.all
+    graft.queries.PipelineQueries.all ++
+    graft.queries.TextQueries.all ++
+    graft.queries.SimilarityQueries.all ++
+    graft.queries.EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom Catalyst expressions for the near-dup operators (SURVEY §7
+  * extension surface; public MinHash/SimHash constructions per Broder
+  * 1997 / Charikar 2002).
+  *
+  * Why custom expressions and not built-in higher-order functions: a
+  * 128-permutation MinHash via `transform`+`array_min` builds 128
+  * array-valued intermediates per row; these expressions make ONE pass
+  * over the input hashes with a fixed-size accumulator — the dominant
+  * cost at 100 TB is exactly this per-row loop. CodegenFallback is
+  * acceptable: the expression body is a tight JVM loop either way, and
+  * the surrounding projection stays in whole-stage codegen.
+  */
+
+/** 64-bit mix finalizer (splitmix64 constants — public domain). */
+object Mix64 {
+  @inline def mix(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: input array<long> of element hashes → array<long>
+  * of `numHashes` minima under seeded universal permutations
+  * h_j(x) = mix(a_j*x + b_j). Empty/null input → null signature. */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  // odd multipliers + offsets derived once from the seed
+  @transient private lazy val params: Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val (a, b) = params(j)
+        val h = Mix64.mix(a * x + b)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** SimHash: input array<long> of token hashes → 64-bit signature
+  * (per-bit majority vote). Empty input → 0L. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Mix64.mix(arr.getLong(i)) // decorrelate input bits
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Column-API wrappers. */
+object HashFunctions {
+  def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(c), numHashes, seed))
+
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+}

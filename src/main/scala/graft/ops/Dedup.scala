@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.functions.{HashFunctions, Text}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7
+  * extensions; constructions follow the public literature — Broder'97
+  * MinHash, Charikar'02 SimHash, Gyawali et al. LSH dedup).
+  *
+  * Scale design notes (100 TB): every variant shuffles FIXED-WIDTH
+  * keys (hashes, band ids, 16-bit chunks), never full documents; the
+  * only stage that re-reads text is final pair verification, which is
+  * an equi-join on doc ids after candidates are already pruned. Bucket
+  * caps bound worst-case quadratic blowup inside a degenerate bucket
+  * (boilerplate shingles); AQE handles residual skew.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeps the minimum id per identical
+    * text. Grouping key is (xxhash64, length) — 64-bit + length makes
+    * collisions vanishingly rare and keeps the shuffle narrow; the
+    * document body never shuffles. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"),
+        length(col(textCol)).as("content_len"))
+      .agg(min(col(idCol)).as("kept_id"),
+        count(lit(1)).as("n_copies"))
+      .select("kept_id", "n_copies")
+
+  /** Near-exact dedup on the normalized fingerprint (case/punct/ws
+    * insensitive). */
+  def nearExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+      .select("kept_id", "n_copies", "fp")
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → hash → signature (custom one-pass expression) → band →
+    * bucket-join on (band, bucket-hash) → verify exact Jaccard on
+    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * only verified pairs ≥ `threshold`.
+    *
+    * @param bucketCap drop buckets larger than this (degenerate
+    *   boilerplate protection; dropped buckets trade recall for
+    *   bounded cost — the standard production compromise).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val sh = df.select(col(idCol).as("id"),
+      Text.wordShingles(col(textCol), shingleK).as("shingles"))
+    val sig = sh.select(col("id"), col("shingles"),
+      HashFunctions.minhashSignature(Text.hashed(col("shingles")),
+        numHashes).as("sig"))
+
+    // band b -> hash of sig[b*rows, (b+1)*rows)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        transform(slice(col("sig"), b * rows + 1, rows),
+          x => x.cast("string"))))
+    }
+    val banded = sig.select(col("id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+
+    // prune degenerate buckets before the quadratic self-join
+    val capped = banded.join(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= bucketCap).drop("n"),
+      Seq("band", "bucket"), "left_semi")
+
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets in `sh` (id, shingles). */
+  private[ops] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, candidates via
+    * 16-bit chunk blocking (pigeonhole: hamming ≤ 3 guarantees an
+    * equal chunk), verified by exact hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4 chunks of 16 bits guarantee recall only to hamming 3")
+    val sig = df.select(col(idCol).as("id"),
+      HashFunctions.simhash64(Text.hashed(Text.tokens(col(textCol))))
+        .as("sig"))
+
+    val chunks = (0 until 4).map(i =>
+      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
+
+    val capped = chunked.join(
+      chunked.groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= bucketCap).drop("n"),
+      Seq("chunk_idx", "chunk"), "left_semi")
+
+    val a = capped.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking
+    * key (use after LSH, or with a natural block like source/domain).
+    * Quadratic IN THE BLOCK only — callers own block sizing. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleK: Int = 2,
+      threshold: Double = 0.1): DataFrame = {
+    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      Text.wordShingles(col(textCol), shingleK).as("shingles"))
+    val a = sh.select(col("block"), col("id").as("id_a"),
+      col("shingles").as("sh_a"))
+    val b = sh.select(col("block"), col("id").as("id_b"),
+      col("shingles").as("sh_b"))
+    a.join(b, "block").filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: multi-table random-
+    * hyperplane LSH (L independent tables of `planes` bits — recall
+    * amplification 1-(1-p^planes)^L) then exact cosine verification
+    * within buckets. Pairs colliding in several tables dedup via
+    * distinct before verification. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8, tables: Int = 8,
+      seed: Long = 42L, bucketCap: Int = 2000): DataFrame = {
+    val buckets = (0 until tables).map { t =>
+      Similarity.hyperplaneBucket(col("vec"), planes,
+        seed + t * 7919L)
+    }
+    // two-step select: bucket exprs reference the "vec" alias, which
+    // must come from a child plan (a same-select lateral alias under a
+    // generator crashes resolution)
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"),
+        posexplode(array(buckets: _*)).as(Seq("table_idx", "bucket")))
+    val capped = withBucket.join(
+      withBucket.groupBy("table_idx", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= bucketCap).drop("n"),
+      Seq("table_idx", "bucket"), "left_semi")
+    val a = capped.select(col("table_idx"), col("bucket"),
+      col("id").as("id_a"))
+    val b = capped.select(col("table_idx"), col("bucket"),
+      col("id").as("id_b"))
+    val candidates = a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over `events` (batch forms; the streaming
+  * runtime versions live in graft.streaming and are asserted
+  * batch-equivalent in StreamingSpec). */
+object EventQueries {
+
+  /** JSON extraction from the props column (SURVEY §7: events.props is
+    * extension surface; Spark get_json_object ↔ DuckDB
+    * json_extract_string). */
+  val jsonExtract = QueryDef(
+    "q_json_extract",
+    Some("""SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events ORDER BY event_id"""),
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id"))
+
+  /** Tumbling-hour windowed aggregation (batch form of the streaming
+    * windowed count/sum). */
+  val eventWindow = QueryDef(
+    "q_event_window",
+    Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    ${Num.qroundSql("SUM(value)", 4)} AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.qround(sum("value"), 4).as("sum_value"))
+      .orderBy("hour_start", "event_type"))
+
+  /** Sessionization: per-user session ids via 30-minute inactivity
+    * gaps — lag + running sum of session-start flags (exact microsecond
+    * arithmetic on both engines: unix_micros ↔ epoch_us). */
+  val sessionize = QueryDef(
+    "q_sessionize",
+    Some("""WITH g AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch_us(ts) -
+                          LAG(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1
+                          WHEN LAG(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL THEN 1
+                          ELSE 0 END AS new_session
+              FROM events)
+            SELECT event_id, user_id,
+                   CAST(SUM(new_session) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM g ORDER BY event_id"""),
+    (s, d) => {
+      val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val withFlag = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+        .withColumn("new_session",
+          when(unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+            .when(col("prev_us").isNull, 1)
+            .otherwise(0))
+      withFlag
+        .withColumn("session_id",
+          sum("new_session").over(order.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    })
+
+  /** Top event per user-hour — dense window ranking over two keys
+    * (capability: ranking beyond the reference's row_number). */
+  val topEventPerUser = QueryDef(
+    "q_top_event_per_user",
+    Some(s"""WITH agg AS (
+               SELECT user_id, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      ${Num.qroundSql("SUM(value)", 4)} AS total_value
+               FROM events GROUP BY user_id, event_type)
+             SELECT user_id, event_type, n, total_value
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY n DESC, event_type) AS rk FROM agg) x
+             WHERE rk = 1 ORDER BY user_id"""),
+    (s, d) => {
+      val agg = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          Num.qround(sum("value"), 4).as("total_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      agg.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("user_id", "event_type", "n", "total_value")
+        .orderBy("user_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, sessionize,
+    topEventPerUser)
+}

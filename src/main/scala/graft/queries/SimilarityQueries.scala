@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search operators (SURVEY §7 extensions) as
+  * driver-checkable queries. Exact variants carry DuckDB oracles
+  * (list_reduce dot products are bit-identical to Spark's
+  * aggregate/zip_with — verified empirically); LSH variants are
+  * approximate by construction, so they get rows-only checks, with
+  * their recall asserted against the exact variants in ScalaTest.
+  */
+object SimilarityQueries {
+
+  // DuckDB cosine between two FLOAT[] columns, double math, l-t-r sum
+  // (mirrors Similarity.dot/cosine exactly).
+  private def sqlDot(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+        (x, y) -> x + y)"""
+  private def sqlCosine(a: String, b: String) =
+    s"""(${sqlDot(a, b)} /
+         NULLIF(SQRT(${sqlDot(a, a)}) * SQRT(${sqlDot(b, b)}), 0.0))"""
+
+  /** Exact dedup (hash-groupBy; ref-parity GROUP BY text in the
+    * oracle — same groups absent 64-bit hash collisions). */
+  val dedupExact = QueryDef(
+    "q_dedup_exact",
+    Some("""SELECT MIN(doc_id) AS kept_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text ORDER BY kept_id"""),
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("kept_id"))
+
+  /** Near-exact dedup on normalized-content fingerprint. */
+  val dedupNearExact = QueryDef(
+    "q_dedup_near_exact",
+    Some("""SELECT MIN(doc_id) AS kept_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+            FROM documents GROUP BY fp ORDER BY kept_id"""),
+    (s, d) => Dedup.nearExact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("kept_id"))
+
+  /** MinHash+LSH near-dup pairs — approximate candidate generation,
+    * exact Jaccard verification; rows-only check here, recall asserted
+    * vs the exact all-pairs variant in DedupSpec. */
+  val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    None,
+    (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.4)
+      .orderBy("id_a", "id_b"))
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
+  val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    None,
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b"))
+
+  /** Exact n-gram Jaccard all-pairs within `source` blocks — the
+    * oracle recomputes the same shingle sets and set sizes in DuckDB. */
+  val ngramJaccard = QueryDef(
+    "q_ngram_jaccard",
+    Some("""WITH t AS (
+              SELECT source, doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0) AS toks
+              FROM documents),
+            sh AS (
+              SELECT source, doc_id,
+                     list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+              FROM t)
+            SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
+                        AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                        AS DOUBLE) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
+                       AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                       AS DOUBLE) >= 0.05
+            ORDER BY block, id_a, id_b"""),
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", "source", shingleK = 2, threshold = 0.05)
+      .orderBy("block", "id_a", "id_b"))
+
+  /** Embedding-cosine near-dup pairs, exact all-pairs (oracle-checked;
+    * the LSH-bucketed variant is q_dedup_embedding_lsh). */
+  val dupEmbeddingExact = QueryDef(
+    "q_dedup_embedding_exact",
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    ${sqlCosine("a.embedding", "b.embedding")} AS cosine
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
+             ORDER BY id_a, id_b"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+        .filter(col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    })
+
+  /** LSH-bucketed embedding near-dup (scale path; rows-only). */
+  val dupEmbeddingLsh = QueryDef(
+    "q_dedup_embedding_lsh",
+    None,
+    (s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4, planes = 6, tables = 12)
+      .orderBy("id_a", "id_b"))
+
+  /** Brute-force exact top-k cosine ANN: queries = vec_id < 5
+    * broadcast against the full corpus. Ranks are total-ordered
+    * (cosine desc, id) and cosines are bit-identical cross-engine, so
+    * the full output is oracle-checkable. */
+  val annBruteForce = QueryDef(
+    "q_ann_bruteforce",
+    Some(s"""WITH scored AS (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+               JOIN embeddings c ON c.vec_id <> q.vec_id),
+             ranked AS (
+               SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, rank, cosine FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    })
+
+  /** LSH-bucketed approximate top-k (scale path; rows-only, recall
+    * asserted in SimilaritySpec). */
+  val annLsh = QueryDef(
+    "q_ann_lsh",
+    None,
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4)
+        .orderBy("query_id", "rank")
+    })
+
+  val all: Seq[QueryDef] = Seq(dedupExact, dedupNearExact, dedupMinhash,
+    dedupSimhash, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
+    annBruteForce, annLsh)
+}

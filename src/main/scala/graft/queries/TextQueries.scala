@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY §7 extensions:
+  * token counting, quality scoring, language ID, fingerprinting).
+  * Oracle parity notes: DuckDB `regexp_replace` needs the 'g' flag
+  * (Spark replaces all matches by default); token pipelines are
+  * expressed with the same regex + filter semantics on both sides.
+  */
+object TextQueries {
+
+  // DuckDB-side token list, mirroring Text.tokens
+  private val sqlToks =
+    """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+
+  val textStats = QueryDef(
+    "q_text_stats",
+    Some(s"""SELECT doc_id,
+                    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+                    CAST(len(text) AS BIGINT) AS n_chars_measured,
+                    CAST(list_reduce(list_transform($sqlToks, t -> len(t)),
+                         (a, b) -> a + b) AS DOUBLE) /
+                      CAST(len($sqlToks) AS DOUBLE) AS mean_token_len,
+                    CAST(len(regexp_extract_all(text,
+                         '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                      AS n_bpeish_tokens
+             FROM documents ORDER BY doc_id"""),
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        Text.meanTokenLen(col("text")).as("mean_token_len"),
+        Text.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy("doc_id"))
+
+  val textQuality = QueryDef(
+    "q_text_quality",
+    Some {
+      val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id, text, $sqlToks AS toks,
+                   CAST(len(text) -
+                        len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                        AS DOUBLE) /
+                     CAST(len(text) AS DOUBLE) AS punct_ratio
+            FROM documents),
+          r AS (
+            SELECT doc_id, punct_ratio,
+                   CAST(len(list_filter(toks, t -> lower(t) IN ($stop)))
+                        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                     AS stopword_ratio,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CAST(list_reduce(list_transform(toks, t -> len(t)),
+                        (a, b) -> a + b) AS DOUBLE) /
+                     CAST(len(toks) AS DOUBLE) AS mtl
+            FROM t)
+          SELECT doc_id, punct_ratio, stopword_ratio,
+                 (LEAST(n_tok / 50.0, 1.0) * 0.3 +
+                  GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.2 +
+                  GREATEST(0.0, 1.0 - ABS(stopword_ratio - 0.4) * 2.0) * 0.3 +
+                  (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                    * 0.2) AS quality_score
+          FROM r ORDER BY doc_id"""
+    },
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id"))
+
+  val langId = QueryDef(
+    "q_lang_id",
+    Some {
+      val scores = Text.LangProfiles.map { case (lang, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(lt, t -> t IN ($set))) AS s_$lang"
+      }.mkString(",\n                   ")
+      val langs = Text.LangProfiles.map(_._1)
+      val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+        .mkString(" ")
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   list_transform($sqlToks, t -> lower(t)) AS lt
+            FROM documents),
+          sc AS (
+            SELECT doc_id, lang,
+                   $scores
+            FROM t),
+          b AS (SELECT *, $best AS best FROM sc)
+          SELECT doc_id, lang AS lang_labeled,
+                 CASE WHEN best <= 0 THEN 'und' $cases
+                      ELSE 'und' END AS lang_detected
+          FROM b ORDER BY doc_id"""
+    },
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_labeled"),
+        Text.langId(col("text")).as("lang_detected"))
+      .orderBy("doc_id"))
+
+  val fingerprint = QueryDef(
+    "q_fingerprint",
+    Some("""SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+                     AS fp_md5
+            FROM documents ORDER BY doc_id"""),
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id"))
+
+  val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint)
+}

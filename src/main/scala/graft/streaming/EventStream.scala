@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2k: the reference is purely
+  * batch — this is the extension path for the same aggregations over
+  * unbounded event streams).
+  *
+  * The batch forms live in queries.EventQueries; StreamingSpec asserts
+  * stream/batch equivalence by replaying the events table through
+  * these plans with a memory sink. At scale the source becomes
+  * Kafka/files-on-arrival; the plans are source-agnostic.
+  */
+object EventStream {
+
+  /** events schema as the streaming reader needs it declared up front
+    * (ts already micros — see Tables.events for the nanos note). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos in the parquet files
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a DIRECTORY of events parquet files
+    * (Spark's file stream source requires a directory — point it at a
+    * drop-folder; new files are picked up per micro-batch). */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window count/sum with a watermark: the streaming twin of
+    * q_event_window (1-hour windows; late data beyond 2h dropped). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user running value total — stateful agg (update mode). */
+  def runningUserTotals(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
+  /** Run a streaming plan to completion against a bounded source and
+    * return the final result table (memory sink; used by tests and by
+    * batch/stream parity checks). */
+  def runToCompletion(spark: SparkSession, plan: DataFrame,
+      queryName: String, outputMode: String = "complete"): DataFrame = {
+    val q = plan.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import graft.functions.{HashFunctions, Text}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact: identical texts collapse to min id with counts") {
+    val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z",
+      4L -> "a b c")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .orderBy("kept_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("nearExact: case/punct/whitespace variants collapse") {
+    val df = docs(1L -> "Hello,  World!", 2L -> "hello world",
+      3L -> "different doc")
+    val got = Dedup.nearExact(df, "doc_id", "text")
+      .orderBy("kept_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash signature: identical input → identical sig; sketch approximates jaccard") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mutated = ((1 to 55).map(i => s"tok$i") ++
+      (100 to 104).map(i => s"tok$i")).mkString(" ")
+    val other = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> mutated, 4L -> other)
+      .select(col("doc_id"), HashFunctions.minhashSignature(
+        Text.hashed(Text.wordShingles(col("text"), 3)), 128).as("sig"))
+    val sigs = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y } / 128.0
+    // true jaccard(base, mutated) on 3-shingles ≈ 0.79; disjoint ≈ 0
+    assert(est(sigs(1L), sigs(3L)) > 0.5)
+    assert(est(sigs(1L), sigs(4L)) < 0.15)
+  }
+
+  test("minhashPairs finds planted near-dups and skips unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 57).map(i => s"tok$i") ++ Seq("zz1", "zz2", "zz3"))
+      .mkString(" ")
+    val far = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhashPairs: near-identical docs within hamming 3, far docs not paired") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 99) :+ 999).map(i => s"tok$i").mkString(" ")
+    val far = (200 to 300).map(i => s"tok$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> near, 3L -> far, 4L -> base)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical → hamming 0
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("minhash LSH recall vs exact jaccard on real documents (sf0.001)") {
+    val d = Tables.documents(spark, Sf0001)
+    // exact pairs at a low threshold within the whole corpus would be
+    // quadratic; block by source like the exact query does
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source",
+        shingleK = 3, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(d, "doc_id", "text", shingleK = 3,
+        numHashes = 128, bands = 32, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact pair ≥0.4 should be recalled by 32-band LSH
+    // (s^4 curve: collision prob at s=0.4 per band = 0.026, over 32
+    // bands ≈ 0.56 — so assert majority recall, not totality)
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall over ${exact.size} pairs")
+    }
+    // and LSH must never emit a pair below the verify threshold
+    assert(lsh.forall { case (a, b) => a < b })
+  }
+
+  test("embeddingPairs recovers most exact cosine pairs (sf0.001)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairs(e, "vec_id", "embedding",
+        threshold = 0.4, planes = 6, tables = 12)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification keeps only true pairs
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.4, s"LSH recall $recall over ${exact.size} pairs")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dot/norm/cosine basic algebra") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("dot"),
+        Similarity.norm(col("a")).as("na"),
+        Similarity.cosine(col("a"), col("b")).as("cos"))
+    val r = df.collect().head
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-15)
+  }
+
+  test("cosine of zero vector is NULL, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("cos"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("bruteForceTopK: exact ranks, no self-matches, k respected") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val got = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    val rows = got.collect()
+    assert(rows.length === 15) // 3 queries × 5
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // ranks 1..5 per query, cosine non-increasing within a query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to 5L))
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lshTopK returns a subset ranking consistent with brute force") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10, planes = 4)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    // every LSH hit's cosine must equal the exact cosine for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c === r.getDouble(2)))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("hyperplaneBucket is deterministic across evaluations") {
+    val e = Tables.embeddings(spark, Sf0001).limit(50)
+    val b1 = e.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), 8, 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = e.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), 8, 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+  }
+}
