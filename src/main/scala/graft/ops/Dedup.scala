@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{HashFunctions, Text}
+import graft.functions.{HashFunctions, ShingleFunctions, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,11 +52,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // one-pass tokenize+shingle+hash: shingle sets live as array<long>
+    // end to end (8-byte elements through the candidate shuffle, no
+    // string materialization)
     val sh = df.select(col(idCol).as("id"),
-      Text.wordShingles(col(textCol), shingleK).as("shingles"))
+      ShingleFunctions.shingleHashes(col(textCol), shingleK).as("shingles"))
     val sig = sh.select(col("id"), col("shingles"),
-      HashFunctions.minhashSignature(Text.hashed(col("shingles")),
-        numHashes).as("sig"))
+      HashFunctions.minhashSignature(col("shingles"), numHashes).as("sig"))
 
     // band b -> hash of sig[b*rows, (b+1)*rows)
     val bandHashes = (0 until bands).map { b =>
@@ -90,8 +92,7 @@ object Dedup {
     val sb = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.ArrayFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -103,7 +104,7 @@ object Dedup {
       maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4 chunks of 16 bits guarantee recall only to hamming 3")
     val sig = df.select(col(idCol).as("id"),
-      HashFunctions.simhash64(Text.hashed(Text.tokens(col(textCol))))
+      HashFunctions.simhash64(ShingleFunctions.tokenHashes(col(textCol)))
         .as("sig"))
 
     val chunks = (0 until 4).map(i =>
@@ -135,15 +136,14 @@ object Dedup {
       blockCol: String, shingleK: Int = 2,
       threshold: Double = 0.1): DataFrame = {
     val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      Text.wordShingles(col(textCol), shingleK).as("shingles"))
+      ShingleFunctions.shingleHashes(col(textCol), shingleK).as("shingles"))
     val a = sh.select(col("block"), col("id").as("id_a"),
       col("shingles").as("sh_a"))
     val b = sh.select(col("block"), col("id").as("id_b"),
       col("shingles").as("sh_b"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.ArrayFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }
@@ -177,10 +177,13 @@ object Dedup {
     val candidates = a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      Similarity.norm(col(vecCol)).as("norm_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      Similarity.norm(col(vecCol)).as("norm_b"))
     candidates.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.cosineWithNorms(col("vec_a"),
+        col("vec_b"), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

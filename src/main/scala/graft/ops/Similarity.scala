@@ -1,46 +1,54 @@
 package graft.ops
 
+import graft.functions.ArrayFunctions.arrayDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (SURVEY §7 extensions). Vectors are `array<float>`; math is done in
-  * double via built-in higher-order functions (`zip_with` products,
-  * `aggregate` sums) so everything stays inside Catalyst — no UDFs,
-  * no driver-side math.
+  * double via the ArrayDot expression (tight one-pass loop,
+  * bit-identical to the zip_with/aggregate formulation and to DuckDB's
+  * list_reduce — the exact variants stay oracle-checkable).
   *
   * Scale design (100 TB of vectors):
+  *  - norms are computed ONCE per row before any pairing (never per
+  *    pair);
   *  - brute force: broadcast the (small) query set; one scan of the
-  *    corpus, per-query top-k via partial aggregation — no corpus
-  *    shuffle at all.
-  *  - LSH path: random-hyperplane buckets (Charikar'02) computed from a
-  *    seeded deterministic plane set; candidate generation is an
-  *    equi-join on bucket id. Multiprobe = OR of neighboring buckets.
+  *    corpus, per-query top-k — no corpus shuffle at all;
+  *  - LSH path: random-hyperplane buckets (Charikar'02) from a seeded
+  *    deterministic plane set; candidate generation is an equi-join on
+  *    bucket id.
   */
 object Similarity {
 
   /** Σ aᵢbᵢ in double, left-to-right (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = arrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine from scratch — for one-off use; hot paths precompute norms
+    * and use `cosineWithNorms`. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
-  /** Deterministic pseudo-random unit-free hyperplanes: plane p,
-    * component i derived from mix(seed, p, i) mapped to [-1, 1). The
-    * bucket id packs sign bits of the dot products. */
-  def hyperplaneBucket(vec: Column, planes: Int, seed: Long): Column = {
-    val dims = 64 // testdata embedding dim; generalize via param if needed
+  /** Cosine given per-row precomputed norms (bit-identical to `cosine`:
+    * same dot, same norm values, same multiply/divide). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / nullif(na * nb, lit(0.0))
+
+  /** Deterministic pseudo-random hyperplanes: plane p, component i
+    * derived from mix(seed, p, i) mapped to [-1, 1). The bucket id
+    * packs sign bits of the dot products. Planes are array literals —
+    * constant-folded, not rebuilt per row. */
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long,
+      dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = (0 until dims).map { i =>
+      val plane = Array.tabulate(dims) { i =>
         val h = graft.functions.Mix64.mix(seed + p * 1000003L + i)
-        (h.toDouble / Long.MaxValue.toDouble)
+        h.toDouble / Long.MaxValue.toDouble
       }
-      val d = dot(vec, array(plane.map(lit(_)): _*))
+      val d = dot(vec, typedLit(plane.toSeq))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -53,11 +61,13 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qvec")))
-    val scored = corpus.select(col(corpusId).as("neighbor_id"),
-        col(corpusVec).as("cvec"))
+      col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"))
+    val scored = c
       .join(q, col("neighbor_id") =!= col("query_id")) // all pairs, no self
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
+        col("qnorm"), col("cnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -73,14 +83,15 @@ object Similarity {
       queryId: String, queryVec: String, k: Int,
       planes: Int = 8, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("cvec"),
+      col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
       hyperplaneBucket(col(corpusVec), planes, seed).as("bucket"))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qvec"),
+      col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
       hyperplaneBucket(col(queryVec), planes, seed).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
+        col("qnorm"), col("cnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

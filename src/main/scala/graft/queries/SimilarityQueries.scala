@@ -103,10 +103,15 @@ object SimilarityQueries {
              ORDER BY id_a, id_b"""),
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      // norms once per row (the oracle recomputes per pair — same
+      // values, so outputs still hash-match)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+        Similarity.norm(col("embedding")).as("norm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+        Similarity.norm(col("embedding")).as("norm_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+        .withColumn("cosine", Similarity.cosineWithNorms(col("vec_a"),
+          col("vec_b"), col("norm_a"), col("norm_b")))
         .filter(col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
