@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.FunctionRegistration
+
+/** SQL-surface registration of graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT simhash64(shingle_hashes(text, 1)) ...")` works
+  * alongside the Column API.
+  *
+  * Two entry points:
+  *  - `new GraftExtensions` with
+  *    `SparkSession.builder().withExtensions(...)` (or
+  *    `spark.sql.extensions=graft.GraftExtensions`) for new sessions;
+  *  - `GraftExtensions.register(spark)` for an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  /** name → builder for every graft expression. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "shingle_hashes" -> { args =>
+      ShingleHashes(args.head, intArg(args(1), "k"),
+        distinct = args.lengthCompare(2) <= 0 ||
+          args(2).asInstanceOf[Literal].value == true)
+    },
+    "minhash_signature" -> { args =>
+      MinHashSignature(args.head,
+        if (args.length > 1) intArg(args(1), "numHashes") else 128,
+        if (args.length > 2) longArg(args(2), "seed") else 42L)
+    },
+    "simhash64" -> (args => SimHash64(args.head)),
+    "array_dot" -> (args => ArrayDot(args.head, args(1))),
+    "jaccard_sim" -> (args => JaccardSim(args.head, args(1))))
+
+  /** Register into an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    FunctionRegistration.registerTemp(spark, builders)
+}

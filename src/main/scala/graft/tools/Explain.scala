@@ -1,0 +1,24 @@
+// Plan audit: print formatted physical plans for selected queries.
+// Run: sbt -batch "runMain graft.tools.Explain q_scan_project q1_agg ..."
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-quality regression gates (SURVEY §4): the physical plans that
+  * make these queries scale — pushdown into the parquet scan, column
+  * pruning, broadcast dimension joins, map-side partial aggregation —
+  * asserted so a refactor can't silently trade them away. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_scan_project: filter pushed to parquet, columns pruned") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      s"scan should read exactly 4 columns:\n$p")
+  }
+
+  test("q_dict_left_join: both dictionary dims broadcast, fact never shuffles for the join") {
+    val p = plan("q_dict_left_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("q1_agg: map-side partial aggregation before the single shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("partial_count"))
+    // exactly 2 exchanges: agg shuffle + final orderBy range partition
+    // (count the "(n) Exchange" detail sections, not tree echoes)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"extra shuffles:\n$p")
+  }
+
+  test("q_dedup_exact: document text never crosses the shuffle") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("partial_min"), "partial agg must run before exchange")
+    // the exchange input carries hash/len/min/count — not text
+    val exchangeSection = p.split("\\n\\(").find(_.startsWith("4) Exchange"))
+      .orElse(p.split("\\n\\(").find(_.contains("Exchange")))
+    exchangeSection.foreach(s =>
+      assert(!s.contains("text#"), s"text shuffled:\n$s"))
+  }
+
+  test("q_expr_key_join: normalized key precomputed, equi-join planned (no nested loop)") {
+    val p = plan("q_expr_key_join")
+    assert(p.contains("lpad"))
+    assert(p.contains("Join") && !p.contains("CartesianProduct"),
+      s"must stay an equi-join:\n$p")
+  }
+
+  test("q_semi_join/q_anti_join plan as semi/anti hash joins") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("q_ann_bruteforce: query side broadcast — corpus is never shuffled") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"queries must broadcast:\n$p")
+  }
+
+  test("events scan prunes to referenced columns only (q_json_extract)") {
+    val p = plan("q_json_extract")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
+      s"should read only event_id+props:\n$p")
+  }
+}
