@@ -75,6 +75,96 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) index: corpus rows assigned to their nearest
+    * centroid; queries probe the `nprobe` nearest lists. Centroids are
+    * fit with Lloyd iterations over a deterministic sample collected to
+    * the driver (standard IVF practice — the index trains on a sample,
+    * assignment runs distributed). At 100 TB: assignment is one
+    * broadcast-centroids scan; the per-list search is an equi-join on
+    * centroid id.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def assignExpr(vec: Column): Column = nearestCentroid(centroids, vec)
+    def probeLists(q: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.indices.sortBy { c =>
+        -centroids(c).zip(q).map { case (a, b) => a * b }.sum
+      }.take(nprobe)
+  }
+
+  /** argmax_c  dot(vec, centroid_c)  (cosine order on normalized
+    * centroids): C dot products per row, first-max tie-break via
+    * array_position — linear expression size (a when-chain fold that
+    * re-nests the accumulator is exponential and OOMs the analyzer). */
+  private def nearestCentroid(centroids: Array[Array[Double]],
+      vec: Column): Column = {
+    val dotsArr = array(centroids.map(c => dot(vec, typedLit(c.toSeq))): _*)
+    (array_position(dotsArr, array_max(dotsArr)) - 1).cast("int")
+  }
+
+  /** Fit IVF centroids: deterministic sample → Lloyd iterations on the
+    * driver → L2-normalized centroids (so dot = cosine order). */
+  def fitIvf(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, sampleSize: Int = 2048, iters: Int = 5): IvfIndex = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents = sample.take(nlist).map(normalize)
+    for (_ <- 0 until iters) {
+      val assigned = sample.groupBy { v =>
+        cents.indices.maxBy(c => cents(c).zip(v)
+          .map { case (a, b) => a * b }.sum)
+      }
+      cents = cents.indices.map { c =>
+        assigned.get(c) match {
+          case Some(vs) =>
+            val dim = vs.head.length
+            val mean = Array.tabulate(dim)(i => vs.map(_(i)).sum / vs.length)
+            normalize(mean)
+          case None => cents(c) // empty list keeps its centroid
+        }
+      }.toArray
+    }
+    IvfIndex(cents)
+  }
+
+  /** IVF approximate top-k: nprobe lists per query, exact rescoring
+    * within the probed lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int,
+      index: IvfIndex, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
+      index.assignExpr(col(corpusVec)).as("list_id"))
+    // probe lists per query computed on the driver (queries are small)
+    val qRows = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec")).collect()
+    val probes = qRows.flatMap { r =>
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      index.probeLists(q, nprobe).map(l => (r.getLong(0), l))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probeDf = broadcast(probes.toSeq.toDF("query_id", "list_id"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm")))
+    val scored = c.join(probeDf, Seq("list_id"))
+      .join(q, Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
+        col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: exact rescoring within the
     * query's bucket (single-probe). Trades recall for a candidate set
     * ~corpus/2^planes per query. */

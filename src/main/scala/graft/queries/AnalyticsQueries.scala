@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import graft.ops.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic-window, multi-level aggregation, IVF-ANN, and multimodal
+  * queries — capability surface beyond the reference's operator set. */
+object AnalyticsQueries {
+
+  /** Full analytic-window battery: lag/lead/rank/dense_rank/running
+    * sum with frame spec — beyond the reference's lone ROW_NUMBER
+    * (SURVEY §2e note). */
+  val windowAnalytics = QueryDef(
+    "q_window_analytics",
+    Some(s"""SELECT o_custkey, o_orderkey,
+                    LAG(o_totalprice) OVER w AS prev_price,
+                    LEAD(o_totalprice) OVER w AS next_price,
+                    CAST(RANK() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderpriority) AS BIGINT) AS prio_rank,
+                    CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderpriority) AS BIGINT) AS prio_dense,
+                    ${Num.qroundSql(
+                      """SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+                      4)} AS running_total
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             ORDER BY o_custkey, o_orderkey"""),
+    (s, d) => {
+      val byKey = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val byPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(byKey).as("prev_price"),
+        lead("o_totalprice", 1).over(byKey).as("next_price"),
+        rank().over(byPrio).cast("long").as("prio_rank"),
+        dense_rank().over(byPrio).cast("long").as("prio_dense"),
+        Num.qround(sum("o_totalprice").over(byKey.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  /** COUNT(DISTINCT) — exact distributed distinct-aggregate (expand +
+    * two-phase agg under the hood). */
+  val countDistinct_ = QueryDef(
+    "q_count_distinct",
+    Some("""SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"))
+
+  /** ROLLUP multi-level aggregation. Grouping columns are coalesced to
+    * sentinel values so order keys stay non-null (NULL sort order
+    * differs across engines); grouping level disambiguates. */
+  val rollup_ = QueryDef(
+    "q_rollup",
+    Some(s"""SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+                    COALESCE(l_linestatus, '<all>') AS linestatus,
+                    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                         AS BIGINT) AS lvl,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    ${Num.qroundSql("SUM(l_quantity)", 2)} AS sum_qty
+             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             ORDER BY lvl, returnflag, linestatus"""),
+    (s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping("l_returnflag").cast("long") * 2 +
+          grouping("l_linestatus").cast("long") as "lvl",
+        count(lit(1)).as("n"),
+        Num.qround(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("lvl"), col("n"), col("sum_qty"))
+      .orderBy("lvl", "returnflag", "linestatus"))
+
+  /** IVF-indexed approximate top-k ANN (scale path; rows-only — recall
+    * asserted vs brute force in SimilaritySpec). */
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    None,
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10,
+          index, nprobe = 4)
+        .orderBy("query_id", "rank")
+    })
+
+  /** Multimodal feature-extraction pipeline over the synthetic asset
+    * table: metadata pruning → batched stub decode → per-mime feature
+    * stats (rows-only; decode is the documented stub). */
+  val multimodalFeatures = QueryDef(
+    "q_multimodal_features",
+    None,
+    (s, _) => {
+      val assets = Multimodal.syntheticAssets(s, 500)
+      val feats = Multimodal.extractFeatures(assets)
+      feats.select(col("asset_id"), col("mime"),
+          Num.qround(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_assets"),
+          Num.qround(sum("feat_sum"), 4).as("total_feat"))
+        .orderBy("mime")
+    })
+
+  val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
+    annIvf, multimodalFeatures)
+}

@@ -59,6 +59,30 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ivfTopK: subset of brute-force with exact cosines, decent recall") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.filter(col("vec_id") < 5)
+    val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 8)
+    assert(index.centroids.length === 8)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10, index, nprobe = 4)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c === r.getDouble(2)))
+    }
+    // probing half the lists should recover a majority of true top-10s
+    val recall = ivf.count(r =>
+      brute.contains((r.getLong(0), r.getLong(1)))).toDouble /
+      brute.size
+    assert(recall >= 0.3, s"IVF recall $recall")
+  }
+
   test("hyperplaneBucket is deterministic across evaluations") {
     val e = Tables.embeddings(spark, Sf0001).limit(50)
     val b1 = e.select(col("vec_id"),
