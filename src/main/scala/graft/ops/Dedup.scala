@@ -129,6 +129,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected-component clustering of near-dup pairs → canonical
+    * keep-set: every document gets the minimum id of its component as
+    * `canonical_id` (keep where id == canonical_id).
+    *
+    * Label propagation with pointer-jumping: each round joins current
+    * labels through the pair edges AND through the label graph itself,
+    * so chain lengths halve-then-square — `iters` = ⌈log₂ diameter⌉
+    * rounds suffice (near-dup components are tiny; 8 covers diameter
+    * 256). Deterministic fixpoint. At scale each round is one
+    * shuffle-join on ids.
+    */
+  def clusterKeepMin(ids: DataFrame, idCol: String, pairs: DataFrame,
+      iters: Int = 8): DataFrame = {
+    // undirected edges, both directions
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // localCheckpoint each round: truncates lineage (the label plan
+    // references itself 3× per round — unchecked that's exponential)
+    // and materializes the iteration state, as a production CC job
+    // would checkpoint between supersteps.
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      val viaEdges = edges.join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nlabel").as("elabel"))
+      // pointer jumping: adopt your label's label
+      val viaLabels = labels.select(col("id"), col("label").as("lid"))
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          Seq("lid"))
+        .select(col("id"), col("llabel"))
+      val next = labels
+        .join(viaEdges, Seq("id"), "left")
+        .join(viaLabels, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("elabel"), col("label")),
+            coalesce(col("llabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"),
+        Seq("id")).filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (use after LSH, or with a natural block like source/domain).
     * Quadratic IN THE BLOCK only — callers own block sizing. */

@@ -95,5 +95,51 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain)
+  /** The FULL reference pipeline (ingest → dictionary clean → derive →
+    * three-part-key join → distinct) over the bundled WI-shaped
+    * fixtures — the flagship end-to-end flow as a driver-checked query
+    * (rows-only: TSV+dictionary semantics aren't DuckDB-expressible
+    * without re-implementing the engine in SQL; values are pinned by
+    * PipelineGoldenSpec). */
+  val cleanPipeline = QueryDef(
+    "q_clean_pipeline",
+    None,
+    (s, _) => {
+      val out = graft.engine.Pipeline.run(s, graft.engine.Pipeline.Config(
+        dict1Path = Fixtures.path("data_dictionary_template_1.txt"),
+        dict2Path = Fixtures.path("data_dictionary_template_2.txt"),
+        breakfastPath = Fixtures.path("2017_2018_SBP_MEAL_PARTICIPATION.txt"),
+        lunchPath = Fixtures.path("2017_2018_NSLP_MEAL_PARTICIPATION.txt")))
+      // project a stable subset: fixture schema evolution shouldn't
+      // churn the driver's schema snapshot
+      out.select(col("`school name`"), col("`claim date`"),
+          col("`Unique ID`").as("unique_id"),
+          col("`NCES ID`").as("nces_id"),
+          col("`FR Lunch Meals`").as("fr_lunch_meals"),
+          col("`FR Lunch ADP`").as("fr_lunch_adp"),
+          col("`FR Breakfast Meals`").as("fr_breakfast_meals"),
+          col("`School Level-Standardized`").as("school_level_std"))
+        .orderBy("school name")
+    })
+
+  val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain,
+    cleanPipeline)
+}
+
+/** Stages bundled fixture files (classpath resources) into a temp dir
+  * so path-based readers can load them regardless of packaging. */
+object Fixtures {
+  private lazy val dir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-fixtures")
+    Seq("data_dictionary_template_1.txt", "data_dictionary_template_2.txt",
+      "2017_2018_SBP_MEAL_PARTICIPATION.txt",
+      "2017_2018_NSLP_MEAL_PARTICIPATION.txt").foreach { name =>
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      require(in != null, s"fixture $name missing from classpath")
+      try java.nio.file.Files.copy(in, d.resolve(name))
+      finally in.close()
+    }
+    d
+  }
+  def path(name: String): String = dir.resolve(name).toString
 }

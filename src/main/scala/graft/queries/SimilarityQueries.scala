@@ -161,7 +161,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     })
 
+  /** Near-dup clustering: MinHash-LSH pairs → connected components →
+    * canonical keep-set (one row per doc with its component's min id).
+    * Rows-only; component correctness asserted in DedupSpec. */
+  val dedupClusters = QueryDef(
+    "q_dedup_clusters",
+    None,
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.4)
+      Dedup.clusterKeepMin(docs.select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNearExact, dedupMinhash,
     dedupSimhash, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
-    annBruteForce, annLsh)
+    annBruteForce, annLsh, dedupClusters)
 }

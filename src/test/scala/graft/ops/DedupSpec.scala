@@ -69,6 +69,17 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("clusterKeepMin: chains collapse to one component, isolated docs self-label") {
+    val ids = docs(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x",
+      5L -> "x", 9L -> "x").select("doc_id")
+    // chain 1-2-3-5 (transitive through 2-3, 3-5) and isolated 4, 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterKeepMin(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      4L -> 4L, 9L -> 9L))
+  }
+
   test("minhash LSH recall vs exact jaccard on real documents (sf0.001)") {
     val d = Tables.documents(spark, Sf0001)
     // exact pairs at a low threshold within the whole corpus would be
