@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // reference semantics: bad casts -> NULL, not errors (SURVEY §7;
+      // Spark 4 defaults ANSI on)
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: initialize FS/codegen/parquet-footer caches so the first

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Σ aᵢ·bᵢ in double, left-to-right. Accepts float or double arrays on
   * either side (floats widened exactly). Evaluates over min length —
-  * callers guarantee equal-length vectors. */
+  * callers guarantee equal-length vectors.
+  *
+  * Codegen emits a call to the static kernel, so the surrounding
+  * projection stays inside whole-stage codegen (no interpreted-eval
+  * boundary in the hot path). */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
@@ -33,9 +37,23 @@ case class ArrayDot(left: Expression, right: Expression)
   @transient private lazy val leftFloat = isFloat(left)
   @transient private lazy val rightFloat = isFloat(right)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(ArrayDot.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], leftFloat, rightFloat))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArrayDot.compute($a, $b, $leftFloat, $rightFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object ArrayDot {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -45,21 +63,19 @@ case class ArrayDot(left: Expression, right: Expression)
       acc += x * y
       i += 1
     }
-    java.lang.Double.valueOf(acc)
+    acc
   }
-
-  override protected def withNewChildrenInternal(l: Expression,
-      r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** Jaccard similarity of two arrays (string or long elements) as
   * distinct sets: |A∩B| / |A∪B| in double — identical to
   * size(array_intersect(a,b)) / size(array_union(a,b)). */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
+  override def nullable: Boolean = true
 
   @transient private lazy val isLong = left.dataType match {
     case ArrayType(org.apache.spark.sql.types.LongType, _) => true
@@ -67,32 +83,44 @@ case class JaccardSim(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    @inline def elem(arr: ArrayData, i: Int): Any =
-      if (isLong) java.lang.Long.valueOf(arr.getLong(i))
-      else arr.getUTF8String(i)
+    val v = JaccardSim.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], isLong)
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.JaccardSim.compute($a, $b, $isLong);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object JaccardSim {
+  /** Static kernel; NaN encodes the empty-union NULL case. */
+  def compute(a: ArrayData, b: ArrayData, isLong: Boolean): Double = {
     val setA = new java.util.HashSet[Any](a.numElements() * 2)
     var i = 0
     while (i < a.numElements()) {
-      setA.add(elem(a, i))
+      setA.add(if (isLong) java.lang.Long.valueOf(a.getLong(i))
+        else a.getUTF8String(i))
       i += 1
     }
     val setB = new java.util.HashSet[Any](b.numElements() * 2)
     var inter = 0
     i = 0
     while (i < b.numElements()) {
-      val s = elem(b, i)
+      val s = if (isLong) java.lang.Long.valueOf(b.getLong(i))
+        else b.getUTF8String(i)
       if (setB.add(s) && setA.contains(s)) inter += 1
       i += 1
     }
     val union = setA.size + setB.size - inter
-    if (union == 0) null
-    else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+    if (union == 0) Double.NaN
+    else inter.toDouble / union.toDouble
   }
-
-  override protected def withNewChildrenInternal(l: Expression,
-      r: Expression): Expression = copy(left = l, right = r)
 }
 
 object ArrayFunctions {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -15,9 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * 128-permutation MinHash via `transform`+`array_min` builds 128
   * array-valued intermediates per row; these expressions make ONE pass
   * over the input hashes with a fixed-size accumulator — the dominant
-  * cost at 100 TB is exactly this per-row loop. CodegenFallback is
-  * acceptable: the expression body is a tight JVM loop either way, and
-  * the surrounding projection stays in whole-stage codegen.
+  * cost at 100 TB is exactly this per-row loop. Each expression
+  * generates a static-kernel call, so the surrounding projection stays
+  * inside whole-stage codegen.
   */
 
 /** 64-bit mix finalizer (splitmix64 constants — public domain). */
@@ -34,29 +34,56 @@ object Mix64 {
   * of `numHashes` minima under seeded universal permutations
   * h_j(x) = mix(a_j*x + b_j). Empty/null input → null signature. */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  override def nullable: Boolean = true
 
-  // odd multipliers + offsets derived once from the seed
-  @transient private lazy val params: Array[(Long, Long)] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  // (multiplier, offset) pairs flattened: [a0,b0,a1,b1,...]
+  @transient private lazy val params: Array[Long] =
+    MinHashSignature.params(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], params)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashParams", params, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSignature.compute($c, $ref);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashSignature {
+  def params(numHashes: Int, seed: Long): Array[Long] = {
+    val rnd = new java.util.Random(seed)
+    val out = new Array[Long](numHashes * 2)
+    var j = 0
+    while (j < numHashes) {
+      out(2 * j) = rnd.nextLong() | 1L
+      out(2 * j + 1) = rnd.nextLong()
+      j += 1
+    }
+    out
+  }
+
+  /** Static kernel; null on empty input (no shingles → no signature). */
+  def compute(arr: ArrayData, params: Array[Long]): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
+    val numHashes = params.length / 2
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val x = arr.getLong(i)
       var j = 0
       while (j < numHashes) {
-        val (a, b) = params(j)
-        val h = Mix64.mix(a * x + b)
+        val h = Mix64.mix(params(2 * j) * x + params(2 * j + 1))
         if (h < sig(j)) sig(j) = h
         j += 1
       }
@@ -64,21 +91,29 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     }
     new GenericArrayData(sig)
   }
+}
+
+/** SimHash: input array<long> of token hashes → 64-bit signature
+  * (per-bit majority vote). Empty input → 0L. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
-/** SimHash: input array<long> of token hashes → 64-bit signature
-  * (per-bit majority vote). Empty input → 0L. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val acc = new Array[Int](64)
     var i = 0
@@ -97,11 +132,8 @@ case class SimHash64(child: Expression)
       if (acc(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 /** Column-API wrappers. */

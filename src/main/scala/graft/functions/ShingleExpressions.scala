@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -27,11 +27,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * SimHash weighting).
   */
 case class ShingleHashes(child: Expression, k: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $k, $distinct);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ShingleHashes {
 
   private def hashBytes(b: Array[Byte], from: Int, until: Int): Long = {
     var h = 0x9e3779b97f4a7c15L
@@ -43,8 +57,24 @@ case class ShingleHashes(child: Expression, k: Int, distinct: Boolean)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
+      b == 0x0b
+
+  @inline private def combine(toks: scala.collection.mutable.ArrayBuffer[Long],
+      from: Int, until: Int): Long = {
+    var h = 0x51afd7ed558ccd89L
+    var i = from
+    while (i < until) {
+      h = Mix64.mix(h + toks(i)) // position-sensitive chain
+      i += 1
+    }
+    h
+  }
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, k: Int, distinct: Boolean): GenericArrayData = {
+    val bytes = input.getBytes
     // token spans over raw UTF-8 bytes (whitespace = ASCII ws, matching
     // the \s+ split for this data; multi-byte chars never match ASCII)
     val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
@@ -85,24 +115,6 @@ case class ShingleHashes(child: Expression, k: Int, distinct: Boolean)
       }
     new GenericArrayData(res)
   }
-
-  @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
-      b == 0x0b
-
-  @inline private def combine(toks: scala.collection.mutable.ArrayBuffer[Long],
-      from: Int, until: Int): Long = {
-    var h = 0x51afd7ed558ccd89L
-    var i = from
-    while (i < until) {
-      h = Mix64.mix(h + toks(i)) // position-sensitive chain
-      i += 1
-    }
-    h
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 object ShingleFunctions {

@@ -26,7 +26,8 @@ object Multimodal {
   /** Typed metadata contract for a media asset table. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
-    StructField("mime", StringType, nullable = false),
+    // nullable like content: expression-derived under non-ANSI mode
+    StructField("mime", StringType, nullable = true),
     StructField("width", IntegerType),       // images/video
     StructField("height", IntegerType),
     StructField("duration_ms", LongType),    // audio/video

@@ -11,6 +11,9 @@ trait SparkSuite extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      // reference semantics: bad casts -> NULL, not errors (SURVEY §7;
+      // Spark 4 defaults ANSI on)
+      .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
