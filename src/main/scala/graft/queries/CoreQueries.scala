@@ -291,6 +291,24 @@ object CoreQueries {
       a.union(b).distinct().orderBy("o_custkey")
     })
 
+  /** UNION ALL — bag semantics, no dedup shuffle (contrast q_union). */
+  val unionAll = QueryDef(
+    "q_union_all",
+    Some("""SELECT * FROM (
+              SELECT o_custkey AS custkey, 'order_p' AS src FROM orders
+              WHERE o_orderstatus = 'P'
+              UNION ALL
+              SELECT c_custkey AS custkey, 'neg_bal' AS src FROM customer
+              WHERE c_acctbal < 0) x
+            ORDER BY custkey, src"""),
+    (s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("custkey"), lit("order_p").as("src"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"), lit("neg_bal").as("src"))
+      a.union(b).orderBy("custkey", "src")
+    })
+
   /** EXCEPT (set semantics — parity). */
   val exceptQ = QueryDef(
     "q_except",
@@ -375,5 +393,5 @@ object CoreQueries {
     scanProject, filterNullLike, caseWhen, distinctQ, dictLeftJoin,
     rowNumJoin, exprKeyJoin, fullOuter, semiJoin, antiJoin,
     groupCountOne, scalarAgg, countAll, rowNumber, topK,
-    intersectQ, unionQ, exceptQ, stringFuncs, castArith, q1Agg)
+    intersectQ, unionQ, unionAll, exceptQ, stringFuncs, castArith, q1Agg)
 }

@@ -51,6 +51,43 @@ object EventStream {
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** Stateful sessionization: per-user session ids with an inactivity
+    * gap, carried as explicit per-group state (`flatMapGroupsWithState`
+    * — the custom-state path for logic windows/watermarks can't
+    * express). Batch twin: queries.EventQueries.sessionize; equality on
+    * bounded replay asserted in StreamingSpec.
+    *
+    * State is one (lastTs, sessionId) pair per user — constant memory
+    * per key at any scale. Events inside a micro-batch are ordered
+    * (ts, event_id) before the gap scan, matching the batch window
+    * ordering. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val evs = it.toSeq.sortBy(e => (e._3, e._1))
+          var (lastTs, sid) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = evs.map { case (eventId, _, ts) =>
+            val newSession = sid == 0L || ts - lastTs > gapMicros
+            if (newSession) sid += 1
+            lastTs = ts
+            (eventId, uid, sid)
+          }
+          state.update((lastTs, sid))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "session_id")
+  }
+
   /** Run a streaming plan to completion against a bounded source and
     * return the final result table (memory sink; used by tests and by
     * batch/stream parity checks). */

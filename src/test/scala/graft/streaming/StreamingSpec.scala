@@ -39,6 +39,18 @@ class StreamingSpec extends SparkSuite {
     assert(got === batch)
   }
 
+  test("stateful sessionizeStream equals the batch sessionization") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val got = EventStream.runToCompletion(spark,
+        EventStream.sessionizeStream(stream), "sess_test",
+        outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.EventQueries.sessionize.fn(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("runningUserTotals matches batch per-user aggregation") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val got = EventStream.runToCompletion(spark,
