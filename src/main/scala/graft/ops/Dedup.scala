@@ -142,16 +142,24 @@ object Dedup {
     */
   def clusterKeepMin(ids: DataFrame, idCol: String, pairs: DataFrame,
       iters: Int = 8): DataFrame = {
-    // undirected edges, both directions
+    // undirected edges, both directions — materialized once: the pair
+    // source is typically an expensive LSH pipeline, and every
+    // propagation round joins through these edges
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
+    // Only nodes that appear in an edge can change label — iterate over
+    // that (tiny) subgraph and left-join the result back over the full
+    // id set at the end. At 100 TB near-dup rates the edge subgraph is
+    // orders of magnitude smaller than the corpus.
+    val edgeNodes = edges.select(col("src").as("id")).distinct()
     // localCheckpoint each round: truncates lineage (the label plan
     // references itself 3× per round — unchecked that's exponential)
     // and materializes the iteration state, as a production CC job
     // would checkpoint between supersteps.
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var labels = edgeNodes.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var i = 0
     var converged = false
@@ -177,7 +185,10 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Property-style cross-validation: every custom expression must agree
+  * with the built-in Catalyst formulation it replaced — on random
+  * inputs, bit-for-bit where it claims bit-parity. Seeded loops, no
+  * external generators. */
+class CrossValidationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ArrayDot ≡ aggregate(zip_with(·,·,*)) on random float vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b").select(
+      ArrayFunctions.arrayDot(col("a"), col("b")).as("custom"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approx
+    }
+  }
+
+  test("JaccardSim ≡ size(array_intersect)/size(array_union) on random string sets") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((
+      Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(40)}"),
+      Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(40)}")))
+    val df = rows.toDF("a", "b").select(
+      ArrayFunctions.jaccardSim(col("a"), col("b")).as("custom"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+    }
+  }
+
+  test("ShingleHashes set size ≡ distinct wordShingles size on real docs") {
+    val docs = graft.Tables.documents(spark, Sf0001).limit(200)
+    val df = docs.select(
+      size(ShingleFunctions.shingleHashes(col("text"), 3)).as("custom"),
+      size(array_distinct(Text.wordShingles(col("text"), 3))).as("builtin"))
+    df.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("MinHash similarity estimate converges to exact Jaccard") {
+    val rnd = new scala.util.Random(13)
+    // random set pairs with known overlap structure
+    (1 to 10).foreach { _ =>
+      val base = (1 to 200).map(i => s"t$i")
+      val keep = rnd.nextInt(150) + 40
+      val other = base.take(keep) ++ (1000 to 1000 + (200 - keep)).map(i => s"t$i")
+      val df = Seq((base.mkString(" "), other.mkString(" ")))
+        .toDF("a", "b").select(
+          HashFunctions.minhashSignature(
+            ShingleFunctions.shingleHashes(col("a"), 1), 256).as("sa"),
+          HashFunctions.minhashSignature(
+            ShingleFunctions.shingleHashes(col("b"), 1), 256).as("sb"),
+          ArrayFunctions.jaccardSim(
+            ShingleFunctions.shingleHashes(col("a"), 1),
+            ShingleFunctions.shingleHashes(col("b"), 1)).as("exact"))
+      val r = df.collect().head
+      val sa = r.getSeq[Long](0)
+      val sb = r.getSeq[Long](1)
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+      val exact = r.getDouble(2)
+      // 256 hashes: σ ≈ sqrt(j(1-j)/256) ≤ 0.032; allow 4σ
+      assert(math.abs(est - exact) < 0.13,
+        s"minhash est $est vs exact $exact")
+    }
+  }
+
+  test("SimHash hamming distance tracks similarity ordering") {
+    val base = (1 to 100).map(i => s"t$i").mkString(" ")
+    val near = ((1 to 95) ++ (900 to 904)).map(i => s"t$i").mkString(" ")
+    val far = (500 to 600).map(i => s"t$i").mkString(" ")
+    val df = Seq((base, near, far)).toDF("a", "b", "c").select(
+      HashFunctions.simhash64(ShingleFunctions.tokenHashes(col("a"))).as("ha"),
+      HashFunctions.simhash64(ShingleFunctions.tokenHashes(col("b"))).as("hb"),
+      HashFunctions.simhash64(ShingleFunctions.tokenHashes(col("c"))).as("hc"))
+    val r = df.collect().head
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(r.getLong(0), r.getLong(1)) < ham(r.getLong(0), r.getLong(2)))
+  }
+}
