@@ -24,6 +24,30 @@ class SinkSpec extends SparkSuite {
       s"expected partition filter in:\n$plan")
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val orders = Tables.orders(spark, Sf0001)
+    val li = Tables.lineitem(spark, Sf0001)
+    Sink.writeBucketed(orders, "b_orders", "o_orderkey", buckets = 8)
+    Sink.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("saltedJoin returns exactly the plain-join result") {
     import spark.implicits._
     val li = Tables.lineitem(spark, Sf0001)

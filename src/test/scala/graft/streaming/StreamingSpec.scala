@@ -51,6 +51,46 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two drop-folder batches: batch 2 contains one on-time event and
+    // one event 10 hours older than batch 1's max ts (beyond the
+    // 2-hour watermark -> must be excluded from its window's count)
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "event_type", "ts_us")
+        .select(col("event_id"), lit(1L).as("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"),
+          (col("ts_us") * 1000).as("ts")) // nanos, like the testdata
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00").getTime * 1000L
+    val hour = 3600L * 1000000L
+
+    writeBatch("b1", Seq((1L, "click", t0), (2L, "click", t0 + hour)))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val agg = EventStream.windowedAgg(stream)
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to t0+1h-2h
+      writeBatch("b2", Seq(
+        (3L, "click", t0 + hour + 1), // on time
+        (4L, "click", t0 - 10 * hour))) // 10h late -> dropped
+      q.processAllAvailable()
+      writeBatch("b3", Seq((5L, "click", t0 + 9 * hour))) // push watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_test")
+      .select(col("hour_start"), col("n_events")).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val lateWindowMs = (t0 - 10 * hour) / 1000
+    assert(!out.contains(lateWindowMs), s"late event produced a window: $out")
+    // both on-time windows finalized with their counts
+    assert(out(t0 / 1000) === 1L)
+    assert(out((t0 + hour) / 1000) === 2L)
+  }
+
   test("runningUserTotals matches batch per-user aggregation") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val got = EventStream.runToCompletion(spark,
