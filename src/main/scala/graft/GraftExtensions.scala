@@ -38,12 +38,18 @@ object GraftExtensions {
       s"$what must be a long literal, got $other")
   }
 
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   /** name → builder for every graft expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "shingle_hashes" -> { args =>
       ShingleHashes(args.head, intArg(args(1), "k"),
         distinct = args.lengthCompare(2) <= 0 ||
-          args(2).asInstanceOf[Literal].value == true)
+          boolArg(args(2), "distinct"))
     },
     "minhash_signature" -> { args =>
       MinHashSignature(args.head,

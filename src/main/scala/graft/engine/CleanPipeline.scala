@@ -33,29 +33,32 @@ object CleanPipeline {
       row_number().over(Window.orderBy(col(s"`$orderCol`"))).cast("long"))
 
   /** Scale-safe surrogate key: rank partitions by their minimum order
-    * value, then cumulative-offset each partition's local sequence —
-    * two light passes, no single-partition funnel. Produces the same
-    * dense 1..N numbering as globalRowNumber when `orderCol` is
-    * globally sorted within partitions; for arbitrary input it gives a
-    * unique dense key ordered by (partition-min, local order). For the
-    * pipeline's purpose (re-stitching what immutability never splits)
-    * uniqueness is all that matters. */
+    * value (ties by partition id), then cumulative-offset each
+    * partition's local sequence — two light passes, no single-partition
+    * funnel. When partitions hold disjoint `orderCol` ranges (e.g. the
+    * output of a range partitioner / sorted files) this reproduces
+    * globalRowNumber's dense 1..N numbering exactly; for arbitrary
+    * partitioning the key is dense and unique, ordered by
+    * (partition-min, local order). For the pipeline's purpose
+    * (re-stitching what immutability never splits) uniqueness is all
+    * that matters. */
   def scalableRowKey(df: DataFrame, orderCol: String,
       keyName: String = "row_num"): DataFrame = {
     val local = df
       .withColumn("__pid", spark_partition_id().cast("long"))
       .withColumn("__local", row_number().over(
         Window.partitionBy("__pid").orderBy(col(s"`$orderCol`"))).cast("long"))
-    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val counts = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), min(col(s"`$orderCol`")).as("__min"))
       .withColumn("__offset",
         coalesce(sum("__n").over(
-          Window.orderBy("__pid").rowsBetween(
+          Window.orderBy("__min", "__pid").rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__offset")
     local.join(broadcast(counts), "__pid")
       .withColumn(keyName, col("__local") + col("__offset"))
-      .drop("__pid", "__local")
+      .drop("__pid", "__local", "__offset")
     // counts has one row per partition — always broadcastable; the
-    // only shuffle-free data-sized op is the local row_number.
+    // only data-sized op is the partition-local row_number.
   }
 }

@@ -33,10 +33,14 @@ object Derive {
   def zeroPad(c: Column, width: Int): Column =
     lpad(c.cast("string"), width, "0")
 
-  /** Y/N flag concatenation (ref F2 `:817-823`). */
+  /** Y/N flag concatenation (ref F2 `:817-823`). T-SQL's CONCAT()
+    * treats NULL as '' (unlike its `+` operator), so a blank flag keeps
+    * its `label=` segment with an empty value — matched here with
+    * coalesce; without it concat_ws would silently drop the whole
+    * segment and shift the string. */
   def flagSummary(labeled: Seq[(String, Column)]): Column =
     concat_ws(", ", labeled.map { case (l, c) =>
-      concat(lit(s"$l="), c)
+      concat(lit(s"$l="), coalesce(c, lit("")))
     }: _*)
 
   /** Null backfill — the *intent* of ref `:951-952`, whose coded form

@@ -18,14 +18,18 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Ingest {
 
-  /** Load a tab-delimited file: header row → column names, all columns
-    * string-typed (ref `:50-53` semantics, minus the dynamic DDL). */
-  def readTsv(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  /** Load a tab-delimited file: header row → column names (BOM/quote
+    * cleaned, ref F1 `:35-37`), all columns string-typed (ref `:50-53`
+    * semantics, minus the dynamic DDL). */
+  def readTsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
       .option("sep", "\t")
       .option("header", "true")
       // no inferSchema: all-varchar is the reference contract (:42)
       .csv(path)
+    val cleaned = raw.columns.map(cleanName)
+    if (cleaned.sameElements(raw.columns)) raw else raw.toDF(cleaned: _*)
+  }
 
   /** Header-only read (ref S2 `:26-28`): column names without touching
     * data rows. The CSV reader resolves the header during schema

@@ -31,6 +31,18 @@ object Pipeline {
     CleanPipeline.clean(raw, plan)
   }
 
+  /** The cleaned NCES file for callers that DO want to join it — the
+    * reference loads + renames it but never joins (ref :650-654
+    * commented out, :926-928); `run` follows the reference and ignores
+    * it, so it is exposed separately instead of cleaned-and-discarded
+    * inside the pipeline. */
+  def cleanedNces(spark: SparkSession, cfg: Config): Option[DataFrame] =
+    cfg.ncesPath.map { p =>
+      val dict1 = Dictionary.load(spark, cfg.dict1Path)
+      val dict2 = Dictionary.load(spark, cfg.dict2Path)
+      ingestAndClean(spark, p, dict1, dict2)
+    }
+
   /** Full run → the reference's "Final 64 column table" analog
     * (ref `:1044-1089`). */
   def run(spark: SparkSession, cfg: Config): DataFrame = {
@@ -39,10 +51,6 @@ object Pipeline {
 
     val breakfast0 = ingestAndClean(spark, cfg.breakfastPath, dict1, dict2)
     val lunch0 = ingestAndClean(spark, cfg.lunchPath, dict1, dict2)
-    // NCES file: reference loads + renames it but never joins it
-    // (ref :650-654 commented out, :926-928) — we clean it so callers
-    // can join; parity output ignores it.
-    cfg.ncesPath.foreach(p => ingestAndClean(spark, p, dict1, dict2))
 
     // E3 step 1-2: conditional columns on each side (ref :800-825).
     val lunch = lunch0

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+
+  /** Drop bucket groups larger than `cap` before a quadratic self-join
+    * (degenerate-bucket protection; trades recall for bounded cost). */
+  private def capBuckets(df: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame =
+    df.join(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= cap).drop("__n"),
+      keys, "left_semi")
+
   /** Exact dedup by content hash: keeps the minimum id per identical
     * text. Grouping key is (xxhash64, length) — 64-bit + length makes
     * collisions vanishingly rare and keeps the shuffle narrow; the
@@ -69,11 +79,7 @@ object Dedup {
     val banded = sig.select(col("id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
 
-    // prune degenerate buckets before the quadratic self-join
-    val capped = banded.join(
-      banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= bucketCap).drop("n"),
-      Seq("band", "bucket"), "left_semi")
+    val capped = capBuckets(banded, Seq("band", "bucket"), bucketCap)
 
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -112,10 +118,7 @@ object Dedup {
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
 
-    val capped = chunked.join(
-      chunked.groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= bucketCap).drop("n"),
-      Seq("chunk_idx", "chunk"), "left_semi")
+    val capped = capBuckets(chunked, Seq("chunk_idx", "chunk"), bucketCap)
 
     val a = capped.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -228,10 +231,8 @@ object Dedup {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"),
         posexplode(array(buckets: _*)).as(Seq("table_idx", "bucket")))
-    val capped = withBucket.join(
-      withBucket.groupBy("table_idx", "bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= bucketCap).drop("n"),
-      Seq("table_idx", "bucket"), "left_semi")
+    val capped = capBuckets(withBucket, Seq("table_idx", "bucket"),
+      bucketCap)
     val a = capped.select(col("table_idx"), col("bucket"),
       col("id").as("id_a"))
     val b = capped.select(col("table_idx"), col("bucket"),

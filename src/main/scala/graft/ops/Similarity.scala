@@ -54,6 +54,17 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+
+  /** Shared tail: rank scored (query_id, neighbor_id, cosine) rows and
+    * keep the per-query top k (ties broken on neighbor id). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); `corpus` is
     * scanned once. Ties break on neighbor id for determinism. */
@@ -68,11 +79,7 @@ object Similarity {
       .join(q, col("neighbor_id") =!= col("query_id")) // all pairs, no self
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
         col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) index: corpus rows assigned to their nearest
@@ -158,11 +165,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
         col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: exact rescoring within the
@@ -182,10 +185,6 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
         col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 }

@@ -73,8 +73,10 @@ object SimilarityQueries {
               FROM documents),
             sh AS (
               SELECT source, doc_id,
-                     list_distinct(list_transform(range(1, len(toks)),
-                       i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+                     CASE WHEN len(toks) = 0 THEN []
+                          WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) END AS shingles
               FROM t)
             SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))

@@ -18,12 +18,16 @@ object TextQueries {
 
   val textStats = QueryDef(
     "q_text_stats",
+    // zero-token guards mirror Spark's NULL results: list_reduce errors
+    // on an empty list and 0/0 would NaN-diverge from nullif->NULL
     Some(s"""SELECT doc_id,
                     CAST(len($sqlToks) AS BIGINT) AS n_tokens,
                     CAST(len(text) AS BIGINT) AS n_chars_measured,
-                    CAST(list_reduce(list_transform($sqlToks, t -> len(t)),
-                         (a, b) -> a + b) AS DOUBLE) /
-                      CAST(len($sqlToks) AS DOUBLE) AS mean_token_len,
+                    CASE WHEN len($sqlToks) = 0 THEN NULL
+                         ELSE CAST(list_reduce(list_transform($sqlToks,
+                                t -> len(t)), (a, b) -> a + b) AS DOUBLE) /
+                              CAST(len($sqlToks) AS DOUBLE) END
+                      AS mean_token_len,
                     CAST(len(regexp_extract_all(text,
                          '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
                       AS n_bpeish_tokens
@@ -45,22 +49,26 @@ object TextQueries {
                    CAST(len(text) -
                         len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
                         AS DOUBLE) /
-                     CAST(len(text) AS DOUBLE) AS punct_ratio
+                     NULLIF(CAST(len(text) AS DOUBLE), 0.0) AS punct_ratio
             FROM documents),
           r AS (
             SELECT doc_id, punct_ratio,
                    CAST(len(list_filter(toks, t -> lower(t) IN ($stop)))
-                        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                        AS DOUBLE) /
+                     NULLIF(CAST(len(toks) AS DOUBLE), 0.0)
                      AS stopword_ratio,
                    CAST(len(toks) AS DOUBLE) AS n_tok,
-                   CAST(list_reduce(list_transform(toks, t -> len(t)),
-                        (a, b) -> a + b) AS DOUBLE) /
-                     CAST(len(toks) AS DOUBLE) AS mtl
+                   CASE WHEN len(toks) = 0 THEN NULL
+                        ELSE CAST(list_reduce(list_transform(toks,
+                               t -> len(t)), (a, b) -> a + b) AS DOUBLE) /
+                             CAST(len(toks) AS DOUBLE) END AS mtl
             FROM t)
           SELECT doc_id, punct_ratio, stopword_ratio,
                  (LEAST(n_tok / 50.0, 1.0) * 0.3 +
-                  GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.2 +
-                  GREATEST(0.0, 1.0 - ABS(stopword_ratio - 0.4) * 2.0) * 0.3 +
+                  GREATEST(0.0, COALESCE(1.0 - punct_ratio * 4.0, 0.0))
+                    * 0.2 +
+                  GREATEST(0.0, 1.0 - ABS(COALESCE(stopword_ratio, 0.0)
+                    - 0.4) * 2.0) * 0.3 +
                   (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
                     * 0.2) AS quality_score
           FROM r ORDER BY doc_id"""

@@ -60,7 +60,14 @@ object EventStream {
     * State is one (lastTs, sessionId) pair per user — constant memory
     * per key at any scale. Events inside a micro-batch are ordered
     * (ts, event_id) before the gap scan, matching the batch window
-    * ordering. */
+    * ordering.
+    *
+    * Cross-batch late data: an event older than the state's lastTs
+    * joins the OPEN session and lastTs stays monotone (no retroactive
+    * re-segmentation — the standard streaming trade-off; emitted
+    * assignments are append-only and can't be revised). Equivalence
+    * with the batch twin therefore holds for in-order delivery;
+    * reprocessing historical data belongs to the batch form. */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -79,7 +86,7 @@ object EventStream {
           val out = evs.map { case (eventId, _, ts) =>
             val newSession = sid == 0L || ts - lastTs > gapMicros
             if (newSession) sid += 1
-            lastTs = ts
+            lastTs = math.max(lastTs, ts) // monotone under late data
             (eventId, uid, sid)
           }
           state.update((lastTs, sid))

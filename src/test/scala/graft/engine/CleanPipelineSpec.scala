@@ -31,6 +31,27 @@ class CleanPipelineSpec extends SparkSuite {
     assert(keys.toSeq === (1L to 1000L))
   }
 
+  test("readTsv strips BOM and quotes from header names (ref F1 :35-37)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bom")
+    val f = dir.resolve("bom.txt")
+    java.nio.file.Files.write(f,
+      "﻿\"AGENCY_CODE\"\tName\nA1\tfoo\n".getBytes("UTF-8"))
+    val df = Ingest.readTsv(spark, f.toString)
+    assert(df.columns.toSeq === Seq("AGENCY_CODE", "Name"))
+    assert(df.collect().head.getString(0) === "A1")
+  }
+
+  test("scalableRowKey reproduces global numbering for range-disjoint partitions") {
+    // repartitionByRange gives partitions with disjoint ranges but in
+    // nondeterministic partition-id order relative to values
+    val df = spark.range(0, 500).toDF("k").repartitionByRange(5,
+      org.apache.spark.sql.functions.col("k").desc)
+    val got = CleanPipeline.scalableRowKey(df, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // k ascending must map to row_num 1..500 exactly
+    assert(got.toSeq === (0L until 500L).map(k => (k, k + 1)))
+  }
+
   test("clean handles metachar column names (SURVEY §7 hygiene risk)") {
     val df = Seq(("1", "v")).toDF("id", "School Level-Original")
     val out = CleanPipeline.clean(df, CleanPlan(Seq.empty,

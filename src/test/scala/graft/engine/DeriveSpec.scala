@@ -43,6 +43,17 @@ class DeriveSpec extends SparkSuite {
       "O=Y, P=N, C=N, R=N, G=Y, T=N")
   }
 
+  test("breakfastDeliveryModel keeps empty segments for NULL flags (T-SQL CONCAT)") {
+    // blank TSV field -> null column; T-SQL CONCAT() renders '' not NULL
+    val df = Seq((Option.empty[String], Some("N"), Some("N"), Some("N"),
+      Some("Y"), Some("N")))
+      .toDF("t", "m", "c", "r", "g", "f")
+      .select(Derive.breakfastDeliveryModel(col("t"), col("m"), col("c"),
+        col("r"), col("g"), col("f")).as("v"))
+    assert(df.collect().head.getString(0) ===
+      "O=, P=N, C=N, R=N, G=Y, T=N")
+  }
+
   test("schoolTypeOriginal 4-way (ref :800-811)") {
     val df = Seq(("YES", "Regular"), ("YES", "RCCI"), ("NO", "Regular"),
       ("NO", "RCCI")).toDF("p", "t")
