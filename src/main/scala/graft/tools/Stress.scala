@@ -1,0 +1,79 @@
+package graft.tools
+
+import graft.functions.{HashFunctions, ShingleFunctions}
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom probe: runs the hot operators on synthetic data 1-2
+  * orders of magnitude past sf0.1 to verify the shuffle/partition
+  * design holds (not part of the driver gates; results recorded in
+  * README). Run: sbt "runMain graft.tools.Stress"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
+
+    // 50M-row aggregation (~80x sf0.1 lineitem)
+    val wide = spark.range(0, 50000000L, 1, 64).select(
+      col("id"),
+      (col("id") % 7).as("k1"), (col("id") % 3).as("k2"),
+      (col("id") % 1000 / 10.0).as("v1"), (col("id") % 97 / 96.0).as("v2"))
+    time("agg 50M rows, 21 groups") {
+      wide.groupBy("k1", "k2").agg(sum("v1"), avg("v2"), count(lit(1)))
+        .collect().length
+    }
+
+    // 50M x 5M broadcast-dim join
+    val dim = spark.range(0, 5000000L).select(col("id").as("k"),
+      (col("id") % 13).as("attr"))
+    time("join 50M x 5M (shuffle)") {
+      wide.join(dim, wide("id") === dim("k")).count()
+    }
+
+    // 1M synthetic docs (~60 tokens each): shingle+minhash signatures
+    val docs = spark.range(0, 1000000L, 1, 64).select(col("id"),
+      concat_ws(" ", (0 until 60).map(i =>
+        concat(lit("tok"), ((col("id") + i) % 50000).cast("string"))): _*)
+        .as("text"))
+    time("minhash sigs, 1M docs x 128 perms") {
+      docs.select(HashFunctions.minhashSignature(
+          ShingleFunctions.shingleHashes(col("text"), 3), 128).as("sig"))
+        .select(sum(element_at(col("sig"), 1))).collect().head.getLong(0)
+    }
+
+    // exact dedup over 1M docs with planted dup rate ~2%
+    val dupDocs = docs.withColumn("text",
+      when(col("id") % 50 === 0, lit("duplicate boilerplate text"))
+        .otherwise(col("text")))
+    time("exact dedup, 1M docs") {
+      Dedup.exact(dupDocs, "id", "text").count()
+    }
+
+    // 200k x 64-dim ANN brute force for 5 queries
+    val vecs = spark.range(0, 200000L, 1, 64).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(col("id") * 64 + i), lit(1000)).cast("float")
+          / 1000.0f - 0.5f).as("embedding"))
+    time("ANN brute force 5 x 200k x 64d") {
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("id") < 5),
+        "id", "embedding", "id", "embedding", k = 10).count()
+    }
+
+    spark.stop()
+  }
+}
