@@ -117,6 +117,48 @@ object AnalyticsQueries {
         .orderBy("mime")
     })
 
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Both engines accumulate these differently (Welford vs sum-of-
+    * squares), so results are qround-canonicalized like any aggregated
+    * double. */
+  val statsAgg = QueryDef(
+    "q_stats_agg",
+    Some(s"""SELECT l_returnflag,
+                    ${Num.qroundSql("STDDEV_SAMP(l_quantity)", 6)} AS sd_qty,
+                    ${Num.qroundSql("VAR_SAMP(l_discount)", 6)} AS var_disc,
+                    ${Num.qroundSql("CORR(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+                    ${Num.qroundSql("COVAR_SAMP(l_quantity, l_discount)", 6)} AS covar_qty_disc
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        Num.qround(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        Num.qround(var_samp(col("l_discount")), 6).as("var_disc"),
+        Num.qround(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        Num.qround(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("covar_qty_disc"))
+      .orderBy("l_returnflag"))
+
+  /** PIVOT: per-user event-type counts as columns. The oracle uses the
+    * portable CASE-aggregation form (identical semantics to Spark's
+    * pivot with explicit values). */
+  val pivot_ = QueryDef(
+    "q_pivot",
+    Some("""SELECT user_id,
+                   CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+                   CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+                   CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+                   CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id"))
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    annIvf, multimodalFeatures)
+    annIvf, multimodalFeatures, statsAgg, pivot_)
 }

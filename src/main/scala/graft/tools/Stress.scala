@@ -74,6 +74,55 @@ object Stress {
         "id", "embedding", "id", "embedding", k = 10).count()
     }
 
+    // the flagship dictionary-driven pipeline at ~75000x the fixture
+    // size: 300k-row SBP/NSLP TSVs through ingest->clean->derive->join
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress")
+    val n = 300000L
+    def idCols = Seq(
+      concat(lit("A"), col("id").cast("string")).as("AGENCY_CODE"),
+      lit("Agency").as("AGENCY_NAME"),
+      concat(lit("School "), col("id").cast("string")).as("school name"),
+      lit("2017-10-01").as("claim date"),
+      (col("id") % 900000 + 1).cast("string").as("district id"),
+      (col("id") % 5000).cast("string").as("School ID"))
+    spark.range(0, n, 1, 32).select(idCols ++ Seq(
+        lit("Y").as("TRADITIONAL_MODEL"), lit("N").as("MID_MORNING_MODEL"),
+        lit("N").as("CLASSROOM_MODEL"), lit("N").as("REDUCED_PRICE_MODEL"),
+        lit("Y").as("GRAB_N_GO_MODEL"), lit("N").as("FREE_MODEL"),
+        (col("id") % 500).cast("string").as("Breakfast Meals-Free"),
+        (col("id") % 100).cast("string").as("Breakfast Meals-Reduced"),
+        lit(null).cast("string").as("Breakfast Meals-Free and Reduced"),
+        lit("18").as("Operating Days-Breakfast Only"),
+        lit("22").as("Operating Days")): _*)
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(s"$dir/sbp")
+    spark.range(0, n, 1, 32).select(idCols ++ Seq(
+        lit("YES").as("PUBLIC"), lit("Regular").as("SCHOOL TYPE"),
+        lit("High School").as("School Level-Original"),
+        lit("N").as("CEP (Y/N)"),
+        (col("id") % 700).cast("string").as("Lunch Meals-Free"),
+        (col("id") % 200).cast("string").as("Lunch Meals-Reduced"),
+        lit(null).cast("string").as("Lunch Meals-Free and Reduced"),
+        (col("id") % 50).cast("string").as("Lunch Meals-Paid"),
+        lit("20").as("Operating Days-Lunch Only"),
+        lit("22").as("Operating Days"),
+        (col("id") % 400).cast("string").as("Enrollment-Free"),
+        (col("id") % 80).cast("string").as("Enrollment-Reduced"),
+        lit(null).cast("string").as("Enrollment-Free and Reduced"),
+        (col("id") % 1000 + 100).cast("string").as("Enrollment-Total"),
+        lit("17-18").as("School Year")): _*)
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(s"$dir/nslp")
+    time("clean pipeline, 300k-row state files") {
+      graft.engine.Pipeline.run(spark, graft.engine.Pipeline.Config(
+        dictPath("data_dictionary_template_1.txt"),
+        dictPath("data_dictionary_template_2.txt"),
+        breakfastPath = s"$dir/sbp", lunchPath = s"$dir/nslp")).count()
+    }
+
     spark.stop()
   }
+
+  private def dictPath(name: String): String =
+    graft.queries.Fixtures.path(name)
 }
