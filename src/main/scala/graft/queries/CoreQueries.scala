@@ -363,6 +363,28 @@ object CoreQueries {
           .as("qty_per_disc"))
       .orderBy("l_orderkey", "l_linenumber"))
 
+  /** Date/time extraction (beyond the reference, which compares dates
+    * as strings — SURVEY §2h note). dayofweek: Spark is 1-based from
+    * Sunday, DuckDB 0-based — oracle shifts by one. */
+  val dateFuncs = QueryDef(
+    "q_date_funcs",
+    Some("""SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                     AS month_start
+            FROM orders ORDER BY o_orderkey"""),
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy("o_orderkey"))
+
   /** Flagship: TPC-H Q1-shaped grouped aggregation — partial+final hash
     * agg, one shuffle, whole-stage codegen end to end. */
   val q1Agg = QueryDef(
@@ -393,5 +415,6 @@ object CoreQueries {
     scanProject, filterNullLike, caseWhen, distinctQ, dictLeftJoin,
     rowNumJoin, exprKeyJoin, fullOuter, semiJoin, antiJoin,
     groupCountOne, scalarAgg, countAll, rowNumber, topK,
-    intersectQ, unionQ, unionAll, exceptQ, stringFuncs, castArith, q1Agg)
+    intersectQ, unionQ, unionAll, exceptQ, stringFuncs, castArith,
+    dateFuncs, q1Agg)
 }
