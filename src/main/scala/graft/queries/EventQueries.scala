@@ -38,6 +38,29 @@ object EventQueries {
         Num.qround(sum("value"), 4).as("sum_value"))
       .orderBy("hour_start", "event_type"))
 
+  /** Sliding-window aggregation: 1-hour windows every 15 minutes —
+    * each event lands in exactly 4 windows. Spark's window() aligns
+    * slide boundaries to the epoch; the oracle reproduces the same
+    * window starts via integer floor on epoch microseconds cross-
+    * joined with the 4 slide offsets. */
+  val slidingWindow = QueryDef(
+    "q_sliding_window",
+    Some(s"""SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                      - CAST(k.k AS BIGINT) * 900000000) AS window_start,
+                    event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    ${Num.qroundSql("SUM(value)", 4)} AS sum_value
+             FROM events
+             CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+             GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.qround(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type"))
+
   /** Sessionization: per-user session ids via 30-minute inactivity
     * gaps — lag + running sum of session-start flags (exact microsecond
     * arithmetic on both engines: unix_micros ↔ epoch_us). */
@@ -102,6 +125,6 @@ object EventQueries {
         .orderBy("user_id")
     })
 
-  val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, sessionize,
-    topEventPerUser)
+  val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, slidingWindow,
+    sessionize, topEventPerUser)
 }

@@ -54,6 +54,42 @@ object SimilarityQueries {
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.4)
       .orderBy("id_a", "id_b"))
 
+  /** MinHash at a HIGH threshold, oracle-checked: with 32 bands × 4
+    * rows, a pair at jaccard ≥ 0.9 collides in ≥1 band with
+    * probability 1-(1-0.9⁴)³² ≈ 1-3.5e-15 — LSH recall is effectively
+    * certain, so the output equals the exact all-pairs scan the DuckDB
+    * oracle runs (hash-set jaccard = string-set jaccard modulo 2⁻⁶⁴
+    * collisions). */
+  val dedupMinhashHt = QueryDef(
+    "q_dedup_minhash_ht",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0) AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []
+                          WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                          END AS shingles
+              FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
+                        AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                        AS DOUBLE) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
+                       AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                       AS DOUBLE) >= 0.9
+            ORDER BY id_a, id_b"""),
+    (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      .orderBy("id_a", "id_b"))
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
   val dedupSimhash = QueryDef(
     "q_dedup_simhash",
@@ -178,6 +214,6 @@ object SimilarityQueries {
     })
 
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNearExact, dedupMinhash,
-    dedupSimhash, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
-    annBruteForce, annLsh, dedupClusters)
+    dedupMinhashHt, dedupSimhash, ngramJaccard, dupEmbeddingExact,
+    dupEmbeddingLsh, annBruteForce, annLsh, dedupClusters)
 }
