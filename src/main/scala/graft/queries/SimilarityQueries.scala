@@ -81,6 +81,11 @@ object SimilarityQueries {
                    CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
                         AS DOUBLE) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              -- exact prefilter: jaccard >= 0.9 forces set sizes within
+              -- 10% of each other (|A| >= 0.9|A∪B| >= 0.9|B|), so the
+              -- quadratic list work only runs on near-equal-length pairs
+              AND len(a.shingles) * 10 >= len(b.shingles) * 9
+              AND len(b.shingles) * 10 >= len(a.shingles) * 9
             WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
                        AS DOUBLE) /
                   CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
