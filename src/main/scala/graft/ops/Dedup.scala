@@ -91,12 +91,20 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets in `sh` (id, shingles). */
+    * sets in `sh` (id, shingles). A length prefilter runs before the
+    * set intersection: jaccard ≥ τ implies min(|A|,|B|) ≥ τ·max, so
+    * size-incompatible pairs are dropped without touching elements —
+    * exact, never changes the result. */
   private[ops] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sa = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
+      .filter(
+        size(col("sh_a")).cast("double") >=
+          lit(threshold) * size(col("sh_b")).cast("double") &&
+        size(col("sh_b")).cast("double") >=
+          lit(threshold) * size(col("sh_a")).cast("double"))
       .withColumn("jaccard",
         graft.functions.ArrayFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -207,6 +215,12 @@ object Dedup {
     val b = sh.select(col("block"), col("id").as("id_b"),
       col("shingles").as("sh_b"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
+      // exact length prefilter (see verifyJaccard)
+      .filter(
+        size(col("sh_a")).cast("double") >=
+          lit(threshold) * size(col("sh_b")).cast("double") &&
+        size(col("sh_b")).cast("double") >=
+          lit(threshold) * size(col("sh_a")).cast("double"))
       .withColumn("jaccard",
         graft.functions.ArrayFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
