@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
 
+  /** Exact length prefilter for Jaccard thresholds: jaccard ≥ τ
+    * implies min(|A|,|B|) ≥ τ·max(|A|,|B|) — size-incompatible pairs
+    * drop before any element work; never changes the result. */
+  private def lengthCompatible(shA: org.apache.spark.sql.Column,
+      shB: org.apache.spark.sql.Column, threshold: Double) =
+    size(shA).cast("double") >= lit(threshold) * size(shB).cast("double") &&
+      size(shB).cast("double") >= lit(threshold) * size(shA).cast("double")
+
   /** Drop bucket groups larger than `cap` before a quadratic self-join
     * (degenerate-bucket protection; trades recall for bounded cost). */
   private def capBuckets(df: DataFrame, keys: Seq[String],
@@ -100,11 +108,7 @@ object Dedup {
     val sa = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
-      .filter(
-        size(col("sh_a")).cast("double") >=
-          lit(threshold) * size(col("sh_b")).cast("double") &&
-        size(col("sh_b")).cast("double") >=
-          lit(threshold) * size(col("sh_a")).cast("double"))
+      .filter(lengthCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard",
         graft.functions.ArrayFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -215,12 +219,7 @@ object Dedup {
     val b = sh.select(col("block"), col("id").as("id_b"),
       col("shingles").as("sh_b"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
-      // exact length prefilter (see verifyJaccard)
-      .filter(
-        size(col("sh_a")).cast("double") >=
-          lit(threshold) * size(col("sh_b")).cast("double") &&
-        size(col("sh_b")).cast("double") >=
-          lit(threshold) * size(col("sh_a")).cast("double"))
+      .filter(lengthCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard",
         graft.functions.ArrayFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

@@ -156,7 +156,9 @@ object AnalyticsQueries {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
-      .na.fill(0L)
+      // fill only the pivoted counts — a blanket fill would rewrite a
+      // NULL grouping key to 0 and merge it with real user 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id"))
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,

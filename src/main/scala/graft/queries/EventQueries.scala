@@ -45,7 +45,11 @@ object EventQueries {
     * joined with the 4 slide offsets. */
   val slidingWindow = QueryDef(
     "q_sliding_window",
-    Some(s"""SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+    // floor-mod ((e % d) + d) % d, not '//': DuckDB's integer division
+    // truncates toward zero, which would misalign pre-1970 timestamps
+    // (Spark's window() floors)
+    Some(s"""SELECT make_timestamp(epoch_us(ts)
+                      - ((epoch_us(ts) % 900000000) + 900000000) % 900000000
                       - CAST(k.k AS BIGINT) * 900000000) AS window_start,
                     event_type,
                     CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -23,6 +23,33 @@ object SimilarityQueries {
     s"""(${sqlDot(a, b)} /
          NULLIF(SQRT(${sqlDot(a, a)}) * SQRT(${sqlDot(b, b)}), 0.0))"""
 
+  /** DuckDB CTEs mirroring Text/ShingleHashes word-k-shingling: tokens
+    * from the \s+ split, whole-doc fallback for <k-token docs, distinct
+    * shingle sets. Shared by both Jaccard oracles so the construction
+    * can't drift between them. */
+  private def sqlShingleCte(k: Int, extraCols: String = "") = {
+    val gram = (1 to k).map(j =>
+      if (j == 1) "toks[i]" else s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+          SELECT doc_id,$extraCols
+                 list_filter(string_split_regex(text, '\\s+'),
+                   t -> len(t) > 0) AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,$extraCols
+                 CASE WHEN len(toks) = 0 THEN []
+                      WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(
+                        range(1, len(toks) - ${k - 2}), i -> $gram)) END
+                   AS shingles
+          FROM t)"""
+  }
+
+  /** Distinct-set Jaccard over two shingle lists in DuckDB. */
+  private def sqlJaccard(a: String, b: String) =
+    s"""(CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"""
+
   /** Exact dedup (hash-groupBy; ref-parity GROUP BY text in the
     * oracle — same groups absent 64-bit hash collisions). */
   val dedupExact = QueryDef(
@@ -62,37 +89,23 @@ object SimilarityQueries {
     * collisions). */
   val dedupMinhashHt = QueryDef(
     "q_dedup_minhash_ht",
-    Some("""WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'),
-                       t -> len(t) > 0) AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) = 0 THEN []
-                          WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-                          END AS shingles
-              FROM t)
+    Some(s"""${sqlShingleCte(3)}
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
-                        AS DOUBLE) /
-                   CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
-                        AS DOUBLE) AS jaccard
+                   ${sqlJaccard("a.shingles", "b.shingles")} AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               -- exact prefilter: jaccard >= 0.9 forces set sizes within
               -- 10% of each other (|A| >= 0.9|A∪B| >= 0.9|B|), so the
               -- quadratic list work only runs on near-equal-length pairs
               AND len(a.shingles) * 10 >= len(b.shingles) * 9
               AND len(b.shingles) * 10 >= len(a.shingles) * 9
-            WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
-                       AS DOUBLE) /
-                  CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
-                       AS DOUBLE) >= 0.9
+            WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.9
             ORDER BY id_a, id_b"""),
+    // bucketCap lifted to MaxValue: the equals-the-exact-scan claim
+    // must hold even on corpora with giant duplicate clusters (the
+    // default cap trades recall for cost and would drop such buckets)
     (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
+        bucketCap = Int.MaxValue)
       .orderBy("id_a", "id_b"))
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
@@ -107,29 +120,15 @@ object SimilarityQueries {
     * oracle recomputes the same shingle sets and set sizes in DuckDB. */
   val ngramJaccard = QueryDef(
     "q_ngram_jaccard",
-    Some("""WITH t AS (
-              SELECT source, doc_id,
-                     list_filter(string_split_regex(text, '\s+'),
-                       t -> len(t) > 0) AS toks
-              FROM documents),
-            sh AS (
-              SELECT source, doc_id,
-                     CASE WHEN len(toks) = 0 THEN []
-                          WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                          ELSE list_distinct(list_transform(range(1, len(toks)),
-                            i -> toks[i] || ' ' || toks[i + 1])) END AS shingles
-              FROM t)
+    Some(s"""${sqlShingleCte(2, extraCols = " source,")}
             SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
-                        AS DOUBLE) /
-                   CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
-                        AS DOUBLE) AS jaccard
+                   ${sqlJaccard("a.shingles", "b.shingles")} AS jaccard
             FROM sh a JOIN sh b
               ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles)))
-                       AS DOUBLE) /
-                  CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
-                       AS DOUBLE) >= 0.05
+              -- exact prefilter, mirroring Dedup.lengthCompatible
+              AND len(a.shingles) * 20 >= len(b.shingles)
+              AND len(b.shingles) * 20 >= len(a.shingles)
+            WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.05
             ORDER BY block, id_a, id_b"""),
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
         "text", "source", shingleK = 2, threshold = 0.05)

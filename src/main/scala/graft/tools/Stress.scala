@@ -38,7 +38,7 @@ object Stress {
         .collect().length
     }
 
-    // 50M x 5M broadcast-dim join
+    // 50M x 5M shuffle join (dim far exceeds the broadcast threshold)
     val dim = spark.range(0, 5000000L).select(col("id").as("k"),
       (col("id") % 13).as("attr"))
     time("join 50M x 5M (shuffle)") {
