@@ -37,7 +37,11 @@ object Dictionary {
   /** The clean-name lookup (ref `:99-107`): one row per input column,
     * clean name coalesced across both templates. Input columns become a
     * local DataFrame (ref reads sys.columns, `:79-87`); dictionary sides
-    * are broadcast. */
+    * are broadcast.
+    *
+    * Matching is case-insensitive like T-SQL's default collation — a
+    * header `School Name` matches a dictionary row `school name` in
+    * the reference, so it must here too. */
   def lookup(spark: SparkSession, columns: Seq[String],
       dict1: DataFrame, dict2: DataFrame): DataFrame = {
     import spark.implicits._
@@ -47,8 +51,10 @@ object Dictionary {
     val d2 = dict2.select(col("raw_data_column_name").as("n2"),
       col("equivalent_clean_data_name").as("clean2"))
     names
-      .join(broadcast(d1), names("column_name") === d1("n1"), "left")
-      .join(broadcast(d2), names("column_name") === d2("n2"), "left")
+      .join(broadcast(d1),
+        lower(names("column_name")) === lower(d1("n1")), "left")
+      .join(broadcast(d2),
+        lower(names("column_name")) === lower(d2("n2")), "left")
       .select(col("column_name"),
         coalesce(col("clean1"), col("clean2"))
           .as("equivalent_clean_data_name"))

@@ -31,6 +31,14 @@ class DictionarySpec extends SparkSuite {
       Seq("a" -> "a", "b" -> "b", "c" -> "Unique"))
   }
 
+  test("lookup matches case-insensitively like T-SQL collation") {
+    val d1 = dict(Seq(("c1", "school name", "Clean School Name")))
+    val d2 = dict(Seq.empty)
+    val plan = Dictionary.planFor(spark, Seq("School NAME"), d1, d2)
+    assert(plan.drops.isEmpty)
+    assert(plan.renames === Map("School NAME" -> "Clean School Name"))
+  }
+
   test("lookup: template 1 wins coalesce (ref :100-103)") {
     val d1 = dict(Seq(("c1", "x", "FromOne")))
     val d2 = dict(Seq(("c2", "x", "FromTwo"), ("c3", "y", "OnlyTwo")))
