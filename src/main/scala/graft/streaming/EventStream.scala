@@ -46,6 +46,15 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeats of `keyCols` arriving within
+    * the watermark horizon (the streaming twin of Dedup.exact — state
+    * for keys older than the watermark is expired, so memory is
+    * bounded by the dedup horizon, not the stream's lifetime). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Per-user running value total — stateful agg (update mode). */
   def runningUserTotals(events: DataFrame): DataFrame =
     events.groupBy("user_id")

@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streamingDedup drops within-watermark repeats across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00").getTime * 1000L
+    def batch(rows: Seq[(Long, Long)]): Unit = // (event_id, ts_us)
+      rows.toDF("event_id", "ts_us")
+        .select(col("event_id"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"), (col("ts_us") * 1000).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    batch(Seq((1L, t0), (2L, t0 + 1000000L), (1L, t0))) // dup inside batch
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.streamingDedup(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      batch(Seq((2L, t0 + 1000000L), (3L, t0 + 2000000L))) // cross-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // each key exactly once
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
