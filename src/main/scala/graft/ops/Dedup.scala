@@ -156,7 +156,47 @@ object Dedup {
     * shuffle-join on ids.
     */
   def clusterKeepMin(ids: DataFrame, idCol: String, pairs: DataFrame,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8, localThreshold: Long = 1000000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    // Hybrid: near-dup edge sets are usually minuscule relative to the
+    // corpus — when the DISTINCT pair count fits comfortably on the
+    // driver, a local union-find beats several distributed join rounds
+    // (one job vs ~3 jobs x iterations). The distributed path below
+    // remains for pathological edge volumes.
+    val fwdPairs = pairs.select(col("id_a").cast("long"),
+      col("id_b").cast("long")).distinct().localCheckpoint(true)
+    val nPairs = fwdPairs.count()
+    if (nPairs <= localThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent(c); parent(c) = r; c = next
+        }
+        r
+      }
+      fwdPairs.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val canon = parent.keys.map(k => k -> find(k)).toSeq
+      val labelDf = broadcast(canon.toDF("id", "canonical"))
+      return ids.select(col(idCol).cast("long").as("id"))
+        .join(labelDf, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("canonical"), col("id")).as("canonical_id"))
+    }
+    clusterKeepMinDistributed(ids, idCol, fwdPairs, iters)
+  }
+
+  /** Distributed label-propagation path (see clusterKeepMin). */
+  private def clusterKeepMinDistributed(ids: DataFrame, idCol: String,
+      pairs: DataFrame, iters: Int): DataFrame = {
     // undirected edges, both directions — materialized once: the pair
     // source is typically an expensive LSH pipeline, and every
     // propagation round joins through these edges
