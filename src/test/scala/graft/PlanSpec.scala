@@ -65,6 +65,19 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), s"queries must broadcast:\n$p")
   }
 
+  test("q_dedup_minhash: candidate generation is an equi-join on band buckets") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH candidates must equi-join, never cross:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("q_dedup_exact plans a single aggregation (no join at all)") {
+    val p = plan("q_dedup_exact")
+    assert(!p.contains("Join"), s"exact dedup is one agg:\n$p")
+  }
+
   test("events scan prunes to referenced columns only (q_json_extract)") {
     val p = plan("q_json_extract")
     assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
