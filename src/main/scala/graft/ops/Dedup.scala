@@ -246,6 +246,13 @@ object Dedup {
         coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
+  /** The kept-documents view of a clustering: rows whose id IS the
+    * component canonical (one representative per near-dup cluster). */
+  def keepCanonical(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    df.join(clusters.filter(col(idCol) === col("canonical_id"))
+      .select(idCol), Seq(idCol), "left_semi")
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (use after LSH, or with a natural block like source/domain).
     * Quadratic IN THE BLOCK only — callers own block sizing. */

@@ -161,6 +161,44 @@ object AnalyticsQueries {
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id"))
 
+  /** Exact interpolated percentiles (both engines implement the same
+    * continuous-quantile definition; interpolation arithmetic is
+    * qround-canonicalized). */
+  val percentiles = QueryDef(
+    "q_percentiles",
+    Some(s"""SELECT l_returnflag,
+                    ${Num.qroundSql(
+                      "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice)", 4)} AS p25,
+                    ${Num.qroundSql(
+                      "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice)", 4)} AS p50,
+                    ${Num.qroundSql(
+                      "PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice)", 4)} AS p95
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        Num.qround(percentile(col("l_extendedprice"), lit(0.25)), 4)
+          .as("p25"),
+        Num.qround(percentile(col("l_extendedprice"), lit(0.5)), 4)
+          .as("p50"),
+        Num.qround(percentile(col("l_extendedprice"), lit(0.95)), 4)
+          .as("p95"))
+      .orderBy("l_returnflag"))
+
+  /** HLL approximate distinct counts — the 100 TB cardinality tool.
+    * Sketch results are engine-specific, so this is a rows-only check;
+    * the relative-error contract is asserted against exact counts in
+    * ScalaTest. */
+  val approxDistinct = QueryDef(
+    "q_approx_distinct",
+    None,
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"))
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    annIvf, multimodalFeatures, statsAgg, pivot_)
+    annIvf, multimodalFeatures, statsAgg, pivot_, percentiles,
+    approxDistinct)
 }

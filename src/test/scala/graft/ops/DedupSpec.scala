@@ -80,6 +80,30 @@ class DedupSpec extends SparkSuite {
       4L -> 4L, 9L -> 9L))
   }
 
+  test("keepCanonical keeps exactly one representative per cluster") {
+    val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    val pairs = Seq((1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterKeepMin(df.select("doc_id"), "doc_id", pairs)
+    val kept = Dedup.keepCanonical(df, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L)) // {1,3,4} -> 1; isolated 2 stays
+  }
+
+  test("approx_count_distinct respects its relative-error contract") {
+    val li = graft.Tables.lineitem(spark, Sf0001)
+    val rows = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions
+          .approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        org.apache.spark.sql.functions
+          .countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr < 0.1, s"rsd-0.02 sketch off by $relErr")
+    }
+  }
+
   test("minhash LSH recall vs exact jaccard on real documents (sf0.001)") {
     val d = Tables.documents(spark, Sf0001)
     // exact pairs at a low threshold within the whole corpus would be
