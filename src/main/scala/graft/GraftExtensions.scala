@@ -17,11 +17,13 @@ import org.apache.spark.sql.graftshim.FunctionRegistration
   *  - `GraftExtensions.register(spark)` for an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
+  }
 }
 
 object GraftExtensions {
@@ -60,7 +62,14 @@ object GraftExtensions {
     "array_dot" -> (args => ArrayDot(args.head, args(1))),
     "jaccard_sim" -> (args => JaccardSim(args.head, args(1))))
 
-  /** Register into an existing session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session (temp functions + the jaccard
+    * prefilter optimizer rule via the experimental hook). */
+  def register(spark: SparkSession): Unit = {
     FunctionRegistration.registerTemp(spark, builders)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.JaccardPrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.JaccardPrefilterRule
+  }
 }
