@@ -93,6 +93,65 @@ object MinHashSignature {
   }
 }
 
+/** LSH band buckets: input array<long> of element hashes → array<long>
+  * of `bands` bucket ids, where bucket b is a 64-bit combine of that
+  * band's `rows` MinHash minima (same permutations as MinHashSignature
+  * with numHashes = bands*rows). One pass over the input with a
+  * fixed-size accumulator — replaces materializing the full signature
+  * array and re-hashing string-concatenated slices per band, which at
+  * 100 TB is pure wasted width on the hot path. Empty/null input →
+  * null (no shingles → no buckets). */
+case class MinHashBandBuckets(child: Expression, bands: Int, rows: Int,
+    seed: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_buckets"
+  override def nullable: Boolean = true
+
+  @transient private lazy val params: Array[Long] =
+    MinHashSignature.params(bands * rows, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandBuckets.compute(input.asInstanceOf[ArrayData], params, rows)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashParams", params, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashBandBuckets.compute($c, $ref, $rows);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashBandBuckets {
+  /** Static kernel: MinHash minima then a mix-chain combine per band.
+    * Band index is folded into the combine so identical minima in
+    * different bands land in distinct buckets. */
+  def compute(arr: ArrayData, params: Array[Long], rows: Int): GenericArrayData = {
+    val sig = MinHashSignature.compute(arr, params)
+    if (sig == null) return null
+    val numHashes = params.length / 2
+    val bands = numHashes / rows
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Mix64.mix(b.toLong + 0x9e3779b97f4a7c15L)
+      var j = b * rows
+      val end = j + rows
+      while (j < end) {
+        h = Mix64.mix(h ^ sig.getLong(j))
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** SimHash: input array<long> of token hashes → 64-bit signature
   * (per-bit majority vote). Empty input → 0L. */
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -141,6 +200,11 @@ object HashFunctions {
   def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(c), numHashes, seed))
+
+  def minhashBandBuckets(c: Column, bands: Int, rows: Int,
+      seed: Long = 42L): Column =
+    ColumnBridge.column(
+      MinHashBandBuckets(ColumnBridge.expression(c), bands, rows, seed))
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))

@@ -53,39 +53,66 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
       .select("kept_id", "n_copies", "fp")
 
+  /** Pick (bands, rows) for an LSH banding from the Jaccard threshold:
+    * among divisor pairs of `numHashes`, minimize the s-curve error
+    * `∫₀^τ P(s)ds + fnWeight·∫τ^1 (1-P(s))ds` where
+    * P(s) = 1-(1-s^rows)^bands — false candidates below τ vs missed
+    * pairs above it (the datasketch-style optimization; Broder '97
+    * banding). fnWeight > 1 biases toward recall. */
+  def optimalBanding(numHashes: Int, threshold: Double,
+      fnWeight: Double = 2.0): (Int, Int) = {
+    val steps = 500
+    def err(bands: Int, rows: Int): Double = {
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+      val fp = (0 until steps).map { i =>
+        p((i + 0.5) * threshold / steps) * threshold / steps
+      }.sum
+      val fn = (0 until steps).map { i =>
+        (1.0 - p(threshold + (i + 0.5) * (1 - threshold) / steps)) *
+          (1 - threshold) / steps
+      }.sum
+      fp + fnWeight * fn
+    }
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .minBy { case (b, r) => err(b, r) }
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle → hash → signature (custom one-pass expression) → band →
-    * bucket-join on (band, bucket-hash) → verify exact Jaccard on
-    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b,
-    * only verified pairs ≥ `threshold`.
+    * shingle → hash → band buckets (ONE custom one-pass expression —
+    * the full signature array is never materialized) → bucket-join on
+    * (band, bucket-hash) → verify exact Jaccard on shingle sets.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, only verified
+    * pairs ≥ `threshold`.
     *
+    * @param bands bands of the LSH banding; pass 0 (the default) to
+    *   derive (bands, rows) from `threshold` via [[optimalBanding]] —
+    *   the s-curve midpoint lands near τ, so sub-threshold pairs are
+    *   pruned before the candidate shuffle instead of flooding
+    *   verification.
     * @param bucketCap drop buckets larger than this (degenerate
     *   boilerplate protection; dropped buckets trade recall for
     *   bounded cost — the standard production compromise).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 0,
       threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    val (nBands, rows) =
+      if (bands == 0) optimalBanding(numHashes, threshold)
+      else { require(numHashes % bands == 0, "bands must divide numHashes")
+        (bands, numHashes / bands) }
 
     // one-pass tokenize+shingle+hash: shingle sets live as array<long>
     // end to end (8-byte elements through the candidate shuffle, no
     // string materialization)
     val sh = df.select(col(idCol).as("id"),
       ShingleFunctions.shingleHashes(col(textCol), shingleK).as("shingles"))
-    val sig = sh.select(col("id"), col("shingles"),
-      HashFunctions.minhashSignature(col("shingles"), numHashes).as("sig"))
-
-    // band b -> hash of sig[b*rows, (b+1)*rows)
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        transform(slice(col("sig"), b * rows + 1, rows),
-          x => x.cast("string"))))
-    }
-    val banded = sig.select(col("id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val bucketed = sh.select(col("id"),
+      HashFunctions.minhashBandBuckets(col("shingles"), nBands, rows)
+        .as("buckets"))
+    val banded = bucketed.select(col("id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
 
     val capped = capBuckets(banded, Seq("band", "bucket"), bucketCap)
 

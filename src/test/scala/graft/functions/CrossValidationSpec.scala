@@ -47,6 +47,29 @@ class CrossValidationSpec extends SparkSuite {
     df.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("MinHashBandBuckets ≡ per-band combine of MinHashSignature slices") {
+    val docs = graft.Tables.documents(spark, Sf0001).limit(100)
+    val (bands, rows) = (32, 4)
+    val df = docs.select(
+      HashFunctions.minhashSignature(
+        ShingleFunctions.shingleHashes(col("text"), 3), bands * rows)
+        .as("sig"),
+      HashFunctions.minhashBandBuckets(
+        ShingleFunctions.shingleHashes(col("text"), 3), bands, rows)
+        .as("buckets"))
+    df.collect().foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val buckets = r.getSeq[Long](1)
+      assert(buckets.length === bands)
+      val expected = (0 until bands).map { b =>
+        var h = Mix64.mix(b.toLong + 0x9e3779b97f4a7c15L)
+        sig.slice(b * rows, (b + 1) * rows).foreach(v => h = Mix64.mix(h ^ v))
+        h
+      }
+      assert(buckets === expected)
+    }
+  }
+
   test("MinHash similarity estimate converges to exact Jaccard") {
     val rnd = new scala.util.Random(13)
     // random set pairs with known overlap structure

@@ -104,6 +104,43 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("optimalBanding lands the s-curve midpoint near the threshold") {
+    // τ=0.4, n=128: equal-error optimum is 32 bands × 4 rows (midpoint
+    // (1/32)^(1/4) ≈ 0.42); r=2 floods candidates (P(collide|s=0.05) ≈
+    // 0.15), r=8 collapses recall at τ to ~1%.
+    assert(Dedup.optimalBanding(128, 0.4) === (32, 4))
+    // τ=0.9 tolerates much deeper rows — anything r ≥ 8 keeps recall
+    // while slashing sub-threshold candidates
+    val (b9, r9) = Dedup.optimalBanding(128, 0.9)
+    assert(r9 >= 8 && b9 * r9 === 128)
+    // recall at τ stays high for the chosen banding (fnWeight=2 bias)
+    val recall = 1.0 - math.pow(1.0 - math.pow(0.9, r9), b9)
+    assert(recall >= 0.8, s"recall@0.9 for ($b9,$r9) = $recall")
+  }
+
+  test("high-threshold minhash: capped ≡ uncapped ≡ exact scan (sf0.001)") {
+    val d = Tables.documents(spark, Sf0001)
+    def pairsOf(cap: Int) =
+      Dedup.minhashPairs(d, "doc_id", "text", shingleK = 3,
+          numHashes = 128, bands = 32, threshold = 0.9, bucketCap = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairsOf(1000)       // the public q_dedup_minhash_ht path
+    val uncapped = pairsOf(Int.MaxValue) // spec-harness-only variant
+    assert(capped === uncapped,
+      "a band bucket exceeded the cap on the test corpus — the " +
+        "oracle-equality claim for the capped public path no longer holds")
+    // and the LSH output at τ=0.9 equals the exact all-pairs scan
+    // (banding recall ≈ 1-3.5e-15 at this threshold)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source",
+        shingleK = 3, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ngramJaccardPairs blocks by source; minhash is corpus-wide, so
+    // compare on the blocked subset both can see
+    assert(exact.subsetOf(uncapped))
+  }
+
   test("minhash LSH recall vs exact jaccard on real documents (sf0.001)") {
     val d = Tables.documents(spark, Sf0001)
     // exact pairs at a low threshold within the whole corpus would be
