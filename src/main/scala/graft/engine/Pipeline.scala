@@ -43,6 +43,30 @@ object Pipeline {
       ingestAndClean(spark, p, dict1, dict2)
     }
 
+  /** The *intended* NCES-ID pipeline (DIVERGENCES.md #3 demonstration):
+    * the reference documents that "NCES ID" should be fetched from the
+    * third raw file (ref `:926-928`) but codes it as the zero-padded
+    * district id (`:930-936`) and leaves the NCES join commented out
+    * (`:650-654`). This variant performs that intended join — the
+    * cleaned NCES file keyed by school name supplies the real NCES
+    * school/site id, falling back to the coded padded district id for
+    * schools the NCES file lacks. The NCES school list is a small
+    * dimension (one row per school in a state) → broadcast join. */
+  def runWithNcesJoin(spark: SparkSession, cfg: Config): DataFrame = {
+    val base = run(spark, cfg)
+    cleanedNces(spark, cfg) match {
+      case None => base
+      case Some(nces) =>
+        val n = nces.select(col("`school name`").as("__nces_school"),
+          col("`NCES School ID`").as("__nces_id"))
+        base.join(broadcast(n),
+            base("`school name`") === n("__nces_school"), "left")
+          .withColumn("NCES ID",
+            coalesce(col("__nces_id"), col("`NCES ID`")))
+          .drop("__nces_school", "__nces_id")
+    }
+  }
+
   /** Full run → the reference's "Final 64 column table" analog
     * (ref `:1044-1089`). */
   def run(spark: SparkSession, cfg: Config): DataFrame = {

@@ -129,8 +129,31 @@ object PipelineQueries {
         .orderBy("school name")
     })
 
+  /** The *intended* NCES-ID join (DIVERGENCES.md #3, ref `:926-928`):
+    * full pipeline + left join to the cleaned A4 NCES fixture by school
+    * name, real NCES school id with coded-padded-district fallback
+    * (Delta School is absent from the NCES file → falls back). */
+  val ncesJoin = QueryDef(
+    "q_nces_join",
+    Some(CleanPipelineOracle.ncesSql),
+    (s, _) => {
+      val out = graft.engine.Pipeline.runWithNcesJoin(s,
+        graft.engine.Pipeline.Config(
+          dict1Path = Fixtures.path("data_dictionary_template_1.txt"),
+          dict2Path = Fixtures.path("data_dictionary_template_2.txt"),
+          breakfastPath = Fixtures.path("2017_2018_SBP_MEAL_PARTICIPATION.txt"),
+          lunchPath = Fixtures.path("2017_2018_NSLP_MEAL_PARTICIPATION.txt"),
+          ncesPath = Some(Fixtures.path("WI_NCES_School_Data_SY15-16.txt"))))
+      out.select(col("`school name`"), col("`claim date`"),
+          col("`Unique ID`").as("unique_id"),
+          col("`NCES ID`").as("nces_id"),
+          col("`FR Lunch Meals`").as("fr_lunch_meals"),
+          col("`School Level-Standardized`").as("school_level_std"))
+        .orderBy("school name")
+    })
+
   val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain,
-    cleanPipeline)
+    cleanPipeline, ncesJoin)
 }
 
 /** The q_clean_pipeline DuckDB oracle: the reference pipeline (ref
@@ -143,7 +166,9 @@ object PipelineQueries {
 object CleanPipelineOracle {
   private val fx = "/root/repo/src/main/resources/fixtures"
 
-  val sql: String = s"""
+  /** Shared CTE chain up to `final` (the DISTINCT wide table) — both
+    * the plain pipeline oracle and the NCES-join oracle build on it. */
+  private val ctes: String = s"""
 WITH lunch_raw AS (
   SELECT "AGENCY_CODE" AS "Agency Code", "school name", "claim date",
          "district id", "School ID", "PUBLIC", "SCHOOL TYPE",
@@ -256,13 +281,33 @@ joined AS (
    AND l."claim date" = b."claim date"
    AND LPAD(l."district id", 6, '0') = LPAD(b."district id", 6, '0')
 ),
-final AS (SELECT DISTINCT * FROM joined)
+final AS (SELECT DISTINCT * FROM joined)"""
+
+  val sql: String = ctes + """
 SELECT "school name", "claim date",
        "Unique ID" AS unique_id, "NCES ID" AS nces_id,
        "FR Lunch Meals" AS fr_lunch_meals, "FR Lunch ADP" AS fr_lunch_adp,
        "FR Breakfast Meals" AS fr_breakfast_meals,
        "School Level-Standardized" AS school_level_std
 FROM final ORDER BY "school name"
+"""
+
+  /** q_nces_join oracle: the DISTINCT wide table left-joined to the
+    * cleaned NCES school list (quoted headers stripped by the CSV
+    * reader; dictionary plan: School Name → school name, NOT-USED /
+    * unmatched columns dropped), intended id with coded-id fallback. */
+  val ncesSql: String = ctes + s""",
+nces AS (
+  SELECT "School Name" AS sn, "NCES School ID" AS nid
+  FROM read_csv('$fx/WI_NCES_School_Data_SY15-16.txt',
+                delim='\\t', header=true, all_varchar=true))
+SELECT f."school name", f."claim date",
+       f."Unique ID" AS unique_id,
+       COALESCE(n.nid, f."NCES ID") AS nces_id,
+       f."FR Lunch Meals" AS fr_lunch_meals,
+       f."School Level-Standardized" AS school_level_std
+FROM final f LEFT JOIN nces n ON f."school name" = n.sn
+ORDER BY f."school name"
 """
 }
 
@@ -273,7 +318,8 @@ object Fixtures {
     val d = java.nio.file.Files.createTempDirectory("graft-fixtures")
     Seq("data_dictionary_template_1.txt", "data_dictionary_template_2.txt",
       "2017_2018_SBP_MEAL_PARTICIPATION.txt",
-      "2017_2018_NSLP_MEAL_PARTICIPATION.txt").foreach { name =>
+      "2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+      "WI_NCES_School_Data_SY15-16.txt").foreach { name =>
       val in = getClass.getResourceAsStream(s"/fixtures/$name")
       require(in != null, s"fixture $name missing from classpath")
       try java.nio.file.Files.copy(in, d.resolve(name))

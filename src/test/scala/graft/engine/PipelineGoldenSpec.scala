@@ -74,4 +74,48 @@ class PipelineGoldenSpec extends SparkSuite {
     val ag = Qa.agreement(result, result)
     assert(ag.countA === 3 && ag.countCommon === 3 && ag.ratio === 1.0)
   }
+
+  private lazy val ncesCfg = Pipeline.Config(
+    dict1Path = fixture("data_dictionary_template_1.txt"),
+    dict2Path = fixture("data_dictionary_template_2.txt"),
+    breakfastPath = fixture("2017_2018_SBP_MEAL_PARTICIPATION.txt"),
+    lunchPath = fixture("2017_2018_NSLP_MEAL_PARTICIPATION.txt"),
+    ncesPath = Some(fixture("WI_NCES_School_Data_SY15-16.txt")))
+
+  test("cleanedNces: quoted headers stripped, dictionary drop/rename applied (A4)") {
+    val nces = Pipeline.cleanedNces(spark, ncesCfg).get
+    // quote-wrapped raw headers arrive clean; School Name renamed to
+    // the claims-side clean name; NOT-USED (State School ID) and
+    // unmatched (Junk Notes) columns dropped
+    assert(nces.columns.toSeq ===
+      Seq("school name", "NCES School ID", "District Name", "Grade Range"))
+    val byName = nces.collect()
+      .map(r => r.getAs[String]("school name") -> r).toMap
+    assert(byName.keySet === Set("Alpha School", "Beta School",
+      "Gamma School", "Epsilon School", "Zeta School"))
+    assert(byName("Alpha School").getAs[String]("NCES School ID")
+      === "550001000077")
+    assert(byName("Zeta School").getAs[String]("District Name")
+      === "Unused District")
+  }
+
+  test("runWithNcesJoin: intended NCES id joined, coded fallback where absent") {
+    val joined = Pipeline.runWithNcesJoin(spark, ncesCfg)
+    val byName = joined.collect()
+      .map(r => r.getAs[String]("school name") -> r).toMap
+    // same final row set as the plain pipeline (left join adds no rows)
+    assert(byName.keySet === Set("Alpha School", "Beta School",
+      "Delta School"))
+    // in the NCES file → real school/site id
+    assert(byName("Alpha School").getAs[String]("NCES ID") === "550001000077")
+    assert(byName("Beta School").getAs[String]("NCES ID") === "550002000088")
+    // Delta absent from the NCES file → coded zero-padded district id
+    assert(byName("Delta School").getAs[String]("NCES ID") === "000042")
+  }
+
+  test("plain run is unaffected by configuring an NCES path (ref ignores it)") {
+    val plain = Pipeline.run(spark, ncesCfg)
+    assert(plain.columns.sameElements(result.columns))
+    assert(plain.exceptAll(result).isEmpty && result.exceptAll(plain).isEmpty)
+  }
 }
