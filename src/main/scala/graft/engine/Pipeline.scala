@@ -53,8 +53,10 @@ object Pipeline {
     * schools the NCES file lacks. The NCES school list is a small
     * dimension (one row per school in a state) → broadcast join. */
   def runWithNcesJoin(spark: SparkSession, cfg: Config): DataFrame = {
-    val base = run(spark, cfg)
-    cleanedNces(spark, cfg) match {
+    val dict1 = Dictionary.load(spark, cfg.dict1Path)
+    val dict2 = Dictionary.load(spark, cfg.dict2Path)
+    val base = runWithDicts(spark, cfg, dict1, dict2)
+    cfg.ncesPath.map(ingestAndClean(spark, _, dict1, dict2)) match {
       case None => base
       case Some(nces) =>
         val n = nces.select(col("`school name`").as("__nces_school"),
@@ -69,9 +71,13 @@ object Pipeline {
 
   /** Full run → the reference's "Final 64 column table" analog
     * (ref `:1044-1089`). */
-  def run(spark: SparkSession, cfg: Config): DataFrame = {
-    val dict1 = Dictionary.load(spark, cfg.dict1Path)
-    val dict2 = Dictionary.load(spark, cfg.dict2Path)
+  def run(spark: SparkSession, cfg: Config): DataFrame =
+    runWithDicts(spark, cfg,
+      Dictionary.load(spark, cfg.dict1Path),
+      Dictionary.load(spark, cfg.dict2Path))
+
+  private def runWithDicts(spark: SparkSession, cfg: Config,
+      dict1: DataFrame, dict2: DataFrame): DataFrame = {
 
     val breakfast0 = ingestAndClean(spark, cfg.breakfastPath, dict1, dict2)
     val lunch0 = ingestAndClean(spark, cfg.lunchPath, dict1, dict2)

@@ -146,14 +146,54 @@ object Dedup {
     * 16-bit chunk blocking (pigeonhole: hamming ≤ 3 guarantees an
     * equal chunk), verified by exact hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    require(maxHamming <= 3, "4 chunks of 16 bits guarantee recall only to hamming 3")
-    val sig = df.select(col(idCol).as("id"),
-      HashFunctions.simhash64(ShingleFunctions.tokenHashes(col(textCol)))
-        .as("sig"))
+      maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame =
+    simhashPairsFromSig(
+      df.select(col(idCol).as("id"),
+        HashFunctions.simhash64(ShingleFunctions.tokenHashes(col(textCol)))
+          .as("sig")),
+      maxHamming, bucketCap, bits = 64)
 
+  /** A PORTABLE simhash signature both Spark and a SQL oracle can
+    * compute bit-identically — the cross-engine verification twin of
+    * [[graft.functions.SimHash64]] (which stays the production path:
+    * one custom-expression pass instead of an explode + 60-way
+    * aggregate).
+    *
+    * Construction: whitespace tokens → md5(token) → first 15 hex chars
+    * as a 60-bit non-negative int → per-bit ±1 majority vote across the
+    * doc's tokens (strictly-positive count sets the bit). Every step is
+    * ANSI SQL (md5, substring, hex cast, bit ops), so DuckDB reproduces
+    * the exact signature. Docs with no tokens produce no signature. */
+  def simhashMd5Sig(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits <= 60, "15 hex chars carry 60 bits")
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    tok.select(col("id"), h.as("h"))
+      .groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** Chunk-blocked hamming pairs over precomputed (id, sig)
+    * signatures: candidates via `bits/4`-bit chunk blocking
+    * (pigeonhole: hamming ≤ 3 guarantees an equal chunk), verified by
+    * exact hamming distance. */
+  def simhashPairsFromSig(sig: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 1000, bits: Int = 64): DataFrame = {
+    require(maxHamming <= 3, "4 chunks guarantee recall only to hamming 3")
+    require(bits % 4 == 0, "chunking assumes 4 equal-width chunks")
+    val width = bits / 4
+    val mask = (1L << width) - 1L
     val chunks = (0 until 4).map(i =>
-      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
+      shiftright(col("sig"), i * width).bitwiseAND(lit(mask)))
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
 
