@@ -82,8 +82,53 @@ object Dictionary {
     CleanPlan(drops.toSeq, renames)
   }
 
-  /** Convenience: columns → plan in one step. */
+  /** Both dictionaries collected to the driver: (raw lower → list of
+    * clean names). Dictionary templates are schema-width metadata (tens
+    * of rows), so this is two tiny scan jobs — after which planning any
+    * number of files costs zero Spark jobs. */
+  final case class DictRows(d1: Map[String, Seq[String]],
+      d2: Map[String, Seq[String]])
+
+  def collectDicts(dict1: DataFrame, dict2: DataFrame): DictRows = {
+    def toMap(df: DataFrame): Map[String, Seq[String]] =
+      df.select(col("raw_data_column_name"),
+          col("equivalent_clean_data_name"))
+        .collect()
+        .groupBy(r => Option(r.getString(0)).getOrElse("").toLowerCase)
+        .view.mapValues(_.map(r => r.getString(1)).toSeq).toMap
+    DictRows(toMap(dict1), toMap(dict2))
+  }
+
+  /** Driver-side equivalent of `lookup` → `plan`: per input column,
+    * every (d1 match × d2 match) combination contributes
+    * coalesce(clean1, clean2), then distinct — exactly the LEFT JOIN ×2
+    * + DISTINCT semantics of the DataFrame path (which remains the
+    * S7/J4 catalog-scan demonstration; DictionarySpec pins the two
+    * paths equal). */
+  def planLocal(columns: Seq[String], dicts: DictRows): CleanPlan = {
+    val rows: Seq[(String, Option[String])] = columns.flatMap { c =>
+      val k = c.toLowerCase
+      val m1 = dicts.d1.getOrElse(k, Seq(null))
+      val m2 = dicts.d2.getOrElse(k, Seq(null))
+      for (c1 <- m1; c2 <- m2)
+        yield c -> Option(if (c1 != null) c1 else c2)
+    }.distinct
+    val drops = rows.collect {
+      case (raw, clean) if clean.forall(_.contains(NotUsed)) => raw
+    }.distinct
+    val usable = rows.collect {
+      case (raw, Some(clean)) if !clean.contains(NotUsed) => raw -> clean
+    }
+    val counts = usable.groupBy(_._2).view.mapValues(_.length).toMap
+    val renames = usable.collect {
+      case (raw, clean) if counts(clean) == 1 && raw != clean => raw -> clean
+    }.toMap
+    CleanPlan(drops, renames)
+  }
+
+  /** Convenience: columns → plan in one step (driver-side matching;
+    * the DataFrame `lookup` stays as the catalog-scan operator). */
   def planFor(spark: SparkSession, columns: Seq[String],
       dict1: DataFrame, dict2: DataFrame): CleanPlan =
-    plan(lookup(spark, columns, dict1, dict2))
+    planLocal(columns, collectDicts(dict1, dict2))
 }

@@ -25,10 +25,16 @@ object Pipeline {
 
   /** Ingest one raw file and apply its dictionary plan (E1+E2). */
   def ingestAndClean(spark: SparkSession, path: String,
-      dict1: DataFrame, dict2: DataFrame): DataFrame = {
+      dict1: DataFrame, dict2: DataFrame): DataFrame =
+    ingestAndCleanWith(spark, path, Dictionary.collectDicts(dict1, dict2))
+
+  /** Same, against already-collected dictionaries — multi-file runs
+    * collect each dictionary ONCE, then planning is driver-local and
+    * costs no Spark jobs per file. */
+  private def ingestAndCleanWith(spark: SparkSession, path: String,
+      dicts: Dictionary.DictRows): DataFrame = {
     val raw = Ingest.readTsv(spark, path)
-    val plan = Dictionary.planFor(spark, raw.columns.toSeq, dict1, dict2)
-    CleanPipeline.clean(raw, plan)
+    CleanPipeline.clean(raw, Dictionary.planLocal(raw.columns.toSeq, dicts))
   }
 
   /** The cleaned NCES file for callers that DO want to join it — the
@@ -53,10 +59,11 @@ object Pipeline {
     * schools the NCES file lacks. The NCES school list is a small
     * dimension (one row per school in a state) → broadcast join. */
   def runWithNcesJoin(spark: SparkSession, cfg: Config): DataFrame = {
-    val dict1 = Dictionary.load(spark, cfg.dict1Path)
-    val dict2 = Dictionary.load(spark, cfg.dict2Path)
-    val base = runWithDicts(spark, cfg, dict1, dict2)
-    cfg.ncesPath.map(ingestAndClean(spark, _, dict1, dict2)) match {
+    val dicts = Dictionary.collectDicts(
+      Dictionary.load(spark, cfg.dict1Path),
+      Dictionary.load(spark, cfg.dict2Path))
+    val base = runWithDicts(spark, cfg, dicts)
+    cfg.ncesPath.map(ingestAndCleanWith(spark, _, dicts)) match {
       case None => base
       case Some(nces) =>
         val n = nces.select(col("`school name`").as("__nces_school"),
@@ -72,15 +79,15 @@ object Pipeline {
   /** Full run → the reference's "Final 64 column table" analog
     * (ref `:1044-1089`). */
   def run(spark: SparkSession, cfg: Config): DataFrame =
-    runWithDicts(spark, cfg,
+    runWithDicts(spark, cfg, Dictionary.collectDicts(
       Dictionary.load(spark, cfg.dict1Path),
-      Dictionary.load(spark, cfg.dict2Path))
+      Dictionary.load(spark, cfg.dict2Path)))
 
   private def runWithDicts(spark: SparkSession, cfg: Config,
-      dict1: DataFrame, dict2: DataFrame): DataFrame = {
+      dicts: Dictionary.DictRows): DataFrame = {
 
-    val breakfast0 = ingestAndClean(spark, cfg.breakfastPath, dict1, dict2)
-    val lunch0 = ingestAndClean(spark, cfg.lunchPath, dict1, dict2)
+    val breakfast0 = ingestAndCleanWith(spark, cfg.breakfastPath, dicts)
+    val lunch0 = ingestAndCleanWith(spark, cfg.lunchPath, dicts)
 
     // E3 step 1-2: conditional columns on each side (ref :800-825).
     val lunch = lunch0

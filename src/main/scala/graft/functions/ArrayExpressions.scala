@@ -99,8 +99,65 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 object JaccardSim {
-  /** Static kernel; NaN encodes the empty-union NULL case. */
+  /** Static kernel; NaN encodes the empty-union NULL case. Long arrays
+    * that arrive ascending-sorted (ShingleHashes emits them that way)
+    * take a zero-allocation linear merge; anything else falls back to
+    * the hash-set path. Both count DISTINCT elements — identical
+    * results. */
   def compute(a: ArrayData, b: ArrayData, isLong: Boolean): Double = {
+    if (isLong && isSortedAsc(a) && isSortedAsc(b))
+      return mergeJaccard(a, b)
+    hashJaccard(a, b, isLong)
+  }
+
+  private def isSortedAsc(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i - 1) > a.getLong(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Distinct-set Jaccard by merging two ascending arrays. Duplicates
+    * within an input are counted once (matching array_intersect /
+    * array_union semantics). */
+  private def mergeJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    var union = 0
+    var havePrev = false
+    var prev = 0L
+    @inline def fresh(v: Long): Boolean = {
+      val f = !havePrev || v != prev
+      if (f) { prev = v; havePrev = true }
+      f
+    }
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        if (fresh(x)) { union += 1; inter += 1 }
+        i += 1; j += 1
+      } else if (x < y) {
+        if (fresh(x)) union += 1
+        i += 1
+      } else {
+        if (fresh(y)) union += 1
+        j += 1
+      }
+    }
+    while (i < na) { if (fresh(a.getLong(i))) union += 1; i += 1 }
+    while (j < nb) { if (fresh(b.getLong(j))) union += 1; j += 1 }
+    if (union == 0) Double.NaN else inter.toDouble / union.toDouble
+  }
+
+  private def hashJaccard(a: ArrayData, b: ArrayData,
+      isLong: Boolean): Double = {
     val setA = new java.util.HashSet[Any](a.numElements() * 2)
     var i = 0
     while (i < a.numElements()) {

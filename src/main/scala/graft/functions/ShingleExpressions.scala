@@ -104,14 +104,18 @@ object ShingleHashes {
     val res =
       if (!distinct || out.length <= 1) out
       else {
-        val seen = new java.util.HashSet[java.lang.Long](out.length * 2)
-        val buf = new scala.collection.mutable.ArrayBuffer[Long](out.length)
-        var j = 0
+        // sort-then-dedup: set consumers (MinHash, Jaccard, banding)
+        // are order-independent, and ASCENDING order lets JaccardSim
+        // take its zero-allocation merge path per pair — the sort is
+        // paid once per document, the merge saves on every pair.
+        java.util.Arrays.sort(out)
+        var w = 1
+        var j = 1
         while (j < out.length) {
-          if (seen.add(out(j))) buf += out(j)
+          if (out(j) != out(w - 1)) { out(w) = out(j); w += 1 }
           j += 1
         }
-        buf.toArray
+        if (w == out.length) out else java.util.Arrays.copyOf(out, w)
       }
     new GenericArrayData(res)
   }

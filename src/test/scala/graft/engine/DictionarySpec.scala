@@ -47,6 +47,29 @@ class DictionarySpec extends SparkSuite {
     assert(lk === Map("x" -> "FromOne", "y" -> "OnlyTwo"))
   }
 
+  test("planLocal ≡ plan(lookup(...)): driver path matches DataFrame path") {
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(100 + seed)
+      val cols = (0 until (2 + rnd.nextInt(8))).map(i => s"Col_$i")
+      def entries() = cols.flatMap { c =>
+        rnd.nextInt(6) match {
+          case 0 => None
+          case 1 => Some((c, c.toLowerCase, s"NOT USED $c"))
+          case 2 => Some((c, c, c))
+          case 3 => Some((c, c.toUpperCase, s"clean_$c"))
+          case 4 => Some((c, c, "shared"))
+          case 5 => Some((c, c, s"Renamed $c"))
+        }
+      }
+      val (d1, d2) = (dict(entries()), dict(entries()))
+      val viaDf = Dictionary.plan(Dictionary.lookup(spark, cols, d1, d2))
+      val viaLocal = Dictionary.planLocal(cols,
+        Dictionary.collectDicts(d1, d2))
+      assert(viaLocal.drops.toSet === viaDf.drops.toSet, s"seed=$seed drops")
+      assert(viaLocal.renames === viaDf.renames, s"seed=$seed renames")
+    }
+  }
+
   test("property: kept = matched ∧ ¬NOT-USED, renamed iff clean name 1:1") {
     for (seed <- 0 until 30) {
       val rnd = new scala.util.Random(seed)

@@ -47,6 +47,26 @@ class CrossValidationSpec extends SparkSuite {
     df.collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("JaccardSim sorted-merge path ≡ hash path ≡ builtin on long sets") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(300) {
+      def arr() = Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(60).toLong)
+      (arr().sorted, arr().sorted, arr(), arr()) // sorted + unsorted twins
+    }
+    val df = rows.toDF("sa", "sb", "ua", "ub").select(
+      ArrayFunctions.jaccardSim(col("sa"), col("sb")).as("merged"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double")).as("builtin"),
+      ArrayFunctions.jaccardSim(col("ua"), col("ub")).as("hash_unsorted"),
+      (size(array_intersect(col("ua"), col("ub"))).cast("double") /
+        size(array_union(col("ua"), col("ub"))).cast("double"))
+        .as("builtin_unsorted"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
   test("MinHashBandBuckets ≡ per-band combine of MinHashSignature slices") {
     val docs = graft.Tables.documents(spark, Sf0001).limit(100)
     val (bands, rows) = (32, 4)
