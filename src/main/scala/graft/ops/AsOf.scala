@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the single latest
+  * right row with `right.ts <= left.ts` on the same key. The classic
+  * time-series/feature-store operator Spark's built-in joins lack (a
+  * naive `l.key = r.key AND r.ts <= l.ts` range join explodes to all
+  * eligible pairs and re-filters).
+  *
+  * Spark-first construction — NO join at all: tag both sides, union,
+  * and run one `last(payload, ignoreNulls)` window per key ordered by
+  * (ts, side). Right rows sort before left rows at equal ts, so the
+  * running last-seen payload at each left row IS its as-of match.
+  *
+  * At 100 TB: one shuffle on the key for both inputs together and a
+  * per-partition sort — the same cost as a sort-merge join, with no
+  * intermediate pair explosion regardless of how many right rows
+  * precede each left row. Hot keys stay one partition each (AQE skew
+  * handling applies); state per row during the scan is the payload
+  * width, not a buffer.
+  *
+  * Ties: multiple right rows sharing (key, ts) are resolved by union
+  * order (nondeterministic) — pre-aggregate the right side to one row
+  * per (key, ts), as q_asof_join does, when determinism matters.
+  */
+object AsOf {
+
+  /** @param payload right-side columns carried onto each matched left
+    *   row (names must not collide with left's columns).
+    * @param toleranceMicros if set, matches older than
+    *   `left.ts - tolerance` are nulled out (stale features dropped).
+    * @param strict `true` for `right.ts < left.ts` (exclude same-instant
+    *   rows — e.g. leakage-safe feature joins), default `<=`. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload ${payload.intersect(leftCols)} collide with left columns")
+
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++ payload.map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__match_ts", col("__ts"))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    // unionByName fills each side's missing columns with NULL — exactly
+    // the sentinel last(ignoreNulls) skips over
+    val tagged = l.unionByName(r, allowMissingColumns = true)
+
+    // right-before-left at equal ts gives <=; left-before-right gives <
+    val sideOrder: Column = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = "__match_ts" +: payload
+    val filled = carried.foldLeft(tagged)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    val aged = toleranceMicros match {
+      case None => filled
+      case Some(tol) =>
+        // interval arithmetic for timestamp ts columns, plain
+        // subtraction for numeric ones (same unit as the column)
+        val isTimestamp = filled.schema("__ts").dataType ==
+          org.apache.spark.sql.types.TimestampType
+        val floor =
+          if (isTimestamp) col("__ts") - expr(s"INTERVAL $tol MICROSECOND")
+          else col("__ts") - lit(tol)
+        val stale = col("__match_ts") < floor
+        payload.foldLeft(filled)((df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+    }
+    aged.filter(col("__side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seeded per-partition: the kept set changes with
+  * partitioning, cluster size, and row order — useless for reproducible
+  * corpus splits. Hash sampling decides per ROW from a content key:
+  * keep iff uniform(hash(salt, key)) < p. The same (salt, key) is kept
+  * or dropped identically on any cluster, any partitioning, any engine
+  * (md5 is the portable hash, so a SQL oracle reproduces the exact
+  * kept set), and disjoint salts give independent samples — the
+  * standard train/validation/test split device at corpus scale.
+  */
+object Sampling {
+
+  /** 32-bit uniform value derived from md5(salt || key) — the first 8
+    * hex chars as an integer in [0, 2^32). */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Keep rows where the key's hash bucket falls under `p`. */
+  def hashSample(df: DataFrame, keyCol: String, p: Double,
+      salt: String): DataFrame = {
+    require(p >= 0 && p <= 1, "p must be in [0,1]")
+    val threshold = (p * 4294967296L).toLong
+    df.filter(hashBucket(col(keyCol), salt) < lit(threshold))
+  }
+}

@@ -129,6 +129,36 @@ object EventQueries {
         .orderBy("user_id")
     })
 
+  /** As-of join: each click matched to the user's latest
+    * at-or-before purchase (the point-in-time feature-join Spark has
+    * no operator for — see ops.AsOf). The right side is pre-aggregated
+    * to one row per (user, ts) so the match is deterministic; the
+    * DuckDB oracle is a native ASOF LEFT JOIN. */
+  val asofJoin = QueryDef(
+    "q_asof_join",
+    Some("""WITH l AS (SELECT event_id, user_id, ts, value AS click_value
+                       FROM events WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, MAX(value) AS purchase_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.click_value, r.purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.event_id"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("purchase_value"))
+      graft.ops.AsOf.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "click_value", "purchase_value")
+        .orderBy("event_id")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, slidingWindow,
-    sessionize, topEventPerUser)
+    sessionize, topEventPerUser, asofJoin)
 }

@@ -122,5 +122,70 @@ object TextQueries {
         Text.fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy("doc_id"))
 
-  val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint)
+  /** Deterministic content-hash sampling (ops.Sampling): a reproducible
+    * ~25% Bernoulli split keyed on doc_id — identical kept set on any
+    * cluster, any partitioning, any engine (md5 is the portable hash,
+    * which is exactly why the oracle can recompute it). */
+  val sampleHash = QueryDef(
+    "q_sample_hash",
+    Some("""SELECT doc_id, source
+            FROM documents
+            WHERE CAST('0x' || substring(md5('graft-split:'
+                    || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  < CAST(0.25 * 4294967296 AS BIGINT)
+            ORDER BY doc_id"""),
+    (s, d) => graft.ops.Sampling.hashSample(
+        Tables.documents(s, d), "doc_id", 0.25, "graft-split:")
+      .select("doc_id", "source")
+      .orderBy("doc_id"))
+
+  /** Benchmark-contamination check (ops.Contamination): 8-gram overlap
+    * of every document against a benchmark subset (doc_id % 97 = 0 —
+    * members score 1.0, near-dups score partially, clean docs 0).
+    * Shingle keys are md5-derived on both engines, so counts and
+    * ratios hash-match exactly. */
+  val contamination = QueryDef(
+    "q_contamination",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0) AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 8
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                            range(1, len(toks) - 6),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                 toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                                 toks[i+6] || ' ' || toks[i+7])) END
+                       AS shingles
+              FROM t),
+            hs AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5(unnest(shingles)), 1, 15)
+                          AS BIGINT) AS h
+              FROM sh),
+            bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 97 = 0),
+            agg AS (
+              SELECT hs.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(COUNT(b.h) AS BIGINT) AS n_hits
+              FROM hs LEFT JOIN bench b ON hs.h = b.h
+              GROUP BY hs.doc_id)
+            SELECT doc_id, n_shingles, n_hits,
+                   CAST(n_hits AS DOUBLE) /
+                     NULLIF(CAST(n_shingles AS DOUBLE), 0.0) AS contamination
+            FROM agg ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Contamination.ngramOverlap(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
+    sampleHash, contamination)
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 400L),
+    (4L, 20L, 100L), (5L, 30L, 500L))
+    .toDF("id", "k", "t")
+  private def right = Seq(
+    (10L, 100L, 1.0), (10L, 200L, 2.0), (10L, 400L, 4.0),
+    (20L, 150L, 9.0))
+    .toDF("k", "t", "v")
+
+  private def run(strict: Boolean = false,
+      tol: Option[Long] = None): Map[Long, Option[Double]] =
+    AsOf.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+        toleranceMicros = tol, strict = strict)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+  test("latest at-or-before match per key; no match → NULL") {
+    assert(run() === Map(
+      1L -> Some(1.0),  // t=100 matches right t=100 (<= includes equal)
+      2L -> Some(2.0),  // t=250 → latest is 200
+      3L -> Some(4.0),  // t=400 → equal instant
+      4L -> None,       // k=20: only right t=150 > 100
+      5L -> None))      // k=30: no right rows at all
+  }
+
+  test("strict mode excludes same-instant rows") {
+    assert(run(strict = true) === Map(
+      1L -> None,        // equal t no longer eligible
+      2L -> Some(2.0),
+      3L -> Some(2.0),   // t=400 right row excluded, falls back to 200
+      4L -> None, 5L -> None))
+  }
+
+  test("tolerance nulls out stale matches") {
+    assert(run(tol = Some(60L)) === Map(
+      1L -> Some(1.0),   // age 0
+      2L -> Some(2.0),   // age 50 ≤ 60
+      3L -> Some(4.0),   // age 0
+      4L -> None, 5L -> None))
+    assert(run(tol = Some(40L))(2L) === None) // age 50 > 40
+  }
+
+  test("all left rows and columns survive (left-outer semantics)") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+    assert(out.count() === 5)
+    assert(out.columns.toSeq === Seq("id", "k", "t", "v"))
+  }
+
+  test("plan contains no join: single window pass over the union") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), s"unexpected join in:\n$physical")
+    assert(physical.contains("Window"))
+  }
+}
