@@ -121,6 +121,100 @@ object ShingleHashes {
   }
 }
 
+/** PORTABLE one-pass shingle keys: word k-shingles → md5 → first 15
+  * hex chars as a 60-bit long, exactly equal to
+  * `conv(substring(md5(shingle), 1, 15), 16, 10)` over
+  * `explode(Text.wordShingles(text, k))` — but with no intermediate
+  * shingle strings, no string md5 input (the digest is fed token byte
+  * spans + single spaces directly), and no interpreted higher-order
+  * functions. Used where a SQL oracle must reproduce the exact keys
+  * (contamination checks); the non-portable ShingleHashes stays the
+  * MinHash/Jaccard workhorse.
+  *
+  * Semantics mirror Text.wordShingles: whitespace tokens, joined with
+  * single spaces, whole-doc fallback for <k tokens (token-less text →
+  * the md5 of ""), value-distinct (md5-collision merging is ~2⁻⁶⁰ per
+  * in-doc pair). */
+case class Md5ShingleKeys(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_shingle_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5ShingleKeys.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5ShingleKeys.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5ShingleKeys {
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val SpaceByte = ' '.toByte
+
+  /** First 60 bits of an md5 digest == parsing its first 15 hex chars
+    * as a base-16 number. */
+  @inline private def head60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  def compute(input: UTF8String, k: Int): GenericArrayData = {
+    val bytes = input.getBytes
+    val md = digests.get()
+    // token spans (same whitespace class as ShingleHashes)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i))) i += 1
+      val s = i
+      while (i < n && !isWsByte(bytes(i))) i += 1
+      if (i > s) { starts += s; ends += i }
+    }
+    val m = starts.length
+    @inline def keyOf(from: Int, until: Int): Long = {
+      md.reset()
+      var j = from
+      while (j < until) {
+        if (j > from) md.update(SpaceByte)
+        md.update(bytes, starts(j), ends(j) - starts(j))
+        j += 1
+      }
+      head60(md.digest())
+    }
+    val out =
+      if (m < k) Array(keyOf(0, m)) // whole-doc fallback ('' when m=0)
+      else {
+        val seen = new java.util.HashSet[java.lang.Long](2 * (m - k + 1))
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](m - k + 1)
+        var j = 0
+        while (j <= m - k) {
+          val key = keyOf(j, j + k)
+          if (seen.add(key)) buf += key
+          j += 1
+        }
+        buf.toArray
+      }
+    new GenericArrayData(out)
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
+      b == 0x0b
+}
+
 object ShingleFunctions {
   /** Distinct k-shingle hash set (MinHash / Jaccard input). */
   def shingleHashes(text: Column, k: Int): Column =
@@ -131,4 +225,8 @@ object ShingleFunctions {
   def tokenHashes(text: Column): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), 1,
       distinct = false))
+
+  /** Portable (SQL-reproducible) md5-derived 60-bit shingle keys. */
+  def md5ShingleKeys(text: Column, k: Int): Column =
+    ColumnBridge.column(Md5ShingleKeys(ColumnBridge.expression(text), k))
 }

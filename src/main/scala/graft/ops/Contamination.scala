@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.functions.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,22 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** md5-derived 60-bit key of a shingle string (first 15 hex chars —
-    * matches what ANSI SQL can recompute). */
-  private def shingleKey(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Per-document overlap vs `benchmark`: (idCol, n_shingles, n_hits,
     * contamination = n_hits / n_shingles). Documents with an empty
-    * shingle set get a NULL ratio. */
+    * shingle set get a NULL ratio. Shingle keys come from the one-pass
+    * Md5ShingleKeys expression — value-identical to
+    * `conv(substring(md5(shingle),1,15),16,10)` over exploded
+    * wordShingles (cross-validated), minus the intermediate strings. */
   def ngramOverlap(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val docSh = corpus.select(col(idCol).as("id"),
-        explode(Text.wordShingles(col(textCol), k)).as("s"))
-      .select(col("id"), shingleKey(col("s")).as("h"))
+      explode(graft.functions.ShingleFunctions
+        .md5ShingleKeys(col(textCol), k)).as("h"))
     val benchSh = benchmark
-      .select(explode(Text.wordShingles(col(textCol), k)).as("s"))
-      .select(shingleKey(col("s")).as("h")).distinct()
+      .select(explode(graft.functions.ShingleFunctions
+        .md5ShingleKeys(col(textCol), k)).as("h")).distinct()
 
     val perDoc = docSh
       .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("h"), "left")

@@ -176,13 +176,15 @@ object AnalyticsQueries {
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        Num.qround(percentile(col("l_extendedprice"), lit(0.25)), 4)
-          .as("p25"),
-        Num.qround(percentile(col("l_extendedprice"), lit(0.5)), 4)
-          .as("p50"),
-        Num.qround(percentile(col("l_extendedprice"), lit(0.95)), 4)
-          .as("p95"))
+      // one percentile aggregate with all three fractions: the exact
+      // algorithm buffers each group's values ONCE instead of three
+      // independent buffers (3× the state, 3× the sort at 100 TB)
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.95))).as("ps"))
+      .select(col("l_returnflag"),
+        Num.qround(element_at(col("ps"), 1), 4).as("p25"),
+        Num.qround(element_at(col("ps"), 2), 4).as("p50"),
+        Num.qround(element_at(col("ps"), 3), 4).as("p95"))
       .orderBy("l_returnflag"))
 
   /** HLL approximate distinct counts — the 100 TB cardinality tool.

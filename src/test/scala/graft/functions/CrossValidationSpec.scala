@@ -90,6 +90,25 @@ class CrossValidationSpec extends SparkSuite {
     }
   }
 
+  test("Md5ShingleKeys ≡ conv(substring(md5(wordShingles),1,15),16,10)") {
+    val docs = graft.Tables.documents(spark, Sf0001).limit(150)
+      .union(Seq((9001L, "one two three", "en", "t", 13L),
+        (9002L, "   leading  and   multiple   spaces\ttabs\ntoo ", "en", "t", 10L),
+        (9003L, "short", "en", "t", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val df = docs.select(
+      ShingleFunctions.md5ShingleKeys(col("text"), 8).as("fused"),
+      transform(Text.wordShingles(col("text"), 8),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+        .as("builtin"))
+    df.collect().foreach { r =>
+      val fused = r.getSeq[Long](0).toSet
+      val builtin = r.getSeq[Long](1).toSet
+      assert(fused === builtin)
+      assert(r.getSeq[Long](0).length === builtin.size) // value-distinct
+    }
+  }
+
   test("MinHash similarity estimate converges to exact Jaccard") {
     val rnd = new scala.util.Random(13)
     // random set pairs with known overlap structure
