@@ -29,4 +29,21 @@ object Sampling {
     val threshold = (p * 4294967296L).toLong
     df.filter(hashBucket(col(keyCol), salt) < lit(threshold))
   }
+
+  /** Stratified variant: per-stratum keep rates (corpus mixing — e.g.
+    * downsample a crawl source to 10% while keeping curated sources
+    * whole). Same per-row hash decision, so strata stay reproducible
+    * and a stratum's sample at rate p nests inside its sample at any
+    * higher rate under the same salt. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String,
+      strataCol: String, rates: Map[String, Double], defaultP: Double,
+      salt: String): DataFrame = {
+    require((rates.values ++ Seq(defaultP)).forall(p => p >= 0 && p <= 1))
+    def th(p: Double): Long = (p * 4294967296L).toLong
+    val threshold = rates.foldLeft(lit(th(defaultP))) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(th(p))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < threshold)
+  }
 }

@@ -159,6 +159,44 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  /** Range join: per signup, the user's activity in the following
+    * hour (ops.RangeJoin — bucketized so only temporally-adjacent
+    * events ever pair, vs the naive per-key-quadratic inequality
+    * join). The oracle is the naive inequality LEFT JOIN, which is
+    * exactly the semantics the bucketing must reproduce. */
+  val rangeJoin = QueryDef(
+    "q_range_join",
+    Some(s"""WITH s AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'signup'),
+                  f AS (SELECT user_id, ts, value FROM events
+                        WHERE event_type <> 'signup')
+             SELECT s.event_id, s.user_id,
+                    CAST(COUNT(f.ts) AS BIGINT) AS n_follow,
+                    ${Num.qroundSql("SUM(f.value)", 4)} AS follow_value
+             FROM s LEFT JOIN f
+               ON f.user_id = s.user_id AND f.ts > s.ts
+              AND f.ts <= s.ts + INTERVAL 1 HOUR
+             GROUP BY s.event_id, s.user_id ORDER BY s.event_id"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val follows = ev.filter(col("event_type") =!= "signup")
+      // (ts, ts + 1h] — lower offset 1 μs makes the bound strict at
+      // the engines' microsecond resolution
+      val pairs = graft.ops.RangeJoin.timeRangeJoin(signups, follows,
+        Seq("user_id"), "ts", "ts", 1L, 3600L * 1000 * 1000,
+        Seq("value"))
+      val agg = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_follow"),
+          Num.qround(sum("value"), 4).as("follow_value"))
+      signups.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+          col("follow_value"))
+        .orderBy("event_id")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, slidingWindow,
-    sessionize, topEventPerUser, asofJoin)
+    sessionize, topEventPerUser, asofJoin, rangeJoin)
 }

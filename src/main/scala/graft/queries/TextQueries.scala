@@ -186,6 +186,29 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Stratified corpus mixing (ops.Sampling): src0 kept whole, src1
+    * dropped to 10%, everything else at 50% — the per-source rebalance
+    * every corpus assembly runs. Fully deterministic, so the oracle
+    * recomputes the exact kept set. */
+  val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    Some("""SELECT doc_id, source
+            FROM documents
+            WHERE CAST('0x' || substring(md5('graft-mix:'
+                    || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  < CASE WHEN source = 'src0'
+                           THEN CAST(1.0  * 4294967296 AS BIGINT)
+                         WHEN source = 'src1'
+                           THEN CAST(0.1  * 4294967296 AS BIGINT)
+                         ELSE CAST(0.5 * 4294967296 AS BIGINT) END
+            ORDER BY doc_id"""),
+    (s, d) => graft.ops.Sampling.stratifiedHashSample(
+        Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.1), defaultP = 0.5,
+        salt = "graft-mix:")
+      .select("doc_id", "source")
+      .orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
-    sampleHash, contamination)
+    sampleHash, contamination, sampleStratified)
 }
