@@ -58,6 +58,13 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "numHashes") else 128,
         if (args.length > 2) longArg(args(2), "seed") else 42L)
     },
+    "minhash_band_buckets" -> { args =>
+      MinHashBandBuckets(args.head, intArg(args(1), "bands"),
+        intArg(args(2), "rows"),
+        if (args.length > 3) longArg(args(3), "seed") else 42L)
+    },
+    "md5_shingle_keys" -> (args =>
+      Md5ShingleKeys(args.head, intArg(args(1), "k"))),
     "simhash64" -> (args => SimHash64(args.head)),
     "array_dot" -> (args => ArrayDot(args.head, args(1))),
     "jaccard_sim" -> (args => JaccardSim(args.head, args(1))))

@@ -104,6 +104,32 @@ object EventStream {
       .toDF("event_id", "user_id", "session_id")
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * ops.RangeJoin.timeRangeJoin: right events matched to left events
+    * on user_id within (left.ts, left.ts + windowMinutes]. Both sides
+    * carry event-time watermarks and the join condition bounds their
+    * time distance, so Spark expires join state once the watermark
+    * clears the window — state is O(window of data), not O(stream
+    * lifetime). Inner join: matches emit as soon as both sides arrive;
+    * the watermark only governs state cleanup. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 60, lateness: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("l_event_id"), col("user_id"), col("r_event_id"),
+        col("r_value"))
+  }
+
   /** Run a streaming plan to completion against a bounded source and
     * return the final result table (memory sink; used by tests and by
     * batch/stream parity checks). */

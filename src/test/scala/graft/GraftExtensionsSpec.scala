@@ -16,6 +16,22 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getInt(3) === 16)
   }
 
+  test("band-bucket and portable-shingle expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT size(minhash_band_buckets(shingle_hashes('a b c d e f', 2),
+               8, 4)) AS nb,
+             md5_shingle_keys('one two three', 2) AS keys
+    """).collect().head
+    assert(r.getInt(0) === 8)
+    // same keys as the SQL-built formulation they mirror
+    val expected = spark.sql("""
+      SELECT CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+      FROM (SELECT explode(array('one two', 'two three')) AS s)
+    """).collect().map(_.getLong(0)).toSet
+    assert(r.getSeq[Long](1).toSet === expected)
+  }
+
   test("SQL results agree with the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._

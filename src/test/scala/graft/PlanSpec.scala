@@ -83,4 +83,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
       s"should read only event_id+props:\n$p")
   }
+
+  test("q_asof_join: pure window pass — the as-of match plans NO join") {
+    val p = plan("q_asof_join")
+    // (the final projection join is absent too: the whole match is a
+    // union + window + filter)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), s"as-of must not pair-join:\n$p")
+  }
+
+  test("q_range_join: pair generation is an equi-join on (key, bucket)") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must never plan a product:\n$p")
+    // exact range predicate rides the equi-join as its residual
+    assert(p.contains("__rts") && p.contains("__lts"))
+  }
+
+  test("q_contamination: benchmark shingle set broadcast, corpus unshuffled") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the probe join:\n$p")
+  }
+
+  test("sampling queries prune the documents scan to (doc_id, source)") {
+    Seq("q_sample_hash", "q_sample_stratified").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+        s"$q should read only doc_id+source:\n$p")
+    }
+  }
 }

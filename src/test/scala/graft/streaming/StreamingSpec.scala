@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch bucketized range join") {
+    val signups = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "signup")
+    val follows = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") =!= "signup")
+    val got = EventStream.runToCompletion(spark,
+        EventStream.intervalJoinStream(signups, follows,
+          windowMinutes = 60), "ssjoin_test", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val ev = Tables.events(spark, Sf0001)
+    val batchPairs = graft.ops.RangeJoin.timeRangeJoin(
+        ev.filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") =!= "signup")
+          .withColumnRenamed("event_id", "r_event_id"),
+        Seq("user_id"), "ts", "ts", 1L, 3600L * 1000 * 1000,
+        Seq("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+
+    assert(got === batchPairs)
+    assert(got.nonEmpty)
+  }
+
   test("streamingDedup drops within-watermark repeats across micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
