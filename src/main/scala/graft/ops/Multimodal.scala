@@ -35,22 +35,33 @@ object Multimodal {
     // Spark's type derivation; contract is "never null in practice"
     StructField("content", BinaryType, nullable = true)))
 
-  /** Build a deterministic synthetic asset table (bytes derived from
-    * the id — stands in for real ingested media). */
+  /** Build a deterministic synthetic asset table. The
+    * `image/x-portable-pixmap` slot carries GENUINE P6 payloads (4×4
+    * RGB images whose pixel bytes derive from the id) — the one format
+    * the real decoder below handles end to end; the codec formats
+    * (png/wav/mp4) carry opaque fake bytes for the stub path. */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
-    val mimes = Seq("image/png", "image/jpeg", "audio/wav", "video/mp4")
+    val mimes = Seq("image/x-portable-pixmap", "image/jpeg", "audio/wav",
+      "video/mp4")
+    // 4×4 P6: header + 48 pixel bytes taken from the sha256 hex chars
+    val ppmBytes = concat(lit("P6\n4 4\n255\n"),
+      substring(sha2(col("id").cast("string"), 256), 1, 48)).cast("binary")
     spark.range(n.toLong).select(
       col("id").as("asset_id"),
       element_at(array(mimes.map(lit): _*),
         (col("id") % mimes.size).cast("int") + 1).as("mime"),
-      when(col("id") % 4 < 2, (col("id") % 512 + 16).cast("int"))
+      when(col("id") % 4 === 0, lit(4))
+        .when(col("id") % 4 === 1, (col("id") % 512 + 16).cast("int"))
         .otherwise(lit(null)).as("width"),
-      when(col("id") % 4 < 2, (col("id") % 256 + 16).cast("int"))
+      when(col("id") % 4 === 0, lit(4))
+        .when(col("id") % 4 === 1, (col("id") % 256 + 16).cast("int"))
         .otherwise(lit(null)).as("height"),
       when(col("id") % 4 >= 2, col("id") * 40 + 1000)
         .otherwise(lit(null)).as("duration_ms"),
-      // deterministic fake payload: sha256 hex of the id, repeated
-      repeat(sha2(col("id").cast("string"), 256), 4).cast("binary")
+      when(col("id") % 4 === 0, ppmBytes)
+        // deterministic fake payload: sha256 hex of the id, repeated
+        .otherwise(repeat(sha2(col("id").cast("string"), 256), 4)
+          .cast("binary"))
         .as("content"))
   }
 
@@ -69,9 +80,92 @@ object Multimodal {
     out
   }
 
+  /** A decoded raster image. Channel means are in [0, 1]. */
+  final case class DecodedImage(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL decode kernel for binary PPM (P6) — the one raster format
+    * parseable without any codec library: `P6 <ws> width <ws> height
+    * <ws> maxval <single ws> raw RGB bytes` (netpbm spec, '#' comments
+    * allowed in the header). Returns None for anything that isn't a
+    * well-formed P6 payload — callers fall back to the stub, so a
+    * corrupt blob degrades instead of failing the task. */
+  private[ops] def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val b = bytes(i)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') i += 1
+        else if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0')
+        if (v > Int.MaxValue) return None
+        i += 1
+      }
+      if (i == start) None else Some(v.toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255 // 1 byte/sample
+      // exactly ONE whitespace byte separates header and raster
+      if i < bytes.length && (bytes(i) == '\n' || bytes(i) == ' ' ||
+        bytes(i) == '\t' || bytes(i) == '\r')
+      pixelStart = i + 1
+      if bytes.length - pixelStart >= w.toLong * h * 3
+    } yield {
+      var (r, g, b) = (0L, 0L, 0L)
+      var p = pixelStart
+      val end = pixelStart + w * h * 3
+      while (p < end) {
+        r += bytes(p) & 0xFF
+        g += bytes(p + 1) & 0xFF
+        b += bytes(p + 2) & 0xFF
+        p += 3
+      }
+      val n = (w.toLong * h * maxval).toDouble
+      DecodedImage(w, h, r / n, g / n, b / n)
+    }
+  }
+
+  /** Real image statistics for decodable assets: one row per asset
+    * whose payload the P6 decoder accepts — decoded dimensions +
+    * channel means straight from the pixel bytes. Same batched
+    * `mapPartitions` shape as extractFeatures; codec formats simply
+    * produce no row here (they take the stub path). */
+  def imageStats(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decoded_width", IntegerType, nullable = false),
+      StructField("decoded_height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpm(r.getAs[Array[Byte]](1)).map(d =>
+          Row(r.getLong(0), d.width, d.height, d.meanR, d.meanG, d.meanB))
+      }
+    }(enc)
+  }
+
   /** Decode + featurize: partition-wise batched execution over the
     * binary column — the Scala analog of `mapInPandas` (iterator of
-    * batches in, iterator of batches out; constant memory per task). */
+    * batches in, iterator of batches out; constant memory per task).
+    * Decodable payloads (P6) produce REAL pixel-derived features
+    * (dims + channel means, zero-padded to FeatureDim); codec formats
+    * fall back to the documented stub. */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -80,8 +174,19 @@ object Multimodal {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     assets.select("asset_id", "mime", "content").mapPartitions { rows =>
       rows.map { r =>
-        Row(r.getLong(0), r.getString(1),
-          decodeStub(r.getAs[Array[Byte]](2)).toSeq)
+        val bytes = r.getAs[Array[Byte]](2)
+        val feats = decodePpm(bytes) match {
+          case Some(d) =>
+            val out = new Array[Float](FeatureDim)
+            out(0) = d.width.toFloat
+            out(1) = d.height.toFloat
+            out(2) = d.meanR.toFloat
+            out(3) = d.meanG.toFloat
+            out(4) = d.meanB.toFloat
+            out
+          case None => decodeStub(bytes)
+        }
+        Row(r.getLong(0), r.getString(1), feats.toSeq)
       }
     }(enc)
   }

@@ -117,6 +117,37 @@ object AnalyticsQueries {
         .orderBy("mime")
     })
 
+  /** The REAL multimodal decode path, oracle-checked: P6 payloads are
+    * decoded pixel-by-pixel on the Spark side (Multimodal.decodePpm via
+    * imageStats — header parse + channel sums over the raster bytes),
+    * while DuckDB predicts the result from first principles (the
+    * generator pins pixel bytes = first 48 sha256-hex chars of the id,
+    * so means = mean of those ASCII codes / 255). Exact integer sums →
+    * exact double division → bit-identical cross-engine. */
+  val multimodalStats = QueryDef(
+    "q_multimodal_stats",
+    Some("""WITH ppm AS (
+              SELECT CAST(id AS BIGINT) AS asset_id,
+                     sha256(CAST(id AS VARCHAR)) AS hex
+              FROM range(0, 500) t(id) WHERE id % 4 = 0),
+            chan AS (
+              SELECT asset_id,
+                CAST(list_reduce(list_transform(range(0,16),
+                  p -> ord(substring(hex, CAST(1+3*p AS INT), 1))),
+                  (a,b) -> a+b) AS DOUBLE) / (16*255) AS mean_r,
+                CAST(list_reduce(list_transform(range(0,16),
+                  p -> ord(substring(hex, CAST(2+3*p AS INT), 1))),
+                  (a,b) -> a+b) AS DOUBLE) / (16*255) AS mean_g,
+                CAST(list_reduce(list_transform(range(0,16),
+                  p -> ord(substring(hex, CAST(3+3*p AS INT), 1))),
+                  (a,b) -> a+b) AS DOUBLE) / (16*255) AS mean_b
+              FROM ppm)
+            SELECT asset_id, CAST(4 AS INT) AS decoded_width,
+                   CAST(4 AS INT) AS decoded_height, mean_r, mean_g, mean_b
+            FROM chan ORDER BY asset_id"""),
+    (s, _) => Multimodal.imageStats(Multimodal.syntheticAssets(s, 500))
+      .orderBy("asset_id"))
+
   /** Statistical aggregates: stddev/variance/correlation/covariance.
     * Both engines accumulate these differently (Welford vs sum-of-
     * squares), so results are qround-canonicalized like any aggregated
@@ -201,6 +232,6 @@ object AnalyticsQueries {
       .orderBy("l_returnflag"))
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    annIvf, multimodalFeatures, statsAgg, pivot_, percentiles,
-    approxDistinct)
+    annIvf, multimodalFeatures, multimodalStats, statsAgg, pivot_,
+    percentiles, approxDistinct)
 }

@@ -35,6 +35,51 @@ class MultimodalSpec extends SparkSuite {
     assert(f1(0L) !== f1(1L))
   }
 
+  test("decodePpm: golden image decodes to exact dimensions and means") {
+    // 2×1 P6 with a header comment: pixels (255,0,0) and (0,255,0)
+    val bytes = ("P6\n# test\n2 1\n255\n").getBytes("ISO-8859-1") ++
+      Array[Byte](-1, 0, 0, 0, -1, 0)
+    val got = Multimodal.decodePpm(bytes).get
+    assert(got === Multimodal.DecodedImage(2, 1, 0.5, 0.5, 0.0))
+  }
+
+  test("decodePpm: corrupt payloads degrade to None, never throw") {
+    val bad = Seq(
+      Array.empty[Byte],
+      "P5\n2 1\n255\n??".getBytes("ISO-8859-1"),       // wrong magic
+      "P6\n2 1\n255\nX".getBytes("ISO-8859-1"),        // truncated raster
+      "P6\n0 1\n255\n".getBytes("ISO-8859-1"),         // zero width
+      "P6\n2 1\n65535\n".getBytes("ISO-8859-1"),       // 2-byte samples
+      "P6 garbage".getBytes("ISO-8859-1"))
+    bad.foreach(b => assert(Multimodal.decodePpm(b).isEmpty))
+  }
+
+  test("imageStats: every P6 asset decodes; dims match metadata") {
+    val stats = Multimodal.imageStats(assets).collect()
+    val nPpm = assets
+      .filter(col("mime") === "image/x-portable-pixmap").count()
+    assert(stats.length.toLong === nPpm && nPpm > 0)
+    stats.foreach { r =>
+      assert(r.getInt(1) === 4 && r.getInt(2) === 4)
+      // sha256-hex pixel bytes are ASCII [0-9a-f]: means land in
+      // (48/255, 103/255) — a real pixel average, not a constant
+      assert(r.getDouble(3) > 0.18 && r.getDouble(3) < 0.41)
+    }
+  }
+
+  test("extractFeatures dispatches: real pixel features for P6, stub otherwise") {
+    val feats = Multimodal.extractFeatures(assets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    feats.filter(_._2 == "image/x-portable-pixmap").foreach { case (_, _, f) =>
+      assert(f(0) === 4.0f && f(1) === 4.0f) // decoded dims
+      assert(f.drop(5).forall(_ === 0.0f))   // zero-padded tail
+    }
+    // codec formats keep the stub's dense shape
+    feats.filter(_._2 == "audio/wav").foreach { case (_, _, f) =>
+      assert(f.count(_ !== 0.0f) > 8)
+    }
+  }
+
   test("sampleFrames: one row per sampled timestamp within duration") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 500L)
     val byAsset = frames.groupBy("asset_id")
