@@ -120,6 +120,43 @@ object Stress {
         breakfastPath = s"$dir/sbp", lunchPath = s"$dir/nslp")).count()
     }
 
+    // as-of join: 10M left x 10M right over 100k keys — the windowed
+    // union never builds pairs, so this is one shuffle + sort
+    val asofL = spark.range(0, 10000000L, 1, 64).select(
+      col("id"), (col("id") % 100000).as("k"),
+      (col("id") * 37 % 1000000000L).as("t"))
+    val asofR = spark.range(0, 10000000L, 1, 64).select(
+      (col("id") % 100000).as("k"),
+      (col("id") * 53 % 1000000000L).as("t"),
+      (col("id") % 1000).cast("double").as("v"))
+    time("as-of join 10M x 10M, 100k keys") {
+      // aggregate the carried payload so the window can't be pruned
+      graft.ops.AsOf.asofJoin(asofL, asofR, Seq("k"), "t", "t",
+          Seq("v"))
+        .agg(sum("v"), count(lit(1))).collect().head.getLong(1)
+    }
+
+    // range join: 5M x 5M events over 10k HOT keys (500 rows/key —
+    // naive per-key pairing would build 1.25G pairs; bucketing holds
+    // it to temporally-adjacent rows)
+    val rjL = spark.range(0, 5000000L, 1, 64).select(
+      col("id"), (col("id") % 10000).as("k"),
+      timestamp_micros(col("id") * 7919 % 86400000000L).as("t"))
+    val rjR = spark.range(0, 5000000L, 1, 64).select(
+      (col("id") % 10000).as("k"),
+      timestamp_micros(col("id") * 104729 % 86400000000L).as("t"),
+      (col("id") % 100).cast("double").as("v"))
+    time("range join 5M x 5M, 10k hot keys, 1s window") {
+      graft.ops.RangeJoin.timeRangeJoin(rjL, rjR, Seq("k"), "t", "t",
+        0L, 1000000L, Seq("v")).count()
+    }
+
+    // contamination: 1M docs x 10k-doc benchmark, 8-gram keys
+    time("contamination 1M docs vs 10k benchmark") {
+      graft.ops.Contamination.ngramOverlap(docs,
+        docs.filter(col("id") % 100 === 0), "id", "text", k = 8).count()
+    }
+
     spark.stop()
   }
 
