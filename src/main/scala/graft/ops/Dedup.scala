@@ -46,6 +46,16 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .select("kept_id", "n_copies")
 
+  /** Exact dedup with LITERAL text-equality semantics: groups on the
+    * document body itself, so two distinct texts can never merge (no
+    * hash-collision caveat). The price is shuffling full text as the
+    * grouping key — prefer [[exact]] (fixed-width (hash, length) key)
+    * at scale, this variant when "exact" must mean exact. */
+  def exactStrict(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+      .select("kept_id", "n_copies")
+
   /** Near-exact dedup on the normalized fingerprint (case/punct/ws
     * insensitive). */
   def nearExact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -60,6 +60,17 @@ object SimilarityQueries {
     (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
       .orderBy("kept_id"))
 
+  /** Literal-semantics exact dedup (groups on the text itself — the
+    * no-collision-caveat variant; [[Dedup.exact]] is the fixed-width
+    * scale path). Same oracle shape as q_dedup_exact by construction. */
+  val dedupExactStrict = QueryDef(
+    "q_dedup_exact_strict",
+    Some("""SELECT MIN(doc_id) AS kept_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text ORDER BY kept_id"""),
+    (s, d) => Dedup.exactStrict(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("kept_id"))
+
   /** Near-exact dedup on normalized-content fingerprint. */
   val dedupNearExact = QueryDef(
     "q_dedup_near_exact",
@@ -290,8 +301,47 @@ object SimilarityQueries {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QueryDef] = Seq(dedupExact, dedupNearExact, dedupMinhash,
-    dedupMinhashHt, dedupSimhash, dedupSimhashMd5, ngramJaccard,
-    dupEmbeddingExact, dupEmbeddingLsh, annBruteForce, annLsh,
-    dedupClusters)
+  /** The composed dedup pipeline end to end: LSH pairs → connected
+    * components → keepCanonical → the SURVIVING corpus (one
+    * representative per near-dup cluster, everything else untouched).
+    * This is the query a corpus build actually runs; fully
+    * oracle-checked on the same recursive-closure argument as
+    * q_dedup_clusters. */
+  val dedupKeep = QueryDef(
+    "q_dedup_keep",
+    Some(s"""${sqlShingleCte(3).replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              AND len(a.shingles) * 10 >= len(b.shingles) * 9
+              AND len(b.shingles) * 10 >= len(a.shingles) * 9
+            WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.9),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+          canon AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+            FROM reach GROUP BY src)
+          SELECT d.doc_id, d.source
+          FROM documents d LEFT JOIN canon c USING (doc_id)
+          WHERE COALESCE(c.canonical_id, d.doc_id) = d.doc_id
+          ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      val clusters = Dedup.clusterKeepMin(docs.select("doc_id"), "doc_id",
+        pairs)
+      Dedup.keepCanonical(docs, "doc_id", clusters)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
+    dedupMinhash, dedupMinhashHt, dedupSimhash, dedupSimhashMd5,
+    ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh, annBruteForce,
+    annLsh, dedupClusters, dedupKeep)
 }
