@@ -160,9 +160,12 @@ object Md5ShingleKeys {
       java.security.MessageDigest.getInstance("MD5"))
   private val SpaceByte = ' '.toByte
 
+  private[functions] def digest(): java.security.MessageDigest =
+    digests.get()
+
   /** First 60 bits of an md5 digest == parsing its first 15 hex chars
     * as a base-16 number. */
-  @inline private def head60(d: Array[Byte]): Long = {
+  @inline private[functions] def head60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
@@ -210,9 +213,70 @@ object Md5ShingleKeys {
     new GenericArrayData(out)
   }
 
-  @inline private def isWsByte(b: Byte): Boolean =
+  @inline private[functions] def isWsByte(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
       b == 0x0b
+}
+
+/** PORTABLE one-pass simhash: whitespace tokens → md5-derived 60-bit
+  * token keys (same construction as [[Md5ShingleKeys]] with k=1) →
+  * per-bit ±1 majority vote → 60-bit signature. Value-identical to the
+  * explode + 60-way conditional-sum aggregate formulation a SQL engine
+  * runs (cross-validated), but one expression evaluation per document:
+  * no token explosion, no 60-column aggregate state through a shuffle.
+  * Token-less text → 0 votes everywhere → signature 0 (matches the
+  * SQL SUM-over-empty semantics of emitting no row — callers filter).
+  * Nullable=false; returns the signature as a long. */
+case class Md5SimHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 60, "15 hex chars carry 60 bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Md5SimHash.compute(input.asInstanceOf[UTF8String], bits))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5SimHash.compute($c, $bits);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5SimHash {
+  def compute(input: UTF8String, bits: Int): Long = {
+    val bytes = input.getBytes
+    val md = Md5ShingleKeys.digest()
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && Md5ShingleKeys.isWsByte(bytes(i))) i += 1
+      val start = i
+      while (i < n && !Md5ShingleKeys.isWsByte(bytes(i))) i += 1
+      if (i > start) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val h = Md5ShingleKeys.head60(md.digest())
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }
 
 object ShingleFunctions {
@@ -229,4 +293,8 @@ object ShingleFunctions {
   /** Portable (SQL-reproducible) md5-derived 60-bit shingle keys. */
   def md5ShingleKeys(text: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleKeys(ColumnBridge.expression(text), k))
+
+  /** Portable (SQL-reproducible) md5-derived simhash signature. */
+  def md5SimHash(text: Column, bits: Int = 60): Column =
+    ColumnBridge.column(Md5SimHash(ColumnBridge.expression(text), bits))
 }

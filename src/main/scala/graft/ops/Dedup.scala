@@ -175,7 +175,18 @@ object Dedup {
     * ANSI SQL (md5, substring, hex cast, bit ops), so DuckDB reproduces
     * the exact signature. Docs with no tokens produce no signature. */
   def simhashMd5Sig(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 60): DataFrame = {
+      bits: Int = 60): DataFrame =
+    df.filter(size(graft.functions.Text.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleFunctions.md5SimHash(col(textCol), bits)
+          .as("sig"))
+
+  /** The explode + 60-way conditional-sum formulation of
+    * [[simhashMd5Sig]] — exactly what the SQL oracle runs. Kept as the
+    * cross-validation reference for the fused Md5SimHash expression;
+    * not a production path (it shuffles one row per token). */
+  private[ops] def simhashMd5SigReference(df: DataFrame, idCol: String,
+      textCol: String, bits: Int = 60): DataFrame = {
     require(bits <= 60, "15 hex chars carry 60 bits")
     val tok = df.select(col(idCol).as("id"),
         explode(split(col(textCol), "\\s+")).as("w"))

@@ -141,6 +141,16 @@ class DedupSpec extends SparkSuite {
     assert(exact.subsetOf(uncapped))
   }
 
+  test("fused Md5SimHash ≡ explode + 60-way vote aggregate on real docs") {
+    val d = Tables.documents(spark, Sf0001).limit(200)
+    val fused = Dedup.simhashMd5Sig(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = Dedup.simhashMd5SigReference(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === ref)
+    assert(fused.nonEmpty)
+  }
+
   test("minhash LSH recall vs exact jaccard on real documents (sf0.001)") {
     val d = Tables.documents(spark, Sf0001)
     // exact pairs at a low threshold within the whole corpus would be
