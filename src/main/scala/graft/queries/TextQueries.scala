@@ -209,6 +209,31 @@ object TextQueries {
       .select("doc_id", "source")
       .orderBy("doc_id"))
 
+  /** Sequence packing (ops.Packing): documents laid end to end per
+    * source, cut every 2048 tokens — whitespace token counts and a
+    * running sum, so the oracle reproduces bins exactly. */
+  val packBins = QueryDef(
+    "q_pack_bins",
+    Some(s"""SELECT doc_id, source,
+                    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+                    SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
+                      - CAST(len($sqlToks) AS BIGINT) AS start_offset,
+                    CAST(FLOOR((SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
+                      - CAST(len($sqlToks) AS BIGINT)) / 2048.0) AS BIGINT)
+                      AS bin,
+                    (SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
+                      - CAST(len($sqlToks) AS BIGINT)) % 2048
+                      AS offset_in_bin
+             FROM documents
+             WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)
+             ORDER BY doc_id"""),
+    (s, d) => graft.ops.Packing.packBins(Tables.documents(s, d),
+        "text", "source", "doc_id", budget = 2048L)
+      .select("doc_id", "source", "n_tokens", "start_offset", "bin",
+        "offset_in_bin")
+      .orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
-    sampleHash, contamination, sampleStratified)
+    sampleHash, contamination, sampleStratified, packBins)
 }
