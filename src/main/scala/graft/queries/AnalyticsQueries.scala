@@ -117,6 +117,55 @@ object AnalyticsQueries {
         .orderBy("mime")
     })
 
+  /** CUBE — all 2ⁿ grouping combinations (rollup's sibling; same
+    * sentinel/level discipline for cross-engine ordering). */
+  val cube_ = QueryDef(
+    "q_cube",
+    Some(s"""SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+                    COALESCE(l_linestatus, '<all>') AS linestatus,
+                    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                         AS BIGINT) AS lvl,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    ${Num.qroundSql("SUM(l_extendedprice)", 2)} AS sum_price
+             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             ORDER BY lvl, returnflag, linestatus"""),
+    (s, d) => Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping("l_returnflag").cast("long") * 2 +
+          grouping("l_linestatus").cast("long") as "lvl",
+        count(lit(1)).as("n"),
+        Num.qround(sum("l_extendedprice"), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("lvl"), col("n"), col("sum_price"))
+      .orderBy("lvl", "returnflag", "linestatus"))
+
+  /** GROUPING SETS — the explicit-sets form (the general construct
+    * ROLLUP/CUBE desugar to): per-flag and per-status marginals in one
+    * pass over the fact table. */
+  val groupingSets = QueryDef(
+    "q_grouping_sets",
+    Some(s"""SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+                    COALESCE(l_linestatus, '<all>') AS linestatus,
+                    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                         AS BIGINT) AS lvl,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             ORDER BY lvl, returnflag, linestatus"""),
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+                  COALESCE(l_linestatus, '<all>') AS linestatus,
+                  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                       AS BIGINT) AS lvl,
+                  COUNT(*) AS n
+           FROM gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           ORDER BY lvl, returnflag, linestatus""")
+    })
+
   /** The REAL multimodal decode path, oracle-checked: P6 payloads are
     * decoded pixel-by-pixel on the Spark side (Multimodal.decodePpm via
     * imageStats — header parse + channel sums over the raster bytes),
@@ -232,6 +281,6 @@ object AnalyticsQueries {
       .orderBy("l_returnflag"))
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    annIvf, multimodalFeatures, multimodalStats, statsAgg, pivot_,
-    percentiles, approxDistinct)
+    cube_, groupingSets, annIvf, multimodalFeatures, multimodalStats,
+    statsAgg, pivot_, percentiles, approxDistinct)
 }
