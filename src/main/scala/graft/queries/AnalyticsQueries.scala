@@ -117,6 +117,28 @@ object AnalyticsQueries {
         .orderBy("mime")
     })
 
+  /** Time-based RANGE window frame: per event, how many of the same
+    * user's events fall in the trailing hour — the event-time sliding
+    * frame (RANGE, not ROWS, so same-instant peers always count
+    * together and the result is order-deterministic). Integer counts →
+    * exact oracle. */
+  val rangeFrame = QueryDef(
+    "q_range_frame",
+    Some("""SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS n_last_hour
+            FROM events ORDER BY event_id"""),
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("rf_events")
+      s.sql(
+        """SELECT event_id, user_id,
+                  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW) AS n_last_hour
+           FROM rf_events ORDER BY event_id""")
+    })
+
   /** CUBE — all 2ⁿ grouping combinations (rollup's sibling; same
     * sentinel/level discipline for cross-engine ordering). */
   val cube_ = QueryDef(
@@ -281,6 +303,6 @@ object AnalyticsQueries {
       .orderBy("l_returnflag"))
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    cube_, groupingSets, annIvf, multimodalFeatures, multimodalStats,
-    statsAgg, pivot_, percentiles, approxDistinct)
+    cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
+    multimodalStats, statsAgg, pivot_, percentiles, approxDistinct)
 }
