@@ -197,6 +197,27 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  /** Salted skew join on the driver-checked surface: the fact side's
+    * hot keys spread over 8 salts, dim replicated per salt — result ≡
+    * the plain join EXACTLY (the salt only widens the shuffle key
+    * space), which is precisely what the oracle's plain join checks. */
+  val skewJoin = QueryDef(
+    "q_skew_join",
+    Some("""WITH dim AS (SELECT user_id, CAST(COUNT(*) AS BIGINT)
+                           AS user_total
+                         FROM events GROUP BY user_id)
+            SELECT e.event_id, e.user_id, d.user_total
+            FROM events e JOIN dim d USING (user_id)
+            ORDER BY e.event_id"""),
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id")
+      val dim = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("user_total"))
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", "event_id", salts = 8)
+        .select("event_id", "user_id", "user_total")
+        .orderBy("event_id")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, slidingWindow,
-    sessionize, topEventPerUser, asofJoin, rangeJoin)
+    sessionize, topEventPerUser, asofJoin, rangeJoin, skewJoin)
 }

@@ -234,6 +234,37 @@ object TextQueries {
         "offset_in_bin")
       .orderBy("doc_id"))
 
+  /** Gopher/C4-style quality FILTER: the scoring signals composed into
+    * a kept-corpus predicate (min/max token counts, mean token length
+    * band, symbol ratio cap) — the filtering stage as a kept set, not
+    * just scores. All signals are deterministic, so the oracle
+    * recomputes the exact surviving documents. */
+  val qualityFilter = QueryDef(
+    "q_quality_filter",
+    Some(s"""SELECT doc_id, source
+             FROM documents
+             WHERE len($sqlToks) >= 15 AND len($sqlToks) <= 100000
+               AND CAST(list_reduce(list_transform($sqlToks,
+                     t -> len(t)), (a, b) -> a + b) AS DOUBLE)
+                   / CAST(len($sqlToks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+               AND CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     AS DOUBLE) / CAST(len(text) AS DOUBLE) <= 0.3
+             ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val nToks = size(toks)
+      val meanTokLen = aggregate(toks, lit(0),
+        (acc, t) => acc + length(t)).cast("double") / nToks.cast("double")
+      val symbolRatio =
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+          .cast("double") / length(col("text")).cast("double")
+      Tables.documents(s, d)
+        .filter(nToks >= 15 && nToks <= 100000 &&
+          meanTokLen.between(2.0, 12.0) && symbolRatio <= 0.3)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
-    sampleHash, contamination, sampleStratified, packBins)
+    sampleHash, contamination, sampleStratified, packBins, qualityFilter)
 }
