@@ -40,12 +40,31 @@ object Multimodal {
     * RGB images whose pixel bytes derive from the id) — the one format
     * the real decoder below handles end to end; the codec formats
     * (png/wav/mp4) carry opaque fake bytes for the stub path. */
+  /** 44-byte canonical WAV header for 8-bit mono PCM: 8 kHz, 48
+    * samples (RIFF chunk size 36+48, byteRate = sampleRate). */
+  private val WavHeader: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 48)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)      // PCM, mono
+      .putInt(8000).putInt(8000)    // sample rate, byte rate
+      .putShort(1).putShort(8)      // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(48)
+    bb.array()
+  }
+
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val mimes = Seq("image/x-portable-pixmap", "image/jpeg", "audio/wav",
       "video/mp4")
     // 4×4 P6: header + 48 pixel bytes taken from the sha256 hex chars
     val ppmBytes = concat(lit("P6\n4 4\n255\n"),
       substring(sha2(col("id").cast("string"), 256), 1, 48)).cast("binary")
+    // real RIFF/PCM WAV: canonical header + 48 sample bytes, same
+    // sha256-hex derivation (so an oracle can predict the amplitudes)
+    val wavBytes = concat(lit(WavHeader),
+      substring(sha2(col("id").cast("string"), 256), 1, 48).cast("binary"))
     spark.range(n.toLong).select(
       col("id").as("asset_id"),
       element_at(array(mimes.map(lit): _*),
@@ -56,9 +75,11 @@ object Multimodal {
       when(col("id") % 4 === 0, lit(4))
         .when(col("id") % 4 === 1, (col("id") % 256 + 16).cast("int"))
         .otherwise(lit(null)).as("height"),
-      when(col("id") % 4 >= 2, col("id") * 40 + 1000)
+      when(col("id") % 4 === 2, lit(6L)) // 48 samples @ 8 kHz
+        .when(col("id") % 4 === 3, col("id") * 40 + 1000)
         .otherwise(lit(null)).as("duration_ms"),
       when(col("id") % 4 === 0, ppmBytes)
+        .when(col("id") % 4 === 2, wavBytes)
         // deterministic fake payload: sha256 hex of the id, repeated
         .otherwise(repeat(sha2(col("id").cast("string"), 256), 4)
           .cast("binary"))
@@ -136,6 +157,72 @@ object Multimodal {
       val n = (w.toLong * h * maxval).toDouble
       DecodedImage(w, h, r / n, g / n, b / n)
     }
+  }
+
+  /** A decoded PCM audio clip. Mean amplitude is over the unsigned
+    * sample values in [0, 1]. */
+  final case class DecodedAudio(sampleRate: Int, nSamples: Int,
+      durationMs: Double, meanAmplitude: Double)
+
+  /** REAL decode kernel for RIFF/WAVE 8-bit mono PCM — like P6, a
+    * container parseable without any codec library: RIFF header, chunk
+    * walk to `fmt ` (format 1, 8-bit) and `data`, then sample stats.
+    * None for anything else (other formats/bit depths take the stub
+    * path); corrupt blobs degrade instead of failing the task. */
+  private[ops] def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    def le32(i: Int): Long =
+      (bytes(i) & 0xFFL) | (bytes(i + 1) & 0xFFL) << 8 |
+        (bytes(i + 2) & 0xFFL) << 16 | (bytes(i + 3) & 0xFFL) << 24
+    def le16(i: Int): Int = (bytes(i) & 0xFF) | (bytes(i + 1) & 0xFF) << 8
+    def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 &&
+        new String(bytes, i, 4, "US-ASCII") == s
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // chunk walk from offset 12
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, size
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(i + 4).toInt
+      if (size < 0 || i + 8 + size > bytes.length) return None
+      if (tag(i, "fmt ") && size >= 16)
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt,
+          le16(i + 22)))
+      else if (tag(i, "data"))
+        data = Some((i + 8, size))
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for {
+      (format, channels, rate, bits) <- fmt
+      if format == 1 && channels == 1 && bits == 8 && rate > 0
+      (off, size) <- data
+      if size > 0
+    } yield {
+      var s = 0L
+      var p = off
+      while (p < off + size) { s += bytes(p) & 0xFF; p += 1 }
+      DecodedAudio(rate, size, size * 1000.0 / rate,
+        s.toDouble / (size.toLong * 255))
+    }
+  }
+
+  /** Real audio statistics for decodable assets (the audio twin of
+    * imageStats): one row per asset the WAV decoder accepts. */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("duration_ms_decoded", DoubleType, nullable = false),
+      StructField("mean_amplitude", DoubleType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](1)).map(d =>
+          Row(r.getLong(0), d.sampleRate, d.nSamples, d.durationMs,
+            d.meanAmplitude))
+      }
+    }(enc)
   }
 
   /** Real image statistics for decodable assets: one row per asset

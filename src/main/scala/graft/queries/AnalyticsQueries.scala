@@ -219,6 +219,27 @@ object AnalyticsQueries {
     (s, _) => Multimodal.imageStats(Multimodal.syntheticAssets(s, 500))
       .orderBy("asset_id"))
 
+  /** The audio twin of q_multimodal_stats: genuine RIFF/PCM WAV
+    * payloads decoded sample-by-sample (chunk walk + amplitude sums);
+    * DuckDB predicts rate/length/duration from the generator contract
+    * and the amplitudes from the sha256-hex sample bytes. */
+  val multimodalAudio = QueryDef(
+    "q_multimodal_audio",
+    Some("""WITH wav AS (
+              SELECT CAST(id AS BIGINT) AS asset_id,
+                     sha256(CAST(id AS VARCHAR)) AS hex
+              FROM range(0, 500) t(id) WHERE id % 4 = 2)
+            SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
+                   CAST(48 AS INT) AS n_samples,
+                   6.0 AS duration_ms_decoded,
+                   CAST(list_reduce(list_transform(range(1, 49),
+                     p -> ord(substring(hex, CAST(p AS INT), 1))),
+                     (a, b) -> a + b) AS DOUBLE) / (48*255)
+                     AS mean_amplitude
+            FROM wav ORDER BY asset_id"""),
+    (s, _) => Multimodal.audioStats(Multimodal.syntheticAssets(s, 500))
+      .orderBy("asset_id"))
+
   /** Statistical aggregates: stddev/variance/correlation/covariance.
     * Both engines accumulate these differently (Welford vs sum-of-
     * squares), so results are qround-canonicalized like any aggregated
@@ -304,5 +325,6 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
-    multimodalStats, statsAgg, pivot_, percentiles, approxDistinct)
+    multimodalStats, multimodalAudio, statsAgg, pivot_, percentiles,
+    approxDistinct)
 }

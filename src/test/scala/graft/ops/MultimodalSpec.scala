@@ -54,6 +54,54 @@ class MultimodalSpec extends SparkSuite {
     bad.foreach(b => assert(Multimodal.decodePpm(b).isEmpty))
   }
 
+  test("decodeWav: golden clip decodes to exact rate, length, amplitude") {
+    val bb = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(1000).putInt(1000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .put(Array[Byte](0, -1, 51, 102)) // 0, 255, 51, 102
+    val got = Multimodal.decodeWav(bb.array()).get
+    assert(got.sampleRate === 1000 && got.nSamples === 4)
+    assert(got.durationMs === 4.0)
+    assert(got.meanAmplitude === (0 + 255 + 51 + 102).toDouble / (4 * 255))
+  }
+
+  test("decodeWav: corrupt/unsupported payloads degrade to None") {
+    val stereo = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(38)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2).putInt(1000).putInt(2000) // 2 channels
+        .putShort(2).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(2)
+        .put(Array[Byte](1, 2))
+      bb.array()
+    }
+    val bad = Seq(
+      Array.empty[Byte],
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),          // no chunks
+      "NOPE".getBytes("US-ASCII") ++ new Array[Byte](48),
+      stereo)                                        // unsupported layout
+    bad.foreach(b => assert(Multimodal.decodeWav(b).isEmpty))
+  }
+
+  test("audioStats: every WAV asset decodes; duration matches metadata") {
+    val stats = Multimodal.audioStats(assets).collect()
+    val nWav = assets.filter(col("mime") === "audio/wav").count()
+    assert(stats.length.toLong === nWav && nWav > 0)
+    stats.foreach { r =>
+      assert(r.getInt(1) === 8000 && r.getInt(2) === 48)
+      assert(r.getDouble(3) === 6.0) // == the metadata duration_ms
+      assert(r.getDouble(4) > 0.18 && r.getDouble(4) < 0.41) // hex ASCII band
+    }
+  }
+
   test("imageStats: every P6 asset decodes; dims match metadata") {
     val stats = Multimodal.imageStats(assets).collect()
     val nPpm = assets
