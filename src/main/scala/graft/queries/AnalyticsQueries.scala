@@ -231,7 +231,7 @@ object AnalyticsQueries {
               FROM range(0, 500) t(id) WHERE id % 4 = 2)
             SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
                    CAST(48 AS INT) AS n_samples,
-                   6.0 AS duration_ms_decoded,
+                   CAST(6.0 AS DOUBLE) AS duration_ms_decoded,
                    CAST(list_reduce(list_transform(range(1, 49),
                      p -> ord(substring(hex, CAST(p AS INT), 1))),
                      (a, b) -> a + b) AS DOUBLE) / (48*255)

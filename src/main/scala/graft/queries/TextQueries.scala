@@ -214,15 +214,19 @@ object TextQueries {
     * running sum, so the oracle reproduces bins exactly. */
   val packBins = QueryDef(
     "q_pack_bins",
+    // SUM(BIGINT) OVER is HUGEINT in DuckDB; the driver's hasher is
+    // type-sensitive (int128 -> pandas float64 != Spark int64), so every
+    // windowed-sum output must be CAST back to BIGINT (round-2 red row).
     Some(s"""SELECT doc_id, source,
                     CAST(len($sqlToks) AS BIGINT) AS n_tokens,
-                    SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
-                      - CAST(len($sqlToks) AS BIGINT) AS start_offset,
+                    CAST(SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
+                      - CAST(len($sqlToks) AS BIGINT) AS BIGINT)
+                      AS start_offset,
                     CAST(FLOOR((SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
                       - CAST(len($sqlToks) AS BIGINT)) / 2048.0) AS BIGINT)
                       AS bin,
-                    (SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
-                      - CAST(len($sqlToks) AS BIGINT)) % 2048
+                    CAST((SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
+                      - CAST(len($sqlToks) AS BIGINT)) % 2048 AS BIGINT)
                       AS offset_in_bin
              FROM documents
              WINDOW w AS (PARTITION BY source ORDER BY doc_id

@@ -58,6 +58,18 @@ def main():
             print(f"SKIP {name}: no oracle ({len(sres)} rows)")
             continue
         try:
+            # type audit first: the driver's hasher is type-sensitive
+            # (HUGEINT/DECIMAL -> pandas float/object != Spark int64/double
+            # even when values are equal), so ban those oracle column types.
+            rel = con.sql(oracles[name])
+            badty = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                     if str(t) in ("HUGEINT", "UHUGEINT")
+                     or str(t).startswith("DECIMAL")]
+            if badty:
+                print(f"FAIL {name}: driver-hash-unsafe oracle types {badty}"
+                      " (CAST to BIGINT/DOUBLE)")
+                n_fail += 1
+                continue
             ores = con.execute(oracles[name]).fetchall()
             ocols = [d[0] for d in con.description]
         except Exception as e:
