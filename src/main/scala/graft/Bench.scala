@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,10 +28,24 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$extra,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail -> file (the driver's stdout tail window is
+    // ~2.3 KB; a 70+-entry map overflows it and the driver records
+    // parsed:null, as in rounds 1-3).
+    val byTime = results.toSeq.sortBy(-_._2)
+    Files.writeString(Paths.get("bench_full.json"), jsonLine(byTime, ""))
+    // Final stdout line: slowest 40 only, so line + sbt's trailing
+    // "[success]" banner both fit inside the driver's tail capture.
+    val (kept, omitted) = byTime.splitAt(40)
+    val extra =
+      s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"full":"bench_full.json""""
+    println(jsonLine(kept, extra))
     spark.stop()
   }
 }

@@ -10,6 +10,17 @@ object Verify {
     // the driver always passes two args -> full run)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // A typo'd or empty filter silently produces an empty run — warn so
+    // local debugging doesn't chase a phantom "all queries vanished".
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: unknown query name(s): ${unknown.mkString(", ")}")
+      if (names.intersect(SparkEntry.queries.keySet).isEmpty)
+        System.err.println(
+          "[verify] WARNING: filter matches no queries — nothing will run")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

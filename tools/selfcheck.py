@@ -59,19 +59,22 @@ def main():
             continue
         try:
             # type audit first: the driver's hasher is type-sensitive
-            # (HUGEINT/DECIMAL -> pandas float/object != Spark int64/double
-            # even when values are equal), so ban those oracle column types.
+            # (HUGEINT/DECIMAL -> pandas float/object, unsigned ints ->
+            # pandas uint dtypes != Spark int64/double even when values
+            # are equal), so ban those oracle column types.
             rel = con.sql(oracles[name])
             badty = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-                     if str(t) in ("HUGEINT", "UHUGEINT")
+                     if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT",
+                                   "UINTEGER", "USMALLINT", "UTINYINT")
                      or str(t).startswith("DECIMAL")]
             if badty:
                 print(f"FAIL {name}: driver-hash-unsafe oracle types {badty}"
                       " (CAST to BIGINT/DOUBLE)")
                 n_fail += 1
                 continue
-            ores = con.execute(oracles[name]).fetchall()
-            ocols = [d[0] for d in con.description]
+            # reuse the relation — don't execute the oracle SQL twice
+            ocols = list(rel.columns)
+            ores = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
