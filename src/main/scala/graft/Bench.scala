@@ -23,28 +23,49 @@ object Bench {
     // timed query doesn't absorb one-time session costs
     SparkEntry.queries.get("q1_agg").foreach(fn =>
       try run(fn) catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
-    def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
+    // Per-query (elapsedMillis, ok). A throwing query is RECORDED as
+    // failed — it must not silently score ~0 s and "improve" the total
+    // (VERDICT r4 defect #1); the driver can cross-check n_failed
+    // against CORRECTNESS.
+    val results: Seq[(String, Long, Boolean)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+        (name, (System.nanoTime() - t0) / 1000000L, ok)
+      }
+    val failed = results.collect { case (n, _, false) => n }
+    // Times are kept as integral milliseconds so per-query values,
+    // omitted_sec, and the total agree EXACTLY in decimal (no
+    // round-the-parts-vs-round-the-sum drift), and formatting is
+    // locale-fixed (f"..." would emit a comma decimal under de_DE and
+    // break the driver's JSON parse).
+    def fmt(ms: Long): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(ms / 1000.0))
+    val totalMs = results.map(_._2).sum
+    def jsonLine(entries: Seq[(String, Long)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$extra,"queries":$qs,"sf":"$sfDir"}"""
+      val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(totalMs)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$fl$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query detail -> file (the driver's stdout tail window is
     // ~2.3 KB; a 70+-entry map overflows it and the driver records
-    // parsed:null, as in rounds 1-3).
-    val byTime = results.toSeq.sortBy(-_._2)
-    Files.writeString(Paths.get("bench_full.json"), jsonLine(byTime, ""))
+    // parsed:null, as in rounds 1-3). The path is resolved against an
+    // explicit dir (env override) and logged absolute, so a changed JVM
+    // CWD can't orphan the file the stdout line points at.
+    val byTime = results.map(t => (t._1, t._2)).sortBy(-_._2)
+    val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."))
+    val fullPath = outDir.resolve("bench_full.json").toAbsolutePath
+    Files.writeString(fullPath, jsonLine(byTime, ""))
+    System.err.println(s"[bench] full per-query JSON: $fullPath")
     // Final stdout line: slowest 40 only, so line + sbt's trailing
     // "[success]" banner both fit inside the driver's tail capture.
     val (kept, omitted) = byTime.splitAt(40)
     val extra =
-      s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"full":"bench_full.json""""
+      s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"full":"$fullPath""""
     println(jsonLine(kept, extra))
     spark.stop()
   }

@@ -18,9 +18,21 @@ import org.apache.spark.sql.functions._
   * At 100 TB: one shuffle on the key for both inputs together and a
   * per-partition sort — the same cost as a sort-merge join, with no
   * intermediate pair explosion regardless of how many right rows
-  * precede each left row. Hot keys stay one partition each (AQE skew
-  * handling applies); state per row during the scan is the payload
-  * width, not a buffer.
+  * precede each left row. State per row during the scan is the
+  * payload width, not a buffer.
+  *
+  * Hot keys: a window partition is ONE task — AQE cannot split it
+  * (skew-join splitting applies to joins, not windows), so a
+  * degenerate key serializes on one executor. The mitigations are
+  * upstream of this operator: (a) pre-aggregate the right side to one
+  * row per (key, ts) before calling — usually a huge reduction when
+  * the right side is a high-frequency feed; (b) compound the key with
+  * a coarse time bucket (run the as-of within each bucket, then
+  * resolve rows whose match lies in an earlier bucket with a second,
+  * much smaller pass over per-bucket last values). Even unsplit, the
+  * single-task cost is a sort + linear scan — no pairwise blowup, so
+  * it degrades linearly, not quadratically (AsOfSpec pins this with a
+  * one-key stress case).
   *
   * Ties: multiple right rows sharing (key, ts) are resolved by union
   * order (nondeterministic) — pre-aggregate the right side to one row

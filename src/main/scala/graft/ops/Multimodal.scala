@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns plus typed metadata, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The decode kernels are STUBS — the container ships no image/audio
-  * codecs, so `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything around the stub is real and load-bearing:
-  * the schema contract, the partition-wise batch execution
-  * (`mapPartitions`, the Scala analog of a Pandas-UDF batch loop), and
-  * the pushdown-friendly metadata layout. Swapping a real codec in
-  * means replacing ONE function body.
+  * Decode kernels are REAL for every image/audio format here: binary
+  * PPM (P6) and RIFF/PCM WAV are parsed byte-by-byte with no library,
+  * and PNG/JPEG go through the JDK's `javax.imageio` (ships with the
+  * JVM — no external codec needed). The only remaining stub is video
+  * frame decode (`decodeStub`, mp4 — no JDK codec exists), documented
+  * and bounded to that format. The execution shape is uniform: the
+  * schema contract, partition-wise batch execution (`mapPartitions`,
+  * the Scala analog of a Pandas-UDF batch loop), and the
+  * pushdown-friendly metadata layout.
   *
   * Scale notes (100 TB of media): binaries stay opaque until the last
   * possible stage; metadata predicates (mime/width/duration) prune
@@ -35,11 +37,13 @@ object Multimodal {
     // Spark's type derivation; contract is "never null in practice"
     StructField("content", BinaryType, nullable = true)))
 
-  /** Build a deterministic synthetic asset table. The
-    * `image/x-portable-pixmap` slot carries GENUINE P6 payloads (4×4
-    * RGB images whose pixel bytes derive from the id) — the one format
-    * the real decoder below handles end to end; the codec formats
-    * (png/wav/mp4) carry opaque fake bytes for the stub path. */
+  /** Build a deterministic synthetic asset table. Every image/audio
+    * slot carries a GENUINE payload: P6 rasters and PCM WAVs built by
+    * expression (pixel/sample bytes derive from the id's sha256 hex),
+    * PNGs and JPEGs encoded with `javax.imageio` in a second
+    * `mapPartitions` stage (solid fills whose color derives from the
+    * same hex, so decoded stats stay oracle-predictable). Only
+    * `video/mp4` carries opaque fake bytes (no JDK codec). */
   /** 44-byte canonical WAV header for 8-bit mono PCM: 8 kHz, 48
     * samples (RIFF chunk size 36+48, byteRate = sampleRate). */
   private val WavHeader: Array[Byte] = {
@@ -56,8 +60,6 @@ object Multimodal {
   }
 
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
-    val mimes = Seq("image/x-portable-pixmap", "image/jpeg", "audio/wav",
-      "video/mp4")
     // 4×4 P6: header + 48 pixel bytes taken from the sha256 hex chars
     val ppmBytes = concat(lit("P6\n4 4\n255\n"),
       substring(sha2(col("id").cast("string"), 256), 1, 48)).cast("binary")
@@ -65,10 +67,15 @@ object Multimodal {
     // sha256-hex derivation (so an oracle can predict the amplitudes)
     val wavBytes = concat(lit(WavHeader),
       substring(sha2(col("id").cast("string"), 256), 1, 48).cast("binary"))
-    spark.range(n.toLong).select(
+    val base = spark.range(n.toLong).select(
       col("id").as("asset_id"),
-      element_at(array(mimes.map(lit): _*),
-        (col("id") % mimes.size).cast("int") + 1).as("mime"),
+      when(col("id") % 4 === 0, lit("image/x-portable-pixmap"))
+        // id ≡ 1 (mod 8) → PNG, id ≡ 5 (mod 8) → JPEG: both slots get
+        // REAL encoded payloads in the second stage below
+        .when(col("id") % 8 === 1, lit("image/png"))
+        .when(col("id") % 8 === 5, lit("image/jpeg"))
+        .when(col("id") % 4 === 2, lit("audio/wav"))
+        .otherwise(lit("video/mp4")).as("mime"),
       when(col("id") % 4 === 0, lit(4))
         .when(col("id") % 4 === 1, (col("id") % 512 + 16).cast("int"))
         .otherwise(lit(null)).as("width"),
@@ -80,17 +87,68 @@ object Multimodal {
         .otherwise(lit(null)).as("duration_ms"),
       when(col("id") % 4 === 0, ppmBytes)
         .when(col("id") % 4 === 2, wavBytes)
-        // deterministic fake payload: sha256 hex of the id, repeated
+        // png/jpeg: filled with real encoded bytes below
+        .when(col("id") % 4 === 1, lit(null).cast("binary"))
+        // video: deterministic fake payload (sha256 hex, repeated) for
+        // the one format with no JDK codec
         .otherwise(repeat(sha2(col("id").cast("string"), 256), 4)
           .cast("binary"))
         .as("content"))
+    // Second stage: encode the PNG/JPEG payloads with javax.imageio —
+    // a width×height solid fill whose (r,g,b) are the ASCII codes of
+    // the first three sha256-hex chars of the id, so a DuckDB oracle
+    // can predict the decoded channel means from first principles.
+    implicit val enc: Encoder[Row] = Encoders.row(assetSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        r.getString(1) match {
+          case m @ ("image/png" | "image/jpeg") =>
+            val hex = sha256Hex(r.getLong(0).toString)
+            val bytes = encodeImage(if (m == "image/png") "png" else "jpg",
+              r.getInt(2), r.getInt(3),
+              hex.charAt(0).toInt, hex.charAt(1).toInt, hex.charAt(2).toInt)
+            Row(r.getLong(0), m, r.get(2), r.get(3), r.get(4), bytes)
+          case _ => r
+        }
+      }
+    }(enc)
+  }
+
+  /** Lowercase sha256 hex — the JVM-side twin of Spark's `sha2(s, 256)`
+    * (used where payloads are built inside a decode/encode kernel). */
+  private[ops] def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(String.format("%02x", Byte.box(b))))
+    sb.toString
+  }
+
+  /** Encode a solid-fill w×h RGB image via the JDK's ImageIO
+    * (`format` = "png" | "jpg"). */
+  private[ops] def encodeImage(format: String, w: Int, h: Int,
+      r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
   }
 
   /** Feature dimension of the stub decoder. */
   val FeatureDim = 16
 
-  /** STUB decode kernel: deterministic fake features from bytes.
-    * A real implementation would decode pixels/samples here. */
+  /** STUB decode kernel — VIDEO ONLY (mp4 has no JDK codec):
+    * deterministic fake features from bytes. Every image/audio format
+    * in the asset table decodes for real (decodePpm / decodeCodec /
+    * decodeWav). */
   private[ops] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var i = 0
@@ -157,6 +215,47 @@ object Multimodal {
       val n = (w.toLong * h * maxval).toDouble
       DecodedImage(w, h, r / n, g / n, b / n)
     }
+  }
+
+  /** REAL decode kernel for PNG and JPEG via the JDK's
+    * `javax.imageio` (readers for png/jpeg/gif/bmp ship with every
+    * JVM — zero external dependencies). A magic-byte sniff gates the
+    * (comparatively heavy) ImageIO path so non-image payloads skip it;
+    * anything ImageIO rejects degrades to None like the other decoders.
+    * Channel means use the same sum / (w·h·255) arithmetic as
+    * decodePpm, so PNG (lossless) stats are exactly predictable from
+    * the encoder's inputs; JPEG dims are exact, means carry the
+    * codec's quantization error. */
+  private[ops] def decodeCodec(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    val isPng = (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+    if (!isPng && !isJpeg) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF
+            g += (p >> 8) & 0xFF
+            b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h * 255).toDouble
+        Some(DecodedImage(w, h, r / n, g / n, b / n))
+      }
+    } catch { case _: Exception => None }
   }
 
   /** A decoded PCM audio clip. Mean amplitude is over the unsigned
@@ -230,7 +329,16 @@ object Multimodal {
     * channel means straight from the pixel bytes. Same batched
     * `mapPartitions` shape as extractFeatures; codec formats simply
     * produce no row here (they take the stub path). */
-  def imageStats(assets: DataFrame): DataFrame = {
+  def imageStats(assets: DataFrame): DataFrame =
+    rasterStats(assets, decodePpm)
+
+  /** imageStats for the JDK-codec formats (PNG/JPEG via ImageIO) —
+    * same batched shape, same output contract. */
+  def codecImageStats(assets: DataFrame): DataFrame =
+    rasterStats(assets, decodeCodec)
+
+  private def rasterStats(assets: DataFrame,
+      decoder: Array[Byte] => Option[DecodedImage]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("decoded_width", IntegerType, nullable = false),
@@ -241,18 +349,41 @@ object Multimodal {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     assets.select("asset_id", "content").mapPartitions { rows =>
       rows.flatMap { r =>
-        decodePpm(r.getAs[Array[Byte]](1)).map(d =>
+        decoder(r.getAs[Array[Byte]](1)).map(d =>
           Row(r.getLong(0), d.width, d.height, d.meanR, d.meanG, d.meanB))
       }
     }(enc)
   }
 
+  /** Fixed-dim feature layout for a decoded image: dims + channel
+    * means, zero-padded. */
+  private def imageFeats(d: DecodedImage): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = d.width.toFloat
+    out(1) = d.height.toFloat
+    out(2) = d.meanR.toFloat
+    out(3) = d.meanG.toFloat
+    out(4) = d.meanB.toFloat
+    out
+  }
+
+  /** Fixed-dim feature layout for a decoded audio clip. */
+  private def audioFeats(d: DecodedAudio): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = d.sampleRate.toFloat
+    out(1) = d.nSamples.toFloat
+    out(2) = d.durationMs.toFloat
+    out(3) = d.meanAmplitude.toFloat
+    out
+  }
+
   /** Decode + featurize: partition-wise batched execution over the
     * binary column — the Scala analog of `mapInPandas` (iterator of
     * batches in, iterator of batches out; constant memory per task).
-    * Decodable payloads (P6) produce REAL pixel-derived features
-    * (dims + channel means, zero-padded to FeatureDim); codec formats
-    * fall back to the documented stub. */
+    * Every image format (P6/PNG/JPEG) and audio format (PCM WAV)
+    * produces REAL decoded features — images: dims + channel means;
+    * audio: rate, sample count, duration, mean amplitude — zero-padded
+    * to FeatureDim. Only video falls back to the documented stub. */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -262,17 +393,10 @@ object Multimodal {
     assets.select("asset_id", "mime", "content").mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](2)
-        val feats = decodePpm(bytes) match {
-          case Some(d) =>
-            val out = new Array[Float](FeatureDim)
-            out(0) = d.width.toFloat
-            out(1) = d.height.toFloat
-            out(2) = d.meanR.toFloat
-            out(3) = d.meanG.toFloat
-            out(4) = d.meanB.toFloat
-            out
-          case None => decodeStub(bytes)
-        }
+        val feats = decodePpm(bytes).map(imageFeats)
+          .orElse(decodeCodec(bytes).map(imageFeats))
+          .orElse(decodeWav(bytes).map(audioFeats))
+          .getOrElse(decodeStub(bytes))
         Row(r.getLong(0), r.getString(1), feats.toSeq)
       }
     }(enc)

@@ -100,8 +100,13 @@ object AnalyticsQueries {
     })
 
   /** Multimodal feature-extraction pipeline over the synthetic asset
-    * table: metadata pruning → batched stub decode → per-mime feature
-    * stats (rows-only; decode is the documented stub). */
+    * table: metadata pruning → batched decode → per-mime feature
+    * stats. Every image/audio format decodes for REAL (P6 byte-parse,
+    * PNG/JPEG via javax.imageio, WAV chunk-walk); only video/mp4 takes
+    * the documented stub. Rows-only here (JPEG means carry codec
+    * quantization error, so the per-mime float sums aren't
+    * SQL-predictable); the per-format decode paths are each
+    * oracle-checked by q_multimodal_stats/_png/_jpeg/_audio. */
   val multimodalFeatures = QueryDef(
     "q_multimodal_features",
     None,
@@ -240,6 +245,53 @@ object AnalyticsQueries {
     (s, _) => Multimodal.audioStats(Multimodal.syntheticAssets(s, 500))
       .orderBy("asset_id"))
 
+  /** REAL JDK-codec decode, oracle-checked end to end: the generator
+    * encodes each `image/png` asset (id ≡ 1 mod 8) as a solid
+    * (id%512+16)×(id%256+16) fill via `ImageIO.write`, the query
+    * decodes it back via `ImageIO.read` (Multimodal.decodeCodec) and
+    * emits pixel stats; DuckDB predicts them from first principles —
+    * PNG is lossless, so the decoded channel means are exactly
+    * fill-color/255 computed with the same w·h·v / (w·h·255) integer-
+    * exact double division the decoder uses. */
+  val multimodalPng = QueryDef(
+    "q_multimodal_png",
+    Some("""WITH png AS (
+              SELECT CAST(id AS BIGINT) AS asset_id,
+                     CAST(id % 512 + 16 AS INT) AS w,
+                     CAST(id % 256 + 16 AS INT) AS h,
+                     sha256(CAST(id AS VARCHAR)) AS hex
+              FROM range(0, 500) t(id) WHERE id % 8 = 1)
+            SELECT asset_id, w AS decoded_width, h AS decoded_height,
+                   CAST(w*h*ord(substring(hex, 1, 1)) AS DOUBLE) /
+                     CAST(w*h*255 AS DOUBLE) AS mean_r,
+                   CAST(w*h*ord(substring(hex, 2, 1)) AS DOUBLE) /
+                     CAST(w*h*255 AS DOUBLE) AS mean_g,
+                   CAST(w*h*ord(substring(hex, 3, 1)) AS DOUBLE) /
+                     CAST(w*h*255 AS DOUBLE) AS mean_b
+            FROM png ORDER BY asset_id"""),
+    (s, _) => Multimodal.codecImageStats(
+        Multimodal.syntheticAssets(s, 500)
+          .filter(col("mime") === "image/png")) // metadata prune first
+      .orderBy("asset_id"))
+
+  /** The JPEG twin: same real encode/decode round trip through
+    * javax.imageio. JPEG is lossy, so the oracle pins what IS exact —
+    * the decoded dimensions (proof a real decode ran; the stub had no
+    * dims) — while MultimodalSpec bounds the channel-mean quantization
+    * error against the encoder's fill color. */
+  val multimodalJpeg = QueryDef(
+    "q_multimodal_jpeg",
+    Some("""SELECT CAST(id AS BIGINT) AS asset_id,
+                   CAST(id % 512 + 16 AS INT) AS decoded_width,
+                   CAST(id % 256 + 16 AS INT) AS decoded_height
+            FROM range(0, 500) t(id) WHERE id % 8 = 5
+            ORDER BY asset_id"""),
+    (s, _) => Multimodal.codecImageStats(
+        Multimodal.syntheticAssets(s, 500)
+          .filter(col("mime") === "image/jpeg"))
+      .select("asset_id", "decoded_width", "decoded_height")
+      .orderBy("asset_id"))
+
   /** Statistical aggregates: stddev/variance/correlation/covariance.
     * Both engines accumulate these differently (Welford vs sum-of-
     * squares), so results are qround-canonicalized like any aggregated
@@ -325,6 +377,6 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
-    multimodalStats, multimodalAudio, statsAgg, pivot_, percentiles,
-    approxDistinct)
+    multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
+    statsAgg, pivot_, percentiles, approxDistinct)
 }

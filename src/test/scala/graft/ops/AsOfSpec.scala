@@ -61,4 +61,23 @@ class AsOfSpec extends SparkSuite {
     assert(!physical.contains("Join"), s"unexpected join in:\n$physical")
     assert(physical.contains("Window"))
   }
+
+  test("degenerate hot key: one key owning every row stays correct " +
+      "(single-task sort+scan, no pairwise blowup)") {
+    // 50k left + 50k right rows, ALL on key 1 — the worst case the
+    // scaladoc documents: the window serializes on one task but the
+    // work is linear, and every left row still gets the exact latest
+    // at-or-before right value (right t = 2i carries v = i, so left
+    // t matches floor(t/2)).
+    val n = 50000
+    val hotLeft = spark.range(n)
+      .select(col("id"), lit(1L).as("k"), (col("id") + 1).as("t"))
+    val hotRight = spark.range(n)
+      .select(lit(1L).as("k"), (col("id") * 2).as("t"),
+        col("id").cast("double").as("v"))
+    val out = AsOf.asofJoin(hotLeft, hotRight, Seq("k"), "t", "t", Seq("v"))
+    assert(out.count() === n.toLong)
+    val wrong = out.filter(col("v") =!= floor(col("t") / 2))
+    assert(wrong.count() === 0)
+  }
 }

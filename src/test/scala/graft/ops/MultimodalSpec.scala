@@ -115,16 +115,69 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("extractFeatures dispatches: real pixel features for P6, stub otherwise") {
+  test("extractFeatures dispatches: real decode for every image/audio " +
+      "format, stub only for video") {
     val feats = Multimodal.extractFeatures(assets)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
     feats.filter(_._2 == "image/x-portable-pixmap").foreach { case (_, _, f) =>
       assert(f(0) === 4.0f && f(1) === 4.0f) // decoded dims
       assert(f.drop(5).forall(_ === 0.0f))   // zero-padded tail
     }
-    // codec formats keep the stub's dense shape
+    // png/jpeg: real ImageIO decode → metadata dims in slots 0-1
+    feats.filter(t => t._2 == "image/png" || t._2 == "image/jpeg")
+      .foreach { case (id, _, f) =>
+        assert(f(0) === (id % 512 + 16).toFloat)
+        assert(f(1) === (id % 256 + 16).toFloat)
+        assert(f.drop(5).forall(_ === 0.0f))
+      }
+    // wav: real PCM decode → (rate, n, duration, amplitude)
     feats.filter(_._2 == "audio/wav").foreach { case (_, _, f) =>
+      assert(f(0) === 8000.0f && f(1) === 48.0f && f(2) === 6.0f)
+      assert(f(3) > 0.18f && f(3) < 0.41f)
+      assert(f.drop(4).forall(_ === 0.0f))
+    }
+    // video: the one declared stub keeps its dense fake shape
+    feats.filter(_._2 == "video/mp4").foreach { case (_, _, f) =>
       assert(f.count(_ !== 0.0f) > 8)
+    }
+  }
+
+  test("decodeCodec: PNG round-trips the encoder's fill exactly") {
+    val bytes = Multimodal.encodeImage("png", 7, 3, 120, 45, 200)
+    val got = Multimodal.decodeCodec(bytes).get
+    assert(got.width === 7 && got.height === 3)
+    assert(got.meanR === 120.0 / 255 && got.meanG === 45.0 / 255 &&
+      got.meanB === 200.0 / 255)
+  }
+
+  test("decodeCodec: JPEG dims exact, means within quantization error") {
+    val bytes = Multimodal.encodeImage("jpg", 33, 17, 99, 150, 60)
+    val got = Multimodal.decodeCodec(bytes).get
+    assert(got.width === 33 && got.height === 17)
+    // solid fill → DC-only blocks; quantization shifts means by at
+    // most a few codes
+    assert(math.abs(got.meanR - 99.0 / 255) < 4.0 / 255)
+    assert(math.abs(got.meanG - 150.0 / 255) < 4.0 / 255)
+    assert(math.abs(got.meanB - 60.0 / 255) < 4.0 / 255)
+  }
+
+  test("decodeCodec: non-image payloads degrade to None, never throw") {
+    val bad = Seq(
+      Array.empty[Byte],
+      "not an image at all".getBytes("US-ASCII"),
+      Array[Byte](-119, 'P', 'N', 'G', 0, 0, 0, 0), // truncated PNG
+      Array[Byte](-1, -40, 0, 0, 0, 0, 0, 0))       // truncated JPEG
+    bad.foreach(b => assert(Multimodal.decodeCodec(b).isEmpty))
+  }
+
+  test("codecImageStats: every png/jpeg asset decodes; dims match metadata") {
+    val codecAssets = assets.filter(col("mime").isin("image/png", "image/jpeg"))
+    val stats = Multimodal.codecImageStats(codecAssets).collect()
+    assert(stats.length.toLong === codecAssets.count() && stats.nonEmpty)
+    val meta = assets.select("asset_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    stats.foreach { r =>
+      assert((r.getInt(1), r.getInt(2)) === meta(r.getLong(0)))
     }
   }
 
