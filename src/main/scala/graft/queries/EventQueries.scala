@@ -38,6 +38,31 @@ object EventQueries {
         Num.qround(sum("value"), 4).as("sum_value"))
       .orderBy("hour_start", "event_type"))
 
+  /** The STREAMING twin of q_event_window, under the driver's hash
+    * check: the events parquet is staged behind a drop-folder, read
+    * with `readStream`, aggregated through the watermarked
+    * tumbling-window plan (streaming/EventStream.windowedAgg), run to
+    * completion with `Trigger.AvailableNow` into a memory sink — and
+    * the oracle is the BATCH query's SQL verbatim, so a green row IS
+    * stream/batch parity (not just a ScalaTest assertion). Bounded
+    * replay arrives as one file → one micro-batch, so the watermark
+    * drops nothing and complete-mode output covers every window. */
+  val streamWindow = QueryDef(
+    "q_stream_window",
+    Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    ${Num.qroundSql("SUM(value)", 4)} AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val agg = EventStream.windowedAgg(EventStream.readEvents(s, src))
+      EventStream.runAvailableNow(s, agg, "q_stream_window_sink")
+        .select(col("hour_start"), col("event_type"), col("n_events"),
+          Num.qround(col("sum_value"), 4).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    })
+
   /** Sliding-window aggregation: 1-hour windows every 15 minutes —
     * each event lands in exactly 4 windows. Spark's window() aligns
     * slide boundaries to the epoch; the oracle reproduces the same
@@ -218,6 +243,7 @@ object EventQueries {
         .orderBy("event_id")
     })
 
-  val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, slidingWindow,
-    sessionize, topEventPerUser, asofJoin, rangeJoin, skewJoin)
+  val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
+    slidingWindow, sessionize, topEventPerUser, asofJoin, rangeJoin,
+    skewJoin)
 }

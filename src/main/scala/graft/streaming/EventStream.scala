@@ -144,4 +144,30 @@ object EventStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Run a streaming plan with `Trigger.AvailableNow` — process every
+    * file currently in the source, then terminate on its own (the
+    * scheduled catch-up pattern over a drop-folder) — into a memory
+    * sink and return the result table. */
+  def runAvailableNow(spark: SparkSession, plan: DataFrame,
+      queryName: String, outputMode: String = "complete"): DataFrame = {
+    val q = plan.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Stage a single parquet file behind a fresh directory (Spark's
+    * file stream source lists a directory, the drop-folder model;
+    * a symlink stands in for the "file arrived" copy). */
+  def stageDir(file: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val src = java.nio.file.Paths.get(file).toAbsolutePath
+    java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+    dir.toString
+  }
 }
