@@ -250,11 +250,70 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     })
 
-  /** LSH-bucketed approximate top-k (scale path; rows-only, recall
-    * asserted in SimilaritySpec). */
+  /** LSH-bucketed approximate top-k (scale path) — FULLY oracle-checked
+    * despite being "approximate": the approximation is a deterministic
+    * function of the seeded hyperplanes, and the whole pipeline is
+    * reproducible in DuckDB. The oracle re-derives the planes from
+    * first principles — splitmix64 finalizer in wrap-around 64-bit
+    * arithmetic (HUGEINT staged CTEs; each multiply split into 32-bit
+    * halves so nothing exceeds 2^97), signed-double mapping, then the
+    * same left-to-right float→double dot products, sign-bit bucket
+    * packing, bucket equi-join and (cosine DESC, id) ranking the Spark
+    * side runs. Hash-green here means Mix64, ArrayDot, and the banding
+    * join are all cross-engine exact — not just "some 50 rows". */
   val annLsh = QueryDef(
     "q_ann_lsh",
-    None,
+    Some(s"""WITH dom AS (
+               SELECT CAST(a.range AS HUGEINT) AS p,
+                      CAST(b.range AS HUGEINT) AS i
+               FROM range(0, 4) a, range(0, 64) b),
+             -- splitmix64(42 + p*1000003 + i), staged: xor-shift 30,
+             -- *C1, xor-shift 27, *C2, xor-shift 31 (mod 2^64)
+             s0 AS (SELECT p, i,
+                      CAST(42 AS HUGEINT) + p * 1000003 + i AS z FROM dom),
+             s1 AS (SELECT p, i, xor(z, z >> 30) AS y FROM s0),
+             s2 AS (SELECT p, i,
+                      ((y % 4294967296) * 484763065 +
+                       (((y % 4294967296) * 3210233709 +
+                         (y // 4294967296) * 484763065) % 4294967296)
+                        * 4294967296) % 18446744073709551616 AS z FROM s1),
+             s3 AS (SELECT p, i, xor(z, z >> 27) AS y FROM s2),
+             s4 AS (SELECT p, i,
+                      ((y % 4294967296) * 321982955 +
+                       (((y % 4294967296) * 2496678331 +
+                         (y // 4294967296) * 321982955) % 4294967296)
+                        * 4294967296) % 18446744073709551616 AS z FROM s3),
+             s5 AS (SELECT p, i, xor(z, z >> 31) AS h FROM s4),
+             planes AS (
+               SELECT CAST(p AS INT) AS p,
+                      list(CAST(CASE WHEN h >= 9223372036854775808
+                                     THEN h - 18446744073709551616
+                                     ELSE h END AS DOUBLE)
+                           / 9.223372036854775807e18 ORDER BY i) AS pl
+               FROM s5 GROUP BY 1),
+             sig AS (
+               SELECT e.vec_id,
+                      CAST(SUM(CASE WHEN list_reduce(
+                               list_transform(range(1, 65),
+                                 k -> CAST(e.embedding[k] AS DOUBLE) * pl[k]),
+                               (x, y) -> x + y) >= 0
+                             THEN CAST(1 AS BIGINT) << p
+                             ELSE 0 END) AS BIGINT) AS bucket
+               FROM embeddings e, planes GROUP BY e.vec_id),
+             scored AS (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosine("qe.embedding", "ce.embedding")} AS cosine
+               FROM sig q
+               JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+               JOIN embeddings qe ON qe.vec_id = q.vec_id
+               JOIN embeddings ce ON ce.vec_id = c.vec_id
+               WHERE q.vec_id < 5),
+             ranked AS (
+               SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, rank, cosine FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""),
     (s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
