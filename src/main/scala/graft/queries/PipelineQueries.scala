@@ -152,8 +152,45 @@ object PipelineQueries {
         .orderBy("school name")
     })
 
+  /** The reference's stated end goal — one dictionary-driven pipeline
+    * reused across states (PDF p.31; Read.md: 65 states × 4-6
+    * datasets) — demonstrated for real: the SAME `Pipeline.run` plan
+    * builder over a second state's fixtures (MN: different raw column
+    * ORDER, a different junk column, AGENCY_NAME present — everything
+    * the dictionary plan must absorb), per-state finals unioned by
+    * clean schema under a state tag. At scale each state is an
+    * independent plan over its own files — embarrassingly parallel,
+    * one union at the end, no cross-state shuffle. */
+  val multiState = QueryDef(
+    "q_multi_state",
+    Some(CleanPipelineOracle.multiStateSql),
+    (s, _) => {
+      def cfg(lunch: String, bf: String, st: String) =
+        graft.engine.Pipeline.Config(
+          dict1Path = Fixtures.path("data_dictionary_template_1.txt"),
+          dict2Path = Fixtures.path("data_dictionary_template_2.txt"),
+          breakfastPath = Fixtures.path(bf),
+          lunchPath = Fixtures.path(lunch),
+          state = st)
+      def proj(df: org.apache.spark.sql.DataFrame, st: String) =
+        df.select(lit(st).as("state"),
+          col("`school name`"), col("`claim date`"),
+          col("`Unique ID`").as("unique_id"),
+          col("`NCES ID`").as("nces_id"),
+          col("`FR Lunch Meals`").as("fr_lunch_meals"),
+          col("`FR Breakfast Meals`").as("fr_breakfast_meals"),
+          col("`School Level-Standardized`").as("school_level_std"))
+      val wi = proj(graft.engine.Pipeline.run(s, cfg(
+        "2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+        "2017_2018_SBP_MEAL_PARTICIPATION.txt", "WI")), "WI")
+      val mn = proj(graft.engine.Pipeline.run(s, cfg(
+        "MN_2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+        "MN_2017_2018_SBP_MEAL_PARTICIPATION.txt", "MN")), "MN")
+      wi.unionByName(mn).orderBy("state", "school name")
+    })
+
   val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain,
-    cleanPipeline, ncesJoin)
+    cleanPipeline, ncesJoin, multiState)
 }
 
 /** The q_clean_pipeline DuckDB oracle: the reference pipeline (ref
@@ -166,10 +203,15 @@ object PipelineQueries {
 object CleanPipelineOracle {
   private val fx = "/root/repo/src/main/resources/fixtures"
 
-  /** Shared CTE chain up to `final` (the DISTINCT wide table) — both
-    * the plain pipeline oracle and the NCES-join oracle build on it. */
-  private val ctes: String = s"""
-WITH lunch_raw AS (
+  /** Shared CTE chain up to `${px}final` (the DISTINCT wide table),
+    * parametrized on a CTE-name prefix, the state code, and the two
+    * claim files — the plain oracle, the NCES-join oracle, and the
+    * multi-state oracle all instantiate it (the SAME chain applied to
+    * a different state's files is exactly the reference's "all 40
+    * states" reuse claim, PDF p.31). */
+  private def ctesFor(px: String, state: String, lunchFile: String,
+      bfFile: String): String = s"""
+${px}lunch_raw AS (
   SELECT "AGENCY_CODE" AS "Agency Code", "school name", "claim date",
          "district id", "School ID", "PUBLIC", "SCHOOL TYPE",
          "School Level-Original", "CEP (Y/N)", "Lunch Meals-Free",
@@ -177,10 +219,10 @@ WITH lunch_raw AS (
          "Lunch Meals-Paid", "Operating Days-Lunch Only", "Operating Days",
          "Enrollment-Free", "Enrollment-Reduced",
          "Enrollment-Free and Reduced", "Enrollment-Total", "School Year"
-  FROM read_csv('$fx/2017_2018_NSLP_MEAL_PARTICIPATION.txt',
+  FROM read_csv('$fx/$lunchFile',
                 delim='\\t', header=true, all_varchar=true)
 ),
-lunch1 AS (
+${px}lunch1 AS (
   SELECT *,
     CASE WHEN "PUBLIC" = 'YES' AND "SCHOOL TYPE" <> 'RCCI' THEN 'Public'
          WHEN "PUBLIC" = 'YES' AND "SCHOOL TYPE" = 'RCCI' THEN 'Public-RCCI'
@@ -191,14 +233,14 @@ lunch1 AS (
              CAST("Lunch Meals-Free and Reduced" AS DOUBLE)) AS "FR Lunch Meals",
     COALESCE(CAST("Enrollment-Free" AS DOUBLE) + CAST("Enrollment-Reduced" AS DOUBLE),
              CAST("Enrollment-Free and Reduced" AS DOUBLE)) AS "FR Enrollment"
-  FROM lunch_raw
+  FROM ${px}lunch_raw
 ),
-lunch2 AS (
+${px}lunch2 AS (
   SELECT *,
     "FR Lunch Meals" / NULLIF(COALESCE(CAST("Operating Days-Lunch Only" AS DOUBLE),
                                        CAST("Operating Days" AS DOUBLE)), 0.0)
       AS "FR Lunch ADP",
-    'WI' || '-' || ('0' || "School ID") || '-' || "district id" AS "Unique ID",
+    '$state' || '-' || ('0' || "School ID") || '-' || "district id" AS "Unique ID",
     LPAD("district id", 6, '0') AS "NCES ID",
     COALESCE("School Year", '17-18') AS "School_Year",
     CAST(NULL AS VARCHAR) AS "Target Area",
@@ -221,19 +263,19 @@ lunch2 AS (
          WHEN "School Type-Original" = 'Nonpublic' THEN 'Private'
          WHEN "School Type-Original" IN ('Public-RCCI', 'Nonpublic-RCCI') THEN 'RCCI'
          ELSE NULL END AS "School Type-Standardized"
-  FROM lunch1
+  FROM ${px}lunch1
 ),
-bf_raw AS (
+${px}bf_raw AS (
   SELECT "AGENCY_CODE" AS "Agency Code", "school name", "claim date",
          "district id", "School ID", "TRADITIONAL_MODEL", "MID_MORNING_MODEL",
          "CLASSROOM_MODEL", "REDUCED_PRICE_MODEL", "GRAB_N_GO_MODEL",
          "FREE_MODEL", "Breakfast Meals-Free", "Breakfast Meals-Reduced",
          "Breakfast Meals-Free and Reduced", "Operating Days-Breakfast Only",
          "Operating Days"
-  FROM read_csv('$fx/2017_2018_SBP_MEAL_PARTICIPATION.txt',
+  FROM read_csv('$fx/$bfFile',
                 delim='\\t', header=true, all_varchar=true)
 ),
-bf1 AS (
+${px}bf1 AS (
   SELECT *,
     'O=' || COALESCE("TRADITIONAL_MODEL", '') || ', ' ||
     'P=' || COALESCE("MID_MORNING_MODEL", '') || ', ' ||
@@ -244,16 +286,16 @@ bf1 AS (
       AS "Breakfast Delivery Model from State Agency-Original",
     COALESCE(CAST("Breakfast Meals-Free" AS DOUBLE) + CAST("Breakfast Meals-Reduced" AS DOUBLE),
              CAST("Breakfast Meals-Free and Reduced" AS DOUBLE)) AS "FR Breakfast Meals"
-  FROM bf_raw
+  FROM ${px}bf_raw
 ),
-bf2 AS (
+${px}bf2 AS (
   SELECT *,
     "FR Breakfast Meals" / NULLIF(COALESCE(CAST("Operating Days-Breakfast Only" AS DOUBLE),
                                            CAST("Operating Days" AS DOUBLE)), 0.0)
       AS "FR Breakfast ADP"
-  FROM bf1
+  FROM ${px}bf1
 ),
-joined AS (
+${px}joined AS (
   SELECT
     l."school name", l."claim date",
     l."Agency Code", l."district id", l."School ID", l."PUBLIC",
@@ -275,13 +317,18 @@ joined AS (
     b."Operating Days-Breakfast Only", b."Operating Days" AS "Operating Days_b",
     b."Breakfast Delivery Model from State Agency-Original",
     b."FR Breakfast Meals", b."FR Breakfast ADP"
-  FROM lunch2 l
-  JOIN bf2 b
+  FROM ${px}lunch2 l
+  JOIN ${px}bf2 b
     ON l."school name" = b."school name"
    AND l."claim date" = b."claim date"
    AND LPAD(l."district id", 6, '0') = LPAD(b."district id", 6, '0')
 ),
-final AS (SELECT DISTINCT * FROM joined)"""
+${px}final AS (SELECT DISTINCT * FROM ${px}joined)"""
+
+  /** The concrete WI chain (unprefixed names — `final` etc.). */
+  private val ctes: String = "\nWITH " + ctesFor("", "WI",
+    "2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+    "2017_2018_SBP_MEAL_PARTICIPATION.txt")
 
   val sql: String = ctes + """
 SELECT "school name", "claim date",
@@ -309,6 +356,31 @@ SELECT f."school name", f."claim date",
 FROM final f LEFT JOIN nces n ON f."school name" = n.sn
 ORDER BY f."school name"
 """
+
+  /** q_multi_state oracle: the SAME CTE chain instantiated twice — WI
+    * files and MN files (different column order, different junk
+    * column) — and the per-state finals unioned under a state tag. */
+  val multiStateSql: String = "\nWITH " +
+    ctesFor("", "WI",
+      "2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+      "2017_2018_SBP_MEAL_PARTICIPATION.txt") + ",\n" +
+    ctesFor("mn_", "MN",
+      "MN_2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+      "MN_2017_2018_SBP_MEAL_PARTICIPATION.txt") + """
+SELECT * FROM (
+  SELECT 'WI' AS state, "school name", "claim date",
+         "Unique ID" AS unique_id, "NCES ID" AS nces_id,
+         "FR Lunch Meals" AS fr_lunch_meals,
+         "FR Breakfast Meals" AS fr_breakfast_meals,
+         "School Level-Standardized" AS school_level_std
+  FROM final
+  UNION ALL
+  SELECT 'MN', "school name", "claim date", "Unique ID", "NCES ID",
+         "FR Lunch Meals", "FR Breakfast Meals",
+         "School Level-Standardized"
+  FROM mn_final) u
+ORDER BY state, "school name"
+"""
 }
 
 /** Stages bundled fixture files (classpath resources) into a temp dir
@@ -319,6 +391,8 @@ object Fixtures {
     Seq("data_dictionary_template_1.txt", "data_dictionary_template_2.txt",
       "2017_2018_SBP_MEAL_PARTICIPATION.txt",
       "2017_2018_NSLP_MEAL_PARTICIPATION.txt",
+      "MN_2017_2018_SBP_MEAL_PARTICIPATION.txt",
+      "MN_2017_2018_NSLP_MEAL_PARTICIPATION.txt",
       "WI_NCES_School_Data_SY15-16.txt").foreach { name =>
       val in = getClass.getResourceAsStream(s"/fixtures/$name")
       require(in != null, s"fixture $name missing from classpath")
