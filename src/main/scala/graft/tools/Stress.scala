@@ -120,6 +120,41 @@ object Stress {
         breakfastPath = s"$dir/sbp", lunchPath = s"$dir/nslp")).count()
     }
 
+    // PDF p.29 wide-schema scenario: a 614-column dictionary-driven
+    // clean. Plan building is driver-side metadata work (must stay
+    // milliseconds no matter the data volume), and the single-select
+    // clean keeps Catalyst analysis LINEAR in width — vs the
+    // reference's WHILE loops, which were ~2N DDL/materialization
+    // passes over mutable tables.
+    val nWide = 614
+    val wideCols = (0 until nWide).map(i => s"RAW_COL_$i")
+    // dictionary 1 covers the first 300 (every 20th NOT USED),
+    // dictionary 2 the next 300; the last 14 are unmatched junk
+    val wideDicts = graft.engine.Dictionary.DictRows(
+      d1 = wideCols.take(300).zipWithIndex.map { case (c, i) =>
+        c.toLowerCase ->
+          Seq(if (i % 20 == 0) "NOT USED - wide" else s"Clean Col $i")
+      }.toMap,
+      d2 = wideCols.slice(300, 600).zipWithIndex.map { case (c, i) =>
+        c.toLowerCase -> Seq(s"Clean Col ${i + 300}")
+      }.toMap)
+    var widePlan: graft.engine.CleanPlan = null
+    time("wide plan build, 614-col dictionary (driver)") {
+      widePlan = graft.engine.Dictionary.planLocal(wideCols, wideDicts)
+      s"drops=${widePlan.drops.size} renames=${widePlan.renames.size}"
+    }
+    val wideDf = spark.range(0, 200000L, 1, 32).select(
+      (0 until nWide).map(i =>
+        ((col("id") + i) % 1000).cast("string").as(s"RAW_COL_$i")): _*)
+    time("wide clean, 614 cols x 200k rows (noop sink)") {
+      // noop write: every surviving column is materialized end to end,
+      // so the measurement covers analysis + codegen + evaluation of
+      // the full-width projection (count() would prune it away)
+      graft.engine.CleanPipeline.clean(wideDf, widePlan)
+        .write.format("noop").mode("overwrite").save()
+      s"kept=${widePlan(wideCols).size}"
+    }
+
     // as-of join: 10M left x 10M right over 100k keys — the windowed
     // union never builds pairs, so this is one shuffle + sort
     val asofL = spark.range(0, 10000000L, 1, 64).select(
