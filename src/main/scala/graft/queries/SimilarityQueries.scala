@@ -50,6 +50,45 @@ object SimilarityQueries {
     s"""(CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE) /
          CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"""
 
+  /** Staged-CTE splitmix64 finalizer over a `mix_dom($keys, z)` CTE:
+    * xor-shift 30, ·C1, xor-shift 27, ·C2, xor-shift 31, all mod 2^64
+    * in HUGEINT — each multiply split into 32-bit halves so nothing
+    * exceeds 2^97 (HUGEINT overflows at 2^127). `mix_s5` carries
+    * ($keys, h) with h == graft.functions.Mix64.mix(z) as an unsigned
+    * 64-bit value. Shared by every hyperplane-LSH oracle so the mix
+    * arithmetic can't drift between them. */
+  private def sqlMix64(keys: String) = s"""
+mix_s1 AS (SELECT $keys, xor(z, z >> 30) AS y FROM mix_dom),
+mix_s2 AS (SELECT $keys,
+  ((y % 4294967296) * 484763065 +
+   (((y % 4294967296) * 3210233709 +
+     (y // 4294967296) * 484763065) % 4294967296)
+    * 4294967296) % 18446744073709551616 AS z FROM mix_s1),
+mix_s3 AS (SELECT $keys, xor(z, z >> 27) AS y FROM mix_s2),
+mix_s4 AS (SELECT $keys,
+  ((y % 4294967296) * 321982955 +
+   (((y % 4294967296) * 2496678331 +
+     (y // 4294967296) * 321982955) % 4294967296)
+    * 4294967296) % 18446744073709551616 AS z FROM mix_s3),
+mix_s5 AS (SELECT $keys, xor(z, z >> 31) AS h FROM mix_s4)"""
+
+  /** Unsigned-h → Scala's `h.toDouble / Long.MaxValue.toDouble`
+    * (two's-complement reinterpretation, then the same IEEE divide). */
+  private val sqlSignedUnit =
+    """CAST(CASE WHEN h >= 9223372036854775808
+                 THEN h - 18446744073709551616
+                 ELSE h END AS DOUBLE) / 9.223372036854775807e18"""
+
+  /** Sign-bit bucket packing: Σ_p (dot(vec, plane_p) >= 0) << p over a
+    * `planes` CTE carrying ($extraKey, p, pl). */
+  private def sqlBucket(vec: String) = s"""
+CAST(SUM(CASE WHEN list_reduce(
+         list_transform(range(1, 65),
+           k -> CAST($vec[k] AS DOUBLE) * pl[k]),
+         (x, y) -> x + y) >= 0
+       THEN CAST(1 AS BIGINT) << p
+       ELSE 0 END) AS BIGINT)"""
+
   /** Exact dedup (hash-groupBy; ref-parity GROUP BY text in the
     * oracle — same groups absent 64-bit hash collisions). */
   val dedupExact = QueryDef(
@@ -218,10 +257,49 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     })
 
-  /** LSH-bucketed embedding near-dup (scale path; rows-only). */
+  /** LSH-bucketed embedding near-dup (scale path) — oracle-checked
+    * like q_ann_lsh: the multi-table hyperplane signatures are a
+    * deterministic function of the seed, so DuckDB re-derives all 12
+    * tables' planes (seed 42 + t·7919) via the shared splitmix64
+    * chain, packs the same sign-bit buckets, reproduces the bucket
+    * cap, the banded candidate join, and the exact cosine≥τ verify.
+    * Hash-green means the full multi-table LSH pipeline — not just the
+    * exact verify — is cross-engine exact. */
   val dupEmbeddingLsh = QueryDef(
     "q_dedup_embedding_lsh",
-    None,
+    Some(s"""WITH mix_dom AS (
+               -- table t's planes use seed 42 + t*7919 (recall
+               -- amplification across 12 independent tables)
+               SELECT t.range AS t,
+                      CAST(p.range AS HUGEINT) AS p,
+                      CAST(i.range AS HUGEINT) AS i,
+                      CAST(42 AS HUGEINT) + CAST(t.range AS HUGEINT) * 7919
+                        + CAST(p.range AS HUGEINT) * 1000003
+                        + CAST(i.range AS HUGEINT) AS z
+               FROM range(0, 12) t, range(0, 6) p, range(0, 64) i),
+             ${sqlMix64("t, p, i")},
+             planes AS (
+               SELECT CAST(t AS INT) AS t, CAST(p AS INT) AS p,
+                      list($sqlSignedUnit ORDER BY i) AS pl
+               FROM mix_s5 GROUP BY 1, 2),
+             sig AS (
+               SELECT e.vec_id, t, ${sqlBucket("e.embedding")} AS bucket
+               FROM embeddings e, planes GROUP BY e.vec_id, t),
+             capped AS (
+               SELECT vec_id, t, bucket FROM sig
+               QUALIFY COUNT(*) OVER (PARTITION BY t, bucket) <= 2000),
+             cand AS (
+               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM capped a
+               JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id)
+             SELECT c.id_a, c.id_b,
+                    ${sqlCosine("ea.embedding", "eb.embedding")} AS cosine
+             FROM cand c
+             JOIN embeddings ea ON ea.vec_id = c.id_a
+             JOIN embeddings eb ON eb.vec_id = c.id_b
+             WHERE ${sqlCosine("ea.embedding", "eb.embedding")} >= 0.4
+             ORDER BY id_a, id_b"""),
     (s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.4, planes = 6, tables = 12)
       .orderBy("id_a", "id_b"))
@@ -263,42 +341,20 @@ object SimilarityQueries {
     * join are all cross-engine exact — not just "some 50 rows". */
   val annLsh = QueryDef(
     "q_ann_lsh",
-    Some(s"""WITH dom AS (
+    Some(s"""WITH mix_dom AS (
+               -- splitmix64 input: seed 42, plane p, component i
                SELECT CAST(a.range AS HUGEINT) AS p,
-                      CAST(b.range AS HUGEINT) AS i
+                      CAST(b.range AS HUGEINT) AS i,
+                      CAST(42 AS HUGEINT) + CAST(a.range AS HUGEINT) * 1000003
+                        + CAST(b.range AS HUGEINT) AS z
                FROM range(0, 4) a, range(0, 64) b),
-             -- splitmix64(42 + p*1000003 + i), staged: xor-shift 30,
-             -- *C1, xor-shift 27, *C2, xor-shift 31 (mod 2^64)
-             s0 AS (SELECT p, i,
-                      CAST(42 AS HUGEINT) + p * 1000003 + i AS z FROM dom),
-             s1 AS (SELECT p, i, xor(z, z >> 30) AS y FROM s0),
-             s2 AS (SELECT p, i,
-                      ((y % 4294967296) * 484763065 +
-                       (((y % 4294967296) * 3210233709 +
-                         (y // 4294967296) * 484763065) % 4294967296)
-                        * 4294967296) % 18446744073709551616 AS z FROM s1),
-             s3 AS (SELECT p, i, xor(z, z >> 27) AS y FROM s2),
-             s4 AS (SELECT p, i,
-                      ((y % 4294967296) * 321982955 +
-                       (((y % 4294967296) * 2496678331 +
-                         (y // 4294967296) * 321982955) % 4294967296)
-                        * 4294967296) % 18446744073709551616 AS z FROM s3),
-             s5 AS (SELECT p, i, xor(z, z >> 31) AS h FROM s4),
+             ${sqlMix64("p, i")},
              planes AS (
                SELECT CAST(p AS INT) AS p,
-                      list(CAST(CASE WHEN h >= 9223372036854775808
-                                     THEN h - 18446744073709551616
-                                     ELSE h END AS DOUBLE)
-                           / 9.223372036854775807e18 ORDER BY i) AS pl
-               FROM s5 GROUP BY 1),
+                      list($sqlSignedUnit ORDER BY i) AS pl
+               FROM mix_s5 GROUP BY 1),
              sig AS (
-               SELECT e.vec_id,
-                      CAST(SUM(CASE WHEN list_reduce(
-                               list_transform(range(1, 65),
-                                 k -> CAST(e.embedding[k] AS DOUBLE) * pl[k]),
-                               (x, y) -> x + y) >= 0
-                             THEN CAST(1 AS BIGINT) << p
-                             ELSE 0 END) AS BIGINT) AS bucket
+               SELECT e.vec_id, ${sqlBucket("e.embedding")} AS bucket
                FROM embeddings e, planes GROUP BY e.vec_id),
              scored AS (
                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
