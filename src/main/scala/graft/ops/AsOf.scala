@@ -92,4 +92,89 @@ object AsOf {
     aged.filter(col("__side") === 1)
       .select((leftCols ++ payload).map(col): _*)
   }
+
+  /** Hot-key-resistant as-of join — the bucketed mitigation the
+    * [[asofJoin]] scaladoc documents, implemented: the window key is
+    * compounded with a coarse time bucket (`floor(ts / bucketMicros)`),
+    * so a degenerate key splits across span/bucketMicros partitions
+    * instead of serializing on one task. Two phases:
+    *
+    *  1. the plain tagged-union window per (key, bucket) — resolves
+    *     every left row whose match lies in its own bucket;
+    *  2. left rows with no in-bucket match take the LAST right payload
+    *     of the nearest earlier bucket: the right side collapses to
+    *     one row per (key, bucket) (`max_by` on ts — a tiny table),
+    *     and a second as-of at bucket granularity (strict: earlier
+    *     buckets only) carries it forward.
+    *
+    * Cross-bucket rows are always strictly earlier in time (equal ts
+    * ⇒ equal bucket), so `strict` semantics reduce to phase 1, and the
+    * carried right ts lets `toleranceMicros` apply once at the end —
+    * both match [[asofJoin]] exactly (AsOfSpec pins equality, hot key
+    * included). Timestamp ts columns are compared as epoch micros.
+    *
+    * At 100 TB: phase 1 is the same one-shuffle window with a wider
+    * key; phase 2's bucket table is rows ≈ keys × active buckets —
+    * orders of magnitude smaller than the data. Same (key, ts) ties
+    * carry the base operator's caveat: pre-aggregate the right side
+    * when determinism matters. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      payload: Seq[String], bucketMicros: Long,
+      toleranceMicros: Option[Long] = None,
+      strict: Boolean = false): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload ${payload.intersect(leftCols)} collide with left columns")
+
+    def num(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampType) unix_micros(col(s"`$c`"))
+      else col(s"`$c`")
+    def bucketOf(ts: Column): Column = floor(ts / bucketMicros).cast("long")
+
+    // the right event time rides along as payload so "was there an
+    // in-bucket match" and the tolerance check survive both phases
+    val r2 = right.withColumn("__rts", num(right, rightTs))
+    val pay2 = payload :+ "__rts"
+    val lB = left
+      .withColumn("__lts", num(left, leftTs))
+      .withColumn("__bucket", bucketOf(col("__lts")))
+    val rB = r2.withColumn("__bucket", bucketOf(col("__rts")))
+
+    val phase1 = asofJoin(lB, rB, keys :+ "__bucket", leftTs, rightTs,
+      pay2, toleranceMicros = None, strict = strict)
+
+    // one row per (key, bucket): the bucket's last right payload
+    val keyB = keys :+ "__bucket"
+    val bucketLast = rB.groupBy(keyB.map(c => col(s"`$c`")): _*)
+      .agg(max_by(struct(pay2.map(c => col(s"`$c`")): _*), col("__rts"))
+        .as("__last"))
+      .select(keyB.map(c => col(s"`$c`")) ++
+        pay2.map(c => col("__last").getField(c).as(c)): _*)
+    val leftBuckets = phase1.select(keyB.map(c => col(s"`$c`")): _*)
+      .distinct()
+    val carryNames = pay2.map(c => s"__carry_$c")
+    val carry = asofJoin(leftBuckets, bucketLast, keys,
+        "__bucket", "__bucket", pay2, toleranceMicros = None, strict = true)
+      .select(keyB.map(c => col(s"`$c`")) ++
+        pay2.zip(carryNames).map { case (c, n) => col(s"`$c`").as(n) }: _*)
+
+    val joined = phase1.join(carry, keyB, "left")
+      .withColumn("__matched", col("__rts").isNotNull)
+    val filled = pay2.zip(carryNames).foldLeft(joined) {
+      case (df, (c, n)) =>
+        df.withColumn(c,
+          when(col("__matched"), col(s"`$c`")).otherwise(col(s"`$n`")))
+    }
+    val aged = toleranceMicros match {
+      case None => filled
+      case Some(tol) =>
+        val stale = col("__rts") < col("__lts") - lit(tol)
+        payload.foldLeft(filled)((df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(s"`$c`"))))
+    }
+    aged.select((leftCols ++ payload).map(c => col(s"`$c`")): _*)
+  }
 }

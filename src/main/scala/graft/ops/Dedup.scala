@@ -254,8 +254,12 @@ object Dedup {
     // remains for pathological edge volumes.
     val fwdPairs = pairs.select(col("id_a").cast("long"),
       col("id_b").cast("long")).distinct().localCheckpoint(true)
-    val nPairs = fwdPairs.count()
-    if (nPairs <= localThreshold) {
+    // threshold probe, not a full count: limit(k+1).count() answers
+    // "≤ k?" after reading at most k+1 rows, so choosing the
+    // distributed path never pays a full scan of a huge edge set
+    val probe = fwdPairs
+      .limit(math.min(localThreshold, Int.MaxValue - 1L).toInt + 1).count()
+    if (probe <= localThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -90,12 +90,10 @@ object EventQueries {
         col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type"))
 
-  /** Sessionization: per-user session ids via 30-minute inactivity
-    * gaps — lag + running sum of session-start flags (exact microsecond
-    * arithmetic on both engines: unix_micros ↔ epoch_us). */
-  val sessionize = QueryDef(
-    "q_sessionize",
-    Some("""WITH g AS (
+  /** Shared by q_sessionize and its streaming twin q_stream_session —
+    * one oracle text, so batch and stream are checked against the
+    * SAME definition. */
+  private val sessionizeSql = """WITH g AS (
               SELECT event_id, user_id, ts,
                      CASE WHEN epoch_us(ts) -
                           LAG(epoch_us(ts)) OVER
@@ -111,7 +109,14 @@ object EventQueries {
                         (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS session_id
-            FROM g ORDER BY event_id"""),
+            FROM g ORDER BY event_id"""
+
+  /** Sessionization: per-user session ids via 30-minute inactivity
+    * gaps — lag + running sum of session-start flags (exact microsecond
+    * arithmetic on both engines: unix_micros ↔ epoch_us). */
+  val sessionize = QueryDef(
+    "q_sessionize",
+    Some(sessionizeSql),
     (s, d) => {
       val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val withFlag = Tables.events(s, d)
@@ -125,6 +130,25 @@ object EventQueries {
           sum("new_session").over(order.rowsBetween(
             Window.unboundedPreceding, Window.currentRow)).cast("long"))
         .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    })
+
+  /** The STATEFUL streaming twin of q_sessionize under the driver's
+    * hash check: `flatMapGroupsWithState` carries one (lastTs,
+    * sessionId) pair per user; bounded replay through
+    * Trigger.AvailableNow arrives in order, so the emitted session ids
+    * equal the batch windowed form — and the oracle IS the batch
+    * query's SQL (sessionizeSql, shared text). This puts the custom-
+    * state path (not just built-in windowed aggs) under CORRECTNESS. */
+  val streamSession = QueryDef(
+    "q_stream_session",
+    Some(sessionizeSql),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      EventStream.runAvailableNow(s,
+          EventStream.sessionizeStream(EventStream.readEvents(s, src)),
+          "q_stream_session_sink", outputMode = "append")
         .orderBy("event_id")
     })
 
@@ -180,6 +204,35 @@ object EventQueries {
         .agg(max("value").as("purchase_value"))
       graft.ops.AsOf.asofJoin(clicks, purchases, Seq("user_id"),
           "ts", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "click_value", "purchase_value")
+        .orderBy("event_id")
+    })
+
+  /** The hot-key-resistant bucketed as-of (ops.AsOf.asofJoinBucketed,
+    * 1-hour buckets) under the SAME native-ASOF oracle as q_asof_join
+    * — a green row is a driver-checked proof that the two-phase
+    * bucketed construction reproduces as-of semantics exactly. */
+  val asofJoinBucketed = QueryDef(
+    "q_asof_join_bucketed",
+    Some("""WITH l AS (SELECT event_id, user_id, ts, value AS click_value
+                       FROM events WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, MAX(value) AS purchase_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.click_value, r.purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.event_id"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("purchase_value"))
+      graft.ops.AsOf.asofJoinBucketed(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_value"), bucketMicros = 3600000000L)
         .select("event_id", "user_id", "click_value", "purchase_value")
         .orderBy("event_id")
     })
@@ -244,6 +297,6 @@ object EventQueries {
     })
 
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
-    slidingWindow, sessionize, topEventPerUser, asofJoin, rangeJoin,
-    skewJoin)
+    slidingWindow, sessionize, streamSession, topEventPerUser, asofJoin,
+    asofJoinBucketed, rangeJoin, skewJoin)
 }

@@ -62,6 +62,44 @@ class AsOfSpec extends SparkSuite {
     assert(physical.contains("Window"))
   }
 
+  private def runBucketed(width: Long, strict: Boolean = false,
+      tol: Option[Long] = None): Map[Long, Option[Double]] =
+    AsOf.asofJoinBucketed(left, right, Seq("k"), "t", "t", Seq("v"),
+        bucketMicros = width, toleranceMicros = tol, strict = strict)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+  test("bucketed variant equals the plain as-of across bucket widths, " +
+      "strict and tolerance modes") {
+    for (width <- Seq(1L, 7L, 100L, 1000000L)) {
+      assert(runBucketed(width) === run(), s"width=$width")
+      assert(runBucketed(width, strict = true) === run(strict = true),
+        s"width=$width strict")
+      assert(runBucketed(width, tol = Some(60L)) === run(tol = Some(60L)),
+        s"width=$width tol=60")
+      assert(runBucketed(width, tol = Some(40L)) === run(tol = Some(40L)),
+        s"width=$width tol=40")
+    }
+  }
+
+  test("bucketed variant equals the plain as-of on a degenerate hot key") {
+    val n = 20000
+    val hotLeft = spark.range(n)
+      .select(col("id"), lit(1L).as("k"), (col("id") * 3 + 1).as("t"))
+    val hotRight = spark.range(n)
+      .select(lit(1L).as("k"), (col("id") * 7).as("t"),
+        col("id").cast("double").as("v"))
+    val plain = AsOf.asofJoin(hotLeft, hotRight, Seq("k"), "t", "t",
+        Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // width 1000 → the single key spreads over ~140 buckets
+    val bucketed = AsOf.asofJoinBucketed(hotLeft, hotRight, Seq("k"),
+        "t", "t", Seq("v"), bucketMicros = 1000L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bucketed === plain)
+  }
+
   test("degenerate hot key: one key owning every row stays correct " +
       "(single-task sort+scan, no pairwise blowup)") {
     // 50k left + 50k right rows, ALL on key 1 — the worst case the
