@@ -171,6 +171,25 @@ object Stress {
         .agg(sum("v"), count(lit(1))).collect().head.getLong(1)
     }
 
+    // degenerate hot key: ALL 10M rows on ONE key. The plain as-of
+    // serializes its window on a single task; the bucketed variant
+    // spreads the same rows across ~time-span/bucket tasks — the
+    // measured gap IS the parallelism the scaladoc promises.
+    val hotL = spark.range(0, 5000000L, 1, 64).select(
+      col("id"), lit(1L).as("k"), (col("id") * 3 + 1).as("t"))
+    val hotR = spark.range(0, 5000000L, 1, 64).select(
+      lit(1L).as("k"), (col("id") * 7).as("t"),
+      (col("id") % 1000).cast("double").as("v"))
+    time("as-of 5M x 5M, ONE hot key (plain)") {
+      graft.ops.AsOf.asofJoin(hotL, hotR, Seq("k"), "t", "t", Seq("v"))
+        .agg(sum("v"), count(lit(1))).collect().head.getLong(1)
+    }
+    time("as-of 5M x 5M, ONE hot key (bucketed)") {
+      graft.ops.AsOf.asofJoinBucketed(hotL, hotR, Seq("k"), "t", "t",
+          Seq("v"), bucketMicros = 250000L) // ~140 buckets
+        .agg(sum("v"), count(lit(1))).collect().head.getLong(1)
+    }
+
     // range join: 5M x 5M events over 10k HOT keys (500 rows/key —
     // naive per-key pairing would build 1.25G pairs; bucketing holds
     // it to temporally-adjacent rows)
