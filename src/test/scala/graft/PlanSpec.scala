@@ -92,6 +92,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"as-of must not pair-join:\n$p")
   }
 
+  test("q_asof_join_bucketed: windows + bounded equi-joins, never a product") {
+    val p = plan("q_asof_join_bucketed")
+    // phase 1 + the bucket-granularity carry are windows; the only
+    // joins are the equi-joins stitching the tiny carry table back on
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed as-of must never plan a product:\n$p")
+  }
+
   test("q_range_join: pair generation is an equi-join on (key, bucket)") {
     val p = plan("q_range_join")
     assert(!p.contains("CartesianProduct") &&
