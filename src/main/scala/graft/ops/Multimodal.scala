@@ -402,6 +402,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real resize kernel: decode via the JDK codec, scale to w×h
+    * (Graphics2D draw — for any interpolation a solid fill stays the
+    * same color, which keeps the oracle exact), re-encode as PNG
+    * (lossless, so downstream stats see exactly the scaled raster).
+    * None for payloads the codec rejects. */
+  private[ops] def resizeImage(bytes: Array[Byte], w: Int,
+      h: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8 || w <= 0 || h <= 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null)
+        finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some(baos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Resize stage: every decodable codec image (PNG/JPEG) → a w×h PNG
+    * under the same (asset_id, mime, width, height, duration_ms,
+    * content) contract, so resize output feeds straight back into
+    * decode/featurize stages. Undecodable payloads produce no row
+    * (degrade, don't fail). Same bounded `mapPartitions` batch shape
+    * as every other kernel. */
+  def resizeAssets(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    implicit val enc: Encoder[Row] = Encoders.row(assetSchema)
+    assets.mapPartitions { rows =>
+      rows.flatMap { r =>
+        resizeImage(r.getAs[Array[Byte]](5), w, h).map(bytes =>
+          Row(r.getLong(0), "image/png", w, h, r.get(4), bytes))
+      }
+    }(enc)
+  }
+
   /** Metadata-only filter stage: prunes BEFORE decode (predicate on
     * typed metadata columns, pushed to the scan). */
   def images(assets: DataFrame, minWidth: Int): DataFrame =

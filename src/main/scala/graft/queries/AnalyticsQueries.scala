@@ -274,6 +274,33 @@ object AnalyticsQueries {
           .filter(col("mime") === "image/png")) // metadata prune first
       .orderBy("asset_id"))
 
+  /** The resize stage under the oracle: encode (ImageIO) → resize to
+    * 8×8 (Graphics2D scale, re-encoded lossless) → decode → stats.
+    * A solid fill survives any interpolation unchanged, so DuckDB
+    * predicts the resized stats exactly: dims are the target, means
+    * are fill/255 via the decoder's (w·h·v)/(w·h·255) division at the
+    * NEW dimensions. Three real codec passes, one hash check. */
+  val multimodalResize = QueryDef(
+    "q_multimodal_resize",
+    Some("""WITH png AS (
+              SELECT CAST(id AS BIGINT) AS asset_id,
+                     sha256(CAST(id AS VARCHAR)) AS hex
+              FROM range(0, 500) t(id) WHERE id % 8 = 1)
+            SELECT asset_id, CAST(8 AS INT) AS decoded_width,
+                   CAST(8 AS INT) AS decoded_height,
+                   CAST(64*ord(substring(hex, 1, 1)) AS DOUBLE) /
+                     CAST(64*255 AS DOUBLE) AS mean_r,
+                   CAST(64*ord(substring(hex, 2, 1)) AS DOUBLE) /
+                     CAST(64*255 AS DOUBLE) AS mean_g,
+                   CAST(64*ord(substring(hex, 3, 1)) AS DOUBLE) /
+                     CAST(64*255 AS DOUBLE) AS mean_b
+            FROM png ORDER BY asset_id"""),
+    (s, _) => Multimodal.codecImageStats(
+        Multimodal.resizeAssets(
+          Multimodal.syntheticAssets(s, 500)
+            .filter(col("mime") === "image/png"), 8, 8))
+      .orderBy("asset_id"))
+
   /** The JPEG twin: same real encode/decode round trip through
     * javax.imageio. JPEG is lossy, so the oracle pins what IS exact —
     * the decoded dimensions (proof a real decode ran; the stub had no
@@ -378,5 +405,5 @@ object AnalyticsQueries {
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
-    statsAgg, pivot_, percentiles, approxDistinct)
+    multimodalResize, statsAgg, pivot_, percentiles, approxDistinct)
 }

@@ -181,6 +181,37 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resizeImage: solid PNG keeps its color at any target size; " +
+      "jpeg decodes then rescales; junk degrades to None") {
+    val png = Multimodal.encodeImage("png", 20, 10, 30, 60, 90)
+    val resized = Multimodal.resizeImage(png, 3, 5).get
+    val got = Multimodal.decodeCodec(resized).get
+    assert(got.width === 3 && got.height === 5)
+    assert(got.meanR === 30.0 / 255 && got.meanG === 60.0 / 255 &&
+      got.meanB === 90.0 / 255)
+    val jpg = Multimodal.encodeImage("jpg", 16, 16, 200, 100, 50)
+    val rj = Multimodal.decodeCodec(Multimodal.resizeImage(jpg, 4, 4).get).get
+    assert(rj.width === 4 && rj.height === 4)
+    assert(math.abs(rj.meanR - 200.0 / 255) < 4.0 / 255)
+    assert(Multimodal.resizeImage("junk".getBytes("US-ASCII"), 4, 4).isEmpty)
+    assert(Multimodal.resizeImage(png, 0, 4).isEmpty)
+  }
+
+  test("resizeAssets: every codec image re-emerges as a w×h PNG under " +
+      "the asset contract; non-codec payloads drop") {
+    val resized = Multimodal.resizeAssets(assets, 6, 6).cache()
+    assert(resized.schema === Multimodal.assetSchema)
+    val nCodec = assets
+      .filter(col("mime").isin("image/png", "image/jpeg")).count()
+    assert(resized.count() === nCodec && nCodec > 0)
+    assert(resized.filter(col("mime") =!= "image/png" ||
+      col("width") =!= 6 || col("height") =!= 6).count() === 0)
+    // output feeds straight back into the decode stage
+    val stats = Multimodal.codecImageStats(resized).collect()
+    assert(stats.length.toLong === nCodec)
+    stats.foreach(r => assert(r.getInt(1) === 6 && r.getInt(2) === 6))
+  }
+
   test("sampleFrames: one row per sampled timestamp within duration") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 500L)
     val byAsset = frames.groupBy("asset_id")
