@@ -153,4 +153,14 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === batch)
   }
+
+  test("driver stream queries are rerunnable within one session " +
+      "(fresh staging dir, sink name reusable after termination)") {
+    for (name <- Seq("q_stream_window", "q_stream_session")) {
+      val fn = graft.SparkEntry.queries(name)
+      val first = fn(spark, Sf0001).count()
+      val second = fn(spark, Sf0001).count()
+      assert(first === second && first > 0, name)
+    }
+  }
 }
