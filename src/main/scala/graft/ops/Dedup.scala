@@ -104,10 +104,16 @@ object Dedup {
     * @param bucketCap drop buckets larger than this (degenerate
     *   boilerplate protection; dropped buckets trade recall for
     *   bounded cost — the standard production compromise).
+    * @param portableKeys hash shingles with the SQL-reproducible
+    *   md5-derived 60-bit keys (Md5ShingleKeys) instead of the
+    *   one-pass ShingleHashes — slower per byte, but every stage of
+    *   the pipeline (keys, signature, banding, verify) becomes
+    *   oracle-checkable; set semantics are identical either way.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 0,
-      threshold: Double = 0.7, bucketCap: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, bucketCap: Int = 1000,
+      portableKeys: Boolean = false): DataFrame = {
     val (nBands, rows) =
       if (bands == 0) optimalBanding(numHashes, threshold)
       else { require(numHashes % bands == 0, "bands must divide numHashes")
@@ -117,7 +123,9 @@ object Dedup {
     // end to end (8-byte elements through the candidate shuffle, no
     // string materialization)
     val sh = df.select(col(idCol).as("id"),
-      ShingleFunctions.shingleHashes(col(textCol), shingleK).as("shingles"))
+      (if (portableKeys) ShingleFunctions.md5ShingleKeys(col(textCol), shingleK)
+       else ShingleFunctions.shingleHashes(col(textCol), shingleK))
+        .as("shingles"))
     val bucketed = sh.select(col("id"),
       HashFunctions.minhashBandBuckets(col("shingles"), nBands, rows)
         .as("buckets"))

@@ -57,20 +57,21 @@ object SimilarityQueries {
     * ($keys, h) with h == graft.functions.Mix64.mix(z) as an unsigned
     * 64-bit value. Shared by every hyperplane-LSH oracle so the mix
     * arithmetic can't drift between them. */
-  private def sqlMix64(keys: String) = s"""
-mix_s1 AS (SELECT $keys, xor(z, z >> 30) AS y FROM mix_dom),
-mix_s2 AS (SELECT $keys,
+  private def sqlMix64(keys: String, px: String = "mix_",
+      src: String = "mix_dom") = s"""
+${px}s1 AS (SELECT $keys, xor(z, z >> 30) AS y FROM $src),
+${px}s2 AS (SELECT $keys,
   ((y % 4294967296) * 484763065 +
    (((y % 4294967296) * 3210233709 +
      (y // 4294967296) * 484763065) % 4294967296)
-    * 4294967296) % 18446744073709551616 AS z FROM mix_s1),
-mix_s3 AS (SELECT $keys, xor(z, z >> 27) AS y FROM mix_s2),
-mix_s4 AS (SELECT $keys,
+    * 4294967296) % 18446744073709551616 AS z FROM ${px}s1),
+${px}s3 AS (SELECT $keys, xor(z, z >> 27) AS y FROM ${px}s2),
+${px}s4 AS (SELECT $keys,
   ((y % 4294967296) * 321982955 +
    (((y % 4294967296) * 2496678331 +
      (y // 4294967296) * 321982955) % 4294967296)
-    * 4294967296) % 18446744073709551616 AS z FROM mix_s3),
-mix_s5 AS (SELECT $keys, xor(z, z >> 31) AS h FROM mix_s4)"""
+    * 4294967296) % 18446744073709551616 AS z FROM ${px}s3),
+${px}s5 AS (SELECT $keys, xor(z, z >> 31) AS h FROM ${px}s4)"""
 
   /** Unsigned-h → Scala's `h.toDouble / Long.MaxValue.toDouble`
     * (two's-complement reinterpretation, then the same IEEE divide). */
@@ -88,6 +89,114 @@ CAST(SUM(CASE WHEN list_reduce(
          (x, y) -> x + y) >= 0
        THEN CAST(1 AS BIGINT) << p
        ELSE 0 END) AS BIGINT)"""
+
+  /** MinHash+LSH at a LOW threshold (τ=0.4) with PORTABLE md5 shingle
+    * keys — the banding itself is oracle-checked, not argued away:
+    * unlike q_dedup_minhash_ht (whose τ=0.9 banding has recall ≈ 1, so
+    * its oracle is the exact scan), here the 32-band×4-row s-curve
+    * passes only ~56% of τ-level pairs, and the oracle reproduces
+    * EXACTLY that set. DuckDB replays java.util.Random(42)'s 48-bit
+    * LCG (WITH RECURSIVE) to regenerate the 128 universal-hash params,
+    * evaluates h_j(x) = mix64(a_j·x + b_j) with split 64×64
+    * wrap-around multiplies, takes per-doc minima, folds the banding
+    * (five chained mix64 applications), mirrors the bucket cap and
+    * candidate join, and verifies exact Jaccard on the same key sets.
+    * Hash-green = the complete MinHash/LSH pipeline (params, signature,
+    * banding, buckets, verify) is cross-engine exact. */
+  val dedupMinhashMd5 = QueryDef(
+    "q_dedup_minhash_md5",
+    Some(s"""WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                   t -> len(t) > 0) AS toks
+          FROM documents),
+        shmm AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                             toks[i + 2])) END AS shingles
+          FROM t),
+        kset AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(shingles,
+                   s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)))
+                   AS ks
+          FROM shmm),
+        dkeys AS (
+          SELECT doc_id, CAST(unnest(ks) AS HUGEINT) AS x FROM kset),
+        -- java.util.Random(42): 48-bit LCG; each nextLong = two
+        -- next(32) draws; a_j = nextLong|1, b_j = nextLong
+        lcg(n, s) AS (
+          SELECT 0, CAST(25214903879 AS HUGEINT)
+          UNION ALL
+          SELECT n + 1, (s * 25214903917 + 11) % 281474976710656
+          FROM lcg WHERE n < 512),
+        n32 AS (SELECT n, s >> 16 AS v FROM lcg WHERE n >= 1),
+        longs AS (
+          SELECT (a.n - 1) // 2 AS idx,
+                 ((a.v * 4294967296) + b.v +
+                  CASE WHEN b.v >= 2147483648
+                       THEN 18446744073709551616 - 4294967296
+                       ELSE 0 END) % 18446744073709551616 AS u
+          FROM n32 a JOIN n32 b ON b.n = a.n + 1
+          WHERE a.n % 2 = 1),
+        params AS (
+          SELECT CAST(pa.idx // 2 AS INT) AS j,
+                 pa.u + (1 - pa.u % 2) AS a, pb.u AS b
+          FROM longs pa JOIN longs pb ON pb.idx = pa.idx + 1
+          WHERE pa.idx % 2 = 0),
+        sig_dom AS (
+          SELECT k.doc_id, p.j,
+                 (((p.a % 4294967296) * (k.x % 4294967296)
+                  + (((p.a % 4294967296) * (k.x // 4294967296)
+                     + (p.a // 4294967296) * (k.x % 4294967296))
+                     % 4294967296) * 4294967296)
+                  + p.b) % 18446744073709551616 AS z
+          FROM dkeys k, params p),
+        ${sqlMix64("doc_id, j", "sg_", "sig_dom")},
+        sig AS (SELECT doc_id, j, MIN(h) AS s FROM sg_s5 GROUP BY 1, 2),
+        bandp AS (
+          SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                 MAX(CASE WHEN j % 4 = 0 THEN s END) AS s0,
+                 MAX(CASE WHEN j % 4 = 1 THEN s END) AS s1,
+                 MAX(CASE WHEN j % 4 = 2 THEN s END) AS s2,
+                 MAX(CASE WHEN j % 4 = 3 THEN s END) AS s3
+          FROM sig GROUP BY 1, 2),
+        f0_dom AS (SELECT doc_id, band, s0, s1, s2, s3,
+                   (CAST(band AS HUGEINT) + 11400714819323198485)
+                     % 18446744073709551616 AS z FROM bandp),
+        ${sqlMix64("doc_id, band, s0, s1, s2, s3", "f0_", "f0_dom")},
+        f1_dom AS (SELECT doc_id, band, s1, s2, s3, xor(h, s0) AS z
+                   FROM f0_s5),
+        ${sqlMix64("doc_id, band, s1, s2, s3", "f1_", "f1_dom")},
+        f2_dom AS (SELECT doc_id, band, s2, s3, xor(h, s1) AS z
+                   FROM f1_s5),
+        ${sqlMix64("doc_id, band, s2, s3", "f2_", "f2_dom")},
+        f3_dom AS (SELECT doc_id, band, s3, xor(h, s2) AS z FROM f2_s5),
+        ${sqlMix64("doc_id, band, s3", "f3_", "f3_dom")},
+        f4_dom AS (SELECT doc_id, band, xor(h, s3) AS z FROM f3_s5),
+        ${sqlMix64("doc_id, band", "f4_", "f4_dom")},
+        capped AS (
+          SELECT doc_id, band, h AS bucket FROM f4_s5
+          QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a
+          JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+               ${sqlJaccard("ka.ks", "kb.ks")} AS jaccard
+        FROM cand c
+        JOIN kset ka ON ka.doc_id = c.id_a
+        JOIN kset kb ON kb.doc_id = c.id_b
+        WHERE ${sqlJaccard("ka.ks", "kb.ks")} >= 0.4
+        ORDER BY id_a, id_b"""),
+    (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.4,
+        portableKeys = true)
+      .orderBy("id_a", "id_b"))
 
   /** Exact dedup (hash-groupBy; ref-parity GROUP BY text in the
     * oracle — same groups absent 64-bit hash collisions). */
@@ -456,7 +565,7 @@ CAST(SUM(CASE WHEN list_reduce(
     })
 
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
-    dedupMinhash, dedupMinhashHt, dedupSimhash, dedupSimhashMd5,
-    ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh, annBruteForce,
-    annLsh, dedupClusters, dedupKeep)
+    dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
+    dedupSimhashMd5, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
+    annBruteForce, annLsh, dedupClusters, dedupKeep)
 }
