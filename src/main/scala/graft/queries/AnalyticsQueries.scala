@@ -85,11 +85,91 @@ object AnalyticsQueries {
         col("lvl"), col("n"), col("sum_qty"))
       .orderBy("lvl", "returnflag", "linestatus"))
 
-  /** IVF-indexed approximate top-k ANN (scale path; rows-only — recall
-    * asserted vs brute force in SimilaritySpec). */
+  // DuckDB twins of Similarity.dot / normalize — double math, strict
+  // left-to-right folds (0.0-init fold ≡ list_reduce: 0.0+e1 == e1).
+  private def sqlDotD(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+        (x, y) -> x + y)"""
+  private def sqlCosineD(a: String, b: String) =
+    s"""(${sqlDotD(a, b)} /
+         NULLIF(SQRT(${sqlDotD(a, a)}) * SQRT(${sqlDotD(b, b)}), 0.0))"""
+  private def sqlNormalize(v: String) = {
+    val n = s"sqrt(list_reduce(list_transform($v, x -> x*x), (a,b) -> a+b))"
+    s"CASE WHEN $n = 0 THEN $v ELSE list_transform($v, x -> x / $n) END"
+  }
+
+  /** One Lloyd round in SQL: first-max assignment (DESC dot, ASC c —
+    * exactly Scala's maxBy-first-wins), per-(cluster, dim) mean folded
+    * in sample order (matching `vs.map(_(i)).sum`), normalized; empty
+    * clusters keep their centroid. */
+  private def ivfIterSql(i: Int): String = s"""
+asg_$i AS (
+  SELECT s.idx, s.v, c.c,
+         ROW_NUMBER() OVER (PARTITION BY s.idx
+           ORDER BY ${sqlDotD("c.cv", "s.v")} DESC, c.c ASC) AS rn
+  FROM samp s, cents_$i c),
+best_$i AS (SELECT idx, v, c FROM asg_$i WHERE rn = 1),
+dimsum_$i AS (
+  SELECT b.c, t.d,
+         list_reduce(list(b.v[t.d] ORDER BY b.idx), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM best_$i b, range(1, 65) t(d) GROUP BY b.c, t.d),
+cmean_$i AS (SELECT c, list(m ORDER BY d) AS mv FROM dimsum_$i GROUP BY c),
+cents_${i + 1} AS (
+  SELECT o.c,
+         CASE WHEN n.mv IS NULL THEN o.cv
+              ELSE ${sqlNormalize("n.mv")} END AS cv
+  FROM cents_$i o LEFT JOIN cmean_$i n ON n.c = o.c)"""
+
+  /** IVF-indexed approximate top-k ANN (scale path) — oracle-checked
+    * INCLUDING the index training: the driver-side Lloyd fit
+    * (Similarity.fitIvf — deterministic sample, 5 iterations,
+    * first-max assignment, sample-order mean folds, L2 normalization)
+    * is unrolled as five SQL rounds over the same sample, then the
+    * corpus assignment, per-query probe selection, exact rescoring and
+    * ranking all rerun in DuckDB. Hash-green = the full train→assign→
+    * probe→rescore pipeline is cross-engine exact, leaving no
+    * rows-only ANN path at all. */
   val annIvf = QueryDef(
     "q_ann_ivf",
-    None,
+    Some(s"""WITH samp AS (
+               SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS idx,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM (SELECT vec_id, embedding FROM embeddings
+                     ORDER BY vec_id LIMIT 2048)),
+             cents_0 AS (
+               SELECT CAST(idx - 1 AS INT) AS c, ${sqlNormalize("v")} AS cv
+               FROM samp WHERE idx <= 16),
+             ${(0 until 5).map(ivfIterSql).mkString(",")},
+             assigned AS (
+               SELECT e.vec_id, e.embedding, c.c AS list_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${sqlDotD("c.cv", "e.embedding")} DESC,
+                                 c.c ASC) AS rn
+               FROM embeddings e, cents_5 c),
+             corpus AS (
+               SELECT vec_id, embedding, list_id FROM assigned WHERE rn = 1),
+             probed AS (
+               SELECT q.vec_id AS query_id, c.c AS list_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${sqlDotD("c.cv", "q.embedding")} DESC,
+                                 c.c ASC) AS rn
+               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, cents_5 c),
+             probes AS (SELECT query_id, list_id FROM probed WHERE rn <= 4),
+             scored AS (
+               SELECT p.query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosineD("q.embedding", "c.embedding")} AS cosine
+               FROM probes p
+               JOIN corpus c ON c.list_id = p.list_id
+               JOIN embeddings q ON q.vec_id = p.query_id
+               WHERE c.vec_id <> p.query_id),
+             ranked AS (
+               SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, rank, cosine FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""),
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
