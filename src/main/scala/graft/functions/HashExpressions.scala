@@ -195,6 +195,109 @@ object SimHash64 {
   }
 }
 
+/** Fused multi-table random-hyperplane bucketing: input array<float|
+  * double> vector → array<long> of `tables` bucket ids, where table
+  * t's `planes`-bit bucket packs the sign bits of the dot products
+  * against deterministic splitmix64-derived planes (seed + t·7919, the
+  * [[graft.ops.Similarity.hyperplaneBucket]] construction — results
+  * are bit-identical, pinned in SimilaritySpec).
+  *
+  * Why fused: the composed form evaluates tables×planes separate
+  * ArrayDot expressions, re-reading the vector 72× per row (the
+  * dominant cost of embedding LSH at 100 TB). This kernel makes ONE
+  * pass over the vector, updating all accumulators per element, and
+  * generates a static call so the projection stays in whole-stage
+  * codegen. */
+case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
+    seed: Long, dims: Int) extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 63 && tables >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val matrix: Array[Double] =
+    HyperplaneBuckets.planeMatrix(planes, tables, seed, dims)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData], planes,
+      tables, dims, matrix, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneMatrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HyperplaneBuckets.compute($c, $planes,
+        $tables, $dims, $ref, $isFloat);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HyperplaneBuckets {
+  /** Flat [t][p][i] plane matrix — same derivation as
+    * Similarity.hyperplaneBucket: mix(seedT + p·1000003 + i) mapped to
+    * [-1, 1). */
+  def planeMatrix(planes: Int, tables: Int, seed: Long,
+      dims: Int): Array[Double] = {
+    val m = new Array[Double](tables * planes * dims)
+    var t = 0
+    while (t < tables) {
+      val seedT = seed + t * 7919L
+      var p = 0
+      while (p < planes) {
+        var i = 0
+        while (i < dims) {
+          m((t * planes + p) * dims + i) =
+            Mix64.mix(seedT + p * 1000003L + i).toDouble /
+              Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    m
+  }
+
+  /** Static kernel: one pass over the vector, all accumulators updated
+    * per element — accumulation order per plane matches ArrayDot
+    * (sequential over i), so the dot products are bit-identical. */
+  def compute(a: ArrayData, planes: Int, tables: Int, dims: Int,
+      m: Array[Double], isFloat: Boolean): GenericArrayData = {
+    val n = math.min(a.numElements(), dims)
+    val nAcc = tables * planes
+    val acc = new Array[Double](nAcc)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      var j = 0
+      while (j < nAcc) {
+        acc(j) += x * m(j * dims + i)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        if (acc(t * planes + p) >= 0) bucket += 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API wrappers. */
 object HashFunctions {
   def minhashSignature(c: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -208,4 +311,9 @@ object HashFunctions {
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def hyperplaneBuckets(c: Column, planes: Int, tables: Int,
+      seed: Long = 42L, dims: Int = 64): Column =
+    ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(c),
+      planes, tables, seed, dims))
 }

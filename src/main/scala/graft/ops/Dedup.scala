@@ -381,16 +381,16 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, tables: Int = 8,
       seed: Long = 42L, bucketCap: Int = 2000): DataFrame = {
-    val buckets = (0 until tables).map { t =>
-      Similarity.hyperplaneBucket(col("vec"), planes,
-        seed + t * 7919L)
-    }
-    // two-step select: bucket exprs reference the "vec" alias, which
-    // must come from a child plan (a same-select lateral alias under a
-    // generator crashes resolution)
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // fused signature kernel: all tables×planes dot products in ONE
+    // pass over the vector (HyperplaneBuckets), vs re-reading the
+    // vector per plane in the composed expression form — bit-identical
+    // buckets (SimilaritySpec pins fused ≡ composed)
+    val withBucket = df
+      .select(col(idCol).as("id"),
+        graft.functions.HashFunctions.hyperplaneBuckets(col(vecCol),
+          planes, tables, seed).as("buckets"))
       .select(col("id"),
-        posexplode(array(buckets: _*)).as(Seq("table_idx", "bucket")))
+        posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
     val capped = capBuckets(withBucket, Seq("table_idx", "bucket"),
       bucketCap)
     val a = capped.select(col("table_idx"), col("bucket"),

@@ -175,12 +175,17 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int,
       planes: Int = 8, seed: Long = 42L): DataFrame = {
+    // fused single-table kernel (one vector pass; bit-identical to the
+    // composed hyperplaneBucket — SimilaritySpec pins equality)
+    def bucketOf(vec: Column): Column = element_at(
+      graft.functions.HashFunctions.hyperplaneBuckets(vec, planes,
+        tables = 1, seed), 1)
     val c = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
-      hyperplaneBucket(col(corpusVec), planes, seed).as("bucket"))
+      bucketOf(col(corpusVec)).as("bucket"))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
-      hyperplaneBucket(col(queryVec), planes, seed).as("bucket")))
+      bucketOf(col(queryVec)).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),

@@ -93,4 +93,26 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b1 === b2)
   }
+
+  test("fused HyperplaneBuckets kernel is bit-identical to the " +
+      "composed per-plane expression, every table") {
+    val e = Tables.embeddings(spark, Sf0001).limit(100)
+    val tables = 12
+    val planes = 6
+    // composed reference: one hyperplaneBucket expression per table
+    // with the per-table seed derivation embeddingPairs uses
+    val composed = e.select(col("vec_id") +:
+        (0 until tables).map(t =>
+          Similarity.hyperplaneBucket(col("embedding"), planes,
+            42L + t * 7919L).as(s"b$t")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to tables).map(r.getLong(_)).toSeq)
+      .toMap
+    val fused = e.select(col("vec_id"),
+        graft.functions.HashFunctions.hyperplaneBuckets(col("embedding"),
+          planes, tables, 42L).as("bs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === composed)
+  }
 }
