@@ -66,6 +66,12 @@ object GraftExtensions {
     "md5_shingle_keys" -> (args =>
       Md5ShingleKeys(args.head, intArg(args(1), "k"))),
     "simhash64" -> (args => SimHash64(args.head)),
+    "hyperplane_buckets" -> { args =>
+      HyperplaneBuckets(args.head, intArg(args(1), "planes"),
+        intArg(args(2), "tables"),
+        if (args.length > 3) longArg(args(3), "seed") else 42L,
+        if (args.length > 4) intArg(args(4), "dims") else 64)
+    },
     "array_dot" -> (args => ArrayDot(args.head, args(1))),
     "jaccard_sim" -> (args => JaccardSim(args.head, args(1))))
 

@@ -32,6 +32,22 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getSeq[Long](1).toSet === expected)
   }
 
+  test("hyperplane_buckets callable from SQL, agrees with Column API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, Sf0001).limit(20)
+    e.createOrReplaceTempView("ext_embeddings")
+    val viaSql = spark.sql(
+      """SELECT vec_id, hyperplane_buckets(embedding, 6, 12) AS b
+         FROM ext_embeddings""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = e.select(col("vec_id"),
+        graft.functions.HashFunctions.hyperplaneBuckets(col("embedding"),
+          6, 12).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+  }
+
   test("SQL results agree with the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._
