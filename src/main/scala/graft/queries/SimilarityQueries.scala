@@ -90,6 +90,152 @@ CAST(SUM(CASE WHEN list_reduce(
        THEN CAST(1 AS BIGINT) << p
        ELSE 0 END) AS BIGINT)"""
 
+  /** mix64 as ONE correlated scalar subquery — for the recursive token
+    * fold, where staged CTEs aren't available. (Chained lateral
+    * aliases are macro-expanded multiplicatively by the binder —
+    * nesting three mixes that way explodes to ~72³ term copies — so
+    * the fold applies one mix per recursion step and the shingle
+    * combine below goes back to staged CTEs.) */
+  private def sqlMixScalar(z0: String) = s"""
+    (SELECT xor(z4, z4 >> 31) FROM (
+      SELECT ((y3 % 4294967296) * 321982955 +
+              (((y3 % 4294967296) * 2496678331 +
+                (y3 // 4294967296) * 321982955) % 4294967296)
+               * 4294967296) % 18446744073709551616 AS z4
+      FROM (SELECT xor(z2, z2 >> 27) AS y3 FROM (
+        SELECT ((y1 % 4294967296) * 484763065 +
+                (((y1 % 4294967296) * 3210233709 +
+                  (y1 // 4294967296) * 484763065) % 4294967296)
+                 * 4294967296) % 18446744073709551616 AS z2
+        FROM (SELECT xor(z0, z0 >> 30) AS y1 FROM (
+          SELECT $z0 AS z0) a) b) c) d) e)"""
+
+  /** CTEs replaying ShingleFunctions' token hashing byte-for-byte over
+    * `documents`: whitespace tokens, then per token h = golden;
+    * h = mix64(h ^ byte) over the bytes (a WITH RECURSIVE fold).
+    * Emits tokh(doc_id, pos, h). ASCII precondition: ord(char) == byte
+    * — holds for the harness corpus (verified: octet_length == length
+    * for every document); the Spark kernel folds raw UTF-8 bytes. */
+  private val sqlTokenHashCtes = s"""
+tlist AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                  t -> len(t) > 0) AS toks FROM documents),
+toks AS (SELECT doc_id, pos, toks[pos] AS tok
+         FROM tlist, UNNEST(range(1, len(toks) + 1)) u(pos)),
+tokfold(doc_id, pos, tok, i, h) AS (
+  SELECT doc_id, pos, tok, 0, CAST(11400714819323198485 AS HUGEINT)
+  FROM toks
+  UNION ALL
+  SELECT doc_id, pos, tok, i + 1,
+    ${sqlMixScalar(
+      "xor(h, CAST(ord(substring(tok, i + 1, 1)) AS HUGEINT))")}
+  FROM tokfold WHERE i < len(tok)),
+tokh AS (SELECT doc_id, pos, h FROM tokfold WHERE i = len(tok))"""
+
+  /** Word-3-shingle hashes from tokh — the positional-mix combine
+    * (c = mix64(c + tokHash) over each 3-token window, golden2 init;
+    * whole-doc fallback below 3 tokens), distinct per doc. Emits
+    * kset(doc_id, ks) + dkeys(doc_id, x). */
+  private val sqlShingleHashCtes = s"""
+nt AS (SELECT doc_id, COUNT(*) AS m FROM tokh GROUP BY doc_id),
+tri AS (
+  SELECT t.doc_id, t.pos, nt.m, t.h AS t1,
+         LEAD(t.h, 1) OVER w AS t2, LEAD(t.h, 2) OVER w AS t3
+  FROM tokh t JOIN nt ON nt.doc_id = t.doc_id
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)),
+c1_dom AS (SELECT doc_id, pos, m, t2, t3,
+           (CAST(5886160652339039625 AS HUGEINT) + t1)
+             % 18446744073709551616 AS z
+           FROM tri WHERE (m >= 3 AND t3 IS NOT NULL) OR pos = 1),
+${sqlMix64("doc_id, pos, m, t2, t3", "c1_", "c1_dom")},
+sh1 AS (SELECT doc_id, h AS sh FROM c1_s5 WHERE m = 1),
+c2_dom AS (SELECT doc_id, pos, m, t3,
+           (h + t2) % 18446744073709551616 AS z
+           FROM c1_s5 WHERE m >= 2 AND t2 IS NOT NULL),
+${sqlMix64("doc_id, pos, m, t3", "c2_", "c2_dom")},
+sh2 AS (SELECT doc_id, h AS sh FROM c2_s5 WHERE m = 2),
+c3_dom AS (SELECT doc_id, pos, (h + t3) % 18446744073709551616 AS z
+           FROM c2_s5 WHERE m >= 3 AND t3 IS NOT NULL),
+${sqlMix64("doc_id, pos", "c3_", "c3_dom")},
+allsh AS (SELECT DISTINCT doc_id, sh FROM (
+  SELECT doc_id, h AS sh FROM c3_s5
+  UNION ALL SELECT * FROM sh1 UNION ALL SELECT * FROM sh2) u),
+kset AS (SELECT doc_id, list(sh) AS ks FROM allsh GROUP BY doc_id),
+dkeys AS (SELECT doc_id, sh AS x FROM allsh)"""
+
+  /** Shared MinHash+banding pipeline tail: reads dkeys(doc_id,
+    * x HUGEINT) and kset(doc_id, ks); replays java.util.Random(42)'s
+    * 48-bit LCG for the 128 (a, b) params, the mix64 signatures, the
+    * 32×4 banding fold, bucket cap, candidate join, and the exact
+    * Jaccard ≥ τ verify over the same key sets. */
+  private def sqlMinhashTail(threshold: Double) = s"""
+-- java.util.Random(42): 48-bit LCG; each nextLong = two next(32)
+-- draws; a_j = nextLong|1, b_j = nextLong
+lcg(n, s) AS (
+  SELECT 0, CAST(25214903879 AS HUGEINT)
+  UNION ALL
+  SELECT n + 1, (s * 25214903917 + 11) % 281474976710656
+  FROM lcg WHERE n < 512),
+n32 AS (SELECT n, s >> 16 AS v FROM lcg WHERE n >= 1),
+longs AS (
+  SELECT (a.n - 1) // 2 AS idx,
+         ((a.v * 4294967296) + b.v +
+          CASE WHEN b.v >= 2147483648
+               THEN 18446744073709551616 - 4294967296
+               ELSE 0 END) % 18446744073709551616 AS u
+  FROM n32 a JOIN n32 b ON b.n = a.n + 1
+  WHERE a.n % 2 = 1),
+params AS (
+  SELECT CAST(pa.idx // 2 AS INT) AS j,
+         pa.u + (1 - pa.u % 2) AS a, pb.u AS b
+  FROM longs pa JOIN longs pb ON pb.idx = pa.idx + 1
+  WHERE pa.idx % 2 = 0),
+sig_dom AS (
+  SELECT k.doc_id, p.j,
+         (((p.a % 4294967296) * (k.x % 4294967296)
+          + (((p.a % 4294967296) * (k.x // 4294967296)
+             + (p.a // 4294967296) * (k.x % 4294967296))
+             % 4294967296) * 4294967296)
+          + p.b) % 18446744073709551616 AS z
+  FROM dkeys k, params p),
+${sqlMix64("doc_id, j", "sg_", "sig_dom")},
+sig AS (SELECT doc_id, j, MIN(h) AS s FROM sg_s5 GROUP BY 1, 2),
+bandp AS (
+  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         MAX(CASE WHEN j % 4 = 0 THEN s END) AS s0,
+         MAX(CASE WHEN j % 4 = 1 THEN s END) AS s1,
+         MAX(CASE WHEN j % 4 = 2 THEN s END) AS s2,
+         MAX(CASE WHEN j % 4 = 3 THEN s END) AS s3
+  FROM sig GROUP BY 1, 2),
+f0_dom AS (SELECT doc_id, band, s0, s1, s2, s3,
+           (CAST(band AS HUGEINT) + 11400714819323198485)
+             % 18446744073709551616 AS z FROM bandp),
+${sqlMix64("doc_id, band, s0, s1, s2, s3", "f0_", "f0_dom")},
+f1_dom AS (SELECT doc_id, band, s1, s2, s3, xor(h, s0) AS z
+           FROM f0_s5),
+${sqlMix64("doc_id, band, s1, s2, s3", "f1_", "f1_dom")},
+f2_dom AS (SELECT doc_id, band, s2, s3, xor(h, s1) AS z
+           FROM f1_s5),
+${sqlMix64("doc_id, band, s2, s3", "f2_", "f2_dom")},
+f3_dom AS (SELECT doc_id, band, s3, xor(h, s2) AS z FROM f2_s5),
+${sqlMix64("doc_id, band, s3", "f3_", "f3_dom")},
+f4_dom AS (SELECT doc_id, band, xor(h, s3) AS z FROM f3_s5),
+${sqlMix64("doc_id, band", "f4_", "f4_dom")},
+capped AS (
+  SELECT doc_id, band, h AS bucket FROM f4_s5
+  QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+    AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       ${sqlJaccard("ka.ks", "kb.ks")} AS jaccard
+FROM cand c
+JOIN kset ka ON ka.doc_id = c.id_a
+JOIN kset kb ON kb.doc_id = c.id_b
+WHERE ${sqlJaccard("ka.ks", "kb.ks")} >= $threshold
+ORDER BY id_a, id_b"""
+
   /** MinHash+LSH at a LOW threshold (τ=0.4) with PORTABLE md5 shingle
     * keys — the banding itself is oracle-checked, not argued away:
     * unlike q_dedup_minhash_ht (whose τ=0.9 banding has recall ≈ 1, so
@@ -126,73 +272,7 @@ CAST(SUM(CASE WHEN list_reduce(
           FROM shmm),
         dkeys AS (
           SELECT doc_id, CAST(unnest(ks) AS HUGEINT) AS x FROM kset),
-        -- java.util.Random(42): 48-bit LCG; each nextLong = two
-        -- next(32) draws; a_j = nextLong|1, b_j = nextLong
-        lcg(n, s) AS (
-          SELECT 0, CAST(25214903879 AS HUGEINT)
-          UNION ALL
-          SELECT n + 1, (s * 25214903917 + 11) % 281474976710656
-          FROM lcg WHERE n < 512),
-        n32 AS (SELECT n, s >> 16 AS v FROM lcg WHERE n >= 1),
-        longs AS (
-          SELECT (a.n - 1) // 2 AS idx,
-                 ((a.v * 4294967296) + b.v +
-                  CASE WHEN b.v >= 2147483648
-                       THEN 18446744073709551616 - 4294967296
-                       ELSE 0 END) % 18446744073709551616 AS u
-          FROM n32 a JOIN n32 b ON b.n = a.n + 1
-          WHERE a.n % 2 = 1),
-        params AS (
-          SELECT CAST(pa.idx // 2 AS INT) AS j,
-                 pa.u + (1 - pa.u % 2) AS a, pb.u AS b
-          FROM longs pa JOIN longs pb ON pb.idx = pa.idx + 1
-          WHERE pa.idx % 2 = 0),
-        sig_dom AS (
-          SELECT k.doc_id, p.j,
-                 (((p.a % 4294967296) * (k.x % 4294967296)
-                  + (((p.a % 4294967296) * (k.x // 4294967296)
-                     + (p.a // 4294967296) * (k.x % 4294967296))
-                     % 4294967296) * 4294967296)
-                  + p.b) % 18446744073709551616 AS z
-          FROM dkeys k, params p),
-        ${sqlMix64("doc_id, j", "sg_", "sig_dom")},
-        sig AS (SELECT doc_id, j, MIN(h) AS s FROM sg_s5 GROUP BY 1, 2),
-        bandp AS (
-          SELECT doc_id, CAST(j // 4 AS INT) AS band,
-                 MAX(CASE WHEN j % 4 = 0 THEN s END) AS s0,
-                 MAX(CASE WHEN j % 4 = 1 THEN s END) AS s1,
-                 MAX(CASE WHEN j % 4 = 2 THEN s END) AS s2,
-                 MAX(CASE WHEN j % 4 = 3 THEN s END) AS s3
-          FROM sig GROUP BY 1, 2),
-        f0_dom AS (SELECT doc_id, band, s0, s1, s2, s3,
-                   (CAST(band AS HUGEINT) + 11400714819323198485)
-                     % 18446744073709551616 AS z FROM bandp),
-        ${sqlMix64("doc_id, band, s0, s1, s2, s3", "f0_", "f0_dom")},
-        f1_dom AS (SELECT doc_id, band, s1, s2, s3, xor(h, s0) AS z
-                   FROM f0_s5),
-        ${sqlMix64("doc_id, band, s1, s2, s3", "f1_", "f1_dom")},
-        f2_dom AS (SELECT doc_id, band, s2, s3, xor(h, s1) AS z
-                   FROM f1_s5),
-        ${sqlMix64("doc_id, band, s2, s3", "f2_", "f2_dom")},
-        f3_dom AS (SELECT doc_id, band, s3, xor(h, s2) AS z FROM f2_s5),
-        ${sqlMix64("doc_id, band, s3", "f3_", "f3_dom")},
-        f4_dom AS (SELECT doc_id, band, xor(h, s3) AS z FROM f3_s5),
-        ${sqlMix64("doc_id, band", "f4_", "f4_dom")},
-        capped AS (
-          SELECT doc_id, band, h AS bucket FROM f4_s5
-          QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= 1000),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM capped a
-          JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
-            AND a.doc_id < b.doc_id)
-        SELECT c.id_a, c.id_b,
-               ${sqlJaccard("ka.ks", "kb.ks")} AS jaccard
-        FROM cand c
-        JOIN kset ka ON ka.doc_id = c.id_a
-        JOIN kset kb ON kb.doc_id = c.id_b
-        WHERE ${sqlJaccard("ka.ks", "kb.ks")} >= 0.4
-        ORDER BY id_a, id_b"""),
+        ${sqlMinhashTail(0.4)}"""),
     (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.4,
         portableKeys = true)
@@ -230,12 +310,20 @@ CAST(SUM(CASE WHEN list_reduce(
     (s, d) => Dedup.nearExact(Tables.documents(s, d), "doc_id", "text")
       .orderBy("kept_id"))
 
-  /** MinHash+LSH near-dup pairs — approximate candidate generation,
-    * exact Jaccard verification; rows-only check here, recall asserted
-    * vs the exact all-pairs variant in DedupSpec. */
+  /** MinHash+LSH near-dup pairs on the one-pass production hash —
+    * fully oracle-checked: the oracle replays ShingleHashes ITSELF
+    * byte-for-byte (per-token mix64 byte fold via WITH RECURSIVE, the
+    * positional 3-token combine as staged mixes), then runs the shared
+    * Random(42)-params/signature/32×4-banding/verify tail. With this,
+    * no deterministic hash in the engine is outside the gate — the
+    * md5 "portable" twins remain as the simpler cross-checks.
+    * (optimalBanding(128, 0.4) resolves to exactly (32, 4), the tail's
+    * banding.) */
   val dedupMinhash = QueryDef(
     "q_dedup_minhash",
-    None,
+    Some(s"""WITH RECURSIVE $sqlTokenHashCtes,
+        $sqlShingleHashCtes,
+        ${sqlMinhashTail(0.4)}"""),
     (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 128, threshold = 0.4)
       .orderBy("id_a", "id_b"))
@@ -268,10 +356,57 @@ CAST(SUM(CASE WHEN list_reduce(
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
       .orderBy("id_a", "id_b"))
 
-  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures) on
+    * the one-pass production hash — fully oracle-checked like
+    * q_dedup_minhash: the oracle replays the token byte fold, the
+    * per-token decorrelating mix64, the per-bit ±1 majority vote
+    * (ties → 0, empty docs → signature 0), then the same 16-bit-chunk
+    * pigeonhole blocking, bucket cap, and exact hamming verify. */
   val dedupSimhash = QueryDef(
     "q_dedup_simhash",
-    None,
+    Some(s"""WITH RECURSIVE $sqlTokenHashCtes,
+        -- ShingleHashes k=1 still applies the positional combine:
+        -- token value = mix64(golden2 + byteFold(tok))
+        cmb_dom AS (SELECT doc_id, pos,
+                    (CAST(5886160652339039625 AS HUGEINT) + h)
+                      % 18446744073709551616 AS z FROM tokh),
+        ${sqlMix64("doc_id, pos", "cmb_", "cmb_dom")},
+        -- then SimHash64 decorrelates each input with one more mix64
+        g_dom AS (SELECT doc_id, pos, h AS z FROM cmb_s5),
+        ${sqlMix64("doc_id, pos", "g_", "g_dom")},
+        bitsum AS (
+          SELECT g.doc_id, t.b,
+                 SUM(CASE WHEN (g.h >> CAST(t.b AS INT)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM g_s5 g, range(0, 64) t(b) GROUP BY g.doc_id, t.b),
+        sig0 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN v > 0
+                          THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                          ELSE 0 END) AS sig
+          FROM bitsum GROUP BY doc_id),
+        sig AS (
+          SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+          FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id),
+        chunked AS (
+          SELECT doc_id, sig, CAST(c.c AS INT) AS chunk_idx,
+                 (sig >> (16 * CAST(c.c AS INT))) % 65536 AS chunk
+          FROM sig, range(0, 4) c(c)),
+        capped AS (
+          SELECT doc_id, sig, chunk_idx, chunk FROM chunked
+          QUALIFY COUNT(*) OVER (PARTITION BY chunk_idx, chunk) <= 1000),
+        ham AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(CAST(xor(a.sig, b.sig) % 65536 AS INT)) +
+                      bit_count(CAST((xor(a.sig, b.sig) >> 16) % 65536 AS INT)) +
+                      bit_count(CAST((xor(a.sig, b.sig) >> 32) % 65536 AS INT)) +
+                      bit_count(CAST((xor(a.sig, b.sig) >> 48) % 65536 AS INT))
+                      AS INT) AS hamming
+          FROM capped a
+          JOIN capped b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        ORDER BY id_a, id_b"""),
     (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)
       .orderBy("id_a", "id_b"))
