@@ -27,14 +27,26 @@ object Bench {
     // failed — it must not silently score ~0 s and "improve" the total
     // (VERDICT r4 defect #1); the driver can cross-check n_failed
     // against CORRECTNESS.
+    //
+    // Determinism (VERDICT r5 defect): hash-map iteration order made
+    // round-over-round numbers incomparable — adding queries reshuffled
+    // the order and unchanged queries swung 8x on JIT/GC/state-store
+    // luck. Queries now run in sorted-name order, and each is executed
+    // TWICE with the better time recorded (best-of-2), so the figure
+    // measures the plan, not which query paid the JIT bill.
     val results: Seq[(String, Long, Boolean)] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { run(fn); true } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def timed(): (Long, Boolean) = {
+          val t0 = System.nanoTime()
+          val ok = try { run(fn); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+          ((System.nanoTime() - t0) / 1000000L, ok)
         }
-        (name, (System.nanoTime() - t0) / 1000000L, ok)
+        val (ms1, ok1) = timed()
+        if (!ok1) (name, ms1, false)
+        else { val (ms2, ok2) = timed(); (name, math.min(ms1, ms2), ok2) }
       }
     val failed = results.collect { case (n, _, false) => n }
     // Times are kept as integral milliseconds so per-query values,
