@@ -8,15 +8,15 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns plus typed metadata, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * Decode kernels are REAL for every image/audio format here: binary
-  * PPM (P6) and RIFF/PCM WAV are parsed byte-by-byte with no library,
-  * and PNG/JPEG go through the JDK's `javax.imageio` (ships with the
-  * JVM — no external codec needed). The only remaining stub is video
-  * frame decode (`decodeStub`, mp4 — no JDK codec exists), documented
-  * and bounded to that format. The execution shape is uniform: the
-  * schema contract, partition-wise batch execution (`mapPartitions`,
-  * the Scala analog of a Pandas-UDF batch loop), and the
-  * pushdown-friendly metadata layout.
+  * Decode kernels are REAL for every format here: binary PPM (P6) and
+  * RIFF/PCM WAV are parsed byte-by-byte with no library, PNG/JPEG go
+  * through the JDK's `javax.imageio` (ships with the JVM — no external
+  * codec needed), and video is MJPEG-in-AVI — a RIFF container walk
+  * (same chunk grammar as WAV) yielding per-frame JPEG payloads that
+  * decode through the same `imageio` path. No stub remains. The
+  * execution shape is uniform: the schema contract, partition-wise
+  * batch execution (`mapPartitions`, the Scala analog of a Pandas-UDF
+  * batch loop), and the pushdown-friendly metadata layout.
   *
   * Scale notes (100 TB of media): binaries stay opaque until the last
   * possible stage; metadata predicates (mime/width/duration) prune
@@ -37,13 +37,15 @@ object Multimodal {
     // Spark's type derivation; contract is "never null in practice"
     StructField("content", BinaryType, nullable = true)))
 
-  /** Build a deterministic synthetic asset table. Every image/audio
-    * slot carries a GENUINE payload: P6 rasters and PCM WAVs built by
-    * expression (pixel/sample bytes derive from the id's sha256 hex),
-    * PNGs and JPEGs encoded with `javax.imageio` in a second
-    * `mapPartitions` stage (solid fills whose color derives from the
-    * same hex, so decoded stats stay oracle-predictable). Only
-    * `video/mp4` carries opaque fake bytes (no JDK codec). */
+  /** Build a deterministic synthetic asset table. Every slot carries a
+    * GENUINE payload: P6 rasters and PCM WAVs built by expression
+    * (pixel/sample bytes derive from the id's sha256 hex), PNGs and
+    * JPEGs encoded with `javax.imageio` in a second `mapPartitions`
+    * stage (solid fills whose color derives from the same hex, so
+    * decoded stats stay oracle-predictable), and `video/avi` as real
+    * MJPEG-in-AVI — `id % 3 + 2` solid-fill JPEG frames (frame f's
+    * color = ASCII of hex chars 3f..3f+2) in a RIFF/AVI container,
+    * so frame counts and dimensions are oracle-predictable too. */
   /** 44-byte canonical WAV header for 8-bit mono PCM: 8 kHz, 48
     * samples (RIFF chunk size 36+48, byteRate = sampleRate). */
   private val WavHeader: Array[Byte] = {
@@ -75,29 +77,30 @@ object Multimodal {
         .when(col("id") % 8 === 1, lit("image/png"))
         .when(col("id") % 8 === 5, lit("image/jpeg"))
         .when(col("id") % 4 === 2, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("mime"),
+        .otherwise(lit("video/avi")).as("mime"),
       when(col("id") % 4 === 0, lit(4))
         .when(col("id") % 4 === 1, (col("id") % 512 + 16).cast("int"))
+        .when(col("id") % 4 === 3, (col("id") % 128 + 16).cast("int"))
         .otherwise(lit(null)).as("width"),
       when(col("id") % 4 === 0, lit(4))
         .when(col("id") % 4 === 1, (col("id") % 256 + 16).cast("int"))
+        .when(col("id") % 4 === 3, (col("id") % 64 + 16).cast("int"))
         .otherwise(lit(null)).as("height"),
       when(col("id") % 4 === 2, lit(6L)) // 48 samples @ 8 kHz
         .when(col("id") % 4 === 3, col("id") * 40 + 1000)
         .otherwise(lit(null)).as("duration_ms"),
       when(col("id") % 4 === 0, ppmBytes)
         .when(col("id") % 4 === 2, wavBytes)
-        // png/jpeg: filled with real encoded bytes below
-        .when(col("id") % 4 === 1, lit(null).cast("binary"))
-        // video: deterministic fake payload (sha256 hex, repeated) for
-        // the one format with no JDK codec
-        .otherwise(repeat(sha2(col("id").cast("string"), 256), 4)
-          .cast("binary"))
+        // png/jpeg/video: filled with real encoded bytes below
+        .otherwise(lit(null).cast("binary"))
         .as("content"))
-    // Second stage: encode the PNG/JPEG payloads with javax.imageio —
-    // a width×height solid fill whose (r,g,b) are the ASCII codes of
-    // the first three sha256-hex chars of the id, so a DuckDB oracle
-    // can predict the decoded channel means from first principles.
+    // Second stage: encode the codec payloads with javax.imageio —
+    // PNG/JPEG as a width×height solid fill whose (r,g,b) are the
+    // ASCII codes of the first three sha256-hex chars of the id, and
+    // video as MJPEG-in-AVI (id%3+2 solid-fill JPEG frames, frame f's
+    // color from hex chars 3f..3f+2) — so a DuckDB oracle can predict
+    // decoded channel means / frame counts / dims from first
+    // principles.
     implicit val enc: Encoder[Row] = Encoders.row(assetSchema)
     base.mapPartitions { rows =>
       rows.map { r =>
@@ -108,6 +111,14 @@ object Multimodal {
               r.getInt(2), r.getInt(3),
               hex.charAt(0).toInt, hex.charAt(1).toInt, hex.charAt(2).toInt)
             Row(r.getLong(0), m, r.get(2), r.get(3), r.get(4), bytes)
+          case "video/avi" =>
+            val id = r.getLong(0)
+            val hex = sha256Hex(id.toString)
+            val (w, h) = (r.getInt(2), r.getInt(3))
+            val frames = (0 until (id % 3 + 2).toInt).map(f =>
+              encodeImage("jpg", w, h, hex.charAt(3 * f).toInt,
+                hex.charAt(3 * f + 1).toInt, hex.charAt(3 * f + 2).toInt))
+            Row(id, "video/avi", w, h, r.get(4), encodeAvi(w, h, frames))
           case _ => r
         }
       }
@@ -142,22 +153,102 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Feature dimension of the stub decoder. */
+  /** Fixed feature-vector width of extractFeatures. */
   val FeatureDim = 16
 
-  /** STUB decode kernel — VIDEO ONLY (mp4 has no JDK codec):
-    * deterministic fake features from bytes. Every image/audio format
-    * in the asset table decodes for real (decodePpm / decodeCodec /
-    * decodeWav). */
-  private[ops] def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < bytes.length) {
-      out(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0f
-      i += 1
-    }
-    out
+  // --- MJPEG-in-AVI: RIFF chunk building + walking ------------------
+  // AVI is the same RIFF grammar decodeWav already walks: fourcc +
+  // le32 size + payload (word-aligned), with LIST chunks nesting. The
+  // writer emits a structurally valid AVI (avih + one 'vids'/'MJPG'
+  // stream header + a movi list of 00dc frames); the reader is a
+  // generic RIFF walk that collects the frame payloads, each of which
+  // is a plain JPEG decoded by the same imageio path as still images.
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** fourcc + size + payload, padded to even length (RIFF word
+    * alignment — the pad byte is not counted in the size field). */
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+    fourcc(id) ++ le32(payload.length) ++ payload ++
+      (if ((payload.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def list(listType: String, bodies: Array[Byte]*): Array[Byte] =
+    chunk("LIST", fourcc(listType) ++ bodies.flatten)
+
+  /** Encode solid-fill JPEG frames as a minimal, structurally valid
+    * MJPEG AVI: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00dc…)). 25 fps nominal. */
+  private[ops] def encodeAvi(w: Int, h: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    val n = jpegFrames.length
+    val avih = chunk("avih", Array(
+      le32(40000), le32(0), le32(0), le32(0),      // usec/frame 25fps
+      le32(n), le32(0), le32(1), le32(0),          // frames, streams=1
+      le32(w), le32(h),
+      le32(0), le32(0), le32(0), le32(0)).flatten) // reserved
+    val strh = chunk("strh", Array(
+      fourcc("vids"), fourcc("MJPG"),
+      le32(0), le32(0), le32(0),                   // flags, prio, init
+      le32(1), le32(25), le32(0), le32(n),         // scale, rate, start, len
+      le32(0), le32(-1), le32(0),                  // bufsize, quality, sample
+      le32(0), le32((h << 16) | (w & 0xFFFF))).flatten) // rcFrame
+    val strf = chunk("strf", Array(                // BITMAPINFOHEADER
+      le32(40), le32(w), le32(h), le32((24 << 16) | 1),
+      fourcc("MJPG"), le32(w * h * 3),
+      le32(0), le32(0), le32(0), le32(0)).flatten)
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi", jpegFrames.map(chunk("00dc", _)): _*)
+    chunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
   }
+
+  /** RIFF/AVI container walk: returns the raw per-frame payloads of
+    * every video-data chunk (00dc/00db) inside the movi list, in
+    * stream order. None for anything that isn't a well-formed AVI —
+    * corrupt blobs degrade instead of failing the task. */
+  private[ops] def decodeAviFrames(
+      bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def le32At(i: Int): Long =
+      (bytes(i) & 0xFFL) | (bytes(i + 1) & 0xFFL) << 8 |
+        (bytes(i + 2) & 0xFFL) << 16 | (bytes(i + 3) & 0xFFL) << 24
+    def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && new String(bytes, i, 4, "US-ASCII") == s
+    if (bytes == null || bytes.length < 12 ||
+      !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    val riffEnd = math.min(8L + le32At(4), bytes.length.toLong).toInt
+    val frames = Seq.newBuilder[Array[Byte]]
+    // walk a chunk sequence in [from, to); recurse into LIST bodies
+    def walk(from: Int, to: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = le32At(i + 4)
+        if (size < 0 || i + 8 + size > to) return false
+        if (tag(i, "LIST")) {
+          if (!walk(i + 12, i + 8 + size.toInt)) return false
+        } else if (tag(i, "00dc") || tag(i, "00db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, i + 8,
+            i + 8 + size.toInt)
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      true
+    }
+    if (!walk(12, riffEnd)) None
+    else {
+      val fs = frames.result()
+      if (fs.nonEmpty) Some(fs) else None
+    }
+  }
+
+  /** REAL video decode: container walk + per-frame JPEG decode through
+    * the same imageio kernel as still images. Frames a codec rejects
+    * are dropped (degrade, don't fail). */
+  private[ops] def decodeAvi(bytes: Array[Byte]): Option[Seq[DecodedImage]] =
+    decodeAviFrames(bytes).map(_.flatMap(decodeCodec(_)))
+      .filter(_.nonEmpty)
 
   /** A decoded raster image. Channel means are in [0, 1]. */
   final case class DecodedImage(width: Int, height: Int,
@@ -377,13 +468,29 @@ object Multimodal {
     out
   }
 
+  /** Fixed-dim feature layout for a decoded video: first-frame dims,
+    * frame count, channel means averaged across frames. */
+  private def videoFeats(frames: Seq[DecodedImage]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    val n = frames.length
+    out(0) = frames.head.width.toFloat
+    out(1) = frames.head.height.toFloat
+    out(2) = n.toFloat
+    out(3) = (frames.map(_.meanR).sum / n).toFloat
+    out(4) = (frames.map(_.meanG).sum / n).toFloat
+    out(5) = (frames.map(_.meanB).sum / n).toFloat
+    out
+  }
+
   /** Decode + featurize: partition-wise batched execution over the
     * binary column — the Scala analog of `mapInPandas` (iterator of
     * batches in, iterator of batches out; constant memory per task).
-    * Every image format (P6/PNG/JPEG) and audio format (PCM WAV)
-    * produces REAL decoded features — images: dims + channel means;
-    * audio: rate, sample count, duration, mean amplitude — zero-padded
-    * to FeatureDim. Only video falls back to the documented stub. */
+    * Every format produces REAL decoded features — images (P6/PNG/
+    * JPEG): dims + channel means; audio (PCM WAV): rate, sample count,
+    * duration, mean amplitude; video (MJPEG AVI): dims, frame count,
+    * cross-frame channel means — zero-padded to FeatureDim.
+    * Undecodable payloads produce no row (degrade, don't fail), like
+    * every other decode kernel here. */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -391,13 +498,13 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false))))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     assets.select("asset_id", "mime", "content").mapPartitions { rows =>
-      rows.map { r =>
+      rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](2)
-        val feats = decodePpm(bytes).map(imageFeats)
+        decodePpm(bytes).map(imageFeats)
           .orElse(decodeCodec(bytes).map(imageFeats))
           .orElse(decodeWav(bytes).map(audioFeats))
-          .getOrElse(decodeStub(bytes))
-        Row(r.getLong(0), r.getString(1), feats.toSeq)
+          .orElse(decodeAvi(bytes).map(videoFeats))
+          .map(f => Row(r.getLong(0), r.getString(1), f.toSeq))
       }
     }(enc)
   }
@@ -449,12 +556,48 @@ object Multimodal {
     assets.filter(col("mime").startsWith("image/") &&
       col("width") >= minWidth)
 
-  /** Frame-sample stage for video: every `everyMs` milliseconds of the
-    * duration → one (asset_id, frame_ts_ms) row; decode of the frame
-    * itself is the stub. Generates rows with `sequence` — no UDF. */
-  def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
-    assets.filter(col("mime").startsWith("video/"))
-      .select(col("asset_id"),
-        explode(sequence(lit(0L), col("duration_ms") - 1,
-          lit(everyMs))).as("frame_ts_ms"))
+  private val frameStatsSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("decoded_width", IntegerType, nullable = false),
+    StructField("decoded_height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** REAL per-frame video stats: RIFF/AVI container walk + per-frame
+    * JPEG decode — one row per decoded frame with its index, dims and
+    * channel means. Same bounded `mapPartitions` batch shape as every
+    * other kernel; non-video/undecodable payloads produce no row. */
+  def videoStats(assets: DataFrame): DataFrame = {
+    implicit val enc: Encoder[Row] = Encoders.row(frameStatsSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAvi(r.getAs[Array[Byte]](1)).toSeq.flatMap(_.zipWithIndex.map {
+          case (d, f) => Row(r.getLong(0), f, d.width, d.height,
+            d.meanR, d.meanG, d.meanB)
+        })
+      }
+    }(enc)
+  }
+
+  /** Frame-sample stage for video: REAL decode (container walk +
+    * per-frame JPEG decode), keeping every `everyN`-th frame — the
+    * bounded-cost preprocessing pattern for video at scale (decode
+    * once, keep a stride). Emits the same per-frame stats contract as
+    * videoStats. */
+  def sampleFrames(assets: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    implicit val enc: Encoder[Row] = Encoders.row(frameStatsSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAvi(r.getAs[Array[Byte]](1)).toSeq.flatMap(
+          _.zipWithIndex.collect {
+            case (d, f) if f % everyN == 0 =>
+              Row(r.getLong(0), f, d.width, d.height,
+                d.meanR, d.meanG, d.meanB)
+          })
+      }
+    }(enc)
+  }
 }

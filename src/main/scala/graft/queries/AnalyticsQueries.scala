@@ -179,19 +179,71 @@ cents_${i + 1} AS (
         .orderBy("query_id", "rank")
     })
 
-  /** Multimodal feature-extraction pipeline over the synthetic asset
-    * table: metadata pruning → batched decode → per-mime feature
-    * stats. Every image/audio format decodes for REAL (P6 byte-parse,
-    * PNG/JPEG via javax.imageio, WAV chunk-walk); only video/mp4 takes
-    * the documented stub. Rows-only here (JPEG means carry codec
-    * quantization error, so the per-mime float sums aren't
-    * SQL-predictable); the per-format decode paths are each
-    * oracle-checked by q_multimodal_stats/_png/_jpeg/_audio. */
+  // DuckDB twin of a Float32 feature slot: compute the double, round
+  // it through REAL (IEEE round-to-nearest, same as Scala's .toFloat),
+  // widen back to double — so the oracle replays the engine's
+  // Array[Float] storage bit-for-bit.
+  private def asF32(expr: String) = s"CAST(CAST($expr AS REAL) AS DOUBLE)"
+
+  // Channel mean of a 16-pixel P6 raster whose bytes are sha256-hex
+  // chars: chars at 1-based positions start, start+3, … (one per pixel).
+  private def ppmChanSql(start: Int) = asF32(
+    s"""CAST(list_reduce(list_transform(range(0,16),
+          p -> ord(substring(hex, CAST($start+3*p AS INT), 1))),
+          (a,b) -> a+b) AS DOUBLE) / (16*255)""")
+
+  // PNG solid-fill channel mean: (w·h·v)/(w·h·255) — the decoder's
+  // exact integer-sum-then-divide arithmetic (lossless codec).
+  private def pngChanSql(c: Int) = asF32(
+    s"""CAST(w*h*ord(substring(hex, $c, 1)) AS DOUBLE) /
+        CAST(w*h*255 AS DOUBLE)""")
+
+  /** Multimodal feature-extraction pipeline over the LOSSLESS formats
+    * (P6 / PNG / PCM WAV): metadata pruning → batched decode →
+    * per-mime feature sums, oracle-checked END TO END — DuckDB replays
+    * each asset's Float32 feature vector (dims/rate/count exact, means
+    * via the REAL-rounding twin above), the per-asset left-fold sum,
+    * and both qround quantizations. The lossy formats (JPEG stills,
+    * MJPEG video frames) live in q_multimodal_features_lossy. */
   val multimodalFeatures = QueryDef(
     "q_multimodal_features",
-    None,
+    Some(s"""WITH ids AS (
+               SELECT CAST(id AS BIGINT) AS id,
+                      sha256(CAST(id AS VARCHAR)) AS hex
+               FROM range(0, 500) t(id)),
+             ppm AS (
+               SELECT 'image/x-portable-pixmap' AS mime,
+                      ${Num.qroundSql(
+                        s"8.0 + ${ppmChanSql(1)} + ${ppmChanSql(2)} + ${ppmChanSql(3)}",
+                        4)} AS feat_sum
+               FROM ids WHERE id % 4 = 0),
+             png AS (
+               SELECT 'image/png' AS mime,
+                      ${Num.qroundSql(
+                        s"""CAST(w AS DOUBLE) + CAST(h AS DOUBLE) +
+                            ${pngChanSql(1)} + ${pngChanSql(2)} + ${pngChanSql(3)}""",
+                        4)} AS feat_sum
+               FROM (SELECT *, CAST(id % 512 + 16 AS INT) AS w,
+                            CAST(id % 256 + 16 AS INT) AS h
+                     FROM ids WHERE id % 8 = 1)),
+             wav AS (
+               SELECT 'audio/wav' AS mime,
+                      ${Num.qroundSql(
+                        s"""8054.0 + ${asF32(
+                          """CAST(list_reduce(list_transform(range(1,49),
+                               p -> ord(substring(hex, CAST(p AS INT), 1))),
+                               (a,b) -> a+b) AS DOUBLE) / (48*255)""")}""",
+                        4)} AS feat_sum
+               FROM ids WHERE id % 4 = 2),
+             u AS (SELECT * FROM ppm UNION ALL SELECT * FROM png
+                   UNION ALL SELECT * FROM wav)
+             SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_assets,
+                    ${Num.qroundSql("SUM(feat_sum)", 4)} AS total_feat
+             FROM u GROUP BY mime ORDER BY mime"""),
     (s, _) => {
       val assets = Multimodal.syntheticAssets(s, 500)
+        .filter(col("mime").isin(
+          "image/x-portable-pixmap", "image/png", "audio/wav"))
       val feats = Multimodal.extractFeatures(assets)
       feats.select(col("asset_id"), col("mime"),
           Num.qround(aggregate(col("features"), lit(0.0),
@@ -201,6 +253,69 @@ cents_${i + 1} AS (
           Num.qround(sum("feat_sum"), 4).as("total_feat"))
         .orderBy("mime")
     })
+
+  /** The lossy-format residue of the feature pipeline — JPEG stills
+    * and MJPEG video frames. Rows-only BY NATURE: JPEG quantization
+    * makes the decoded channel means engine-real but not
+    * SQL-predictable, so no oracle can exist for the float sums. What
+    * IS deterministic about these paths is oracled elsewhere —
+    * q_multimodal_jpeg (dims) and q_multimodal_video (frame counts +
+    * dims). */
+  val multimodalFeaturesLossy = QueryDef(
+    "q_multimodal_features_lossy",
+    None,
+    (s, _) => {
+      val assets = Multimodal.syntheticAssets(s, 500)
+        .filter(col("mime").isin("image/jpeg", "video/avi"))
+      val feats = Multimodal.extractFeatures(assets)
+      feats.select(col("asset_id"), col("mime"),
+          Num.qround(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_assets"),
+          Num.qround(sum("feat_sum"), 4).as("total_feat"))
+        .orderBy("mime")
+    })
+
+  /** REAL video frame decode, oracle-checked: the generator packs
+    * `id%3+2` solid-fill JPEG frames into a RIFF/AVI (MJPEG) container
+    * per video asset; the query walks the container and decodes every
+    * frame through javax.imageio (Multimodal.videoStats), emitting one
+    * row per frame. DuckDB predicts the frame COUNT (rows per asset)
+    * and per-frame DIMENSIONS from the generator contract — proof a
+    * real container walk + frame decode ran. Channel means are JPEG-
+    * lossy and stay out of the oracled projection (their pipeline is
+    * covered rows-only by q_multimodal_features_lossy). */
+  val multimodalVideo = QueryDef(
+    "q_multimodal_video",
+    Some("""SELECT CAST(id AS BIGINT) AS asset_id, CAST(f AS INT) AS frame_idx,
+                   CAST(id % 128 + 16 AS INT) AS decoded_width,
+                   CAST(id % 64 + 16 AS INT) AS decoded_height
+            FROM range(0, 500) t(id) CROSS JOIN range(0, 4) u(f)
+            WHERE id % 4 = 3 AND f < id % 3 + 2
+            ORDER BY asset_id, frame_idx"""),
+    (s, _) => Multimodal.videoStats(
+        Multimodal.syntheticAssets(s, 500)
+          .filter(col("mime") === "video/avi")) // metadata prune first
+      .select("asset_id", "frame_idx", "decoded_width", "decoded_height")
+      .orderBy("asset_id", "frame_idx"))
+
+  /** Strided frame sampling (decode once, keep every n-th frame — the
+    * bounded-cost video preprocessing pattern), oracle-checked the
+    * same way: kept indices + dims are exactly predictable. */
+  val videoFrameSample = QueryDef(
+    "q_video_frame_sample",
+    Some("""SELECT CAST(id AS BIGINT) AS asset_id, CAST(f AS INT) AS frame_idx,
+                   CAST(id % 128 + 16 AS INT) AS decoded_width,
+                   CAST(id % 64 + 16 AS INT) AS decoded_height
+            FROM range(0, 500) t(id) CROSS JOIN range(0, 4) u(f)
+            WHERE id % 4 = 3 AND f < id % 3 + 2 AND f % 2 = 0
+            ORDER BY asset_id, frame_idx"""),
+    (s, _) => Multimodal.sampleFrames(
+        Multimodal.syntheticAssets(s, 500)
+          .filter(col("mime") === "video/avi"), everyN = 2)
+      .select("asset_id", "frame_idx", "decoded_width", "decoded_height")
+      .orderBy("asset_id", "frame_idx"))
 
   /** Time-based RANGE window frame: per event, how many of the same
     * user's events fall in the trailing hour — the event-time sliding
@@ -470,20 +585,33 @@ cents_${i + 1} AS (
       .orderBy("l_returnflag"))
 
   /** HLL approximate distinct counts — the 100 TB cardinality tool.
-    * Sketch results are engine-specific, so this is a rows-only check;
-    * the relative-error contract is asserted against exact counts in
-    * ScalaTest. */
+    * The raw sketch estimate is engine-specific, so what the oracle
+    * pins is the sketch's CONTRACT: |estimate − exact| / exact ≤ 5%
+    * (the rsd=0.02 configuration leaves headroom) emitted as a boolean
+    * next to the exact count — both deterministically checkable in
+    * DuckDB. A broken HLL (or a silent fallback to something wildly
+    * off) flips `within_tol` and fails the hash. */
   val approxDistinct = QueryDef(
     "q_approx_distinct",
-    None,
+    Some("""SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                   TRUE AS within_tol,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") <= 0.05).as("within_tol"),
+        col("n_rows"))
       .orderBy("l_returnflag"))
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
+    multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, approxDistinct)
 }

@@ -28,10 +28,10 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
     val f2 = Multimodal.extractFeatures(assets)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
-    assert(f1 === f2) // stub decode is deterministic
+    assert(f1 === f2) // every decode path is deterministic
     assert(f1.values.forall(_.length === Multimodal.FeatureDim))
-    assert(f1.size === 100)
-    // different payloads → different features (not a constant stub)
+    assert(f1.size === 100) // EVERY asset decodes for real — no drops
+    // different payloads → different features (not a constant)
     assert(f1(0L) !== f1(1L))
   }
 
@@ -115,8 +115,8 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("extractFeatures dispatches: real decode for every image/audio " +
-      "format, stub only for video") {
+  test("extractFeatures dispatches: real decode for every format, " +
+      "video included") {
     val feats = Multimodal.extractFeatures(assets)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
     feats.filter(_._2 == "image/x-portable-pixmap").foreach { case (_, _, f) =>
@@ -136,9 +136,17 @@ class MultimodalSpec extends SparkSuite {
       assert(f(3) > 0.18f && f(3) < 0.41f)
       assert(f.drop(4).forall(_ === 0.0f))
     }
-    // video: the one declared stub keeps its dense fake shape
-    feats.filter(_._2 == "video/mp4").foreach { case (_, _, f) =>
-      assert(f.count(_ !== 0.0f) > 8)
+    // video: real container walk + frame decode → dims, frame count,
+    // cross-frame channel means
+    val videos = feats.filter(_._2 == "video/avi")
+    assert(videos.nonEmpty)
+    videos.foreach { case (id, _, f) =>
+      assert(f(0) === (id % 128 + 16).toFloat)
+      assert(f(1) === (id % 64 + 16).toFloat)
+      assert(f(2) === (id % 3 + 2).toFloat)
+      // hex-ASCII fills land in (48/255, 103/255) modulo JPEG error
+      assert(f(3) > 0.15f && f(3) < 0.45f)
+      assert(f.drop(6).forall(_ === 0.0f))
     }
   }
 
@@ -212,18 +220,70 @@ class MultimodalSpec extends SparkSuite {
     stats.foreach(r => assert(r.getInt(1) === 6 && r.getInt(2) === 6))
   }
 
-  test("sampleFrames: one row per sampled timestamp within duration") {
-    val frames = Multimodal.sampleFrames(assets, everyMs = 500L)
-    val byAsset = frames.groupBy("asset_id")
-      .agg(count(lit(1)).as("n"), max("frame_ts_ms").as("maxts"))
-      .collect()
-    assert(byAsset.nonEmpty)
-    byAsset.foreach { r =>
-      assert(r.getLong(2) >= 0)
+  test("encodeAvi/decodeAvi: golden MJPEG container round-trips frame " +
+      "count, order, dims and (quantization-bounded) colors") {
+    val frames = Seq((200, 10, 30), (10, 220, 40), (60, 70, 250))
+      .map { case (r, g, b) => Multimodal.encodeImage("jpg", 24, 16, r, g, b) }
+    val avi = Multimodal.encodeAvi(24, 16, frames)
+    val raw = Multimodal.decodeAviFrames(avi).get
+    assert(raw.length === 3)
+    assert(raw.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    val decoded = Multimodal.decodeAvi(avi).get
+    assert(decoded.map(d => (d.width, d.height)) === Seq.fill(3)((24, 16)))
+    assert(math.abs(decoded(0).meanR - 200.0 / 255) < 4.0 / 255)
+    assert(math.abs(decoded(1).meanG - 220.0 / 255) < 4.0 / 255)
+    assert(math.abs(decoded(2).meanB - 250.0 / 255) < 4.0 / 255)
+  }
+
+  test("decodeAvi: corrupt/non-AVI payloads degrade to None, never throw") {
+    val jpeg = Multimodal.encodeImage("jpg", 4, 4, 1, 2, 3)
+    val truncated = {
+      val ok = Multimodal.encodeAvi(4, 4, Seq(jpeg))
+      java.util.Arrays.copyOfRange(ok, 0, ok.length / 2)
     }
-    // frame timestamps never exceed duration
-    val joined = frames.join(assets, "asset_id")
-      .filter(col("frame_ts_ms") >= col("duration_ms"))
-    assert(joined.count() === 0)
+    val bad = Seq(
+      Array.empty[Byte],
+      "RIFF????WAVE".getBytes("US-ASCII"),          // RIFF but not AVI
+      "not a container".getBytes("US-ASCII"),
+      jpeg,                                          // bare still image
+      truncated)                                     // size overruns
+    bad.foreach(b => assert(Multimodal.decodeAvi(b).isEmpty))
+    // an AVI whose movi list is empty has no frames → None, not Some(Nil)
+    assert(Multimodal.decodeAvi(Multimodal.encodeAvi(4, 4, Nil)).isEmpty)
+  }
+
+  test("videoStats: one row per frame; counts and dims match the " +
+      "generator contract") {
+    val stats = Multimodal.videoStats(
+      assets.filter(col("mime") === "video/avi")).collect()
+    val perAsset = stats.groupBy(_.getLong(0))
+    assert(perAsset.nonEmpty)
+    perAsset.foreach { case (id, rows) =>
+      assert(rows.length === (id % 3 + 2).toInt)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (0 until rows.length))
+      rows.foreach { r =>
+        assert(r.getInt(2) === (id % 128 + 16).toInt)
+        assert(r.getInt(3) === (id % 64 + 16).toInt)
+        assert(r.getDouble(4) > 0.1 && r.getDouble(4) < 0.5)
+      }
+    }
+  }
+
+  test("sampleFrames: keeps exactly every n-th frame with real dims") {
+    val sampled = Multimodal.sampleFrames(
+      assets.filter(col("mime") === "video/avi"), everyN = 2).collect()
+    assert(sampled.nonEmpty)
+    assert(sampled.forall(_.getInt(1) % 2 === 0))
+    sampled.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val n = (id % 3 + 2).toInt
+      assert(rows.length === (n + 1) / 2) // ceil(n / 2): frames 0,2,…
+      assert(rows.forall(r => r.getInt(2) === (id % 128 + 16).toInt))
+    }
+    // strides compose: everyN=1 ≡ videoStats
+    val all1 = Multimodal.sampleFrames(
+      assets.filter(col("mime") === "video/avi"), everyN = 1).count()
+    val full = Multimodal.videoStats(
+      assets.filter(col("mime") === "video/avi")).count()
+    assert(all1 === full)
   }
 }
