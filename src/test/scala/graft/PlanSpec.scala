@@ -126,4 +126,24 @@ class PlanSpec extends SparkSuite {
         s"$q should read only doc_id+source:\n$p")
     }
   }
+
+  test("plan sweep: no product join anywhere on the whole query surface") {
+    // Deliberate exceptions, each an EXACT baseline whose scale path
+    // is a separate query: brute-force ANN scores the broadcast query
+    // set against every corpus row (vs q_ann_lsh / q_ann_ivf), and
+    // exact all-pairs embedding dedup joins on id_a < id_b (vs the
+    // banded q_dedup_embedding_lsh). Both are nested-loop by contract.
+    val bnljByDesign = Set("q_ann_bruteforce", "q_dedup_embedding_exact")
+    val failures = SparkEntry.defs.flatMap { q =>
+      val p = plan(q.name)
+      val bad = Seq(
+        "CartesianProduct" -> p.contains("CartesianProduct"),
+        "BroadcastNestedLoopJoin" ->
+          (!bnljByDesign(q.name) && p.contains("BroadcastNestedLoopJoin")))
+        .collect { case (label, true) => label }
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(", ")}")
+    }
+    assert(failures.isEmpty,
+      s"product joins planned:\n${failures.mkString("\n")}")
+  }
 }
