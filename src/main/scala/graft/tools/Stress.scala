@@ -74,6 +74,50 @@ object Stress {
         "id", "embedding", "id", "embedding", k = 10).count()
     }
 
+    // ---- 10M x 64-dim embedding corpus (sf0.1 ships 2k vectors; this
+    // is 5000x) — the LSH bucket paths only, which ARE the scale
+    // story: signatures are one codegen'd pass, candidates come from
+    // capped equi-join buckets (never all-pairs), the corpus never
+    // shuffles for ANN. Shuffle-write bytes are accounted per scenario
+    // via a task-metrics listener so the README can pin the claim.
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def timeShuffle(name: String)(f: => Any): Unit = {
+      Thread.sleep(300)
+      val s0 = shuffleW.get
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(700) // let straggler task-end events drain
+      val gb = (shuffleW.get - s0) / 1e9
+      println(f"$name%-40s $secs%8.2f s  (shuffle $gb%.2f GB written) ($r)")
+    }
+    // 2% planted exact-duplicate pairs: rows 0..200k carry the same
+    // vector as rows 5M..5.2M (content-keyed hash), the rest unique
+    val contentId = when(col("id") < 200000L, col("id") + 5000000L)
+      .otherwise(col("id"))
+    val bigVecs = spark.range(0, 10000000L, 1, 64).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(contentId * 64 + i), lit(1000)).cast("float")
+          / 1000.0f - 0.5f).as("embedding"))
+    timeShuffle("embedding LSH dedup 10M x 64d") {
+      // 24-bit buckets keep random-collision candidates ~Poisson(0.6)
+      // per bucket; the planted dups collide in all 4 tables
+      Dedup.embeddingPairs(bigVecs, "id", "embedding", threshold = 0.9,
+        planes = 24, tables = 4, bucketCap = 2000).count()
+    }
+    timeShuffle("ANN LSH top-k 5 x 10M x 64d") {
+      Similarity.lshTopK(bigVecs, bigVecs.filter(col("id") < 5),
+        "id", "embedding", "id", "embedding", k = 10).count()
+    }
+
     // the flagship dictionary-driven pipeline at ~75000x the fixture
     // size: 300k-row SBP/NSLP TSVs through ingest->clean->derive->join
     val dir = java.nio.file.Files.createTempDirectory("graft-stress")
