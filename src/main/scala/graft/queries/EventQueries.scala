@@ -152,6 +152,78 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  /** Stream-stream interval join under the driver's hash check: click
+    * events joined to the same user's purchases within the following
+    * hour, BOTH sides unbounded streams with event-time watermarks
+    * (EventStream.intervalJoinStream — join state expires once the
+    * watermark clears the interval, so state is O(window), not
+    * O(stream)). Inner-join semantics make the emitted pair set
+    * order-independent, so bounded replay equals the batch inequality
+    * join — which is exactly what the oracle runs. */
+  val streamIntervalJoin = QueryDef(
+    "q_stream_interval_join",
+    Some("""SELECT l.event_id AS l_event_id, l.user_id,
+                   r.event_id AS r_event_id, r.value AS r_value
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
+            ORDER BY l_event_id, r_event_id"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val ev = EventStream.readEvents(s, src)
+      val joined = EventStream.intervalJoinStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowMinutes = 60)
+      EventStream.runAvailableNow(s, joined, "q_stream_ijoin_sink",
+          outputMode = "append")
+        .orderBy("l_event_id", "r_event_id")
+    })
+
+  /** Watermarked streaming dedup under the driver's hash check:
+    * dropDuplicatesWithinWatermark over (user_id, event_type) — state
+    * for keys older than the watermark horizon expires, bounding
+    * memory by the dedup window rather than the stream's lifetime.
+    * Only the KEY columns are emitted (which physical row survives a
+    * within-batch tie is not part of the operator's contract), so the
+    * kept set on bounded replay is exactly batch DISTINCT — the
+    * oracle. */
+  val streamDedup = QueryDef(
+    "q_stream_dedup",
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val deduped = EventStream.streamingDedup(
+          EventStream.readEvents(s, src), Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      EventStream.runAvailableNow(s, deduped, "q_stream_dedup_sink",
+          outputMode = "append")
+        .orderBy("user_id", "event_type")
+    })
+
+  /** Stateful running per-user totals (complete output mode — the
+    * always-current aggregate a dashboard reads): after bounded replay
+    * the final state equals the batch GROUP BY, which is the oracle. */
+  val streamTotals = QueryDef(
+    "q_stream_totals",
+    Some(s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                    ${Num.qroundSql("SUM(value)", 4)} AS total_value
+             FROM events GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val totals = EventStream.runningUserTotals(
+        EventStream.readEvents(s, src))
+      EventStream.runAvailableNow(s, totals, "q_stream_totals_sink")
+        .select(col("user_id"), col("n_events"),
+          Num.qround(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id")
+    })
+
   /** Top event per user-hour — dense window ranking over two keys
     * (capability: ranking beyond the reference's row_number). */
   val topEventPerUser = QueryDef(
@@ -297,6 +369,7 @@ object EventQueries {
     })
 
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
-    slidingWindow, sessionize, streamSession, topEventPerUser, asofJoin,
+    slidingWindow, sessionize, streamSession, streamIntervalJoin,
+    streamDedup, streamTotals, topEventPerUser, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin)
 }
