@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop replacements for the interpreted higher-order-function
@@ -180,6 +180,74 @@ object JaccardSim {
   }
 }
 
+/** argmax_c Σᵢ vecᵢ·centroid(c)ᵢ with first-max tie-break — the fused
+  * form of `array_position(dots, array_max(dots)) - 1` over
+  * `array(dot(vec, c₀) … dot(vec, c_C))`, which materializes a dots
+  * array and re-reads the row vector per centroid. This kernel copies
+  * the vector ONCE into a local double[] and scans the centroid matrix
+  * linearly. Bit-identical: each per-centroid dot is the same
+  * left-to-right double accumulation as ArrayDot, `>` keeps the first
+  * maximum exactly like array_position (SimilaritySpec pins fused ≡
+  * composed). Centroids are a flat row-major [c][i] Seq so expression
+  * equality stays structural. */
+case class NearestCentroid(child: Expression, centroids: Seq[Double],
+    dims: Int) extends UnaryExpression {
+
+  require(dims > 0 && centroids.nonEmpty && centroids.length % dims == 0,
+    "centroids must be a non-empty flat [c][i] matrix of dims-wide rows")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val flat: Array[Double] = centroids.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(NearestCentroid.compute(
+      input.asInstanceOf[ArrayData], flat, dims, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NearestCentroid.compute($c, $ref,
+        $dims, $isFloat);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NearestCentroid {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, cents: Array[Double], dims: Int,
+      isFloat: Boolean): Int = {
+    // ArrayDot evaluates over min length; mirror it
+    val n = math.min(dims, v.numElements())
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      vec(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val nlist = cents.length / dims
+    var best = Double.NegativeInfinity
+    var idx = 0
+    var c = 0
+    while (c < nlist) {
+      var acc = 0.0
+      val off = c * dims
+      i = 0
+      while (i < n) { acc += vec(i) * cents(off + i); i += 1 }
+      if (acc > best) { best = acc; idx = c }
+      c += 1
+    }
+    idx
+  }
+}
+
 object ArrayFunctions {
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(ColumnBridge.expression(a),
@@ -188,4 +256,8 @@ object ArrayFunctions {
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec),
+      centroids.flatten.toSeq, centroids.head.length))
 }

@@ -91,7 +91,12 @@ object Similarity {
     * centroid id.
     */
   final case class IvfIndex(centroids: Array[Array[Double]]) {
-    def assignExpr(vec: Column): Column = nearestCentroid(centroids, vec)
+    // fused codegen kernel: the row vector is copied once and scanned
+    // against the whole centroid matrix — vs the composed form below,
+    // which re-reads the vector per centroid and materializes a dots
+    // array per row. Bit-identical (SimilaritySpec pins it).
+    def assignExpr(vec: Column): Column =
+      graft.functions.ArrayFunctions.nearestCentroid(vec, centroids)
     def probeLists(q: Array[Double], nprobe: Int): Seq[Int] =
       centroids.indices.sortBy { c =>
         -centroids(c).zip(q).map { case (a, b) => a * b }.sum
@@ -99,10 +104,12 @@ object Similarity {
   }
 
   /** argmax_c  dot(vec, centroid_c)  (cosine order on normalized
-    * centroids): C dot products per row, first-max tie-break via
-    * array_position — linear expression size (a when-chain fold that
-    * re-nests the accumulator is exponential and OOMs the analyzer). */
-  private def nearestCentroid(centroids: Array[Array[Double]],
+    * centroids) in composed form: C dot products per row, first-max
+    * tie-break via array_position — linear expression size (a
+    * when-chain fold that re-nests the accumulator is exponential and
+    * OOMs the analyzer). Kept as the reference formulation the fused
+    * NearestCentroid kernel is cross-validated against. */
+  private[ops] def nearestCentroidComposed(centroids: Array[Array[Double]],
       vec: Column): Column = {
     val dotsArr = array(centroids.map(c => dot(vec, typedLit(c.toSeq))): _*)
     (array_position(dotsArr, array_max(dotsArr)) - 1).cast("int")

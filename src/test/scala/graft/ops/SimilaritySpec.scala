@@ -115,4 +115,25 @@ class SimilaritySpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(fused === composed)
   }
+
+  test("fused NearestCentroid kernel is bit-identical to the composed " +
+      "array_position(array_max) form, ties included") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+    val composed = e.select(col("vec_id"),
+        Similarity.nearestCentroidComposed(index.centroids,
+          col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fused = e.select(col("vec_id"),
+        index.assignExpr(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused === composed)
+    // first-max tie-break: duplicated centroids must yield the LOWER id
+    val dupCents = Array(index.centroids(3), index.centroids(3))
+    val tied = e.limit(20).select(
+        graft.functions.ArrayFunctions.nearestCentroid(col("embedding"),
+          dupCents).as("c"))
+      .collect().map(_.getInt(0))
+    assert(tied.forall(_ === 0))
+  }
 }
