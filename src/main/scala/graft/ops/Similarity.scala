@@ -25,6 +25,13 @@ object Similarity {
   /** Σ aᵢbᵢ in double, left-to-right (deterministic). */
   def dot(a: Column, b: Column): Column = arrayDot(a, b)
 
+  /** Driver-side vector extraction tolerant of float or double arrays
+    * (synthetic corpora built from Column arithmetic come back as
+    * array<double>; the real tables ship array<float>). Exact either
+    * way — floats widen losslessly. */
+  private def vecDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Number](i).map(_.doubleValue()).toArray
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine from scratch — for one-off use; hot paths precompute norms
@@ -121,7 +128,7 @@ object Similarity {
       nlist: Int, sampleSize: Int = 2048, iters: Int = 5): IvfIndex = {
     val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(r => vecDoubles(r, 0))
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -159,7 +166,7 @@ object Similarity {
     val qRows = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec")).collect()
     val probes = qRows.flatMap { r =>
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val q = vecDoubles(r, 1)
       index.probeLists(q, nprobe).map(l => (r.getLong(0), l))
     }
     val spark = corpus.sparkSession
@@ -172,6 +179,38 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),
         col("qnorm"), col("cnorm")))
+    rankTopK(scored, k)
+  }
+
+  /** Int8-quantized brute-force top-k: both sides are symmetric-int8
+    * quantized (Int8Quantize — scale = max|v|/127, half-up rounding)
+    * and ranked by QUANTIZED cosine. The per-vector scale cancels out
+    * of cosine, so ranking runs entirely on integer dots + one double
+    * divide — no dequantization, and (unlike float-math ANN rescoring
+    * shortcuts) every value stays cross-engine exact, so the whole
+    * approximate path is oracle-checkable.
+    *
+    * Scale design: the corpus scan is the cost at 100 TB; int8 codes
+    * cut scan bytes ~4× and the dot kernel (IntArrayDot) runs on ints.
+    * Same shape as bruteForceTopK: queries broadcast, corpus never
+    * shuffles, quantization + norms happen once per row. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    import graft.functions.ArrayFunctions.{int8Quantize, intArrayDot}
+    def qnorm(v: Column): Column = sqrt(intArrayDot(v, v).cast("double"))
+    val q = broadcast(queries
+      .select(col(queryId).as("query_id"),
+        int8Quantize(col(queryVec)).as("qvec8"))
+      .withColumn("qnorm", qnorm(col("qvec8"))))
+    val c = corpus
+      .select(col(corpusId).as("neighbor_id"),
+        int8Quantize(col(corpusVec)).as("cvec8"))
+      .withColumn("cnorm", qnorm(col("cvec8")))
+    val scored = c
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", intArrayDot(col("qvec8"), col("cvec8"))
+        .cast("double") / nullif(col("qnorm") * col("cnorm"), lit(0.0)))
     rankTopK(scored, k)
   }
 

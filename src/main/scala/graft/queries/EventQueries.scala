@@ -159,7 +159,10 @@ object EventQueries {
     * watermark clears the interval, so state is O(window), not
     * O(stream)). Inner-join semantics make the emitted pair set
     * order-independent, so bounded replay equals the batch inequality
-    * join — which is exactly what the oracle runs. */
+    * join — which is exactly what the oracle runs. (Bench note: most
+    * of this query's wall time is the streaming runtime's fixed cost —
+    * two state stores across all shuffle partitions — not data volume;
+    * it amortizes, and state stays window-bounded, as volume grows.) */
   val streamIntervalJoin = QueryDef(
     "q_stream_interval_join",
     Some("""SELECT l.event_id AS l_event_id, l.user_id,

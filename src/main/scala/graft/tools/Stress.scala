@@ -68,7 +68,7 @@ object Stress {
     val vecs = spark.range(0, 200000L, 1, 64).select(col("id"),
       transform(sequence(lit(0), lit(63)),
         i => pmod(xxhash64(col("id") * 64 + i), lit(1000)).cast("float")
-          / 1000.0f - 0.5f).as("embedding"))
+          / 1000.0f - 0.5f).cast("array<float>").as("embedding"))
     time("ANN brute force 5 x 200k x 64d") {
       Similarity.bruteForceTopK(vecs, vecs.filter(col("id") < 5),
         "id", "embedding", "id", "embedding", k = 10).count()
@@ -106,7 +106,7 @@ object Stress {
     val bigVecs = spark.range(0, 10000000L, 1, 64).select(col("id"),
       transform(sequence(lit(0), lit(63)),
         i => pmod(xxhash64(contentId * 64 + i), lit(1000)).cast("float")
-          / 1000.0f - 0.5f).as("embedding"))
+          / 1000.0f - 0.5f).cast("array<float>").as("embedding"))
     timeShuffle("embedding LSH dedup 10M x 64d") {
       // 24-bit buckets keep random-collision candidates ~Poisson(0.6)
       // per bucket; the planted dups collide in all 4 tables
@@ -116,6 +116,14 @@ object Stress {
     timeShuffle("ANN LSH top-k 5 x 10M x 64d") {
       Similarity.lshTopK(bigVecs, bigVecs.filter(col("id") < 5),
         "id", "embedding", "id", "embedding", k = 10).count()
+    }
+    timeShuffle("ANN IVF top-k 5 x 10M x 64d (fused assign)") {
+      // trains on a 2048-row sample; the 10M-row centroid assignment
+      // runs through the fused NearestCentroid codegen kernel
+      val index = Similarity.fitIvf(bigVecs, "embedding", "id", nlist = 16)
+      Similarity.ivfTopK(bigVecs, bigVecs.filter(col("id") < 5),
+        "id", "embedding", "id", "embedding", k = 10,
+        index, nprobe = 4).count()
     }
 
     // the flagship dictionary-driven pipeline at ~75000x the fixture
