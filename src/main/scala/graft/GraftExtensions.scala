@@ -73,7 +73,9 @@ object GraftExtensions {
         if (args.length > 4) intArg(args(4), "dims") else 64)
     },
     "array_dot" -> (args => ArrayDot(args.head, args(1))),
-    "jaccard_sim" -> (args => JaccardSim(args.head, args(1))))
+    "jaccard_sim" -> (args => JaccardSim(args.head, args(1))),
+    "int8_quantize" -> (args => Int8Quantize(args.head)),
+    "int_array_dot" -> (args => IntArrayDot(args.head, args(1))))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

@@ -248,9 +248,116 @@ object NearestCentroid {
   }
 }
 
+/** Per-vector symmetric int8 quantization: scale = max|vᵢ|/127, qᵢ =
+  * clamp(⌊vᵢ/scale + 0.5⌋, -127, 127) (half-up rounding — `floor(x+0.5)`
+  * is the same rule in Java and SQL, unlike `round`, whose negative-tie
+  * behavior differs across engines). An all-zero vector quantizes to
+  * zeros. Every step is IEEE-deterministic (exact float→double widening,
+  * one divide, one add, floor), so the quantized codes — and any integer
+  * arithmetic over them — are reproducible cross-engine: the 4×-smaller
+  * ANN scan stays oracle-checkable.
+  *
+  * Scale story: at 100 TB of vectors the corpus scan is bandwidth-bound;
+  * int8 codes cut the scanned bytes 4× and the dot kernel runs on ints.
+  * The scale factor itself cancels out of cosine, so ranking needs no
+  * dequantization at all. */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Quantize.compute(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Int8Quantize.compute($c, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Int8Quantize {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val vec = new Array[Double](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vec(i) = x
+      val a = math.abs(x)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (maxAbs != 0.0) {
+      val scale = maxAbs / 127.0
+      i = 0
+      while (i < n) {
+        val q = math.floor(vec(i) / scale + 0.5)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Σ aᵢ·bᵢ over two int arrays in 64-bit integer arithmetic —
+  * overflow-free for int8 codes (64 dims × 127² ≪ 2⁶³) and exact, so
+  * quantized dots/norms hash-match any engine. Evaluates over min
+  * length, mirroring ArrayDot. */
+case class IntArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_array_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(IntArrayDot.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntArrayDot.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object IntArrayDot {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
 object ArrayFunctions {
   def arrayDot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  def int8Quantize(vec: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(vec)))
+
+  def intArrayDot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntArrayDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
   def jaccardSim(a: Column, b: Column): Column =

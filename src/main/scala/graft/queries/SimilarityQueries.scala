@@ -572,6 +572,63 @@ ORDER BY id_a, id_b"""
         .orderBy("query_id", "rank")
     })
 
+  /** Int8-quantized brute-force top-k — the bandwidth-lean ANN scan
+    * (4× smaller codes, integer dot kernel), ranked by QUANTIZED
+    * cosine. FULLY oracle-checked: symmetric quantization is
+    * half-up-rounded IEEE arithmetic (floor(x/scale + 0.5) — the same
+    * rule both engines implement, unlike round()'s negative ties), the
+    * dots/norms are 64-bit-integer exact, and the final divide is one
+    * IEEE operation — so DuckDB replays quantize → integer dot →
+    * cosine → rank bit-for-bit. Hash-green means the lossy
+    * representation ITSELF is cross-engine exact, not just some
+    * surviving row set. */
+  val annInt8 = QueryDef(
+    "q_ann_int8",
+    Some("""WITH quant AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings),
+            codes AS (
+              SELECT vec_id,
+                     CASE WHEN scale = 0 THEN
+                       list_transform(embedding, x -> CAST(0 AS BIGINT))
+                     ELSE
+                       list_transform(embedding, x ->
+                         CAST(GREATEST(-127.0, LEAST(127.0,
+                           FLOOR(CAST(x AS DOUBLE) / scale + 0.5)))
+                           AS BIGINT))
+                     END AS q
+              FROM quant),
+            norms AS (
+              SELECT vec_id, q,
+                     SQRT(CAST(list_reduce(
+                       list_transform(range(1, len(q) + 1),
+                         i -> q[i] * q[i]),
+                       (a, b) -> a + b) AS DOUBLE)) AS n
+              FROM codes),
+            scored AS (
+              SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_reduce(
+                       list_transform(range(1, len(qr.q) + 1),
+                         i -> qr.q[i] * c.q[i]),
+                       (a, b) -> a + b) AS DOUBLE)
+                       / NULLIF(qr.n * c.n, 0.0) AS cosine
+              FROM norms qr JOIN norms c ON c.vec_id <> qr.vec_id
+              WHERE qr.vec_id < 5),
+            ranked AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, rank, cosine FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    })
+
   /** LSH-bucketed approximate top-k (scale path) — FULLY oracle-checked
     * despite being "approximate": the approximation is a deterministic
     * function of the seeded hyperplanes, and the whole pipeline is
@@ -702,5 +759,5 @@ ORDER BY id_a, id_b"""
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
-    annBruteForce, annLsh, dedupClusters, dedupKeep)
+    annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep)
 }

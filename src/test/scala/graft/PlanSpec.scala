@@ -130,10 +130,13 @@ class PlanSpec extends SparkSuite {
   test("plan sweep: no product join anywhere on the whole query surface") {
     // Deliberate exceptions, each an EXACT baseline whose scale path
     // is a separate query: brute-force ANN scores the broadcast query
-    // set against every corpus row (vs q_ann_lsh / q_ann_ivf), and
-    // exact all-pairs embedding dedup joins on id_a < id_b (vs the
-    // banded q_dedup_embedding_lsh). Both are nested-loop by contract.
-    val bnljByDesign = Set("q_ann_bruteforce", "q_dedup_embedding_exact")
+    // set against every corpus row (vs q_ann_lsh / q_ann_ivf) — the
+    // int8 variant is the same full-scan contract, just on 4×-smaller
+    // codes — and exact all-pairs embedding dedup joins on id_a < id_b
+    // (vs the banded q_dedup_embedding_lsh). All nested-loop by
+    // contract.
+    val bnljByDesign = Set("q_ann_bruteforce", "q_ann_int8",
+      "q_dedup_embedding_exact")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(

@@ -136,4 +136,80 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.getInt(0))
     assert(tied.forall(_ === 0))
   }
+
+  test("Int8Quantize: known values, zero vector, max-abs maps to ±127") {
+    import graft.functions.ArrayFunctions.int8Quantize
+    val df = Seq(
+      Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f),
+      Seq(-2.0f, 1.0f, 2.0f, -1.0f)).toDF("v")
+      .select(int8Quantize(col("v")).as("q"))
+    val got = df.collect().map(_.getSeq[Int](0))
+    // scale = 1/127: -0.5 → floor(-63.5 + 0.5) = -63; 0.25 → floor(32.25) = 32
+    assert(got(0) === Seq(127, -63, 32, 0))
+    assert(got(1) === Seq(0, 0, 0, 0))
+    // half-up: -1/(2/127) = -63.5 → floor(-63.0) = -63 (toward +∞)
+    assert(got(2) === Seq(-127, 64, 127, -63))
+  }
+
+  test("Int8Quantize kernel matches an independent driver-side " +
+      "reimplementation on the fixture corpus") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val fused = e.select(col("vec_id"),
+        graft.functions.ArrayFunctions.int8Quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val reference = e.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val maxAbs = v.map(math.abs).max
+        val q = if (maxAbs == 0.0) v.map(_ => 0) else {
+          val scale = maxAbs / 127.0
+          v.map(x => math.max(-127.0,
+            math.min(127.0, math.floor(x / scale + 0.5))).toInt)
+        }
+        r.getLong(0) -> q
+      }.toMap
+    assert(fused === reference)
+    assert(fused.values.flatten.forall(q => q >= -127 && q <= 127))
+  }
+
+  test("int8TopK: valid ranks and quantized cosine tracks exact cosine") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val int8 = Similarity.int8TopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10).collect()
+    val byQ = int8.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rs =>
+      assert(rs.sortBy(_.getLong(2)).map(_.getLong(2)).toSeq === (1L to 10L))
+    }
+    // 64-dim int8 quantization distorts cosine by well under 0.05
+    val allPairs = Similarity.int8TopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    allPairs.foreach { r =>
+      val ex = exact.get((r.getLong(0), r.getLong(1)))
+      ex.foreach(c => assert(math.abs(c - r.getDouble(2)) < 0.05))
+    }
+    // recall@10 of the quantized ranking vs exact: ≥ 8/10 per query
+    val exactTop = exact.keySet
+    byQ.foreach { case (_, rs) =>
+      val hits = rs.count(r => exactTop((r.getLong(0), r.getLong(1))))
+      assert(hits >= 8, s"int8 recall@10 too low: $hits/10")
+    }
+  }
+
+  test("int8_quantize and int_array_dot are registered on the SQL surface") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT int_array_dot(q, q) AS n2, q FROM (
+           SELECT int8_quantize(array(3.0F, -1.5F, 0.0F)) AS q)""")
+      .collect().head
+    assert(r.getSeq[Int](1) === Seq(127, -63, 0))
+    assert(r.getLong(0) === 127L * 127 + 63L * 63)
+  }
 }
