@@ -75,7 +75,8 @@ object GraftExtensions {
     "array_dot" -> (args => ArrayDot(args.head, args(1))),
     "jaccard_sim" -> (args => JaccardSim(args.head, args(1))),
     "int8_quantize" -> (args => Int8Quantize(args.head)),
-    "int_array_dot" -> (args => IntArrayDot(args.head, args(1))))
+    "int_array_dot" -> (args => IntArrayDot(args.head, args(1))),
+    "repetition_stats" -> (args => RepetitionStats(args.head)))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

@@ -91,6 +91,80 @@ object Text {
     (lenScore * 0.3 + punctScore * 0.2 + swScore * 0.3 + wordScore * 0.2)
   }
 
+  // ---- repetition metrics (Gopher-style) ----
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * (n − n_distinct) / n. NULL for token-less text. */
+  def dupTokenFraction(text: Column): Column = {
+    val ts = tokens(text)
+    (size(ts) - size(array_distinct(ts))).cast("double") /
+      nullif(size(ts).cast("double"), lit(0.0))
+  }
+
+  /** ALL word n-grams in order (non-distinct — counting needs the
+    * duplicates wordShingles drops); empty array when < n tokens. */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // The top-n-gram char fraction (maxCount · len(longest max-count
+  // n-gram) / n_chars) ships ONLY as the fused RepetitionStats kernel.
+  // A composed Column formulation is a trap: interpreted higher-order
+  // lambdas re-evaluate captured expression SUBTREES per element, so
+  // nesting filter(grams, …) inside transform(grams, …) over an
+  // inlined grams tree is O(n³) string work per row (~10 CPU-minutes
+  // on a 50-doc fixture). The staged cross-check — grams/counts/max
+  // materialized as attributes between projections — lives in
+  // TextSpec; the DuckDB oracle replays the same staged shape over
+  // materialized lists.
+
+  /** Non-empty lines (for multi-line corpora; the parquet fixture is
+    * single-line, so these carry spec coverage, not an oracle row). */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line. */
+  def dupLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    (size(ls) - size(array_distinct(ls))).cast("double") /
+      nullif(size(ls).cast("double"), lit(0.0))
+  }
+
+  // ---- PII redaction ----
+
+  /** Publicly-documented lexical PII patterns, RE2-compatible (the
+    * oracle engine's regex dialect) AND Java-compatible: no lookaround,
+    * ASCII word boundaries only. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongDigitsRe = "\\d{7,}"
+
+  /** Redact emails → <EMAIL>, IPv4s → <IP>, 7+-digit runs → <NUM>
+    * (phone/account-number-ish), in that order — emails first so their
+    * digit runs don't half-redact, digit runs last so they can't eat
+    * the IP octets. Pure regexp_replace chain: codegen'd, per-row,
+    * shuffle-free at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongDigitsRe, "<NUM>")
+
+  /** Match counts per PII class (the audit numbers a scrub job logs). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+      lit(Ipv4Re), lit(0))).cast("long"),
+    size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      lit(LongDigitsRe), lit(0))).cast("long"))
+
   // ---- language identification ----
 
   /** Per-language marker-word profiles (public stopword lists). The

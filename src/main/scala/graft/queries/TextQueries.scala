@@ -269,6 +269,156 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Gopher-style repetition metrics (duplicate-token fraction, top
+    * 2-/3-gram char coverage) via the fused one-pass RepetitionStats
+    * kernel; the oracle replays the composed O(n²) list-lambda
+    * formulation — all counts integer, one IEEE divide per metric, so
+    * fused ≡ composed ≡ DuckDB exactly (tie rule: the LONGEST n-gram
+    * among the max-count ones). */
+  val textRepetition = QueryDef(
+    "q_text_repetition",
+    Some(s"""WITH t AS (
+               SELECT doc_id, text, $sqlToks AS toks FROM documents),
+             g AS (
+               SELECT doc_id, text, toks,
+                      CASE WHEN len(toks) >= 2 THEN
+                        list_transform(range(1, CAST(len(toks) AS INT)),
+                          i -> toks[i] || ' ' || toks[i+1])
+                      ELSE CAST([] AS VARCHAR[]) END AS g2,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_transform(range(1, CAST(len(toks) - 1 AS INT)),
+                          i -> toks[i] || ' ' || toks[i+1] || ' '
+                               || toks[i+2])
+                      ELSE CAST([] AS VARCHAR[]) END AS g3
+               FROM t),
+             m AS (
+               SELECT doc_id, text, toks, g2, g3,
+                      list_max(list_transform(g2,
+                        x -> len(list_filter(g2, y -> y = x)))) AS max2,
+                      list_max(list_transform(g3,
+                        x -> len(list_filter(g3, y -> y = x)))) AS max3
+               FROM g)
+             SELECT doc_id,
+                    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) /
+                      NULLIF(CAST(len(toks) AS DOUBLE), 0.0)
+                      AS dup_token_frac,
+                    CAST(max2 * list_max(list_transform(
+                        list_filter(g2,
+                          x -> len(list_filter(g2, y -> y = x)) = max2),
+                        x -> len(x))) AS DOUBLE) /
+                      NULLIF(CAST(len(text) AS DOUBLE), 0.0)
+                      AS top2gram_char_frac,
+                    CAST(max3 * list_max(list_transform(
+                        list_filter(g3,
+                          x -> len(list_filter(g3, y -> y = x)) = max3),
+                        x -> len(x))) AS DOUBLE) /
+                      NULLIF(CAST(len(text) AS DOUBLE), 0.0)
+                      AS top3gram_char_frac
+             FROM m ORDER BY doc_id"""),
+    (s, d) => {
+      val r = graft.functions.RepetitionFunctions.repetitionStats(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          element_at(r, 1).as("dup_token_frac"),
+          element_at(r, 2).as("top2gram_char_frac"),
+          element_at(r, 3).as("top3gram_char_frac"))
+        .orderBy("doc_id")
+    })
+
+  /** PII redaction audit: emails → <EMAIL>, IPv4s → <IP>, 7+-digit
+    * runs → <NUM>, with per-class match counts. The fixture corpus
+    * carries no PII, so the query plants deterministic contact strings
+    * derived from doc_id (the multimodal pattern) — both engines build
+    * the same inputs, then the scrub chain itself is verified via the
+    * md5 of the scrubbed text. Patterns are RE2- and Java-compatible
+    * (no lookaround), so matches agree cross-engine. */
+  val piiScrub = QueryDef(
+    "q_pii_scrub",
+    Some(s"""WITH aug AS (
+               SELECT doc_id, text ||
+                 CASE WHEN doc_id % 3 = 0 THEN ' contact u'
+                   || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+                   || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                   || CAST(doc_id % 250 + 1 AS VARCHAR)
+                   ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN ' acct '
+                   || CAST(doc_id + 10000000 AS VARCHAR)
+                   ELSE '' END AS t
+               FROM documents),
+             s1 AS (SELECT doc_id, t,
+                      regexp_replace(t, '${Text.EmailRe}', '<EMAIL>', 'g')
+                        AS t1 FROM aug),
+             s2 AS (SELECT doc_id, t, t1,
+                      regexp_replace(t1, '${Text.Ipv4Re}', '<IP>', 'g')
+                        AS t2 FROM s1)
+             SELECT doc_id,
+                    CAST(len(regexp_extract_all(t, '${Text.EmailRe}'))
+                      AS BIGINT) AS n_emails,
+                    CAST(len(regexp_extract_all(t1, '${Text.Ipv4Re}'))
+                      AS BIGINT) AS n_ips,
+                    CAST(len(regexp_extract_all(t2, '${Text.LongDigitsRe}'))
+                      AS BIGINT) AS n_digit_runs,
+                    md5(regexp_replace(t2, '${Text.LongDigitsRe}',
+                      '<NUM>', 'g')) AS scrubbed_md5
+             FROM s2 ORDER BY doc_id"""),
+    (s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250 + 1).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" acct "),
+          (col("doc_id") + 10000000L).cast("string")))
+          .otherwise(lit(""))).as("t")
+      val base = Tables.documents(s, d).select(col("doc_id"), aug)
+      val (nEmails, nIps, nNums) = Text.piiCounts(col("t"))
+      base.select(col("doc_id"),
+          nEmails.as("n_emails"), nIps.as("n_ips"),
+          nNums.as("n_digit_runs"),
+          md5(Text.redactPii(col("t"))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    })
+
+  /** Vocabulary build + OOV coverage (ops.Vocab): top-20 tokens by
+    * corpus frequency (ties broken lexicographically — deterministic
+    * cut), then per-document out-of-vocabulary rate against the
+    * broadcast vocab. Counts are integers, the rate one divide — the
+    * oracle rebuilds the identical vocab and stats. */
+  val vocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    Some(s"""WITH toks AS (
+               SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+             vocab AS (
+               SELECT tok FROM (
+                 SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+               ORDER BY cnt DESC, tok LIMIT 20),
+             stats AS (
+               SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+               FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+               GROUP BY t.doc_id)
+             SELECT d.doc_id,
+                    COALESCE(s.n_tokens, 0) AS n_tokens,
+                    COALESCE(s.n_oov, 0) AS n_oov,
+                    CAST(COALESCE(s.n_oov, 0) AS DOUBLE) /
+                      NULLIF(CAST(COALESCE(s.n_tokens, 0) AS DOUBLE), 0.0)
+                      AS oov_rate
+             FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+             ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.ops.Vocab.topK(docs, "text", 20)
+      graft.ops.Vocab.oovStats(docs, vocab, "doc_id", "text")
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
-    sampleHash, contamination, sampleStratified, packBins, qualityFilter)
+    sampleHash, contamination, sampleStratified, packBins, qualityFilter,
+    textRepetition, piiScrub, vocabCoverage)
 }

@@ -64,4 +64,94 @@ class TextSpec extends SparkSuite {
     assert(df.forall(q => q >= 0.0 && q <= 1.0))
     assert(df(0) > df(1))
   }
+
+  test("repetition metrics: known values on a crafted document") {
+    // "a b a b a" — tokens 5, distinct 2 → dup 3/5; top 2-gram "a b"
+    // ×2, len 3, text chars 9 → 6/9; top 3-grams all ×1... except
+    // "a b a" occurs twice → 3*... count: grams are (a b a),(b a b),
+    // (a b a) → max count 2, len 5 → 10/9
+    val r = one("a b a b a")
+      .select(RepetitionFunctions.repetitionStats(col("text")).as("r"))
+      .collect().head.getSeq[java.lang.Double](0)
+    assert(r(0) === 3.0 / 5.0)
+    assert(r(1) === (2L * 3).toDouble / 9.0)
+    assert(r(2) === (2L * 5).toDouble / 9.0)
+  }
+
+  test("repetition metrics: NULL slots for short/empty documents") {
+    val rows = Seq("", "   ", "one", "one two").toDF("text")
+      .select(RepetitionFunctions.repetitionStats(col("text")).as("r"))
+      .collect().map(_.getSeq[java.lang.Double](0))
+    assert(rows(0) === Seq(null, null, null)) // empty: no tokens
+    assert(rows(1) === Seq(null, null, null)) // whitespace-only
+    assert(rows(2)(0) === 0.0)                // 1 token: dup 0, no grams
+    assert(rows(2)(1) === null && rows(2)(2) === null)
+    assert(rows(3)(1) !== null)               // 2 tokens: 2-gram exists
+    assert(rows(3)(2) === null)
+  }
+
+  test("fused RepetitionStats ≡ composed higher-order formulation " +
+      "on the fixture corpus") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val fused = docs.select(col("doc_id"),
+        RepetitionFunctions.repetitionStats(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Double](1))
+      .toMap
+    // staged composed reference: grams, counts and max materialize as
+    // attributes between projections (inlining them into the nested
+    // lambdas would re-evaluate the subtrees per element — O(n³))
+    import org.apache.spark.sql.functions._
+    def frac(counts: String, grams: String, maxc: String) =
+      (col(maxc) * array_max(zip_with(col(counts),
+        transform(col(grams), g => length(g)),
+        (c, l) => when(c === col(maxc), l)))).cast("double") /
+        nullif(length(col("text")).cast("double"), lit(0.0))
+    val composed = docs
+      .select(col("doc_id"), col("text"),
+        Text.wordNgramsAll(col("text"), 2).as("g2"),
+        Text.wordNgramsAll(col("text"), 3).as("g3"))
+      .select(col("*"),
+        transform(col("g2"),
+          g => size(filter(col("g2"), x => x === g))).as("c2"),
+        transform(col("g3"),
+          g => size(filter(col("g3"), x => x === g))).as("c3"))
+      .select(col("*"), array_max(col("c2")).as("m2"),
+        array_max(col("c3")).as("m3"))
+      .select(col("doc_id"),
+        Text.dupTokenFraction(col("text")).as("d"),
+        frac("c2", "g2", "m2").as("t2"),
+        frac("c3", "g3", "m3").as("t3"))
+      .collect().map(r => r.getLong(0) -> Seq(
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(fused.keySet === composed.keySet)
+    fused.foreach { case (id, f) => assert(f === composed(id), s"doc $id") }
+  }
+
+  test("PII redaction: emails, IPv4s, digit runs — counts and order") {
+    val text = "mail a.b+c@x-y.co.uk or 192.168.0.1 acct 12345678 " +
+      "short 123456 not an ip 999.999.999.999"
+    val df = one(text)
+    val (e, i, n) = Text.piiCounts(col("text"))
+    val r = df.select(e.as("e"), i.as("i"), n.as("n"),
+      Text.redactPii(col("text")).as("t")).collect().head
+    assert(r.getLong(0) === 1L)
+    // \d{1,3} matches inside 999.999… too (byte pattern, not semantics)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 1L) // 12345678; 123456 is < 7 digits
+    val scrubbed = r.getString(3)
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<IP>")
+      && scrubbed.contains("<NUM>"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("12345678"))
+    assert(scrubbed.contains("123456")) // short runs survive
+  }
+
+  test("repetition_stats registered on the SQL surface") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT repetition_stats('x y x y') AS r")
+      .collect().head.getSeq[java.lang.Double](0)
+    assert(r(0) === 0.5)
+  }
 }
