@@ -76,7 +76,8 @@ object GraftExtensions {
     "jaccard_sim" -> (args => JaccardSim(args.head, args(1))),
     "int8_quantize" -> (args => Int8Quantize(args.head)),
     "int_array_dot" -> (args => IntArrayDot(args.head, args(1))),
-    "repetition_stats" -> (args => RepetitionStats(args.head)))
+    "repetition_stats" -> (args => RepetitionStats(args.head)),
+    "bottom_k" -> (args => BottomK(args.head, intArg(args(1), "k"))))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `bottom_k(h, k)`: the k smallest DISTINCT int64 values per group,
+  * ascending — a KMV (k-minimum-values) distinct-count sketch
+  * (Bar-Yossef et al. 2002) as a custom Catalyst
+  * TypedImperativeAggregate.
+  *
+  * Unlike the HLL sketch behind approx_count_distinct, KMV over a
+  * portable hash is fully DETERMINISTIC: the sketch is a pure function
+  * of the input set, so a SQL oracle can replay both the sketch and
+  * the estimate bit-for-bit — an approximate-distinct path that still
+  * hash-matches cross-engine.
+  *
+  * Scale design: aggregation state is a bounded TreeSet (≤ k longs ≈
+  * k·8 bytes); partial aggregation runs map-side, so the shuffle
+  * carries at most k longs per (partition, group) instead of the raw
+  * values — the same one-shuffle shape as any sum/count rollup.
+  */
+case class BottomK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bottom_k needs a BIGINT input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def trim(buf: java.util.TreeSet[java.lang.Long]): Unit =
+    while (buf.size > k) buf.pollLast()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v.asInstanceOf[Long]
+      // only insert values that could make the bottom k (avoids
+      // churning the tree on the long tail)
+      if (buf.size < k || l < buf.last()) {
+        buf.add(l)
+        trim(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b1.addAll(b2)
+    trim(b1)
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr) // TreeSet iterates ascending
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.add(bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): BottomK =
+    copy(child = c)
+}
+
+object SketchFunctions {
+
+  /** Bottom-k distinct values of a long column, ascending. */
+  def bottomK(e: Column, k: Int): Column =
+    ColumnBridge.column(
+      BottomK(ColumnBridge.expression(e), k).toAggregateExpression())
+
+  /** KMV estimate from a bottom-k sketch over a `hashBits`-bit
+    * non-negative hash: exact size while the sketch is unsaturated,
+    * else (k−1)/u_k with u_k = h_k / 2^hashBits — every step one IEEE
+    * operation, so the estimate replays exactly in SQL. */
+  def kmvEstimate(sketch: Column, k: Int, hashBits: Int = 60): Column = {
+    val unit = element_at(sketch, k).cast("double") /
+      lit(math.pow(2.0, hashBits))
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / unit)
+  }
+}

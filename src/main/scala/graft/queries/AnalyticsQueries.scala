@@ -609,9 +609,63 @@ cents_${i + 1} AS (
         col("n_rows"))
       .orderBy("l_returnflag"))
 
+  /** KMV approximate-distinct (custom BottomK TypedImperativeAggregate)
+    * — the deterministic counterpart to q_approx_distinct's HLL: the
+    * sketch is the k smallest distinct values of a PORTABLE md5-derived
+    * 60-bit hash, so DuckDB replays the sketch, the (k−1)/u_k estimate,
+    * and the tolerance check bit-for-bit. Where the HLL row can only
+    * pin a tolerance contract, every value in this row hash-matches. */
+  val kmvDistinct = QueryDef(
+    "q_kmv_distinct",
+    Some("""WITH h AS (
+              SELECT l_returnflag, l_orderkey,
+                     CAST('0x' || substring(md5('kmv:'
+                       || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS h
+              FROM lineitem),
+            d AS (SELECT DISTINCT l_returnflag, h FROM h),
+            sk AS (
+              SELECT l_returnflag, list(h ORDER BY h)[1:64] AS hs
+              FROM d GROUP BY l_returnflag),
+            e AS (
+              SELECT l_returnflag,
+                     CASE WHEN len(hs) < 64 THEN CAST(len(hs) AS DOUBLE)
+                          ELSE 63.0 / (CAST(hs[64] AS DOUBLE)
+                                       / 1152921504606846976.0) END
+                       AS kmv_est
+              FROM sk),
+            x AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT x.l_returnflag, x.n_exact, e.kmv_est,
+                   ABS(e.kmv_est - CAST(x.n_exact AS DOUBLE))
+                     / CAST(x.n_exact AS DOUBLE) <= 0.3 AS within_tol
+            FROM x JOIN e ON e.l_returnflag = x.l_returnflag
+            ORDER BY x.l_returnflag"""),
+    (s, d) => {
+      val k = 64
+      val h = conv(substring(md5(concat(lit("kmv:"),
+        col("l_orderkey").cast("string"))), 1, 15), 16, 10).cast("long")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), h.as("h"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.SketchFunctions.bottomK(col("h"), k)
+            .as("sketch"),
+          countDistinct(col("l_orderkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          graft.functions.SketchFunctions.kmvEstimate(col("sketch"), k)
+            .as("kmv_est"))
+        .withColumn("within_tol",
+          abs(col("kmv_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") <= 0.3)
+        .orderBy("l_returnflag")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
-    multimodalResize, statsAgg, pivot_, percentiles, approxDistinct)
+    multimodalResize, statsAgg, pivot_, percentiles, approxDistinct,
+    kmvDistinct)
 }
