@@ -418,7 +418,38 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Token-window chunking with overlap (ops.Chunker): documents →
+    * 64-token chunks, stride 48 (overlap 16), tail windows emitted
+    * only when they add tokens beyond the previous chunk's overlap.
+    * Integer boundary arithmetic + deterministic text joins — the full
+    * chunk set (ids, offsets, text) is oracle-exact. */
+  val docChunks = QueryDef(
+    "q_doc_chunks",
+    Some(s"""WITH t AS (
+               SELECT doc_id, $sqlToks AS toks FROM documents),
+             nz AS (SELECT * FROM t WHERE len(toks) > 0),
+             st AS (
+               SELECT doc_id, toks,
+                      unnest(list_filter(
+                        range(1, CAST(len(toks) AS BIGINT) + 1, 48),
+                        s -> s = 1 OR s <= len(toks) - 16)) AS s
+               FROM nz),
+             c AS (
+               SELECT doc_id, s,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                        AS chunk_id,
+                      list_slice(toks, s, s + 63) AS ctoks
+               FROM st)
+             SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                    CAST(s AS BIGINT) AS start_tok,
+                    CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+                    array_to_string(ctoks, ' ') AS chunk_text
+             FROM c ORDER BY doc_id, chunk_id"""),
+    (s, d) => graft.ops.Chunker.chunk(Tables.documents(s, d),
+        "doc_id", "text", size = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id"))
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
-    textRepetition, piiScrub, vocabCoverage)
+    textRepetition, piiScrub, vocabCoverage, docChunks)
 }
