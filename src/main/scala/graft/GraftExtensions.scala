@@ -77,7 +77,9 @@ object GraftExtensions {
     "int8_quantize" -> (args => Int8Quantize(args.head)),
     "int_array_dot" -> (args => IntArrayDot(args.head, args(1))),
     "repetition_stats" -> (args => RepetitionStats(args.head)),
-    "bottom_k" -> (args => BottomK(args.head, intArg(args(1), "k"))))
+    "bottom_k" -> (args => BottomK(args.head, intArg(args(1), "k"))),
+    "z_value" -> (args =>
+      ZValue(args.head, args(1), intArg(args(2), "bits"))))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

@@ -371,8 +371,43 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  // Morton interleave of the two 4-bit bins as a SQL sum of
+  // shift/mask terms — the exact arithmetic the ZValue kernel runs
+  private val zTermsSql: String = (0 until 4).flatMap(i => Seq(
+    s"(((ub >> $i) & 1) << ${2 * i})",
+    s"(((eb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  /** Z-order layout stats (ops.Layout): both dims binned to 16 dense
+    * ranks from their global bounds, Morton-interleaved into a z-key;
+    * per-bucket min/max extents are the data-skipping evidence (each
+    * bucket bounds BOTH user_id and event_id — what file-level pruning
+    * relies on after a z-sorted write). Bit arithmetic + one IEEE
+    * divide per bin: the full layout is oracle-exact. */
+  val zorderStats = QueryDef(
+    "q_zorder_stats",
+    Some(s"""WITH b AS (
+               SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                      MIN(event_id) AS elo, MAX(event_id) AS ehi
+               FROM events),
+             z AS (
+               SELECT user_id, event_id,
+                      CAST(FLOOR((user_id - ulo) * 16 /
+                        CAST(uhi - ulo + 1 AS DOUBLE)) AS BIGINT) AS ub,
+                      CAST(FLOOR((event_id - elo) * 16 /
+                        CAST(ehi - elo + 1 AS DOUBLE)) AS BIGINT) AS eb
+               FROM events, b),
+             zz AS (
+               SELECT user_id, event_id, $zTermsSql AS zbucket FROM z)
+             SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    MIN(user_id) AS a_min, MAX(user_id) AS a_max,
+                    MIN(event_id) AS b_min, MAX(event_id) AS b_max
+             FROM zz GROUP BY zbucket ORDER BY zbucket"""),
+    (s, d) => graft.ops.Layout.zorderStats(Tables.events(s, d),
+        "user_id", "event_id", bits = 4)
+      .orderBy("zbucket"))
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     slidingWindow, sessionize, streamSession, streamIntervalJoin,
     streamDedup, streamTotals, topEventPerUser, asofJoin,
-    asofJoinBucketed, rangeJoin, skewJoin)
+    asofJoinBucketed, rangeJoin, skewJoin, zorderStats)
 }
