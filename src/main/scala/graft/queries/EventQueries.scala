@@ -159,10 +159,10 @@ object EventQueries {
     * watermark clears the interval, so state is O(window), not
     * O(stream)). Inner-join semantics make the emitted pair set
     * order-independent, so bounded replay equals the batch inequality
-    * join — which is exactly what the oracle runs. (Bench note: most
-    * of this query's wall time is the streaming runtime's fixed cost —
-    * two state stores across all shuffle partitions — not data volume;
-    * it amortizes, and state stays window-bounded, as volume grows.) */
+    * join — which is exactly what the oracle runs. State partitions
+    * are pinned to 8 for the replay (two join-side stores × partition
+    * count is the query's fixed cost; this stream's state is tiny —
+    * at production volume the same knob sizes UP with state). */
   val streamIntervalJoin = QueryDef(
     "q_stream_interval_join",
     Some("""SELECT l.event_id AS l_event_id, l.user_id,
@@ -181,7 +181,7 @@ object EventQueries {
         ev.filter(col("event_type") === "purchase"),
         windowMinutes = 60)
       EventStream.runAvailableNow(s, joined, "q_stream_ijoin_sink",
-          outputMode = "append")
+          outputMode = "append", statePartitions = 8)
         .orderBy("l_event_id", "r_event_id")
     })
 

@@ -449,7 +449,68 @@ object TextQueries {
         "doc_id", "text", size = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id"))
 
+  /** Duplicate-line metrics (the other half of the Gopher repetition
+    * battery — X25 covers tokens/n-grams). The fixture corpus is
+    * single-line, so the query re-lines it deterministically (six
+    * frequent tokens become newlines — short segments that genuinely
+    * repeat) and measures the duplicate-line
+    * fraction and the fraction of characters living in repeated lines.
+    * Line arrays and counts are STAGED as attributes between
+    * projections (the inline nested-HOF form re-evaluates subtrees per
+    * element — same trap as q_text_repetition's composed formulation). */
+  val dupLines = QueryDef(
+    "q_dup_lines",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(text,
+                       ' a | the | row | key | value | data ',
+                       chr(10), 'g'), chr(10)),
+                       l -> len(l) > 0) AS ls
+              FROM documents),
+            c AS (
+              SELECT doc_id, ls,
+                     list_transform(ls,
+                       l -> len(list_filter(ls, x -> x = l))) AS cs
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) /
+                     NULLIF(CAST(len(ls) AS DOUBLE), 0.0)
+                     AS dup_line_frac,
+                   CAST(list_reduce(list_transform(
+                       range(1, CAST(len(ls) AS INT) + 1),
+                       i -> CASE WHEN cs[i] > 1 THEN len(ls[i])
+                                 ELSE 0 END),
+                       (a, b) -> a + b) AS DOUBLE) /
+                     NULLIF(CAST(list_reduce(list_transform(ls,
+                       l -> len(l)), (a, b) -> a + b) AS DOUBLE), 0.0)
+                     AS dup_line_char_frac
+            FROM c ORDER BY doc_id"""),
+    (s, d) => {
+      val relined = regexp_replace(col("text"),
+        " a | the | row | key | value | data ", "\n")
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.lines(relined).as("ls"))
+        .select(col("doc_id"), col("ls"),
+          transform(col("ls"),
+            l => size(filter(col("ls"), x => x === l))).as("cs"))
+        .select(col("doc_id"),
+          size(col("ls")).cast("long").as("n_lines"),
+          ((size(col("ls")) - size(array_distinct(col("ls"))))
+            .cast("double") /
+            nullif(size(col("ls")).cast("double"), lit(0.0)))
+            .as("dup_line_frac"),
+          (aggregate(zip_with(col("ls"), col("cs"),
+              (l, c) => when(c > 1, length(l).cast("long"))
+                .otherwise(lit(0L))),
+              lit(0L), (a, x) => a + x).cast("double") /
+            nullif(aggregate(col("ls"), lit(0L),
+              (a, l) => a + length(l).cast("long")).cast("double"),
+              lit(0.0))).as("dup_line_char_frac"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
-    textRepetition, piiScrub, vocabCoverage, docChunks)
+    textRepetition, piiScrub, vocabCoverage, docChunks, dupLines)
 }

@@ -149,15 +149,30 @@ object EventStream {
     * file currently in the source, then terminate on its own (the
     * scheduled catch-up pattern over a drop-folder) — into a memory
     * sink and return the result table. */
+  /** `statePartitions` > 0 pins the stateful operators' partition
+    * count for this stream (state-store instances = shuffle
+    * partitions, fixed at the query's first run): a stream whose state
+    * volume is small should not pay 32 store initializations per
+    * stateful op. At production volume the same knob goes UP — it is
+    * sizing state stores to state volume, in either direction. Output
+    * is partitioning-independent either way. */
   def runAvailableNow(spark: SparkSession, plan: DataFrame,
-      queryName: String, outputMode: String = "complete"): DataFrame = {
-    val q = plan.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      queryName: String, outputMode: String = "complete",
+      statePartitions: Int = 0): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = plan.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions > 0) spark.conf.set(key, prev)
+    }
     spark.table(queryName)
   }
 

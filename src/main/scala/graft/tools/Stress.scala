@@ -125,6 +125,26 @@ object Stress {
         "id", "embedding", "id", "embedding", k = 10,
         index, nprobe = 4).count()
     }
+    // float vs int8 brute force over the same 2M-row corpus slice:
+    // the quantized scan reads 4x fewer vector bytes and dots ints
+    val midVecs = bigVecs.filter(col("id") < 2000000L)
+    timeShuffle("ANN float brute force 5 x 2M x 64d") {
+      Similarity.bruteForceTopK(midVecs, midVecs.filter(col("id") < 5),
+        "id", "embedding", "id", "embedding", k = 10).count()
+    }
+    timeShuffle("ANN int8 brute force 5 x 2M x 64d") {
+      Similarity.int8TopK(midVecs, midVecs.filter(col("id") < 5),
+        "id", "embedding", "id", "embedding", k = 10).count()
+    }
+    // per-row text kernels at 1M docs: both scan-bound, no shuffle
+    timeShuffle("repetition stats, 1M docs") {
+      docs.select(graft.functions.RepetitionFunctions
+          .repetitionStats(col("text")).as("r"))
+        .agg(sum(element_at(col("r"), 1))).collect().head.getDouble(0)
+    }
+    timeShuffle("chunker 64/16, 1M docs") {
+      graft.ops.Chunker.chunk(docs, "id", "text", 64, 16).count()
+    }
 
     // the flagship dictionary-driven pipeline at ~75000x the fixture
     // size: 300k-row SBP/NSLP TSVs through ingest->clean->derive->join

@@ -147,6 +147,18 @@ class TextSpec extends SparkSuite {
     assert(scrubbed.contains("123456")) // short runs survive
   }
 
+  test("dupLineFraction: duplicate lines counted, blanks ignored") {
+    val r = one("alpha\nbeta\n\nalpha\ngamma\nbeta\nalpha")
+      .select(Text.dupLineFraction(col("text")).as("f"))
+      .collect().head.getDouble(0)
+    // 6 non-empty lines, 3 distinct → 3/6
+    assert(r === 0.5)
+    val single = one("no newlines here")
+      .select(Text.dupLineFraction(col("text")).as("f"))
+      .collect().head.getDouble(0)
+    assert(single === 0.0)
+  }
+
   test("repetition_stats registered on the SQL surface") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
