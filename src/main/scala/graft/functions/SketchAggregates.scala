@@ -103,12 +103,103 @@ case class BottomK(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** `cms_sketch(positions, d, w)`: a Count-Min sketch (Cormode &
+  * Muthukrishnan 2005) as a custom TypedImperativeAggregate. The child
+  * is the row's precomputed array of d cell indices (one per sketch
+  * row, from a portable hash family), so the aggregate itself is pure
+  * counting: state is a flat d·w Long matrix, update increments one
+  * cell per row, merge is element-wise add.
+  *
+  * Over a deterministic hash family the whole sketch is a pure
+  * function of the input multiset — counter[r][c] is just the count of
+  * rows hashing to that cell — so a SQL oracle replays every counter
+  * AND every point estimate (min over rows of the probed cells)
+  * exactly, unlike an engine-internal frequency sketch.
+  *
+  * Scale design: state is d·w·8 bytes (8 KB at 4×256) regardless of
+  * input size; partial aggregation runs map-side, so the shuffle
+  * carries one small matrix per partition — frequency estimation over
+  * 100 TB in one pass with bounded memory.
+  */
+case class CmsSketch(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(depth > 0 && width > 0, "depth and width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch needs ARRAY<BIGINT> cell indices, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == depth,
+        s"expected $depth cell indices, got ${arr.numElements()}")
+      var r = 0
+      while (r < depth) {
+        buf(r * width + arr.getLong(r).toInt) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    var i = 0
+    while (bb.hasRemaining) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): CmsSketch =
+    copy(child = c)
+}
+
 object SketchFunctions {
 
   /** Bottom-k distinct values of a long column, ascending. */
   def bottomK(e: Column, k: Int): Column =
     ColumnBridge.column(
       BottomK(ColumnBridge.expression(e), k).toAggregateExpression())
+
+  /** Count-Min sketch from per-row cell indices (length-`depth`
+    * array<long>, each in [0, width)); returns the flat d·w counter
+    * matrix, row-major. */
+  def cmsSketch(cells: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CmsSketch(ColumnBridge.expression(cells), depth, width)
+        .toAggregateExpression())
 
   /** KMV estimate from a bottom-k sketch over a `hashBits`-bit
     * non-negative hash: exact size while the sketch is unsaturated,

@@ -179,6 +179,70 @@ cents_${i + 1} AS (
         .orderBy("query_id", "rank")
     })
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * cluster the embedding space with the SAME deterministic IVF fit
+    * as q_ann_ivf, then drop any row with a lower-id duplicate
+    * (cosine ≥ 0.95) in its cluster — pairwise within-cluster policy;
+    * transitive-closure grouping is X6's q_dedup_clusters. The oracle
+    * replays Lloyd training, cluster assignment, every within-cluster
+    * cosine and the keep decision, so the approximate method is
+    * hash-checked end to end.
+    *
+    * Scale design: candidate pairs form ONLY within a cluster (an
+    * equi-join on cluster id — never all-pairs); nlist grows with the
+    * corpus so per-cluster blocks stay bounded, and norms compute once
+    * per row. */
+  val semanticDedup = QueryDef(
+    "q_semantic_dedup",
+    Some(s"""WITH samp AS (
+               SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS idx,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM (SELECT vec_id, embedding FROM embeddings
+                     ORDER BY vec_id LIMIT 2048)),
+             cents_0 AS (
+               SELECT CAST(idx - 1 AS INT) AS c, ${sqlNormalize("v")} AS cv
+               FROM samp WHERE idx <= 16),
+             ${(0 until 5).map(ivfIterSql).mkString(",")},
+             assigned AS (
+               SELECT e.vec_id, e.embedding, c.c AS cluster_id,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${sqlDotD("c.cv", "e.embedding")} DESC,
+                                 c.c ASC) AS rn
+               FROM embeddings e, cents_5 c),
+             corpus AS (
+               SELECT vec_id, embedding, cluster_id
+               FROM assigned WHERE rn = 1),
+             pairs AS (
+               SELECT b.vec_id AS kb
+               FROM corpus a
+               JOIN corpus b ON a.cluster_id = b.cluster_id
+                            AND a.vec_id < b.vec_id
+               WHERE ${sqlCosineD("a.embedding", "b.embedding")} >= 0.95)
+             SELECT c.vec_id, CAST(c.cluster_id AS INT) AS cluster_id,
+                    c.vec_id NOT IN (SELECT kb FROM pairs) AS is_kept
+             FROM corpus c ORDER BY vec_id"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        index.assignExpr(col("embedding")).as("cluster_id"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("ka"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("kb"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("cluster_id"))
+        .filter(col("ka") < col("kb"))
+        .filter(Similarity.cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")) >= 0.95)
+        .select(col("kb").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"),
+          not(coalesce(col("is_dropped"), lit(false))).as("is_kept"))
+        .orderBy("vec_id")
+    })
+
   // DuckDB twin of a Float32 feature slot: compute the double, round
   // it through REAL (IEEE round-to-nearest, same as Scala's .toFloat),
   // widen back to double — so the oracle replays the engine's
@@ -663,7 +727,8 @@ cents_${i + 1} AS (
     })
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    cube_, groupingSets, rangeFrame, annIvf, multimodalFeatures,
+    cube_, groupingSets, rangeFrame, annIvf, semanticDedup,
+    multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, approxDistinct,

@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Num, SketchFunctions, Text}
+import graft.ops.{Bloom, Profile}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: bloom-filter join pruning, bounded-memory
+  * frequency estimation, BM25 relevance scoring, per-domain caps, and
+  * column profiling — the policy/stat passes a 100 TB training-data
+  * build runs between dedup and packing. All oracle-checked: every
+  * sketch here is built from portable md5-derived hashes so DuckDB
+  * replays estimates (and false positives) bit-for-bit.
+  */
+object CurationQueries {
+
+  // DuckDB-side token list, mirroring Text.tokens (same as TextQueries)
+  private val sqlToks =
+    """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+
+  // ---------------------------------------------------------------- bloom
+
+  private val BloomM = 1024 // bits
+  private val BloomJ = 3    // hash functions
+
+  /** DuckDB list literal of a key's bloom bit positions. */
+  private def posListSql(key: String): String =
+    (0 until BloomJ)
+      .map(i => Bloom.hashModSql(s"bloom$i:", key, BloomM))
+      .mkString("[", ", ", "]")
+
+  /** Bloom-filter join pruning: build a 1024-bit filter over the
+    * suppliers of nations 0–4, probe every distinct lineitem supplier
+    * join-free (the bitset is a literal; membership tests are
+    * codegen'd md5 + bit ops AT the scan). The oracle replays the
+    * exact bit positions, so true members AND false positives both
+    * hash-match — the pruning decision itself is verified, not just
+    * its effect. */
+  val bloomPrune = QueryDef(
+    "q_bloom_prune",
+    Some(s"""WITH build AS (
+               SELECT DISTINCT s_suppkey AS k FROM supplier
+               WHERE s_nationkey < 5),
+             bl AS (
+               SELECT list(DISTINCT p) AS bset
+               FROM (SELECT unnest(${posListSql("k")}) AS p FROM build)),
+             probe AS (SELECT DISTINCT l_suppkey AS suppkey FROM lineitem)
+             SELECT p.suppkey,
+                    len(list_filter(${posListSql("p.suppkey")},
+                        x -> list_contains(bl.bset, x))) = $BloomJ
+                      AS bloom_pass,
+                    p.suppkey IN (SELECT k FROM build) AS member
+             FROM probe p CROSS JOIN bl
+             ORDER BY suppkey"""),
+    (s, d) => {
+      val build = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+      val words = Bloom.buildBits(build, col("s_suppkey"), BloomM, BloomJ)
+      val marks = build.select(col("s_suppkey").as("suppkey")).distinct()
+        .withColumn("member", lit(true))
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey")).distinct()
+        .withColumn("bloom_pass",
+          Bloom.mightContain(col("suppkey"), words, BloomM, BloomJ))
+        .join(broadcast(marks), Seq("suppkey"), "left")
+        .select(col("suppkey"), col("bloom_pass"),
+          coalesce(col("member"), lit(false)).as("member"))
+        .orderBy("suppkey")
+    })
+
+  // ------------------------------------------------------------------ cms
+
+  private val CmsD = 4   // sketch rows
+  private val CmsW = 256 // counters per row
+
+  /** Count-Min frequency estimation (custom cms_sketch aggregate): one
+    * 8 KB sketch over all events, then per-user point estimates (min
+    * over the d probed counters) next to exact counts for a
+    * deterministic probe set. The oracle recomputes every counter as a
+    * collision-group count, so the ESTIMATES hash-match — including
+    * their overestimation error, whose one-sidedness (est ≥ exact, the
+    * CMS guarantee) rides along as a checked boolean. */
+  val heavyHitters = QueryDef(
+    "q_heavy_hitters", {
+      val posUnion = (0 until CmsD).map { r =>
+        s"""SELECT $r AS r, ${Bloom.hashModSql(s"cms$r:", "user_id", CmsW)}
+              AS c FROM events"""
+      }.mkString(" UNION ALL ")
+      val probeJoin = (0 until CmsD).map { r =>
+        s"""(cl.r = $r AND
+             cl.c = ${Bloom.hashModSql(s"cms$r:", "e.user_id", CmsW)})"""
+      }.mkString(" OR ")
+      Some(s"""WITH pos AS ($posUnion),
+               cells AS (
+                 SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM pos GROUP BY r, c),
+               ex AS (
+                 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                 FROM events WHERE user_id % 10 = 0 GROUP BY user_id),
+               pe AS (
+                 SELECT e.user_id, e.n_exact, MIN(cl.n) AS cms_est
+                 FROM ex e JOIN cells cl ON ($probeJoin)
+                 GROUP BY e.user_id, e.n_exact)
+               SELECT user_id, n_exact, cms_est,
+                      cms_est >= n_exact AS over_ok
+               FROM pe ORDER BY user_id""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def cellOf(r: Int) = Bloom.hashMod(s"cms$r:", col("user_id"), CmsW)
+      val cells = array((0 until CmsD).map(cellOf): _*)
+      // the sketch: one bounded matrix, collected (8 KB, metadata-sized
+      // by construction) and probed as a literal — same shape as the
+      // bloom bitset
+      val sketch: Array[Long] = ev
+        .agg(SketchFunctions.cmsSketch(cells, CmsD, CmsW).as("sk"))
+        .collect()(0).getAs[scala.collection.Seq[Long]](0).toArray
+      val est = least((0 until CmsD).map { r =>
+        element_at(lit(sketch), (lit(r * CmsW) + cellOf(r)).cast("int") + 1)
+      }: _*)
+      ev.filter(col("user_id") % 10 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .withColumn("cms_est", est)
+        .withColumn("over_ok", col("cms_est") >= col("n_exact"))
+        .orderBy("user_id")
+    })
+
+  // ----------------------------------------------------------------- bm25
+
+  private val Bm25Terms = Seq("spark", "vector", "stream")
+
+  /** BM25 relevance scoring (Robertson–Spärck Jones; k1=1.2, b=0.75)
+    * of every document against a fixed term set — the ranking pass of
+    * search-style curation. Corpus stats (N, Σdl, per-term df — all
+    * integer-exact, so order-independent) reduce in one aggregation
+    * and return as literals; the per-doc score is then pure codegen'd
+    * arithmetic. Top 20 by (rounded score, doc_id) so the ranking
+    * itself is cross-engine deterministic. */
+  val bm25 = QueryDef(
+    "q_bm25", {
+      val tfCols = Bm25Terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+        .mkString(", ")
+      val dfCols = Bm25Terms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+        .mkString(", ")
+      // mirrors the Spark expression tree exactly:
+      //   idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+      val scoreSql = Bm25Terms.map(t =>
+        s"""ln(1 + (g.n - g.df_$t + 0.5) / (g.df_$t + 0.5)) *
+            (b.tf_$t * 2.2) /
+            (b.tf_$t + 1.2 * (0.25 + (0.75 * b.dl) / (g.sdl / g.n)))""")
+        .mkString(" + ")
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+               base AS (
+                 SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfCols
+                 FROM t),
+               g AS (
+                 SELECT CAST(SUM(dl) AS DOUBLE) AS sdl,
+                        CAST(COUNT(*) AS DOUBLE) AS n, $dfCols
+                 FROM base),
+               sc AS (
+                 SELECT b.doc_id, $scoreSql AS score
+                 FROM base b CROSS JOIN g)
+               SELECT doc_id, ${Num.qroundSql("score", 4)} AS bm25
+               FROM sc WHERE ${Num.qroundSql("score", 4)} > 0
+               ORDER BY bm25 DESC, doc_id LIMIT 20""")
+    },
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +: size(toks).cast("double").as("dl") +:
+          Bm25Terms.map(t =>
+            size(filter(toks, x => x === lit(t))).cast("double")
+              .as(s"tf_$t")): _*)
+      // corpus stats: integer-valued sums/counts — exact in double at
+      // any aggregation order, so driver literals replay in SQL
+      val statAggs = sum("dl").as("sdl") +:
+        count(lit(1)).cast("double").as("n") +:
+        Bm25Terms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).cast("double").as(s"df_$t"))
+      val st = base.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+      val sdl = st.getAs[Double]("sdl")
+      val n = st.getAs[Double]("n")
+      val avgdl = sdl / n
+      val score = Bm25Terms.map { t =>
+        val dfT = st.getAs[Double](s"df_$t")
+        val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+        lit(idf) * (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") +
+            lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / lit(avgdl)))
+      }.reduce(_ + _)
+      base.select(col("doc_id"), Num.qround(score, 4).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    })
+
+  // ----------------------------------------------------------- domain cap
+
+  /** Per-domain document caps (the RefinedWeb/C4 "at most N pages per
+    * host" heuristic): keep ≤ 10 docs per source, chosen by a
+    * deterministic md5 order so the kept set is reproducible across
+    * engines, partitionings and reruns — never "first N seen". */
+  val domainCap = QueryDef(
+    "q_domain_cap",
+    Some("""SELECT doc_id, source, keep_rank FROM (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS BIGINT) AS keep_rank
+              FROM documents)
+            WHERE keep_rank <= 10 ORDER BY doc_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("keep_rank", row_number().over(w).cast("long"))
+        .filter(col("keep_rank") <= 10)
+        .orderBy("doc_id")
+    })
+
+  // -------------------------------------------------------------- profile
+
+  private val ProfileCols = Seq("o_custkey", "o_orderkey", "o_orderpriority",
+    "o_orderstatus", "o_totalprice")
+
+  /** Column profiling over `orders` (null counts, cardinalities,
+    * extrema) — one aggregation pass for all columns, stacked tall. */
+  val profileOrders = QueryDef(
+    "q_profile", {
+      val perCol = ProfileCols.map { c =>
+        s"""SELECT '$c' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(MIN($c) AS VARCHAR) AS min_s,
+                   CAST(MAX($c) AS VARCHAR) AS max_s
+            FROM orders"""
+      }.mkString(" UNION ALL ")
+      Some(s"SELECT * FROM ($perCol) ORDER BY column_name")
+    },
+    (s, d) => Profile.profile(Tables.orders(s, d), ProfileCols)
+      .orderBy("column_name"))
+
+  val all: Seq[QueryDef] =
+    Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders)
+}
