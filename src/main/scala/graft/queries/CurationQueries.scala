@@ -244,6 +244,87 @@ object CurationQueries {
     (s, d) => Profile.profile(Tables.orders(s, d), ProfileCols)
       .orderBy("column_name"))
 
+  // ----------------------------------------------------------- domain mix
+
+  private val MixTarget = 200L
+
+  /** Weighted training-mixture sampling: apportion a fixed 200-doc
+    * budget across sources by weight (largest-remainder method, the
+    * exact apportionment a data-mixing recipe needs — floors sum short,
+    * so the highest fractional remainders get the leftovers), then
+    * fill each source's quota by deterministic md5 rank. Source
+    * weights derive from the source name (suffix % 4 + 1) so the whole
+    * allocation — quotas, tie-breaks, picks — replays in SQL.
+    *
+    * Scale design: the allocation runs on the per-source profile
+    * (domain-count-sized, collected by contract like the dictionary
+    * rows); the corpus-side pass is one window rank + a broadcast
+    * quota join — no global sort, no second scan. */
+  val domainMix = QueryDef(
+    "q_domain_mix",
+    Some(s"""WITH sw AS (
+               SELECT source,
+                      CAST(CAST(regexp_extract(source, '(\\d+)', 1)
+                        AS BIGINT) % 4 + 1 AS DOUBLE) AS w
+               FROM documents GROUP BY source),
+             tot AS (SELECT SUM(w) AS sumw FROM sw),
+             q AS (SELECT source, (w * 200.0) / sumw AS qe
+                   FROM sw CROSS JOIN tot),
+             a AS (SELECT source, CAST(FLOOR(qe) AS BIGINT) AS base,
+                          qe - FLOOR(qe) AS rem FROM q),
+             l AS (SELECT $MixTarget - SUM(base) AS leftover FROM a),
+             rk AS (SELECT source, base,
+                           ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                             AS rr
+                    FROM a),
+             alloc AS (
+               SELECT source,
+                      base + CASE WHEN rr <= (SELECT leftover FROM l)
+                                  THEN 1 ELSE 0 END AS quota
+               FROM rk),
+             sel AS (
+               SELECT doc_id, d.source,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                        ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS pick_rank
+               FROM documents d)
+             SELECT s.doc_id, s.source, s.pick_rank
+             FROM sel s JOIN alloc a ON a.source = s.source
+             WHERE s.pick_rank <= a.quota ORDER BY s.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // allocation over the per-source profile: domain-count rows,
+      // driver-side by contract; arithmetic is floor/remainder-exact so
+      // it replays in SQL
+      val srcRows = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .select(col("source"),
+          (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)
+            .cast("double").as("w"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      val sumw = srcRows.map(_._2).sum // integer-valued doubles: exact
+      val quotas = srcRows.map { case (src, w) =>
+        val qe = (w * 200.0) / sumw
+        (src, math.floor(qe).toLong, qe - math.floor(qe))
+      }
+      val leftover = (MixTarget - quotas.map(_._2).sum).toInt
+      val bumped = quotas.sortBy { case (src, _, rem) => (-rem, src) }
+        .zipWithIndex
+        .map { case ((src, base, _), i) =>
+          (src, if (i < leftover) base + 1 else base)
+        }
+      import s.implicits._
+      val alloc = broadcast(bumped.toSeq.toDF("source", "quota"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .join(alloc, Seq("source"))
+        .filter(col("pick_rank") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("pick_rank"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
-    Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders)
+    Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix)
 }

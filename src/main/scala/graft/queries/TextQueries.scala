@@ -510,7 +510,95 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  // ------------------------------------------------------------------ bpe
+
+  /** One unrolled BPE pair-count round for the oracle: count adjacent
+    * symbol pairs weighted by word frequency, pick the (count DESC,
+    * pair ASC) winner, apply it with non-overlapping left-to-right
+    * string replace over the '|sym|'-wrapped sequence encoding. */
+  private def bpeRoundSql(k: Int): String = s"""
+p$k AS (
+  SELECT pr.l AS l, pr.r AS r, SUM(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+             i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+    FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS syms
+          FROM w${k - 1})) GROUP BY pr.l, pr.r),
+m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
+                             '|' || m.l || m.r || '|') AS seq
+        FROM w${k - 1} CROSS JOIN m$k m)"""
+
+  /** BPE tokenizer training — the first 3 merge rounds of byte-pair
+    * encoding (Sennrich et al. 2016) over the corpus word-frequency
+    * table. Each round is ONE distributed pair-count aggregation
+    * (fixed-width (l, r, freq) shuffle); only the argmax merge decision
+    * (count DESC, pair ASC — deterministic) comes back to the driver,
+    * which folds it into the next round's plan as a literal — the same
+    * driver-coordinates/cluster-counts shape as the IVF Lloyd fit.
+    *
+    * Merge application encodes each word as '|'-wrapped symbols
+    * ("ab" → "|a||b|") so non-overlapping left-to-right string replace
+    * IS the standard greedy BPE apply ("|a||a||a||a|" → "|aa||aa|").
+    * The oracle unrolls all three rounds as SQL CTEs, so the chosen
+    * merges AND their counts are cross-engine exact. */
+  val bpeMerges = QueryDef(
+    "q_bpe_merges",
+    Some(s"""WITH wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
+             wc AS (
+               SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM wtok WHERE regexp_matches(word, '^[a-z]+$$')
+               GROUP BY word),
+             w0 AS (
+               SELECT freq,
+                      array_to_string(list_transform(
+                        regexp_extract_all(word, '.'),
+                        c -> '|' || c || '|'), '') AS seq
+               FROM wc),
+             ${(1 to 3).map(bpeRoundSql).mkString(",")}
+             SELECT * FROM (
+               SELECT CAST(1 AS INT) AS merge_rank, l AS left_sym,
+                      r AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+               FROM m1
+               UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM m2
+               UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM m3)
+             ORDER BY merge_rank"""),
+    (s, d) => {
+      val words0 = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("seq", concat_ws("",
+          transform(regexp_extract_all(col("word"), lit("."), lit(0)),
+            c => concat(lit("|"), c, lit("|")))))
+        .select("freq", "seq")
+      var cur = words0
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (k <- 1 to 3) {
+        val syms = split(trim(col("seq"), "|"), "\\|\\|")
+        val top = cur
+          .filter(size(syms) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("l"),
+                element_at(syms, i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        top.headOption.foreach { t =>
+          val (l, r) = (t.getString(0), t.getString(1))
+          merges += ((k, l, r, t.getLong(2)))
+          cur = cur.withColumn("seq",
+            expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+        }
+      }
+      import s.implicits._
+      merges.result().toDF("merge_rank", "left_sym", "right_sym",
+        "pair_count").orderBy("merge_rank")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
-    textRepetition, piiScrub, vocabCoverage, docChunks, dupLines)
+    textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
+    bpeMerges)
 }
