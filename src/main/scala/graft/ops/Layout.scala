@@ -41,6 +41,28 @@ object Layout {
     zValue(bin(colA, b.aLo, b.aHi, bits), bin(colB, b.bLo, b.bHi, bits),
       bits)
 
+  /** Write `df` hash-bucketed AND per-bucket-sorted on `key` as an
+    * external parquet table, and return the re-read table. Joining two
+    * tables bucketed on their join keys with the SAME bucket count
+    * plans a SortMergeJoin with ZERO exchanges — the co-location was
+    * paid once at write time, so at 100 TB every subsequent join /
+    * aggregation on the key is shuffle-free. The `repartition` on the
+    * key uses the same Murmur3-pmod hash as the bucketing layer, so
+    * each task holds exactly one bucket's rows → one file per bucket.
+    * (Stock Spark only trusts the per-bucket sort under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering`, so a LOCAL
+    * per-bucket Sort remains in the join plan — already-sorted input,
+    * no exchange; the cross-partition shuffle is what's eliminated.) */
+  def bucketed(df: DataFrame, table: String, dir: String, key: String,
+      buckets: Int): DataFrame = {
+    val s = df.sparkSession
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").option("path", s"$dir/$table")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+    s.table(table)
+  }
+
   /** Per-z-bucket extent stats: the data-skipping evidence. Each
     * bucket maps to exactly one (binA, binB) pair, so both dimensions
     * are bounded inside every bucket — the property file-level min/max

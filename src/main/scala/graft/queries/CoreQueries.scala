@@ -417,10 +417,48 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"))
 
+  /** X33: bucketed co-located join — both sides written hash-bucketed
+    * and per-bucket-sorted on the join key
+    * ([[graft.ops.Layout.bucketed]]), then joined as a SortMergeJoin
+    * with ZERO exchanges and ZERO join-side sorts (BucketedJoinSpec
+    * pins the plan). This is the storage-layout answer to the 100 TB
+    * fact-fact join: the shuffle is paid once at write time and every
+    * later join/agg on the key is co-located. The `merge` hint keeps
+    * the small sf test honest — without it Catalyst would broadcast
+    * the dimension and hide the property under test.
+    *
+    * Revenue is aggregated in exact integer cents (round(price*100) —
+    * both engines round the same IEEE double half-up) so the sums are
+    * order-independent and cross-engine exact. */
+  val bucketedJoin = QueryDef(
+    "q_bucketed_join",
+    Some("""SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c_mktsegment"""),
+    (s, d) => {
+      val sfTag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
+      val dir = s"/tmp/graft_bucketed_$sfTag"
+      val o = graft.ops.Layout.bucketed(
+        Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        s"graft_bkt_orders_$sfTag", dir, "o_custkey", 8)
+      val c = graft.ops.Layout.bucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        s"graft_bkt_customer_$sfTag", dir, "c_custkey", 8)
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    })
+
   val all: Seq[QueryDef] = Seq(
     scanProject, filterNullLike, caseWhen, distinctQ, dictLeftJoin,
     rowNumJoin, exprKeyJoin, fullOuter, semiJoin, antiJoin,
     groupCountOne, scalarAgg, countAll, rowNumber, topK,
     intersectQ, unionQ, unionAll, exceptQ, stringFuncs, castArith,
-    dateFuncs, q1Agg)
+    dateFuncs, q1Agg, bucketedJoin)
 }

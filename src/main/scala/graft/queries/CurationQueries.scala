@@ -325,6 +325,49 @@ object CurationQueries {
         .orderBy("doc_id")
     })
 
+  // ------------------------------------------------------------- snapshot
+
+  /** Incremental corpus refresh (X32): diff two snapshots of the
+    * corpus and label every doc_id added / removed / changed /
+    * unchanged — the delta classifier that lets a 100 TB rebuild
+    * process only the changed slice. The two snapshots are carved
+    * deterministically out of `documents`: the old snapshot is missing
+    * doc_id % 10 = 7 (→ those come back `added`), the new one drops
+    * doc_id % 10 = 3 (→ `removed`) and revises the text of doc_id %
+    * 5 = 0 (→ `changed`). Text never crosses the shuffle: each side
+    * reduces to (doc_id, md5) before the full-outer join
+    * ([[graft.ops.Snapshot]]). */
+  val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    Some("""WITH snap_old AS (
+              SELECT doc_id, md5(text) AS old_fp
+              FROM documents WHERE doc_id % 10 <> 7),
+            snap_new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 10 <> 3)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   o.old_fp, n.new_fp,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp <> n.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM snap_old o FULL OUTER JOIN snap_new n
+              ON o.doc_id = n.doc_id
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", md5(col("text")))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
-    Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix)
+    Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
+      snapshotDiff)
 }

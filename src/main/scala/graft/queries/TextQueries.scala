@@ -528,22 +528,10 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                              '|' || m.l || m.r || '|') AS seq
         FROM w${k - 1} CROSS JOIN m$k m)"""
 
-  /** BPE tokenizer training — the first 3 merge rounds of byte-pair
-    * encoding (Sennrich et al. 2016) over the corpus word-frequency
-    * table. Each round is ONE distributed pair-count aggregation
-    * (fixed-width (l, r, freq) shuffle); only the argmax merge decision
-    * (count DESC, pair ASC — deterministic) comes back to the driver,
-    * which folds it into the next round's plan as a literal — the same
-    * driver-coordinates/cluster-counts shape as the IVF Lloyd fit.
-    *
-    * Merge application encodes each word as '|'-wrapped symbols
-    * ("ab" → "|a||b|") so non-overlapping left-to-right string replace
-    * IS the standard greedy BPE apply ("|a||a||a||a|" → "|aa||aa|").
-    * The oracle unrolls all three rounds as SQL CTEs, so the chosen
-    * merges AND their counts are cross-engine exact. */
-  val bpeMerges = QueryDef(
-    "q_bpe_merges",
-    Some(s"""WITH wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
+  /** Shared oracle CTE chain: word-frequency table → '|sym|'-encoded
+    * sequences → 3 unrolled merge rounds (w3 = the trained encoding). */
+  private val bpeChainSql: String =
+    s"""wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
              wc AS (
                SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
                FROM wtok WHERE regexp_matches(word, '^[a-z]+$$')
@@ -554,7 +542,61 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                         regexp_extract_all(word, '.'),
                         c -> '|' || c || '|'), '') AS seq
                FROM wc),
-             ${(1 to 3).map(bpeRoundSql).mkString(",")}
+             ${(1 to 3).map(bpeRoundSql).mkString(",")}"""
+
+  /** Shared Spark-side training: word-frequency table with '|sym|'
+    * sequences, 3 merge rounds applied. Returns the encoded (freq, seq)
+    * frame — the Spark twin of the oracle's w3 — plus the chosen merges.
+    * Each round is ONE distributed pair-count aggregation (fixed-width
+    * (l, r, freq) shuffle); only the argmax merge decision (count DESC,
+    * pair ASC — deterministic) comes back to the driver, which folds it
+    * into the next round's plan as a literal — the same driver-
+    * coordinates/cluster-counts shape as the IVF Lloyd fit. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
+    var cur = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat_ws("",
+        transform(regexp_extract_all(col("word"), lit("."), lit(0)),
+          c => concat(lit("|"), c, lit("|")))))
+      .select("freq", "seq")
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to 3) {
+      val syms = split(trim(col("seq"), "|"), "\\|\\|")
+      val top = cur
+        .filter(size(syms) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("l"),
+              element_at(syms, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      top.headOption.foreach { t =>
+        val (l, r) = (t.getString(0), t.getString(1))
+        merges += ((k, l, r, t.getLong(2)))
+        cur = cur.withColumn("seq",
+          expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+      }
+    }
+    (cur, merges.result())
+  }
+
+  /** BPE tokenizer training — the first 3 merge rounds of byte-pair
+    * encoding (Sennrich et al. 2016) over the corpus word-frequency
+    * table (see [[bpeTrain]] for the round structure).
+    *
+    * Merge application encodes each word as '|'-wrapped symbols
+    * ("ab" → "|a||b|") so non-overlapping left-to-right string replace
+    * IS the standard greedy BPE apply ("|a||a||a||a|" → "|aa||aa|").
+    * The oracle unrolls all three rounds as SQL CTEs, so the chosen
+    * merges AND their counts are cross-engine exact. */
+  val bpeMerges = QueryDef(
+    "q_bpe_merges",
+    Some(s"""WITH $bpeChainSql
              SELECT * FROM (
                SELECT CAST(1 AS INT) AS merge_rank, l AS left_sym,
                       r AS right_sym, CAST(cnt AS BIGINT) AS pair_count
@@ -563,42 +605,49 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM m3)
              ORDER BY merge_rank"""),
     (s, d) => {
-      val words0 = Tables.documents(s, d)
-        .select(explode(Text.tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("seq", concat_ws("",
-          transform(regexp_extract_all(col("word"), lit("."), lit(0)),
-            c => concat(lit("|"), c, lit("|")))))
-        .select("freq", "seq")
-      var cur = words0
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (k <- 1 to 3) {
-        val syms = split(trim(col("seq"), "|"), "\\|\\|")
-        val top = cur
-          .filter(size(syms) >= 2)
-          .select(col("freq"),
-            explode(transform(sequence(lit(1), size(syms) - 1),
-              i => struct(element_at(syms, i).as("l"),
-                element_at(syms, i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        top.headOption.foreach { t =>
-          val (l, r) = (t.getString(0), t.getString(1))
-          merges += ((k, l, r, t.getLong(2)))
-          cur = cur.withColumn("seq",
-            expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
-        }
-      }
+      val (_, merges) = bpeTrain(s, d)
       import s.implicits._
-      merges.result().toDF("merge_rank", "left_sym", "right_sym",
+      merges.toDF("merge_rank", "left_sym", "right_sym",
         "pair_count").orderBy("merge_rank")
+    })
+
+  /** BPE ENCODE — apply the trained merges corpus-wide and emit the
+    * resulting subword vocabulary with occurrence totals: the tokenize
+    * pass a training-data build runs after fitting the tokenizer
+    * (completes the X31 loop that q_bpe_merges opens). The merge table
+    * rides into the plan as three literal `replace`s, so encoding is a
+    * pure per-row expression chain — zero extra shuffles beyond the
+    * final token-count aggregation, and the aggregation key is a short
+    * subword string, never document text.
+    *
+    * `n_words` counts distinct word types containing the token; the
+    * '|sym|' encoding is injective (strip separators and you recover
+    * the word), so COUNT(DISTINCT seq) is exactly the type count on
+    * both engines. */
+  val bpeEncode = QueryDef(
+    "q_bpe_encode",
+    Some(s"""WITH $bpeChainSql,
+             enc AS (
+               SELECT freq, seq,
+                      unnest(string_split(trim(seq, '|'), '||')) AS token
+               FROM w3)
+             SELECT token,
+                    CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+                    CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_words
+             FROM enc GROUP BY token ORDER BY token"""),
+    (s, d) => {
+      val (encoded, _) = bpeTrain(s, d)
+      encoded
+        .select(col("freq"), col("seq"),
+          explode(split(trim(col("seq"), "|"), "\\|\\|")).as("token"))
+        .groupBy("token")
+        .agg(sum("freq").cast("long").as("n_occurrences"),
+          count_distinct(col("seq")).as("n_words"))
+        .orderBy("token")
     })
 
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges)
+    bpeMerges, bpeEncode)
 }

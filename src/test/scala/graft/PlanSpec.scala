@@ -127,6 +127,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_bucketed_join: co-located SortMergeJoin, zero join exchanges") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"must stay a merge join:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must be bucketed:\n$p")
+    // the only exchanges are AFTER the join: agg shuffle + orderBy
+    // range partition — the join inputs read co-located buckets
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"join side shuffled despite bucketing:\n$p")
+  }
+
+  test("q_snapshot_diff: document text never crosses the diff shuffle") {
+    val p = plan("q_snapshot_diff")
+    // each side reduces to (doc_id, md5) before the full-outer join
+    p.split("\\n\\(").filter(_.contains("Exchange")).foreach(s =>
+      assert(!s.contains("text#"), s"text shuffled:\n$s"))
+  }
+
   test("plan sweep: no product join anywhere on the whole query surface") {
     // Deliberate exceptions, each an EXACT baseline whose scale path
     // is a separate query: brute-force ANN scores the broadcast query
