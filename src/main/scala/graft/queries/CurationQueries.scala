@@ -337,16 +337,32 @@ object CurationQueries {
     * 5 = 0 (→ `changed`). Text never crosses the shuffle: each side
     * reduces to (doc_id, md5) before the full-outer join
     * ([[graft.ops.Snapshot]]). */
-  val snapshotDiff = QueryDef(
-    "q_snapshot_diff",
-    Some("""WITH snap_old AS (
+  /** The two deterministically carved snapshots, shared by the diff
+    * and incremental-dedup oracles. */
+  private val SnapshotCtes =
+    """snap_old AS (
               SELECT doc_id, md5(text) AS old_fp
               FROM documents WHERE doc_id % 10 <> 7),
             snap_new AS (
               SELECT doc_id,
                      md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
                               ELSE text END) AS new_fp
-              FROM documents WHERE doc_id % 10 <> 3)
+              FROM documents WHERE doc_id % 10 <> 3)"""
+
+  /** Spark twins of [[SnapshotCtes]]. */
+  private def snapshots(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+    val newSnap = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    (oldSnap, newSnap)
+  }
+
+  val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    Some(s"""WITH $SnapshotCtes
             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                    o.old_fp, n.new_fp,
                    CASE WHEN o.old_fp IS NULL THEN 'added'
@@ -357,17 +373,116 @@ object CurationQueries {
               ON o.doc_id = n.doc_id
             ORDER BY doc_id"""),
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
-      val newSnap = docs.filter(col("doc_id") % 10 =!= 3)
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")))
+      val (oldSnap, newSnap) = snapshots(s, d)
       graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", md5(col("text")))
         .orderBy("doc_id")
     })
 
+  /** Incremental dedup: the refresh delta (added+changed docs) checked
+    * against the EXISTING corpus's content fingerprints — only `novel`
+    * rows re-enter the expensive dedup/quality pipeline; non-novel
+    * rows are re-crawls of content the corpus already holds. Composes
+    * X32 → X1: diff classifies by KEY, this pass dedups by CONTENT.
+    * The probe join is md5-to-md5 — fixed-width keys, text never
+    * shuffles.
+    *
+    * The new snapshot here extends [[snapshots]]' derivation with
+    * planted re-crawls: half the re-added docs (doc_id % 20 = 17)
+    * come back carrying doc_id−1's text — content the old corpus
+    * already holds — so BOTH `novel` outcomes occur and the probe
+    * join's verdict is what the oracle checks. */
+  val incrementalDedup = QueryDef(
+    "q_incremental_dedup",
+    Some(s"""WITH $SnapshotCtes,
+            donor AS (
+              SELECT doc_id + 1 AS doc_id, text AS donor_text
+              FROM documents),
+            renew AS (
+              SELECT b.doc_id,
+                     md5(CASE WHEN b.doc_id % 20 = 17
+                              THEN COALESCE(d.donor_text, b.text)
+                              WHEN b.doc_id % 5 = 0 THEN b.text || ' rev2'
+                              ELSE b.text END) AS new_fp
+              FROM documents b LEFT JOIN donor d ON b.doc_id = d.doc_id
+              WHERE b.doc_id % 10 <> 3),
+            delta AS (
+              SELECT n.doc_id, n.new_fp,
+                     CASE WHEN o.old_fp IS NULL THEN 'added'
+                          ELSE 'changed' END AS status
+              FROM renew n LEFT JOIN snap_old o ON n.doc_id = o.doc_id
+              WHERE o.old_fp IS NULL OR o.old_fp <> n.new_fp),
+            oldfps AS (SELECT DISTINCT old_fp AS fp FROM snap_old)
+            SELECT d.doc_id, d.status, f.fp IS NULL AS novel
+            FROM delta d LEFT JOIN oldfps f ON d.new_fp = f.fp
+            ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (oldSnap, newSnap0) = snapshots(s, d)
+      val donor = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("donor_text"))
+      // %20=17 and %5=0 are disjoint, so layering over newSnap0 (which
+      // already applied the rev2 edit) matches the oracle's CASE order
+      val newSnap = newSnap0.join(donor, Seq("doc_id"), "left_outer")
+        .withColumn("text",
+          when(col("doc_id") % 20 === 17,
+            coalesce(col("donor_text"), col("text")))
+            .otherwise(col("text")))
+        .drop("donor_text")
+      val delta = graft.ops.Snapshot
+        .diff(oldSnap, newSnap, "doc_id", md5(col("text")))
+        .filter(col("status").isin("added", "changed"))
+      val oldFps = oldSnap.select(md5(col("text")).as("fp")).distinct()
+      delta.join(oldFps, delta("new_fp") === oldFps("fp"), "left_outer")
+        .select(col("doc_id"), col("status"), col("fp").isNull.as("novel"))
+        .orderBy("doc_id")
+    })
+
+  // -------------------------------------------------------------- banlist
+
+  /** The blocklist phrases; includes a pattern ("key") that is a
+    * suffix of another ("fast key") to exercise the automaton's
+    * failure-link outputs. */
+  private val BanPatterns = Seq("table table", "fast key", "scan query",
+    "value table", "key", "slow slow")
+
+  /** Banlist phrase filter (X34): count every (overlapping) occurrence
+    * of each blocklist phrase per document with ONE Aho–Corasick pass
+    * ([[graft.functions.MultiMatchCounts]]) — the safety/content
+    * filter pass of a corpus build. A per-pattern `contains` chain
+    * rescans 100 TB once per phrase; the automaton's cost is
+    * independent of blocklist size. The oracle recomputes overlapping
+    * occurrence counts per pattern positionally, so the automaton's
+    * exact hit counts (suffix-output links included) hash-match. */
+  val banlist = QueryDef(
+    "q_banlist",
+    Some {
+      val vals = BanPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pattern)),
+          hits AS (
+            SELECT d.doc_id, p.pattern,
+                   CAST(len(list_filter(
+                     range(1, len(d.text) - len(p.pattern) + 2),
+                     i -> substr(d.text, i, len(p.pattern)) = p.pattern))
+                     AS BIGINT) AS n_hits
+            FROM documents d CROSS JOIN pats p)
+          SELECT doc_id, pattern, n_hits
+          FROM hits WHERE n_hits > 0
+          ORDER BY doc_id, pattern"""
+    },
+    (s, d) => {
+      val patternLit = array(BanPatterns.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.MatchFunctions.multiMatchCounts(
+            col("text"), BanPatterns)))
+        .filter(col("col") > 0)
+        .select(col("doc_id"),
+          element_at(patternLit, col("pos") + 1).as("pattern"),
+          col("col").as("n_hits"))
+        .orderBy("doc_id", "pattern")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
-      snapshotDiff)
+      snapshotDiff, incrementalDedup, banlist)
 }

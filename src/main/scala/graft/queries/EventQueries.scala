@@ -253,6 +253,31 @@ object EventQueries {
         .orderBy("user_id")
     })
 
+  /** Per-type top-3 events via the bounded [[graft.functions.TopKRows]]
+    * aggregate (X35) — the same answer a row_number window gives, but
+    * with a ≤ k-pair heap per (partition, key) map-side, so the
+    * shuffle carries at most k pairs per partition per key instead of
+    * every row (q_top_event_per_user keeps the faithful window
+    * formulation; this is its 100 TB shape). (value DESC, event_id
+    * ASC) is a total order, so ranks — and the exploded rows — are
+    * cross-engine exact. */
+  val topKAgg = QueryDef(
+    "q_topk_agg",
+    Some("""SELECT event_type, rk, value, event_id
+            FROM (SELECT event_type, value, event_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id) AS INT) AS rk
+                  FROM events) x
+            WHERE rk <= 3 ORDER BY event_type, rk"""),
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.TopKFunctions.topKRows(
+        col("value"), col("event_id"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.ord").as("value"), col("col.id").as("event_id"))
+      .orderBy("event_type", "rk"))
+
   /** As-of join: each click matched to the user's latest
     * at-or-before purchase (the point-in-time feature-join Spark has
     * no operator for — see ops.AsOf). The right side is pre-aggregated
@@ -408,6 +433,6 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     slidingWindow, sessionize, streamSession, streamIntervalJoin,
-    streamDedup, streamTotals, topEventPerUser, asofJoin,
+    streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats)
 }
