@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Model-based corpus scoring — the two classifier stages every large
+  * training-data pipeline runs between heuristic filtering and dedup:
+  *
+  *   1. n-gram language-model cross-entropy (the CCNet/KenLM device:
+  *      score each document by how surprising it is under a LM fit on
+  *      the corpus; filter on the score), here as an add-1-smoothed
+  *      top-K unigram LM — the model FIT is a one-shuffle distributed
+  *      count and the model itself is driver metadata (≤ topK rows),
+  *      broadcast back into a shuffle-free scoring scan;
+  *
+  *   2. a hashed bag-of-ngrams linear classifier (the fastText device
+  *      used for GPT-3/LLaMA-style "looks like curated text" quality
+  *      models), trained as multinomial Naive Bayes: the training pass
+  *      is a single fixed-width count shuffle, the model is a log-
+  *      likelihood-ratio weight per hash bucket, and scoring is a
+  *      linear margin — the same w·x + b surface a trained fastText
+  *      model deploys, with the fit itself replayable in ANSI SQL.
+  *
+  * Scale contract (100 TB): per-epoch work is two fixed-width shuffles
+  * (features are (id, bucket, count) — text never shuffles); the only
+  * driver state is the weight vector (`buckets` doubles) and the LM's
+  * top-K counts. Scoring scans are shuffle-free with the model inlined
+  * as a literal map (a broadcast in plan form).
+  */
+object Scoring {
+
+  // ------------------------------------------------------------ unigram LM
+
+  /** Top-K unigram model with add-1 smoothing over K+1 classes (the
+    * top-K tokens plus one <unk> class absorbing the tail mass).
+    * p(class) = (c + 1) / (N + K + 1), which sums to 1 across classes.
+    */
+  final case class UnigramModel(top: Seq[(String, Long)], total: Long) {
+    private val denom: Double = total.toDouble + top.size.toDouble + 1.0
+    /** log2 p for a class with count c (element-wise double math — the
+      * oracle's log2() agrees to ulps; scores are qround'd after the
+      * per-document aggregation). */
+    def logp(c: Long): Double =
+      math.log((c + 1.0) / denom) / math.log(2.0)
+    val unkLogp: Double = logp(total - top.map(_._2).sum)
+  }
+
+  /** Fit the LM: one distributed token count (the single shuffle), then
+    * collect only the top-K (count desc, token asc — a total order, so
+    * the boundary is deterministic) plus the grand total. */
+  def fitUnigram(docs: DataFrame, textCol: Column, topK: Int): UnigramModel = {
+    val counts = docs.select(explode(Text.tokens(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist()
+    val total = counts.agg(sum("c")).head.getLong(0)
+    val top = counts.orderBy(col("c").desc, col("tok").asc).limit(topK)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    counts.unpersist()
+    UnigramModel(top, total)
+  }
+
+  /** Per-document cross-entropy −(1/n)·Σ log2 p(class(tᵢ)) under `m`,
+    * as a shuffle-free column: the model is a literal map, tokens fold
+    * left-to-right. NULL for empty documents. */
+  def crossEntropy(textCol: Column, m: UnigramModel): Column = {
+    val lut = map(m.top.flatMap { case (t, c) =>
+      Seq(lit(t), lit(m.logp(c))) }: _*)
+    val toks = Text.tokens(textCol)
+    val s = aggregate(
+      transform(toks, t => coalesce(element_at(lut, t), lit(m.unkLogp))),
+      lit(0.0), (a, x) => a + x)
+    -s / nullif(size(toks).cast("double"), lit(0.0))
+  }
+
+  // ------------------------------------------------- hashed linear model
+
+  /** Portable feature hash: md5 keeps the bucketing engine-agnostic
+    * (first 8 hex chars as an int, mod `buckets`). */
+  def featureBucket(f: Column, buckets: Int): Column =
+    conv(substring(md5(concat(lit("qc:"), f)), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Hashed bag-of-features design matrix in sparse triplet form:
+    * (id, bucket, x) with x the integer collision-summed count of the
+    * document's unigrams + bigrams in that bucket. */
+  def featureCounts(docs: DataFrame, idCol: String, textCol: Column,
+      buckets: Int): DataFrame = {
+    val feats = concat(Text.tokens(textCol), Text.wordNgramsAll(textCol, 2))
+    docs.select(col(idCol), explode(feats).as("f"))
+      .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("x"))
+  }
+
+  /** Trained hashed-NB model: per-bucket log-likelihood-ratio weights
+    * plus the class-prior bias. Margin = Σ_b w[b]·x[b] + bias; predict
+    * positive iff margin > 0. */
+  final case class NbModel(w: Map[Long, Double], bias: Double)
+
+  /** Multinomial Naive Bayes over the hashed features — the trainer
+    * that actually fits the one-pass-at-scale constraint: class-
+    * conditional bucket counts are ONE fixed-width shuffle (a groupBy
+    * over ≤ `buckets` keys), the model is ≤ `buckets` driver rows, and
+    * scoring is a literal-map lookup scan. Add-1 smoothing over the
+    * OCCUPIED buckets (both engines derive the same occupied set):
+    *   w[b] = ln((c⁺_b+1)/(N⁺+B)) − ln((c⁻_b+1)/(N⁻+B)),
+    *   bias = ln(n⁺/n⁻).
+    * Iterative gradient methods are deliberately NOT used here: with a
+    * batch update the gradient magnitude scales with the corpus while
+    * the labels are ±1, so the fit oscillates between all-positive and
+    * all-negative epochs — NB's closed-form count ratios are both
+    * stabler and cheaper (one pass, not one per epoch).
+    *
+    * `labels` must carry (idCol, y) with y ∈ {0.0, 1.0}. */
+  def trainNaiveBayes(feats: DataFrame, labels: DataFrame,
+      idCol: String): NbModel = {
+    val cc = feats.join(labels, idCol)
+      .groupBy("bucket")
+      .agg(sum(when(col("y") === 1.0, col("x")).otherwise(0L))
+             .cast("long").as("cp"),
+           sum(when(col("y") === 0.0, col("x")).otherwise(0L))
+             .cast("long").as("cn"))
+      .collect()
+    val np = cc.map(_.getLong(1)).sum.toDouble
+    val nn = cc.map(_.getLong(2)).sum.toDouble
+    val nb = cc.length.toDouble
+    val w = cc.map { r =>
+      r.getLong(0) -> (math.log((r.getLong(1) + 1.0) / (np + nb)) -
+        math.log((r.getLong(2) + 1.0) / (nn + nb)))
+    }.toMap
+    val prior = labels.agg(
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double"),
+      sum(when(col("y") === 0.0, 1L).otherwise(0L)).cast("double")).head
+    NbModel(w, math.log(prior.getDouble(0) / prior.getDouble(1)))
+  }
+
+  /** Per-id margins under a weight map (literal-map lookup — broadcast
+    * in plan form; one fixed-width groupBy). */
+  def marginsUnder(feats: DataFrame, idCol: String,
+      w: Map[Long, Double]): DataFrame = {
+    val wc: Column =
+      if (w.isEmpty) lit(0.0)
+      else {
+        val lut = map(w.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+          Seq(lit(b), lit(v)) }: _*)
+        coalesce(element_at(lut, col("bucket")), lit(0.0))
+      }
+    feats.groupBy(idCol).agg(
+      sum(wc * col("x")).as("margin"),
+      sum(col("x")).cast("long").as("n_feats"))
+  }
+}

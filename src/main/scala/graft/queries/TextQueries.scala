@@ -646,8 +646,161 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("token")
     })
 
+  // ----------------------------------------------------- model scoring
+
+  /** LM cross-entropy scoring (X: the CCNet/KenLM perplexity filter).
+    * A top-24 add-1-smoothed unigram LM is FIT on the corpus itself
+    * (one shuffle; the model is ≤24 driver rows), then every document
+    * is scored −(1/n)Σ log2 p(tok) in a shuffle-free scan and gated at
+    * xent ≤ τ. The oracle re-derives the identical model in SQL — same
+    * counts, same (count desc, token asc) top-K boundary, same add-1
+    * arithmetic — and re-scores every document; scores are aggregated
+    * doubles so both sides quantize (qround 6). τ compares the QUANTIZED
+    * score so the kept set is boundary-stable across engines. */
+  val lmScore = QueryDef(
+    "q_lm_score",
+    Some(s"""WITH tk AS (
+               SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+             cnt AS (
+               SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tk GROUP BY tok),
+             top AS (
+               SELECT tok, c FROM (
+                 SELECT tok, c,
+                        row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+                 FROM cnt) WHERE rn <= 24),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+             tc AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS s,
+                           CAST(COUNT(*) AS BIGINT) AS k FROM top),
+             lut AS (
+               SELECT t.tok,
+                      log2((t.c + 1.0) / (tot.n + tc.k + 1.0)) AS lp
+               FROM top t, tot, tc),
+             unk AS (
+               SELECT log2((tot.n - tc.s + 1.0) / (tot.n + tc.k + 1.0))
+                        AS ulp
+               FROM tot, tc),
+             sc AS (
+               SELECT tk.doc_id, COUNT(*) AS nt,
+                      SUM(COALESCE(l.lp, u.ulp)) AS sm
+               FROM tk LEFT JOIN lut l ON tk.tok = l.tok
+                    CROSS JOIN unk u
+               GROUP BY tk.doc_id)
+             SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                    ${graft.functions.Num.qroundSql(
+                      "-sm / CAST(nt AS DOUBLE)", 6)} AS xent,
+                    (${graft.functions.Num.qroundSql(
+                      "-sm / CAST(nt AS DOUBLE)", 6)} <= 4.45) AS kept
+             FROM sc ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.ops.Scoring.fitUnigram(docs, col("text"), 24)
+      val xent = graft.functions.Num.qround(
+        graft.ops.Scoring.crossEntropy(col("text"), m), 6)
+      docs.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          xent.as("xent"))
+        .withColumn("kept", col("xent") <= 4.45)
+        .orderBy("doc_id")
+    })
+
+  /** Hashed-linear quality classifier (X: the fastText device —
+    * "looks like curated text" models in GPT-3/LLaMA-style pipelines),
+    * trained as multinomial Naive Bayes over unigram+bigram features
+    * hashed to 1024 buckets (portable md5). The supervision is the
+    * corpus's own `lang` label (train "is this English?" — the same
+    * shape as a curated-vs-crawl quality model), and the classifier
+    * genuinely learns it: ~84% accuracy at sf0.01 from hashed counts
+    * alone. The oracle re-derives the full fit in SQL — identical
+    * class-conditional counts, add-1 smoothing over the same occupied-
+    * bucket set, same prior — and re-scores every document; margins
+    * are aggregated log-weight sums, so both sides qround(6) and the
+    * prediction compares the QUANTIZED margin. */
+  val hashClassifier = QueryDef(
+    "q_hash_classifier",
+    Some(s"""WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 t -> len(t) > 0) AS toks
+              FROM base),
+            fl AS (
+              SELECT doc_id, unnest(toks) AS f FROM tk
+              UNION ALL
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, CAST(len(toks) AS INT)),
+                         i -> toks[i] || ' ' || toks[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS f
+              FROM tk),
+            ft AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5('qc:' || f), 1, 8)
+                          AS BIGINT) % 1024 AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM fl GROUP BY 1, 2),
+            cc AS (
+              SELECT ft.bucket,
+                     CAST(SUM(CASE WHEN b.y = 1.0 THEN ft.x ELSE 0 END)
+                          AS BIGINT) AS cp,
+                     CAST(SUM(CASE WHEN b.y = 0.0 THEN ft.x ELSE 0 END)
+                          AS BIGINT) AS cn
+              FROM ft JOIN base b USING (doc_id) GROUP BY ft.bucket),
+            tot AS (
+              SELECT CAST(SUM(cp) AS BIGINT) AS np,
+                     CAST(SUM(cn) AS BIGINT) AS nn,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM cc),
+            w AS (
+              SELECT cc.bucket,
+                     ln((cc.cp + 1.0) / (tot.np + tot.nb)) -
+                     ln((cc.cn + 1.0) / (tot.nn + tot.nb)) AS w
+              FROM cc, tot),
+            pri AS (
+              SELECT ln(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                             AS DOUBLE) /
+                        CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
+                             AS DOUBLE)) AS bias
+              FROM base),
+            fin AS (
+              SELECT ft.doc_id, SUM(w.w * ft.x) AS s,
+                     CAST(SUM(ft.x) AS BIGINT) AS n_feats
+              FROM ft JOIN w USING (bucket) GROUP BY ft.doc_id)
+            SELECT f.doc_id, f.n_feats,
+                   ${graft.functions.Num.qroundSql("f.s + p.bias", 6)}
+                     AS margin,
+                   (${graft.functions.Num.qroundSql("f.s + p.bias", 6)}
+                     > 0) AS pred,
+                   (b.y = 1.0) AS is_en
+            FROM fin f
+                 JOIN base b USING (doc_id)
+                 CROSS JOIN pri p
+            ORDER BY f.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val feats = graft.ops.Scoring
+        .featureCounts(docs, "doc_id", col("text"), 1024)
+        .persist()
+      val m = graft.ops.Scoring.trainNaiveBayes(feats, labels, "doc_id")
+      val margin = graft.functions.Num.qround(
+        col("margin") + lit(m.bias), 6)
+      val out = graft.ops.Scoring.marginsUnder(feats, "doc_id", m.w)
+        .join(labels, "doc_id")
+        .select(col("doc_id"), col("n_feats"), margin.as("margin"),
+          (margin > 0).as("pred"),
+          (col("y") === 1.0).as("is_en"))
+        .orderBy("doc_id")
+      feats.unpersist()
+      out
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges, bpeEncode)
+    bpeMerges, bpeEncode, lmScore, hashClassifier)
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class ScoringSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ unigram LM
+
+  test("fitUnigram: add-1 probabilities sum to 1 across classes") {
+    val docs = Seq("a a a b b c", "a b d e").toDF("text")
+    val m = Scoring.fitUnigram(docs, col("text"), 3)
+    // classes: top-3 tokens + unk
+    assert(m.top.map(_._1) === Seq("a", "b", "c")) // count desc, token asc
+    assert(m.total === 10L)
+    val probs = m.top.map { case (_, c) => math.pow(2, m.logp(c)) } :+
+      math.pow(2, m.unkLogp)
+    assert(math.abs(probs.sum - 1.0) < 1e-12, s"sum ${probs.sum}")
+  }
+
+  test("fitUnigram: top-K boundary is deterministic under count ties") {
+    val docs = Seq("z y x w v").toDF("text") // all counts = 1
+    val m = Scoring.fitUnigram(docs, col("text"), 3)
+    assert(m.top.map(_._1) === Seq("v", "w", "x")) // token asc breaks ties
+  }
+
+  test("crossEntropy: hand-computed score on a two-class model") {
+    val docs = Seq("a a b").toDF("text")
+    val m = Scoring.fitUnigram(docs, col("text"), 1)
+    // top = [a -> 2], total = 3, denom = 3 + 1 + 1 = 5
+    // p(a) = 3/5; p(unk) = (1+1)/5 = 2/5
+    val expected =
+      -(math.log(3.0 / 5) / math.log(2) * 2 +
+        math.log(2.0 / 5) / math.log(2)) / 3
+    val got = docs.select(Scoring.crossEntropy(col("text"), m).as("x"))
+      .head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("crossEntropy is partitioning-independent on the real corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val m = Scoring.fitUnigram(docs, col("text"), 24)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Scoring.crossEntropy(col("text"), m).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(docs) === scores(docs.repartition(13)))
+  }
+
+  // ------------------------------------------------------- hashed NB
+
+  test("featureBucket is stable and within range") {
+    val df = Seq("alpha", "beta", "alpha").toDF("f")
+    val bs = df.select(Scoring.featureBucket(col("f"), 64).as("b"))
+      .collect().map(_.getLong(0))
+    assert(bs(0) === bs(2))
+    assert(bs.forall(b => b >= 0 && b < 64))
+  }
+
+  test("naive Bayes separates a separable corpus exactly") {
+    val docs = Seq(
+      (0L, "spark scala shuffle partition", 1.0),
+      (1L, "spark codegen catalyst plan", 1.0),
+      (2L, "tokyo kyoto osaka nara", 0.0),
+      (3L, "kyoto nara sake ramen", 0.0)).toDF("id", "text", "y")
+    val feats = Scoring.featureCounts(docs, "id", col("text"), 256)
+    val m = Scoring.trainNaiveBayes(feats, docs.select("id", "y"), "id")
+    val preds = Scoring.marginsUnder(feats, "id", m.w)
+      .select(col("id"), (col("margin") + m.bias > 0).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(preds === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+    assert(m.bias === 0.0) // balanced classes -> ln(1)
+  }
+
+  test("naive Bayes training is partitioning-independent") {
+    val docs = Tables.documents(spark, Sf0001)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    def fit(df: org.apache.spark.sql.DataFrame) = {
+      val f = Scoring.featureCounts(df, "doc_id", col("text"), 1024)
+      Scoring.trainNaiveBayes(f, labels, "doc_id")
+    }
+    val a = fit(docs)
+    val b = fit(docs.repartition(13))
+    assert(a.bias === b.bias)
+    assert(a.w === b.w) // exact: weights derive from integer counts
+  }
+
+  test("lang-ID distillation beats the prior on the real corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val feats = Scoring.featureCounts(docs, "doc_id", col("text"), 1024)
+    val m = Scoring.trainNaiveBayes(feats, labels, "doc_id")
+    val joined = Scoring.marginsUnder(feats, "doc_id", m.w)
+      .join(labels, "doc_id")
+      .select((col("margin") + m.bias > 0).as("p"), col("y"))
+      .collect()
+    val acc = joined.count(r => r.getBoolean(0) == (r.getDouble(1) == 1.0))
+      .toDouble / joined.length
+    val prior = math.max(
+      joined.count(_.getDouble(1) == 1.0),
+      joined.count(_.getDouble(1) == 0.0)).toDouble / joined.length
+    assert(acc > prior + 0.05, s"acc $acc vs prior $prior")
+  }
+}
