@@ -134,6 +134,20 @@ object Text {
       nullif(size(ls).cast("double"), lit(0.0))
   }
 
+  /** C4-style line-level keep predicate applied to a staged line
+    * array: a line survives iff it has ≥ `minToks` tokens, ≥
+    * `minChars` characters, and does not contain the banned token
+    * (C4 drops "javascript" lines; the knob generalizes). Callers
+    * must pass a MATERIALIZED line-array attribute, not an inline
+    * subtree — interpreted HOF lambdas re-evaluate captured subtrees
+    * per element (see the q_text_repetition note). */
+  def keptLines(ls: Column, minToks: Int, minChars: Int,
+      banned: String): Column =
+    filter(ls, l =>
+      size(filter(split(l, " "), t => length(t) > 0)) >= minToks &&
+        length(l) >= minChars &&
+        !array_contains(split(l, " "), banned))
+
   // ---- PII redaction ----
 
   /** Publicly-documented lexical PII patterns, RE2-compatible (the

@@ -482,7 +482,38 @@ object CurationQueries {
         .orderBy("doc_id", "pattern")
     })
 
+  /** Deterministic output sharding (ops.Shard): the corpus split into
+    * 16 content-keyed shards for training consumption — membership is
+    * a portable md5 bucket of doc_id, so any re-run, partitioning, or
+    * second engine derives the identical shard layout (the oracle
+    * does exactly that). The stats row per shard is what a shard
+    * manifest records: cardinality, byte budget, id range. The actual
+    * partitioned writer (`Shard.writeSharded` — repartition on the
+    * shard key, reproducible intra-shard order) is spec-covered in
+    * ShardSpec. */
+  val shardStats = QueryDef(
+    "q_shard_stats",
+    Some("""WITH s AS (
+              SELECT doc_id, n_chars,
+                     CAST('0x' || substring(md5('shard:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 16 AS shard
+              FROM documents)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM s GROUP BY shard ORDER BY shard"""),
+    (s, d) => graft.ops.Shard.assign(Tables.documents(s, d), "doc_id", 16)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard"))
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
-      snapshotDiff, incrementalDedup, banlist)
+      snapshotDiff, incrementalDedup, banlist, shardStats)
 }

@@ -799,8 +799,64 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       out
     })
 
+  /** C4-style line-level cleaning (the other granularity of quality
+    * filtering: q_quality_filter keeps/drops whole DOCUMENTS, this
+    * keeps/drops LINES and re-joins the survivors). The single-line
+    * fixture is re-lined deterministically (same six-token separator
+    * set as q_dup_lines), then a line survives iff ≥3 tokens, ≥15
+    * chars, and no banned token ('slow' — standing in for C4's
+    * "javascript" rule); a document survives iff ≥2 lines do. All
+    * counts and string ops are exact, so the oracle reproduces the
+    * cleaned text byte-for-byte. Line arrays are STAGED as attributes
+    * between projections (interpreted-HOF re-evaluation trap). */
+  val lineClean = QueryDef(
+    "q_line_clean",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(text,
+                       ' a | the | row | key | value | data ',
+                       chr(10), 'g'), chr(10)),
+                       l -> len(l) > 0) AS ls
+              FROM documents),
+            k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls,
+                       l -> len(list_filter(string_split(l, ' '),
+                              t -> len(t) > 0)) >= 3
+                            AND len(l) >= 15
+                            AND NOT list_contains(string_split(l, ' '),
+                              'slow')) AS kept
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(CASE WHEN len(kept) = 0 THEN 0
+                        ELSE list_reduce(list_transform(kept,
+                          l -> len(l)), (a, b) -> a + b) END
+                     AS BIGINT) AS kept_chars,
+                   COALESCE(array_to_string(kept, chr(10)), '')
+                     AS cleaned_text,
+                   (len(kept) >= 2) AS doc_kept
+            FROM k ORDER BY doc_id"""),
+    (s, d) => {
+      val relined = regexp_replace(col("text"),
+        " a | the | row | key | value | data ", "\n")
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.lines(relined).as("ls"))
+        .select(col("doc_id"), col("ls"),
+          Text.keptLines(col("ls"), 3, 15, "slow").as("kept"))
+        .select(col("doc_id"),
+          size(col("ls")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          aggregate(col("kept"), lit(0L),
+            (a, l) => a + length(l).cast("long")).as("kept_chars"),
+          array_join(col("kept"), "\n").as("cleaned_text"),
+          (size(col("kept")) >= 2).as("doc_kept"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges, bpeEncode, lmScore, hashClassifier)
+    bpeMerges, bpeEncode, lmScore, hashClassifier, lineClean)
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class ShardSpec extends SparkSuite {
+
+  test("shard assignment is content-keyed and partitioning-independent") {
+    val docs = Tables.documents(spark, Sf0001)
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      Shard.assign(df, "doc_id", 16)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = asg(docs)
+    val b = asg(docs.repartition(13))
+    assert(a === b)
+    assert(a.values.toSet.subsetOf((0L until 16L).toSet))
+    // every shard populated and no gross skew at 500 docs / 16 shards
+    val sizes = a.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size === 16)
+    assert(sizes.values.max <= 4 * sizes.values.min,
+      s"shard skew: $sizes")
+  }
+
+  test("writeSharded: directories partition the corpus exactly") {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    try {
+      Shard.writeSharded(docs, "doc_id", 8, dir)
+      val back = spark.read.parquet(dir)
+        .withColumn("file", input_file_name())
+      // shard column survives the partitioned write and matches the
+      // content formula
+      val expected = Shard.assign(docs, "doc_id", 8)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = back.select(col("doc_id"),
+          col("shard").cast("long"), col("file")).collect()
+      assert(got.length === expected.size)
+      got.foreach { r =>
+        assert(r.getLong(1) === expected(r.getLong(0)))
+        // file path encodes exactly the row's shard (directory purity)
+        assert(r.getString(2).contains(s"shard=${r.getLong(1)}"))
+      }
+      // intra-shard order: each file's rows appear sorted by the
+      // reproducible shuffle key (parquet preserves write order)
+      val orderKeys = Shard.orderKey(col("doc_id"), "ord:")
+      val byFile = back
+        .select(col("file"), col("doc_id"),
+          monotonically_increasing_id().as("pos"), orderKeys.as("ok"))
+        .collect().groupBy(_.getString(0))
+      byFile.values.foreach { rows =>
+        val inOrder = rows.sortBy(_.getLong(2)).map(_.getString(3)).toSeq
+        assert(inOrder === inOrder.sorted, "intra-shard order broken")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
