@@ -756,8 +756,118 @@ ORDER BY id_a, id_b"""
         .orderBy("doc_id")
     })
 
+  /** Leakage-free train/valid/test split: the content-hash split
+    * (q_sample_hash) keyed on the near-dup CLUSTER representative
+    * instead of the document — two near-duplicates can never straddle
+    * train and test, the leakage a naive per-doc split permits and
+    * eval-set contamination audits exist to catch. Composition:
+    * LSH pairs → connected components → canonical id → md5 bucket of
+    * the canonical id → 80/10/10. Thresholds are integer LITERALS on
+    * both sides (0.8·2³² truncates in Scala but rounds under DuckDB's
+    * CAST — spelling 3435973836 avoids the boundary divergence). The
+    * every-member-shares-its-cluster's-split invariant is structural;
+    * DedupSpec asserts it anyway. */
+  val leakageSplit = QueryDef(
+    "q_leakage_split",
+    Some(s"""${sqlShingleCte(3).replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              AND len(a.shingles) * 10 >= len(b.shingles) * 9
+              AND len(b.shingles) * 10 >= len(a.shingles) * 9
+            WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.9),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(src, dst) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+          canon AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+            FROM reach GROUP BY src),
+          spl AS (
+            SELECT d.doc_id,
+                   COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN canon c USING (doc_id)),
+          u AS (
+            SELECT doc_id, canonical_id,
+                   CAST('0x' || substring(md5('split:'
+                     || CAST(canonical_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     AS ub
+            FROM spl)
+          SELECT doc_id, canonical_id,
+                 CASE WHEN ub < 3435973836 THEN 'train'
+                      WHEN ub < 3865470566 THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM u ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      val clustered = Dedup.clusterKeepMin(
+        docs.select("doc_id"), "doc_id", pairs)
+      val ub = graft.ops.Sampling.hashBucket(col("canonical_id"), "split:")
+      clustered.select(col("doc_id"), col("canonical_id"),
+          when(ub < 3435973836L, "train")
+            .when(ub < 3865470566L, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    })
+
+  /** md5-derived Rademacher sign: ±1 from the parity of the first hex
+    * nibble of md5(key) — the portable analogue of a seeded ±1 draw. */
+  private def rpSign(key: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    1 - 2 * ((d(0) >> 4) & 1)
+  }
+
+  /** Random-projection dimension reduction (Achlioptas '01: a ±1
+    * Rademacher matrix satisfies Johnson–Lindenstrauss — no Gaussian
+    * needed), 64 → 16 dims. The sign matrix is derived from md5, so
+    * it is reproducible on any cluster AND re-derivable by the oracle
+    * in SQL; each projected coordinate is a left-to-right fold of
+    * exact ±embedding[i] doubles (float→double widening and sign
+    * flips are exact), so projections hash-match UNROUNDED. Spark
+    * inlines the 16×64 sign matrix as literals (model metadata —
+    * zero per-row hashing); the oracle recomputes it from md5 to pin
+    * the derivation itself. Scale shape: shuffle-free scan, output is
+    * 4× narrower — the standard pre-ANN compaction. */
+  val embedRp = QueryDef(
+    "q_embed_rp",
+    Some("""WITH w AS (
+              SELECT j, list_transform(range(1, 65),
+                       i -> 1 - 2 * (CAST('0x' || substring(
+                         md5('rp:' || j || ':' || i), 1, 1) AS INT) % 2))
+                       AS s
+              FROM (SELECT unnest(range(1, 17)) AS j)),
+            proj AS (
+              SELECT e.vec_id, w.j,
+                     list_reduce(list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * w.s[i]),
+                       (a, b) -> a + b) AS p
+              FROM embeddings e, w)
+            SELECT vec_id, CAST(j AS INT) AS dim, p AS proj
+            FROM proj ORDER BY vec_id, dim"""),
+    (s, d) => {
+      val projStructs = (1 to 16).map { j =>
+        val signs = (1 to 64).map(i => rpSign(s"rp:$j:$i")).toArray
+        struct(lit(j).as("dim"),
+          aggregate(
+            zip_with(col("embedding"), lit(signs),
+              (e, sg) => e.cast("double") * sg),
+            lit(0.0), (a, x) => a + x).as("proj"))
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(array(projStructs: _*)).as("pr"))
+        .select(col("vec_id"), col("pr.dim").as("dim"),
+          col("pr.proj").as("proj"))
+        .orderBy("vec_id", "dim")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
-    annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep)
+    annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep, leakageSplit,
+    embedRp)
 }

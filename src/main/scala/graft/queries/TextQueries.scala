@@ -855,8 +855,75 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Cross-document boilerplate-line removal (the FineWeb/RefinedWeb
+    * device: a line appearing in ≥ K distinct documents is page
+    * furniture — headers, footers, nav — and is dropped from every
+    * document). Complements q_dup_lines (WITHIN-doc repetition) and
+    * q_line_clean (per-line quality): this one needs corpus-global
+    * line frequencies. Scale shape: the document-frequency count
+    * groups on md5(line) — a fixed-width shuffle key, the text itself
+    * never shuffles for the count — and the boilerplate set joined
+    * back is only the lines over threshold. Counts and strings are
+    * exact, so the oracle rebuilds every cleaned document
+    * byte-for-byte. */
+  val boilerplateLines = QueryDef(
+    "q_boilerplate_lines",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(text,
+                       ' a | the | row | key | value | data ',
+                       chr(10), 'g'), chr(10)),
+                       l -> len(l) > 0) AS ls
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest(range(1, CAST(len(ls) AS INT) + 1)) AS pos,
+                     ls
+              FROM t),
+            e2 AS (
+              SELECT doc_id, pos, ls[pos] AS line, md5(ls[pos]) AS h
+              FROM e),
+            lc AS (
+              SELECT h, COUNT(DISTINCT doc_id) AS df FROM e2 GROUP BY h),
+            b AS (SELECT h FROM lc WHERE df >= 20),
+            m AS (
+              SELECT e2.doc_id, e2.pos, e2.line,
+                     (b.h IS NOT NULL) AS is_b
+              FROM e2 LEFT JOIN b ON e2.h = b.h)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_boiler,
+                   COALESCE(array_to_string(
+                     list(line ORDER BY pos) FILTER (NOT is_b),
+                     chr(10)), '') AS cleaned_text
+            FROM m GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val relined = regexp_replace(col("text"),
+        " a | the | row | key | value | data ", "\n")
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), Text.lines(relined).as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+        .withColumn("h", md5(col("line")))
+      val boiler = e.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 20)
+        .select(col("h"), lit(true).as("is_b"))
+      e.join(boiler, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boiler"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("is_b").isNull,
+                struct(col("pos"), col("line"))))),
+            st => st.getField("line")), "\n").as("cleaned_text"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges, bpeEncode, lmScore, hashClassifier, lineClean)
+    bpeMerges, bpeEncode, lmScore, hashClassifier, lineClean,
+    boilerplateLines)
 }
