@@ -710,12 +710,15 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * hashed to 1024 buckets (portable md5). The supervision is the
     * corpus's own `lang` label (train "is this English?" — the same
     * shape as a curated-vs-crawl quality model), and the classifier
-    * genuinely learns it: ~84% accuracy at sf0.01 from hashed counts
-    * alone. The oracle re-derives the full fit in SQL — identical
-    * class-conditional counts, add-1 smoothing over the same occupied-
-    * bucket set, same prior — and re-scores every document; margins
-    * are aggregated log-weight sums, so both sides qround(6) and the
-    * prediction compares the QUANTIZED margin. */
+    * genuinely learns it from hashed counts alone. Training reads only
+    * a 50% content-hash sample (md5-keyed, so the oracle selects the
+    * identical training set) — the realistic shape: labeled data is
+    * small, the corpus being scored is not, and the fit's cost must
+    * not scale with the corpus. The oracle re-derives the full fit in
+    * SQL — identical class-conditional counts, add-1 smoothing over
+    * the same occupied-bucket set, same prior — and re-scores every
+    * document; margins are aggregated log-weight sums, so both sides
+    * qround(6) and the prediction compares the QUANTIZED margin. */
   val hashClassifier = QueryDef(
     "q_hash_classifier",
     Some(s"""WITH base AS (
@@ -742,13 +745,18 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                           AS BIGINT) % 1024 AS bucket,
                      CAST(COUNT(*) AS BIGINT) AS x
               FROM fl GROUP BY 1, 2),
+            tr AS (
+              SELECT doc_id, y FROM base
+              WHERE CAST('0x' || substring(md5('qctrain:'
+                      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    < 2147483648),
             cc AS (
               SELECT ft.bucket,
                      CAST(SUM(CASE WHEN b.y = 1.0 THEN ft.x ELSE 0 END)
                           AS BIGINT) AS cp,
                      CAST(SUM(CASE WHEN b.y = 0.0 THEN ft.x ELSE 0 END)
                           AS BIGINT) AS cn
-              FROM ft JOIN base b USING (doc_id) GROUP BY ft.bucket),
+              FROM ft JOIN tr b USING (doc_id) GROUP BY ft.bucket),
             tot AS (
               SELECT CAST(SUM(cp) AS BIGINT) AS np,
                      CAST(SUM(cn) AS BIGINT) AS nn,
@@ -764,11 +772,12 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                              AS DOUBLE) /
                         CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
                              AS DOUBLE)) AS bias
-              FROM base),
+              FROM tr),
             fin AS (
-              SELECT ft.doc_id, SUM(w.w * ft.x) AS s,
+              SELECT ft.doc_id,
+                     SUM(COALESCE(w.w, 0.0) * ft.x) AS s,
                      CAST(SUM(ft.x) AS BIGINT) AS n_feats
-              FROM ft JOIN w USING (bucket) GROUP BY ft.doc_id)
+              FROM ft LEFT JOIN w USING (bucket) GROUP BY ft.doc_id)
             SELECT f.doc_id, f.n_feats,
                    ${graft.functions.Num.qroundSql("f.s + p.bias", 6)}
                      AS margin,
@@ -781,22 +790,29 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
             ORDER BY f.doc_id"""),
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val labels = docs.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val feats = graft.ops.Scoring
-        .featureCounts(docs, "doc_id", col("text"), 1024)
+      def labelsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      // fit on the 50% labeled sample only
+      val train = graft.ops.Sampling
+        .hashSample(docs, "doc_id", 0.5, "qctrain:")
+      val featsTrain = graft.ops.Scoring
+        .featureCounts(train, "doc_id", col("text"), 1024)
         .persist()
-      val m = graft.ops.Scoring.trainNaiveBayes(feats, labels, "doc_id")
+      val m = graft.ops.Scoring
+        .trainNaiveBayes(featsTrain, labelsOf(train), "doc_id")
+      featsTrain.unpersist()
+      // score the whole corpus
+      val featsAll = graft.ops.Scoring
+        .featureCounts(docs, "doc_id", col("text"), 1024)
       val margin = graft.functions.Num.qround(
         col("margin") + lit(m.bias), 6)
-      val out = graft.ops.Scoring.marginsUnder(feats, "doc_id", m.w)
-        .join(labels, "doc_id")
+      graft.ops.Scoring.marginsUnder(featsAll, "doc_id", m.w)
+        .join(labelsOf(docs), "doc_id")
         .select(col("doc_id"), col("n_feats"), margin.as("margin"),
           (margin > 0).as("pred"),
           (col("y") === 1.0).as("is_en"))
         .orderBy("doc_id")
-      feats.unpersist()
-      out
     })
 
   /** C4-style line-level cleaning (the other granularity of quality
@@ -921,9 +937,55 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Unicode NFC normalization (functions.UnicodeNormalize — a
+    * codegen'd wrapper over the JDK's UAX #15 implementation; Spark
+    * has no built-in). The ASCII fixture can't exercise composition,
+    * so mixed-form strings are PLANTED deterministically (the
+    * q_pii_scrub device): doc_id%3==0 gets a decomposed e+U+0301
+    * prefix (changes under NFC), %3==1 a precomposed U+00E9 prefix
+    * (already normal), the rest stay ASCII. Unicode's stability
+    * policy makes NFC engine-portable, so the oracle's nfc_normalize
+    * must agree byte-for-byte. */
+  val unicodeNfc = QueryDef(
+    "q_unicode_nfc",
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                            THEN 'cafe' || chr(769) || ' ' || text
+                          WHEN doc_id % 3 = 1
+                            THEN chr(233) || 'clair ' || text
+                          ELSE text END AS planted
+              FROM documents),
+            n AS (
+              SELECT doc_id, planted,
+                     nfc_normalize(planted) AS normalized_text
+              FROM p)
+            SELECT doc_id, normalized_text,
+                   (normalized_text != planted) AS changed,
+                   CAST(len(planted) AS BIGINT) AS n_chars_before,
+                   CAST(len(normalized_text) AS BIGINT) AS n_chars_after
+            FROM n ORDER BY doc_id"""),
+    (s, d) => {
+      val planted = when(col("doc_id") % 3 === 0,
+          concat(lit("cafe\u0301 "), col("text")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("\u00e9clair "), col("text")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("planted"))
+        .select(col("doc_id"), col("planted"),
+          graft.functions.NormalizeFunctions.nfc(col("planted"))
+            .as("normalized_text"))
+        .select(col("doc_id"), col("normalized_text"),
+          (col("normalized_text") =!= col("planted")).as("changed"),
+          length(col("planted")).cast("long").as("n_chars_before"),
+          length(col("normalized_text")).cast("long").as("n_chars_after"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, hashClassifier, lineClean,
-    boilerplateLines)
+    boilerplateLines, unicodeNfc)
 }
