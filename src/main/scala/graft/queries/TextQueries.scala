@@ -802,16 +802,17 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       val m = graft.ops.Scoring
         .trainNaiveBayes(featsTrain, labelsOf(train), "doc_id")
       featsTrain.unpersist()
-      // score the whole corpus
-      val featsAll = graft.ops.Scoring
-        .featureCounts(docs, "doc_id", col("text"), 1024)
+      // score the whole corpus: a pure per-row scan (inlineMargin
+      // folds w[bucket(f)] over the feature sequence — no explode,
+      // no shuffle) with the label read off the same row
       val margin = graft.functions.Num.qround(
-        col("margin") + lit(m.bias), 6)
-      graft.ops.Scoring.marginsUnder(featsAll, "doc_id", m.w)
-        .join(labelsOf(docs), "doc_id")
-        .select(col("doc_id"), col("n_feats"), margin.as("margin"),
+        graft.ops.Scoring.inlineMargin(col("text"), 1024, m.w) +
+          lit(m.bias), 6)
+      docs.select(col("doc_id"),
+          graft.ops.Scoring.inlineFeatureCount(col("text")).as("n_feats"),
+          margin.as("margin"),
           (margin > 0).as("pred"),
-          (col("y") === 1.0).as("is_en"))
+          (col("lang") === "en").as("is_en"))
         .orderBy("doc_id")
     })
 

@@ -145,6 +145,27 @@ object Stress {
     timeShuffle("chunker 64/16, 1M docs") {
       graft.ops.Chunker.chunk(docs, "id", "text", 64, 16).count()
     }
+    // model-based scoring at 1M docs: the LM fit is one token-count
+    // shuffle + a 64-row collect; scoring is a shuffle-free scan with
+    // the model inlined as a literal map
+    timeShuffle("unigram-LM fit + score 1M docs") {
+      val m = graft.ops.Scoring.fitUnigram(docs, col("text"), 64)
+      docs.select(graft.ops.Scoring.crossEntropy(col("text"), m).as("x"))
+        .agg(sum("x")).collect().head.getDouble(0).round
+    }
+    // hashed-NB: fit on a bounded 100k labeled subset (one count
+    // shuffle), then score all 1M with the shuffle-free inline fold;
+    // the only driver state is the 1024-bucket weight vector
+    timeShuffle("hashed-NB fit 100k + score 1M docs") {
+      val labels = docs.select(col("id"),
+        (col("id") % 2).cast("double").as("y"))
+      val train = docs.filter(col("id") % 10 === 0)
+      val ft = graft.ops.Scoring.featureCounts(train, "id", col("text"), 1024)
+      val m = graft.ops.Scoring.trainNaiveBayes(ft, labels, "id")
+      docs.select(graft.ops.Scoring
+          .inlineMargin(col("text"), 1024, m.w).as("margin"))
+        .filter(col("margin") > 0).count()
+    }
 
     // the flagship dictionary-driven pipeline at ~75000x the fixture
     // size: 300k-row SBP/NSLP TSVs through ingest->clean->derive->join

@@ -145,6 +145,39 @@ class PlanSpec extends SparkSuite {
       assert(!s.contains("text#"), s"text shuffled:\n$s"))
   }
 
+  test("q_lm_score / q_hash_classifier: scoring is a scan — the only " +
+      "exchanges are the final sort") {
+    // both model-based scorers inline the model as a literal; the
+    // scored corpus must not shuffle (fit-side jobs run at plan build
+    // and are not part of this plan)
+    Seq("q_lm_score", "q_hash_classifier").foreach { q =>
+      val p = plan(q)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
+        s"$q scoring scan gained a shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q scoring must be join-free:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"$q scoring must be per-row only:\n$p")
+    }
+  }
+
+  test("q_boilerplate_lines: whole documents never cross a shuffle") {
+    val p = plan("q_boilerplate_lines")
+    // individual lines legitimately cross the reassembly join and the
+    // final sort ships cleaned_text; the raw document column `text#`
+    // must not appear in any exchange (the df-count shuffles md5 keys)
+    p.split("\\n\\(").filter(_.contains("Exchange"))
+      .foreach(s => assert(!"(?<!cleaned_)text#".r.findFirstIn(s).isDefined,
+        s"raw text shuffled:\n$s"))
+  }
+
+  test("q_shard_stats: assignment is expression-only before one agg shuffle") {
+    val p = plan("q_shard_stats")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"shard stats should shuffle once for the agg + once for sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"map-side partials expected:\n$p")
+  }
+
   test("plan sweep: no product join anywhere on the whole query surface") {
     // Deliberate exceptions, each an EXACT baseline whose scale path
     // is a separate query: brute-force ANN scores the broadcast query

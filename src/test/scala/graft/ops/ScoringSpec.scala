@@ -86,6 +86,38 @@ class ScoringSpec extends SparkSuite {
     assert(a.w === b.w) // exact: weights derive from integer counts
   }
 
+  test("inlineMargin ≡ counted margins (scoring-path equivalence)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val feats = Scoring.featureCounts(docs, "doc_id", col("text"), 1024)
+    val m = Scoring.trainNaiveBayes(feats, labels, "doc_id")
+    val counted = Scoring.marginsUnder(feats, "doc_id", m.w)
+      .select("doc_id", "margin", "n_feats").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val inline = docs.select(col("doc_id"),
+        Scoring.inlineMargin(col("text"), 1024, m.w).as("margin"),
+        Scoring.inlineFeatureCount(col("text")).as("n_feats"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(inline.keySet === counted.keySet)
+    inline.foreach { case (id, (mi, ni)) =>
+      val (mc, nc) = counted(id)
+      assert(ni === nc)
+      // same sum, different association order: float-fold tolerance
+      assert(math.abs(mi - mc) <= 1e-9 * math.max(1.0, math.abs(mc)),
+        s"doc $id: inline $mi vs counted $mc")
+    }
+    // the fused kernel is BIT-identical to the composed fold (same
+    // feature order, same per-feature weights, same 0.0 seed)
+    val composed = docs.select(col("doc_id"),
+        Scoring.inlineMarginComposed(col("text"), 1024, m.w).as("margin"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    inline.foreach { case (id, (mi, _)) =>
+      assert(mi === composed(id), s"doc $id: kernel $mi != composed")
+    }
+  }
+
   test("lang-ID distillation beats the prior on the real corpus") {
     val docs = Tables.documents(spark, Sf0001)
     val labels = docs.select(col("doc_id"),
