@@ -90,6 +90,45 @@ object HashedBagMargin {
     (u % nBuckets).toInt
   }
 
+  /** Bucket-sequence kernel (see [[HashedBagBuckets]]): same walk,
+    * collects bucket ids instead of folding weights. */
+  def computeBuckets(s: UTF8String, nBuckets: Int,
+      salt: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val md = digest.get()
+    val n = bytes.length
+    var spans = new Array[Int](32)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isSpace(bytes(i))) i += 1
+        if (nTok * 2 + 2 > spans.length)
+          spans = java.util.Arrays.copyOf(spans, spans.length * 2)
+        spans(nTok * 2) = start
+        spans(nTok * 2 + 1) = i
+        nTok += 1
+      }
+    }
+    val out = new Array[Int](if (nTok >= 2) nTok * 2 - 1 else nTok)
+    var t = 0
+    while (t < nTok) {
+      out(t) = bucketOf(md, salt, bytes,
+        spans(t * 2), spans(t * 2 + 1), -1, -1, nBuckets)
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      out(nTok + t) = bucketOf(md, salt, bytes,
+        spans(t * 2), spans(t * 2 + 1),
+        spans(t * 2 + 2), spans(t * 2 + 3), nBuckets)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Static kernel called from generated code. */
   def compute(s: UTF8String, w: Array[Double],
       salt: Array[Byte]): Double = {
@@ -132,6 +171,42 @@ object HashedBagMargin {
   }
 }
 
+/** The bucket SEQUENCE twin of [[HashedBagMargin]] for the training
+  * side: emits the per-feature bucket ids (unigrams then bigrams, in
+  * order) as array<int>, so feature counting is explode + groupBy over
+  * ints — same one-pass byte walk, no feature-string materialization.
+  * Bit-compatible with [[graft.ops.Scoring.featureBucket]] by the same
+  * argument as the margin kernel. */
+case class HashedBagBuckets(child: Expression, buckets: Int,
+    salt: String) extends UnaryExpression {
+
+  require(buckets > 0, "buckets must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "hashed_bag_buckets"
+  override def nullable: Boolean = true
+
+  @transient private lazy val saltBytes: Array[Byte] =
+    salt.getBytes("UTF-8")
+
+  override def nullSafeEval(input: Any): Any =
+    HashedBagMargin.computeBuckets(
+      input.asInstanceOf[UTF8String], buckets, saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("hbbSalt", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashedBagMargin.computeBuckets(
+        $c, $buckets, $s);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ScoringFunctions {
   /** Fused margin Σ w[bucket(f)] over unigrams+bigrams of `c` (see
     * [[HashedBagMargin]]); `weights` is the dense per-bucket vector. */
@@ -139,4 +214,9 @@ object ScoringFunctions {
       salt: String): Column =
     ColumnBridge.column(
       HashedBagMargin(ColumnBridge.expression(c), weights, salt))
+
+  /** Per-feature bucket ids of `c`'s unigrams+bigrams, in order. */
+  def hashedBagBuckets(c: Column, buckets: Int, salt: String): Column =
+    ColumnBridge.column(
+      HashedBagBuckets(ColumnBridge.expression(c), buckets, salt))
 }

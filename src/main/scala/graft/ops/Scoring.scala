@@ -74,6 +74,71 @@ object Scoring {
     -s / nullif(size(toks).cast("double"), lit(0.0))
   }
 
+  // ------------------------------------------------------- bigram LM
+
+  /** Bigram model over the CLASS alphabet of a fitted [[UnigramModel]]
+    * (top-K tokens + <unk> = K+1 classes): conditional add-1
+    * probabilities p(b|a) = (c(ab)+1)/(c(a·)+K+1), where c(a·) is a's
+    * occurrences as a left context. Mapping tokens to a bounded class
+    * alphabet FIRST is what keeps the bigram table bounded — (K+1)²
+    * cells of driver metadata — instead of |V|², which is the
+    * difference between a broadcastable model and a join at 100 TB. */
+  final case class BigramModel(uni: UnigramModel,
+      pairCounts: Map[(Int, Int), Long]) {
+    val k: Int = uni.top.size + 1 // class count incl. <unk>
+    private val leftTotals: Map[Int, Long] =
+      pairCounts.groupMapReduce(_._1._1)(_._2)(_ + _)
+    def logp(a: Int, b: Int): Double =
+      math.log((pairCounts.getOrElse((a, b), 0L) + 1.0) /
+        (leftTotals.getOrElse(a, 0L) + k.toDouble)) / math.log(2.0)
+    /** Dense row-major (K+1)² log-prob table for O(1) scan lookups. */
+    def dense: Array[Double] =
+      Array.tabulate(k * k)(i => logp(i / k, i % k))
+  }
+
+  /** Class id of a token under the model's vocab (top index, else K). */
+  private def classIds(textCol: Column, m: UnigramModel): Column = {
+    val clsMap = map(m.top.zipWithIndex.flatMap { case ((t, _), i) =>
+      Seq(lit(t), lit(i)) }: _*)
+    transform(Text.tokens(textCol),
+      t => coalesce(element_at(clsMap, t), lit(m.top.size)))
+  }
+
+  /** Fit bigram pair counts over class ids — one shuffle, ≤ (K+1)²
+    * result rows. */
+  def fitBigram(docs: DataFrame, textCol: Column,
+      uni: UnigramModel): BigramModel = {
+    val cls = classIds(textCol, uni)
+    val pairs = docs.select(explode(zip_with(
+        slice(cls, lit(1), greatest(size(cls) - 1, lit(0))),
+        slice(cls, lit(2), greatest(size(cls) - 1, lit(0))),
+        (a, b) => a * (uni.top.size + 1) + b)).as("ab"))
+      .groupBy("ab").agg(count(lit(1)).as("c"))
+      .collect()
+      .map { r =>
+        val ab = r.getInt(0); val k = uni.top.size + 1
+        (ab / k, ab % k) -> r.getLong(1)
+      }.toMap
+    BigramModel(uni, pairs)
+  }
+
+  /** Per-document conditional cross-entropy −(1/(n−1))·Σ log2
+    * p(cᵢ|cᵢ₋₁) — shuffle-free: class mapping + a dense (K+1)²
+    * log-prob array literal, O(1) per pair. NULL for docs with < 2
+    * tokens. */
+  def bigramCrossEntropy(textCol: Column, m: BigramModel): Column = {
+    val cls = classIds(textCol, m.uni)
+    val table = lit(m.dense)
+    val idx = zip_with(
+      slice(cls, lit(1), greatest(size(cls) - 1, lit(0))),
+      slice(cls, lit(2), greatest(size(cls) - 1, lit(0))),
+      (a, b) => a * m.k + b)
+    val s = aggregate(
+      transform(idx, i => element_at(table, i + 1)),
+      lit(0.0), (a, x) => a + x)
+    when(size(cls) >= 2, -s / (size(cls) - 1).cast("double"))
+  }
+
   // ------------------------------------------------- hashed linear model
 
   /** Portable feature hash: md5 keeps the bucketing engine-agnostic
@@ -84,9 +149,22 @@ object Scoring {
 
   /** Hashed bag-of-features design matrix in sparse triplet form:
     * (id, bucket, x) with x the integer collision-summed count of the
-    * document's unigrams + bigrams in that bucket. */
+    * document's unigrams + bigrams in that bucket. Buckets come from
+    * the fused one-pass kernel (no feature-string materialization —
+    * the composed explode-strings-then-md5 form was the training-side
+    * bottleneck); only ints reach the explode + groupBy. */
   def featureCounts(docs: DataFrame, idCol: String, textCol: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.ScoringFunctions
+          .hashedBagBuckets(textCol, buckets, "qc:")).as("b"))
+      .select(col(idCol), col("b").cast("long").as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("x"))
+
+  /** Composed-Column form of [[featureCounts]] — the cross-check the
+    * bucket kernel is pinned against in ScoringSpec. */
+  private[graft] def featureCountsComposed(docs: DataFrame, idCol: String,
+      textCol: Column, buckets: Int): DataFrame = {
     val feats = concat(Text.tokens(textCol), Text.wordNgramsAll(textCol, 2))
     docs.select(col(idCol), explode(feats).as("f"))
       .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
@@ -115,7 +193,10 @@ object Scoring {
     * `labels` must carry (idCol, y) with y ∈ {0.0, 1.0}. */
   def trainNaiveBayes(feats: DataFrame, labels: DataFrame,
       idCol: String): NbModel = {
-    val cc = feats.join(labels, idCol)
+    // labels = the labeled sample (bounded by contract) — broadcast,
+    // so the count pass is scan → explode → one fixed-width groupBy,
+    // never a shuffle join on doc id
+    val cc = feats.join(broadcast(labels), idCol)
       .groupBy("bucket")
       .agg(sum(when(col("y") === 1.0, col("x")).otherwise(0L))
              .cast("long").as("cp"),

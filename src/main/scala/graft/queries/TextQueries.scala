@@ -704,6 +704,75 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Bigram-LM conditional cross-entropy (X44's depth step: CCNet's
+    * actual filter is an n-gram model, not a unigram one). Tokens are
+    * first mapped onto the unigram model's bounded CLASS alphabet
+    * (top-24 + <unk>), so the bigram table is (K+1)² driver cells —
+    * broadcastable at any corpus size, where a raw-token bigram table
+    * would be |V|². Fit = one pair-count shuffle; scoring = shuffle-
+    * free scan over a dense log-prob array literal (O(1) per pair).
+    * The oracle re-derives vocab, class ids, pair counts, left-context
+    * totals, and add-1 conditionals, then re-scores; qround(6). */
+  val lmBigram = QueryDef(
+    "q_lm_bigram",
+    Some(s"""WITH tk0 AS (
+               SELECT doc_id, $sqlToks AS toks FROM documents),
+             pos AS (
+               SELECT doc_id,
+                      unnest(range(1, CAST(len(toks) AS INT) + 1)) AS p,
+                      toks
+               FROM tk0),
+             tok AS (SELECT doc_id, p, toks[p] AS tok FROM pos),
+             cnt AS (
+               SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tok GROUP BY tok),
+             top AS (
+               SELECT tok, rn - 1 AS cid FROM (
+                 SELECT tok, c,
+                        row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+                 FROM cnt) WHERE rn <= 24),
+             kk AS (SELECT CAST(COUNT(*) AS BIGINT) + 1 AS k FROM top),
+             cls AS (
+               SELECT t.doc_id, t.p,
+                      COALESCE(tp.cid, (SELECT k FROM kk) - 1) AS cid
+               FROM tok t LEFT JOIN top tp USING (tok)),
+             pr AS (
+               SELECT a.doc_id, a.cid AS ca, b.cid AS cb
+               FROM cls a JOIN cls b
+                 ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+             pc AS (
+               SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS c
+               FROM pr GROUP BY ca, cb),
+             lt AS (
+               SELECT ca, CAST(SUM(c) AS BIGINT) AS t
+               FROM pc GROUP BY ca),
+             sc AS (
+               SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+                      SUM(log2((pc.c + 1.0) /
+                               (lt.t + (SELECT k FROM kk)))) AS sm
+               FROM pr
+                    JOIN pc USING (ca, cb)
+                    JOIN lt USING (ca)
+               GROUP BY pr.doc_id)
+             SELECT t.doc_id,
+                    CAST(COALESCE(sc.np, 0) AS BIGINT) AS n_pairs,
+                    ${graft.functions.Num.qroundSql(
+                      "-sc.sm / sc.np", 6)} AS xent2
+             FROM tk0 t LEFT JOIN sc ON t.doc_id = sc.doc_id
+             ORDER BY t.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = graft.ops.Scoring.fitUnigram(docs, col("text"), 24)
+      val big = graft.ops.Scoring.fitBigram(docs, col("text"), uni)
+      val nToks = size(Text.tokens(col("text")))
+      docs.select(col("doc_id"),
+          greatest(nToks - 1, lit(0)).cast("long").as("n_pairs"),
+          graft.functions.Num.qround(
+            graft.ops.Scoring.bigramCrossEntropy(col("text"), big), 6)
+            .as("xent2"))
+        .orderBy("doc_id")
+    })
+
   /** Hashed-linear quality classifier (X: the fastText device —
     * "looks like curated text" models in GPT-3/LLaMA-style pipelines),
     * trained as multinomial Naive Bayes over unigram+bigram features
@@ -987,6 +1056,6 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges, bpeEncode, lmScore, hashClassifier, lineClean,
+    bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier, lineClean,
     boilerplateLines, unicodeNfc)
 }

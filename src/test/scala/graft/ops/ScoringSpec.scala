@@ -57,6 +57,19 @@ class ScoringSpec extends SparkSuite {
     assert(bs.forall(b => b >= 0 && b < 64))
   }
 
+  test("bucket kernel ≡ composed featureCounts (training-side parity)") {
+    val docs = Tables.documents(spark, Sf0001).limit(100)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernel = triples(
+      Scoring.featureCounts(docs, "doc_id", col("text"), 1024))
+    val composed = triples(
+      Scoring.featureCountsComposed(docs, "doc_id", col("text"), 1024))
+    assert(kernel === composed)
+    assert(kernel.nonEmpty)
+  }
+
   test("naive Bayes separates a separable corpus exactly") {
     val docs = Seq(
       (0L, "spark scala shuffle partition", 1.0),
