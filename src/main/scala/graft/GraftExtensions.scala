@@ -79,7 +79,26 @@ object GraftExtensions {
     "repetition_stats" -> (args => RepetitionStats(args.head)),
     "bottom_k" -> (args => BottomK(args.head, intArg(args(1), "k"))),
     "z_value" -> (args =>
-      ZValue(args.head, args(1), intArg(args(2), "bits"))))
+      ZValue(args.head, args(1), intArg(args(2), "bits"))),
+    "cms_sketch" -> { args =>
+      CmsSketch(args.head, intArg(args(1), "depth"),
+        intArg(args(2), "width"))
+    },
+    "unicode_normalize" -> { args =>
+      UnicodeNormalize(args.head, args(1) match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal, got $other")
+      })
+    },
+    "hashed_bag_buckets" -> { args =>
+      HashedBagBuckets(args.head, intArg(args(1), "buckets"),
+        if (args.length > 2) args(2) match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"salt must be a string literal, got $other")
+        } else "qc:")
+    })
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

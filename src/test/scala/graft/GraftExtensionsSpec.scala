@@ -32,6 +32,39 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getSeq[Long](1).toSet === expected)
   }
 
+  test("round-6 kernels callable from SQL: nfc, bag buckets, cms") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT unicode_normalize('café', 'NFC') AS n,
+             hashed_bag_buckets('a b c', 64) AS hb,
+             size(hashed_bag_buckets('a b c', 64)) AS nhb
+    """).collect().head
+    assert(r.getString(0) === "caf\u00e9")
+    assert(r.getInt(2) === 5) // 3 unigrams + 2 bigrams
+    // buckets agree with the Column API
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val viaCol = Seq("a b c").toDF("t")
+      .select(graft.functions.ScoringFunctions
+        .hashedBagBuckets(col("t"), 64, "qc:").as("b"))
+      .collect().head.getSeq[Int](0)
+    assert(r.getSeq[Int](1) === viaCol)
+    // cms_sketch aggregate takes the per-row CELL INDICES (one per
+    // sketch row, as the query surface derives them)
+    val c = spark.sql("""
+      SELECT cms_sketch(cells, 2, 32) AS sk
+      FROM (SELECT array(
+              CAST(conv(substring(md5('cms0:' || v), 1, 8), 16, 10)
+                   AS BIGINT) % 32,
+              CAST(conv(substring(md5('cms1:' || v), 1, 8), 16, 10)
+                   AS BIGINT) % 32) AS cells
+            FROM (SELECT explode(array('x','x','y')) AS v))
+    """).collect().head
+    assert(!c.isNullAt(0))
+    // total mass per sketch row = 3 observations
+    assert(c.getSeq[Long](0).sum === 6L)
+  }
+
   test("hyperplane_buckets callable from SQL, agrees with Column API") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

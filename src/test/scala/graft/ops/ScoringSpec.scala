@@ -57,6 +57,33 @@ class ScoringSpec extends SparkSuite {
     assert(bs.forall(b => b >= 0 && b < 64))
   }
 
+  test("bag kernels match composed forms on multibyte/edge inputs") {
+    // the kernels walk raw UTF-8 bytes; multibyte codepoints, mixed
+    // whitespace (tab/CR/LF/VT/FF), empty and single-token strings
+    // must bucket exactly like the string-level composed form
+    val edge = Seq(
+      "",
+      "solo",
+      "café naïve 中文 中文词",
+      "a\tb\rc\nde\ff",
+      "  leading and trailing  ",
+      "é́ composed́marks").toDF("text")
+        .withColumn("id", monotonically_increasing_id())
+    val w = (0L until 64L).map(b => b -> (b * 0.25 - 8.0)).toMap
+    val kernel = edge.select(col("id"),
+        Scoring.inlineMargin(col("text"), 64, w).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val composed = edge.select(col("id"),
+        Scoring.inlineMarginComposed(col("text"), 64, w).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel === composed)
+    val kc = Scoring.featureCounts(edge, "id", col("text"), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cc = Scoring.featureCountsComposed(edge, "id", col("text"), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kc === cc)
+  }
+
   test("bucket kernel ≡ composed featureCounts (training-side parity)") {
     val docs = Tables.documents(spark, Sf0001).limit(100)
     def triples(df: org.apache.spark.sql.DataFrame) =
