@@ -150,7 +150,7 @@ class PlanSpec extends SparkSuite {
     // both model-based scorers inline the model as a literal; the
     // scored corpus must not shuffle (fit-side jobs run at plan build
     // and are not part of this plan)
-    Seq("q_lm_score", "q_hash_classifier").foreach { q =>
+    Seq("q_lm_score", "q_lm_bigram", "q_hash_classifier").foreach { q =>
       val p = plan(q)
       assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1,
         s"$q scoring scan gained a shuffle:\n$p")
