@@ -513,7 +513,109 @@ object CurationQueries {
         max("doc_id").as("max_doc"))
       .orderBy("shard"))
 
+  /** Token-budget corpus selection (X52a): rank the corpus by quality
+    * and keep the best documents until a token budget is exhausted —
+    * "the best 10B tokens", the curation decision every budgeted
+    * training run makes. Quality is the element-wise q_text_quality
+    * score (bit-identical across engines), ties broken by doc_id, the
+    * running total an exact integer cumsum; the kept set is therefore
+    * exactly reproducible. The global cumsum is inherently sequential
+    * — at corpus scale it becomes the standard two-pass form
+    * (per-partition partial sums → broadcast prefix offsets, the
+    * `CleanPipeline.scalableRowKey` device); the fixture query keeps
+    * the one-window formulation the oracle can mirror directly. */
+  val tokenBudget = QueryDef(
+    "q_token_budget",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0) AS toks,
+                     text
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     (LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3 +
+                      GREATEST(0.0, 1.0 -
+                        CAST(len(text) - len(regexp_replace(text,
+                          '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) /
+                          NULLIF(CAST(len(text) AS DOUBLE), 0.0) * 4.0)
+                        * 0.2) AS score
+              FROM t),
+            r AS (
+              SELECT doc_id, n_tokens, score,
+                     SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+              FROM q)
+            SELECT doc_id, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                   (cum_tokens <= 15000) AS kept
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.functions.Text.tokens(col("text"))
+      val nToks = size(toks).cast("long")
+      // the length + punctuation terms of Text.qualityScore — element-
+      // wise doubles, bit-identical in the oracle's mirror
+      val punct = graft.functions.Text.punctRatio(col("text"))
+      val score = least(nToks.cast("double") / 50.0, lit(1.0)) * 0.3 +
+        greatest(lit(0.0), lit(1.0) - punct * 4.0) * 0.2
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nToks.as("n_tokens"), score.as("score"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          (col("cum_tokens") <= 15000L).as("kept"))
+        .orderBy("doc_id")
+    })
+
+  /** Deterministic source-interleave schedule (X52b): the training
+    * reading order that cycles across sources (round-robin over
+    * per-source shuffled streams) so no source clumps at any point of
+    * an epoch. The in-source order is a portable md5 shuffle; the
+    * GLOBAL position is computed in CLOSED FORM from the per-source
+    * counts — ord(r, s) = Σ_s' min(r−1, c_s') + |{s' < s : c_s' ≥ r}|
+    * + 1 — with the counts collected to the driver (a bounded source
+    * dimension) and inlined as literals, so no single-partition global
+    * window ever runs; the oracle computes the same positions WITH the
+    * global window, pinning the closed form against the definition. */
+  val interleaveMix = QueryDef(
+    "q_interleave_mix",
+    Some("""WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5('il:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rank
+              FROM documents)
+            SELECT doc_id, source, CAST(rank AS BIGINT) AS rank,
+                   CAST(row_number() OVER (ORDER BY rank, source)
+                        AS BIGINT) AS ord
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1)
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("il:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val ranked = docs
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("rank"))
+      val ord = counts.foldLeft(lit(1L)) { case (acc, (src, c)) =>
+        acc +
+          least(col("rank") - 1L, lit(c)) +
+          when(lit(src) < col("source") && lit(c) >= col("rank"), 1L)
+            .otherwise(0L)
+      }
+      ranked.withColumn("ord", ord).orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
-      snapshotDiff, incrementalDedup, banlist, shardStats)
+      snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
+      interleaveMix)
 }
