@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running totals (global prefix sums) without the
+  * single-partition global window.
+  *
+  * `SUM(v) OVER (ORDER BY k)` is the textbook scale-killer: Spark plans
+  * a `WindowExec` with an empty partition spec, which funnels the whole
+  * dataset through ONE task. The standard fix is the two-pass form —
+  * split the global order into contiguous ranges, cumsum each range
+  * independently, then shift every range by the total of all ranges
+  * before it. Here:
+  *
+  *  1. sample quantile boundaries of the leading order key
+  *     (`approxQuantile` — one bounded stats pass), inline them as
+  *     literals in a CASE bucket expression, so bucket assignment is a
+  *     deterministic per-row expression and every row with the same key
+  *     lands in the same bucket;
+  *  2. cumsum WITHIN buckets via `Window.partitionBy(bucket)` — a
+  *     partitioned window, parallel across buckets;
+  *  3. per-bucket totals are one aggregate whose result is
+  *     bucket-count-sized (driver metadata by construction); their
+  *     exclusive prefix sums ride back into the plan as a map literal.
+  *
+  * The result is bit-identical to the one-window form (same total
+  * order, same integer/double arithmetic); only the plan shape changes.
+  * Degenerate key distributions (few distinct values) collapse
+  * neighbouring buckets — correctness is unaffected, parallelism
+  * degrades gracefully to the number of distinct leading keys.
+  */
+object PrefixSum {
+
+  /** Running total of `valueCol` over the order
+    * (`scoreCol` DESC, `tieCol` ASC) — the "best rows first"
+    * order of budgeted corpus selection (X52). Emits `out` as the
+    * inclusive cumulative sum; no partition-less window in the plan.
+    *
+    * @param buckets target parallelism of the cumsum stage; the
+    *                boundary/offset tables are `buckets`-sized driver
+    *                metadata by construction.
+    */
+  def runningTotalDesc(df: DataFrame, valueCol: String, scoreCol: String,
+      tieCol: String, out: String, buckets: Int = 32): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // pass 0 (bounded stats): sampled boundaries of the leading key
+    val bounds = df.stat.approxQuantile(scoreCol, probs, 0.001)
+      .distinct.sorted.reverse // descending, like the order
+    // bucket = #boundaries strictly above this score → bucket 0 holds
+    // the top scores; equal scores always share a bucket, so buckets
+    // are contiguous ranges of the DESC order
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol) < b, 1).otherwise(0)
+    }
+    val withB = df.withColumn("__psb", bucket)
+    // pass 1 (bounded agg): per-bucket totals → exclusive prefix
+    // offsets, computed on the driver over ≤`buckets` rows
+    val totals = withB.groupBy("__psb")
+      .agg(sum(col(valueCol)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }
+      .toMap
+    // pass 2: partitioned cumsum + literal offset
+    val w = Window.partitionBy("__psb")
+      .orderBy(col(scoreCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn(out,
+        sum(col(valueCol)).over(w) +
+          coalesce(element_at(typedLit(offsets), col("__psb")), lit(0L)))
+      .drop("__psb")
+  }
+}

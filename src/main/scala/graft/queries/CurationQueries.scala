@@ -519,11 +519,11 @@ object CurationQueries {
     * training run makes. Quality is the element-wise q_text_quality
     * score (bit-identical across engines), ties broken by doc_id, the
     * running total an exact integer cumsum; the kept set is therefore
-    * exactly reproducible. The global cumsum is inherently sequential
-    * — at corpus scale it becomes the standard two-pass form
-    * (per-partition partial sums → broadcast prefix offsets, the
-    * `CleanPipeline.scalableRowKey` device); the fixture query keeps
-    * the one-window formulation the oracle can mirror directly. */
+    * exactly reproducible. The cumsum runs as the two-pass distributed
+    * prefix sum ([[graft.ops.PrefixSum.runningTotalDesc]]: quantile-
+    * bucketed partitioned windows + driver-collected bucket offsets) —
+    * bit-identical to the global window the oracle mirrors, with no
+    * single-partition stage in the plan. */
   val tokenBudget = QueryDef(
     "q_token_budget",
     Some("""WITH t AS (
@@ -553,7 +553,6 @@ object CurationQueries {
                    (cum_tokens <= 15000) AS kept
             FROM r ORDER BY doc_id"""),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = graft.functions.Text.tokens(col("text"))
       val nToks = size(toks).cast("long")
       // the length + punctuation terms of Text.qualityScore — element-
@@ -561,11 +560,11 @@ object CurationQueries {
       val punct = graft.functions.Text.punctRatio(col("text"))
       val score = least(nToks.cast("double") / 50.0, lit(1.0)) * 0.3 +
         greatest(lit(0.0), lit(1.0) - punct * 4.0) * 0.2
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val ranked = Tables.documents(s, d)
         .select(col("doc_id"), nToks.as("n_tokens"), score.as("score"))
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
+      graft.ops.PrefixSum
+        .runningTotalDesc(ranked, "n_tokens", "score", "doc_id",
+          "cum_tokens")
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
           (col("cum_tokens") <= 15000L).as("kept"))
         .orderBy("doc_id")

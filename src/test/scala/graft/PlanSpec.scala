@@ -178,6 +178,42 @@ class PlanSpec extends SparkSuite {
       s"map-side partials expected:\n$p")
   }
 
+  test("plan sweep: no partition-less Window anywhere on the query surface") {
+    // A Window with an empty partition spec funnels every row through
+    // ONE task — the scale defect class that shipped in r6's
+    // q_token_budget (since rewritten onto ops.PrefixSum). Gate it so
+    // it can't ship again. Sole exception: q_row_number is the
+    // reference-faithful global ROW_NUMBER (ref `:163`), a documented
+    // fidelity/scale pair whose scale-safe twin is
+    // CleanPipeline.scalableRowKey (SURVEY §2e).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val faithfulByDesign = Set("q_row_number")
+    val failures = SparkEntry.defs.flatMap { q =>
+      if (faithfulByDesign(q.name)) None
+      else {
+        val sp = SparkEntry.queries(q.name)(spark, Sf0001)
+          .queryExecution.sparkPlan
+        val bad = sp.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bad.isEmpty) None
+        else Some(s"${q.name}: ${bad.size} partition-less Window node(s)")
+      }
+    }
+    assert(failures.isEmpty,
+      s"single-partition windows planned:\n${failures.mkString("\n")}")
+  }
+
+  test("q_token_budget: cumsum is the two-pass form — partitioned window only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_token_budget")(spark, Sf0001)
+      .queryExecution.sparkPlan
+    val windows = sp.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the bucketed cumsum window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"token budget regressed to a global window:\n$sp"))
+  }
+
   test("plan sweep: no product join anywhere on the whole query surface") {
     // Deliberate exceptions, each an EXACT baseline whose scale path
     // is a separate query: brute-force ANN scores the broadcast query
