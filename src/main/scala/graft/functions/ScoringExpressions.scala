@@ -90,12 +90,9 @@ object HashedBagMargin {
     (u % nBuckets).toInt
   }
 
-  /** Bucket-sequence kernel (see [[HashedBagBuckets]]): same walk,
-    * collects bucket ids instead of folding weights. */
-  def computeBuckets(s: UTF8String, nBuckets: Int,
-      salt: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val bytes = s.getBytes
-    val md = digest.get()
+  /** Token spans of `bytes` (start,end pairs of non-space runs) and
+    * their count, packed as (spans, nTok). */
+  private def tokenSpans(bytes: Array[Byte]): (Array[Int], Int) = {
     val n = bytes.length
     var spans = new Array[Int](32)
     var nTok = 0
@@ -112,6 +109,16 @@ object HashedBagMargin {
         nTok += 1
       }
     }
+    (spans, nTok)
+  }
+
+  /** Bucket-sequence kernel (see [[HashedBagBuckets]]): same walk,
+    * collects bucket ids instead of folding weights. */
+  def computeBuckets(s: UTF8String, nBuckets: Int,
+      salt: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val md = digest.get()
+    val (spans, nTok) = tokenSpans(bytes)
     val out = new Array[Int](if (nTok >= 2) nTok * 2 - 1 else nTok)
     var t = 0
     while (t < nTok) {
@@ -134,23 +141,7 @@ object HashedBagMargin {
       salt: Array[Byte]): Double = {
     val bytes = s.getBytes
     val md = digest.get()
-    val n = bytes.length
-    // token spans: (start, end) pairs of non-space runs
-    var spans = new Array[Int](32)
-    var nTok = 0
-    var i = 0
-    while (i < n) {
-      while (i < n && isSpace(bytes(i))) i += 1
-      if (i < n) {
-        val start = i
-        while (i < n && !isSpace(bytes(i))) i += 1
-        if (nTok * 2 + 2 > spans.length)
-          spans = java.util.Arrays.copyOf(spans, spans.length * 2)
-        spans(nTok * 2) = start
-        spans(nTok * 2 + 1) = i
-        nTok += 1
-      }
-    }
+    val (spans, nTok) = tokenSpans(bytes)
     var acc = 0.0
     // unigrams, left to right
     var t = 0
@@ -168,6 +159,36 @@ object HashedBagMargin {
       t += 1
     }
     acc
+  }
+
+  /** Fused stats variant: [margin, nTok] from ONE walk — the scoring
+    * projection needs both the margin and the feature count
+    * (= 2·nTok − 1 for nTok ≥ 1), and computing the count via a
+    * composed tokens+bigrams size() re-tokenizes the document and
+    * materializes every bigram string per row. The margin fold is the
+    * byte-for-byte same loop as [[compute]], so margins stay
+    * bit-identical to the spec-pinned kernel. */
+  def computeStats(s: UTF8String, w: Array[Double],
+      salt: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val md = digest.get()
+    val (spans, nTok) = tokenSpans(bytes)
+    var acc = 0.0
+    var t = 0
+    while (t < nTok) {
+      acc += w(bucketOf(md, salt, bytes,
+        spans(t * 2), spans(t * 2 + 1), -1, -1, w.length))
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      acc += w(bucketOf(md, salt, bytes,
+        spans(t * 2), spans(t * 2 + 1),
+        spans(t * 2 + 2), spans(t * 2 + 3), w.length))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(acc, nTok.toDouble))
   }
 }
 
@@ -207,6 +228,38 @@ case class HashedBagBuckets(child: Expression, buckets: Int,
     copy(child = c)
 }
 
+/** array<double> [margin, token count] twin of [[HashedBagMargin]] —
+  * one walk serves both outputs of the scoring projection. */
+case class HashedBagStats(child: Expression, weights: Seq[Double],
+    salt: String) extends UnaryExpression {
+
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_bag_stats"
+  override def nullable: Boolean = true
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+  @transient private lazy val saltBytes: Array[Byte] =
+    salt.getBytes("UTF-8")
+
+  override def nullSafeEval(input: Any): Any =
+    HashedBagMargin.computeStats(
+      input.asInstanceOf[UTF8String], wArr, saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("hbsWeights", wArr, "double[]")
+    val s = ctx.addReferenceObj("hbsSalt", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashedBagMargin.computeStats($c, $w, $s);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ScoringFunctions {
   /** Fused margin Σ w[bucket(f)] over unigrams+bigrams of `c` (see
     * [[HashedBagMargin]]); `weights` is the dense per-bucket vector. */
@@ -214,6 +267,12 @@ object ScoringFunctions {
       salt: String): Column =
     ColumnBridge.column(
       HashedBagMargin(ColumnBridge.expression(c), weights, salt))
+
+  /** [margin, token count] in one walk (see [[HashedBagStats]]). */
+  def hashedBagStats(c: Column, weights: Seq[Double],
+      salt: String): Column =
+    ColumnBridge.column(
+      HashedBagStats(ColumnBridge.expression(c), weights, salt))
 
   /** Per-feature bucket ids of `c`'s unigrams+bigrams, in order. */
   def hashedBagBuckets(c: Column, buckets: Int, salt: String): Column =

@@ -210,10 +210,21 @@ object Scoring {
       r.getLong(0) -> (math.log((r.getLong(1) + 1.0) / (np + nb)) -
         math.log((r.getLong(2) + 1.0) / (nn + nb)))
     }.toMap
-    val prior = labels.agg(
-      sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double"),
-      sum(when(col("y") === 0.0, 1L).otherwise(0L)).cast("double")).head
-    NbModel(w, math.log(prior.getDouble(0) / prior.getDouble(1)))
+    // prior over the population the conditional counts were fit on:
+    // labeled docs that actually contributed features (a zero-feature
+    // doc adds nothing to cc, so it must add nothing to the prior)
+    val prior = labels
+      .join(feats.select(idCol).distinct(), Seq(idCol), "left_semi")
+      .agg(
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double"),
+        sum(when(col("y") === 0.0, 1L).otherwise(0L)).cast("double")).head
+    val nPos = if (prior.isNullAt(0)) 0.0 else prior.getDouble(0)
+    val nNeg = if (prior.isNullAt(1)) 0.0 else prior.getDouble(1)
+    require(nPos > 0 && nNeg > 0,
+      s"trainNaiveBayes: both classes must appear among labeled docs " +
+        s"with features (n+=$nPos, n-=$nNeg) — the log prior is " +
+        s"undefined otherwise")
+    NbModel(w, math.log(nPos / nNeg))
   }
 
   /** Shuffle-free margin: because Σ_b w[b]·x[b] = Σ_f w[bucket(f)],
@@ -252,6 +263,17 @@ object Scoring {
   def inlineFeatureCount(textCol: Column): Column =
     size(concat(Text.tokens(textCol), Text.wordNgramsAll(textCol, 2)))
       .cast("long")
+
+  /** [raw margin, token count] as one fused walk — the scoring scan
+    * needs both, and the composed [[inlineFeatureCount]] would
+    * re-tokenize the document and materialize every bigram string per
+    * row just to take a length (the feature count is 2·nTok − 1 for
+    * nTok ≥ 1). Margins are bit-identical to [[inlineMargin]] (same
+    * fold loop; ScoringSpec pins it). */
+  def inlineStats(textCol: Column, buckets: Int,
+      w: Map[Long, Double]): Column =
+    graft.functions.ScoringFunctions.hashedBagStats(textCol,
+      Array.tabulate(buckets)(b => w.getOrElse(b.toLong, 0.0)).toSeq, "qc:")
 
   /** Per-id margins under a weight map (literal-map lookup — broadcast
     * in plan form; one fixed-width groupBy). */

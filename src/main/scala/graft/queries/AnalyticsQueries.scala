@@ -319,25 +319,59 @@ cents_${i + 1} AS (
     })
 
   /** The lossy-format residue of the feature pipeline — JPEG stills
-    * and MJPEG video frames. Rows-only BY NATURE: JPEG quantization
-    * makes the decoded channel means engine-real but not
-    * SQL-predictable, so no oracle can exist for the float sums. What
-    * IS deterministic about these paths is oracled elsewhere —
-    * q_multimodal_jpeg (dims) and q_multimodal_video (frame counts +
-    * dims). */
+    * and MJPEG video frames. JPEG quantization makes the decoded
+    * channel means engine-real but not SQL-predictable, so the float
+    * sums themselves cannot be oracled. The query therefore emits what
+    * IS checkable (the `q_approx_distinct` tolerance-boolean device):
+    * the deterministic feature components — decoded width+height (and
+    * frame count for video), summed per mime as `total_dims`, exactly
+    * predictable from the generator contract, proving real decodes
+    * populated the vectors — plus `means_in_range`, a contract boolean
+    * pinning every lossy channel mean to a finite value in [0,1]
+    * (decoded pixel bytes are 0..255, so any NaN/Inf or out-of-range
+    * mean is a decode bug; NaN fails the range compare on both
+    * engines). Feature layout per [[Multimodal.extractFeatures]]:
+    * images [w,h,r,g,b,…], video [w,h,n,r,g,b,…]. */
   val multimodalFeaturesLossy = QueryDef(
     "q_multimodal_features_lossy",
-    None,
+    Some("""WITH ids AS (SELECT CAST(id AS BIGINT) AS id
+                         FROM range(0, 500) t(id)),
+            jpg AS (
+              SELECT 'image/jpeg' AS mime,
+                     CAST(id % 512 + 16 AS BIGINT) +
+                     CAST(id % 256 + 16 AS BIGINT) AS dims
+              FROM ids WHERE id % 8 = 5),
+            vid AS (
+              SELECT 'video/avi' AS mime,
+                     CAST(id % 128 + 16 AS BIGINT) +
+                     CAST(id % 64 + 16 AS BIGINT) +
+                     CAST(id % 3 + 2 AS BIGINT) AS dims
+              FROM ids WHERE id % 4 = 3),
+            u AS (SELECT * FROM jpg UNION ALL SELECT * FROM vid)
+            SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_assets,
+                   CAST(SUM(dims) AS BIGINT) AS total_dims,
+                   TRUE AS means_in_range
+            FROM u GROUP BY mime ORDER BY mime"""),
     (s, _) => {
       val assets = Multimodal.syntheticAssets(s, 500)
         .filter(col("mime").isin("image/jpeg", "video/avi"))
       val feats = Multimodal.extractFeatures(assets)
-      feats.select(col("asset_id"), col("mime"),
-          Num.qround(aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+      val isVideo = col("mime") === "video/avi"
+      val dims = when(isVideo,
+          element_at(col("features"), 1) + element_at(col("features"), 2) +
+            element_at(col("features"), 3))
+        .otherwise(
+          element_at(col("features"), 1) + element_at(col("features"), 2))
+        .cast("long")
+      val means = when(isVideo, slice(col("features"), 4, 3))
+        .otherwise(slice(col("features"), 3, 3))
+      val meansOk =
+        array_min(means) >= 0f && array_max(means) <= 1f
+      feats.select(col("mime"), dims.as("dims"), meansOk.as("m_ok"))
         .groupBy("mime")
         .agg(count(lit(1)).as("n_assets"),
-          Num.qround(sum("feat_sum"), 4).as("total_feat"))
+          sum("dims").as("total_dims"),
+          bool_and(col("m_ok")).as("means_in_range"))
         .orderBy("mime")
     })
 

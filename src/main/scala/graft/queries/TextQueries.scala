@@ -552,7 +552,8 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * pair ASC — deterministic) comes back to the driver, which folds it
     * into the next round's plan as a literal — the same driver-
     * coordinates/cluster-counts shape as the IVF Lloyd fit. */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = 3)
       : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
     var cur = Tables.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("word"))
@@ -561,9 +562,9 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       .withColumn("seq", concat_ws("",
         transform(regexp_extract_all(col("word"), lit("."), lit(0)),
           c => concat(lit("|"), c, lit("|")))))
-      .select("freq", "seq")
+      .select("word", "freq", "seq")
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (k <- 1 to 3) {
+    for (k <- 1 to rounds) {
       val syms = split(trim(col("seq"), "|"), "\\|\\|")
       val top = cur
         .filter(size(syms) >= 2)
@@ -615,15 +616,20 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * resulting subword vocabulary with occurrence totals: the tokenize
     * pass a training-data build runs after fitting the tokenizer
     * (completes the X31 loop that q_bpe_merges opens). The merge table
-    * rides into the plan as three literal `replace`s, so encoding is a
-    * pure per-row expression chain — zero extra shuffles beyond the
-    * final token-count aggregation, and the aggregation key is a short
-    * subword string, never document text.
+    * rides into the plan as ONE [[graft.functions.BpeEncode]] kernel
+    * (greedy lowest-rank merge loop — plan depth constant in the merge
+    * count, unlike a chained-replace formulation whose plan grows
+    * linearly and dies at a 30k-merge production vocabulary; BpeSpec
+    * pins kernel ≡ replace-chain, and the oracle's unrolled replace
+    * CTEs re-pin it per run). Encoding is a pure per-row expression —
+    * zero extra shuffles beyond the final token-count aggregation, and
+    * the aggregation key is a short subword string, never document
+    * text.
     *
     * `n_words` counts distinct word types containing the token; the
-    * '|sym|' encoding is injective (strip separators and you recover
-    * the word), so COUNT(DISTINCT seq) is exactly the type count on
-    * both engines. */
+    * oracle's COUNT(DISTINCT seq) equals COUNT(DISTINCT word) because
+    * the '|sym|' encoding is injective (strip separators and you
+    * recover the word). */
   val bpeEncode = QueryDef(
     "q_bpe_encode",
     Some(s"""WITH $bpeChainSql,
@@ -636,13 +642,14 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                     CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_words
              FROM enc GROUP BY token ORDER BY token"""),
     (s, d) => {
-      val (encoded, _) = bpeTrain(s, d)
+      val (encoded, merges) = bpeTrain(s, d)
       encoded
-        .select(col("freq"), col("seq"),
-          explode(split(trim(col("seq"), "|"), "\\|\\|")).as("token"))
+        .select(col("freq"), col("word"),
+          explode(graft.functions.BpeFunctions.bpeEncode(col("word"),
+            merges.map(m => (m._2, m._3)))).as("token"))
         .groupBy("token")
         .agg(sum("freq").cast("long").as("n_occurrences"),
-          count_distinct(col("seq")).as("n_words"))
+          count_distinct(col("word")).as("n_words"))
         .orderBy("token")
     })
 
@@ -659,8 +666,10 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * score so the kept set is boundary-stable across engines. */
   val lmScore = QueryDef(
     "q_lm_score",
-    Some(s"""WITH tk AS (
-               SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+    Some(s"""WITH d0 AS (
+               SELECT doc_id, $sqlToks AS toks FROM documents),
+             tk AS (
+               SELECT doc_id, unnest(toks) AS tok FROM d0),
              cnt AS (
                SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
                FROM tk GROUP BY tok),
@@ -686,12 +695,14 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                FROM tk LEFT JOIN lut l ON tk.tok = l.tok
                     CROSS JOIN unk u
                GROUP BY tk.doc_id)
-             SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+             SELECT d.doc_id,
+                    CAST(COALESCE(sc.nt, 0) AS BIGINT) AS n_tokens,
                     ${graft.functions.Num.qroundSql(
-                      "-sm / CAST(nt AS DOUBLE)", 6)} AS xent,
+                      "-sc.sm / CAST(sc.nt AS DOUBLE)", 6)} AS xent,
                     (${graft.functions.Num.qroundSql(
-                      "-sm / CAST(nt AS DOUBLE)", 6)} <= 4.45) AS kept
-             FROM sc ORDER BY doc_id"""),
+                      "-sc.sm / CAST(sc.nt AS DOUBLE)", 6)} <= 4.45) AS kept
+             FROM d0 d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             ORDER BY d.doc_id"""),
     (s, d) => {
       val docs = Tables.documents(s, d)
       val m = graft.ops.Scoring.fitUnigram(docs, col("text"), 24)
@@ -841,7 +852,8 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                              AS DOUBLE) /
                         CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
                              AS DOUBLE)) AS bias
-              FROM tr),
+              FROM tr
+              WHERE doc_id IN (SELECT DISTINCT doc_id FROM ft)),
             fin AS (
               SELECT ft.doc_id,
                      SUM(COALESCE(w.w, 0.0) * ft.x) AS s,
@@ -850,7 +862,7 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
             SELECT f.doc_id, f.n_feats,
                    ${graft.functions.Num.qroundSql("f.s + p.bias", 6)}
                      AS margin,
-                   (${graft.functions.Num.qroundSql("f.s + p.bias", 6)}
+                   (${graft.functions.Num.qroundSql("f.s + p.bias", 4)}
                      > 0) AS pred,
                    (b.y = 1.0) AS is_en
             FROM fin f
@@ -871,16 +883,22 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       val m = graft.ops.Scoring
         .trainNaiveBayes(featsTrain, labelsOf(train), "doc_id")
       featsTrain.unpersist()
-      // score the whole corpus: a pure per-row scan (inlineMargin
-      // folds w[bucket(f)] over the feature sequence — no explode,
-      // no shuffle) with the label read off the same row
-      val margin = graft.functions.Num.qround(
-        graft.ops.Scoring.inlineMargin(col("text"), 1024, m.w) +
-          lit(m.bias), 6)
-      docs.select(col("doc_id"),
-          graft.ops.Scoring.inlineFeatureCount(col("text")).as("n_feats"),
-          margin.as("margin"),
-          (margin > 0).as("pred"),
+      // score the whole corpus: a pure per-row scan (one fused walk
+      // yields margin AND feature count = 2·nTok − 1 — no explode, no
+      // shuffle, no second tokenization) with the label read off the
+      // same row; the stats array is STAGED as an attribute so the
+      // kernel runs once per row. The reported margin quantizes at
+      // 1e-6; the kept/pred BOOLEAN gates on the coarser 1e-4 grid so
+      // a margin within float-fold noise of a fine-grid rounding
+      // boundary can't flip the prediction between engines.
+      val rawMargin = element_at(col("__st"), 1) + lit(m.bias)
+      docs.select(col("doc_id"), col("lang"),
+          graft.ops.Scoring.inlineStats(col("text"), 1024, m.w).as("__st"))
+        .select(col("doc_id"),
+          greatest(element_at(col("__st"), 2).cast("long") * 2 - 1,
+            lit(0L)).as("n_feats"),
+          graft.functions.Num.qround(rawMargin, 6).as("margin"),
+          (graft.functions.Num.qround(rawMargin, 4) > 0).as("pred"),
           (col("lang") === "en").as("is_en"))
         .orderBy("doc_id")
     })
