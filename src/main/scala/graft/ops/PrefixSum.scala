@@ -46,8 +46,11 @@ object PrefixSum {
       tieCol: String, out: String, buckets: Int = 32): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // pass 0 (bounded stats): sampled boundaries of the leading key
-    val bounds = df.stat.approxQuantile(scoreCol, probs, 0.001)
-      .distinct.sorted.reverse // descending, like the order
+    // (buckets <= 1 -> no boundaries -> everything in bucket 0)
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(scoreCol, probs, 0.001)
+        .distinct.sorted.reverse // descending, like the order
     // bucket = #boundaries strictly above this score → bucket 0 holds
     // the top scores; equal scores always share a bucket, so buckets
     // are contiguous ranges of the DESC order

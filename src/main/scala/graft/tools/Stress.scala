@@ -170,6 +170,81 @@ object Stress {
         .filter(col("margin") > 0).count()
     }
 
+    // BPE encode under a production-sized merge table: 1000 merges
+    // through ONE BpeEncode kernel (plan depth constant in the merge
+    // count; a chained-replace formulation would be a 1000-deep
+    // expression tree). Merge list is constructively training-valid:
+    // 676 char-pair merges + a 324-deep chain of grown symbols.
+    timeShuffle("BPE encode 1M docs, 1000 merges") {
+      val letters = ('a' to 'z').map(_.toString)
+      val pairMerges = for (a <- letters; b <- letters) yield (a, b)
+      val chain = scala.collection.mutable.Buffer.empty[(String, String)]
+      var sym = "ab"
+      for (i <- 0 until 324) {
+        val c = letters(i % 26)
+        chain += ((sym, c))
+        sym = sym + c
+      }
+      val merges = (pairMerges ++ chain).toSeq
+      docs.select(size(graft.functions.BpeFunctions
+          .bpeEncode(col("text"), merges)).as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+    }
+
+    // X52a: budgeted selection's running total at 10M rows through the
+    // two-pass distributed prefix sum (quantile buckets -> partitioned
+    // window -> literal offsets) — no single-partition stage; the
+    // returned max(cum) = Σ n_tokens double-checks the arithmetic
+    timeShuffle("token-budget cumsum 10M rows (two-pass)") {
+      val rows = spark.range(0, 10000000L, 1, 64).select(
+        col("id").as("doc_id"),
+        (col("id") % 997 + 1).as("n_tokens"),
+        (pmod(xxhash64(col("id")), lit(1000000)).cast("double")
+          / 1000000.0).as("score"))
+      val cum = graft.ops.PrefixSum.runningTotalDesc(rows,
+        "n_tokens", "score", "doc_id", "cum")
+      val r = cum.agg(max("cum"), count(lit(1))).collect().head
+      s"total=${r.getLong(0)} rows=${r.getLong(1)}"
+    }
+
+    // X52b: deterministic source-interleave schedule at 10M docs, 16
+    // sources — per-source ranks from a partitioned window, global
+    // position in closed form over driver-collected per-source counts
+    timeShuffle("interleave schedule 10M docs, 16 sources") {
+      import org.apache.spark.sql.expressions.Window
+      val d10 = spark.range(0, 10000000L, 1, 64).select(
+        col("id").as("doc_id"),
+        concat(lit("src"), (col("id") % 16).cast("string")).as("source"))
+      val counts = d10.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("il:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val ranked = d10.select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("rank"))
+      val ord = counts.foldLeft(lit(1L)) { case (acc, (src, c)) =>
+        acc + least(col("rank") - 1L, lit(c)) +
+          when(lit(src) < col("source") && lit(c) >= col("rank"), 1L)
+            .otherwise(0L)
+      }
+      val r = ranked.withColumn("ord", ord)
+        .agg(max("ord"), count(lit(1))).collect().head
+      s"max_ord=${r.getLong(0)} rows=${r.getLong(1)}"
+    }
+
+    // X47: deterministic sharded write at 10M docs x 64 shards — one
+    // fixed-cardinality repartition + within-partition sort, then a
+    // partitioned parquet write
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-shard")
+    timeShuffle("writeSharded 10M docs x 64 shards") {
+      val d10 = spark.range(0, 10000000L, 1, 64).select(
+        col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("text"))
+      graft.ops.Shard.writeSharded(d10, "doc_id", 64, s"$shardDir/out")
+      spark.read.parquet(s"$shardDir/out").count()
+    }
+
     // the flagship dictionary-driven pipeline at ~75000x the fixture
     // size: 300k-row SBP/NSLP TSVs through ingest->clean->derive->join
     val dir = java.nio.file.Files.createTempDirectory("graft-stress")

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ops.PrefixSum must be bit-identical to the single-partition global
+  * window it replaces — same total order, same integer arithmetic —
+  * across benign, skewed, and degenerate key distributions, while
+  * never planning a partition-less Window. */
+class PrefixSumSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def windowed(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum("v").over(w))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+  }
+
+  private def twoPass(df: org.apache.spark.sql.DataFrame,
+      buckets: Int = 8) =
+    PrefixSum.runningTotalDesc(df, "v", "score", "id", "cum", buckets)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+
+  test("matches the global window on a continuous key") {
+    val rnd = new scala.util.Random(1)
+    val df = (0L until 500L).map(i => (i, rnd.nextDouble(), 1L + i % 97))
+      .toDF("id", "score", "v")
+    assert(twoPass(df) === windowed(df))
+  }
+
+  test("matches under heavy ties (few distinct scores)") {
+    val df = (0L until 300L).map(i => (i, (i % 3).toDouble, i % 11 + 1))
+      .toDF("id", "score", "v")
+    assert(twoPass(df) === windowed(df))
+  }
+
+  test("degenerate constant key collapses gracefully") {
+    val df = (0L until 100L).map(i => (i, 0.5, 2L)).toDF("id", "score", "v")
+    val got = twoPass(df)
+    assert(got === windowed(df))
+    assert(got(99L) === 200L) // last id in the (const, id asc) order
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(Long, Double, Long)].toDF("id", "score", "v")
+    assert(twoPass(df).isEmpty)
+  }
+
+  test("single bucket still correct") {
+    val df = (0L until 50L).map(i => (i, i.toDouble, 1L))
+      .toDF("id", "score", "v")
+    assert(twoPass(df, buckets = 1) === windowed(df))
+  }
+
+  test("plans no partition-less Window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (0L until 100L).map(i => (i, i / 7.0, 1L))
+      .toDF("id", "score", "v")
+    val sp = PrefixSum.runningTotalDesc(df, "v", "score", "id", "cum")
+      .queryExecution.sparkPlan
+    val bad = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"partition-less window planned:\n$sp")
+  }
+}
