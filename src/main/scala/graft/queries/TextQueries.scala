@@ -555,7 +555,12 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = 3)
       : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
-    var cur = Tables.documents(s, d)
+    // The word-frequency table is persisted ONCE: every merge round
+    // reads it (pair count + re-encode), and without the persist each
+    // round's job would re-tokenize the whole corpus — at 100 TB the
+    // corpus scan happens once and the per-round work is bounded by
+    // the vocabulary, which is the only defensible training shape.
+    val base = Tables.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -563,6 +568,8 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         transform(regexp_extract_all(col("word"), lit("."), lit(0)),
           c => concat(lit("|"), c, lit("|")))))
       .select("word", "freq", "seq")
+      .persist()
+    var cur = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to rounds) {
       val syms = split(trim(col("seq"), "|"), "\\|\\|")
@@ -1071,9 +1078,66 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Intra-document repeated-span removal (X53): the within-document
+    * granularity of dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", §exact-substring — here at
+    * token-window granularity): a 3-token window that already occurred
+    * earlier in the SAME document marks its tokens for removal, and
+    * the document is rebuilt from the surviving tokens. Complements
+    * X1/X19 (whole-corpus dedup) and X46 (line granularity); the
+    * pathology it targets — generated boilerplate loops, scraper
+    * stutter — lives inside single documents where corpus-level dedup
+    * can't see it.
+    *
+    * Expression-only (array HOFs over the staged token array; each
+    * stage materialized as an attribute against interpreted-HOF
+    * re-evaluation): no shuffle, no explode — scales as a pure scan.
+    * All arithmetic is integer positions + exact string equality, so
+    * the oracle rebuilds cleaned text byte-for-byte. The no-nested-
+    * lambda formulation (dup window starts → flattened removed-
+    * position list → membership filter) runs identically on both
+    * engines. */
+  val dedupSpans = QueryDef(
+    "q_dedup_spans",
+    Some(s"""WITH t AS (
+               SELECT doc_id, $sqlToks AS toks FROM documents),
+             w AS (
+               SELECT doc_id, toks,
+                      list_transform(
+                        range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS wins
+               FROM t),
+             d AS (
+               SELECT doc_id, toks,
+                      list_filter(range(1, len(wins) + 1),
+                        i -> list_position(wins, wins[i]) < i) AS dups
+               FROM w),
+             r AS (
+               SELECT doc_id, toks,
+                      CAST(len(dups) AS BIGINT) AS n_dup_windows,
+                      flatten(list_transform(dups,
+                        i -> [i, i + 1, i + 2])) AS removed
+               FROM d),
+             k AS (
+               SELECT doc_id, toks, n_dup_windows,
+                      list_filter(range(1, len(toks) + 1),
+                        p -> NOT list_contains(removed, p)) AS kept
+               FROM r)
+             SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    n_dup_windows,
+                    CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+                    COALESCE(array_to_string(
+                      list_transform(kept, p -> toks[p]), ' '), '')
+                      AS cleaned_text
+             FROM k ORDER BY doc_id"""),
+    (s, d) => graft.ops.SpanDedup
+      .clean(Tables.documents(s, d), "doc_id", col("text"), 3)
+      .orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier, lineClean,
-    boilerplateLines, unicodeNfc)
+    boilerplateLines, unicodeNfc, dedupSpans)
 }

@@ -170,6 +170,15 @@ object Stress {
         .filter(col("margin") > 0).count()
     }
 
+    // intra-doc span dedup: expression-only scan; the planted stutter
+    // (every doc repeats its own first 10 tokens) must be excised
+    timeShuffle("span dedup (k=3), 1M docs") {
+      val stutter = docs.withColumn("text",
+        concat_ws(" ", col("text"), substring_index(col("text"), " ", 10)))
+      graft.ops.SpanDedup.clean(stutter, "id", col("text"), 3)
+        .agg(sum("n_removed")).collect().head.getLong(0)
+    }
+
     // BPE encode under a production-sized merge table: 1000 merges
     // through ONE BpeEncode kernel (plan depth constant in the merge
     // count; a chained-replace formulation would be a 1000-deep
