@@ -98,6 +98,25 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"salt must be a string literal, got $other")
         } else "qc:")
+    },
+    "bpe_encode" -> { args =>
+      // merge list as one string literal: pairs comma-separated,
+      // symbols space-separated — "a b,ab c" = [(a,b), (ab,c)]
+      val spec = args(1) match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"merges must be a string literal ('l r,l r,...'), got $other")
+      }
+      val merges =
+        if (spec.isEmpty) Seq.empty[(String, String)]
+        else spec.split(",").toSeq.map { p =>
+          p.split(" ", 2) match {
+            case Array(l, r) => (l, r)
+            case _ => throw new IllegalArgumentException(
+              s"bad merge pair '$p' (want 'left right')")
+          }
+        }
+      BpeEncode(args.head, merges)
     })
 
   /** Register into an existing session (temp functions + the jaccard

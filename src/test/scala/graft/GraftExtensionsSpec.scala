@@ -65,6 +65,22 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(c.getSeq[Long](0).sum === 6L)
   }
 
+  test("bpe_encode callable from SQL, agrees with Column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT bpe_encode('banana', 'a n,b an,an an') AS t").collect().head
+    // (a,n) -> b|an|an|a ; (b,an) -> ban|an|a ; (an,an) no longer
+    // adjacent as a pair of 'an' symbols
+    assert(r.getSeq[String](0) === Seq("ban", "an", "a"))
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val viaCol = Seq("banana").toDF("w")
+      .select(graft.functions.BpeFunctions.bpeEncode(col("w"),
+        Seq(("a", "n"), ("b", "an"), ("an", "an"))).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(r.getSeq[String](0) === viaCol)
+  }
+
   test("hyperplane_buckets callable from SQL, agrees with Column API") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
