@@ -22,7 +22,13 @@ object Stress {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def time[T](name: String)(f: => T): Unit = {
+    // optional substring filter: `runMain graft.tools.Stress span`
+    // runs only probes whose name contains "span" (plan definitions
+    // outside the timed blocks are lazy, so skipping costs nothing)
+    def enabled(name: String): Boolean =
+      args.isEmpty || name.contains(args(0))
+
+    def time[T](name: String)(f: => T): Unit = if (enabled(name)) {
       val t0 = System.nanoTime()
       val r = f
       println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
@@ -89,7 +95,7 @@ object Stress {
           if (m != null) shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       })
-    def timeShuffle(name: String)(f: => Any): Unit = {
+    def timeShuffle(name: String)(f: => Any): Unit = if (enabled(name)) {
       Thread.sleep(300)
       val s0 = shuffleW.get
       val t0 = System.nanoTime()
