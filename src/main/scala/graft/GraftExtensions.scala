@@ -117,7 +117,9 @@ object GraftExtensions {
           }
         }
       BpeEncode(args.head, merges)
-    })
+    },
+    "span_dedup_stats" -> (args =>
+      SpanDedupStats(args.head, intArg(args(1), "k"))))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

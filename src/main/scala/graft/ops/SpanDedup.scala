@@ -14,19 +14,38 @@ import graft.functions.Text
   * pathology — generated boilerplate loops and scraper stutter repeat
   * INSIDE single documents.
   *
-  * Scale contract: expression-only array HOFs over the staged token
-  * array — no shuffle, no explode, a pure scan; per-row cost is
-  * O(windows²) string compares inside one task (documents are bounded;
-  * the quadratic never crosses rows). Every stage is materialized as
-  * an attribute so interpreted HOFs are not re-evaluated. All
-  * positions are integers and window equality is exact string
-  * equality, so a SQL oracle reproduces cleaned text byte-for-byte.
+  * Scale contract: the production `clean` runs the fused
+  * [[graft.functions.SpanDedupStats]] codegen kernel — one O(n·k)
+  * hash-map pass per document, no shuffle, no explode. The composed
+  * HOF form (`cleanComposed`) is kept as the independently-derived
+  * cross-check (SpanDedupSpec pins kernel ≡ composed on random
+  * corpora) and as the shape the DuckDB oracle replays; its per-row
+  * cost is O(windows²) interpreted expression evals (~385 µs/doc at
+  * the 1M-doc stress scale), which is why it is not the production
+  * path. All positions are integers and window equality is exact
+  * string equality, so both forms and the SQL oracle rebuild cleaned
+  * text byte-for-byte.
   */
 object SpanDedup {
 
   /** Adds (n_tokens, n_dup_windows, n_removed, cleaned_text) for
-    * `textCol` under k-token windows, keeping `idCol`. */
+    * `textCol` under k-token windows, keeping `idCol` — fused-kernel
+    * production path. */
   def clean(df: DataFrame, idCol: String, textCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "window size must be at least 2")
+    df.select(col(idCol),
+        graft.functions.SpanFunctions.spanDedupStats(textCol, k).as("__s"))
+      .select(col(idCol),
+        col("__s.n_tokens").as("n_tokens"),
+        col("__s.n_dup_windows").as("n_dup_windows"),
+        col("__s.n_removed").as("n_removed"),
+        col("__s.cleaned_text").as("cleaned_text"))
+  }
+
+  /** The composed expression-only HOF formulation — cross-check twin
+    * of `clean`, quadratic per row in window count. */
+  def cleanComposed(df: DataFrame, idCol: String, textCol: Column,
       k: Int): DataFrame = {
     require(k >= 2, "window size must be at least 2")
     val emptyInts = array().cast("array<int>")

@@ -55,4 +55,22 @@ class SpanDedupSpec extends SparkSuite {
     assert(removed === 2)
     assert(cleaned === "a b")
   }
+
+  test("fused kernel equals the composed HOF form on random corpora") {
+    // small alphabet forces frequent window collisions; varied k
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.tabulate(200) { _ =>
+      Seq.fill(rnd.nextInt(40))("abcd".charAt(rnd.nextInt(4)).toString)
+        .mkString(" ")
+    }
+    for (k <- Seq(2, 3, 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fused = SpanDedup.clean(df, "doc_id", col("text"), k)
+        .orderBy("doc_id").collect()
+      val composed = SpanDedup.cleanComposed(df, "doc_id", col("text"), k)
+        .orderBy("doc_id").collect()
+      assert(fused.toSeq === composed.toSeq, s"k=$k")
+    }
+  }
 }
