@@ -119,7 +119,8 @@ object GraftExtensions {
       BpeEncode(args.head, merges)
     },
     "span_dedup_stats" -> (args =>
-      SpanDedupStats(args.head, intArg(args(1), "k"))))
+      SpanDedupStats(args.head, intArg(args(1), "k"))),
+    "strip_html" -> (args => StripHtml(args.head)))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

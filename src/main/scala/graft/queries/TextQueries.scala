@@ -1097,6 +1097,150 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * lambda formulation (dup window starts → flattened removed-
     * position list → membership filter) runs identically on both
     * engines. */
+  /** Cross-document paragraph dedup (X56 — the Dolma-style global
+    * paragraph pass, public recipe: Soldaini et al. 2024): a paragraph
+    * (here: line, via the same deterministic relining device the other
+    * line ops use) survives only at its GLOBAL first occurrence across
+    * the corpus, ordered by (doc_id, position); every later copy in
+    * any document is removed and documents are rebuilt. Complements
+    * X46 (boilerplate = lines frequent in MANY docs) — this removes
+    * the SECOND copy even of a once-repeated paragraph.
+    *
+    * Scale shape: winner election runs on md5-hash triples only
+    * (h, doc_id, pos — fixed width; a viral boilerplate paragraph
+    * skews a 24-byte-row group, not a text group), then verdicts
+    * rejoin the text rows on (doc_id, pos) — uniformly distributed
+    * keys, no skew. A single window-over-h formulation would ship
+    * every copy of a hot paragraph's TEXT into one partition; this
+    * two-phase form is the 100 TB-safe plan. */
+  val paragraphDedup = QueryDef(
+    "q_paragraph_dedup",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(text,
+                       ' a | the | row | key | value | data ',
+                       chr(10), 'g'), chr(10)),
+                       l -> len(l) > 0) AS ls
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest(range(1, CAST(len(ls) AS INT) + 1)) AS pos,
+                     ls
+              FROM t),
+            e2 AS (
+              SELECT doc_id, pos, ls[pos] AS line, md5(ls[pos]) AS h
+              FROM e),
+            r AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS rn
+              FROM e2)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_paras,
+                   COALESCE(array_to_string(
+                     list(line ORDER BY pos) FILTER (rn = 1),
+                     chr(10)), '') AS cleaned_text
+            FROM r GROUP BY doc_id ORDER BY doc_id"""),
+    (s, d) => {
+      val relined = regexp_replace(col("text"),
+        " a | the | row | key | value | data ", "\n")
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), Text.lines(relined).as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+        .withColumn("h", md5(col("line")))
+      // phase 1: global first occurrence per hash — only (h, doc_id,
+      // pos) triples shuffle; min(struct) is the windowless winner
+      val winners = e.select(col("h"), col("doc_id"), col("pos"))
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      val flags = e.select(col("h"), col("doc_id"), col("pos"))
+        .join(winners, "h")
+        .select(col("doc_id"), col("pos"),
+          (col("w.doc_id") === col("doc_id") &&
+            col("w.pos") === col("pos")).as("kept"))
+      // phase 2: verdicts rejoin text on uniform (doc_id, pos) keys
+      e.join(flags, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup_paras"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("line"))))),
+            st => st.getField("line")), "\n").as("cleaned_text"))
+        .orderBy("doc_id")
+    })
+
+  /** HTML stripping (X55): the crawl→text extraction step, run over
+    * documents wearing planted markup (the q_unicode_nfc device — the
+    * fixture corpus is plain text, so the query dresses it in
+    * deterministic HTML first: a full page with style+script blocks,
+    * an entity-bearing line, an anchor+entities line, and a control
+    * group). The fused [[graft.functions.StripHtml]] kernel is defined
+    * as a regex/replace chain (blocks → tags → entities → collapse)
+    * that the oracle replays verbatim, so cleaned text hash-matches
+    * byte-for-byte — including the chain's documented quirks (script
+    * CONTENT deleted, `a<br>b` spaced, `&amp;lt;` single-decoded). */
+  val stripHtml = QueryDef(
+    "q_strip_html",
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       '<html><head><style>p { color: red; }</style>'
+                       || '</head><body><p>' || text
+                       || '</p><script>var x = 1 < 2;</script></body></html>'
+                     WHEN doc_id % 4 = 1 THEN
+                       'Tom &amp; Jerry &lt;3 ' || text || ' <br/>'
+                     WHEN doc_id % 4 = 2 THEN
+                       '<a href="http://x.y">' || text
+                       || '</a> &nbsp;&quot;quoted&quot;'
+                     ELSE text END AS planted
+              FROM documents),
+            s AS (
+              SELECT doc_id, planted,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         replace(
+                           regexp_replace(
+                             regexp_replace(planted,
+                               '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                               '', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                         '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS stripped
+              FROM p)
+            SELECT doc_id, stripped,
+                   (stripped != planted) AS changed,
+                   CAST(len(planted) AS BIGINT) AS n_chars_before,
+                   CAST(len(stripped) AS BIGINT) AS n_chars_after
+            FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      val planted = when(col("doc_id") % 4 === 0,
+          concat(
+            lit("<html><head><style>p { color: red; }</style></head><body><p>"),
+            col("text"),
+            lit("</p><script>var x = 1 < 2;</script></body></html>")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("Tom &amp; Jerry &lt;3 "), col("text"), lit(" <br/>")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("<a href=\"http://x.y\">"), col("text"),
+            lit("</a> &nbsp;&quot;quoted&quot;")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("planted"))
+        .select(col("doc_id"), col("planted"),
+          graft.functions.HtmlFunctions.stripHtml(col("planted"))
+            .as("stripped"))
+        .select(col("doc_id"), col("stripped"),
+          (col("stripped") =!= col("planted")).as("changed"),
+          length(col("planted")).cast("long").as("n_chars_before"),
+          length(col("stripped")).cast("long").as("n_chars_after"))
+        .orderBy("doc_id")
+    })
+
   val dedupSpans = QueryDef(
     "q_dedup_spans",
     Some(s"""WITH t AS (
@@ -1139,5 +1283,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier, lineClean,
-    boilerplateLines, unicodeNfc, dedupSpans)
+    boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup)
 }
