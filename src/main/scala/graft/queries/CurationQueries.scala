@@ -613,8 +613,235 @@ object CurationQueries {
       ranked.withColumn("ord", ord).orderBy("doc_id")
     })
 
+  /** DSIR importance resampling (X54 — Xie et al. 2023): select raw
+    * documents toward a TARGET domain (here: 'en'/'src0', the curated
+    * stand-in) by the log likelihood ratio of hashed unigram+bigram
+    * bucket distributions, accepting each doc with probability
+    * min(1, e^{λ−τ}) under a deterministic md5 uniform. The oracle
+    * re-derives the whole fit — identical conditional counts, add-1
+    * smoothing over the same occupied buckets — and replays scoring
+    * and the acceptance gate. λ is an aggregated float sum → both
+    * sides qround(6) for the report and gate acceptance on the coarser
+    * qround(4) grid (the q_hash_classifier device, so fold-order noise
+    * near a fine-grid boundary can't flip kept between engines). */
+  val dsirResample = QueryDef(
+    "q_dsir_resample",
+    Some(s"""WITH base AS (
+              SELECT doc_id, text,
+                     (lang = 'en' AND source = 'src0') AS t
+              FROM documents),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 t -> len(t) > 0) AS toks
+              FROM base),
+            fl AS (
+              SELECT doc_id, unnest(toks) AS f FROM tk
+              UNION ALL
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, CAST(len(toks) AS INT)),
+                         i -> toks[i] || ' ' || toks[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS f
+              FROM tk),
+            fb AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5('qc:' || f), 1, 8)
+                          AS BIGINT) % 1024 AS bucket
+              FROM fl),
+            cc AS (
+              SELECT fb.bucket,
+                     CAST(SUM(CASE WHEN b.t THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct,
+                     CAST(SUM(CASE WHEN NOT b.t THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cr
+              FROM fb JOIN base b USING (doc_id) GROUP BY fb.bucket),
+            tot AS (
+              SELECT CAST(SUM(ct) AS DOUBLE) AS nt,
+                     CAST(SUM(cr) AS DOUBLE) AS nr,
+                     CAST(COUNT(*) AS DOUBLE) AS nb
+              FROM cc),
+            w AS (
+              SELECT cc.bucket,
+                     ln((cc.ct + 1.0) / (tot.nt + tot.nb)) -
+                     ln((cc.cr + 1.0) / (tot.nr + tot.nb)) AS w
+              FROM cc, tot),
+            sc AS (
+              SELECT fb.doc_id, SUM(w.w) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS nf
+              FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id)
+            SELECT b.doc_id,
+                   COALESCE(sc.nf, 0) AS n_feats,
+                   ${Num.qroundSql("COALESCE(sc.s, 0.0)", 6)} AS log_w,
+                   CAST(CAST('0x' || substring(md5('dsir:'
+                      || CAST(b.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                     * 2 + 1 AS DOUBLE) / 9007199254740992.0 AS u,
+                   (CAST(CAST('0x' || substring(md5('dsir:'
+                       || CAST(b.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                      * 2 + 1 AS DOUBLE) / 9007199254740992.0
+                    < LEAST(exp(
+                        ${Num.qroundSql("COALESCE(sc.s, 0.0)", 4)} - 1.0),
+                        1.0)) AS kept
+            FROM base b LEFT JOIN sc USING (doc_id)
+            ORDER BY b.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.ops.Dsir.fit(docs, col("text"),
+        col("lang") === "en" && col("source") === "src0", 1024)
+      val lw = element_at(col("__st"), 1)
+      docs.select(col("doc_id"),
+          graft.ops.Dsir.logWeightStats(col("text"), m).as("__st"),
+          graft.ops.Dsir.hashUniform(col("doc_id"), "dsir:").as("u"))
+        .select(col("doc_id"),
+          greatest(element_at(col("__st"), 2).cast("long") * 2 - 1,
+            lit(0L)).as("n_feats"),
+          Num.qround(lw, 6).as("log_w"),
+          col("u"),
+          (col("u") <
+            least(exp(Num.qround(lw, 4) - lit(1.0)), lit(1.0))).as("kept"))
+        .orderBy("doc_id")
+    })
+
+  /** Corpus drift monitor (X58): KL(new‖old) of token-class
+    * distributions between two crawl snapshots — the distribution-
+    * shift alarm a continuously-refreshed training corpus runs after
+    * every crawl (the CCNet/C4 practice of tracking per-snapshot
+    * statistics, made quantitative). The class alphabet is the OLD
+    * snapshot's top-K tokens + <unk> (the X44/X51 device: a bounded
+    * alphabet keeps every count a (K+1)-cell driver quantity at any
+    * corpus size); both snapshots' class counts are one fixed-width
+    * shuffle each, add-1 smoothed over the same alphabet, and each
+    * class's KL contribution p_new·log2(p_new/p_old) is reported —
+    * the total is their sum, the per-class rows say WHAT drifted.
+    * Ratios are integer-exact operands, so only the final log2 is
+    * float — qround(6) canonicalizes. */
+  val corpusDrift = QueryDef(
+    "q_corpus_drift", {
+      val pOld = "(CAST(j.c_old AS DOUBLE) + 1.0) / (t.n_old + 25.0)"
+      val pNew = "(CAST(j.c_new AS DOUBLE) + 1.0) / (t.n_new + 25.0)"
+      Some(s"""WITH po AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+            pn AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 3),
+            otk AS (
+              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                t -> len(t) > 0)) AS tok FROM po),
+            ntk AS (
+              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                t -> len(t) > 0)) AS tok FROM pn),
+            topk AS (
+              SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c FROM otk GROUP BY tok)
+              ORDER BY c DESC, tok ASC LIMIT 24),
+            oc AS (
+              SELECT CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
+                          ELSE '<unk>' END AS cls,
+                     CAST(COUNT(*) AS BIGINT) AS c_old
+              FROM otk GROUP BY 1),
+            nc AS (
+              SELECT CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
+                          ELSE '<unk>' END AS cls,
+                     CAST(COUNT(*) AS BIGINT) AS c_new
+              FROM ntk GROUP BY 1),
+            j AS (
+              SELECT COALESCE(o.cls, n.cls) AS cls,
+                     COALESCE(o.c_old, 0) AS c_old,
+                     COALESCE(n.c_new, 0) AS c_new
+              FROM oc o FULL OUTER JOIN nc n ON o.cls = n.cls),
+            t AS (
+              SELECT CAST((SELECT SUM(c_old) FROM j) AS DOUBLE) AS n_old,
+                     CAST((SELECT SUM(c_new) FROM j) AS DOUBLE) AS n_new)
+            SELECT j.cls, j.c_old, j.c_new,
+                   ${Num.qroundSql(s"$pNew * log2(($pNew) / ($pOld))", 6)}
+                     AS kl_contrib
+            FROM j, t ORDER BY j.cls""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val m = graft.ops.Scoring.fitUnigram(oldSnap, col("text"), 24)
+      val topTokens = m.top.map(_._1)
+      def classCounts(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.select(explode(Text.tokens(col("text"))).as("tok"))
+          .select(when(col("tok").isin(topTokens: _*), col("tok"))
+            .otherwise("<unk>").as("cls"))
+          .groupBy("cls").agg(count(lit(1)).as(out))
+      val oc = classCounts(oldSnap, "c_old")
+      val nc = classCounts(newSnap, "c_new")
+      val j = oc.join(nc, Seq("cls"), "full_outer")
+        .select(col("cls"),
+          coalesce(col("c_old"), lit(0L)).as("c_old"),
+          coalesce(col("c_new"), lit(0L)).as("c_new"))
+      val tot = j.agg(sum("c_old"), sum("c_new")).head
+      val nOld = tot.getLong(0).toDouble
+      val nNew = tot.getLong(1).toDouble
+      val k1 = topTokens.size + 1.0 // alphabet size incl. <unk>
+      val pOld = (col("c_old").cast("double") + 1.0) / (nOld + k1)
+      val pNew = (col("c_new").cast("double") + 1.0) / (nNew + k1)
+      j.select(col("cls"), col("c_old"), col("c_new"),
+          Num.qround(pNew * log2(pNew / pOld), 6).as("kl_contrib"))
+        .orderBy("cls")
+    })
+
+  /** Per-domain score calibration (X57): raw quality scores are not
+    * comparable across sources (a crawl's 0.6 and a curated set's 0.6
+    * mean different things — the reason CCNet buckets per-snapshot and
+    * Dolma filters per-source), so selection replaces the raw score
+    * with its WITHIN-DOMAIN percentile and applies one global
+    * percentile cut — every domain contributes its own top 20%, no
+    * domain crowds another out. percent_rank = (rank−1)/(n−1) is a
+    * ratio of integers over a bit-identical element-wise score order
+    * (ties broken by doc_id), so the percentile itself hash-matches
+    * raw. Windows partition by domain (the X39 shape); at extreme
+    * single-domain skew the two-pass PrefixSum device generalizes
+    * per-key, but domain-partitioned rank is the honest default. */
+  val domainCalibrate = QueryDef(
+    "q_domain_calibrate",
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0) AS toks,
+                     text
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     (LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3 +
+                      GREATEST(0.0, 1.0 -
+                        CAST(len(text) - len(regexp_replace(text,
+                          '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) /
+                          NULLIF(CAST(len(text) AS DOUBLE), 0.0) * 4.0)
+                        * 0.2) AS score
+              FROM t)
+            SELECT doc_id, source, score,
+                   percent_rank() OVER (PARTITION BY source
+                     ORDER BY score, doc_id) AS pct,
+                   (percent_rank() OVER (PARTITION BY source
+                     ORDER BY score, doc_id) >= 0.8) AS kept
+            FROM q ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = Text.tokens(col("text"))
+      val nToks = size(toks).cast("long")
+      val punct = Text.punctRatio(col("text"))
+      val score = least(nToks.cast("double") / 50.0, lit(1.0)) * 0.3 +
+        greatest(lit(0.0), lit(1.0) - punct * 4.0) * 0.2
+      val w = Window.partitionBy("source")
+        .orderBy(col("score"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), score.as("score"))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("kept", col("pct") >= 0.8)
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
-      interleaveMix)
+      interleaveMix, dsirResample, domainCalibrate, corpusDrift)
 }
