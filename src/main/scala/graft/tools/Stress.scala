@@ -397,6 +397,61 @@ object Stress {
         docs.filter(col("id") % 100 === 0), "id", "text", k = 8).count()
     }
 
+    // X55: HTML stripping over 1M docs wearing full-page markup —
+    // pure per-row kernel scan, no shuffle
+    timeShuffle("strip html, 1M docs") {
+      val dressed = docs.withColumn("text",
+        concat(lit("<html><head><style>p{color:red}</style></head><body><p>"),
+          col("text"),
+          lit("</p><script>var x = 1 < 2;</script> Tom &amp; "
+            + "Jerry</body></html>")))
+      dressed.select(length(graft.functions.HtmlFunctions
+          .stripHtml(col("text"))).as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+    }
+
+    // X56: cross-doc paragraph dedup at 1M docs / ~6.1M paragraphs with
+    // a planted viral paragraph in 10% of docs: winner election
+    // shuffles only (md5, doc_id, pos) triples, text rejoins on
+    // uniform (doc_id, pos) — the hot paragraph never concentrates
+    // text in one partition
+    timeShuffle("paragraph dedup 1M docs, ~6M paras") {
+      val lines = docs.select(col("id").as("doc_id"),
+        posexplode(concat(
+          when(col("id") % 10 === 0,
+            array(lit("subscribe to our newsletter now")))
+            .otherwise(array().cast("array<string>")),
+          transform(sequence(lit(0), lit(5)), i =>
+            concat(lit("para"), ((col("id") * 7 + i) % 2000000)
+              .cast("string"))))).as(Seq("pos", "line")))
+        .withColumn("h", md5(col("line")))
+      val winners = lines.select(col("h"), col("doc_id"), col("pos"))
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      val flags = lines.select(col("h"), col("doc_id"), col("pos"))
+        .join(winners, "h")
+        .select(col("doc_id"), col("pos"),
+          (col("w.doc_id") === col("doc_id") &&
+            col("w.pos") === col("pos")).as("kept"))
+      val r = lines.join(flags, Seq("doc_id", "pos"))
+        .agg(count(lit(1)), sum(when(!col("kept"), 1L).otherwise(0L)))
+        .collect().head
+      s"paras=${r.getLong(0)} dups=${r.getLong(1)}"
+    }
+
+    // X54: DSIR fit (one fixed-width bucket-count shuffle) + scoring
+    // + hash-gated acceptance over 1M docs, target = 10% of corpus
+    timeShuffle("DSIR fit + resample, 1M docs") {
+      val m = graft.ops.Dsir.fit(docs, col("text"),
+        col("id") % 10 === 0, 1024)
+      docs.select(
+          element_at(graft.ops.Dsir.logWeightStats(col("text"), m), 1)
+            .as("lw"),
+          graft.ops.Dsir.hashUniform(col("id"), "dsir:").as("u"))
+        .filter(col("u") < least(exp(col("lw")), lit(1.0)))
+        .count()
+    }
+
     spark.stop()
   }
 
