@@ -1097,6 +1097,100 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * lambda formulation (dup window starts → flattened removed-
     * position list → membership filter) runs identically on both
     * engines. */
+  /** CCNet head/middle/tail perplexity buckets (X59 — the missing
+    * step of X44's CCNet chain, Wenzek et al. 2020): fit a language
+    * model PER LANGUAGE (all fits in one grouped count shuffle —
+    * `Scoring.fitUnigramByGroup`), score every document under its own
+    * language's model, and bucket each language's documents into
+    * perplexity tertiles; training keeps head+middle, drops tail.
+    * Per-language bucketing is the point — absolute perplexities are
+    * incomparable across languages (the X57 rationale, with a
+    * model-based score). Tertile ranks order on the QUANTIZED
+    * qround(6) score with doc_id tie-breaks, so bucket boundaries are
+    * deterministic cross-engine; pct·3 < 1|2 avoids a decimal-lane
+    * 1/3 literal. Zero-token documents surface with NULL xent and
+    * sort to the tail via a COALESCE sentinel (never a NULL order
+    * key). */
+  val ccnetBuckets = QueryDef(
+    "q_ccnet_buckets",
+    Some(s"""WITH tk AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 t -> len(t) > 0) AS toks
+              FROM documents),
+            fl AS (
+              SELECT doc_id, lang, unnest(toks) AS tok FROM tk),
+            c AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM fl GROUP BY 1, 2),
+            tp AS (
+              SELECT lang, tok, c FROM (
+                SELECT lang, tok, c,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY c DESC, tok ASC) AS rn
+                FROM c)
+              WHERE rn <= 24),
+            mk AS (
+              SELECT lang, CAST(COUNT(*) AS DOUBLE) AS k,
+                     CAST(SUM(c) AS BIGINT) AS topsum
+              FROM tp GROUP BY lang),
+            nt AS (
+              SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+              FROM c GROUP BY lang),
+            m AS (
+              SELECT nt.lang, nt.n + mk.k + 1.0 AS denom,
+                     log2((nt.n - mk.topsum + 1.0) / (nt.n + mk.k + 1.0))
+                       AS unklogp
+              FROM nt JOIN mk ON nt.lang = mk.lang),
+            sc AS (
+              SELECT fl.doc_id,
+                     SUM(CASE WHEN tp.c IS NOT NULL
+                              THEN log2((tp.c + 1.0) / m.denom)
+                              ELSE m.unklogp END) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS nt2
+              FROM fl
+                   JOIN m ON fl.lang = m.lang
+                   LEFT JOIN tp ON fl.lang = tp.lang AND fl.tok = tp.tok
+              GROUP BY fl.doc_id),
+            px AS (
+              SELECT d.doc_id, d.lang,
+                     COALESCE(sc.nt2, 0) AS n_tokens,
+                     CASE WHEN sc.nt2 > 0 THEN
+                       ${graft.functions.Num.qroundSql("-sc.s / sc.nt2", 6)} END AS xent
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+            r AS (
+              SELECT doc_id, lang, n_tokens, xent,
+                     percent_rank() OVER (PARTITION BY lang
+                       ORDER BY COALESCE(xent, 1e9), doc_id) AS pct
+              FROM px)
+            SELECT doc_id, lang, n_tokens, xent, pct,
+                   CASE WHEN pct * 3 < 1 THEN 'head'
+                        WHEN pct * 3 < 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   (pct * 3 < 2) AS kept
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val models = graft.ops.Scoring
+        .fitUnigramByGroup(docs, col("lang"), col("text"), 24)
+      val xent = graft.functions.Num.qround(
+        graft.ops.Scoring.crossEntropyByGroup(col("lang"), col("text"),
+          models), 6)
+      val base = docs.select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        xent.as("xent"))
+      val w = Window.partitionBy("lang")
+        .orderBy(coalesce(col("xent"), lit(1e9)), col("doc_id"))
+      base.withColumn("pct", percent_rank().over(w))
+        .withColumn("bucket",
+          when(col("pct") * 3 < 1, "head")
+            .when(col("pct") * 3 < 2, "middle")
+            .otherwise("tail"))
+        .withColumn("kept", col("pct") * 3 < 2)
+        .orderBy("doc_id")
+    })
+
   /** Cross-document paragraph dedup (X56 — the Dolma-style global
     * paragraph pass, public recipe: Soldaini et al. 2024): a paragraph
     * (here: line, via the same deterministic relining device the other
@@ -1283,5 +1377,6 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier, lineClean,
-    boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup)
+    boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
+    ccnetBuckets)
 }

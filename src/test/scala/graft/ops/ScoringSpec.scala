@@ -175,4 +175,39 @@ class ScoringSpec extends SparkSuite {
       joined.count(_.getDouble(1) == 0.0)).toDouble / joined.length
     assert(acc > prior + 0.05, s"acc $acc vs prior $prior")
   }
+
+  // ----------------------------------------------- per-group unigram LM
+
+  test("fitUnigramByGroup equals independent per-slice fits") {
+    val docs = Seq(
+      ("en", "a a a b c"), ("en", "a b d"),
+      ("de", "x x y"), ("de", "y z z z")).toDF("lang", "text")
+    val grouped = Scoring.fitUnigramByGroup(docs, col("lang"),
+      col("text"), 2)
+    for (g <- Seq("en", "de")) {
+      val solo = Scoring.fitUnigram(docs.filter(col("lang") === g),
+        col("text"), 2)
+      assert(grouped(g).top === solo.top, s"group $g top")
+      assert(grouped(g).total === solo.total, s"group $g total")
+    }
+  }
+
+  test("crossEntropyByGroup scores each doc under its own group model") {
+    val docs = Seq(
+      ("en", "a a a b c"), ("en", "a b d"),
+      ("de", "x x y"), ("de", "y z z z")).toDF("lang", "text")
+    val grouped = Scoring.fitUnigramByGroup(docs, col("lang"),
+      col("text"), 2)
+    val both = docs.select(col("lang"), col("text"),
+        Scoring.crossEntropyByGroup(col("lang"), col("text"), grouped)
+          .as("xg"))
+      .collect()
+    both.foreach { r =>
+      val m = grouped(r.getString(0))
+      val solo = Seq(r.getString(1)).toDF("text")
+        .select(Scoring.crossEntropy(col("text"), m)).as[Double].head()
+      assert(math.abs(r.getDouble(2) - solo) < 1e-12,
+        s"${r.getString(0)}: ${r.getDouble(2)} vs $solo")
+    }
+  }
 }
