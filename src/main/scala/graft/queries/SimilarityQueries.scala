@@ -865,9 +865,73 @@ ORDER BY id_a, id_b"""
         .orderBy("vec_id", "dim")
     })
 
+  /** Embedding-space outlier filter (X60): drop vectors whose distance
+    * to the corpus centroid is an extreme z-score — the embedding-side
+    * noise pass (mislabeled scrapes, encoder failures, empty-content
+    * vectors) that runs next to SemDeDup in embedding-based curation.
+    *
+    * Scale shape: the centroid is one fixed-width (dim, value) shuffle
+    * with map-side partial sums → 64 driver cells; distance and
+    * z-scoring are shuffle-free scans with the centroid inlined as a
+    * 64-double literal. Cross-engine: centroid components and the
+    * μ/σ scalars quantize at 1e-6 (aggregated floats), after which
+    * distances are IDENTICAL left-to-right folds of exact operands
+    * (the list_reduce device) and sqrt is IEEE-correctly-rounded — so
+    * dist, z, and the outlier boolean all hash-match UNROUNDED. */
+  val embedOutlier = QueryDef(
+    "q_embed_outlier", {
+      val sq = "(CAST(embedding[i] AS DOUBLE) - cl.c[i])"
+      Some(s"""WITH dims AS (
+              SELECT t.i AS dim,
+                     FLOOR((SUM(CAST(embedding[t.i] AS DOUBLE))
+                            / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cq
+              FROM embeddings, range(1, 65) t(i) GROUP BY t.i),
+            cl AS (SELECT list(cq ORDER BY dim) AS c FROM dims),
+            d AS (
+              SELECT vec_id,
+                     SQRT(list_reduce(list_transform(range(1, 65),
+                       i -> $sq * $sq), (x, y) -> x + y)) AS dist
+              FROM embeddings, cl),
+            st AS (
+              SELECT FLOOR((SUM(dist) / COUNT(*)) * 1000000 + 0.5)
+                       / 1000000 AS mu,
+                     FLOOR((SUM(dist * dist) / COUNT(*)) * 1000000 + 0.5)
+                       / 1000000 AS m2
+              FROM d)
+            SELECT vec_id, dist,
+                   (dist - mu) / SQRT(m2 - mu * mu) AS z,
+                   ((dist - mu) / SQRT(m2 - mu * mu) > 2.0) AS outlier
+            FROM d, st ORDER BY vec_id""")
+    },
+    (s, d) => {
+      def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val emb = Tables.embeddings(s, d)
+      val cq: Seq[Double] = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"))
+        .collect().sortBy(_.getInt(0))
+        .map(r => q6(r.getDouble(1) / r.getLong(2))).toSeq
+      val diffSq = zip_with(col("embedding"), lit(cq.toArray),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c))
+      val dist = sqrt(aggregate(diffSq, lit(0.0), (a, x) => a + x))
+      val dd = emb.select(col("vec_id"), dist.as("dist"))
+      val st = dd
+        .agg(sum("dist"), count(lit(1)), sum(col("dist") * col("dist")))
+        .head
+      val n = st.getLong(1).toDouble
+      val mu = q6(st.getDouble(0) / n)
+      val m2 = q6(st.getDouble(2) / n)
+      val sigma = math.sqrt(m2 - mu * mu)
+      dd.select(col("vec_id"), col("dist"),
+          ((col("dist") - mu) / sigma).as("z"),
+          ((col("dist") - mu) / sigma > 2.0).as("outlier"))
+        .orderBy("vec_id")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep, leakageSplit,
-    embedRp)
+    embedRp, embedOutlier)
 }
