@@ -439,6 +439,19 @@ object Stress {
       s"paras=${r.getLong(0)} dups=${r.getLong(1)}"
     }
 
+    // X59: per-language LM fits for 16 languages in ONE grouped count
+    // shuffle, then every doc scored under its own language's model in
+    // a shuffle-free literal-map scan
+    timeShuffle("per-lang LM fit x16 + score, 1M docs") {
+      val byLang = docs.withColumn("lang",
+        concat(lit("l"), (col("id") % 16).cast("string")))
+      val models = graft.ops.Scoring
+        .fitUnigramByGroup(byLang, col("lang"), col("text"), 24)
+      byLang.select(graft.ops.Scoring
+          .crossEntropyByGroup(col("lang"), col("text"), models).as("x"))
+        .agg(sum("x")).collect().head.getDouble(0).round
+    }
+
     // X54: DSIR fit (one fixed-width bucket-count shuffle) + scoring
     // + hash-gated acceptance over 1M docs, target = 10% of corpus
     timeShuffle("DSIR fit + resample, 1M docs") {

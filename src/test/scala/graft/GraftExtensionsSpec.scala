@@ -81,6 +81,28 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getSeq[String](0) === viaCol)
   }
 
+  test("round-7 kernels callable from SQL: span_dedup_stats, strip_html") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT span_dedup_stats('a b c d a b c e', 3) AS sd,
+             strip_html('<p>hello <b>world</b></p><script>x</script>') AS h
+    """).collect().head
+    val sd = r.getStruct(0)
+    assert(sd.getLong(0) === 8L)                      // n_tokens
+    assert(sd.getLong(1) === 1L)                      // n_dup_windows
+    assert(sd.getLong(2) === 3L)                      // n_removed
+    assert(sd.getString(3) === "a b c d e")           // cleaned_text
+    assert(r.getString(1) === "hello world")
+    // agrees with the Column API
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val viaCol = Seq("<p>hello <b>world</b></p><script>x</script>")
+      .toDF("t")
+      .select(graft.functions.HtmlFunctions.stripHtml(col("t")))
+      .as[String].collect().head
+    assert(r.getString(1) === viaCol)
+  }
+
   test("hyperplane_buckets callable from SQL, agrees with Column API") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
