@@ -65,6 +65,8 @@ object GraftExtensions {
     },
     "md5_shingle_keys" -> (args =>
       Md5ShingleKeys(args.head, intArg(args(1), "k"))),
+    "md5_shingle_keys_all" -> (args =>
+      Md5ShingleKeysAll(args.head, intArg(args(1), "k"))),
     "simhash64" -> (args => SimHash64(args.head)),
     "hyperplane_buckets" -> { args =>
       HyperplaneBuckets(args.head, intArg(args(1), "planes"),
@@ -120,7 +122,9 @@ object GraftExtensions {
     },
     "span_dedup_stats" -> (args =>
       SpanDedupStats(args.head, intArg(args(1), "k"))),
-    "strip_html" -> (args => StripHtml(args.head)))
+    "strip_html" -> (args => StripHtml(args.head)),
+    "span_rebuild" -> (args =>
+      SpanRebuild(args.head, args(1), intArg(args(2), "k"))))
 
   /** Register into an existing session (temp functions + the jaccard
     * prefilter optimizer rule via the experimental hook). */

@@ -218,6 +218,65 @@ object Md5ShingleKeys {
       b == 0x0b
 }
 
+/** POSITIONAL variant of [[Md5ShingleKeys]]: one 60-bit key per
+  * k-token window, in window order, duplicates KEPT — element i (0-
+  * based) is the key of the window starting at token i+1. Documents
+  * with fewer than k tokens yield an EMPTY array (zero windows — the
+  * SpanDedup convention), not the whole-doc fallback: this feeds
+  * positional span accounting (cross-document exact-substring dedup),
+  * where a fallback key would misalign positions. */
+case class Md5ShingleKeysAll(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_shingle_keys_all"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5ShingleKeysAll.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5ShingleKeysAll.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5ShingleKeysAll {
+  def compute(input: UTF8String, k: Int): GenericArrayData = {
+    val bytes = input.getBytes
+    val md = Md5ShingleKeys.digest()
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && Md5ShingleKeys.isWsByte(bytes(i))) i += 1
+      val s = i
+      while (i < n && !Md5ShingleKeys.isWsByte(bytes(i))) i += 1
+      if (i > s) { starts += s; ends += i }
+    }
+    val m = starts.length
+    if (m < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - k + 1)
+    var j = 0
+    while (j <= m - k) {
+      md.reset()
+      var t = j
+      while (t < j + k) {
+        if (t > j) md.update(' '.toByte)
+        md.update(bytes, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      out(j) = Md5ShingleKeys.head60(md.digest())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** PORTABLE one-pass simhash: whitespace tokens → md5-derived 60-bit
   * token keys (same construction as [[Md5ShingleKeys]] with k=1) →
   * per-bit ±1 majority vote → 60-bit signature. Value-identical to the
@@ -293,6 +352,10 @@ object ShingleFunctions {
   /** Portable (SQL-reproducible) md5-derived 60-bit shingle keys. */
   def md5ShingleKeys(text: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleKeys(ColumnBridge.expression(text), k))
+
+  /** Positional md5 window keys (duplicates kept, window order). */
+  def md5ShingleKeysAll(text: Column, k: Int): Column =
+    ColumnBridge.column(Md5ShingleKeysAll(ColumnBridge.expression(text), k))
 
   /** Portable (SQL-reproducible) md5-derived simhash signature. */
   def md5SimHash(text: Column, bits: Int = 60): Column =

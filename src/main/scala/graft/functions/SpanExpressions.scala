@@ -65,6 +65,9 @@ object SpanDedupStats {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
+  private[functions] def tokensOf(text: String): Array[String] =
+    splitTokens(text)
+
   private def splitTokens(text: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -120,7 +123,76 @@ object SpanDedupStats {
   }
 }
 
+/** Span-union rebuild against an EXTERNALLY-computed duplicate-window
+  * list — the per-row half of cross-document substring dedup (the
+  * corpus-global winner election supplies `dups`; this kernel marks
+  * each duplicate window's k positions, unions overlaps, and rebuilds
+  * the document in one pass).
+  *
+  * Why a kernel and not array HOFs: the composed rebuild
+  * (`filter(positions, p => !array_contains(rm, p))`) re-evaluates the
+  * `rm` construction INSIDE the lambda once per position after
+  * Catalyst collapses the staged projections — O(n·d) interpreted
+  * expression trees with allocations per row (measured ~7 s for 5000
+  * sf0.1 docs, >90% of the whole query). Here the mark set is one
+  * boolean array and the walk is O(n + d·k), codegen'd. */
+case class SpanRebuild(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, "window size must be at least 1")
+
+  override def dataType: DataType = SpanDedupStats.schema
+  override def prettyName: String = "span_rebuild"
+
+  override def nullSafeEval(text: Any, dups: Any): Any =
+    SpanRebuild.compute(text.asInstanceOf[UTF8String],
+      dups.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.SpanRebuild.compute($t, $d, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SpanRebuild {
+  def compute(s: UTF8String,
+      dups: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): InternalRow = {
+    val toks = SpanDedupStats.tokensOf(s.toString)
+    val n = toks.length
+    val removed = new Array[Boolean](n)
+    val nd = dups.numElements()
+    var i = 0
+    while (i < nd) {
+      val p = dups.getInt(i) // 1-based window start
+      var j = p - 1
+      val end = math.min(p - 1 + k, n)
+      while (j < end) { if (j >= 0) removed(j) = true; j += 1 }
+      i += 1
+    }
+    var nRemoved = 0L
+    val cleaned = new java.lang.StringBuilder
+    var p = 0
+    while (p < n) {
+      if (removed(p)) nRemoved += 1
+      else {
+        if (cleaned.length > 0) cleaned.append(' ')
+        cleaned.append(toks(p))
+      }
+      p += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, nd.toLong, nRemoved,
+      UTF8String.fromString(cleaned.toString)))
+  }
+}
+
 object SpanFunctions {
   def spanDedupStats(text: Column, k: Int): Column =
     ColumnBridge.column(SpanDedupStats(ColumnBridge.expression(text), k))
+
+  def spanRebuild(text: Column, dups: Column, k: Int): Column =
+    ColumnBridge.column(SpanRebuild(ColumnBridge.expression(text),
+      ColumnBridge.expression(dups), k))
 }

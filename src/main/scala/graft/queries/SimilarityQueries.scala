@@ -865,6 +865,78 @@ ORDER BY id_a, id_b"""
         .orderBy("vec_id", "dim")
     })
 
+  /** Cross-document exact-substring dedup (X61 — Lee et al. 2021's
+    * headline device, corpus-wide): a k-token window whose exact text
+    * occurs ANYWHERE earlier in the corpus (global (doc_id, pos)
+    * order) marks its tokens for removal; overlapping spans union and
+    * every document is rebuilt from survivors. Generalizes X53 (same
+    * span semantics, intra-doc scope) and complements X56 (whole
+    * paragraphs): this catches partial overlap at token granularity.
+    *
+    * Lee et al. build suffix arrays; the shuffle-native equivalent at
+    * k-gram granularity keys each window with the portable 60-bit md5
+    * shingle key ([[graft.functions.Md5ShingleKeysAll]] — positional,
+    * duplicates kept), so winner election shuffles 16-byte
+    * (key, doc_id, pos) triples only, never text; dup positions
+    * rejoin documents on doc_id and the rebuild is expression-only
+    * HOFs. The oracle recomputes the same keys from md5 hex, replays
+    * the election with a window, and rebuilds byte-for-byte. */
+  val dedupSubstring = QueryDef(
+    "q_dedup_substring",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> len(t) > 0) AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                         i -> CAST('0x' || substring(md5(
+                                array_to_string(toks[i:i+2], ' ')), 1, 15)
+                              AS BIGINT))
+                     ELSE CAST([] AS BIGINT[]) END AS keys
+              FROM t),
+            e AS (
+              SELECT doc_id,
+                     unnest(range(1, CAST(len(keys) AS INT) + 1)) AS pos,
+                     keys
+              FROM w),
+            e2 AS (SELECT doc_id, pos, keys[pos] AS key FROM e),
+            r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY key
+                       ORDER BY doc_id, pos) AS rn
+              FROM e2),
+            d AS (
+              SELECT doc_id, list(pos ORDER BY pos) FILTER (rn > 1) AS dups
+              FROM r GROUP BY doc_id),
+            k2 AS (
+              SELECT t.doc_id, t.toks, COALESCE(d.dups, []) AS dups
+              FROM t LEFT JOIN d USING (doc_id)),
+            r2 AS (
+              SELECT doc_id, toks, dups,
+                     list_distinct(flatten(list_transform(dups,
+                       p -> [p, p + 1, p + 2]))) AS rm
+              FROM k2),
+            k3 AS (
+              SELECT doc_id, toks,
+                     CAST(len(dups) AS BIGINT) AS n_dup_windows, rm,
+                     list_filter(range(1, len(toks) + 1),
+                       p -> NOT list_contains(rm, p)) AS kept
+              FROM r2)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   n_dup_windows,
+                   CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+                   COALESCE(array_to_string(
+                     list_transform(kept, p -> toks[p]), ' '), '')
+                     AS cleaned_text
+            FROM k3 ORDER BY doc_id"""),
+    (s, d) => graft.ops.SubstringDedup
+      .clean(Tables.documents(s, d), "doc_id", col("text"), 3)
+      .orderBy("doc_id"))
+
   /** Embedding-space outlier filter (X60): drop vectors whose distance
     * to the corpus centroid is an extreme z-score — the embedding-side
     * noise pass (mislabeled scrapes, encoder failures, empty-content
@@ -933,5 +1005,5 @@ ORDER BY id_a, id_b"""
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep, leakageSplit,
-    embedRp, embedOutlier)
+    embedRp, embedOutlier, dedupSubstring)
 }

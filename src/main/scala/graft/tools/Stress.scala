@@ -439,6 +439,17 @@ object Stress {
       s"paras=${r.getLong(0)} dups=${r.getLong(1)}"
     }
 
+    // X61: cross-doc exact-substring dedup at 1M docs, k=8 windows:
+    // ~53M positional 60-bit window keys (the synthetic corpus is
+    // adversarial — neighboring docs are shifted copies, so almost
+    // every window repeats); winner election shuffles 16-byte
+    // (key, doc_id, pos) triples only, rebuild is the fused
+    // SpanRebuild kernel
+    timeShuffle("substring dedup 1M docs, k=8") {
+      graft.ops.SubstringDedup.clean(docs, "id", col("text"), 8)
+        .agg(sum("n_removed")).collect().head.getLong(0)
+    }
+
     // X59: per-language LM fits for 16 languages in ONE grouped count
     // shuffle, then every doc scored under its own language's model in
     // a shuffle-free literal-map scan

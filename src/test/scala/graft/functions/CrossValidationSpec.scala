@@ -109,6 +109,38 @@ class CrossValidationSpec extends SparkSuite {
     }
   }
 
+  test("Md5ShingleKeysAll: positional, duplicates kept, <k empty") {
+    val df = Seq(
+      "a b c d a b c",   // windows: abc bcd cda dab abc — abc repeats
+      "x y",             // fewer than k tokens -> zero windows
+      "").toDF("text")
+      .select(ShingleFunctions.md5ShingleKeysAll(col("text"), 3).as("ks"),
+        // composed POSITIONAL mirror: md5 over each space-joined
+        // window, duplicates kept (wordShingles is distinct, so build
+        // the windows directly)
+        when(size(Text.tokens(col("text"))) >= 3,
+          transform(sequence(lit(1), size(Text.tokens(col("text"))) - 2),
+            i => conv(substring(md5(array_join(
+              slice(Text.tokens(col("text")), i, lit(3)), " ")),
+              1, 15), 16, 10).cast("long")))
+          .otherwise(array().cast("array<long>"))
+          .as("composed"),
+        ShingleFunctions.md5ShingleKeys(col("text"), 3).as("distinctks"))
+      .collect()
+    val Array(r0, r1, r2) = df
+    // positional length n-k+1, window order matches the composed mirror
+    assert(r0.getSeq[Long](0).length === 5)
+    assert(r0.getSeq[Long](0) === r0.getSeq[Long](1))
+    // duplicate window keeps both positions (same key at 1 and 5)
+    assert(r0.getSeq[Long](0).head === r0.getSeq[Long](0)(4))
+    // and the distinct variant collapses them
+    assert(r0.getSeq[Long](2).toSet === r0.getSeq[Long](0).toSet)
+    assert(r0.getSeq[Long](2).length === 4)
+    // <k tokens: positional gives NO windows (no whole-doc fallback)
+    assert(r1.getSeq[Long](0).isEmpty)
+    assert(r2.getSeq[Long](0).isEmpty)
+  }
+
   test("MinHash similarity estimate converges to exact Jaccard") {
     val rnd = new scala.util.Random(13)
     // random set pairs with known overlap structure
