@@ -1191,6 +1191,112 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Streaming curation chain (X62): the X55→X53 kernels — planted
+    * markup → `StripHtml` → `SpanDedupStats` — running INSIDE a
+    * Structured Streaming plan (file source, AvailableNow replay,
+    * append sink). The point is compatibility: graft's custom codegen
+    * expressions are ordinary Catalyst citizens, so the same curation
+    * chain that batch-cleans a corpus cleans documents AS THEY ARRIVE
+    * from a crawl, stateless and embarrassingly parallel; after
+    * bounded replay the sink equals the batch chain, which is what
+    * the oracle replays (strip chain + span CTEs over each stripped
+    * document). */
+  val streamCurate = QueryDef(
+    "q_stream_curate",
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       '<html><head><style>p { color: red; }</style>'
+                       || '</head><body><p>' || text
+                       || '</p><script>var x = 1 < 2;</script></body></html>'
+                     WHEN doc_id % 4 = 1 THEN
+                       'Tom &amp; Jerry &lt;3 ' || text || ' <br/>'
+                     WHEN doc_id % 4 = 2 THEN
+                       '<a href="http://x.y">' || text
+                       || '</a> &nbsp;&quot;quoted&quot;'
+                     ELSE text END AS planted
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         replace(
+                           regexp_replace(
+                             regexp_replace(planted,
+                               '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                               '', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                         '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS stripped
+              FROM p),
+            t2 AS (
+              SELECT doc_id,
+                     list_filter(string_split(stripped, ' '),
+                       x -> len(x) > 0) AS toks
+              FROM s),
+            w AS (
+              SELECT doc_id, toks,
+                     list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS wins
+              FROM t2),
+            d AS (
+              SELECT doc_id, toks,
+                     list_filter(range(1, len(wins) + 1),
+                       i -> list_position(wins, wins[i]) < i) AS dups
+              FROM w),
+            r AS (
+              SELECT doc_id, toks,
+                     CAST(len(dups) AS BIGINT) AS n_dup_windows,
+                     flatten(list_transform(dups,
+                       i -> [i, i + 1, i + 2])) AS removed
+              FROM d),
+            k AS (
+              SELECT doc_id, toks, n_dup_windows,
+                     list_filter(range(1, len(toks) + 1),
+                       p -> NOT list_contains(removed, p)) AS kept
+              FROM r)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   n_dup_windows,
+                   COALESCE(array_to_string(
+                     list_transform(kept, p -> toks[p]), ' '), '')
+                     AS cleaned_text
+            FROM k ORDER BY doc_id"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/documents.parquet")
+      val docs = EventStream.readDocuments(s, src)
+      val planted = when(col("doc_id") % 4 === 0,
+          concat(
+            lit("<html><head><style>p { color: red; }</style></head><body><p>"),
+            col("text"),
+            lit("</p><script>var x = 1 < 2;</script></body></html>")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("Tom &amp; Jerry &lt;3 "), col("text"), lit(" <br/>")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("<a href=\"http://x.y\">"), col("text"),
+            lit("</a> &nbsp;&quot;quoted&quot;")))
+        .otherwise(col("text"))
+      val chain = docs
+        .select(col("doc_id"), planted.as("planted"))
+        .select(col("doc_id"),
+          graft.functions.HtmlFunctions.stripHtml(col("planted"))
+            .as("stripped"))
+        .select(col("doc_id"),
+          graft.functions.SpanFunctions.spanDedupStats(col("stripped"), 3)
+            .as("__s"))
+        .select(col("doc_id"),
+          col("__s.n_tokens").as("n_tokens"),
+          col("__s.n_dup_windows").as("n_dup_windows"),
+          col("__s.cleaned_text").as("cleaned_text"))
+      EventStream.runAvailableNow(s, chain, "q_stream_curate_sink",
+          outputMode = "append")
+        .orderBy("doc_id")
+    })
+
   /** Cross-document paragraph dedup (X56 — the Dolma-style global
     * paragraph pass, public recipe: Soldaini et al. 2024): a paragraph
     * (here: line, via the same deterministic relining device the other
@@ -1378,5 +1484,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier, lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
-    ccnetBuckets)
+    ccnetBuckets, streamCurate)
 }

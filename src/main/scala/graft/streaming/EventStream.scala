@@ -25,6 +25,20 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** documents schema for the streaming curation chain (X62) — the
+    * corpus arrives as a stream of crawled documents. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-based document stream (same drop-folder contract as
+    * [[readEvents]]). */
+  def readDocuments(spark: SparkSession, docsDir: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(docsDir)
+
   /** File-based stream over a DIRECTORY of events parquet files
     * (Spark's file stream source requires a directory — point it at a
     * drop-folder; new files are picked up per micro-batch). */

@@ -163,4 +163,30 @@ class StreamingSpec extends SparkSuite {
       assert(first === second && first > 0, name)
     }
   }
+
+  test("streaming curation chain equals the batch kernel chain") {
+    // X62: StripHtml + SpanDedupStats (custom codegen kernels) inside
+    // a streaming plan produce exactly the batch chain's output
+    import org.apache.spark.sql.functions._
+    val stream = graft.queries.TextQueries.streamCurate
+      .fn(spark, Sf0001).collect()
+    val batch = graft.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        graft.functions.SpanFunctions.spanDedupStats(
+          graft.functions.HtmlFunctions.stripHtml(
+            when(col("doc_id") % 4 === 0,
+              concat(lit("<html><head><style>p { color: red; }</style></head><body><p>"),
+                col("text"),
+                lit("</p><script>var x = 1 < 2;</script></body></html>")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("Tom &amp; Jerry &lt;3 "), col("text"), lit(" <br/>")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("<a href=\"http://x.y\">"), col("text"),
+                lit("</a> &nbsp;&quot;quoted&quot;")))
+            .otherwise(col("text"))), 3).as("s"))
+      .select(col("doc_id"), col("s.n_tokens"), col("s.n_dup_windows"),
+        col("s.cleaned_text"))
+      .orderBy("doc_id").collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
 }
