@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.all ++
     graft.queries.EventQueries.all ++
     graft.queries.AnalyticsQueries.all ++
-    graft.queries.CurationQueries.all
+    graft.queries.CurationQueries.all ++
+    graft.queries.TrainPrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -38,4 +38,22 @@ object Packing {
       .withColumn("bin", floor(col("start_offset") / lit(budget)))
       .withColumn("offset_in_bin", col("start_offset") % lit(budget))
   }
+
+  /** [[packBins]] plus the attention-mask metadata a trainer consumes:
+    * within each (stream, bin), `segment_id` numbers the documents
+    * (the per-sequence segment ids that keep attention from crossing
+    * document boundaries when sequences are packed) and `truncated`
+    * flags documents that straddle the bin's end under the concat-
+    * and-chunk cut. Window partitions are (stream, bin) — real keys
+    * that shrink as the budget does, so no partition-less window ever
+    * appears (the PlanSpec gate). */
+  def packSegments(df: DataFrame, textCol: String, streamCol: String,
+      orderCol: String, budget: Long): DataFrame = {
+    val seg = Window.partitionBy(col(streamCol), col("bin"))
+      .orderBy(orderCol)
+    packBins(df, textCol, streamCol, orderCol, budget)
+      .withColumn("segment_id", row_number().over(seg).cast("long"))
+      .withColumn("truncated",
+        col("offset_in_bin") + col("n_tokens") > lit(budget))
+  }
 }

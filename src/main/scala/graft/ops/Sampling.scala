@@ -30,6 +30,39 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < lit(threshold))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    * A-ES, equivalently Gumbel top-k): each row draws an exponential
+    * race key ln(u)/w from a DETERMINISTIC md5 uniform (the
+    * [[Dsir.hashUniform]] (2h+1)/2⁵³ device) and the k LARGEST keys
+    * win — the textbook distributed device for "sample 1M docs
+    * proportionally to token count" because it needs no global RNG
+    * state, no sequential reservoir, and no second pass over the
+    * weights.
+    *
+    * At 100 TB this is a `TakeOrderedAndProject`: every partition
+    * keeps its local top-k (a bounded heap), the driver merges P·k
+    * candidate rows — no global sort, no single-partition window, no
+    * shuffle of the corpus.
+    *
+    * Float discipline: u is bit-identical cross-engine, but ln is a
+    * libm call (≤1 ulp, not correctly-rounded everywhere), so the key
+    * is canonicalized with qround(6) and ties break on the id — the
+    * q_ccnet_buckets rank discipline.
+    */
+  def weightedSampleKey(key: Column, weight: Column,
+      salt: String): Column =
+    graft.functions.Num.qround(
+      log(Dsir.hashUniform(key, salt)) / weight.cast("double"), 6)
+
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("skey",
+        weightedSampleKey(col(keyCol), col(weightCol), salt))
+      .orderBy(col("skey").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Stratified variant: per-stratum keep rates (corpus mixing — e.g.
     * downsample a crawl source to 10% while keeping curated sources
     * whole). Same per-row hash decision, so strata stay reproducible

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Num, Text}
+import graft.ops.{Fim, Packing, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Training-example preparation: the passes that turn a CURATED corpus
+  * into what the trainer actually reads — weighted corpus subsampling,
+  * fill-in-the-middle example construction, and packed-sequence
+  * attention metadata. All deterministic (md5-derived randomness), so
+  * every output byte is oracle-checked.
+  */
+object TrainPrepQueries {
+
+  private val sqlToks =
+    """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+
+  /** DuckDB mirror of Dsir.hashUniform (the exact (2h+1)/2⁵³ form —
+    * integer arithmetic up to one exact power-of-two divide). */
+  private def uniformSql(salt: String, id: String): String =
+    s"""CAST(CAST('0x' || substring(md5('$salt'
+       |      || CAST($id AS VARCHAR)), 1, 13) AS BIGINT)
+       |    * 2 + 1 AS DOUBLE) / 9007199254740992.0""".stripMargin
+
+  // ------------------------------------------------- X63 weighted WOR
+
+  /** Weighted sampling without replacement (X63 — Efraimidis–Spirakis
+    * A-ES / Gumbel top-k): sample 100 documents proportionally to
+    * token count via the exponential race key ln(u)/w, u a
+    * deterministic md5 uniform. The distributed shape is the point:
+    * per-partition top-k heaps + a driver merge (TakeOrderedAndProject)
+    * — no global sort, no window, no corpus shuffle. ln is a libm call
+    * (≤1 ulp), so keys are qround(6)-canonicalized with id tie-breaks
+    * — the q_ccnet_buckets rank discipline. */
+  val sampleWeighted = QueryDef(
+    "q_sample_weighted",
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     GREATEST(CAST(len($sqlToks) AS BIGINT), 1) AS weight
+              FROM documents),
+            k AS (
+              SELECT doc_id, weight,
+                     ${Num.qroundSql(
+                       s"ln(${uniformSql("wrs:", "doc_id")}) " +
+                         "/ CAST(weight AS DOUBLE)", 6)} AS skey
+              FROM t),
+            s AS (
+              SELECT doc_id, weight, skey
+              FROM k ORDER BY skey DESC, doc_id LIMIT 100)
+            SELECT doc_id, weight, skey FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("weight",
+          greatest(size(Text.tokens(col("text"))).cast("long"), lit(1L)))
+      Sampling.weightedSample(docs, "doc_id", "weight", 100, "wrs:")
+        .select("doc_id", "weight", "skey")
+        .orderBy("doc_id")
+    })
+
+  // ------------------------------------------------------ X64 FIM
+
+  /** Fill-in-the-middle transform (X64 — Bavarian et al. 2022): PSM
+    * and joined-SPM reorders at md5-derived character cuts, applied to
+    * ~50% of documents (integer hash-bucket gate, no float literal at
+    * the boundary). Pure substring arithmetic — every output byte
+    * hash-matches. A shuffle-free scan at any corpus size. */
+  val fimTransform = QueryDef(
+    "q_fim_transform",
+    Some(s"""WITH c AS (
+              SELECT doc_id, text, len(text) AS n,
+                     CAST(FLOOR(${uniformSql("fim:a:", "doc_id")}
+                       * CAST(len(text) + 1 AS DOUBLE)) AS BIGINT) AS a,
+                     CAST(FLOOR(${uniformSql("fim:b:", "doc_id")}
+                       * CAST(len(text) + 1 AS DOUBLE)) AS BIGINT) AS b,
+                     CAST('0x' || substring(md5('fim:g:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       < 2147483648 AS fim_applied
+              FROM documents),
+            m AS (
+              SELECT doc_id, text, n, fim_applied,
+                     LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+              FROM c)
+            SELECT doc_id, fim_applied,
+                   CASE WHEN fim_applied THEN lo ELSE 0 END AS lo,
+                   CASE WHEN fim_applied THEN hi ELSE 0 END AS hi,
+                   CASE WHEN fim_applied THEN
+                     '${Fim.Pre}' || substring(text, 1, lo)
+                       || '${Fim.Suf}' || substring(text, hi + 1, n - hi)
+                       || '${Fim.Mid}' || substring(text, lo + 1, hi - lo)
+                   ELSE text END AS psm,
+                   CASE WHEN fim_applied THEN
+                     '${Fim.Pre}${Fim.Suf}'
+                       || substring(text, hi + 1, n - hi)
+                       || '${Fim.Mid}' || substring(text, 1, lo)
+                       || substring(text, lo + 1, hi - lo)
+                   ELSE text END AS spm
+            FROM m ORDER BY doc_id"""),
+    (s, d) => Fim.transform(Tables.documents(s, d), "doc_id", "text",
+        rate = 0.5, salt = "fim:")
+      .select("doc_id", "fim_applied", "lo", "hi", "psm", "spm")
+      .orderBy("doc_id"))
+
+  // --------------------------------------------- X65 packed segments
+
+  /** Packed-sequence attention metadata (X65 — the segment ids /
+    * boundary flags trainers need when sequences are packed, extending
+    * q_pack_bins): within each (source, bin), documents are numbered
+    * (segment_id) and straddlers flagged (truncated). Windows
+    * partition by REAL keys that shrink with the budget — no
+    * partition-less window (the PlanSpec gate). */
+  val packSegments = QueryDef(
+    "q_pack_segments",
+    Some(s"""WITH p AS (
+              SELECT doc_id, source,
+                     CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CAST(len($sqlToks) AS BIGINT)) OVER w
+                       - CAST(len($sqlToks) AS BIGINT) AS BIGINT)
+                       AS start_offset
+              FROM documents
+              WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT doc_id, source, n_tokens,
+                   CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin,
+                   start_offset % 2048 AS offset_in_bin,
+                   CAST(row_number() OVER (
+                       PARTITION BY source, FLOOR(start_offset / 2048.0)
+                       ORDER BY doc_id) AS BIGINT) AS segment_id,
+                   (start_offset % 2048) + n_tokens > 2048 AS truncated
+            FROM p ORDER BY doc_id"""),
+    (s, d) => Packing.packSegments(Tables.documents(s, d), "text",
+        "source", "doc_id", budget = 2048L)
+      .select("doc_id", "source", "n_tokens", "bin", "offset_in_bin",
+        "segment_id", "truncated")
+      .orderBy("doc_id"))
+
+  val all: Seq[QueryDef] =
+    Seq(sampleWeighted, fimTransform, packSegments)
+}
