@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Num
-import graft.ops.{Multimodal, Similarity}
+import graft.ops.{Multimodal, Similarity, Warc}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -760,11 +760,64 @@ cents_${i + 1} AS (
         .orderBy("l_returnflag")
     })
 
+  /** WARC round-trip (X67 — the ISO 28500 Common Crawl container, the
+    * ingest boundary of a crawl pipeline): each document is packed as
+    * a two-record WARC blob (response payload = the text; metadata
+    * payload = lang/source) by EXPRESSION, then parsed back by the
+    * byte-level Content-Length-framed walker in [[graft.ops.Warc]] —
+    * doc_id is recovered from the parsed Target-URI, so the oracle's
+    * first-principles prediction (the Multimodal device: predict, not
+    * re-parse) only matches if framing, headers, and payload slicing
+    * all round-trip byte-exactly. Content-Length framing means the
+    * parser never scans payloads for delimiters — a payload containing
+    * `WARC/1.0` can't desync it (planted in WarcSpec). */
+  val warcParse = QueryDef(
+    "q_warc_parse",
+    Some("""WITH m AS (
+              SELECT doc_id, text,
+                     'lang: ' || lang || chr(10) || 'source: ' || source
+                       AS meta,
+                     'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                       AS uri
+              FROM documents)
+            SELECT doc_id, CAST(0 AS INT) AS rec_no,
+                   'response' AS rec_type, uri AS target_uri,
+                   CAST(strlen(text) AS BIGINT) AS content_length,
+                   md5(text) AS payload_md5
+            FROM m
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), 'metadata', uri,
+                   CAST(strlen(meta) AS BIGINT), md5(meta)
+            FROM m
+            ORDER BY doc_id, rec_no"""),
+    (s, d) => {
+      import s.implicits._
+      val uri = concat(lit("http://corpus.local/doc/"),
+        col("doc_id").cast("string"))
+      val meta = concat(lit("lang: "), col("lang"),
+        lit("\nsource: "), col("source"))
+      val blob = concat(
+        Warc.record("response", uri, col("text")),
+        Warc.record("metadata", uri, meta)).cast("binary")
+      Tables.documents(s, d).select(blob.as("warc")).as[Array[Byte]]
+        .flatMap { b =>
+          Warc.parse(b).zipWithIndex.map { case (r, i) =>
+            (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1)
+               .toLong,
+             i, r.recType, r.targetUri, r.contentLength,
+             Warc.md5Hex(r.payload))
+          }
+        }
+        .toDF("doc_id", "rec_no", "rec_type", "target_uri",
+          "content_length", "payload_md5")
+        .orderBy("doc_id", "rec_no")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, approxDistinct,
-    kmvDistinct)
+    kmvDistinct, warcParse)
 }

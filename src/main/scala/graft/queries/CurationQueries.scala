@@ -840,8 +840,96 @@ object CurationQueries {
         .orderBy("doc_id")
     })
 
+  // ------------------------------------------------ X66 domain PageRank
+
+  private val PrIters = 5
+  private val PrDamping = 0.85
+  // 1−d computed in BINARY and interpolated (0.15000000000000002…), so
+  // DuckDB parses the exact double Spark's `lit(1.0 - damping)` holds —
+  // a decimal 0.15 literal would be a DIFFERENT double.
+  private val PrTeleport = 1.0 - PrDamping
+
+  /** One unrolled power-iteration round as oracle CTEs (the X7/X42
+    * Lloyd-unroll device): contributions keyed by dst, qround'd
+    * dangling mass, teleport + damped update, qround'd rank. */
+  private def prRoundSql(t: Int): String = {
+    val p = t - 1
+    s"""c$t AS (
+              SELECT e.dst AS v, SUM(r$p.pr / CAST(e.deg AS DOUBLE)) AS c
+              FROM e JOIN r$p ON e.src = r$p.v GROUP BY e.dst),
+            d$t AS (
+              SELECT ${Num.qroundSql(
+                s"COALESCE((SELECT SUM(r.pr) FROM r$p r LEFT JOIN deg " +
+                  "ON r.v = deg.src WHERE deg.src IS NULL), 0.0)", 6)}
+                AS dm),
+            r$t AS (
+              SELECT nodes.v,
+                     ${Num.qroundSql(
+                       s"$PrTeleport / nn.n + $PrDamping * " +
+                         s"(COALESCE(c$t.c, 0.0) + d$t.dm / nn.n)", 6)}
+                       AS pr
+              FROM nodes CROSS JOIN nn CROSS JOIN d$t
+                LEFT JOIN c$t ON nodes.v = c$t.v)"""
+  }
+
+  /** Domain-graph PageRank (X66 — the crawl-curation authority signal;
+    * Page et al. 1999, the Common Crawl domain-ranking recipe): a
+    * deterministic 50-node domain multigraph carved from documents
+    * (src = doc_id mod 50, dst = an md5 bucket), 5 damped power-
+    * iteration rounds from the uniform start. Per round: one shuffle
+    * keyed src (ranks→edges join), one keyed dst (contribution agg) —
+    * fixed-width (node, double) rows only; the whole computation is a
+    * single lazy plan (scalar node-count/dangling aggregates ride as
+    * broadcast 1-row cross joins, no driver actions between rounds).
+    * The oracle unrolls all 5 rounds as CTEs; each round's ranks are
+    * qround(6)-canonicalized so round t+1 starts from bit-identical
+    * doubles on both engines. */
+  val domainPagerank = QueryDef(
+    "q_domain_pagerank",
+    Some(s"""WITH e0 AS (
+              SELECT doc_id % 50 AS src,
+                     CAST('0x' || substring(md5('pr:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 50 AS dst
+              FROM documents),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e0 GROUP BY src),
+            e AS (SELECT e0.src, e0.dst, deg.deg
+                  FROM e0 JOIN deg USING (src)),
+            r0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+            ${(1 to PrIters).map(prRoundSql).mkString(",\n            ")}
+            SELECT nodes.v AS node,
+                   COALESCE(deg.deg, 0) AS out_deg,
+                   r$PrIters.pr AS pr
+            FROM nodes
+              LEFT JOIN deg ON nodes.v = deg.src
+              JOIN r$PrIters ON nodes.v = r$PrIters.v
+            ORDER BY node"""),
+    (s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 50).as("src"),
+        (conv(substring(md5(concat(lit("pr:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 50).as("dst"))
+      val pr = graft.ops.PageRank.run(edges, "src", "dst",
+        PrIters, PrDamping)
+      val deg = edges.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("deg"))
+      pr.join(deg, Seq("v"), "left")
+        .select(col("v").as("node"),
+          coalesce(col("deg"), lit(0L)).as("out_deg"), col("pr"))
+        .orderBy("node")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
-      interleaveMix, dsirResample, domainCalibrate, corpusDrift)
+      interleaveMix, dsirResample, domainCalibrate, corpusDrift,
+      domainPagerank)
 }
