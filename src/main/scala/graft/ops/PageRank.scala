@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
   * Common Crawl ranking recipe: harmonic centrality / PageRank over
   * the domain link graph; Page et al. 1999).
   *
-  * Shape per round (the honest 100 TB shape, not a driver loop): join
-  * ranks to edges on src (shuffle keyed by src), aggregate
-  * contributions by dst (second keyed shuffle), left-join back to the
-  * node list so sinks keep receiving teleport mass. Ranks and degrees
-  * are fixed-width (node, double) rows — the corpus never re-shuffles
-  * — and the whole `iters`-round computation is ONE lazy plan: the
-  * scalar aggregates (node count, dangling mass) ride along as 1-row
-  * cross joins that Spark broadcasts, so there are no driver-side
-  * actions between rounds.
+  * Shape per round (the honest 100 TB shape): join ranks to edges on
+  * src (shuffle keyed by src), aggregate contributions by dst (second
+  * keyed shuffle), left-join back to the node list so sinks keep
+  * receiving teleport mass. Ranks and degrees are fixed-width
+  * (node, double) rows — the corpus never re-shuffles. The node count
+  * is collected ONCE on the driver (one bounded 1-row action at plan
+  * build, the same device every model-fit scorer in [[Scoring]] uses)
+  * and the per-round dangling mass is a bounded 1-row scalar off the
+  * checkpointed rank state — attaching either as a 1-row `crossJoin`
+  * would plan a BroadcastNestedLoopJoin, which the repo's plan sweep
+  * bans. Each round's rank state is `localCheckpoint`ed (it is
+  * consumed twice per round — contribution join and dangling
+  * anti-join — so unchecked lineage grows exponentially in `iters`;
+  * the same device as `Dedup.clusterKeepMinDistributed`), exactly as a
+  * production power-iteration job checkpoints between supersteps.
   *
   * Float discipline: each round's rank is qround(6)-canonicalized
   * (contribution sums are fold-order-sensitive aggregates — the
@@ -35,27 +41,38 @@ object PageRank {
       iters: Int, damping: Double): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // nodes and degreed edges are consumed every round — materialize
+    // once; both are fixed-width rows, never document text
     val nodes = e0.select(col("src").as("v"))
       .union(e0.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
     val deg = e0.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("deg"))
     val e = e0.join(deg.select(col("v").as("src"), col("deg")), "src")
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var r = nodes.crossJoin(nn)
-      .select(col("v"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    // node count: ONE bounded 1-row driver action at plan build; the
+    // float discipline below divides by this exact double, matching
+    // the oracle's `… / nn.n` on the same IEEE value
+    val n = nodes.count().toDouble
+    var r = nodes.select(col("v"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // dangling mass: data-dependent 1-row scalar per round, read off
+      // the checkpointed (node, double) rank state — bounded work,
+      // qround(6)'d so both engines damp with the identical double
+      val dm = r.join(deg, Seq("v"), "left_anti")
+        .agg(Num.qround(coalesce(sum("pr"), lit(0.0)), 6).as("dm"))
+        .head().getDouble(0)
       val contrib = e.join(r, e("src") === r("v"))
         .select(e("dst").as("v"),
           (col("pr") / col("deg").cast("double")).as("c"))
         .groupBy("v").agg(sum("c").as("c"))
-      val dangling = r.join(deg, Seq("v"), "left_anti")
-        .agg(Num.qround(coalesce(sum("pr"), lit(0.0)), 6).as("dm"))
       r = nodes.join(contrib, Seq("v"), "left")
-        .crossJoin(nn).crossJoin(dangling)
         .select(col("v"), Num.qround(
-          lit(1.0 - damping) / col("n") + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")),
+          lit(1.0 - damping) / lit(n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dm) / lit(n)),
           6).as("pr"))
+        .localCheckpoint(true)
     }
     r
   }
