@@ -38,12 +38,25 @@ object PrefixSum {
     * order of budgeted corpus selection (X52). Emits `out` as the
     * inclusive cumulative sum; no partition-less window in the plan.
     *
+    * `valueCol` must be an integral type (byte/short/int/long): the
+    * per-bucket totals are read back as exact longs, and the
+    * "bit-identical to the one-window form" guarantee only holds for
+    * integer addition (float sums are fold-order-sensitive, so a
+    * two-pass float cumsum would NOT reproduce the single-window
+    * result bit-for-bit). Enforced up front rather than failing with
+    * a ClassCastException mid-collect.
+    *
     * @param buckets target parallelism of the cumsum stage; the
     *                boundary/offset tables are `buckets`-sized driver
     *                metadata by construction.
     */
   def runningTotalDesc(df: DataFrame, valueCol: String, scoreCol: String,
       tieCol: String, out: String, buckets: Int = 32): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"runningTotalDesc requires an integral valueCol (got $vt): " +
+        "float prefix sums are fold-order-sensitive and would not be " +
+        "bit-identical to the single-window form")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // pass 0 (bounded stats): sampled boundaries of the leading key
     // (buckets <= 1 -> no boundaries -> everything in bucket 0)

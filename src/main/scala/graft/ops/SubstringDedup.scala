@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   *     per document. (The composed HOF rebuild re-evaluates its
   *     mark-set expression per position after projection collapse —
   *     measured >90% of query time; the kernel removes that cliff.)
+  *
+  * '''Collision bound (hash-key, not verified-text, identity).'''
+  * Duplicate windows are identified purely by the 60-bit shingle key;
+  * window text is never compared. By the birthday bound, W distinct
+  * windows produce ≈ W²/2^61 false-positive key collisions: negligible
+  * through ~10^7 windows (sf-scale corpora, < 1e-4 expected), but at
+  * 100 TB (~10^12 windows) on the order of 10^5–10^6 windows — a
+  * ~1e-7 fraction — would be falsely marked duplicate and their
+  * non-duplicate tokens silently removed. For corpus curation that
+  * loss is noise (Lee et al.'s own pipeline tolerates far larger
+  * boundary effects); where exactness matters, widen the key or add a
+  * verification join on the actual k-token window text for keys whose
+  * group contains >1 distinct window string before electing winners —
+  * that join shuffles only the colliding ~1e-7 of windows.
   */
 object SubstringDedup {
 

@@ -1078,25 +1078,6 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
-  /** Intra-document repeated-span removal (X53): the within-document
-    * granularity of dedup (Lee et al. 2021, "Deduplicating Training
-    * Data Makes Language Models Better", §exact-substring — here at
-    * token-window granularity): a 3-token window that already occurred
-    * earlier in the SAME document marks its tokens for removal, and
-    * the document is rebuilt from the surviving tokens. Complements
-    * X1/X19 (whole-corpus dedup) and X46 (line granularity); the
-    * pathology it targets — generated boilerplate loops, scraper
-    * stutter — lives inside single documents where corpus-level dedup
-    * can't see it.
-    *
-    * Expression-only (array HOFs over the staged token array; each
-    * stage materialized as an attribute against interpreted-HOF
-    * re-evaluation): no shuffle, no explode — scales as a pure scan.
-    * All arithmetic is integer positions + exact string equality, so
-    * the oracle rebuilds cleaned text byte-for-byte. The no-nested-
-    * lambda formulation (dup window starts → flattened removed-
-    * position list → membership filter) runs identically on both
-    * engines. */
   /** CCNet head/middle/tail perplexity buckets (X59 — the missing
     * step of X44's CCNet chain, Wenzek et al. 2020): fit a language
     * model PER LANGUAGE (all fits in one grouped count shuffle —
@@ -1441,6 +1422,23 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Intra-document repeated-span removal (X53): the within-document
+    * granularity of dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", §exact-substring — here at
+    * token-window granularity): a 3-token window that already occurred
+    * earlier in the SAME document marks its tokens for removal, and
+    * the document is rebuilt from the surviving tokens. Complements
+    * X1/X19 (whole-corpus dedup) and X46 (line granularity); the
+    * pathology it targets — generated boilerplate loops, scraper
+    * stutter — lives inside single documents where corpus-level dedup
+    * can't see it.
+    *
+    * One fused codegen kernel ([[graft.ops.SpanDedup]] /
+    * `SpanDedupStats`): no shuffle, no explode — scales as a pure
+    * scan. All arithmetic is integer positions + exact string
+    * equality, so the oracle rebuilds cleaned text byte-for-byte with
+    * staged list CTEs (dup window starts → flattened removed-position
+    * list → membership filter). */
   val dedupSpans = QueryDef(
     "q_dedup_spans",
     Some(s"""WITH t AS (
