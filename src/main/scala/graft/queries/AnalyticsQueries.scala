@@ -813,11 +813,148 @@ cents_${i + 1} AS (
         .orderBy("doc_id", "rec_no")
     })
 
+  /** Gzipped WARC members (X67b — the layout real Common Crawl
+    * archives actually use): a `.warc.gz` is CONCATENATED PER-RECORD
+    * GZIP MEMBERS, not one gzip stream — the member boundary is what
+    * lets a 100 TB archive split across tasks and a reader seek to one
+    * record without inflating the prefix. Each document becomes two
+    * independently-gzipped record members (JVM builder — gzip has no
+    * Catalyst expression; same accepted byte boundary as the
+    * Multimodal codecs), and [[graft.ops.Warc.parseGz]] walks the
+    * members with a manual RFC 1952 header/Inflater walk (GZIPInput-
+    * Stream read-ahead hides member boundaries), then Content-Length-
+    * frames each member's plain bytes. Oracle = the same
+    * first-principles prediction as X67: only byte-exact compress →
+    * member-walk → inflate → frame round-tripping matches it.
+    * Truncation/desync/FNAME-flagged members are planted in WarcSpec. */
+  val warcParseGz = QueryDef(
+    "q_warc_parse_gz",
+    Some("""WITH m AS (
+              SELECT doc_id, text,
+                     'lang: ' || lang || chr(10) || 'source: ' || source
+                       AS meta,
+                     'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                       AS uri
+              FROM documents)
+            SELECT doc_id, CAST(0 AS INT) AS rec_no,
+                   'response' AS rec_type, uri AS target_uri,
+                   CAST(strlen(text) AS BIGINT) AS content_length,
+                   md5(text) AS payload_md5
+            FROM m
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), 'metadata', uri,
+                   CAST(strlen(meta) AS BIGINT), md5(meta)
+            FROM m
+            ORDER BY doc_id, rec_no"""),
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"),
+          col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, text, lang, source) =>
+          val uri = s"http://corpus.local/doc/$id"
+          val meta = s"lang: $lang\nsource: $source"
+          Warc.gzipMember(
+            Warc.recordBytes("response", uri, text.getBytes("UTF-8"))) ++
+            Warc.gzipMember(
+              Warc.recordBytes("metadata", uri, meta.getBytes("UTF-8")))
+        }
+        .flatMap { b =>
+          Warc.parseGz(b).zipWithIndex.map { case (r, i) =>
+            (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1)
+               .toLong,
+             i, r.recType, r.targetUri, r.contentLength,
+             Warc.md5Hex(r.payload))
+          }
+        }
+        .toDF("doc_id", "rec_no", "rec_type", "target_uri",
+          "content_length", "payload_md5")
+        .orderBy("doc_id", "rec_no")
+    })
+
+  /** Image perceptual-hash dedup (X68 — the standard multimodal-corpus
+    * pass that dedups images AS IMAGES, not as bytes or embeddings):
+    * decode real rasters → 8×8 integer average-hash
+    * ([[graft.ops.PerceptualHash]]) → hamming-banded near-dup pairs
+    * via the X3 SimHash blocking device
+    * ([[graft.ops.Dedup.simhashPairsFromSig]] — 4×16-bit bands,
+    * lossless for hamming ≤ 3 by pigeonhole). At scale only 8-byte
+    * signatures shuffle, never pixels. The fixture plants, per scene,
+    * a brightness-shifted copy (different bytes, IDENTICAL hash — the
+    * case exact dedup X1 cannot see), a one-block patch (hamming ≤ 1),
+    * and an unrelated raster (hamming ~32, never paired). Every hash
+    * bit is integer arithmetic over sha256-derived block grays, so the
+    * oracle predicts signatures AND the band join from first
+    * principles. */
+  val imageDedup = QueryDef(
+    "q_image_dedup",
+    Some("""WITH img AS (
+              SELECT CAST(id AS BIGINT) AS asset_id,
+                     CAST(id // 4 AS BIGINT) AS scene,
+                     CAST(id % 4 AS INT) AS v
+              FROM range(0, 500) t(id)),
+            key AS (
+              SELECT asset_id, v,
+                     sha256(CASE WHEN v = 3
+                              THEN CAST(scene AS VARCHAR) || 'x'
+                              ELSE CAST(scene AS VARCHAR) END) AS hex
+              FROM img),
+            blocks AS (
+              SELECT asset_id, CAST(b.b AS INT) AS b,
+                     CASE WHEN v = 2 AND b.b = 0 THEN 255
+                          ELSE ord(substring(hex, CAST(b.b AS INT) + 1, 1))
+                               + CASE WHEN v = 1 THEN 10 ELSE 0 END
+                     END AS val
+              FROM key, range(0, 64) b(b)),
+            tot AS (
+              SELECT asset_id, SUM(val) AS total
+              FROM blocks GROUP BY asset_id),
+            sig AS (
+              SELECT blocks.asset_id AS id,
+                     SUM(CASE WHEN val * 64 > total
+                              THEN CAST(1 AS HUGEINT) << b
+                              ELSE CAST(0 AS HUGEINT) END) AS sig
+              FROM blocks JOIN tot ON blocks.asset_id = tot.asset_id
+              GROUP BY blocks.asset_id),
+            chunked AS (
+              SELECT id, sig, CAST(c.c AS INT) AS chunk_idx,
+                     (sig >> (16 * CAST(c.c AS INT))) % 65536 AS chunk
+              FROM sig, range(0, 4) c(c)),
+            capped AS (
+              SELECT id, sig, chunk_idx, chunk FROM chunked
+              QUALIFY COUNT(*) OVER (PARTITION BY chunk_idx, chunk)
+                        <= 1000),
+            ham AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     CAST(bit_count(CAST(xor(a.sig, b.sig) % 65536 AS INT)) +
+                          bit_count(CAST((xor(a.sig, b.sig) >> 16) % 65536 AS INT)) +
+                          bit_count(CAST((xor(a.sig, b.sig) >> 32) % 65536 AS INT)) +
+                          bit_count(CAST((xor(a.sig, b.sig) >> 48) % 65536 AS INT))
+                          AS INT) AS hamming
+              FROM capped a
+              JOIN capped b ON a.chunk_idx = b.chunk_idx
+                AND a.chunk = b.chunk AND a.id < b.id)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+            ORDER BY id_a, id_b"""),
+    (s, _) => {
+      import s.implicits._
+      val sig = graft.ops.PerceptualHash.syntheticImageCorpus(s, 500)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          graft.ops.PerceptualHash.aHash64(bytes).map(h => (id, h))
+        })
+        .toDF("id", "sig")
+      graft.ops.Dedup.simhashPairsFromSig(sig, maxHamming = 2,
+          bucketCap = 1000, bits = 64)
+        .orderBy("id_a", "id_b")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, approxDistinct,
-    kmvDistinct, warcParse)
+    kmvDistinct, warcParse, warcParseGz, imageDedup)
 }

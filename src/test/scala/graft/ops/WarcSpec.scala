@@ -50,11 +50,81 @@ class WarcSpec extends SparkSuite {
         concat(lit("http://c/"), col("doc_id").cast("string")),
         col("text"))).cast("binary").as("b"))
       .collect().head.getAs[Array[Byte]](0)
-    val expect = build(("response", "http://c/7", "payload text"))
+    val expect = Warc.recordBytes("response", "http://c/7",
+      "payload text".getBytes("UTF-8"))
     assert(java.util.Arrays.equals(blob, expect))
     val r = Warc.parse(blob)
     assert(r.size === 1 && r.head.contentLength === 12L &&
       Warc.md5Hex(r.head.payload) ===
         Warc.md5Hex("payload text".getBytes("UTF-8")))
+  }
+
+  test("record carries mandatory ISO 28500 headers, deterministically") {
+    val b = Warc.recordBytes("response", "http://c/1",
+      "abc".getBytes("UTF-8"))
+    val s = new String(b, "US-ASCII")
+    assert(s.contains("WARC-Date: 2026-01-01T00:00:00Z\r\n"))
+    val id = "WARC-Record-ID: <urn:uuid:([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})>\r\n".r
+    assert(id.findFirstIn(s).isDefined)
+    // same record → same id; different payload → different id
+    val b2 = Warc.recordBytes("response", "http://c/1",
+      "abc".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(b, b2))
+    val b3 = Warc.recordBytes("response", "http://c/1",
+      "abd".getBytes("UTF-8"))
+    assert(id.findFirstMatchIn(s).get.group(1) !==
+      id.findFirstMatchIn(new String(b3, "US-ASCII")).get.group(1))
+  }
+
+  // ------------------------------------------------ .warc.gz members
+
+  test("gz: concatenated per-record members round-trip") {
+    val blob =
+      Warc.gzipMember(Warc.recordBytes("response", "u1",
+        "hello world".getBytes("UTF-8"))) ++
+      Warc.gzipMember(Warc.recordBytes("metadata", "u1",
+        "lang: en".getBytes("UTF-8")))
+    val got = Warc.parseGz(blob)
+    assert(got.map(_.recType) === Seq("response", "metadata"))
+    assert(got.map(r => new String(r.payload, "UTF-8")) ===
+      Seq("hello world", "lang: en"))
+  }
+
+  test("gz: one member holding several records still parses") {
+    val member = Warc.gzipMember(
+      Warc.recordBytes("response", "u1", "a".getBytes("UTF-8")) ++
+        Warc.recordBytes("response", "u2", "bb".getBytes("UTF-8")))
+    assert(Warc.parseGz(member).map(_.targetUri) === Seq("u1", "u2"))
+  }
+
+  test("gz: truncated trailing member drops, parsed prefix survives") {
+    val m1 = Warc.gzipMember(Warc.recordBytes("response", "u1",
+      "abc".getBytes("UTF-8")))
+    val m2 = Warc.gzipMember(Warc.recordBytes("response", "u2",
+      "def".getBytes("UTF-8")))
+    val blob = m1 ++ m2.take(m2.length / 2)
+    val got = Warc.parseGz(blob)
+    assert(got.size === 1 && got.head.targetUri === "u1")
+  }
+
+  test("gz: garbage between members ends the walk without throwing") {
+    val m1 = Warc.gzipMember(Warc.recordBytes("response", "u1",
+      "abc".getBytes("UTF-8")))
+    val blob = m1 ++ "not gzip at all".getBytes("UTF-8")
+    val got = Warc.parseGz(blob)
+    assert(got.size === 1 && got.head.targetUri === "u1")
+  }
+
+  test("gz: FNAME-flagged member header walks correctly") {
+    // splice an FNAME (filename + NUL) into a standard member: set
+    // FLG bit 3 and insert the name after the 10-byte fixed header
+    val plain = Warc.recordBytes("response", "u9", "xyz".getBytes("UTF-8"))
+    val m = Warc.gzipMember(plain)
+    val named = m.take(3) ++ Array[Byte]((m(3) | 8).toByte) ++
+      m.slice(4, 10) ++ "file.warc".getBytes("US-ASCII") ++
+      Array[Byte](0) ++ m.drop(10)
+    val got = Warc.parseGz(named)
+    assert(got.size === 1 &&
+      new String(got.head.payload, "UTF-8") === "xyz")
   }
 }
