@@ -927,9 +927,132 @@ object CurationQueries {
         .orderBy("node")
     })
 
+  /** Domain harmonic centrality (X69 — the OTHER public Common Crawl
+    * ranking signal next to PageRank, Boldi & Vigna 2014): radius-6
+    * truncated H(v) = Σ 1/d(u,v) over nodes u that reach v, computed
+    * as iterated frontier expansion under the X66 round discipline
+    * (per-round localCheckpoint, empty-frontier short-circuit; see
+    * [[graft.ops.Centrality]]). Same synthetic 50-domain link graph
+    * as q_domain_pagerank, so the two rankings are directly
+    * comparable. The oracle replays the BFS as a recursive CTE with
+    * the same level cap and takes MIN(d) per pair — distances are
+    * exact integers, only the final 1/d sum needs the qround(6)
+    * canonicalization (fold-order-sensitive double sum). */
+  val domainHarmonic = QueryDef(
+    "q_domain_harmonic",
+    Some(s"""WITH RECURSIVE e0 AS (
+              SELECT doc_id % 50 AS src,
+                     CAST('0x' || substring(md5('pr:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 50 AS dst
+              FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e
+                UNION ALL SELECT dst AS v FROM e)),
+            bfs(u, v, d) AS (
+              SELECT v, v, 0 FROM nodes
+              UNION
+              SELECT bfs.u, e.dst, bfs.d + 1
+              FROM bfs JOIN e ON bfs.v = e.src
+              WHERE bfs.d < 6),
+            md AS (SELECT u, v, MIN(d) AS d FROM bfs GROUP BY u, v),
+            h AS (
+              SELECT v AS node,
+                     ${graft.functions.Num.qroundSql(
+                       "SUM(CAST(1 AS DOUBLE) / d)", 6)} AS harmonic
+              FROM md WHERE d > 0 GROUP BY v)
+            SELECT nodes.v AS node,
+                   COALESCE(h.harmonic, CAST(0 AS DOUBLE)) AS harmonic
+            FROM nodes LEFT JOIN h ON nodes.v = h.node
+            ORDER BY node"""),
+    (s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 50).as("src"),
+        (conv(substring(md5(concat(lit("pr:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 50).as("dst"))
+      graft.ops.Centrality.harmonic(edges, "src", "dst", radius = 6)
+        .orderBy("node")
+    })
+
+  /** HyperBall approximate harmonic centrality (X69b — the scale path
+    * next to X69's exact BFS, Boldi & Vigna 2013): per-node state is a
+    * bounded 16-long KMV sketch of the reached ball instead of the
+    * ball itself, unioned through edges each round (explode + the X28
+    * mergeable bottom-k — see [[graft.ops.Centrality.harmonicHyperball]]),
+    * ĥ accumulating (|B̂_r|−|B̂_{r-1}|)/r per round. The approximation
+    * is deterministic (md5 node hashes, k-min sketch, one-division
+    * estimator), so the oracle replays it EXACTLY: exact balls from
+    * the recursive-CTE BFS, the same 60-bit hashes, the same k-th-min
+    * estimator arithmetic — approximate ≠ sloppy. k=16 < 50 nodes, so
+    * sketches genuinely saturate and the estimator path is exercised
+    * (CentralitySpec separately pins k > |V| ⟹ estimate ≡ exact). */
+  val domainHarmonicHb = QueryDef(
+    "q_domain_harmonic_hb",
+    Some(s"""WITH RECURSIVE e0 AS (
+              SELECT doc_id % 50 AS src,
+                     CAST('0x' || substring(md5('pr:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 50 AS dst
+              FROM documents),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e
+                UNION ALL SELECT dst AS v FROM e)),
+            bfs(u, v, d) AS (
+              SELECT v, v, 0 FROM nodes
+              UNION
+              SELECT bfs.u, e.dst, bfs.d + 1
+              FROM bfs JOIN e ON bfs.v = e.src
+              WHERE bfs.d < 6),
+            md AS (SELECT u, v, MIN(d) AS d FROM bfs GROUP BY u, v),
+            balls AS (
+              SELECT md.v, CAST(r.r AS INT) AS r,
+                     CAST('0x' || substring(md5('hb:'
+                         || CAST(md.u AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS hv
+              FROM md, range(0, 7) r(r)
+              WHERE md.d <= r.r),
+            ranked AS (
+              SELECT v, r, hv,
+                     ROW_NUMBER() OVER (PARTITION BY v, r ORDER BY hv)
+                       AS rk,
+                     COUNT(*) OVER (PARTITION BY v, r) AS c
+              FROM balls),
+            est AS (
+              SELECT v, r,
+                     CASE WHEN MAX(c) < 16 THEN CAST(MAX(c) AS DOUBLE)
+                          ELSE CAST(15 AS DOUBLE) /
+                               (CAST(MAX(CASE WHEN rk = 16 THEN hv END)
+                                      AS DOUBLE) /
+                                CAST((CAST(1 AS BIGINT) << 60) AS DOUBLE))
+                     END AS est
+              FROM ranked GROUP BY v, r),
+            terms AS (
+              SELECT a.v, (a.est - b.est) / CAST(a.r AS DOUBLE) AS t
+              FROM est a JOIN est b ON a.v = b.v AND b.r = a.r - 1
+              WHERE a.r >= 1)
+            SELECT v AS node,
+                   ${graft.functions.Num.qroundSql("SUM(t)", 6)}
+                     AS harmonic_est
+            FROM terms GROUP BY v ORDER BY node"""),
+    (s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 50).as("src"),
+        (conv(substring(md5(concat(lit("pr:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 50).as("dst"))
+      graft.ops.Centrality.harmonicHyperball(edges, "src", "dst",
+          radius = 6, k = 16)
+        .orderBy("node")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
-      domainPagerank)
+      domainPagerank, domainHarmonic, domainHarmonicHb)
 }
