@@ -476,6 +476,39 @@ object Stress {
         .count()
     }
 
+    // X66: PageRank power iteration over a 10M-edge / 1M-node graph.
+    // Two probes (5 vs 10 rounds): per-round cost is FLAT iff
+    // t(10) ≈ 2·t(5) — the mechanical check that per-round
+    // localCheckpoint keeps lineage (and the plan tree) from growing
+    // with iteration count; only fixed-width (node, double) rows
+    // shuffle, never adjacency text. Returned value is sum(pr)·1e6
+    // rounded: conservation of mass (≈1.0) doubles as a sanity check.
+    val prEdges = spark.range(0, 10000000L, 1, 64).select(
+      (col("id") % 1000000L).as("src"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("dst"))
+    def prMass(iters: Int): Long =
+      (graft.ops.PageRank.run(prEdges, "src", "dst", iters, 0.85)
+        .agg(sum("pr")).collect().head.getDouble(0) * 1e6).round
+    timeShuffle("pagerank 10M edges, 5 rounds") { prMass(5) }
+    timeShuffle("pagerank 10M edges, 10 rounds") { prMass(10) }
+
+    // X6: the q_dedup_clusters DISTRIBUTED label-propagation branch,
+    // forced (localThreshold=0 bypasses the driver union-find that
+    // handles real-world edge volumes) on 10M chain edges over 10.1M
+    // nodes — 100k components of diameter 100, the shape pointer
+    // jumping exists for (⌈log₂ 100⌉ = 7 rounds). Returned value =
+    // distinct canonical ids; exactly 100000 iff clustering is right.
+    timeShuffle("ccdist label-prop, 10M pairs") {
+      val n = 10100000L
+      val ccIds = spark.range(0, n, 1, 64).select(col("id"))
+      val ccPairs = spark.range(0, n, 1, 64)
+        .filter(col("id") % 101 =!= 100)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      Dedup.clusterKeepMin(ccIds, "id", ccPairs, iters = 8,
+          localThreshold = 0L)
+        .agg(countDistinct("canonical_id")).collect().head.getLong(0)
+    }
+
     spark.stop()
   }
 
