@@ -12,6 +12,9 @@ object Bench {
       // reference semantics: bad casts -> NULL, not errors (SURVEY §7;
       // Spark 4 defaults ANSI on)
       .config("spark.sql.ansi.enabled", "false")
+      // NTZ→TZ normalization in Tables.events is value-preserving only
+      // under UTC; pin it (Verify and the test suite already do)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Force FULL evaluation of every column: a noop-sink write consumes

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -21,16 +22,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long and truncate
-    * to microsecond timestamps with integral division (a double-typed
-    * `/ 1000` would lose sub-μs bits at 2024-epoch magnitudes) —
-    * matching DuckDB's own nanos→micros truncation so oracle compares
-    * agree. */
+  /** events.parquet's `ts` encoding has varied across driver data
+    * generations: INT64 TIMESTAMP(NANOS) (read as raw longs via the
+    * legacy nanosAsLong conf, truncated to micros with integral
+    * division — a double-typed `/ 1000` would lose sub-μs bits at
+    * 2024-epoch magnitudes) or plain timestamp[us] without UTC
+    * adjustment (read as TIMESTAMP_NTZ). Dispatch on the LOADED type
+    * rather than assuming one encoding, and normalize both to
+    * session-zoned TimestampType — sessions pin UTC, so the NTZ cast
+    * is value-preserving and downstream unix_micros/getTimestamp code
+    * sees identical instants either way. DuckDB reads the same file
+    * natively, so oracle compares agree without per-encoding SQL. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

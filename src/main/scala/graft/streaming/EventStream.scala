@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as the streaming reader needs it declared up front
-    * (ts already micros — see Tables.events for the nanos note). */
+  /** events schema as the streaming reader needs it declared up front.
+    * The `ts` field here is a placeholder — [[readEvents]] probes the
+    * actual parquet encoding (raw INT64 nanos vs timestamp[us] NTZ;
+    * see Tables.events) and substitutes the real type before the
+    * stream starts, since a declared type that disagrees with the file
+    * makes the vectorized reader silently reinterpret the raw values. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos in the parquet files
+    StructField("ts", LongType), // replaced per-file by readEvents
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -44,10 +48,20 @@ object EventStream {
     * drop-folder; new files are picked up per micro-batch). */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // One bounded driver-side footer read: file streams require a
+    // user-declared schema, so probe the directory's actual ts
+    // encoding with a static load (schema only — no data scan) and
+    // declare what the files really contain. Then normalize to
+    // session-zoned TimestampType exactly as Tables.events does.
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window count/sum with a watermark: the streaming twin of
