@@ -18,7 +18,9 @@ object SparkEntry {
     graft.queries.EventQueries.all ++
     graft.queries.AnalyticsQueries.all ++
     graft.queries.CurationQueries.all ++
-    graft.queries.TrainPrepQueries.all
+    graft.queries.TrainPrepQueries.all ++
+    graft.queries.UrlQueries.all ++
+    graft.queries.CrawlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -116,20 +116,30 @@ object Centrality {
         lit(1.0).as("est"), lit(0.0).as("h"))
       .localCheckpoint(true)
     for (r <- 1 to radius) {
+      // est/h ride the node's OWN state rows into the union aggregation
+      // (neighbor rows carry null; each v has exactly one state row, so
+      // max() recovers its prev est/h exactly) — one grouped shuffle per
+      // round, no state-joined-back-to-union step (r8 verdict item #4:
+      // that join + its extra checkpoint roughly doubled the fixed
+      // per-round cost; map-side partial agg collapses the exploded
+      // rows before the shuffle either way).
+      val own = state
+        .select(col("v"), col("sketch"), col("est"), col("h"))
       val fromNeighbors = e
         .join(state.select(col("v").as("src"), col("sketch")), "src")
-        .select(col("dst").as("v"), col("sketch"))
-      val unioned = state.select(col("v"), col("sketch"))
-        .union(fromNeighbors)
-        .select(col("v"), explode(col("sketch")).as("hv"))
+        .select(col("dst").as("v"), col("sketch"),
+          lit(null).cast("double").as("est"),
+          lit(null).cast("double").as("h"))
+      state = own.union(fromNeighbors)
+        .select(col("v"), explode(col("sketch")).as("hv"),
+          col("est"), col("h"))
         .groupBy("v")
-        .agg(SketchFunctions.bottomK(col("hv"), k).as("sketch"))
-      state = state.select(col("v"), col("est"), col("h"))
-        .join(unioned, Seq("v"))
+        .agg(SketchFunctions.bottomK(col("hv"), k).as("sketch"),
+          max("est").as("prev_est"), max("h").as("prev_h"))
         .withColumn("est2", SketchFunctions.kmvEstimate(col("sketch"), k))
         .select(col("v"), col("sketch"), col("est2").as("est"),
-          (col("h") + (col("est2") - col("est")) / lit(r.toDouble))
-            .as("h"))
+          (col("prev_h") + (col("est2") - col("prev_est")) /
+            lit(r.toDouble)).as("h"))
         .localCheckpoint(true)
     }
     state.select(col("v").as("node"),

@@ -775,10 +775,16 @@ object CurationQueries {
           .groupBy("cls").agg(count(lit(1)).as(out))
       val oc = classCounts(oldSnap, "c_old")
       val nc = classCounts(newSnap, "c_new")
+      // (K+1) = 25 rows — localCheckpoint before the totals action so
+      // the two full token explode+groupBy scans (old AND new snapshot)
+      // run ONCE; without it the totals `.head` and the final KL
+      // projection each re-evaluate the whole lineage (r8 verdict:
+      // 1.7 s → 8.2 s on byte-identical code)
       val j = oc.join(nc, Seq("cls"), "full_outer")
         .select(col("cls"),
           coalesce(col("c_old"), lit(0L)).as("c_old"),
           coalesce(col("c_new"), lit(0L)).as("c_new"))
+        .localCheckpoint()
       val tot = j.agg(sum("c_old"), sum("c_new")).head
       val nOld = tot.getLong(0).toDouble
       val nNew = tot.getLong(1).toDouble
@@ -842,17 +848,19 @@ object CurationQueries {
 
   // ------------------------------------------------ X66 domain PageRank
 
-  private val PrIters = 5
-  private val PrDamping = 0.85
+  // package-visible: UrlQueries reuses the same unrolled PageRank
+  // oracle over its URL-derived domain graph (X70 → X66 composition)
+  private[queries] val PrIters = 5
+  private[queries] val PrDamping = 0.85
   // 1−d computed in BINARY and interpolated (0.15000000000000002…), so
   // DuckDB parses the exact double Spark's `lit(1.0 - damping)` holds —
   // a decimal 0.15 literal would be a DIFFERENT double.
-  private val PrTeleport = 1.0 - PrDamping
+  private[queries] val PrTeleport = 1.0 - PrDamping
 
   /** One unrolled power-iteration round as oracle CTEs (the X7/X42
     * Lloyd-unroll device): contributions keyed by dst, qround'd
     * dangling mass, teleport + damped update, qround'd rank. */
-  private def prRoundSql(t: Int): String = {
+  private[queries] def prRoundSql(t: Int): String = {
     val p = t - 1
     s"""c$t AS (
               SELECT e.dst AS v, SUM(r$p.pr / CAST(e.deg AS DOUBLE)) AS c

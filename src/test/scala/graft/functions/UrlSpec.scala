@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** X70 — URL canonicalization + registrable domain
+  * ([[graft.functions.Url]]): literal in/out pairs for every rule the
+  * scaladoc chain promises, including the r8-verdict-named edges
+  * (`:80`/`:443` vs non-default ports, host-only URLs, queries that
+  * empty after utm-filtering). */
+class UrlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Url.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  private def dom(urls: String*): Seq[String] =
+    urls.toDF("url").select(Url.registrableDomain(col("url")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canon("HTTP://WWW.Example.COM/Mixed/Case") ===
+      Seq("http://example.com/Mixed/Case"))
+  }
+
+  test("default ports stripped: :80 for http, :443 for https") {
+    assert(canon("http://example.com:80/a", "https://example.com:443/a") ===
+      Seq("http://example.com/a", "https://example.com/a"))
+  }
+
+  test("default port of the OTHER scheme survives") {
+    // :443 on http (and :80 on https) are NOT default — they stay
+    assert(canon("http://example.com:443/a", "https://example.com:80/a") ===
+      Seq("http://example.com:443/a", "https://example.com:80/a"))
+  }
+
+  test("non-default port survives canonicalization but not the domain") {
+    assert(canon("http://example.com:8080/a") ===
+      Seq("http://example.com:8080/a"))
+    assert(dom("http://example.com:8080/a") === Seq("example.com"))
+  }
+
+  test("host-only URL: empty path, no trailing slash") {
+    assert(canon("http://www.news.co.jp", "http://example.com/") ===
+      Seq("http://news.co.jp", "http://example.com"))
+  }
+
+  test("duplicate slashes collapse; trailing slash drops") {
+    assert(canon("http://example.com//a///b/") ===
+      Seq("http://example.com/a/b"))
+  }
+
+  test("fragment dropped") {
+    assert(canon("http://example.com/a#sec", "http://example.com/a?x=1#sec")
+      === Seq("http://example.com/a", "http://example.com/a?x=1"))
+  }
+
+  test("utm_* params dropped, survivors sorted byte-wise") {
+    assert(canon("http://example.com/a?utm_source=x&b=2&a=1") ===
+      Seq("http://example.com/a?a=1&b=2"))
+  }
+
+  test("query that empties after utm-filtering loses its '?'") {
+    assert(canon("http://example.com/a?utm_source=only",
+      "http://example.com/a?") === Seq("http://example.com/a",
+      "http://example.com/a"))
+  }
+
+  test("registrable domain: plain two-label host") {
+    assert(dom("http://www.example.com/a") === Seq("example.com"))
+  }
+
+  test("registrable domain: deep subdomain collapses to last two labels") {
+    assert(dom("https://a.b.c.example.com/x") === Seq("example.com"))
+  }
+
+  test("registrable domain: multi-part public suffixes take three labels") {
+    assert(dom("http://shop.example.co.uk", "http://www.news.co.jp",
+      "https://stats.data.ac.uk", "http://x.example.com.au") ===
+      Seq("example.co.uk", "news.co.jp", "data.ac.uk", "example.com.au"))
+  }
+
+  test("registrable domain: single-label host is its own domain") {
+    assert(dom("http://localhost/x") === Seq("localhost"))
+  }
+
+  test("variants of one resource share one canonical form (the dedup key)") {
+    val c = canon("http://example.com/item/3",
+      "HTTP://WWW.Example.com:80//item//3/",
+      "http://example.com/item/3?utm_source=feed#top",
+      "http://www.example.com/item/3#section")
+    assert(c.distinct === Seq("http://example.com/item/3"))
+  }
+}
