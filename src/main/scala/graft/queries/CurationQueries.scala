@@ -796,6 +796,136 @@ object CurationQueries {
         .orderBy("cls")
     })
 
+  /** Per-domain corpus drift (X58b — the r8 verdict's suggested second
+    * monitor over the drift surface): the q_corpus_drift KL computed
+    * WITHIN each source, so a re-crawl that shifts one domain's
+    * distribution is visible even when the global mix stays flat (the
+    * way production drift dashboards slice). Reuses the X59 device:
+    * all per-source class alphabets fit in ONE grouped count shuffle
+    * ([[graft.ops.Scoring.fitUnigramByGroup]], ≤ (K+1)·|sources|
+    * driver cells); class assignment is a shuffle-free literal-map
+    * scan (the injective "source token" key — tokens cannot contain
+    * spaces); the joined class table is |sources|·(K+1) rows,
+    * localCheckpoint'ed before reuse (the q_corpus_drift lesson).
+    * Per-source KL sums are qround(6)'d after aggregation (fold-order
+    * discipline). */
+  val domainDrift = QueryDef(
+    "q_domain_drift", {
+      val pOld = "(CAST(j.c_old AS DOUBLE) + 1.0) / " +
+        "(CAST(t.n_old AS DOUBLE) + kk.kk)"
+      val pNew = "(CAST(j.c_new AS DOUBLE) + 1.0) / " +
+        "(CAST(t.n_new AS DOUBLE) + kk.kk)"
+      Some(s"""WITH po AS (
+              SELECT source, text FROM documents WHERE doc_id % 10 <> 7),
+            pn AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 3),
+            otk AS (
+              SELECT source, unnest(list_filter(string_split_regex(text,
+                '\\s+'), t -> len(t) > 0)) AS tok FROM po),
+            ntk AS (
+              SELECT source, unnest(list_filter(string_split_regex(text,
+                '\\s+'), t -> len(t) > 0)) AS tok FROM pn),
+            topk AS (
+              SELECT source, tok FROM (
+                SELECT source, tok,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY c DESC, tok ASC) AS rn
+                FROM (SELECT source, tok, COUNT(*) AS c
+                      FROM otk GROUP BY source, tok))
+              WHERE rn <= 16),
+            oc AS (
+              SELECT o.source,
+                     CASE WHEN t.tok IS NOT NULL THEN o.tok
+                          ELSE '<unk>' END AS cls,
+                     CAST(COUNT(*) AS BIGINT) AS c_old
+              FROM otk o LEFT JOIN topk t
+                ON o.source = t.source AND o.tok = t.tok
+              GROUP BY 1, 2),
+            nc AS (
+              SELECT o.source,
+                     CASE WHEN t.tok IS NOT NULL THEN o.tok
+                          ELSE '<unk>' END AS cls,
+                     CAST(COUNT(*) AS BIGINT) AS c_new
+              FROM ntk o LEFT JOIN topk t
+                ON o.source = t.source AND o.tok = t.tok
+              GROUP BY 1, 2),
+            j AS (
+              SELECT COALESCE(o.source, n.source) AS source,
+                     COALESCE(o.cls, n.cls) AS cls,
+                     COALESCE(o.c_old, 0) AS c_old,
+                     COALESCE(n.c_new, 0) AS c_new
+              FROM oc o FULL OUTER JOIN nc n
+                ON o.source = n.source AND o.cls = n.cls),
+            kk AS (
+              SELECT source, CAST(COUNT(*) + 1 AS DOUBLE) AS kk
+              FROM topk GROUP BY source),
+            t AS (
+              SELECT source, SUM(c_old) AS n_old, SUM(c_new) AS n_new
+              FROM j GROUP BY source)
+            SELECT j.source, CAST(t.n_old AS BIGINT) AS n_old,
+                   CAST(t.n_new AS BIGINT) AS n_new,
+                   ${Num.qroundSql(
+                     s"SUM($pNew * log2(($pNew) / ($pOld)))", 6)} AS kl
+            FROM j
+              JOIN kk ON j.source = kk.source
+              JOIN t ON j.source = t.source
+            GROUP BY 1, 2, 3 ORDER BY j.source""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val models = graft.ops.Scoring.fitUnigramByGroup(
+        oldSnap, col("source"), col("text"), 16)
+      val ms = models.toSeq.sortBy(_._1)
+      // "source token" -> token: injective because tokens can't
+      // contain spaces (the X59 collision argument)
+      val lut = map(ms.flatMap { case (g, m) =>
+        m.top.flatMap { case (tok, _) => Seq(lit(g + " " + tok), lit(tok)) }
+      }: _*)
+      val kmap = map(ms.flatMap { case (g, m) =>
+        Seq(lit(g), lit(m.top.size + 1.0)) }: _*)
+      def classCounts(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.select(col("source"),
+            explode(Text.tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            coalesce(element_at(lut,
+              concat(col("source"), lit(" "), col("tok"))),
+              lit("<unk>")).as("cls"))
+          .groupBy("source", "cls").agg(count(lit(1)).as(out))
+      val j = classCounts(oldSnap, "c_old")
+        .join(classCounts(newSnap, "c_new"), Seq("source", "cls"),
+          "full_outer")
+        .select(col("source"), col("cls"),
+          coalesce(col("c_old"), lit(0L)).as("c_old"),
+          coalesce(col("c_new"), lit(0L)).as("c_new"))
+        .localCheckpoint()
+      val tot = j.groupBy("source")
+        .agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+      val kk = element_at(kmap, col("source"))
+      val pOld = (col("c_old").cast("double") + 1.0) /
+        (col("n_old").cast("double") + kk)
+      val pNew = (col("c_new").cast("double") + 1.0) /
+        (col("n_new").cast("double") + kk)
+      // only sources WITH an old-snapshot baseline get a KL row (no
+      // model -> KL undefined; a brand-new domain is X32 snapshot-diff
+      // territory, not drift) — mirrors the oracle's inner join on the
+      // fitted alphabet
+      j.filter(col("source").isInCollection(ms.map(_._1)))
+        .join(tot, Seq("source"))
+        .select(col("source"), col("n_old"), col("n_new"),
+          (pNew * log2(pNew / pOld)).as("contrib"))
+        .groupBy("source", "n_old", "n_new")
+        .agg(Num.qround(sum("contrib"), 6).as("kl"))
+        .orderBy("source")
+    })
+
   /** Per-domain score calibration (X57): raw quality scores are not
     * comparable across sources (a crawl's 0.6 and a curated set's 0.6
     * mean different things — the reason CCNet buckets per-snapshot and
@@ -1062,5 +1192,5 @@ object CurationQueries {
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
-      domainPagerank, domainHarmonic, domainHarmonicHb)
+      domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
 }

@@ -289,9 +289,14 @@ object UrlQueries {
           (docId % 5).cast("string"), lit("?utm_source=x")).as("src_url"),
         concat(lit("https://"), hostCol((docId * 3 + 1) % 8), lit("/item/"),
           (docId % 3).cast("string"), lit("/")).as("dst_url"))
+      // materialize the derived edge list ONCE: PageRank's plan build
+      // consumes it three ways (nodes, degrees, degreed edges) and each
+      // would otherwise re-run the full regex canonicalization scan —
+      // at production scale you materialize a derived graph regardless
       val edges = links.select(
         Url.registrableDomain(col("src_url")).as("src"),
         Url.registrableDomain(col("dst_url")).as("dst"))
+        .localCheckpoint(true)
       val pr = graft.ops.PageRank.run(edges, "src", "dst",
         CurationQueries.PrIters, CurationQueries.PrDamping)
       val deg = edges.groupBy(col("src").as("v"))

@@ -492,6 +492,73 @@ object Stress {
     timeShuffle("pagerank 10M edges, 5 rounds") { prMass(5) }
     timeShuffle("pagerank 10M edges, 10 rounds") { prMass(10) }
 
+    // X69b: HyperBall harmonic centrality on the SAME 10M-edge / 1M-node
+    // graph — the probe that evidences the scaladoc's V·k-state claim:
+    // per-round state is 1M × 16 longs (~128 MB) REGARDLESS of ball
+    // sizes (exact X69 pair state would be ~|V|·ball ≈ 10⁹⁺ rows here);
+    // each round shuffles exploded (v, hv) pairs + the bounded sketch
+    // re-aggregation, nothing text-sized. Returned value = Σ ĥ rounded
+    // (deterministic estimator, so the figure is reproducible).
+    timeShuffle("hyperball 10M edges, r=4, k=16") {
+      graft.ops.Centrality.harmonicHyperball(prEdges, "src", "dst",
+          radius = 4, k = 16)
+        .agg(sum("harmonic_est")).collect().head.getDouble(0).round
+    }
+
+    // X71: the composed crawl chain (q_crawl_pipeline's shape) at 500k
+    // REAL gzip-WARC members — warc.gz member walk → HTML strip →
+    // lang-ID gate → exact dedup (fixed-width fingerprint pairs only)
+    // → quality filter → 64-shard manifest, one linear plan. ~2%
+    // planted duplicate pages must collapse (2 fingerprint groups —
+    // the dressing differs by id%4); the en-marker prefix keeps the
+    // lang gate honest. Returned value = surviving docs.
+    timeShuffle("crawl chain 500k warc.gz docs") {
+      import graft.ops.Warc
+      val cBody = when(col("id") % 50 === 0,
+        lit("this page is a duplicated boilerplate crawl artifact that "
+          + "appears many times across the web and should collapse"))
+        .otherwise(concat_ws(" ",
+          Seq(lit("the value of the data in this row is")) ++
+            (0 until 40).map(i =>
+              concat(lit("w"), (col("id") * 41 + i).cast("string"))): _*))
+      val cHtml = when(col("id") % 4 === 0,
+          concat(lit("<html><head><style>p { color: red; }</style>"
+            + "</head><body><p>"), cBody,
+            lit("</p><script>var x = 1 < 2;</script></body></html>")))
+        .when(col("id") % 4 === 1,
+          concat(lit("Tom &amp; Jerry &lt;3 "), cBody, lit(" <br/>")))
+        .when(col("id") % 4 === 2,
+          concat(lit("<a href=\"http://x.y\">"), cBody,
+            lit("</a> &nbsp;&quot;quoted&quot;")))
+        .otherwise(cBody)
+      val fetched = spark.range(0, 500000L, 1, 64)
+        .select(col("id"), cHtml.as("html")).as[(Long, String)]
+        .map { case (id, h) =>
+          Warc.gzipMember(Warc.recordBytes("response",
+            s"http://c.local/doc/$id", h.getBytes("UTF-8")))
+        }
+        .flatMap { b =>
+          Warc.parseGz(b).map { r =>
+            (r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong,
+              new String(r.payload, "UTF-8"))
+          }
+        }
+        .toDF("doc_id", "html")
+      val cleanDocs = fetched.select(col("doc_id"),
+        graft.functions.HtmlFunctions.stripHtml(col("html")).as("clean"))
+        .filter(graft.functions.Text.langId(col("clean")) =!= "und")
+        .withColumn("h", graft.functions.Text.fingerprintMd5(col("clean")))
+      val cWinners = cleanDocs.select(col("h"), col("doc_id"))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+      val cToks = graft.functions.Text.tokens(col("clean"))
+      val kept = cleanDocs.join(cWinners, Seq("h", "doc_id"), "left_semi")
+        .filter(size(cToks) >= 15 && size(cToks) <= 100000)
+        .select(col("doc_id"), size(cToks).cast("long").as("n_tokens"))
+      graft.ops.Shard.assign(kept, "doc_id", 64)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .agg(sum("n_docs")).collect().head.getLong(0)
+    }
+
     // X6: the q_dedup_clusters DISTRIBUTED label-propagation branch,
     // forced (localThreshold=0 bypasses the driver union-find that
     // handles real-world edge volumes) on 10M chain edges over 10.1M
