@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.CurationQueries.all ++
     graft.queries.TrainPrepQueries.all ++
     graft.queries.UrlQueries.all ++
-    graft.queries.CrawlQueries.all
+    graft.queries.CrawlQueries.all ++
+    graft.queries.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

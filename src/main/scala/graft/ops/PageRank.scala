@@ -76,4 +76,67 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized (seeded) PageRank — teleport mass restricted to a
+    * seed set (Haveliwala 2002's topic-sensitive PageRank; the
+    * curation use is CCNet/RefinedWeb-style trusted-seed expansion:
+    * rank every crawled domain by its link proximity to a curated
+    * whitelist instead of by global authority).
+    *
+    * Same round shape and float discipline as [[run]]; the only
+    * change is the teleport vector: p(v) = 1/|S| for seeds, 0
+    * otherwise, used for BOTH the restart term and the dangling-mass
+    * redistribution, and as the start state r0 = p. Non-seed sink
+    * leakage therefore flows back to the seeds, keeping total mass at
+    * 1. `seeds` is a (v)-keyed frame — curated metadata, so its count
+    * is a bounded driver action like the node count in [[run]]; the
+    * membership join is a fixed-width broadcastable dimension at any
+    * corpus scale.
+    *
+    * @param seeds one column named like `srcCol`'s values: the seed
+    *   node ids (rows not present in the graph are ignored).
+    * @return (v, pv, pr): node, its teleport weight, its rank. */
+  def runSeeded(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e0.select(col("src").as("v"))
+      .union(e0.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
+    val deg = e0.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val e = e0.join(deg.select(col("v").as("src"), col("deg")), "src")
+      .localCheckpoint(true)
+    val seedSet = seeds.toDF("v").distinct()
+    // graph-member seeds only; |S| is one bounded driver action over
+    // the curated seed list (the same device as run's node count)
+    val s = nodes.join(broadcast(seedSet), Seq("v"), "left_semi")
+      .localCheckpoint(true)
+    val ns = s.count().toDouble
+    require(ns > 0, "runSeeded: no seed appears in the graph")
+    // teleport vector: exact doubles (1/|S| or 0) — no qround needed
+    val p = nodes.join(broadcast(s.withColumn("__is", lit(1))),
+        Seq("v"), "left")
+      .select(col("v"),
+        when(col("__is").isNotNull, lit(1.0 / ns))
+          .otherwise(lit(0.0)).as("pv"))
+      .localCheckpoint(true)
+    var r = p.select(col("v"), col("pv").as("pr")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dm = r.join(deg, Seq("v"), "left_anti")
+        .agg(Num.qround(coalesce(sum("pr"), lit(0.0)), 6).as("dm"))
+        .head().getDouble(0)
+      val contrib = e.join(r, e("src") === r("v"))
+        .select(e("dst").as("v"),
+          (col("pr") / col("deg").cast("double")).as("c"))
+        .groupBy("v").agg(sum("c").as("c"))
+      r = p.join(contrib, Seq("v"), "left")
+        .select(col("v"), col("pv"), Num.qround(
+          lit(1.0 - damping) * col("pv") + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dm) * col("pv")),
+          6).as("pr"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 }

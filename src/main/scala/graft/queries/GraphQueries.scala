@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import org.apache.spark.sql.functions._
+
+/** Domain-graph operators beyond the global rankings (X66/X69):
+  * seed-personalized PageRank (X72 — rank by proximity to a curated
+  * whitelist) and label-propagation community detection (X73 — which
+  * domains cluster together). Both run over the same deterministic
+  * 50-node domain multigraph carved from `documents` as
+  * q_domain_pagerank, so all four graph signals are directly
+  * comparable, and both unroll their rounds as oracle CTEs (the X66
+  * device).
+  */
+object GraphQueries {
+
+  /** The shared synthetic domain-graph carve (same text as the
+    * q_domain_pagerank oracle): src = doc_id mod 50, dst = an md5
+    * bucket — a deterministic multigraph over 50 domain ids. */
+  private val edgeSql =
+    """SELECT doc_id % 50 AS src,
+                     CAST('0x' || substring(md5('pr:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 50 AS dst
+              FROM documents"""
+
+  private def domainEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(
+      (col("doc_id") % 50).as("src"),
+      (conv(substring(md5(concat(lit("pr:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 50).as("dst"))
+
+  // ------------------------------------------- X72 seeded PageRank
+
+  /** One unrolled personalized power-iteration round: identical to
+    * CurationQueries.prRoundSql except the teleport and dangling
+    * redistribution are weighted by the seed vector pv(v) instead of
+    * the uniform 1/n. */
+  private def seededRoundSql(t: Int): String = {
+    val p = t - 1
+    s"""c$t AS (
+              SELECT e.dst AS v, SUM(r$p.pr / CAST(e.deg AS DOUBLE)) AS c
+              FROM e JOIN r$p ON e.src = r$p.v GROUP BY e.dst),
+            d$t AS (
+              SELECT ${Num.qroundSql(
+                s"COALESCE((SELECT SUM(r.pr) FROM r$p r LEFT JOIN deg " +
+                  "ON r.v = deg.src WHERE deg.src IS NULL), 0.0)", 6)}
+                AS dm),
+            r$t AS (
+              SELECT pv.v,
+                     ${Num.qroundSql(
+                       s"${CurationQueries.PrTeleport} * pv.pv + " +
+                         s"${CurationQueries.PrDamping} * " +
+                         s"(COALESCE(c$t.c, 0.0) + d$t.dm * pv.pv)", 6)}
+                       AS pr
+              FROM pv CROSS JOIN d$t
+                LEFT JOIN c$t ON pv.v = c$t.v)"""
+  }
+
+  /** Seed-personalized PageRank (X72 — Haveliwala 2002's
+    * topic-sensitive PageRank; the curation use is trusted-seed
+    * expansion: rank every crawled domain by link proximity to a
+    * curated whitelist, the CCNet/"wikipedia-linked domains" recipe).
+    * Seeds are the domains ≡ 0 (mod 10); teleport AND dangling mass
+    * flow only to seeds, start state = the seed vector. Same round
+    * shape, damping and qround(6) discipline as q_domain_pagerank —
+    * the oracle swaps the uniform 1/n teleport for pv(v) and unrolls
+    * the same 5 rounds. Non-seed domains with no path from a seed end
+    * at rank exactly 0, which the oracle reproduces. */
+  val pagerankSeeded = QueryDef(
+    "q_pagerank_seeded",
+    Some(s"""WITH e0 AS ($edgeSql),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
+            s AS (SELECT v FROM nodes WHERE v % 10 = 0),
+            ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s),
+            pv AS (
+              SELECT nodes.v,
+                     CASE WHEN nodes.v % 10 = 0 THEN 1.0 / ns.n
+                          ELSE 0.0 END AS pv
+              FROM nodes CROSS JOIN ns),
+            deg AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e0 GROUP BY src),
+            e AS (SELECT e0.src, e0.dst, deg.deg
+                  FROM e0 JOIN deg USING (src)),
+            r0 AS (SELECT v, pv AS pr FROM pv),
+            ${(1 to CurationQueries.PrIters)
+              .map(seededRoundSql).mkString(",\n            ")}
+            SELECT pv.v AS node, (pv.pv > 0.0) AS is_seed,
+                   r${CurationQueries.PrIters}.pr AS pr
+            FROM pv JOIN r${CurationQueries.PrIters}
+              ON pv.v = r${CurationQueries.PrIters}.v
+            ORDER BY node"""),
+    (s, d) => {
+      import s.implicits._
+      val edges = domainEdges(s, d)
+      val seeds = (0L to 40L by 10L).toDF("v")
+      graft.ops.PageRank.runSeeded(edges, "src", "dst", seeds,
+          CurationQueries.PrIters, CurationQueries.PrDamping)
+        .select(col("v").as("node"), (col("pv") > 0.0).as("is_seed"),
+          col("pr"))
+        .orderBy("node")
+    })
+
+  // ------------------------------- X73 label-propagation communities
+
+  private val LpaRounds = 4
+
+  /** One unrolled synchronous vote round: neighbour labels counted,
+    * argmax with min-label tie-break, vote-less nodes keep their own
+    * id. All-integer arithmetic — no float discipline needed. */
+  private def lpaRoundSql(t: Int): String = {
+    val p = t - 1
+    s"""v$t AS (
+              SELECT nb.v, l$p.lbl, CAST(COUNT(*) AS BIGINT) AS c
+              FROM nb JOIN l$p ON nb.u = l$p.v GROUP BY nb.v, l$p.lbl),
+            w$t AS (
+              SELECT v, lbl FROM (
+                SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                  ORDER BY c DESC, lbl ASC) AS rn FROM v$t)
+              WHERE rn = 1),
+            l$t AS (
+              SELECT nodes.v, COALESCE(w$t.lbl, nodes.v) AS lbl
+              FROM nodes LEFT JOIN w$t ON nodes.v = w$t.v)"""
+  }
+
+  /** Label-propagation community detection (X73 — Raghavan et al.
+    * 2007, the synchronous deterministic variant; see
+    * [[graft.ops.Communities]]): 4 rounds of "adopt the most frequent
+    * neighbour label, ties to the smallest" over the undirected
+    * distinct neighbour relation of the domain graph. Output is each
+    * node's community plus the community size. The oracle unrolls the
+    * 4 votes as CTEs — every step is integer counting, so the whole
+    * query hash-matches with no rounding anywhere. */
+  val domainCommunities = QueryDef(
+    "q_domain_communities",
+    Some(s"""WITH e0 AS ($edgeSql),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
+            nb AS (
+              SELECT DISTINCT v, u FROM (
+                SELECT src AS v, dst AS u FROM e0
+                UNION ALL SELECT dst AS v, src AS u FROM e0)
+              WHERE v <> u),
+            l0 AS (SELECT v, v AS lbl FROM nodes),
+            ${(1 to LpaRounds).map(lpaRoundSql)
+              .mkString(",\n            ")},
+            sz AS (
+              SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
+              FROM l$LpaRounds GROUP BY lbl)
+            SELECT l.v AS node, l.lbl AS community, sz.csize
+            FROM l$LpaRounds l JOIN sz ON l.lbl = sz.lbl
+            ORDER BY node"""),
+    (s, d) => {
+      val edges = domainEdges(s, d)
+      val comm = graft.ops.Communities
+        .labelPropagation(edges, "src", "dst", LpaRounds)
+      val sz = comm.groupBy(col("community"))
+        .agg(count(lit(1)).as("csize"))
+      comm.join(sz, "community")
+        .select(col("v").as("node"), col("community"), col("csize"))
+        .orderBy("node")
+    })
+
+  val all: Seq[QueryDef] = Seq(pagerankSeeded, domainCommunities)
+}

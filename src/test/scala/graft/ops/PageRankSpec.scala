@@ -41,4 +41,46 @@ class PageRankSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a === b)
   }
+
+  // ------------------------------------------------ seeded (X72)
+
+  private def seeded(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 5): Map[Long, Double] = {
+    import spark.implicits._
+    PageRank.runSeeded(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("v"), iters, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+  }
+
+  test("seeded: mass is conserved and concentrated near the seed") {
+    // chain 1→2→3→4→1; seed {1}
+    val r = seeded(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), Seq(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, r)
+    assert(r(1L) > r(3L), r) // the seed outranks the far node
+    assert(r(2L) > r(3L), r) // proximity order holds along the chain
+  }
+
+  test("seeded: a node unreachable from the seeds ranks exactly 0") {
+    // component {1,2} seeded; component {8,9} unreachable
+    val r = seeded(Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L)), Seq(1L))
+    assert(r(8L) === 0.0 && r(9L) === 0.0, r)
+    assert(r(1L) > 0 && r(2L) > 0, r)
+  }
+
+  test("seeded: uniform seeds over ALL nodes equals plain PageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val all = Seq(1L, 2L, 3L)
+    val r = seeded(edges, all)
+    val plain = ranks(edges)
+    assert(r === plain)
+  }
+
+  test("seeded: seeds not present in the graph are ignored") {
+    val r = seeded(Seq((1L, 2L), (2L, 1L)), Seq(1L, 99L))
+    // |S ∩ V| = 1, so node 1 gets the full teleport, not half
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, r)
+    assertThrows[IllegalArgumentException] {
+      seeded(Seq((1L, 2L)), Seq(99L)) // no seed in graph
+    }
+  }
 }
