@@ -179,6 +179,72 @@ cents_${i + 1} AS (
         .orderBy("query_id", "rank")
     })
 
+  /** ANN retrieval-quality evaluation (X74 — recall@k of the two
+    * approximate paths against the exact brute-force ground truth,
+    * the metric an index rollout is actually gated on: "is nprobe=4 /
+    * 4 planes enough for THIS corpus?"). Per (method, query):
+    * n_hits = |approx top-10 ∩ exact top-10|, recall = n_hits/10.
+    * Composition only — the three rankings are the EXISTING
+    * oracle-checked queries; the intersection joins fixed-width
+    * (query_id, neighbor_id) pairs, so the eval adds no new shuffle
+    * of vectors, and a miss-set inspection falls out of the same
+    * join flipped to anti. The oracle nests the three queries' own
+    * oracle texts as CTEs (the X71 device), so the metric is
+    * hash-exact: integer hit counts, one IEEE divide for recall. */
+  val annRecall = QueryDef(
+    "q_ann_recall",
+    Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
+             iv AS (${annIvf.oracle.get}),
+             ls AS (${SimilarityQueries.annLsh.oracle.get}),
+             qs AS (SELECT vec_id AS query_id FROM embeddings
+                    WHERE vec_id < 5),
+             hi AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN iv a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id),
+             hl AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN ls a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id)
+             SELECT 'ivf' AS method, qs.query_id,
+                    COALESCE(hi.n, 0) AS n_hits,
+                    CAST(COALESCE(hi.n, 0) AS DOUBLE) / 10.0 AS recall
+             FROM qs LEFT JOIN hi USING (query_id)
+             UNION ALL
+             SELECT 'lsh' AS method, qs.query_id,
+                    COALESCE(hl.n, 0) AS n_hits,
+                    CAST(COALESCE(hl.n, 0) AS DOUBLE) / 10.0 AS recall
+             FROM qs LEFT JOIN hl USING (query_id)
+             ORDER BY method, query_id"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, q,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10, index, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10, planes = 4)
+        .select("query_id", "neighbor_id")
+      def recallOf(method: String, approx: org.apache.spark.sql.DataFrame) = {
+        val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(method).as("method"), col("query_id"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            (coalesce(col("n"), lit(0L)).cast("double") / lit(10.0))
+              .as("recall"))
+      }
+      recallOf("ivf", ivf).unionAll(recallOf("lsh", lsh))
+        .orderBy("method", "query_id")
+    })
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
     * cluster the embedding space with the SAME deterministic IVF fit
     * as q_ann_ivf, then drop any row with a lower-id duplicate
@@ -951,7 +1017,7 @@ cents_${i + 1} AS (
     })
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    cube_, groupingSets, rangeFrame, annIvf, semanticDedup,
+    cube_, groupingSets, rangeFrame, annIvf, annRecall, semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,

@@ -876,38 +876,138 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                  JOIN base b USING (doc_id)
                  CROSS JOIN pri p
             ORDER BY f.doc_id"""),
+    (s, d) => hcScores(s, d).orderBy("doc_id"))
+
+  /** The q_hash_classifier scoring frame, unordered — shared by the
+    * classifier query itself and the X75 eval-metrics query. */
+  private def hcScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    // fit on the 50% labeled sample only
+    val train = graft.ops.Sampling
+      .hashSample(docs, "doc_id", 0.5, "qctrain:")
+    val featsTrain = graft.ops.Scoring
+      .featureCounts(train, "doc_id", col("text"), 1024)
+      .persist()
+    val m = graft.ops.Scoring
+      .trainNaiveBayes(featsTrain, labelsOf(train), "doc_id")
+    featsTrain.unpersist()
+    // score the whole corpus: a pure per-row scan (one fused walk
+    // yields margin AND feature count = 2·nTok − 1 — no explode, no
+    // shuffle, no second tokenization) with the label read off the
+    // same row; the stats array is STAGED as an attribute so the
+    // kernel runs once per row. The reported margin quantizes at
+    // 1e-6; the kept/pred BOOLEAN gates on the coarser 1e-4 grid so
+    // a margin within float-fold noise of a fine-grid rounding
+    // boundary can't flip the prediction between engines.
+    val rawMargin = element_at(col("__st"), 1) + lit(m.bias)
+    docs.select(col("doc_id"), col("lang"),
+        graft.ops.Scoring.inlineStats(col("text"), 1024, m.w).as("__st"))
+      .select(col("doc_id"),
+        greatest(element_at(col("__st"), 2).cast("long") * 2 - 1,
+          lit(0L)).as("n_feats"),
+        graft.functions.Num.qround(rawMargin, 6).as("margin"),
+        (graft.functions.Num.qround(rawMargin, 4) > 0).as("pred"),
+        (col("lang") === "en").as("is_en"))
+  }
+
+  /** Classifier evaluation metrics (X75 — the measurement step a
+    * quality-model rollout is gated on, computed distributed over the
+    * full scoring frame): ROC-AUC via the tie-aware Mann–Whitney rank
+    * statistic, plus the confusion counts and precision / recall / F1
+    * at the model's own decision threshold.
+    *
+    * AUC = (Σ_{pos} avgrank − np(np+1)/2) / (np·nn), with average
+    * ranks over the ASCENDING qround(6) margin — computed from
+    * per-distinct-margin counts (one groupBy) and a running total via
+    * the X52 two-pass PrefixSum, so NO partition-less window appears:
+    * avgrank(m) = cum_before(m) + (group_size+1)/2. Every rank term
+    * is a multiple of 0.5 below 2^52, so the double sum is exact
+    * regardless of fold order; AUC and F1 still qround(6) as
+    * discipline. F1 uses the integer identity 2tp/(2tp+fp+fn) — one
+    * IEEE divide, no p·r composition. The confusion counts ride the
+    * SAME per-margin groupBy as the rank terms, so the whole query is
+    * one grouped pass + the prefix sum + ONE 1-row aggregate — no
+    * 1-row join anywhere (a literal-key join constant-folds into the
+    * banned BNLJ). */
+  val classifierEval = QueryDef(
+    "q_classifier_eval",
+    Some(s"""WITH hc AS (${hashClassifier.oracle.get}),
+            g AS (
+              SELECT margin, CAST(COUNT(*) AS BIGINT) AS nr,
+                     CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END)
+                          AS BIGINT) AS np,
+                     CAST(SUM(CASE WHEN pred AND is_en
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN pred AND NOT is_en
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN NOT pred AND is_en
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM hc GROUP BY margin),
+            c AS (
+              SELECT margin, nr, np, tp, fp, fn,
+                     CAST(SUM(nr) OVER (ORDER BY margin) AS BIGINT) AS cum
+              FROM g),
+            a AS (
+              SELECT SUM(CAST(np AS DOUBLE) *
+                       (CAST(cum - nr AS DOUBLE) + (nr + 1) / 2.0)) AS sr,
+                     CAST(SUM(np) AS BIGINT) AS npt,
+                     CAST(SUM(nr) AS BIGINT) AS nrt,
+                     CAST(SUM(tp) AS BIGINT) AS tp,
+                     CAST(SUM(fp) AS BIGINT) AS fp,
+                     CAST(SUM(fn) AS BIGINT) AS fn
+              FROM c)
+            SELECT a.npt AS n_pos, a.nrt - a.npt AS n_neg,
+                   a.tp, a.fp, a.fn,
+                   ${graft.functions.Num.qroundSql(
+                     "(a.sr - CAST(a.npt AS DOUBLE) * (a.npt + 1) / 2.0)" +
+                       " / (CAST(a.npt AS DOUBLE) * (a.nrt - a.npt))", 6)}
+                     AS auc,
+                   ${graft.functions.Num.qroundSql(
+                     "CAST(a.tp AS DOUBLE) / NULLIF(a.tp + a.fp, 0)",
+                     6)} AS prec,
+                   ${graft.functions.Num.qroundSql(
+                     "CAST(a.tp AS DOUBLE) / NULLIF(a.tp + a.fn, 0)",
+                     6)} AS rec,
+                   ${graft.functions.Num.qroundSql(
+                     "CAST(2 * a.tp AS DOUBLE) / " +
+                       "NULLIF(2 * a.tp + a.fp + a.fn, 0)", 6)} AS f1
+            FROM a"""),
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      def labelsOf(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      // fit on the 50% labeled sample only
-      val train = graft.ops.Sampling
-        .hashSample(docs, "doc_id", 0.5, "qctrain:")
-      val featsTrain = graft.ops.Scoring
-        .featureCounts(train, "doc_id", col("text"), 1024)
-        .persist()
-      val m = graft.ops.Scoring
-        .trainNaiveBayes(featsTrain, labelsOf(train), "doc_id")
-      featsTrain.unpersist()
-      // score the whole corpus: a pure per-row scan (one fused walk
-      // yields margin AND feature count = 2·nTok − 1 — no explode, no
-      // shuffle, no second tokenization) with the label read off the
-      // same row; the stats array is STAGED as an attribute so the
-      // kernel runs once per row. The reported margin quantizes at
-      // 1e-6; the kept/pred BOOLEAN gates on the coarser 1e-4 grid so
-      // a margin within float-fold noise of a fine-grid rounding
-      // boundary can't flip the prediction between engines.
-      val rawMargin = element_at(col("__st"), 1) + lit(m.bias)
-      docs.select(col("doc_id"), col("lang"),
-          graft.ops.Scoring.inlineStats(col("text"), 1024, m.w).as("__st"))
-        .select(col("doc_id"),
-          greatest(element_at(col("__st"), 2).cast("long") * 2 - 1,
-            lit(0L)).as("n_feats"),
-          graft.functions.Num.qround(rawMargin, 6).as("margin"),
-          (graft.functions.Num.qround(rawMargin, 4) > 0).as("pred"),
-          (col("lang") === "en").as("is_en"))
-        .orderBy("doc_id")
+      val hc = hcScores(s, d)
+      val g = hc.groupBy("margin")
+        .agg(count(lit(1)).as("nr"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pred") && col("is_en"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("is_en"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("is_en"), 1L).otherwise(0L)).as("fn"))
+      val c = graft.ops.PrefixSum.runningTotalDesc(
+        g.withColumn("__negm", -col("margin")),
+        "nr", "__negm", "margin", "cum")
+      c.agg(
+          sum(col("np").cast("double") *
+            ((col("cum") - col("nr")).cast("double") +
+              (col("nr") + lit(1L)) / lit(2.0))).as("sr"),
+          sum("np").as("npt"), sum("nr").as("nrt"),
+          sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"))
+        .select(
+          col("npt").as("n_pos"), (col("nrt") - col("npt")).as("n_neg"),
+          col("tp"), col("fp"), col("fn"),
+          graft.functions.Num.qround(
+            (col("sr") - col("npt").cast("double") * (col("npt") + lit(1L))
+              / lit(2.0)) /
+              (col("npt").cast("double") * (col("nrt") - col("npt"))),
+            6).as("auc"),
+          graft.functions.Num.qround(col("tp").cast("double") /
+            nullif(col("tp") + col("fp"), lit(0L)), 6).as("prec"),
+          graft.functions.Num.qround(col("tp").cast("double") /
+            nullif(col("tp") + col("fn"), lit(0L)), 6).as("rec"),
+          graft.functions.Num.qround((col("tp") * 2).cast("double") /
+            nullif(col("tp") * 2 + col("fp") + col("fn"), lit(0L)), 6)
+            .as("f1"))
     })
 
   /** C4-style line-level cleaning (the other granularity of quality
@@ -1480,7 +1580,8 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier, lineClean,
+    bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier,
+    classifierEval, lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate)
 }
