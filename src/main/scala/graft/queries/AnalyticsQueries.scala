@@ -748,6 +748,87 @@ cents_${i + 1} AS (
         Num.qround(element_at(col("ps"), 3), 4).as("p95"))
       .orderBy("l_returnflag"))
 
+  /** Sample-sketched quantiles (X77 — the SCALE path next to
+    * q_percentiles' exact sort: at 100 TB an exact percentile buffers
+    * every group value, this buffers k longs). Two bounded passes:
+    * (1) the k-th smallest 60-bit md5 row hash via the X28 BottomK
+    *     mergeable aggregate → ONE driver-collected threshold (the
+    *     PageRank bounded-scalar device);
+    * (2) a shuffle-free filter scan keeps the ~k rows at-or-under the
+    *     threshold — a uniform random sample because the hash is
+    *     uniform on row identity — then one bounded aggregate sorts
+    *     the k sampled values and reads the ceil(q·k) order
+    *     statistics.
+    * No global sort, no per-group value buffering, state is k values
+    * whatever the corpus size. Everything is deterministic (md5
+    * hashes, exact threshold compare, positional pick from the sorted
+    * sample), so the oracle replays the SAMPLE itself — estimates
+    * hash-match RAW, no tolerance contract needed.
+    *
+    * The sample key is (l_orderkey, l_linenumber), which this
+    * synthetic corpus does NOT keep unique — rows sharing a key enter
+    * or leave the sample together (cluster sampling: still unbiased,
+    * slightly higher variance, and the realized sample can exceed k).
+    * The order-statistic index is therefore ceil(q·n) over the
+    * REALIZED sample size n, never the nominal k — with duplicate
+    * keys a fixed ceil(q·k) index would systematically read LOW
+    * quantiles (caught at birth: +30% sample → every estimate ~20%
+    * under the exact value). */
+  val quantileSketch = QueryDef(
+    "q_quantile_sketch",
+    Some("""WITH h AS (
+              SELECT l_extendedprice AS v,
+                     CAST('0x' || substring(md5('qq:'
+                       || CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+              FROM lineitem),
+            thr AS (
+              SELECT h FROM (SELECT DISTINCT h FROM h)
+              ORDER BY h LIMIT 1 OFFSET 255),
+            samp AS (SELECT v FROM h, thr t WHERE h.h <= t.h),
+            arr AS (
+              SELECT list(v ORDER BY v) AS a,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM samp)
+            SELECT CAST(t.q AS DOUBLE) AS q,
+                   arr.a[CAST(ceil(CAST(t.q AS DOUBLE) * arr.n) AS INT)]
+                     AS est,
+                   arr.n AS n_sample
+            FROM arr, (VALUES (0.25), (0.5), (0.75),
+                              (0.9), (0.99)) t(q)
+            ORDER BY q"""),
+    (s, d) => {
+      val K = 256
+      val h = Tables.lineitem(s, d).select(
+        col("l_extendedprice").as("v"),
+        conv(substring(md5(concat(lit("qq:"),
+            col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      // pass 1: k-th smallest distinct hash — bounded mergeable state,
+      // ONE 1-row driver action for the threshold
+      val thr = h.agg(graft.functions.SketchFunctions
+          .bottomK(col("h"), K).as("bk"))
+        .select(element_at(col("bk"), K).as("t"))
+        .head().getLong(0)
+      // pass 2: shuffle-free sample filter + one bounded aggregate;
+      // order-statistic index over the REALIZED sample size (see
+      // scaladoc — duplicate sample keys make n exceed the nominal k)
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      h.filter(col("h") <= lit(thr))
+        .agg(sort_array(collect_list(col("v"))).as("a"),
+          count(lit(1)).as("n"))
+        .select(explode(array(qs.map { q =>
+          struct(lit(q).as("q"),
+            element_at(col("a"),
+              ceil(lit(q) * col("n")).cast("int")).as("est"),
+            col("n").as("n_sample"))
+        }: _*)).as("r"))
+        .select(col("r.q"), col("r.est"), col("r.n_sample"))
+        .orderBy("q")
+    })
+
   /** HLL approximate distinct counts — the 100 TB cardinality tool.
     * The raw sketch estimate is engine-specific, so what the oracle
     * pins is the sketch's CONTRACT: |estimate − exact| / exact ≤ 5%
@@ -1021,6 +1102,6 @@ cents_${i + 1} AS (
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
-    multimodalResize, statsAgg, pivot_, percentiles, approxDistinct,
-    kmvDistinct, warcParse, warcParseGz, imageDedup)
+    multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
+    approxDistinct, kmvDistinct, warcParse, warcParseGz, imageDedup)
 }

@@ -1010,6 +1010,100 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
             .as("f1"))
     })
 
+  /** Unicode script identification (X76 — the multilingual-corpus
+    * routing pass that runs BEFORE token-level language ID: a
+    * codepoint-range histogram is script-level ground truth where an
+    * n-gram model only guesses, and it's how production pipelines
+    * split CJK/Arabic/Cyrillic streams for per-script tokenizers).
+    * The corpus text is dressed with deterministic script runs
+    * (doc_id-keyed script + repetition count), then each document
+    * counts codepoints in five script classes via
+    * `length(t) − length(regexp_replace(t, class, ''))` — both
+    * engines count CODEPOINTS (Spark's numChars, DuckDB's len) and
+    * compile the same `[\x{…}-\x{…}]` pattern text (java.util.regex
+    * and RE2 agree on literal BMP ranges), so counts are integer-
+    * exact. Dominant script = first-max over a fixed priority chain
+    * (deterministic tie-break); ratio = max/total is one IEEE
+    * divide. Shuffle-free scan; all five counters run in one
+    * codegen'd projection. */
+  val scriptId = QueryDef(
+    "q_script_id",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     text || CASE CAST(doc_id % 5 AS INT)
+                       WHEN 1 THEN repeat(' привет мир',
+                         CAST((doc_id % 3 + 1) * 4 AS INT))
+                       WHEN 2 THEN repeat(' 你好世界',
+                         CAST((doc_id % 3 + 1) * 4 AS INT))
+                       WHEN 3 THEN repeat(' مرحبا بالعالم',
+                         CAST((doc_id % 3 + 1) * 4 AS INT))
+                       WHEN 4 THEN repeat(' γειά σου κόσμε',
+                         CAST((doc_id % 3 + 1) * 4 AS INT))
+                       ELSE '' END AS t
+              FROM documents),
+            n AS (
+              SELECT doc_id,
+                     len(t) - len(regexp_replace(t,
+                       '[A-Za-z]', '', 'g')) AS n_latin,
+                     len(t) - len(regexp_replace(t,
+                       '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+                     len(t) - len(regexp_replace(t,
+                       '[\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+                     len(t) - len(regexp_replace(t,
+                       '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+                     len(t) - len(regexp_replace(t,
+                       '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic
+              FROM t)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+                   CASE
+                     WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                      AND n_latin >= n_cjk AND n_latin >= n_arabic
+                       THEN 'latin'
+                     WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+                      AND n_cyrillic >= n_arabic THEN 'cyrillic'
+                     WHEN n_greek >= n_cjk AND n_greek >= n_arabic
+                       THEN 'greek'
+                     WHEN n_cjk >= n_arabic THEN 'cjk'
+                     ELSE 'arabic' END AS script,
+                   CAST(GREATEST(n_latin, n_cyrillic, n_greek, n_cjk,
+                       n_arabic) AS DOUBLE) /
+                     NULLIF(n_latin + n_cyrillic + n_greek + n_cjk
+                       + n_arabic, 0) AS ratio
+            FROM n ORDER BY doc_id"""),
+    (s, d) => {
+      val dressed = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), expr(
+          """CASE CAST(doc_id % 5 AS INT)
+               WHEN 1 THEN repeat(' привет мир',
+                 CAST((doc_id % 3 + 1) * 4 AS INT))
+               WHEN 2 THEN repeat(' 你好世界',
+                 CAST((doc_id % 3 + 1) * 4 AS INT))
+               WHEN 3 THEN repeat(' مرحبا بالعالم',
+                 CAST((doc_id % 3 + 1) * 4 AS INT))
+               WHEN 4 THEN repeat(' γειά σου κόσμε',
+                 CAST((doc_id % 3 + 1) * 4 AS INT))
+               ELSE '' END""")).as("t"))
+      def cnt(pat: String) =
+        length(col("t")) - length(regexp_replace(col("t"), pat, ""))
+      val n = dressed.select(col("doc_id"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
+        cnt("[\\x{0370}-\\x{03FF}]").as("n_greek"),
+        cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+        cnt("[\\x{0600}-\\x{06FF}]").as("n_arabic"))
+      val Seq(la, cy, gr, cj, ar) = Seq("n_latin", "n_cyrillic",
+        "n_greek", "n_cjk", "n_arabic").map(col)
+      n.select(col("doc_id"), la, cy, gr, cj, ar,
+          when(la >= cy && la >= gr && la >= cj && la >= ar, "latin")
+            .when(cy >= gr && cy >= cj && cy >= ar, "cyrillic")
+            .when(gr >= cj && gr >= ar, "greek")
+            .when(cj >= ar, "cjk")
+            .otherwise("arabic").as("script"),
+          (greatest(la, cy, gr, cj, ar).cast("double") /
+            nullif(la + cy + gr + cj + ar, lit(0))).as("ratio"))
+        .orderBy("doc_id")
+    })
+
   /** C4-style line-level cleaning (the other granularity of quality
     * filtering: q_quality_filter keeps/drops whole DOCUMENTS, this
     * keeps/drops LINES and re-joins the survivors). The single-line
@@ -1581,7 +1675,7 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier,
-    classifierEval, lineClean,
+    classifierEval, scriptId, lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate)
 }
