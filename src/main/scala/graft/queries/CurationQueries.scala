@@ -325,6 +325,150 @@ object CurationQueries {
         .orderBy("doc_id")
     })
 
+  /** Temperature-scaled source mixing (X78 — mT5's α-sampling, Xue et
+    * al. 2021: sampling probability p_s ∝ n_s^α with α<1 upweights
+    * low-resource sources; the multilingual counterpart of X40's
+    * given-weight apportionment, with the weights LEARNED from corpus
+    * statistics instead of handed in). The apportionment is
+    * integer-exact end to end: the only float step is
+    * w_s = floor(n_s^0.3 · 10⁶ + 0.5) (the qround device cast to
+    * BIGINT — libm pow agrees across engines to ≪ the 0.5 boundary),
+    * after which quotas are integer division and the largest-remainder
+    * bump ranks INTEGER remainders (200·w mod Σw) with a source
+    * tie-break — no float compare anywhere near a rounding boundary.
+    * Per-group counts are one groupBy; the allocation is
+    * |groups|-sized driver metadata by contract (the X40 device).
+    *
+    * The corpus's 20 sources are uniform (25 docs each — temperature
+    * would be a no-op), so the mix runs over a skewed deterministic
+    * grouping: sources 0–11 pool into 'high', 12–17 'mid', 18+ 'low'
+    * (60/30/10% of the corpus) — at α = 0.3 the low-resource pool's
+    * share rises from its raw 10% to ~25%, the exact effect the
+    * operator exists for (and what EvalQueriesSpec pins). */
+  val temperatureMix = QueryDef(
+    "q_temperature_mix",
+    Some(s"""WITH sc AS (
+               SELECT CASE
+                        WHEN CAST(regexp_extract(source, '(\\d+)', 1)
+                          AS INT) < 12 THEN 'high'
+                        WHEN CAST(regexp_extract(source, '(\\d+)', 1)
+                          AS INT) < 18 THEN 'mid'
+                        ELSE 'low' END AS grp,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+             iw AS (
+               SELECT grp, n,
+                      CAST(FLOOR(pow(CAST(n AS DOUBLE), 0.3) * 1000000
+                        + 0.5) AS BIGINT) AS w
+               FROM sc),
+             tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw,
+                            CAST(SUM(n) AS BIGINT) AS sumn FROM iw),
+             a AS (
+               SELECT grp, n, w,
+                      (200 * w) // tot.sumw AS base,
+                      (200 * w) % tot.sumw AS rem
+               FROM iw CROSS JOIN tot),
+             l AS (
+               SELECT 200 - CAST(SUM(base) AS BIGINT) AS leftover FROM a),
+             rk AS (
+               SELECT grp, n, w, base,
+                      ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS rr
+               FROM a)
+             SELECT rk.grp, rk.n AS n_docs,
+                    ${Num.qroundSql("CAST(rk.n AS DOUBLE) / tot.sumn", 6)}
+                      AS raw_share,
+                    ${Num.qroundSql("CAST(rk.w AS DOUBLE) / tot.sumw", 6)}
+                      AS share,
+                    CAST(rk.base + CASE WHEN rk.rr <= l.leftover
+                      THEN 1 ELSE 0 END AS BIGINT) AS quota
+             FROM rk CROSS JOIN tot CROSS JOIN l
+             ORDER BY rk.grp"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // per-group profile: 3 rows, driver-side by contract
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val counts = docs
+        .groupBy(when(srcNum < 12, "high").when(srcNum < 18, "mid")
+          .otherwise("low").as("grp"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val iw = counts.map { case (g, n) =>
+        (g, n,
+          math.floor(math.pow(n.toDouble, 0.3) * 1000000 + 0.5).toLong)
+      }
+      val sumw = iw.map(_._3).sum
+      val sumn = iw.map(_._2).sum
+      val based = iw.map { case (g, n, w) =>
+        (g, n, w, 200L * w / sumw, 200L * w % sumw)
+      }
+      val leftover = (200L - based.map(_._4).sum).toInt
+      val rows = based.sortBy { case (g, _, _, _, rem) => (-rem, g) }
+        .zipWithIndex
+        .map { case ((g, n, w, base, _), i) =>
+          (g, n,
+            // same qround(6) as the oracle: floor(x·1e6 + 0.5)/1e6
+            math.floor(n.toDouble / sumn * 1e6 + 0.5) / 1e6,
+            math.floor(w.toDouble / sumw * 1e6 + 0.5) / 1e6,
+            if (i < leftover) base + 1 else base)
+        }
+        .sortBy(_._1)
+      import s.implicits._
+      rows.toSeq.toDF("grp", "n_docs", "raw_share", "share", "quota")
+    })
+
+  /** Composed curation audit (X79 — the decision-provenance pass a
+    * production corpus build ships next to the corpus itself: every
+    * document gets its keep/drop verdict AND the first policy that
+    * dropped it, so "why did my page disappear" is a lookup, not an
+    * investigation). Priority chain over three existing
+    * oracle-checked stages: benchmark contamination (X13, >5%
+    * 8-gram overlap) → quality filter (X20) → near-dup cluster loser
+    * (X6, canonical ≠ self). Pure composition: the stage verdicts
+    * join on doc_id (fixed-width keys), so the audit adds one
+    * broadcast-scale join layer over already-audited plans. */
+  val curationAudit = QueryDef(
+    "q_curation_audit",
+    Some(s"""WITH ct AS (${TextQueries.contamination.oracle.get}),
+             qf AS (${TextQueries.qualityFilter.oracle.get}),
+             dc AS (${SimilarityQueries.dedupClusters.oracle.get})
+             SELECT d.doc_id,
+                    (ct.contamination > 0.05) AS contaminated,
+                    (qf.doc_id IS NOT NULL) AS quality_ok,
+                    (dc.canonical_id <> d.doc_id) AS dup_loser,
+                    CASE WHEN ct.contamination > 0.05 THEN 'contaminated'
+                         WHEN qf.doc_id IS NULL THEN 'quality'
+                         WHEN dc.canonical_id <> d.doc_id THEN 'duplicate'
+                         ELSE 'kept' END AS reason,
+                    (ct.contamination <= 0.05 AND qf.doc_id IS NOT NULL
+                      AND dc.canonical_id = d.doc_id) AS kept
+             FROM documents d
+               JOIN ct ON ct.doc_id = d.doc_id
+               JOIN dc ON dc.doc_id = d.doc_id
+               LEFT JOIN qf ON qf.doc_id = d.doc_id
+             ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val ct = TextQueries.contamination.fn(s, d)
+        .select(col("doc_id"), col("contamination"))
+      val qf = TextQueries.qualityFilter.fn(s, d)
+        .select(col("doc_id"), lit(true).as("__q"))
+      val dc = SimilarityQueries.dedupClusters.fn(s, d)
+        .select(col("doc_id"), col("canonical_id"))
+      docs.join(ct, "doc_id").join(dc, "doc_id")
+        .join(qf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("contamination") > 0.05).as("contaminated"),
+          col("__q").isNotNull.as("quality_ok"),
+          (col("canonical_id") =!= col("doc_id")).as("dup_loser"),
+          when(col("contamination") > 0.05, "contaminated")
+            .when(col("__q").isNull, "quality")
+            .when(col("canonical_id") =!= col("doc_id"), "duplicate")
+            .otherwise("kept").as("reason"),
+          (col("contamination") <= 0.05 && col("__q").isNotNull &&
+            col("canonical_id") === col("doc_id")).as("kept"))
+        .orderBy("doc_id")
+    })
+
   // ------------------------------------------------------------- snapshot
 
   /** Incremental corpus refresh (X32): diff two snapshots of the
@@ -1190,6 +1334,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
+      temperatureMix, curationAudit,
       snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)

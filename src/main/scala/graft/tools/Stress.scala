@@ -492,6 +492,30 @@ object Stress {
     timeShuffle("pagerank 10M edges, 5 rounds") { prMass(5) }
     timeShuffle("pagerank 10M edges, 10 rounds") { prMass(10) }
 
+    // X72: seeded PageRank on the same 10M-edge / 1M-node graph with a
+    // 1k-node seed whitelist (0.1% of nodes — the realistic curated-
+    // list proportion). Same round shape as X66, so the probe checks
+    // the personalization adds no asymptotic cost: t ≈ the plain-PR
+    // figure above, and returned mass still ≈ 1.0 (teleport+dangling
+    // redistribution both seed-weighted).
+    timeShuffle("seeded pagerank 10M edges, 5 rounds") {
+      val seeds = spark.range(0, 1000000L, 1000L).toDF("v")
+      (graft.ops.PageRank.runSeeded(prEdges, "src", "dst", seeds, 5, 0.85)
+        .agg(sum("pr")).collect().head.getDouble(0) * 1e6).round
+    }
+
+    // X73: label propagation on the same graph. Two probes (4 vs 8
+    // rounds): per-round cost is FLAT iff t(8) ≈ 2·t(4) — the same
+    // localCheckpoint lineage check as PageRank. Each round shuffles
+    // (v, lbl) longs keyed by v and (v, lbl) — never text. Returned
+    // value = distinct communities after the rounds (data-dependent
+    // but deterministic).
+    def lpaCommunities(rounds: Int): Long =
+      graft.ops.Communities.labelPropagation(prEdges, "src", "dst", rounds)
+        .agg(countDistinct(col("community"))).collect().head.getLong(0)
+    timeShuffle("label prop 10M edges, 4 rounds") { lpaCommunities(4) }
+    timeShuffle("label prop 10M edges, 8 rounds") { lpaCommunities(8) }
+
     // X69b: HyperBall harmonic centrality on the SAME 10M-edge / 1M-node
     // graph — the probe that evidences the scaladoc's V·k-state claim:
     // per-round state is 1M × 16 longs (~128 MB) REGARDLESS of ball

@@ -65,6 +65,38 @@ class EvalQueriesSpec extends SparkSuite {
     assert(math.abs(f1 - 2.0 * tp / (2.0 * tp + fp + fn)) < 1e-6)
   }
 
+  test("q_temperature_mix: α<1 upweights the low-resource pool") {
+    val rows = run("q_temperature_mix").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val (rawLow, shareLow, _) = rows("low")
+    val (rawHigh, shareHigh, _) = rows("high")
+    assert(shareLow > rawLow, rows)   // low-resource pulled UP
+    assert(shareHigh < rawHigh, rows) // high-resource pushed DOWN
+    // largest-remainder apportionment is exactly exhaustive
+    assert(rows.values.map(_._3).sum === 200L)
+  }
+
+  test("q_curation_audit: reason encodes the first failing policy") {
+    val rows = run("q_curation_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cont, qok, dup) =
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      val (reason, kept) = (r.getString(4), r.getBoolean(5))
+      val expected =
+        if (cont) "contaminated"
+        else if (!qok) "quality"
+        else if (dup) "duplicate"
+        else "kept"
+      assert(reason === expected, r)
+      assert(kept === (reason == "kept"), r)
+    }
+    // the fixture exercises every branch
+    assert(rows.map(_.getString(4)).distinct.sorted ===
+      Seq("contaminated", "duplicate", "kept", "quality"))
+  }
+
   test("q_ann_recall: recall bounded, exact baseline would be 1.0") {
     val rows = run("q_ann_recall").collect()
     assert(rows.length === 10) // 2 methods × 5 queries
