@@ -373,6 +373,46 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs (Broder 1997's
+    * CONTAINMENT next to the resemblance MinHash measures):
+    * C(A→B) = |S(A) ∩ S(B)| / |S(A)| over word-shingle sets — catches
+    * the quote/subset page (a short doc wholly inside a long one)
+    * whose symmetric Jaccard is low because |B| dwarfs the overlap.
+    *
+    * Candidate generation is an INVERTED-INDEX join on the portable
+    * 60-bit md5 shingle keys — only (key, id) longs shuffle, never
+    * text — with a document-frequency prune: shingles in more than
+    * `maxDocFreq` docs are boilerplate furniture (the X46 rationale)
+    * and would otherwise square the index join on hot keys. Pruned
+    * shingles still count toward |S(A)| (containment is measured
+    * against the full set), so pruning can only LOWER a reported
+    * containment — a conservative, deterministic approximation,
+    * mirrored exactly by the oracle. Both directions of a pair are
+    * reported independently (containment is not symmetric). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Long = 100L): DataFrame = {
+    // value-distinct portable keys (oracle-replayable md5 device)
+    val sh = df.select(col(idCol).as("id"),
+      explode(ShingleFunctions.md5ShingleKeys(col(textCol), shingleK))
+        .as("h"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("h")
+    val pruned = sh.join(hot, Seq("h"), "left_anti")
+    val a = pruned.select(col("h"), col("id").as("id_a"))
+    val b = pruned.select(col("h"), col("id").as("id_b"))
+    val inter = a.join(b, "h").filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("size_a")),
+        "id_a")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("size_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "size_a", "containment")
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table random-
     * hyperplane LSH (L independent tables of `planes` bits — recall
     * amplification 1-(1-p^planes)^L) then exact cosine verification

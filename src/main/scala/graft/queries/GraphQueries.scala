@@ -170,5 +170,54 @@ object GraphQueries {
         .orderBy("node")
     })
 
-  val all: Seq[QueryDef] = Seq(pagerankSeeded, domainCommunities)
+  // ------------------------------------- X80 triangles / clustering
+
+  /** Per-node triangle counts and local clustering coefficient (X80 —
+    * the cohesion signal web-spam detection runs over the domain
+    * graph: link farms are near-cliques, organic hubs are not; see
+    * [[graft.ops.Triangles]] for the degree-ordered-orientation scale
+    * device). The oracle enumerates canonical x<y<z triples with a
+    * three-way self-join of the simple edge set — orientation is a
+    * plan choice, not a semantics change, so both engines count the
+    * identical triangles. Counts are integers; the coefficient is one
+    * IEEE divide (null for degree < 2). */
+  val domainTriangles = QueryDef(
+    "q_domain_triangles",
+    Some(s"""WITH e0 AS ($edgeSql),
+            und AS (
+              SELECT DISTINCT LEAST(src, dst) AS a,
+                              GREATEST(src, dst) AS b
+              FROM e0 WHERE src <> dst),
+            deg AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und
+                UNION ALL SELECT b AS v FROM und)
+              GROUP BY v),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                SELECT x AS v FROM tri
+                UNION ALL SELECT y AS v FROM tri
+                UNION ALL SELECT z AS v FROM tri)
+              GROUP BY v)
+            SELECT deg.v AS node, deg.deg AS degree,
+                   COALESCE(tn.t, 0) AS n_triangles,
+                   CAST(2 * COALESCE(tn.t, 0) AS DOUBLE) /
+                     NULLIF(deg.deg * (deg.deg - 1), 0) AS clustering
+            FROM deg LEFT JOIN tn ON tn.v = deg.v
+            ORDER BY node"""),
+    (s, d) => {
+      val edges = domainEdges(s, d)
+      graft.ops.Triangles.perNode(edges, "src", "dst")
+        .select(col("v").as("node"), col("degree"),
+          col("n_triangles"), col("clustering"))
+        .orderBy("node")
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(pagerankSeeded, domainCommunities, domainTriangles)
 }

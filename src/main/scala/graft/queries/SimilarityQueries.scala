@@ -476,6 +476,76 @@ ORDER BY id_a, id_b"""
         "text", "source", shingleK = 2, threshold = 0.05)
       .orderBy("block", "id_a", "id_b"))
 
+  /** Asymmetric containment dedup (X81 — Broder 1997's containment
+    * next to the resemblance measures above: C(A→B) = |A∩B|/|A| over
+    * 3-shingle sets catches a short document QUOTED inside a long one,
+    * whose symmetric Jaccard stays low; see
+    * [[graft.ops.Dedup.containmentPairs]] for the inverted-index +
+    * doc-frequency-prune scale shape). The fixture plants real
+    * containment: every doc_id ≡ 0 (mod 20) gets a quote twin
+    * (id + 10⁶) carrying its first ⌈n/2⌉ tokens — a strict shingle
+    * subset, so each twin reports containment 1.0 in its base. The
+    * oracle rebuilds the planted corpus and replays index, prune,
+    * intersection counts and the one containment divide on shingle
+    * STRINGS (set cardinalities are hash-invariant — the
+    * q_ngram_jaccard device). */
+  val dedupContainment = QueryDef(
+    "q_dedup_containment",
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     array_to_string(
+                       toks[1:CAST(ceil(len(toks) / 2.0) AS INT)], ' ')
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> len(t) > 0) AS toks
+                    FROM documents WHERE doc_id % 20 = 0)),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0) AS toks
+              FROM corpus),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                            range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2])) END AS shingles
+              FROM t),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ex GROUP BY doc_id),
+            hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 100),
+            pr AS (SELECT doc_id, s FROM ex
+                   WHERE s NOT IN (SELECT s FROM hot)),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM pr a JOIN pr b
+                ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b, i.n_shared, z.n AS size_a,
+                   CAST(i.n_shared AS DOUBLE) / z.n AS containment
+            FROM inter i JOIN sizes z ON z.doc_id = i.id_a
+            WHERE CAST(i.n_shared AS DOUBLE) / z.n >= 0.8
+            ORDER BY id_a, id_b"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = graft.functions.Text.tokens(col("text"))
+      val quotes = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            ceil(size(toks) / lit(2.0)).cast("int")), " ").as("text"))
+      val corpus = docs.select("doc_id", "text").unionAll(quotes)
+      Dedup.containmentPairs(corpus, "doc_id", "text",
+          shingleK = 3, threshold = 0.8, maxDocFreq = 100L)
+        .orderBy("id_a", "id_b")
+    })
+
   /** Embedding-cosine near-dup pairs, exact all-pairs (oracle-checked;
     * the LSH-bucketed variant is q_dedup_embedding_lsh). */
   val dupEmbeddingExact = QueryDef(
@@ -1003,7 +1073,8 @@ ORDER BY id_a, id_b"""
 
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
-    dedupSimhashMd5, ngramJaccard, dupEmbeddingExact, dupEmbeddingLsh,
+    dedupSimhashMd5, ngramJaccard, dedupContainment,
+    dupEmbeddingExact, dupEmbeddingLsh,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep, leakageSplit,
     embedRp, embedOutlier, dedupSubstring)
 }

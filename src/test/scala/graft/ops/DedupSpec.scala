@@ -191,4 +191,52 @@ class DedupSpec extends SparkSuite {
       assert(recall >= 0.4, s"LSH recall $recall over ${exact.size} pairs")
     }
   }
+
+  // ------------------------------------------- containment (X81)
+
+  private def containment(rows: Seq[(Long, String)], tau: Double = 0.8,
+      maxDf: Long = 100L): Map[(Long, Long), Double] = {
+    import spark.implicits._
+    Dedup.containmentPairs(rows.toDF("id", "text"), "id", "text",
+        shingleK = 3, threshold = tau, maxDocFreq = maxDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+  }
+
+  test("containment: a strict prefix is contained at exactly 1.0") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val c = containment(Seq(1L -> long, 2L -> short))
+    assert(c((2L, 1L)) === 1.0)        // short fully inside long
+    assert(!c.contains((1L, 2L)))      // long NOT inside short
+  }
+
+  test("containment is asymmetric and both directions can pass") {
+    val a = (1 to 20).map(i => s"t$i").mkString(" ")
+    val c = containment(Seq(1L -> a, 2L -> a))
+    assert(c((1L, 2L)) === 1.0 && c((2L, 1L)) === 1.0)
+  }
+
+  test("containment: unrelated texts produce no pair") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    assert(containment(Seq(1L -> a, 2L -> b)).isEmpty)
+  }
+
+  test("containment: the doc-frequency prune only lowers the score") {
+    // the shared run is in all 3 docs; maxDf=2 prunes its shingles, so
+    // doc 2 (shared-only) loses every indexed shingle and the (2,1)
+    // pair vanishes — pruning can only LOWER scores, never raise them
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      1L -> (shared + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      2L -> shared, 3L -> shared)
+    val unpruned = containment(docs, tau = 0.0, maxDf = 100L)
+    val pruned = containment(docs, tau = 0.0, maxDf = 2L)
+    assert(unpruned((2L, 1L)) === 1.0)
+    assert(pruned.getOrElse((2L, 1L), 0.0) < 1.0)
+    pruned.foreach { case (k, v) =>
+      assert(v <= unpruned.getOrElse(k, 1.0) + 1e-12, k)
+    }
+  }
 }
