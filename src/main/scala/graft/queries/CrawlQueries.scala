@@ -196,5 +196,152 @@ object CrawlQueries {
         .orderBy("shard")
     })
 
-  val all: Seq[QueryDef] = Seq(crawlPipeline)
+  /** robots.txt parsing + URL permission evaluation (X82 — the crawl
+    * POLICY boundary next to the WARC byte boundary: RFC 9309 / the
+    * Google REP rules every crawler applies before a fetch even
+    * happens). Per-domain robots files are planted deterministically
+    * (a non-matching `archiver` group whose `Disallow: /` must NOT
+    * leak onto us, the `*` group with an allow-overrides case, a
+    * domain-varying extra rule, and domains with no `*` group at
+    * all), parsed into user-agent groups by a running group-id
+    * (partitioned window over line index — never partition-less), and
+    * evaluated against planted URL paths under the RFC's
+    * LONGEST-MATCH-WINS rule with allow beating disallow on ties.
+    *
+    * Simplification vs full REP, recorded here: every `User-agent:`
+    * line opens a new group (multi-agent group headers aren't
+    * merged), and `*`-pattern/`$`-anchor rule paths aren't expanded —
+    * prefix match only. Scale shape: robots parsing is per-domain
+    * metadata (|domains| × lines rows); the evaluation joins URLs to
+    * rules on the domain key and ranks matches in a per-URL window —
+    * fixed-width rows, no text beyond paths. */
+  val robotsEval = QueryDef(
+    "q_robots_eval",
+    Some("""WITH rb AS (
+              SELECT source,
+                     '# robots' || chr(10) ||
+                     'User-agent: archiver' || chr(10) ||
+                     'Disallow: /' || chr(10) ||
+                     CASE WHEN CAST(regexp_extract(source, '(\d+)', 1)
+                            AS INT) % 5 = 4
+                          THEN 'User-agent: onlybot'
+                          ELSE 'User-agent: *' END || chr(10) ||
+                     'Disallow: /private' || chr(10) ||
+                     'Allow: /private/ok' ||
+                     CASE WHEN CAST(regexp_extract(source, '(\d+)', 1)
+                            AS INT) % 3 = 0
+                          THEN chr(10) || 'Disallow: /data'
+                          ELSE '' END AS robots
+              FROM (SELECT DISTINCT source FROM documents)),
+            ln AS (
+              SELECT source, CAST(i AS INT) AS idx, trim(l) AS l
+              FROM (SELECT source,
+                           unnest(string_split(robots, chr(10))) AS l,
+                           generate_subscripts(
+                             string_split(robots, chr(10)), 1) AS i
+                    FROM rb)),
+            g AS (
+              SELECT source, idx, l,
+                     CAST(SUM(CASE WHEN starts_with(l, 'User-agent: ')
+                       THEN 1 ELSE 0 END) OVER (PARTITION BY source
+                       ORDER BY idx ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS gid
+              FROM ln),
+            ua AS (
+              SELECT source, gid, substring(l, 13) AS agent
+              FROM g WHERE starts_with(l, 'User-agent: ')),
+            ru AS (
+              SELECT source, gid, substring(l, 11) AS rpath,
+                     0 AS is_allow
+              FROM g WHERE starts_with(l, 'Disallow: ')
+              UNION ALL
+              SELECT source, gid, substring(l, 8) AS rpath, 1 AS is_allow
+              FROM g WHERE starts_with(l, 'Allow: ')),
+            sr AS (
+              SELECT ru.source, ru.rpath, ru.is_allow
+              FROM ru JOIN ua ON ua.source = ru.source
+                AND ua.gid = ru.gid
+              WHERE ua.agent = '*'),
+            u AS (
+              SELECT doc_id, source,
+                     CASE CAST(doc_id % 6 AS INT)
+                       WHEN 0 THEN '/home'
+                       WHEN 1 THEN '/private'
+                       WHEN 2 THEN '/private/ok/page'
+                       WHEN 3 THEN '/private/secret'
+                       WHEN 4 THEN '/data/x'
+                       ELSE '/tmp' END AS path
+              FROM documents),
+            m AS (
+              SELECT u.doc_id, r.rpath, r.is_allow,
+                     ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                       ORDER BY len(r.rpath) DESC, r.is_allow DESC,
+                                r.rpath) AS rn
+              FROM u JOIN sr r ON u.source = r.source
+                AND starts_with(u.path, r.rpath))
+            SELECT u.doc_id, u.source, u.path, m.rpath AS rule,
+                   COALESCE(m.is_allow = 1, TRUE) AS allowed
+            FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+            ORDER BY u.doc_id"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val rb = docs.select("source").distinct().select(col("source"),
+        concat(
+          lit("# robots\nUser-agent: archiver\nDisallow: /\n"),
+          when(srcNum % 5 === 4, "User-agent: onlybot")
+            .otherwise("User-agent: *"),
+          lit("\nDisallow: /private\nAllow: /private/ok"),
+          when(srcNum % 3 === 0, "\nDisallow: /data").otherwise(""))
+          .as("robots"))
+      val ln = rb.select(col("source"),
+          posexplode(split(col("robots"), "\n")).as(Seq("i0", "l0")))
+        .select(col("source"), (col("i0") + 1).as("idx"),
+          trim(col("l0")).as("l"))
+      val w = Window.partitionBy("source").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = ln.select(col("source"), col("l"),
+        sum(when(col("l").startsWith("User-agent: "), 1L).otherwise(0L))
+          .over(w).as("gid"))
+      val ua = g.filter(col("l").startsWith("User-agent: "))
+        .select(col("source"), col("gid"),
+          col("l").substr(lit(13), length(col("l"))).as("agent"))
+      val ru = g.filter(col("l").startsWith("Disallow: "))
+        .select(col("source"), col("gid"),
+          col("l").substr(lit(11), length(col("l"))).as("rpath"),
+          lit(0).as("is_allow"))
+        .unionAll(g.filter(col("l").startsWith("Allow: "))
+          .select(col("source"), col("gid"),
+            col("l").substr(lit(8), length(col("l"))).as("rpath"),
+            lit(1).as("is_allow")))
+      val sr = ru.join(ua.filter(col("agent") === "*")
+          .select("source", "gid"), Seq("source", "gid"))
+        .select("source", "rpath", "is_allow")
+      val u = docs.select(col("doc_id"), col("source"),
+        (col("doc_id") % 6).cast("int").as("p6"))
+        .select(col("doc_id"), col("source"),
+          when(col("p6") === 0, "/home")
+            .when(col("p6") === 1, "/private")
+            .when(col("p6") === 2, "/private/ok/page")
+            .when(col("p6") === 3, "/private/secret")
+            .when(col("p6") === 4, "/data/x")
+            .otherwise("/tmp").as("path"))
+      val wm = Window.partitionBy("doc_id")
+        .orderBy(length(col("rpath")).desc, col("is_allow").desc,
+          col("rpath"))
+      val m = u.join(sr, u("source") === sr("source") &&
+          u("path").startsWith(col("rpath")))
+        .select(u("doc_id"), col("rpath"), col("is_allow"))
+        .withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+      u.join(m.select(col("doc_id").as("mid"), col("rpath"),
+          col("is_allow")), u("doc_id") === col("mid"), "left")
+        .select(u("doc_id"), u("source"), u("path"),
+          col("rpath").as("rule"),
+          coalesce(col("is_allow") === 1, lit(true)).as("allowed"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(crawlPipeline, robotsEval)
 }
