@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Num
 import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
@@ -618,6 +619,115 @@ ORDER BY id_a, id_b"""
         "embedding", threshold = 0.4, planes = 6, tables = 12)
       .orderBy("id_a", "id_b"))
 
+  /** Margin-based bitext mining (X83 — Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER device that builds parallel training corpora:
+    * absolute cosine is miscalibrated across embedding neighbourhoods,
+    * so a candidate pair is scored by its cosine RELATIVE to each
+    * side's average nearest-neighbour cosine — margin(x,y) =
+    * cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) — and mined iff the
+    * margin clears a threshold). Sides are the deterministic parity
+    * split of the embeddings corpus (even = source, odd = target).
+    *
+    * Scale shape: candidates come from a single-table hyperplane-LSH
+    * bucket EQUI-join (no broadcast, no all-pairs — the faiss-shard
+    * role in the published pipeline), both ranking directions and both
+    * k-NN averages read the SAME candidate pair set (one join, two
+    * partitioned windows), and only (id, id, cosine) rows flow after
+    * the bucket join. Float discipline: cosines are element-wise
+    * exact; the two k-NN averages are aggregated doubles → qround(6);
+    * the margin is one IEEE divide, qround(6) for the reported value
+    * and the X45 coarser qround(4) grid for the kept boolean. */
+  val bitextMine = QueryDef(
+    "q_bitext_mine",
+    Some(s"""WITH mix_dom AS (
+               SELECT CAST(a.range AS HUGEINT) AS p,
+                      CAST(b.range AS HUGEINT) AS i,
+                      CAST(42 AS HUGEINT) + CAST(a.range AS HUGEINT) * 1000003
+                        + CAST(b.range AS HUGEINT) AS z
+               FROM range(0, 3) a, range(0, 64) b),
+             ${sqlMix64("p, i")},
+             planes AS (
+               SELECT CAST(p AS INT) AS p,
+                      list($sqlSignedUnit ORDER BY i) AS pl
+               FROM mix_s5 GROUP BY 1),
+             sig AS (
+               SELECT e.vec_id, ${sqlBucket("e.embedding")} AS bucket
+               FROM embeddings e, planes GROUP BY e.vec_id),
+             pairs AS (
+               SELECT q.vec_id AS qa, c.vec_id AS yb,
+                      ${sqlCosine("qe.embedding", "ce.embedding")} AS cosine
+               FROM sig q
+               JOIN sig c ON q.bucket = c.bucket
+               JOIN embeddings qe ON qe.vec_id = q.vec_id
+               JOIN embeddings ce ON ce.vec_id = c.vec_id
+               WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+             f AS (
+               SELECT qa, yb, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY qa
+                        ORDER BY cosine DESC, yb) AS rn
+               FROM pairs),
+             r AS (
+               SELECT qa, yb, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY yb
+                        ORDER BY cosine DESC, qa) AS rn
+               FROM pairs),
+             favg AS (
+               SELECT qa, ${Num.qroundSql("AVG(cosine)", 6)} AS favg
+               FROM f WHERE rn <= 4 GROUP BY qa),
+             ravg AS (
+               SELECT yb, ${Num.qroundSql("AVG(cosine)", 6)} AS ravg
+               FROM r WHERE rn <= 4 GROUP BY yb),
+             best AS (SELECT qa, yb, cosine FROM f WHERE rn = 1)
+             SELECT best.qa AS id_a, best.yb AS id_b, best.cosine,
+                    ${Num.qroundSql(
+                      "best.cosine / ((favg.favg + ravg.ravg) / 2.0)", 6)}
+                      AS margin,
+                    (${Num.qroundSql(
+                      "best.cosine / ((favg.favg + ravg.ravg) / 2.0)", 4)}
+                      > 1.05) AS kept
+             FROM best
+               JOIN favg ON favg.qa = best.qa
+               JOIN ravg ON ravg.yb = best.yb
+             ORDER BY id_a"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      def bucketOf(v: org.apache.spark.sql.Column) = element_at(
+        graft.functions.HashFunctions.hyperplaneBuckets(v, 3, 1, 42L), 1)
+      val sig = e.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        bucketOf(col("embedding")).as("bucket"))
+      val a = sig.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("qa"), col("embedding").as("va"),
+          col("nrm").as("na"), col("bucket"))
+      val b = sig.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("yb"), col("embedding").as("vb"),
+          col("nrm").as("nb"), col("bucket"))
+      val pairs = a.join(b, "bucket")
+        .withColumn("cosine", Similarity.cosineWithNorms(col("va"),
+          col("vb"), col("na"), col("nb")))
+        .select("qa", "yb", "cosine")
+      val wf = Window.partitionBy("qa")
+        .orderBy(col("cosine").desc, col("yb"))
+      val wr = Window.partitionBy("yb")
+        .orderBy(col("cosine").desc, col("qa"))
+      val f = pairs.withColumn("rn", row_number().over(wf))
+      val r = pairs.withColumn("rn", row_number().over(wr))
+      val favg = f.filter(col("rn") <= 4).groupBy("qa")
+        .agg(Num.qround(avg("cosine"), 6).as("favg"))
+      val ravg = r.filter(col("rn") <= 4).groupBy("yb")
+        .agg(Num.qround(avg("cosine"), 6).as("ravg"))
+      val best = f.filter(col("rn") === 1).select("qa", "yb", "cosine")
+      val rawMargin =
+        col("cosine") / ((col("favg") + col("ravg")) / lit(2.0))
+      best.join(favg, "qa").join(ravg, "yb")
+        .select(col("qa").as("id_a"), col("yb").as("id_b"),
+          col("cosine"),
+          Num.qround(rawMargin, 6).as("margin"),
+          (Num.qround(rawMargin, 4) > 1.05).as("kept"))
+        .orderBy("id_a")
+    })
+
   /** Brute-force exact top-k cosine ANN: queries = vec_id < 5
     * broadcast against the full corpus. Ranks are total-ordered
     * (cosine desc, id) and cosines are bit-identical cross-engine, so
@@ -1075,6 +1185,7 @@ ORDER BY id_a, id_b"""
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
     dupEmbeddingExact, dupEmbeddingLsh,
+    bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep, leakageSplit,
     embedRp, embedOutlier, dedupSubstring)
 }
