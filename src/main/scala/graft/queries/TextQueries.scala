@@ -1010,6 +1010,39 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
             .as("f1"))
     })
 
+  /** Language-ID confusion matrix (X84 — the X75 eval discipline
+    * applied to the X8 language identifier: per (labeled, detected)
+    * cell counts plus the within-label share, i.e. the diagonal is
+    * per-language recall — what a router regression gate watches
+    * before swapping lang-ID models). Composition: nests the
+    * q_lang_id oracle; the matrix is one groupBy over fixed-width
+    * label pairs, the label totals a second bounded aggregate joined
+    * back on the label key; share is one IEEE divide. */
+  val langidEval = QueryDef(
+    "q_langid_eval",
+    Some(s"""WITH li AS (${langId.oracle.get}),
+            g AS (
+              SELECT lang_labeled, lang_detected,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM li GROUP BY 1, 2),
+            t AS (
+              SELECT lang_labeled, CAST(SUM(n) AS BIGINT) AS tot
+              FROM g GROUP BY 1)
+            SELECT g.lang_labeled, g.lang_detected, g.n,
+                   CAST(g.n AS DOUBLE) / t.tot AS share
+            FROM g JOIN t USING (lang_labeled)
+            ORDER BY lang_labeled, lang_detected"""),
+    (s, d) => {
+      val li = langId.fn(s, d)
+      val g = li.groupBy("lang_labeled", "lang_detected")
+        .agg(count(lit(1)).as("n"))
+      val t = g.groupBy("lang_labeled").agg(sum("n").as("tot"))
+      g.join(t, "lang_labeled")
+        .select(col("lang_labeled"), col("lang_detected"), col("n"),
+          (col("n").cast("double") / col("tot")).as("share"))
+        .orderBy("lang_labeled", "lang_detected")
+    })
+
   /** Unicode script identification (X76 — the multilingual-corpus
     * routing pass that runs BEFORE token-level language ID: a
     * codepoint-range histogram is script-level ground truth where an
@@ -1675,7 +1708,7 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier,
-    classifierEval, scriptId, lineClean,
+    classifierEval, langidEval, scriptId, lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate)
 }
