@@ -416,6 +416,90 @@ object CurationQueries {
       rows.toSeq.toDF("grp", "n_docs", "raw_share", "share", "quota")
     })
 
+  /** Neyman-allocation stratified sampling (X85 — Neyman 1934's
+    * optimal allocation, the statistics-driven third member of the
+    * apportionment family: X40 splits by GIVEN weights, X78 by
+    * corpus-SIZE temperature, this by size × within-stratum
+    * VARIABILITY, n_s ∝ N_s·σ_s — high-variance strata need more
+    * samples for the same estimator precision, uniform strata fewer).
+    * σ_s is the population stddev of n_chars from EXACT integer sums
+    * (Σx, Σx² as BIGINTs — one grouped aggregate), so the single
+    * sqrt((sq − s²/n)/n) expression tree is bit-identical across
+    * engines; the weight then drops onto the X78 integer grid
+    * (floor(N·σ·10³ + 0.5)) and quotas are the same integer
+    * largest-remainder apportionment — no float compare near a
+    * boundary. A zero-variance stratum gets weight 0 (the classic
+    * Neyman caveat, recorded rather than patched). */
+  val neymanAlloc = QueryDef(
+    "q_neyman_alloc",
+    Some(s"""WITH sc AS (
+               SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(n_chars) AS BIGINT) AS s,
+                      CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq
+               FROM documents GROUP BY source),
+             sg AS (
+               SELECT source, n,
+                      sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)) AS sigma
+               FROM sc),
+             iw AS (
+               SELECT source, n, sigma,
+                      CAST(FLOOR(CAST(n AS DOUBLE) * sigma * 1000
+                        + 0.5) AS BIGINT) AS w
+               FROM sg),
+             tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM iw),
+             a AS (
+               SELECT source, n, sigma, w,
+                      (100 * w) // tot.sumw AS base,
+                      (100 * w) % tot.sumw AS rem
+               FROM iw CROSS JOIN tot),
+             l AS (
+               SELECT 100 - CAST(SUM(base) AS BIGINT) AS leftover FROM a),
+             rk AS (
+               SELECT source, n, sigma, base,
+                      ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+               FROM a)
+             SELECT rk.source, rk.n AS n_docs,
+                    ${Num.qroundSql("rk.sigma", 6)} AS sigma,
+                    CAST(rk.base + CASE WHEN rk.rr <= l.leftover
+                      THEN 1 ELSE 0 END AS BIGINT) AS quota
+             FROM rk CROSS JOIN l
+             ORDER BY rk.source"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val rows = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("s"),
+          sum(col("n_chars") * col("n_chars")).as("sq"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val sg = rows.map { case (src, n, sm, sq) =>
+        // the EXACT expression tree the oracle evaluates
+        (src, n, math.sqrt((sq.toDouble - sm.toDouble * sm.toDouble
+          / n.toDouble) / n.toDouble))
+      }
+      val iw = sg.map { case (src, n, sigma) =>
+        (src, n, sigma,
+          math.floor(n.toDouble * sigma * 1000 + 0.5).toLong)
+      }
+      val sumw = iw.map(_._4).sum
+      val based = iw.map { case (src, n, sigma, w) =>
+        (src, n, sigma, w, 100L * w / sumw, 100L * w % sumw)
+      }
+      val leftover = (100L - based.map(_._5).sum).toInt
+      val out = based
+        .sortBy { case (src, _, _, _, _, rem) => (-rem, src) }
+        .zipWithIndex
+        .map { case ((src, n, sigma, _, base, _), i) =>
+          (src, n, math.floor(sigma * 1e6 + 0.5) / 1e6,
+            if (i < leftover) base + 1 else base)
+        }
+        .sortBy(_._1)
+      import s.implicits._
+      out.toSeq.toDF("source", "n_docs", "sigma", "quota")
+    })
+
   /** Composed curation audit (X79 — the decision-provenance pass a
     * production corpus build ships next to the corpus itself: every
     * document gets its keep/drop verdict AND the first policy that
@@ -1334,7 +1418,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
-      temperatureMix, curationAudit,
+      temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)

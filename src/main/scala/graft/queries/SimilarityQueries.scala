@@ -936,6 +936,51 @@ ORDER BY id_a, id_b"""
         .orderBy("doc_id")
     })
 
+  /** Dedup yield report (X86 — the summary every corpus build prints
+    * next to its dedup pass: how much did dedup actually remove, and
+    * is the duplication mass in a few huge clusters or many pairs?):
+    * near-dup clusters (X6) → cluster-size histogram on power-of-two
+    * buckets → per-bucket clusters / docs / removed counts. The
+    * bucket boundaries are an INTEGER comparison chain (no log2 —
+    * libm rounding at exact powers of two would be the only float in
+    * an otherwise integer query), so every value hash-matches with no
+    * rounding anywhere. Composition over the X6 oracle; the histogram
+    * is two bounded aggregates over fixed-width (canonical, count)
+    * rows. */
+  val dedupYield = QueryDef(
+    "q_dedup_yield", {
+      val whens = (0 to 20).map(k =>
+        s"WHEN csize <= ${1L << k} THEN $k").mkString(" ")
+      Some(s"""WITH dc AS (${dedupClusters.oracle.get}),
+             cs AS (
+               SELECT canonical_id,
+                      CAST(COUNT(*) AS BIGINT) AS csize
+               FROM dc GROUP BY canonical_id)
+             SELECT CAST(CASE $whens ELSE 21 END AS INT) AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                    CAST(SUM(csize) AS BIGINT) AS n_docs,
+                    CAST(SUM(csize) - COUNT(*) AS BIGINT) AS n_removed
+             FROM cs GROUP BY 1 ORDER BY bucket""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      val clusters = Dedup.clusterKeepMin(docs.select("doc_id"),
+        "doc_id", pairs)
+      val cs = clusters.groupBy("canonical_id")
+        .agg(count(lit(1)).as("csize"))
+      val bucket = (0 to 20).foldRight(lit(21): org.apache.spark.sql
+          .Column) { (k, acc) =>
+        when(col("csize") <= (1L << k), k).otherwise(acc)
+      }
+      cs.groupBy(bucket.cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("csize").as("n_docs"),
+          (sum("csize") - count(lit(1))).as("n_removed"))
+        .orderBy("bucket")
+    })
+
   /** Leakage-free train/valid/test split: the content-hash split
     * (q_sample_hash) keyed on the near-dup CLUSTER representative
     * instead of the document — two near-duplicates can never straddle
@@ -1186,6 +1231,7 @@ ORDER BY id_a, id_b"""
     dedupSimhashMd5, ngramJaccard, dedupContainment,
     dupEmbeddingExact, dupEmbeddingLsh,
     bitextMine,
-    annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep, leakageSplit,
+    annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
+    dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring)
 }
