@@ -97,6 +97,72 @@ class EvalQueriesSpec extends SparkSuite {
       Seq("contaminated", "duplicate", "kept", "quality"))
   }
 
+  test("q_robots_eval: group scoping and longest-match semantics") {
+    val rows = run("q_robots_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(1)
+      val n = src.filter(_.isDigit).toInt
+      val (path, rule, allowed) =
+        (r.getString(2), if (r.isNullAt(3)) null else r.getString(3),
+          r.getBoolean(4))
+      if (n % 5 == 4) {
+        // no `*` group on these domains: the archiver group's
+        // `Disallow: /` must NOT leak — everything allowed, rule-less
+        assert(allowed && rule == null, r)
+      } else path match {
+        case "/private" => assert(!allowed && rule == "/private", r)
+        case "/private/ok/page" => // allow overrides the shorter disallow
+          assert(allowed && rule == "/private/ok", r)
+        case "/private/secret" => assert(!allowed, r)
+        case "/data/x" => assert(allowed === (n % 3 != 0), r)
+        case "/home" | "/tmp" => assert(allowed && rule == null, r)
+        case other => fail(s"unexpected path $other")
+      }
+    }
+  }
+
+  test("q_bitext_mine: margin gate and per-source uniqueness") {
+    val rows = run("q_bitext_mine").collect()
+    assert(rows.nonEmpty)
+    // one best candidate per source id; sides respect the parity split
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 === 0 && r.getLong(1) % 2 === 1, r)
+      val (margin, kept) = (r.getDouble(3), r.getBoolean(4))
+      assert(margin > 0.0, r)
+      // the kept gate sits on the coarser grid of the same ratio:
+      // agreement within one 1e-4 step of the threshold
+      if (margin > 1.0501) assert(kept, r)
+      if (margin < 1.0499) assert(!kept, r)
+    }
+  }
+
+  test("q_neyman_alloc: exhaustive quotas, nonnegative sigma") {
+    val rows = run("q_neyman_alloc").collect()
+    assert(rows.map(_.getLong(3)).sum === 100L)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, r))
+  }
+
+  test("q_dedup_yield: the histogram accounts for every document") {
+    val rows = run("q_dedup_yield").collect()
+    val nDocs = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1), r)
+      assert(r.getInt(0) >= 0, r)
+    }
+  }
+
+  test("q_langid_eval: shares sum to 1 within every labeled language") {
+    val rows = run("q_langid_eval").collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$lang -> $total")
+    }
+  }
+
   test("q_ann_recall: recall bounded, exact baseline would be 1.0") {
     val rows = run("q_ann_recall").collect()
     assert(rows.length === 10) // 2 methods × 5 queries
