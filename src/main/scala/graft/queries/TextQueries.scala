@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.Text
+import graft.functions.{Num, Text}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §7 extensions:
@@ -1010,6 +1010,52 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
             .as("f1"))
     })
 
+  /** Classifier calibration curve (X87 — the reliability diagram next
+    * to X75's AUC: AUC says the model RANKS well, calibration says
+    * whether the margin MEANS anything — "is a margin-4 bucket
+    * actually ~98% positive?" — the thing a threshold choice or a
+    * downstream probability consumer depends on). Margins bucket on
+    * the integer grid floor(margin/2) (elementwise on the qround(6)
+    * margin — identical doubles both engines, so the same bucket);
+    * per bucket: count, positives, empirical positive rate (one
+    * divide), mean margin (aggregated → qround 6), and the logistic
+    * σ(mean margin) the Naive-Bayes margin implies — elementwise on
+    * the already-qround'd mean, so exp/division replay exactly. */
+  val classifierCalibration = QueryDef(
+    "q_classifier_calibration",
+    Some(s"""WITH hc AS (${hashClassifier.oracle.get}),
+            b AS (
+              SELECT CAST(FLOOR(margin / 2.0) AS INT) AS bucket,
+                     margin, is_en
+              FROM hc)
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS pos_rate,
+                   ${Num.qroundSql("AVG(margin)", 6)} AS mean_margin,
+                   ${Num.qroundSql(
+                     s"""1.0 / (1.0 + exp(-(${Num.qroundSql(
+                       "AVG(margin)", 6)})))""", 6)} AS implied_p
+            FROM b GROUP BY bucket ORDER BY bucket"""),
+    (s, d) => {
+      val hc = hcScores(s, d)
+      val meanM = Num.qround(avg("margin"), 6)
+      hc.select(floor(col("margin") / 2.0).cast("int").as("bucket"),
+          col("margin"), col("is_en"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"),
+          (sum(when(col("is_en"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("pos_rate"),
+          meanM.as("mean_margin"),
+          // exp is libm (≤1 ulp, not bit-pinned across engines) →
+          // the X63 discipline: qround AFTER the transcendental
+          Num.qround(lit(1.0) / (lit(1.0) + exp(-meanM)), 6)
+            .as("implied_p"))
+        .orderBy("bucket")
+    })
+
   /** Language-ID confusion matrix (X84 — the X75 eval discipline
     * applied to the X8 language identifier: per (labeled, detected)
     * cell counts plus the within-label share, i.e. the diagonal is
@@ -1708,7 +1754,8 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
     bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier,
-    classifierEval, langidEval, scriptId, lineClean,
+    classifierEval, classifierCalibration, langidEval, scriptId,
+    lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate)
 }

@@ -516,6 +516,88 @@ object Stress {
     timeShuffle("label prop 10M edges, 4 rounds") { lpaCommunities(4) }
     timeShuffle("label prop 10M edges, 8 rounds") { lpaCommunities(8) }
 
+    // X80: triangle counting on the same 10M-edge / 1M-node graph —
+    // the degree-ordered-orientation claim at scale: wedges are
+    // enumerated only at each edge's (deg, id)-smaller endpoint, so
+    // hub nodes generate no wedge explosion and the join stays
+    // O(Σ outdeg²) with outdeg ~ O(√E). Returned value = total
+    // triangle incidences (Σ per-node counts = 3 × triangles).
+    timeShuffle("triangles 10M edges") {
+      graft.ops.Triangles.perNode(prEdges, "src", "dst")
+        .agg(sum("n_triangles")).collect().head.getLong(0)
+    }
+
+    // X81: containment dedup at 1M docs (~58 tokens each, ~56M
+    // (shingle, doc) index rows) with 2% planted quote docs (prefix
+    // halves of their base doc — containment exactly 1.0). Tokens are
+    // hash-derived (no arithmetic aliasing between doc ids), so the
+    // planted quotes are the ONLY ≥τ pairs. Only (60-bit key, id)
+    // longs shuffle; the doc-frequency prune bounds hot-key blowup.
+    // Returned value = pairs found at τ=0.8 — must be EXACTLY the
+    // 20,000 planted quote→base pairs.
+    timeShuffle("containment dedup 1M docs, 2% quotes") {
+      def tok(i: Int) = concat(lit("ct"),
+        pmod(xxhash64(col("id") * 64 + i), lit(100000000L))
+          .cast("string"))
+      val base = spark.range(0, 1000000L, 1, 64).select(col("id"),
+        concat_ws(" ", (0 until 58).map(tok): _*).as("text"))
+      val quotes = spark.range(0, 1000000L, 50, 64).select(
+        (col("id") + 10000000L).as("qid"), col("id"))
+        .select(col("qid"),
+          concat_ws(" ", (0 until 29).map(tok): _*).as("text"))
+        .select(col("qid").as("id"), col("text"))
+      graft.ops.Dedup.containmentPairs(base.unionAll(quotes),
+          "id", "text", shingleK = 3, threshold = 0.8,
+          maxDocFreq = 100L)
+        .count()
+    }
+
+    // X83: bitext mining at 1M × 64-dim — the plane count is the
+    // bucket-granularity knob: 16 planes → 65k buckets → ~15 docs a
+    // side per bucket, so the candidate join stays near-linear (3
+    // planes is the FIXTURE granularity, not the scale setting).
+    // Returned value = mined pairs at margin > 1.05.
+    timeShuffle("bitext mine 1M x 64-dim, 16 planes") {
+      import org.apache.spark.sql.expressions.Window
+      // components CENTERED on 0: all-positive vectors would collapse
+      // the sign buckets into a handful of huge cells (caught at
+      // birth: the skewed join OOM'd) — the probe models real
+      // embeddings, which are mean-centered
+      val vecs = spark.range(0, 1000000L, 1, 64).select(col("id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("id") * 64 + i), lit(1000)).cast("float")
+            / 1000.0f) - 0.5f).as("embedding"))
+      def bucketOf(v: org.apache.spark.sql.Column) = element_at(
+        graft.functions.HashFunctions.hyperplaneBuckets(v, 16, 1, 42L), 1)
+      val sig = vecs.select(col("id"), col("embedding"),
+        graft.ops.Similarity.norm(col("embedding")).as("nrm"),
+        bucketOf(col("embedding")).as("bucket"))
+      val aSide = sig.filter(col("id") % 2 === 0).select(
+        col("id").as("qa"), col("embedding").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val bSide = sig.filter(col("id") % 2 === 1).select(
+        col("id").as("yb"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
+      val pairs = aSide.join(bSide, "bucket")
+        .withColumn("cosine", graft.ops.Similarity.cosineWithNorms(
+          col("va"), col("vb"), col("na"), col("nb")))
+        .select("qa", "yb", "cosine")
+      val wf = Window.partitionBy("qa")
+        .orderBy(col("cosine").desc, col("yb"))
+      val wr = Window.partitionBy("yb")
+        .orderBy(col("cosine").desc, col("qa"))
+      val f = pairs.withColumn("rn", row_number().over(wf))
+      val favg = f.filter(col("rn") <= 4).groupBy("qa")
+        .agg(avg("cosine").as("favg"))
+      val ravg = pairs.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 4).groupBy("yb")
+        .agg(avg("cosine").as("ravg"))
+      f.filter(col("rn") === 1).join(favg, "qa").join(ravg, "yb")
+        .filter(col("cosine") / ((col("favg") + col("ravg")) / 2.0)
+          > 1.05)
+        .count()
+    }
+
     // X69b: HyperBall harmonic centrality on the SAME 10M-edge / 1M-node
     // graph — the probe that evidences the scaladoc's V·k-state claim:
     // per-round state is 1M × 16 longs (~128 MB) REGARDLESS of ball

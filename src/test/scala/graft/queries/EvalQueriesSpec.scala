@@ -155,6 +155,23 @@ class EvalQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_classifier_calibration: accounting and sigmoid monotonicity") {
+    val rows = run("q_classifier_calibration").collect()
+    assert(rows.nonEmpty)
+    // buckets partition the classifier's scoring frame
+    val nScored = run("q_hash_classifier").count()
+    assert(rows.map(_.getLong(1)).sum === nScored)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), r)
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0, r)
+    }
+    // mean margins are strictly increasing across buckets by
+    // construction, so the implied sigmoid must be non-decreasing
+    val implied = rows.sortBy(_.getInt(0)).map(_.getDouble(5))
+    assert(implied === implied.sorted)
+  }
+
   test("q_langid_eval: shares sum to 1 within every labeled language") {
     val rows = run("q_langid_eval").collect()
     rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
