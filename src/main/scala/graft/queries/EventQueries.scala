@@ -63,6 +63,61 @@ object EventQueries {
         .orderBy("hour_start", "event_type")
     })
 
+  /** Event-rate anomaly detection (X88 — the per-stream z-score
+    * monitor an event pipeline runs over its own volume: "which hours
+    * saw a count more than 3σ from this event type's norm?" — the
+    * drop/spike alarm next to the X58 content-drift monitors). Hourly
+    * per-type counts, then per-type μ/σ derived from EXACT integer
+    * sums (Σc, Σc² as BIGINTs — the X85 device), so the single
+    * μ/σ/z expression trees are bit-identical cross-engine and the
+    * z-scores hash RAW (the X60 unrounded precedent); a
+    * constant-rate type has σ = 0 → NULL z, anomaly false.
+    * Scale shape: one keyed aggregate to hours, one bounded per-type
+    * aggregate joined back on the type key — fixed-width rows. */
+  val eventAnomaly = QueryDef(
+    "q_event_anomaly",
+    Some("""WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(SUM(c * c) AS BIGINT) AS sq
+              FROM h GROUP BY 1),
+            z AS (
+              SELECT h.hour_start, h.event_type, h.c,
+                     (CAST(h.c AS DOUBLE) - CAST(st.s AS DOUBLE)
+                       / CAST(st.n AS DOUBLE)) /
+                       NULLIF(sqrt((CAST(st.sq AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                           / CAST(st.n AS DOUBLE))
+                         / CAST(st.n AS DOUBLE)), 0.0) AS z
+              FROM h JOIN st USING (event_type))
+            SELECT hour_start, event_type, c AS n_events, z,
+                   COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+            FROM z ORDER BY hour_start, event_type"""),
+    (s, d) => {
+      val h = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val st = h.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("sq"))
+      val mu = col("s").cast("double") / col("n").cast("double")
+      val sigma = sqrt((col("sq").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double")) / col("n").cast("double"))
+      val z = (col("c").cast("double") - mu) /
+        nullif(sigma, lit(0.0))
+      h.join(st, "event_type")
+        .select(col("hour_start"), col("event_type"),
+          col("c").as("n_events"), z.as("z"),
+          coalesce(abs(z) > 3.0, lit(false)).as("is_anomaly"))
+        .orderBy("hour_start", "event_type")
+    })
+
   /** Sliding-window aggregation: 1-hour windows every 15 minutes —
     * each event lands in exactly 4 windows. Spark's window() aligns
     * slide boundaries to the epoch; the oracle reproduces the same
@@ -432,6 +487,7 @@ object EventQueries {
       .orderBy("zbucket"))
 
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
+    eventAnomaly,
     slidingWindow, sessionize, streamSession, streamIntervalJoin,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats)
