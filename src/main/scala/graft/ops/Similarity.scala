@@ -214,13 +214,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed approximate top-k: exact rescoring within the
-    * query's bucket (single-probe). Trades recall for a candidate set
-    * ~corpus/2^planes per query. */
+  /** The multiprobe mask set: every XOR mask over `planes` sign bits
+    * with popcount ≤ maxFlips, ascending. maxFlips=0 → Seq(0L)
+    * (classic single-probe). */
+  def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =
+    (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
+
+  /** LSH-bucketed approximate top-k: exact rescoring within the probed
+    * buckets. Single-probe (maxFlips=0) trades recall for a candidate
+    * set ~corpus/2^planes per query; multiprobe (Lv et al., VLDB'07)
+    * additionally probes every bucket within Hamming distance
+    * `maxFlips` of the query's own signature — near neighbors that
+    * land just across a hyperplane differ in exactly the sign bits of
+    * their smallest-margin planes, so flipping 1-2 bits recovers most
+    * of the recall lost to quantization without touching the (large)
+    * corpus side: the index stays one bucket per corpus row, and only
+    * the broadcast query side fans out ×|masks|. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, maxFlips: Int = 0): DataFrame = {
     // fused single-table kernel (one vector pass; bit-identical to the
     // composed hyperplaneBucket — SimilaritySpec pins equality)
     def bucketOf(vec: Column): Column = element_at(
@@ -229,9 +243,15 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"),
       bucketOf(col(corpusVec)).as("bucket"))
+    val masks = probeMasks(planes, maxFlips)
+    // each corpus row matches at most one probe per query (the mask is
+    // determined by the pair's signature XOR), so no dedup is needed
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
-      bucketOf(col(queryVec)).as("bucket")))
+        col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm"),
+        bucketOf(col(queryVec)).as("bucket0"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(masks.map(m =>
+          col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),

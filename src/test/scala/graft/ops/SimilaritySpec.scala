@@ -59,6 +59,37 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("probeMasks: popcount-bounded XOR mask enumeration") {
+    assert(Similarity.probeMasks(4, 0) === Seq(0L))
+    assert(Similarity.probeMasks(4, 1) === Seq(0L, 1L, 2L, 4L, 8L))
+    assert(Similarity.probeMasks(6, 2).size === 1 + 6 + 15)
+    assert(Similarity.probeMasks(6, 2).forall(m =>
+      java.lang.Long.bitCount(m) <= 2 && m < 64))
+  }
+
+  test("multiprobe lshTopK: recall dominates single-probe, cosines exact") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def hits(maxFlips: Int): Int =
+      Similarity.lshTopK(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10, planes = 6, maxFlips = maxFlips)
+        .select("query_id", "neighbor_id", "cosine").collect()
+        .map { r =>
+          // any candidate the exact ranking also has must score identically
+          brute.get((r.getLong(0), r.getLong(1)))
+            .foreach(c => assert(c === r.getDouble(2)))
+          r
+        }
+        .count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    val Seq(h0, h1, h2) = Seq(0, 1, 2).map(hits)
+    assert(h0 <= h1 && h1 <= h2, s"recall not monotone: $h0 $h1 $h2")
+    assert(h2 > h0, "multiprobe found no additional true neighbors")
+  }
+
   test("ivfTopK: subset of brute-force with exact cosines, decent recall") {
     val e = Tables.embeddings(spark, Sf0001)
     val q = e.filter(col("vec_id") < 5)
