@@ -196,39 +196,80 @@ object CrawlQueries {
         .orderBy("shard")
     })
 
+  /** Characters escaped when compiling a robots rule path to a regex
+    * (every regex metachar except `*`, which becomes `.*`, and the
+    * trailing `$` anchor, which is handled separately). */
+  private val RxSpecials = Seq(
+    "\\" -> "\\\\", "." -> "\\.", "(" -> "\\(", ")" -> "\\)",
+    "[" -> "\\[", "]" -> "\\]", "{" -> "\\{", "}" -> "\\}",
+    "+" -> "\\+", "?" -> "\\?", "^" -> "\\^", "|" -> "\\|", "$" -> "\\$")
+
+  /** DuckDB expression: robots rule path `e` → anchored match regex.
+    * Literal-escape chain, then `*` → `.*`; a trailing `$` on the rule
+    * re-anchors the end. Mirrored operation-for-operation by the Spark
+    * `robotsRx` below so the compiled patterns are byte-identical. */
+  private def sqlRobotsRx(e: String): String = {
+    val core = s"CASE WHEN ends_with($e, '$$') " +
+      s"THEN substring($e, 1, len($e) - 1) ELSE $e END"
+    val escaped = RxSpecials.foldLeft(core) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '$to')"
+    }
+    s"""('^' || replace($escaped, '*', '.*') ||
+        CASE WHEN ends_with($e, '$$') THEN '$$' ELSE '' END)"""
+  }
+
+  /** Spark twin of sqlRobotsRx. */
+  private def robotsRx(e: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val anchored = e.endsWith("$")
+    val core = when(anchored, e.substr(lit(1), length(e) - 1)).otherwise(e)
+    val escaped = RxSpecials.foldLeft(core) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+    concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(anchored, "$").otherwise(""))
+  }
+
   /** robots.txt parsing + URL permission evaluation (X82 — the crawl
     * POLICY boundary next to the WARC byte boundary: RFC 9309 / the
     * Google REP rules every crawler applies before a fetch even
     * happens). Per-domain robots files are planted deterministically
     * (a non-matching `archiver` group whose `Disallow: /` must NOT
-    * leak onto us, the `*` group with an allow-overrides case, a
-    * domain-varying extra rule, and domains with no `*` group at
-    * all), parsed into user-agent groups by a running group-id
-    * (partitioned window over line index — never partition-less), and
-    * evaluated against planted URL paths under the RFC's
-    * LONGEST-MATCH-WINS rule with allow beating disallow on ties.
+    * leak onto us; a MERGED multi-agent header — consecutive
+    * `User-agent: *` + `User-agent: helperbot` lines sharing one rule
+    * group per RFC 9309 §2.1; allow-overrides, `*`-wildcard and
+    * `$`-anchored rules; a domain-varying extra rule; and domains
+    * with no `*` group at all). Groups are delimited by UA lines NOT
+    * preceded by another UA line (lag over a per-domain window), and
+    * rules are evaluated under the RFC's most-specific-match rule —
+    * specificity = rule-path (pattern) length, Google's REP tie-break,
+    * which keeps the match replayable in SQL — with allow beating
+    * disallow on ties. `*` in a rule matches any char sequence and a
+    * trailing `$` anchors the path end (§2.2.3); both engines compile
+    * the rule to the same anchored regex via a literal escape chain.
     *
-    * Simplification vs full REP, recorded here: every `User-agent:`
-    * line opens a new group (multi-agent group headers aren't
-    * merged), and `*`-pattern/`$`-anchor rule paths aren't expanded —
-    * prefix match only. Scale shape: robots parsing is per-domain
-    * metadata (|domains| × lines rows); the evaluation joins URLs to
-    * rules on the domain key and ranks matches in a per-URL window —
-    * fixed-width rows, no text beyond paths. */
+    * Scale shape: robots parsing is per-domain metadata (|domains| ×
+    * lines rows); the evaluation joins URLs to rules on the domain
+    * key (regex evaluated per joined pair, a bounded per-domain rule
+    * set) and ranks matches in a per-URL window — fixed-width rows,
+    * no text beyond paths. */
   val robotsEval = QueryDef(
     "q_robots_eval",
-    Some("""WITH rb AS (
+    Some(s"""WITH rb AS (
               SELECT source,
                      '# robots' || chr(10) ||
                      'User-agent: archiver' || chr(10) ||
                      'Disallow: /' || chr(10) ||
-                     CASE WHEN CAST(regexp_extract(source, '(\d+)', 1)
+                     CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                             AS INT) % 5 = 4
                           THEN 'User-agent: onlybot'
                           ELSE 'User-agent: *' END || chr(10) ||
+                     'User-agent: helperbot' || chr(10) ||
                      'Disallow: /private' || chr(10) ||
-                     'Allow: /private/ok' ||
-                     CASE WHEN CAST(regexp_extract(source, '(\d+)', 1)
+                     'Allow: /private/ok' || chr(10) ||
+                     'Disallow: /*.zip$$' || chr(10) ||
+                     'Allow: /data/*/public' ||
+                     CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                             AS INT) % 3 = 0
                           THEN chr(10) || 'Disallow: /data'
                           ELSE '' END AS robots
@@ -240,13 +281,19 @@ object CrawlQueries {
                            generate_subscripts(
                              string_split(robots, chr(10)), 1) AS i
                     FROM rb)),
+            lg AS (
+              SELECT source, idx, l,
+                     LAG(l) OVER (PARTITION BY source ORDER BY idx) AS prev
+              FROM ln),
             g AS (
               SELECT source, idx, l,
                      CAST(SUM(CASE WHEN starts_with(l, 'User-agent: ')
+                       AND NOT COALESCE(
+                         starts_with(prev, 'User-agent: '), FALSE)
                        THEN 1 ELSE 0 END) OVER (PARTITION BY source
                        ORDER BY idx ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS gid
-              FROM ln),
+              FROM lg),
             ua AS (
               SELECT source, gid, substring(l, 13) AS agent
               FROM g WHERE starts_with(l, 'User-agent: ')),
@@ -258,19 +305,22 @@ object CrawlQueries {
               SELECT source, gid, substring(l, 8) AS rpath, 1 AS is_allow
               FROM g WHERE starts_with(l, 'Allow: ')),
             sr AS (
-              SELECT ru.source, ru.rpath, ru.is_allow
+              SELECT ru.source, ru.rpath, ru.is_allow,
+                     ${sqlRobotsRx("ru.rpath")} AS rx
               FROM ru JOIN ua ON ua.source = ru.source
                 AND ua.gid = ru.gid
               WHERE ua.agent = '*'),
             u AS (
               SELECT doc_id, source,
-                     CASE CAST(doc_id % 6 AS INT)
+                     CASE CAST(doc_id % 8 AS INT)
                        WHEN 0 THEN '/home'
                        WHEN 1 THEN '/private'
                        WHEN 2 THEN '/private/ok/page'
                        WHEN 3 THEN '/private/secret'
                        WHEN 4 THEN '/data/x'
-                       ELSE '/tmp' END AS path
+                       WHEN 5 THEN '/files/report.zip'
+                       WHEN 6 THEN '/files/report.zip.html'
+                       ELSE '/data/a/public' END AS path
               FROM documents),
             m AS (
               SELECT u.doc_id, r.rpath, r.is_allow,
@@ -278,7 +328,7 @@ object CrawlQueries {
                        ORDER BY len(r.rpath) DESC, r.is_allow DESC,
                                 r.rpath) AS rn
               FROM u JOIN sr r ON u.source = r.source
-                AND starts_with(u.path, r.rpath))
+                AND regexp_matches(u.path, r.rx))
             SELECT u.doc_id, u.source, u.path, m.rpath AS rule,
                    COALESCE(m.is_allow = 1, TRUE) AS allowed
             FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
@@ -292,19 +342,23 @@ object CrawlQueries {
           lit("# robots\nUser-agent: archiver\nDisallow: /\n"),
           when(srcNum % 5 === 4, "User-agent: onlybot")
             .otherwise("User-agent: *"),
+          lit("\nUser-agent: helperbot"),
           lit("\nDisallow: /private\nAllow: /private/ok"),
+          lit("\nDisallow: /*.zip$\nAllow: /data/*/public"),
           when(srcNum % 3 === 0, "\nDisallow: /data").otherwise(""))
           .as("robots"))
       val ln = rb.select(col("source"),
           posexplode(split(col("robots"), "\n")).as(Seq("i0", "l0")))
         .select(col("source"), (col("i0") + 1).as("idx"),
           trim(col("l0")).as("l"))
-      val w = Window.partitionBy("source").orderBy("idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy("source").orderBy("idx")
+      val w = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isUa = col("l").startsWith("User-agent: ")
       val g = ln.select(col("source"), col("l"),
-        sum(when(col("l").startsWith("User-agent: "), 1L).otherwise(0L))
-          .over(w).as("gid"))
-      val ua = g.filter(col("l").startsWith("User-agent: "))
+        sum(when(isUa && !coalesce(lag(col("l"), 1).over(wl)
+            .startsWith("User-agent: "), lit(false)), 1L)
+          .otherwise(0L)).over(w).as("gid"))
+      val ua = g.filter(isUa)
         .select(col("source"), col("gid"),
           col("l").substr(lit(13), length(col("l"))).as("agent"))
       val ru = g.filter(col("l").startsWith("Disallow: "))
@@ -317,21 +371,24 @@ object CrawlQueries {
             lit(1).as("is_allow")))
       val sr = ru.join(ua.filter(col("agent") === "*")
           .select("source", "gid"), Seq("source", "gid"))
-        .select("source", "rpath", "is_allow")
+        .select(col("source"), col("rpath"), col("is_allow"),
+          robotsRx(col("rpath")).as("rx"))
       val u = docs.select(col("doc_id"), col("source"),
-        (col("doc_id") % 6).cast("int").as("p6"))
+        (col("doc_id") % 8).cast("int").as("p8"))
         .select(col("doc_id"), col("source"),
-          when(col("p6") === 0, "/home")
-            .when(col("p6") === 1, "/private")
-            .when(col("p6") === 2, "/private/ok/page")
-            .when(col("p6") === 3, "/private/secret")
-            .when(col("p6") === 4, "/data/x")
-            .otherwise("/tmp").as("path"))
+          when(col("p8") === 0, "/home")
+            .when(col("p8") === 1, "/private")
+            .when(col("p8") === 2, "/private/ok/page")
+            .when(col("p8") === 3, "/private/secret")
+            .when(col("p8") === 4, "/data/x")
+            .when(col("p8") === 5, "/files/report.zip")
+            .when(col("p8") === 6, "/files/report.zip.html")
+            .otherwise("/data/a/public").as("path"))
       val wm = Window.partitionBy("doc_id")
         .orderBy(length(col("rpath")).desc, col("is_allow").desc,
           col("rpath"))
       val m = u.join(sr, u("source") === sr("source") &&
-          u("path").startsWith(col("rpath")))
+          regexp_like(u("path"), col("rx")))
         .select(u("doc_id"), col("rpath"), col("is_allow"))
         .withColumn("rn", row_number().over(wm))
         .filter(col("rn") === 1)
