@@ -28,18 +28,15 @@ import org.apache.spark.sql.functions._
   *  6. query: `utm_*` tracking params dropped, the rest sorted
   *     byte-wise; an emptied query loses its `?`.
   *
-  * Registrable domain: last two host labels, or last three when the
-  * last two form a multi-part public suffix. The embedded suffix set
-  * is a deliberately small stand-in for the Mozilla Public Suffix
-  * List (the real op ships the full PSL as a broadcast literal set —
-  * same plan shape, longer list).
+  * Registrable domain: public suffix (per the checked-in
+  * [[PublicSuffix]] PSL snapshot — plain, wildcard and exception
+  * rules, the publicsuffix.org algorithm) plus one more host label.
+  * The rule table compiles to a bounded when-chain of Catalyst
+  * `InSet` membership tests — one per (rule kind, label count), NOT
+  * one per rule — so the full 9k-rule PSL ships as broadcast literal
+  * sets with O(1) per-row lookups and the same shuffle-free plan.
   */
 object Url {
-
-  /** Multi-part public suffixes recognized by [[registrableDomain]].
-    * Kept tiny and embedded; the production list is the PSL. */
-  val MultiPartSuffixes: Seq[String] =
-    Seq("ac.uk", "co.jp", "co.uk", "com.au", "org.uk")
 
   private def scheme(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -84,21 +81,47 @@ object Url {
       when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
   }
 
-  /** Registrable domain of the canonical host: last two labels, or
-    * last three when the last two are a multi-part public suffix.
-    * Non-default ports survive in the canonical URL but are not part
-    * of the domain, so any `:port` is stripped before label-splitting. */
+  /** Registrable domain of the canonical host under the PSL snapshot
+    * (publicsuffix.org algorithm): exception rules first (longest
+    * first), then the longest matching plain/wildcard rule, default
+    * rule `*`. The registrable domain is the prevailing suffix plus
+    * one label; a host that IS a suffix (or a bare TLD) degrades to
+    * itself so grouping keys stay non-null. Non-default ports survive
+    * in the canonical URL but are not part of the domain, so any
+    * `:port` is stripped before label-splitting. */
   def registrableDomain(url: Column): Column = {
     val host = regexp_replace(canonicalHost(url), ":[0-9]+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)
-    val lastTwo = concat_ws(".",
-      element_at(labels, -2), element_at(labels, -1))
-    val lastThree = concat_ws(".",
-      element_at(labels, -3), element_at(labels, -2),
-      element_at(labels, -1))
-    when(n <= 2, host)
-      .when(lastTwo.isInCollection(MultiPartSuffixes), lastThree)
-      .otherwise(lastTwo)
+    // last k labels re-joined (guarded by n >= k at every use site —
+    // concat_ws would silently skip the null element_at overflow)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    // registrable = suffix of k labels + one more, degrading to the
+    // host when nothing precedes the suffix
+    def plusOne(k: Int): Column =
+      when(n >= k + 1, lastK(k + 1)).otherwise(host)
+    val ks = (PublicSuffix.MaxK to 1 by -1)
+    val excs = ks.flatMap { k =>
+      PublicSuffix.ExceptionsByK.get(k).map { rules =>
+        // exception: the rule itself IS the registrable domain
+        (n >= k && lastK(k).isInCollection(rules), lastK(k))
+      }
+    }
+    val plains = ks.flatMap { k =>
+      val plain = PublicSuffix.PlainByK.get(k).map { rules =>
+        (n >= k && lastK(k).isInCollection(rules), plusOne(k))
+      }
+      val wild = PublicSuffix.WildcardTailsByK.get(k).map { tails =>
+        // *.tail: the wildcard consumes one host label, so a k-label
+        // suffix needs only the k-1 tail labels to match
+        (n >= k && lastK(k - 1).isInCollection(tails), plusOne(k))
+      }
+      plain ++ wild
+    }
+    val dflt = when(n >= 2, lastK(2)).otherwise(host)
+    (excs ++ plains).foldRight(dflt) { case ((cond, value), acc) =>
+      when(cond, value).otherwise(acc)
+    }
   }
 }

@@ -24,6 +24,50 @@ import org.apache.spark.sql.functions._
   */
 object UrlQueries {
 
+  import graft.functions.PublicSuffix
+
+  /** DuckDB: last k labels of the host re-joined. */
+  private def sqlLastK(k: Int): String =
+    (k to 1 by -1).map(i => s"labels[-$i]").mkString(" || '.' || ")
+
+  /** DuckDB: a k-label public suffix plus one label, degrading to the
+    * bare host when nothing precedes the suffix. */
+  private def sqlPlusOne(k: Int): String =
+    s"CASE WHEN len(labels) >= ${k + 1} THEN ${sqlLastK(k + 1)} " +
+      "ELSE bare END"
+
+  /** The registrable-domain CASE chain, GENERATED from the same
+    * [[PublicSuffix]] snapshot Url.registrableDomain compiles — one
+    * arm per (rule kind, label count) in the identical precedence
+    * order (exceptions longest-first, then longest rule, plain before
+    * wildcard within a count, default `*` rule), so the two engines
+    * cannot drift. */
+  private def sqlDomain: String = {
+    def inList(s: Set[String]) =
+      s.toSeq.sorted.map(x => s"'$x'").mkString(", ")
+    val ks = PublicSuffix.MaxK to 1 by -1
+    val excArms = ks.flatMap { k =>
+      PublicSuffix.ExceptionsByK.get(k).map { rules =>
+        s"WHEN len(labels) >= $k AND ${sqlLastK(k)} IN " +
+          s"(${inList(rules)}) THEN ${sqlLastK(k)}"
+      }
+    }
+    val ruleArms = ks.flatMap { k =>
+      val plain = PublicSuffix.PlainByK.get(k).map { rules =>
+        s"WHEN len(labels) >= $k AND ${sqlLastK(k)} IN " +
+          s"(${inList(rules)}) THEN ${sqlPlusOne(k)}"
+      }
+      val wild = PublicSuffix.WildcardTailsByK.get(k).map { tails =>
+        s"WHEN len(labels) >= $k AND ${sqlLastK(k - 1)} IN " +
+          s"(${inList(tails)}) THEN ${sqlPlusOne(k)}"
+      }
+      plain.toSeq ++ wild.toSeq
+    }
+    s"""CASE ${(excArms ++ ruleArms).mkString("\n                     ")}
+                     WHEN len(labels) >= 2 THEN ${sqlLastK(2)}
+                     ELSE bare END"""
+  }
+
   /** CTE chain replaying [[Url.canonicalize]] + [[Url.registrableDomain]]
     * over a CTE `src`(keyCols…, url) → terminal CTE `urlc`(keyCols…,
     * url, canonical, domain). Mirrors Url.scala expression for
@@ -68,12 +112,7 @@ object UrlQueries {
                      scheme || '://' || host || path ||
                        CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END
                        AS canonical,
-                     CASE WHEN len(labels) <= 2 THEN bare
-                          WHEN (labels[-2] || '.' || labels[-1]) IN
-                            ('ac.uk', 'co.jp', 'co.uk', 'com.au', 'org.uk')
-                            THEN labels[-3] || '.' || labels[-2] || '.'
-                              || labels[-1]
-                          ELSE labels[-2] || '.' || labels[-1] END AS domain
+                     $sqlDomain AS domain
               FROM u_d)"""
 
   // ------------------------------------------- X70 per-URL canonical form
@@ -83,7 +122,7 @@ object UrlQueries {
     * per template. */
   private val canonFixtureSql: String =
     """SELECT doc_id,
-              CASE doc_id % 12
+              CASE doc_id % 16
                 WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a//'
                   || CAST(doc_id % 10 AS VARCHAR)
                   || '/?utm_source=x&b=2&a=1#frag'
@@ -103,11 +142,19 @@ object UrlQueries {
                   || CAST(doc_id % 10 AS VARCHAR)
                 WHEN 9 THEN 'http://site.ac.uk//x?b=1&a=2#f'
                 WHEN 10 THEN 'https://example.com.au/page?x=1&utm_medium=m&w=0'
+                WHEN 11 THEN 'http://foo.bar.ck/page/'
+                  || CAST(doc_id % 10 AS VARCHAR)
+                WHEN 12 THEN 'http://shop.www.ck/x/'
+                  || CAST(doc_id % 10 AS VARCHAR)
+                WHEN 13 THEN 'https://WWW.City.Kawasaki.JP/ward/'
+                  || CAST(doc_id % 10 AS VARCHAR)
+                WHEN 14 THEN 'http://blog.north.kawasaki.jp/p/'
+                  || CAST(doc_id % 10 AS VARCHAR) || '/'
                 ELSE 'http://localhost/x' END AS url
        FROM documents"""
 
   private def canonFixture(docId: org.apache.spark.sql.Column) = {
-    val m = docId % 12
+    val m = docId % 16
     val r = (docId % 10).cast("string")
     when(m === 0, concat(lit("HTTP://WWW.Example.COM:80//a//"), r,
         lit("/?utm_source=x&b=2&a=1#frag")))
@@ -125,6 +172,15 @@ object UrlQueries {
       .when(m === 8, concat(lit("HTTPS://WWW.EXAMPLE.COM/UPPER/Path/"), r))
       .when(m === 9, lit("http://site.ac.uk//x?b=1&a=2#f"))
       .when(m === 10, lit("https://example.com.au/page?x=1&utm_medium=m&w=0"))
+      // PSL wildcard rule *.ck: bar.ck is the suffix → foo.bar.ck
+      .when(m === 11, concat(lit("http://foo.bar.ck/page/"), r))
+      // PSL exception rule !www.ck: www.ck is registrable
+      .when(m === 12, concat(lit("http://shop.www.ck/x/"), r))
+      // exception !city.kawasaki.jp under wildcard *.kawasaki.jp
+      .when(m === 13, concat(lit("https://WWW.City.Kawasaki.JP/ward/"), r))
+      // wildcard *.kawasaki.jp: north.kawasaki.jp is the suffix
+      .when(m === 14, concat(lit("http://blog.north.kawasaki.jp/p/"), r,
+        lit("/")))
       .otherwise(lit("http://localhost/x"))
   }
 
@@ -215,22 +271,25 @@ object UrlQueries {
   // ------------------------------- X70→X66: URL-derived domain PageRank
 
   /** 8 hosts → 7 registrable domains (two hosts share example.com —
-    * exactly the merge registrable-domain grouping exists for). */
+    * exactly the merge registrable-domain grouping exists for; one
+    * host sits under the `*.ck` wildcard suffix and one resolves
+    * through the `!city.kawasaki.jp` exception rule, so the graph
+    * nodes exercise the full PSL rule grammar). */
   private def hostSql(idx: String): String =
     s"""CASE $idx WHEN 0 THEN 'example.com' WHEN 1 THEN 'site.co.uk'
-            WHEN 2 THEN 'news.co.jp' WHEN 3 THEN 'example.org'
+            WHEN 2 THEN 'news.co.jp' WHEN 3 THEN 'ferry.lagoon.ck'
             WHEN 4 THEN 'shop.example.com.au' WHEN 5 THEN 'stats.data.ac.uk'
-            WHEN 6 THEN 'a.b.example.com' ELSE 'blog.example.net' END"""
+            WHEN 6 THEN 'a.b.example.com' ELSE 'www.city.kawasaki.jp' END"""
 
   private def hostCol(idx: org.apache.spark.sql.Column) =
     when(idx === 0, lit("example.com"))
       .when(idx === 1, lit("site.co.uk"))
       .when(idx === 2, lit("news.co.jp"))
-      .when(idx === 3, lit("example.org"))
+      .when(idx === 3, lit("ferry.lagoon.ck"))
       .when(idx === 4, lit("shop.example.com.au"))
       .when(idx === 5, lit("stats.data.ac.uk"))
       .when(idx === 6, lit("a.b.example.com"))
-      .otherwise(lit("blog.example.net"))
+      .otherwise(lit("www.city.kawasaki.jp"))
 
   /** PageRank over the URL-DERIVED domain multigraph: edges come from
     * `registrableDomain` applied to planted messy (src_url, dst_url)

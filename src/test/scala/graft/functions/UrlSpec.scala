@@ -85,6 +85,42 @@ class UrlSpec extends SparkSuite {
     assert(dom("http://localhost/x") === Seq("localhost"))
   }
 
+  test("PSL wildcard rule *.ck: any-label.ck is the public suffix") {
+    assert(dom("http://foo.bar.ck/x", "http://deep.foo.bar.ck/x",
+      "http://bar.ck/x") ===
+      Seq("foo.bar.ck", "foo.bar.ck", "bar.ck")) // suffix degrades to self
+  }
+
+  test("PSL exception rule !www.ck beats the *.ck wildcard") {
+    assert(dom("http://shop.www.ck/x", "http://a.b.www.ck/x") ===
+      Seq("www.ck", "www.ck"))
+  }
+
+  test("PSL 3-label wildcard *.kawasaki.jp with !city exception") {
+    assert(dom("http://blog.north.kawasaki.jp/x",
+      "https://city.kawasaki.jp/x",
+      "https://sub.city.kawasaki.jp/x",
+      "http://north.kawasaki.jp/x") ===
+      Seq("blog.north.kawasaki.jp", "city.kawasaki.jp",
+        "city.kawasaki.jp", "north.kawasaki.jp"))
+  }
+
+  test("PSL 3-label plain rule (qld.edu.au) takes four labels") {
+    assert(dom("http://school.qld.edu.au/x",
+      "http://x.school.qld.edu.au/x") ===
+      Seq("school.qld.edu.au", "school.qld.edu.au"))
+  }
+
+  test("PSL rule-table shape: exceptions/wildcards/plain grouped by k") {
+    assert(PublicSuffix.ExceptionsByK(2).contains("www.ck"))
+    assert(PublicSuffix.ExceptionsByK(3).contains("city.kawasaki.jp"))
+    assert(PublicSuffix.WildcardTailsByK(2).contains("ck"))
+    assert(PublicSuffix.WildcardTailsByK(3).contains("kawasaki.jp"))
+    assert(PublicSuffix.PlainByK(2).contains("co.uk"))
+    assert(PublicSuffix.PlainByK(3).contains("qld.edu.au"))
+    assert(PublicSuffix.MaxK === 3)
+  }
+
   test("variants of one resource share one canonical form (the dedup key)") {
     val c = canon("http://example.com/item/3",
       "HTTP://WWW.Example.com:80//item//3/",
