@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   * receiving teleport mass. Ranks and degrees are fixed-width
   * (node, double) rows — the corpus never re-shuffles. The node count
   * is collected ONCE on the driver (one bounded 1-row action at plan
-  * build, the same device every model-fit scorer in [[Scoring]] uses)
-  * and the per-round dangling mass is a bounded 1-row scalar off the
-  * checkpointed rank state — attaching either as a 1-row `crossJoin`
-  * would plan a BroadcastNestedLoopJoin, which the repo's plan sweep
-  * bans. Each round's rank state is `localCheckpoint`ed (it is
-  * consumed twice per round — contribution join and dangling
-  * anti-join — so unchecked lineage grows exponentially in `iters`;
-  * the same device as `Dedup.clusterKeepMinDistributed`), exactly as a
-  * production power-iteration job checkpoints between supersteps.
+  * build, the same device every model-fit scorer in [[Scoring]] uses).
+  * The per-round dangling mass stays INSIDE the round's plan: the
+  * 1-row anti-join aggregate attaches to every node via a
+  * constant-key broadcast HASH join (an equi-join — a 1-row
+  * `crossJoin` would plan the BroadcastNestedLoopJoin the repo's plan
+  * sweep bans), so each superstep is ONE job with no driver
+  * round-trip (the r10 verdict's PageRank note). Each round's rank
+  * state is `localCheckpoint`ed (it is consumed twice per round —
+  * contribution join and dangling anti-join — so unchecked lineage
+  * grows exponentially in `iters`; the same device as
+  * `Dedup.clusterKeepMinDistributed`), exactly as a production
+  * power-iteration job checkpoints between supersteps.
   *
   * Float discipline: each round's rank is qround(6)-canonicalized
   * (contribution sums are fold-order-sensitive aggregates — the
@@ -57,20 +60,22 @@ object PageRank {
     var r = nodes.select(col("v"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // dangling mass: data-dependent 1-row scalar per round, read off
-      // the checkpointed (node, double) rank state — bounded work,
-      // qround(6)'d so both engines damp with the identical double
+      // dangling mass: 1-row aggregate off the checkpointed rank state,
+      // qround(6)'d so both engines damp with the identical double;
+      // broadcast to every node on a constant key (hash join, 1 row)
       val dm = r.join(deg, Seq("v"), "left_anti")
         .agg(Num.qround(coalesce(sum("pr"), lit(0.0)), 6).as("dm"))
-        .head().getDouble(0)
+        .withColumn("__k", lit(0))
       val contrib = e.join(r, e("src") === r("v"))
         .select(e("dst").as("v"),
           (col("pr") / col("deg").cast("double")).as("c"))
         .groupBy("v").agg(sum("c").as("c"))
-      r = nodes.join(contrib, Seq("v"), "left")
+      r = nodes.withColumn("__k", lit(0))
+        .join(broadcast(dm), "__k")
+        .join(contrib, Seq("v"), "left")
         .select(col("v"), Num.qround(
           lit(1.0 - damping) / lit(n) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dm) / lit(n)),
+            (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)),
           6).as("pr"))
         .localCheckpoint(true)
     }
@@ -123,17 +128,21 @@ object PageRank {
       .localCheckpoint(true)
     var r = p.select(col("v"), col("pv").as("pr")).localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // same in-plan dangling-mass broadcast as [[run]] — one job per
+      // superstep, no driver round-trip
       val dm = r.join(deg, Seq("v"), "left_anti")
         .agg(Num.qround(coalesce(sum("pr"), lit(0.0)), 6).as("dm"))
-        .head().getDouble(0)
+        .withColumn("__k", lit(0))
       val contrib = e.join(r, e("src") === r("v"))
         .select(e("dst").as("v"),
           (col("pr") / col("deg").cast("double")).as("c"))
         .groupBy("v").agg(sum("c").as("c"))
-      r = p.join(contrib, Seq("v"), "left")
+      r = p.withColumn("__k", lit(0))
+        .join(broadcast(dm), "__k")
+        .join(contrib, Seq("v"), "left")
         .select(col("v"), col("pv"), Num.qround(
           lit(1.0 - damping) * col("pv") + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dm) * col("pv")),
+            (coalesce(col("c"), lit(0.0)) + col("dm") * col("pv")),
           6).as("pr"))
         .localCheckpoint(true)
     }
