@@ -22,20 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** @return one row per node of the simple graph:
+  /** @return one row per node of the INPUT graph — including nodes
+    *   whose only incident edges are self-loops, which the simple
+    *   graph drops; they emit degree 0 / 0 triangles / null
+    *   clustering so the node universe agrees with the other graph
+    *   ops ([[Communities.labelPropagation]] retains them) —
     *   (v, degree, n_triangles, clustering) where clustering =
     *   2T / (deg·(deg−1)), null for degree < 2. */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e0.select(col("src").as("v"))
+      .union(e0.select(col("dst").as("v"))).distinct()
     val und = e0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint(true)
-    val deg = und.select(col("a").as("v"))
+    val degSimple = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    val deg = nodes.join(degSimple, Seq("v"), "left")
+      .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint(true)
     // degree-ordered orientation: from the (deg, id)-smaller endpoint
     val dd = und

@@ -798,8 +798,13 @@ cents_${i + 1} AS (
                        AS BIGINT) AS h
               FROM lineitem),
             thr AS (
-              SELECT h FROM (SELECT DISTINCT h FROM h)
-              ORDER BY h LIMIT 1 OFFSET 255),
+              -- under 256 distinct hashes the k-th smallest does not
+              -- exist: degrade to MaxLong = sample everything (exact
+              -- quantiles on tiny inputs), same as the Spark guard
+              SELECT COALESCE(
+                (SELECT h FROM (SELECT DISTINCT h FROM h)
+                 ORDER BY h LIMIT 1 OFFSET 255),
+                9223372036854775807) AS h),
             samp AS (SELECT v FROM h, thr t WHERE h.h <= t.h),
             arr AS (
               SELECT list(v ORDER BY v) AS a,
@@ -821,11 +826,16 @@ cents_${i + 1} AS (
             col("l_linenumber").cast("string"))), 1, 15), 16, 10)
           .cast("long").as("h"))
       // pass 1: k-th smallest distinct hash — bounded mergeable state,
-      // ONE 1-row driver action for the threshold
-      val thr = h.agg(graft.functions.SketchFunctions
+      // ONE 1-row driver action for the threshold. Under K distinct
+      // hashes the k-th value is null: degrade to MaxLong = sample
+      // everything (exact quantiles on tiny inputs), matching the
+      // oracle's COALESCE so both engines fail soft the same way
+      val thrRow = h.agg(graft.functions.SketchFunctions
           .bottomK(col("h"), K).as("bk"))
         .select(element_at(col("bk"), K).as("t"))
-        .head().getLong(0)
+        .head()
+      val thr = if (thrRow.isNullAt(0)) Long.MaxValue
+        else thrRow.getLong(0)
       // pass 2: shuffle-free sample filter + one bounded aggregate;
       // order-statistic index over the REALIZED sample size (see
       // scaladoc — duplicate sample keys make n exceed the nominal k)

@@ -264,7 +264,7 @@ object CurationQueries {
     "q_domain_mix",
     Some(s"""WITH sw AS (
                SELECT source,
-                      CAST(CAST(regexp_extract(source, '(\\d+)', 1)
+                      CAST(TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                         AS BIGINT) % 4 + 1 AS DOUBLE) AS w
                FROM documents GROUP BY source),
              tot AS (SELECT SUM(w) AS sumw FROM sw),
@@ -349,9 +349,9 @@ object CurationQueries {
     "q_temperature_mix",
     Some(s"""WITH sc AS (
                SELECT CASE
-                        WHEN CAST(regexp_extract(source, '(\\d+)', 1)
+                        WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                           AS INT) < 12 THEN 'high'
-                        WHEN CAST(regexp_extract(source, '(\\d+)', 1)
+                        WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                           AS INT) < 18 THEN 'mid'
                         ELSE 'low' END AS grp,
                       CAST(COUNT(*) AS BIGINT) AS n

@@ -184,15 +184,25 @@ object GraphQueries {
   val domainTriangles = QueryDef(
     "q_domain_triangles",
     Some(s"""WITH e0 AS ($edgeSql),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
             und AS (
               SELECT DISTINCT LEAST(src, dst) AS a,
                               GREATEST(src, dst) AS b
               FROM e0 WHERE src <> dst),
-            deg AS (
+            deg0 AS (
               SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
                 SELECT a AS v FROM und
                 UNION ALL SELECT b AS v FROM und)
               GROUP BY v),
+            deg AS (
+              -- full input-node universe: self-loop-only nodes emit
+              -- degree 0 (matches Triangles.perNode and the other
+              -- graph ops' node semantics)
+              SELECT nodes.v, COALESCE(deg0.deg, 0) AS deg
+              FROM nodes LEFT JOIN deg0 ON deg0.v = nodes.v),
             tri AS (
               SELECT e1.a AS x, e1.b AS y, e2.b AS z
               FROM und e1

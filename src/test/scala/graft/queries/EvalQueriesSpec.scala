@@ -116,7 +116,13 @@ class EvalQueriesSpec extends SparkSuite {
           assert(allowed && rule == "/private/ok", r)
         case "/private/secret" => assert(!allowed, r)
         case "/data/x" => assert(allowed === (n % 3 != 0), r)
-        case "/home" | "/tmp" => assert(allowed && rule == null, r)
+        case "/files/report.zip" => // RFC 9309 wildcard rule /*.zip$
+          assert(!allowed && rule == "/*.zip$", r)
+        case "/files/report.zip.html" => // $ anchor blocks the match
+          assert(allowed && rule == null, r)
+        case "/data/a/public" => // wildcard allow outranks /data by length
+          assert(allowed && rule == "/data/*/public", r)
+        case "/home" => assert(allowed && rule == null, r)
         case other => fail(s"unexpected path $other")
       }
     }
