@@ -228,6 +228,114 @@ object GraphQueries {
         .orderBy("node")
     })
 
+  // --------------------------------------- X90 HITS hubs/authorities
+
+  private val HitsRounds = 3
+
+  /** One unrolled L1-normalized half-step: raw qround(6) sums of the
+    * opposite score across `jk` → `ok`, zero-filled over the node
+    * universe, total attached, ratio qround(6)'d — the exact tree
+    * [[graft.ops.Hits]] builds. */
+  private def hitsHalfSql(out: String, prev: String, jk: String,
+      ok: String): String =
+    s"""${out}r AS (
+              SELECT e.$ok AS v, ${Num.qroundSql("SUM(p.s)", 6)} AS raw
+              FROM e JOIN $prev p ON e.$jk = p.v GROUP BY e.$ok),
+            ${out}z AS (
+              SELECT nodes.v, COALESCE(${out}r.raw, 0.0) AS raw
+              FROM nodes LEFT JOIN ${out}r ON nodes.v = ${out}r.v),
+            ${out}t AS (SELECT SUM(raw) AS tot FROM ${out}z),
+            $out AS (
+              SELECT v, ${Num.qroundSql("raw / tot", 6)} AS s
+              FROM ${out}z CROSS JOIN ${out}t)"""
+
+  private def hitsRoundSql(t: Int): String = {
+    val hPrev = if (t == 1) "h0" else s"h${t - 1}"
+    s"""${hitsHalfSql(s"a$t", hPrev, "src", "dst")},
+            ${hitsHalfSql(s"h$t", s"a$t", "dst", "src")}"""
+  }
+
+  /** HITS hubs and authorities (X90 — Kleinberg 1999; see
+    * [[graft.ops.Hits]] for why curation wants the hub/authority
+    * SPLIT next to PageRank's single score: authorities seed quality
+    * corpora, hubs seed frontier expansion). 3 rounds of
+    * authority-then-hub updates with L1 normalization over the
+    * distinct simple directed edge set of the shared domain graph;
+    * every aggregate qround(6)'d, the oracle unrolling the identical
+    * half-round trees (the X66 device). */
+  val domainHits = QueryDef(
+    "q_domain_hits",
+    Some(s"""WITH e0 AS ($edgeSql),
+            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            nodes AS (
+              -- full INPUT universe: self-loop-only nodes stay (score
+              -- 0), matching Hits.run / Triangles.perNode semantics
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            h0 AS (SELECT nodes.v, 1.0 / nn.n AS s
+                   FROM nodes CROSS JOIN nn),
+            ${(1 to HitsRounds).map(hitsRoundSql)
+              .mkString(",\n            ")}
+            SELECT nodes.v AS node, h$HitsRounds.s AS hub,
+                   a$HitsRounds.s AS auth
+            FROM nodes
+              JOIN h$HitsRounds ON nodes.v = h$HitsRounds.v
+              JOIN a$HitsRounds ON nodes.v = a$HitsRounds.v
+            ORDER BY node"""),
+    (s, d) => {
+      val edges = domainEdges(s, d)
+      graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+        .select(col("v").as("node"), col("hub"), col("auth"))
+        .orderBy("node")
+    })
+
+  // ------------------------------------ X94 multi-source BFS distance
+
+  private val BfsHops = 4
+
+  private def bfsRoundSql(t: Int): String = {
+    val p = t - 1
+    s"""d$t AS (
+              SELECT v, CAST(MIN(dist) AS INT) AS dist FROM (
+                SELECT v, dist FROM d$p
+                UNION ALL
+                SELECT e.dst AS v, d$p.dist + 1 AS dist
+                FROM e JOIN d$p ON e.src = d$p.v)
+              GROUP BY v)"""
+  }
+
+  /** Bounded-hop multi-source BFS (X94 — the crawl scheduler's
+    * seed-distance tiers; see [[graft.ops.Bfs]]): exact hop distance
+    * from the seed domains {0, 25} following directed edges, 4 hops
+    * max, null = unreached. Integer-only — no float discipline
+    * anywhere; the oracle unrolls the relax/merge rounds as CTEs. */
+  val domainBfs = QueryDef(
+    "q_domain_bfs",
+    Some(s"""WITH e0 AS ($edgeSql),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e
+                UNION ALL SELECT dst AS v FROM e)),
+            d0 AS (SELECT v, CAST(0 AS INT) AS dist FROM nodes
+                   WHERE v % 25 = 0),
+            ${(1 to BfsHops).map(bfsRoundSql)
+              .mkString(",\n            ")}
+            SELECT nodes.v AS node, d$BfsHops.dist AS hops
+            FROM nodes LEFT JOIN d$BfsHops ON nodes.v = d$BfsHops.v
+            ORDER BY node"""),
+    (s, d) => {
+      import s.implicits._
+      val edges = domainEdges(s, d)
+      val seeds = Seq(0L, 25L).toDF("v")
+      graft.ops.Bfs.hopDistance(edges, "src", "dst", seeds, BfsHops)
+        .select(col("v").as("node"), col("dist").as("hops"))
+        .orderBy("node")
+    })
+
   val all: Seq[QueryDef] =
-    Seq(pagerankSeeded, domainCommunities, domainTriangles)
+    Seq(pagerankSeeded, domainCommunities, domainTriangles,
+      domainHits, domainBfs)
 }

@@ -1239,6 +1239,50 @@ ORDER BY id_a, id_b"""
         .orderBy("vec_id")
     })
 
+  // ------------------------------ X91 blocked fuzzy join (edit dist)
+
+  /** Blocked fuzzy self-join (X91 — the record-linkage primitive next
+    * to the set-similarity family X2–X4: entity resolution over dirty
+    * catalogs/author names matches by EDIT distance, which shingle
+    * Jaccard can't see at short-string scale). Classic
+    * blocking-key design (Fellegi–Sunter practice): exact-dedup names
+    * first (keyed aggregate), block on the name's last token, pair
+    * quadratically ONLY within a block (the X4 contract — never
+    * all-pairs), keep Levenshtein ≤ 2. Cross-block typos in the
+    * blocking token itself are missed BY DESIGN — that is the
+    * documented blocking trade-off (production systems union several
+    * blocking passes). Levenshtein is the standard unweighted DP on
+    * both engines — integer-exact, no float discipline needed. */
+  val fuzzyJoin = QueryDef(
+    "q_fuzzy_join",
+    Some("""WITH names AS (
+              SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+                     string_split(p_name, ' ')[-1] AS blk
+              FROM part GROUP BY p_name)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n AS n_a, b.n AS n_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist
+            FROM names a JOIN names b
+              ON a.blk = b.blk AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 2
+            ORDER BY name_a, name_b"""),
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+        col("blk"))
+      val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .where(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy("name_a", "name_b")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
@@ -1246,5 +1290,5 @@ ORDER BY id_a, id_b"""
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
-    embedRp, embedOutlier, dedupSubstring)
+    embedRp, embedOutlier, dedupSubstring, fuzzyJoin)
 }

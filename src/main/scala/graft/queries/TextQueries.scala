@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Num, Text}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §7 extensions:
@@ -1750,6 +1751,177 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       .clean(Tables.documents(s, d), "doc_id", col("text"), 3)
       .orderBy("doc_id"))
 
+  // --------------------------------- X92 character-class entropy
+
+  /** Per-class count via the length-difference trick — counts chars of
+    * class `re` with NO explode (a pure codegen projection; exploding
+    * a 100 TB corpus to chars is the anti-pattern this avoids). */
+  private def classCount(re: String): Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), re, ""))).cast("long")
+  private def sqlClassCount(re: String): String =
+    s"""CAST(len(text) -
+             len(regexp_replace(text, '$re', '', 'g')) AS BIGINT)"""
+
+  /** One entropy term −p·log2(p), zero when the class is absent.
+    * Float discipline: the log2 output is qround(6)'d (transcendental
+    * — libm last-ulp differs across engines, the X63 device); the
+    * surrounding divide/multiply/sum tree is fixed-order elementwise
+    * IEEE, so the entropy value hashes RAW (the X60 precedent). */
+  private def entTerm(c: Column, n: Column): Column = {
+    val p = c.cast("double") / n.cast("double")
+    when(c === 0L, lit(0.0)).otherwise(p * Num.qround(log2(p), 6))
+  }
+  private def sqlEntTerm(c: String): String =
+    // parens around the qround: its trailing `/ 1000000` would
+    // otherwise re-associate under the enclosing product ((p·F)/1e6
+    // vs p·(F/1e6) — different IEEE rounding)
+    s"""CASE WHEN $c = 0 THEN 0.0
+             ELSE (CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                  (${Num.qroundSql(
+                    s"LOG2(CAST($c AS DOUBLE) / CAST(n AS DOUBLE))", 6)})
+        END"""
+
+  /** Character-class Shannon entropy (X92 — the gibberish/encoding
+    * detector next to the X8 quality ratios: natural prose mixes
+    * lower/upper/digit/space/punct at a characteristic ~1.2–1.8 bits,
+    * while base64 blobs, minified code, digit dumps and repeated-char
+    * spam collapse toward 0 or skew to a single class; CCNet/Gopher
+    * ship exactly this family of composition heuristics). Five fixed
+    * classes, counted by the length-difference trick — a shuffle-free
+    * codegen scan, no explode, no UDF; entropy is a fixed-order
+    * 5-term tree. Empty docs → null entropy. */
+  val charEntropy = QueryDef(
+    "q_char_entropy",
+    Some(s"""WITH c AS (
+              SELECT doc_id, CAST(len(text) AS BIGINT) AS n,
+                     ${sqlClassCount("[a-z]")} AS c_lower,
+                     ${sqlClassCount("[A-Z]")} AS c_upper,
+                     ${sqlClassCount("[0-9]")} AS c_digit,
+                     ${sqlClassCount("\\s")} AS c_space
+              FROM documents),
+            k AS (
+              SELECT doc_id, n, c_lower, c_upper, c_digit, c_space,
+                     n - c_lower - c_upper - c_digit - c_space AS c_other
+              FROM c)
+            SELECT doc_id, n AS n_chars,
+                   c_lower, c_upper, c_digit, c_space, c_other,
+                   CASE WHEN n = 0 THEN NULL ELSE
+                     0.0 - (${sqlEntTerm("c_lower")} +
+                            ${sqlEntTerm("c_upper")} +
+                            ${sqlEntTerm("c_digit")} +
+                            ${sqlEntTerm("c_space")} +
+                            ${sqlEntTerm("c_other")})
+                   END AS entropy
+            FROM k ORDER BY doc_id"""),
+    (s, d) => {
+      val n = col("n")
+      val counted = Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n"),
+        classCount("[a-z]").as("c_lower"),
+        classCount("[A-Z]").as("c_upper"),
+        classCount("[0-9]").as("c_digit"),
+        classCount("\\s").as("c_space"))
+      counted
+        .withColumn("c_other",
+          n - col("c_lower") - col("c_upper") - col("c_digit") -
+            col("c_space"))
+        .select(col("doc_id"), n.as("n_chars"),
+          col("c_lower"), col("c_upper"), col("c_digit"),
+          col("c_space"), col("c_other"),
+          when(n === 0L, lit(null).cast("double"))
+            .otherwise(lit(0.0) -
+              (entTerm(col("c_lower"), n) +
+               entTerm(col("c_upper"), n) +
+               entTerm(col("c_digit"), n) +
+               entTerm(col("c_space"), n) +
+               entTerm(col("c_other"), n)))
+            .as("entropy"))
+        .orderBy("doc_id")
+    })
+
+  // ------------------------------------ X93 PMI bigram collocations
+
+  private val PmiMinCount = 5L
+  private val PmiTopK = 50
+
+  /** Corpus PMI collocations (X93 — Church & Hanks 1990's association
+    * ratio, the collocation extractor phrase-aware tokenizers and
+    * synthetic-text detectors both run: pmi(x,y) = log2(c_xy·N /
+    * (c_x·c_y)) over adjacent lowercase token pairs). Scale shape:
+    * token/bigram counts are (key)-keyed aggregates with map-side
+    * partial combine; the corpus token total is a 1-row aggregate
+    * attached on a constant-key broadcast hash join (the PageRank
+    * dangling-mass device); the min-count floor prunes the bigram
+    * table BEFORE the two unigram-count joins (keyed equi-joins — the
+    * vocab is too large to broadcast at corpus scale); top-k is a
+    * TakeOrdered, never a global sort. Integer counts; the one
+    * elementwise log2 is qround(6)'d (the X63 transcendental
+    * discipline). */
+  val pmiBigrams = QueryDef(
+    "q_pmi_bigrams",
+    Some(s"""WITH tl AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> len(t) > 0) AS toks
+              FROM documents),
+            uni AS (SELECT unnest(toks) AS w FROM tl),
+            uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM uni GROUP BY w),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS b
+              FROM tl WHERE len(toks) >= 2),
+            bc AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS c_xy
+              FROM bg GROUP BY b HAVING COUNT(*) >= $PmiMinCount),
+            sp AS (
+              SELECT string_split(b, ' ')[1] AS w1,
+                     string_split(b, ' ')[2] AS w2, c_xy
+              FROM bc),
+            j AS (
+              SELECT sp.w1, sp.w2, sp.c_xy, u1.c AS c_x, u2.c AS c_y
+              FROM sp JOIN uc u1 ON sp.w1 = u1.w
+                      JOIN uc u2 ON sp.w2 = u2.w)
+            SELECT w1, w2, c_xy, c_x, c_y,
+                   ${Num.qroundSql(
+                     "LOG2((CAST(c_xy AS DOUBLE) * CAST(nt.n AS DOUBLE)) / " +
+                       "(CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))", 6)}
+                     AS pmi
+            FROM j CROSS JOIN nt
+            ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK"""),
+    (s, d) => {
+      val tl = Tables.documents(s, d)
+        .select(Text.tokens(lower(col("text"))).as("toks"))
+      val uni = tl.select(explode(col("toks")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val nt = uni.agg(count(lit(1)).as("n")).withColumn("__k", lit(0))
+      val bg = tl.where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+             i -> concat(element_at(toks, i + 1), ' ',
+                         element_at(toks, i + 2)))""")).as("b"))
+      val bc = bg.groupBy("b").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= PmiMinCount)
+      val sp = bc.select(
+        split(col("b"), " ").getItem(0).as("w1"),
+        split(col("b"), " ").getItem(1).as("w2"), col("c_xy"))
+      sp
+        .join(uc.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .withColumn("__k", lit(0))
+        .join(broadcast(nt), "__k")
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+          col("c_y"),
+          Num.qround(log2(
+            (col("c_xy").cast("double") * col("n").cast("double")) /
+              (col("c_x").cast("double") * col("c_y").cast("double"))),
+            6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -1757,5 +1929,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     classifierEval, classifierCalibration, langidEval, scriptId,
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
-    ccnetBuckets, streamCurate)
+    ccnetBuckets, streamCurate, charEntropy, pmiBigrams)
 }
