@@ -131,9 +131,13 @@ cents_${i + 1} AS (
     * ranking all rerun in DuckDB. Hash-green = the full train→assign→
     * probe→rescore pipeline is cross-engine exact, leaving no
     * rows-only ANN path at all. */
-  val annIvf = QueryDef(
-    "q_ann_ivf",
-    Some(s"""WITH samp AS (
+  /** Shared CTE prefix: Lloyd training over the deterministic sample
+    * (five unrolled rounds → cents_5) + full-corpus nearest-centroid
+    * assignment (→ corpus). Used by q_ann_ivf's probe/rescore tail
+    * AND q_kmeans_report's per-cluster diagnostics, so the index the
+    * ANN path probes and the clustering the report audits can never
+    * drift apart. */
+  private val sqlIvfCorpusCtes = s"""samp AS (
                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS idx,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM (SELECT vec_id, embedding FROM embeddings
@@ -149,7 +153,11 @@ cents_${i + 1} AS (
                                  c.c ASC) AS rn
                FROM embeddings e, cents_5 c),
              corpus AS (
-               SELECT vec_id, embedding, list_id FROM assigned WHERE rn = 1),
+               SELECT vec_id, embedding, list_id FROM assigned WHERE rn = 1)"""
+
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    Some(s"""WITH $sqlIvfCorpusCtes,
              probed AS (
                SELECT q.vec_id AS query_id, c.c AS list_id,
                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -177,6 +185,73 @@ cents_${i + 1} AS (
           "vec_id", "embedding", "vec_id", "embedding", k = 10,
           index, nprobe = 4)
         .orderBy("query_id", "rank")
+    })
+
+  /** K-means cluster-balance report (X89 — the diagnostic every
+    * cluster-driven curation step reads before trusting its clusters:
+    * SemDeDup (X42) prunes within clusters, cluster-balanced sampling
+    * draws across them, and IVF-ANN (above) probes them — all three
+    * degrade silently when the clustering is lopsided or loose. Per
+    * cluster: member count, corpus share, mean and worst
+    * cosine-to-centroid — imbalance says "re-fit or raise nlist",
+    * low cohesion says "this list's ANN recall will sag"). Reuses the
+    * EXACT index the ANN path trains ([[Similarity.fitIvf]], same
+    * seed/sample/rounds — the shared `sqlIvfCorpusCtes` prefix keeps
+    * the two oracles texually inseparable). Scale shape: assignment
+    * is the same broadcast-centroids scan as ivfTopK; the per-cluster
+    * aggregate shuffles (list_id, cos) pairs only — never vectors;
+    * empty clusters are emitted with n=0 (full cluster universe, the
+    * graph-op node-semantics discipline). AVG is qround(6)'d
+    * (fold-order aggregate); MIN is order-insensitive over
+    * bit-identical cosines so it hashes raw. */
+  val kmeansReport = QueryDef(
+    "q_kmeans_report",
+    Some(s"""WITH $sqlIvfCorpusCtes,
+             cj AS (
+               SELECT c.list_id,
+                      ${sqlCosineD("ct.cv", "c.embedding")} AS cos
+               FROM corpus c JOIN cents_5 ct ON ct.c = c.list_id),
+             ag AS (
+               SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                      ${Num.qroundSql("AVG(cos)", 6)} AS mean_cos,
+                      MIN(cos) AS min_cos
+               FROM cj GROUP BY list_id),
+             tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM corpus)
+             SELECT ct.c AS list_id,
+                    COALESCE(ag.n_vecs, 0) AS n_vecs,
+                    CAST(COALESCE(ag.n_vecs, 0) AS DOUBLE) /
+                      CAST(tot.t AS DOUBLE) AS share,
+                    ag.mean_cos, ag.min_cos
+             FROM cents_5 ct CROSS JOIN tot
+               LEFT JOIN ag ON ag.list_id = ct.c
+             ORDER BY list_id"""),
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val assigned = e.select(col("embedding"),
+        index.assignExpr(col("embedding")).as("list_id"))
+      val cents = index.centroids.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("list_id", "cv")
+      val cj = assigned.join(broadcast(cents), "list_id")
+        .select(col("list_id"),
+          Similarity.cosine(col("cv"), col("embedding")).as("cos"))
+      val ag = cj.groupBy("list_id").agg(
+        count(lit(1)).as("n_vecs"),
+        Num.qround(avg("cos"), 6).as("mean_cos"),
+        min("cos").as("min_cos"))
+      val tot = assigned.agg(count(lit(1)).as("t"))
+        .withColumn("__k", lit(0))
+      cents.select(col("list_id")).withColumn("__k", lit(0))
+        .join(broadcast(tot), "__k")
+        .join(ag, Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          (coalesce(col("n_vecs"), lit(0L)).cast("double") /
+            col("t").cast("double")).as("share"),
+          col("mean_cos"), col("min_cos"))
+        .orderBy("list_id")
     })
 
   /** ANN retrieval-quality evaluation (X74 — recall@k of the two
@@ -1122,7 +1197,8 @@ cents_${i + 1} AS (
     })
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    cube_, groupingSets, rangeFrame, annIvf, annRecall, semanticDedup,
+    cube_, groupingSets, rangeFrame, annIvf, annRecall, kmeansReport,
+    semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,

@@ -741,6 +741,51 @@ object CurationQueries {
         max("doc_id").as("max_doc"))
       .orderBy("shard"))
 
+  /** TIMED sharded-write round-trip (X47b — the write path itself on
+    * the bench surface: q_shard_stats above verifies the assignment
+    * ARITHMETIC without writing, so a write-path regression
+    * (partitioned-writer sort, output committer, per-shard file
+    * explosion) was invisible round-over-round; this query pays the
+    * real `Shard.writeSharded` cost — repartition on the shard key,
+    * within-partition sort, 16 parquet directory partitions — every
+    * time it runs). The returned rows are computed from the FILES
+    * READ BACK, so membership landing in a wrong `shard=K/` directory
+    * breaks the hash, not just the timing; `first_doc` (arg-min by
+    * the reproducible order key, recomputed from content) pins the
+    * intra-shard shuffle order the writer must preserve. The oracle
+    * replays assignment + order from `documents` directly —
+    * determinism of the content-keyed split IS the contract. Output
+    * lands under java.io.tmpdir at a fixed path (mode overwrite:
+    * bounded disk across bench's best-of-2 reruns). */
+  val shardWrite = QueryDef(
+    "q_shard_write",
+    Some("""WITH s AS (
+              SELECT doc_id, n_chars,
+                     CAST('0x' || substring(md5('shard:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 16 AS shard,
+                     md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN_BY(doc_id, ord) AS BIGINT) AS first_doc
+            FROM s GROUP BY shard ORDER BY shard"""),
+    (s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_shard_write").getPath
+      graft.ops.Shard.writeSharded(
+        Tables.documents(s, d), "doc_id", 16, dir)
+      s.read.parquet(dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          min_by(col("doc_id"),
+            graft.ops.Shard.orderKey(col("doc_id"), "ord:"))
+            .as("first_doc"))
+        .orderBy("shard")
+    })
+
   /** Token-budget corpus selection (X52a): rank the corpus by quality
     * and keep the best documents until a token budget is exhausted —
     * "the best 10B tokens", the curation decision every budgeted
@@ -1419,7 +1464,8 @@ object CurationQueries {
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       temperatureMix, curationAudit, neymanAlloc,
-      snapshotDiff, incrementalDedup, banlist, shardStats, tokenBudget,
+      snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
+      tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
 }

@@ -486,9 +486,142 @@ object EventQueries {
         "user_id", "event_id", bits = 4)
       .orderBy("zbucket"))
 
+  // ----------------------------------- X95 ordered conversion funnel
+
+  /** Ordered conversion funnel (X95 — the product-analytics staple
+    * next to the X9 sessionizer: how many users progressed
+    * view → click → purchase IN ORDER? A click before any view does
+    * not count — order is the whole point of a funnel, and what a
+    * plain per-type distinct-user count gets wrong). Stage k's entry
+    * time is the user's FIRST qualifying event at-or-after the stage
+    * k−1 entry time, computed as three keyed (user) aggregates each
+    * joined back on the user key — fixed-width rows, no window, no
+    * collect_list of events. The 3-row summary pivots out of one
+    * 1-row frame via stack; conversion ratios are elementwise IEEE
+    * divides over exact integer counts (hash raw, the X60
+    * precedent). */
+  val eventFunnel = QueryDef(
+    "q_event_funnel",
+    Some("""WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+              GROUP BY e.user_id),
+            n AS (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3)
+            SELECT stage, stage_name, n_users,
+                   CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE)
+                     AS conv_from_prev,
+                   CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     AS conv_from_first
+            FROM (
+              SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_users,
+                     n1 AS prev, n1 FROM n
+              UNION ALL
+              SELECT 2, 'click', n2, n1, n1 FROM n
+              UNION ALL
+              SELECT 3, 'purchase', n3, n2, n1 FROM n)
+            ORDER BY stage"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.join(s1, "user_id")
+        .where(col("event_type") === "click" && col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.join(s2, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(count(lit(1)).as(as)).withColumn("__k", lit(0))
+      cnt(s1, "n1")
+        .join(cnt(s2, "n2"), "__k").join(cnt(s3, "n3"), "__k")
+        .selectExpr(
+          """stack(3,
+               1, 'view',     n1, n1, n1,
+               2, 'click',    n2, n1, n1,
+               3, 'purchase', n3, n2, n1)
+             AS (stage, stage_name, n_users, prev, first)""")
+        .select(col("stage"), col("stage_name"), col("n_users"),
+          (col("n_users").cast("double") / col("prev").cast("double"))
+            .as("conv_from_prev"),
+          (col("n_users").cast("double") / col("first").cast("double"))
+            .as("conv_from_first"))
+        .orderBy("stage")
+    })
+
+  // ------------------------------------- X96 weekly retention cohorts
+
+  /** Weekly retention cohorts (X96 — the cohort table every
+    * engagement dashboard draws: users grouped by first-seen week,
+    * tracked by distinct-active weeks since). Scale shape: first-seen
+    * is one keyed (user) aggregate, activity is a distinct over
+    * (user, week) — both fixed-width — joined on the user key, then
+    * one (cohort, offset) aggregate; cohort sizes join back on the
+    * cohort key. Week offsets are exact integer day arithmetic on
+    * Monday-truncated dates (both engines truncate weeks to Monday);
+    * retention is one elementwise divide over exact integer counts. */
+  val eventRetention = QueryDef(
+    "q_event_retention",
+    Some("""WITH f AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+              FROM events GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+            cs AS (
+              SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM f GROUP BY cw),
+            r AS (
+              SELECT f.cw,
+                     CAST(date_diff('day', f.cw, a.wk) // 7 AS INT)
+                       AS week_offset,
+                     CAST(COUNT(*) AS BIGINT) AS n_active
+              FROM a JOIN f USING (user_id)
+              GROUP BY 1, 2)
+            SELECT r.cw AS cohort_week, r.week_offset, r.n_active,
+                   cs.cohort_size,
+                   CAST(r.n_active AS DOUBLE) /
+                     CAST(cs.cohort_size AS DOUBLE) AS retention
+            FROM r JOIN cs USING (cw)
+            ORDER BY cohort_week, week_offset"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("date").as("cw"))
+      val a = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      val cs = f.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+      val r = a.join(f, "user_id")
+        .groupBy(col("cw"),
+          (datediff(col("wk"), col("cw")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      r.join(cs, "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("cohort_size"),
+          (col("n_active").cast("double") /
+            col("cohort_size").cast("double")).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamIntervalJoin,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
-    asofJoinBucketed, rangeJoin, skewJoin, zorderStats)
+    asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
+    eventFunnel, eventRetention)
 }

@@ -142,6 +142,48 @@ class StreamingSpec extends SparkSuite {
     assert(out((t0 + hour) / 1000) === 2L)
   }
 
+  test("watermark EVICTS window state: state rows stay bounded as " +
+      "event time advances") {
+    // The 100-TB-of-stream contract: windowed state must be bounded by
+    // the lateness horizon, not the stream's lifetime. Feed 12 hourly
+    // batches through the 1h-window/2h-watermark agg and read the
+    // state-store row count from each progress report: if eviction
+    // works, live state is ~(lateness + 1 window) ≈ 3-4 windows at any
+    // instant; if it leaks, it grows to all 12.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evict")
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "ts_us")
+        .select(col("event_id"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"),
+          (col("ts_us") * 1000).as("ts")) // nanos, like the testdata
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime * 1000L
+    val hour = 3600L * 1000000L
+    writeBatch(Seq((0L, t0)))
+    val q = EventStream.windowedAgg(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("evict_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      (1 until 12).foreach { i =>
+        writeBatch(Seq((i.toLong, t0 + i * hour)))
+        q.processAllAvailable()
+      }
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(stateRows.nonEmpty)
+      // bounded: never anywhere near the 12 windows the stream carried
+      assert(stateRows.max <= 6,
+        s"state not evicted: per-batch state rows = $stateRows")
+      // and the evicted windows actually FINALIZED into the sink
+      // (watermark ends at t0+10h: windows 0..9h closed)
+      assert(spark.table("evict_test").count() >= 9L)
+    } finally q.stop()
+  }
+
   test("runningUserTotals matches batch per-user aggregation") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val got = EventStream.runToCompletion(spark,
