@@ -561,6 +561,43 @@ object EventQueries {
         .orderBy("stage")
     })
 
+  /** The STREAMING twin of q_event_funnel (X99 — the funnel as a
+    * per-user state MACHINE: `flatMapGroupsWithState` carries one
+    * (stage, entryTs) pair per user and emits append-only transition
+    * rows; see [[graft.streaming.EventStream.funnelStream]]). The
+    * driver's hash check replays the bounded events table through the
+    * real streaming runtime (the q_stream_window device), the
+    * transition rows aggregate to the identical 3-row summary, and
+    * the oracle is the BATCH funnel's SQL verbatim — a green row IS
+    * stream/batch funnel parity. */
+  val streamFunnel = QueryDef(
+    "q_stream_funnel",
+    eventFunnel.oracle,
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val tr = EventStream.runAvailableNow(s,
+        EventStream.funnelStream(EventStream.readEvents(s, src),
+          Seq("view", "click", "purchase")),
+        "q_stream_funnel_sink", outputMode = "append",
+        statePartitions = 4)
+      def cnt(k: Int) = tr.where(col("stage") === k)
+        .agg(count(lit(1)).as(s"n$k")).withColumn("__k", lit(0))
+      cnt(1).join(cnt(2), "__k").join(cnt(3), "__k")
+        .selectExpr(
+          """stack(3,
+               1, 'view',     n1, n1, n1,
+               2, 'click',    n2, n1, n1,
+               3, 'purchase', n3, n2, n1)
+             AS (stage, stage_name, n_users, prev, first)""")
+        .select(col("stage"), col("stage_name"), col("n_users"),
+          (col("n_users").cast("double") / col("prev").cast("double"))
+            .as("conv_from_prev"),
+          (col("n_users").cast("double") / col("first").cast("double"))
+            .as("conv_from_first"))
+        .orderBy("stage")
+    })
+
   // ------------------------------------- X96 weekly retention cohorts
 
   /** Weekly retention cohorts (X96 — the cohort table every
@@ -623,5 +660,5 @@ object EventQueries {
     slidingWindow, sessionize, streamSession, streamIntervalJoin,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
-    eventFunnel, eventRetention)
+    eventFunnel, streamFunnel, eventRetention)
 }

@@ -335,7 +335,87 @@ object GraphQueries {
         .orderBy("node")
     })
 
+  // --------------------------- X97 k-core peel / onion decomposition
+
+  private val KcoreK = 4
+  private val KcoreRounds = 10
+
+  /** Sparser host-graph carve than [[edgeSql]] (mod 200, own salt):
+    * k-core peeling is only informative when degrees sit NEAR k. */
+  private val kcEdgeSql =
+    """SELECT doc_id % 200 AS src,
+                     CAST('0x' || substring(md5('kc:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 200 AS dst
+              FROM documents"""
+
+  /** One unrolled peel round. MATERIALIZED is load-bearing: each round
+    * references the previous survivor set four times, so DuckDB's
+    * default CTE inlining would blow up 4^rounds; materialization
+    * makes the unroll linear (it is semantics-neutral). */
+  private def kcoreRoundSql(t: Int): String = {
+    val p = t - 1
+    s"""d$t AS MATERIALIZED (
+              SELECT nb.v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM nb JOIN a$p x ON nb.v = x.v
+                      JOIN a$p y ON nb.u = y.v
+              GROUP BY nb.v),
+            r$t AS MATERIALIZED (
+              SELECT a$p.v FROM a$p LEFT JOIN d$t ON a$p.v = d$t.v
+              WHERE COALESCE(d$t.c, 0) < $KcoreK),
+            a$t AS MATERIALIZED (
+              SELECT a$p.v FROM a$p ANTI JOIN r$t ON a$p.v = r$t.v)"""
+  }
+
+  /** K-core onion decomposition (X97 — Seidman 1983 / the
+    * Shin et al. 2016 onion layers; see [[graft.ops.KCore]]: LOW
+    * coreness = crawl periphery, the inverse of X80's link-farm
+    * cohesion signal). 10 bounded peel rounds toward the 4-core of a
+    * sparser (mod 200) host carve; per node: simple-graph degree and
+    * the 1-based peel round (null = in the 4-core). Integer-only; the
+    * oracle unrolls the peel with materialized CTEs. At sf0.01 the
+    * whole carve dissolves across all 10 layers (a real onion);
+    * KCoreSpec pins convergence. */
+  val domainKcore = QueryDef(
+    "q_domain_kcore",
+    Some(s"""WITH e0 AS MATERIALIZED ($kcEdgeSql),
+            nb AS MATERIALIZED (
+              SELECT DISTINCT v, u FROM (
+                SELECT src AS v, dst AS u FROM e0
+                UNION ALL SELECT dst AS v, src AS u FROM e0)
+              WHERE v <> u),
+            nodes AS MATERIALIZED (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
+            deg0 AS MATERIALIZED (
+              SELECT nodes.v, COALESCE(dd.c, 0) AS degree
+              FROM nodes LEFT JOIN (
+                SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM nb GROUP BY v) dd ON nodes.v = dd.v),
+            a0 AS (SELECT v FROM nodes),
+            ${(1 to KcoreRounds).map(kcoreRoundSql)
+              .mkString(",\n            ")},
+            layers AS (
+              ${(1 to KcoreRounds)
+                .map(t => s"SELECT v, $t AS layer FROM r$t")
+                .mkString("\n              UNION ALL ")})
+            SELECT deg0.v AS node, deg0.degree, layers.layer
+            FROM deg0 LEFT JOIN layers ON deg0.v = layers.v
+            ORDER BY node"""),
+    (s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 200).as("src"),
+        (conv(substring(md5(concat(lit("kc:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 200).as("dst"))
+      graft.ops.KCore.onionLayers(edges, "src", "dst",
+          KcoreK, KcoreRounds)
+        .select(col("v").as("node"), col("degree"), col("layer"))
+        .orderBy("node")
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
-      domainHits, domainBfs)
+      domainHits, domainBfs, domainKcore)
 }

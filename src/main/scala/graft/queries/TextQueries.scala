@@ -1922,6 +1922,74 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .limit(PmiTopK)
     })
 
+  // ------------------------------------ X98 TF-IDF keyword extraction
+
+  private val TfidfTopK = 5
+
+  /** Per-document TF-IDF keywords (X98 — Spärck Jones 1972; the
+    * per-DOC extraction twin of X38's per-QUERY BM25 ranking: what a
+    * corpus browser shows as document tags, what topic-drift monitors
+    * and near-dup triage read first). Smoothed idf = ln((N+1)/(df+1)).
+    * Scale shape: (doc, term) tf and term df are keyed aggregates
+    * with map-side combine; the doc-count total is the constant-key
+    * 1-row broadcast; the df join is a vocab-keyed equi-join (too big
+    * to broadcast at corpus scale); top-k per doc is a PARTITIONED
+    * row_number window (PlanSpec-legal). Counts are integers; the one
+    * ln is qround(6)'d (X63 transcendental discipline) and the
+    * tf·idf product is elementwise-exact, so scores hash raw. */
+  val tfidfKeywords = QueryDef(
+    "q_tfidf_keywords",
+    Some(s"""WITH tl AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> len(t) > 0) AS toks
+              FROM documents),
+            tf AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS w FROM tl)
+              GROUP BY doc_id, w),
+            df AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY w),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                     CAST(tf.tf AS DOUBLE) *
+                       (${Num.qroundSql(
+                         "LN((CAST(nn.n AS DOUBLE) + 1.0) / " +
+                           "(CAST(df.df AS DOUBLE) + 1.0))", 6)}) AS score
+              FROM tf JOIN df USING (w) CROSS JOIN nn),
+            rk AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, w) AS BIGINT) AS rank
+              FROM sc)
+            SELECT doc_id, w AS term, tf, df, score, rank
+            FROM rk WHERE rank <= $TfidfTopK
+            ORDER BY doc_id, rank"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val ex = docs
+        .select(col("doc_id"),
+          explode(Text.tokens(lower(col("text")))).as("w"))
+      val tf = ex.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("n")).withColumn("__k", lit(0))
+      val sc = tf.join(df, "w")
+        .withColumn("__k", lit(0)).join(broadcast(nn), "__k")
+        .select(col("doc_id"), col("w"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            Num.qround(log((col("n").cast("double") + 1.0) /
+              (col("df").cast("double") + 1.0)), 6)).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w"))
+      sc.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= TfidfTopK)
+        .select(col("doc_id"), col("w").as("term"), col("tf"),
+          col("df"), col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -1929,5 +1997,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     classifierEval, classifierCalibration, langidEval, scriptId,
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
-    ccnetBuckets, streamCurate, charEntropy, pmiBigrams)
+    ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords)
 }

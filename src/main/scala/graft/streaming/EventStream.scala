@@ -132,6 +132,51 @@ object EventStream {
       .toDF("event_id", "user_id", "session_id")
   }
 
+  /** Stateful funnel progression: per-user ordered-stage state machine
+    * (`flatMapGroupsWithState` — the custom-state path, like
+    * [[sessionizeStream]]). A user advances from stage k to k+1 on the
+    * first stage-(k+1) event at-or-after their stage-k entry time;
+    * each advance emits one (user_id, stage) transition row
+    * (append-only — a stage is reached at most once per user, so
+    * downstream per-stage counts need no dedup).
+    *
+    * State is one (stage, entryTs) pair per user — constant memory
+    * per key at any scale. Events inside a micro-batch are ordered
+    * (ts, event_id) before the scan, matching the batch twin's
+    * min-timestamp semantics; equivalence with queries.EventQueries
+    * .eventFunnel holds for in-order delivery (the sessionizeStream
+    * late-data caveat applies verbatim). */
+  def funnelStream(events: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Int, Long)]) =>
+          val evs = it.toSeq.sortBy(e => (e._4, e._1))
+          var (stage, entryTs) =
+            state.getOption.getOrElse((0, Long.MinValue))
+          val out = Seq.newBuilder[(Long, Int)]
+          evs.foreach { case (_, _, typ, ts) =>
+            if (stage < stages.length && typ == stages(stage) &&
+                ts >= entryTs) {
+              stage += 1
+              entryTs = ts
+              out += ((uid, stage))
+            }
+          }
+          state.update((stage, entryTs))
+          out.result().iterator
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * ops.RangeJoin.timeRangeJoin: right events matched to left events
     * on user_id within (left.ts, left.ts + windowMinutes]. Both sides

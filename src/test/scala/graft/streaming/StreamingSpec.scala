@@ -184,6 +184,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnelStream carries stage state ACROSS micro-batches and " +
+      "never counts out-of-order stages") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel")
+    def writeBatch(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts_us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"),
+          (col("ts_us") * 1000).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime * 1000L
+    // user 1: view in batch 1, click+purchase in batch 2 (state must
+    // survive the batch boundary); user 2: click BEFORE any view —
+    // the click must not advance the funnel
+    writeBatch(Seq((1L, 1L, "view", t0), (2L, 2L, "click", t0)))
+    val q = EventStream.funnelStream(
+        EventStream.readEvents(spark, dir.toString),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_state_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(Seq((3L, 1L, "click", t0 + 1000L),
+        (4L, 1L, "purchase", t0 + 2000L),
+        (5L, 2L, "view", t0 + 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_state_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+  }
+
   test("runningUserTotals matches batch per-user aggregation") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val got = EventStream.runToCompletion(spark,
