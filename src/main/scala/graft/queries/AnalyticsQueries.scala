@@ -241,15 +241,16 @@ cents_${i + 1} AS (
         count(lit(1)).as("n_vecs"),
         Num.qround(avg("cos"), 6).as("mean_cos"),
         min("cos").as("min_cos"))
-      val tot = assigned.agg(count(lit(1)).as("t"))
-        .withColumn("__k", lit(0))
-      cents.select(col("list_id")).withColumn("__k", lit(0))
-        .join(broadcast(tot), "__k")
+      // corpus size: one bounded driver action at plan build (the
+      // X38/BM25 corpus-stats device — every vector is assigned
+      // exactly once, so |corpus| = |embeddings|)
+      val tot = e.count()
+      cents.select(col("list_id"))
         .join(ag, Seq("list_id"), "left")
         .select(col("list_id"),
           coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
           (coalesce(col("n_vecs"), lit(0L)).cast("double") /
-            col("t").cast("double")).as("share"),
+            lit(tot).cast("double")).as("share"),
           col("mean_cos"), col("min_cos"))
         .orderBy("list_id")
     })

@@ -741,6 +741,183 @@ object CurationQueries {
         max("doc_id").as("max_doc"))
       .orderBy("shard"))
 
+  // ------------------------------ X100 bootstrap confidence intervals
+
+  private val BootReplicas = 32
+
+  /** Cumulative Poisson(1) CDF P(X ≤ k), k = 0..6 — the replicate
+    * weight is the count of thresholds at or below u (inverse-CDF
+    * sampling), capping at 7. Computed ONCE here; both engines'
+    * expressions interpolate the identical doubles via
+    * Double.toString (which round-trips exactly; the SQL side parses
+    * through CAST('…' AS DOUBLE) because a bare SQL decimal literal
+    * is DECIMAL-lane — the Dsir hashUniform lesson). */
+  private val PoissonCum: Seq[Double] = {
+    var p = math.exp(-1.0); var c = p
+    (0 to 6).map { k =>
+      if (k > 0) { p = p / k; c = c + p }
+      c
+    }
+  }
+
+  /** Deterministic Poisson(1) bootstrap CI (X100 — Efron 1979 via the
+    * Poisson/online bootstrap of Oza–Russell 2001, the form that
+    * needs NO resampling pass over the data: replicate weight w ~
+    * Poisson(1) per (doc, replicate), drawn here from the portable
+    * md5 uniform by inverse CDF, so every engine and every re-run
+    * draws the SAME "random" replicas. The curation use: error bars
+    * on per-source corpus statistics — "is source A's mean doc length
+    * REALLY above source B's, or is that noise?" — the uncertainty
+    * line every X41/X58-style monitor should carry). Scale shape:
+    * docs × B fixed-width (source, b, w, n_chars) rows — text never
+    * replicates; per-(source, replicate) means are EXACT-integer
+    * Σ(w·chars)/Σw divides (no qround anywhere — the X60 raw-hash
+    * discipline); the 2.5/97.5-ish percentile bounds are ranks 2 and
+    * 31 of the 32 replicate means via a PARTITIONED window. */
+  val bootstrapCi = QueryDef(
+    "q_bootstrap_ci",
+    Some {
+      val wChain = PoissonCum.map(t =>
+        s"CASE WHEN u >= CAST('${t.toString}' AS DOUBLE) " +
+          "THEN 1 ELSE 0 END").mkString("(0 + ", " + ", ")")
+      s"""WITH reps AS (
+              SELECT source, n_chars, doc_id, t.b
+              FROM documents, range($BootReplicas) t(b)),
+            uw AS (
+              SELECT source, b, n_chars,
+                     CAST(CAST('0x' || substring(md5('boot:'
+                         || CAST(b AS VARCHAR) || ':'
+                         || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                       * 2 + 1 AS DOUBLE) / 9007199254740992.0 AS u
+              FROM reps),
+            wts AS (SELECT source, b, n_chars, $wChain AS w FROM uw),
+            rm AS (
+              SELECT source, b, CAST(SUM(w * n_chars) AS BIGINT) AS sw,
+                     CAST(SUM(w) AS BIGINT) AS ww
+              FROM wts GROUP BY source, b),
+            means AS (
+              SELECT source, b,
+                     CAST(sw AS DOUBLE) / CAST(ww AS DOUBLE) AS m
+              FROM rm WHERE ww > 0),
+            rk AS (
+              SELECT source, b, m, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY m, b) AS rn
+              FROM means),
+            ci AS (
+              SELECT source,
+                     MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+                     MAX(CASE WHEN rn = ${BootReplicas - 1} THEN m END)
+                       AS ci_hi
+              FROM rk GROUP BY source),
+            st AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_chars) AS DOUBLE) /
+                       CAST(COUNT(*) AS DOUBLE) AS mean_chars
+              FROM documents GROUP BY source)
+            SELECT st.source, st.n_docs, st.mean_chars,
+                   ci.ci_lo, ci.ci_hi
+            FROM st JOIN ci USING (source) ORDER BY source"""
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val reps = docs.select(col("source"), col("n_chars"), col("doc_id"),
+        explode(sequence(lit(0), lit(BootReplicas - 1))).as("b"))
+      val u = graft.ops.Dsir.hashUniform(
+        concat(col("b").cast("string"), lit(":"),
+          col("doc_id").cast("string")), "boot:")
+      val w = PoissonCum.foldLeft(lit(0)) { (acc, t) =>
+        acc + when(col("u") >= lit(t), 1).otherwise(0)
+      }
+      val rm = reps.withColumn("u", u).withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(sum(col("w") * col("n_chars")).as("sw"),
+          sum("w").as("ww"))
+      val means = rm.where(col("ww") > 0)
+        .select(col("source"), col("b"),
+          (col("sw").cast("double") / col("ww").cast("double")).as("m"))
+      val rk = means.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("m"), col("b"))))
+      val ci = rk.groupBy("source").agg(
+        max(when(col("rn") === 2, col("m"))).as("ci_lo"),
+        max(when(col("rn") === (BootReplicas - 1), col("m")))
+          .as("ci_hi"))
+      val st = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        (sum("n_chars").cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"))
+      st.join(ci, "source")
+        .select(col("source"), col("n_docs"), col("mean_chars"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("source")
+    })
+
+  // --------------------------------- X101 chi-square drift partition
+
+  /** Per-source chi-square partition (X101 — Pearson 1900; the
+    * SIGNIFICANCE companion to the X58 KL monitors: KL says how far a
+    * source's language mix sits from the corpus norm, chi² says
+    * whether that distance is explainable by sampling noise at this
+    * source's size — the gate before a drift alarm pages anyone).
+    * Observed = (source, lang) counts; expected e = r·c/N off exact
+    * integer margins; each source's partial χ² adds the closed-form
+    * mass of its EMPTY cells (Σ_missing e = r − Σ_observed e — no
+    * cross-join materializes the full grid, which would be the banned
+    * product join). N and the lang-alphabet size are bounded 1-row
+    * driver actions (the X38 device). Only the per-source Σ is
+    * qround(6)'d (fold-order aggregate); everything else is
+    * elementwise-exact off integers. */
+  val chisqDrift = QueryDef(
+    "q_chisq_drift",
+    Some {
+      val contrib = "((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e"
+      s"""WITH c AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY source, lang),
+            rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+                   FROM c GROUP BY source),
+            ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cl
+                   FROM c GROUP BY lang),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS l FROM ct),
+            x AS (
+              SELECT c.source, c.lang, c.o, rt.r,
+                     (CAST(rt.r AS DOUBLE) * CAST(ct.cl AS DOUBLE)) /
+                       CAST(nn.n AS DOUBLE) AS e
+              FROM c JOIN rt USING (source) JOIN ct USING (lang)
+                CROSS JOIN nn)
+            SELECT x.source, CAST(MAX(x.r) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs_obs,
+                   ${Num.qroundSql(
+                     s"SUM($contrib) + (CAST(MAX(x.r) AS DOUBLE) - SUM(e))",
+                     6)} AS chi2,
+                   CAST(nl.l - 1 AS BIGINT) AS df
+            FROM x CROSS JOIN nl
+            GROUP BY x.source, nl.l ORDER BY x.source"""
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val rt = c.groupBy("source").agg(sum("o").as("r"))
+      val ct = c.groupBy("lang").agg(sum("o").as("cl"))
+      // bounded driver actions: corpus size + lang-alphabet size
+      val n = docs.count()
+      val nLangs = ct.count()
+      val x = c.join(rt, "source").join(broadcast(ct), "lang")
+        .withColumn("e",
+          (col("r").cast("double") * col("cl").cast("double")) /
+            lit(n).cast("double"))
+      val o = col("o").cast("double")
+      x.groupBy("source").agg(
+          max("r").as("n_docs"),
+          count(lit(1)).as("n_langs_obs"),
+          Num.qround(
+            sum(((o - col("e")) * (o - col("e"))) / col("e")) +
+              (max("r").cast("double") - sum("e")), 6).as("chi2"))
+        .select(col("source"), col("n_docs"), col("n_langs_obs"),
+          col("chi2"), lit(nLangs - 1).as("df"))
+        .orderBy("source")
+    })
+
   /** TIMED sharded-write round-trip (X47b — the write path itself on
     * the bench surface: q_shard_stats above verifies the assignment
     * ARITHMETIC without writing, so a write-path regression
@@ -1465,7 +1642,7 @@ object CurationQueries {
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
-      tokenBudget,
+      bootstrapCi, chisqDrift, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
 }

@@ -543,23 +543,35 @@ object EventQueries {
       val s3 = ev.join(s2, "user_id")
         .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
-      def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.agg(count(lit(1)).as(as)).withColumn("__k", lit(0))
-      cnt(s1, "n1")
-        .join(cnt(s2, "n2"), "__k").join(cnt(s3, "n3"), "__k")
-        .selectExpr(
-          """stack(3,
-               1, 'view',     n1, n1, n1,
-               2, 'click',    n2, n1, n1,
-               3, 'purchase', n3, n2, n1)
-             AS (stage, stage_name, n_users, prev, first)""")
-        .select(col("stage"), col("stage_name"), col("n_users"),
-          (col("n_users").cast("double") / col("prev").cast("double"))
-            .as("conv_from_prev"),
-          (col("n_users").cast("double") / col("first").cast("double"))
-            .as("conv_from_first"))
-        .orderBy("stage")
+      // per-stage counts are bounded 1-row driver actions at plan
+      // build (the X38/BM25 corpus-stats device) — attaching them as
+      // 1-row frames on a constant key folds into the banned
+      // BroadcastNestedLoopJoin (lit keys AND attr·0 keys both
+      // constant-fold), and the whole output is 3 scalar rows anyway
+      funnelSummary(s, Seq(
+        ("view", s1.count()), ("click", s2.count()),
+        ("purchase", s3.count())))
     })
+
+  /** The 3-row funnel summary from the collected per-stage counts —
+    * shared by the batch and streaming funnels so their output
+    * construction cannot drift. */
+  private def funnelSummary(s: org.apache.spark.sql.SparkSession,
+      stages: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val first = stages.head._2
+    val rows = stages.zipWithIndex.map { case ((name, n), i) =>
+      val prev = if (i == 0) first else stages(i - 1)._2
+      (i + 1, name, n, prev, first)
+    }
+    rows.toDF("stage", "stage_name", "n_users", "prev", "first")
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        (col("n_users").cast("double") / col("prev").cast("double"))
+          .as("conv_from_prev"),
+        (col("n_users").cast("double") / col("first").cast("double"))
+          .as("conv_from_first"))
+      .orderBy("stage")
+  }
 
   /** The STREAMING twin of q_event_funnel (X99 — the funnel as a
     * per-user state MACHINE: `flatMapGroupsWithState` carries one
@@ -581,21 +593,11 @@ object EventQueries {
           Seq("view", "click", "purchase")),
         "q_stream_funnel_sink", outputMode = "append",
         statePartitions = 4)
-      def cnt(k: Int) = tr.where(col("stage") === k)
-        .agg(count(lit(1)).as(s"n$k")).withColumn("__k", lit(0))
-      cnt(1).join(cnt(2), "__k").join(cnt(3), "__k")
-        .selectExpr(
-          """stack(3,
-               1, 'view',     n1, n1, n1,
-               2, 'click',    n2, n1, n1,
-               3, 'purchase', n3, n2, n1)
-             AS (stage, stage_name, n_users, prev, first)""")
-        .select(col("stage"), col("stage_name"), col("n_users"),
-          (col("n_users").cast("double") / col("prev").cast("double"))
-            .as("conv_from_prev"),
-          (col("n_users").cast("double") / col("first").cast("double"))
-            .as("conv_from_first"))
-        .orderBy("stage")
+      // transition counts collected as bounded driver metadata, then
+      // the shared summary builder (same device as the batch twin)
+      def cnt(k: Int) = tr.where(col("stage") === k).count()
+      funnelSummary(s, Seq(
+        ("view", cnt(1)), ("click", cnt(2)), ("purchase", cnt(3))))
     })
 
   // ------------------------------------- X96 weekly retention cohorts

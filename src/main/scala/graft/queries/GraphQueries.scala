@@ -415,7 +415,64 @@ object GraphQueries {
         .orderBy("node")
     })
 
+  // --------------------------- X102 ranking agreement (Spearman's ρ)
+
+  /** Spearman rank agreement between PageRank and HITS authority
+    * (X102 — the X74 eval discipline applied to the graph rankings:
+    * before swapping one centrality for a cheaper one, measure how
+    * much of the ordering actually changes; Spearman 1904, the
+    * deterministic-tie-break variant — ties order by node id, not
+    * averaged ranks). Ranks are computed WITHOUT a global window via
+    * the two-pass distributed prefix sum ([[graft.ops.PrefixSum]] —
+    * the X75 rank-statistic device; bit-identical to the one-window
+    * form), d = rank difference per node, and
+    * ρ = 1 − 6·Σd²/(n(n²−1)) is elementwise-exact off integer Σd²
+    * and the driver-bounded n — no qround anywhere, the whole row
+    * hashes raw. */
+  val rankAgreement = QueryDef(
+    "q_rank_agreement",
+    Some(s"""WITH pr_q AS (${CurationQueries.domainPagerank.oracle.get}),
+            ht_q AS (${domainHits.oracle.get}),
+            rp AS (
+              SELECT node, CAST(ROW_NUMBER() OVER (
+                ORDER BY pr DESC, node) AS BIGINT) AS r
+              FROM pr_q),
+            ra AS (
+              SELECT node, CAST(ROW_NUMBER() OVER (
+                ORDER BY auth DESC, node) AS BIGINT) AS r
+              FROM ht_q),
+            dd AS (
+              SELECT rp.node, rp.r - ra.r AS d
+              FROM rp JOIN ra USING (node))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+                   1.0 - (6.0 * CAST(SUM(d * d) AS DOUBLE)) /
+                     (CAST(COUNT(*) AS DOUBLE) *
+                      (CAST(COUNT(*) AS DOUBLE) *
+                       CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
+            FROM dd"""),
+    (s, d) => {
+      val edges = domainEdges(s, d)
+      val pr = graft.ops.PageRank.run(edges, "src", "dst",
+        CurationQueries.PrIters, CurationQueries.PrDamping)
+      val ht = graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+      def rank(df: org.apache.spark.sql.DataFrame, score: String) =
+        graft.ops.PrefixSum.runningTotalDesc(
+            df.withColumn("__one", lit(1L)), "__one", score, "v", "r")
+          .select(col("v"), col("r"))
+      val rp = rank(pr.select(col("v"), col("pr")), "pr")
+      val ra = rank(ht.select(col("v"), col("auth")), "auth")
+      val n = col("n_nodes").cast("double")
+      rp.join(ra.withColumnRenamed("r", "r2"), "v")
+        .select((col("r") - col("r2")).as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("d") * col("d")).as("sum_d2"))
+        .select(col("n_nodes"), col("sum_d2"),
+          (lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (n * (n * n - lit(1.0)))).as("rho"))
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
-      domainHits, domainBfs, domainKcore)
+      domainHits, domainBfs, domainKcore, rankAgreement)
 }

@@ -1896,7 +1896,12 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .select(Text.tokens(lower(col("text"))).as("toks"))
       val uni = tl.select(explode(col("toks")).as("w"))
       val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
-      val nt = uni.agg(count(lit(1)).as("n")).withColumn("__k", lit(0))
+      // corpus token total: ONE bounded 1-row driver action at plan
+      // build (the X38/BM25 corpus-stats device — a 1-row frame on a
+      // constant key folds into the banned BroadcastNestedLoopJoin);
+      // the exact integer is < 2^53, so lit(n) is the same double the
+      // oracle casts
+      val nTok = uni.count()
       val bg = tl.where(size(col("toks")) >= 2)
         .select(explode(expr(
           """transform(sequence(0, size(toks) - 2),
@@ -1910,12 +1915,10 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       sp
         .join(uc.select(col("w").as("w1"), col("c").as("c_x")), "w1")
         .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
-        .withColumn("__k", lit(0))
-        .join(broadcast(nt), "__k")
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
           col("c_y"),
           Num.qround(log2(
-            (col("c_xy").cast("double") * col("n").cast("double")) /
+            (col("c_xy").cast("double") * lit(nTok).cast("double")) /
               (col("c_x").cast("double") * col("c_y").cast("double"))),
             6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
@@ -1974,12 +1977,13 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
           explode(Text.tokens(lower(col("text")))).as("w"))
       val tf = ex.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val nn = docs.agg(count(lit(1)).as("n")).withColumn("__k", lit(0))
+      // doc count: one bounded driver action at plan build (the
+      // X38/BM25 corpus-stats device; see q_pmi_bigrams note)
+      val nDocs = docs.count()
       val sc = tf.join(df, "w")
-        .withColumn("__k", lit(0)).join(broadcast(nn), "__k")
         .select(col("doc_id"), col("w"), col("tf"), col("df"),
           (col("tf").cast("double") *
-            Num.qround(log((col("n").cast("double") + 1.0) /
+            Num.qround(log((lit(nDocs).cast("double") + 1.0) /
               (col("df").cast("double") + 1.0)), 6)).as("score"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w"))

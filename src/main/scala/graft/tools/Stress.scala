@@ -527,6 +527,37 @@ object Stress {
         .agg(sum("n_triangles")).collect().head.getLong(0)
     }
 
+    // X90: HITS on the same 10M-edge / 1M-node graph, 3 rounds — the
+    // probe that evidences "one job per half-step": each half-step is
+    // a keyed join + keyed aggregate + 1-row broadcast normalizer,
+    // and per-round state is localCheckpoint'ed so cost stays flat in
+    // rounds. Returned value = sum(hub)·1e6 rounded: L1 normalization
+    // conservation (≈1.0) doubles as the sanity check.
+    timeShuffle("hits 10M edges, 3 rounds") {
+      (graft.ops.Hits.run(prEdges, "src", "dst", 3)
+        .agg(sum("hub")).collect().head.getDouble(0) * 1e6).round
+    }
+
+    // X94: multi-source BFS on the same graph, 4 hops from a 1k-seed
+    // whitelist. Each round shuffles only (node, int) rows; state is
+    // checkpointed per hop. Returned value = nodes reached within the
+    // budget (data-dependent but deterministic).
+    timeShuffle("bfs 10M edges, 4 hops, 1k seeds") {
+      val seeds = spark.range(0, 1000000L, 1000L).toDF("v")
+      graft.ops.Bfs.hopDistance(prEdges, "src", "dst", seeds, 4)
+        .filter(col("dist").isNotNull).count()
+    }
+
+    // X97: k-core peeling on the same graph (mean simple-degree ≈ 20):
+    // k=21 forces a real multi-round cascade. Per round: two
+    // semi-joins + one keyed degree aggregate + an anti-join, all
+    // fixed-width; survivors checkpointed. Returned value = nodes
+    // peeled within 6 rounds.
+    timeShuffle("kcore 10M edges, k=21, 6 rounds") {
+      graft.ops.KCore.onionLayers(prEdges, "src", "dst", 21, 6)
+        .filter(col("layer").isNotNull).count()
+    }
+
     // X81: containment dedup at 1M docs (~58 tokens each, ~56M
     // (shingle, doc) index rows) with 2% planted quote docs (prefix
     // halves of their base doc — containment exactly 1.0). Tokens are
