@@ -409,5 +409,41 @@ object CrawlQueries {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QueryDef] = Seq(crawlPipeline, robotsEval)
+  // -------------------------------- X105 crawl frontier priority
+
+  /** Crawl frontier prioritization (X105 — the scheduler policy that
+    * consumes the graph signals: every frontier implementation
+    * (Heritrix precedence, OPIC-style ordering) scores candidate
+    * domains by authority × proximity; here priority = PageRank /
+    * (1 + seed hop distance), unreached domains demoted to 0 — so the
+    * crawler spends its budget near the trusted seeds on domains the
+    * graph endorses. Pure composition (the X71 device): both inputs
+    * are the EXISTING oracle-green X66 and X94 queries on the shared
+    * domain graph; this adds one fixed-width join on the node key and
+    * one elementwise divide (pr is already qround(6)'d, hops integer
+    * — the priority hashes raw). */
+  val frontierPriority = QueryDef(
+    "q_frontier_priority",
+    Some(s"""WITH pq AS (${CurationQueries.domainPagerank.oracle.get}),
+            bq AS (${GraphQueries.domainBfs.oracle.get})
+            SELECT pq.node, pq.pr, bq.hops,
+                   CASE WHEN bq.hops IS NULL THEN 0.0
+                        ELSE pq.pr / CAST(1 + bq.hops AS DOUBLE) END
+                     AS priority
+            FROM pq JOIN bq USING (node)
+            ORDER BY node"""),
+    (s, d) => {
+      val pr = CurationQueries.domainPagerank.fn(s, d)
+        .select(col("node"), col("pr"))
+      val hops = GraphQueries.domainBfs.fn(s, d)
+      pr.join(hops, "node")
+        .select(col("node"), col("pr"), col("hops"),
+          when(col("hops").isNull, lit(0.0))
+            .otherwise(col("pr") /
+              (lit(1) + col("hops")).cast("double")).as("priority"))
+        .orderBy("node")
+    })
+
+  val all: Seq[QueryDef] = Seq(crawlPipeline, robotsEval,
+    frontierPriority)
 }

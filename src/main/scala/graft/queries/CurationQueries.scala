@@ -851,6 +851,61 @@ object CurationQueries {
         .orderBy("source")
     })
 
+  // ------------------------------- X104 DP-noised count release
+
+  private val DpEpsilon = 0.1
+
+  /** Differentially-private count release (X104 — Dwork et al. 2006's
+    * Laplace mechanism: per-source counts + Lap(1/ε) noise, the shape
+    * every "share corpus composition without leaking membership"
+    * report takes. Noise is drawn DETERMINISTICALLY from the portable
+    * md5 uniform by inverse CDF — Lap(b) = −b·sign(u−½)·ln(1−2|u−½|)
+    * — so the release is replayable across engines and re-runs: the
+    * privacy accounting treats the salt as the mechanism's random
+    * seed (one release per salt — re-salting would compose ε's, which
+    * the scaladoc contract records). True counts ride along for the
+    * oracle; a real release drops that column. Float discipline: the
+    * one ln is qround(6)'d (X63), everything around it is elementwise
+    * IEEE off exact integers, so noised counts hash raw. */
+  val dpCounts = QueryDef(
+    "q_dp_counts",
+    Some {
+      val b = (1.0 / DpEpsilon).toString
+      s"""WITH c AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+              FROM documents GROUP BY source),
+            u AS (
+              SELECT source, n_true,
+                     CAST(CAST('0x' || substring(md5('dp:' || source),
+                         1, 13) AS BIGINT) * 2 + 1 AS DOUBLE)
+                       / 9007199254740992.0 AS u
+              FROM c),
+            v AS (SELECT source, n_true, u - 0.5 AS v FROM u)
+            SELECT source, n_true,
+                   CAST(n_true AS DOUBLE) +
+                     (0.0 - CAST('$b' AS DOUBLE)) *
+                     (CASE WHEN v < 0.0 THEN -1.0 ELSE 1.0 END) *
+                     (${Num.qroundSql("LN(1.0 - 2.0 * ABS(v))", 6)})
+                     AS n_released,
+                   CAST('$DpEpsilon' AS DOUBLE) AS epsilon
+            FROM v ORDER BY source"""
+    },
+    (s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_true"))
+      val u = graft.ops.Dsir.hashUniform(col("source"), "dp:")
+      val v = u - lit(0.5)
+      c.withColumn("v", v)
+        .select(col("source"), col("n_true"),
+          (col("n_true").cast("double") +
+            (lit(0.0) - lit(1.0 / DpEpsilon)) *
+            when(col("v") < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+            Num.qround(log(lit(1.0) - lit(2.0) * abs(col("v"))), 6))
+            .as("n_released"),
+          lit(DpEpsilon).as("epsilon"))
+        .orderBy("source")
+    })
+
   // --------------------------------- X101 chi-square drift partition
 
   /** Per-source chi-square partition (X101 — Pearson 1900; the
@@ -1642,7 +1697,7 @@ object CurationQueries {
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
-      bootstrapCi, chisqDrift, tokenBudget,
+      bootstrapCi, chisqDrift, dpCounts, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
 }

@@ -1283,6 +1283,61 @@ ORDER BY id_a, id_b"""
         .orderBy("name_a", "name_b")
     })
 
+  // ----------------------------------- X103 n-gram novelty curve
+
+  /** Per-document n-gram novelty (X103 — the corpus-growth diagnostic
+    * next to the X86 yield report: what fraction of each document's
+    * 3-shingles appears HERE for the first time, in doc_id order? A
+    * crawl whose novelty curve collapses is re-crawling what it
+    * already has — the "diminishing returns" signal incremental
+    * corpus builds (X32) key their stop rule on). First occurrence =
+    * min(doc_id) per shingle: one keyed aggregate over the portable
+    * 60-bit md5 shingle keys (only (key, id) longs shuffle — the X81
+    * device; the oracle works on shingle STRINGS, hash-invariant
+    * modulo the negligible-collision assumption X81 records), joined
+    * back on the key, counted per doc. Shingle-less docs emit 0/null
+    * (full-universe discipline). */
+  val ngramNovelty = QueryDef(
+    "q_ngram_novelty",
+    Some(s"""${sqlShingleCte(3)},
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            f AS (SELECT s, CAST(MIN(doc_id) AS BIGINT) AS first
+                  FROM ex GROUP BY s),
+            per AS (
+              SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(SUM(CASE WHEN f.first = ex.doc_id
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+              FROM ex JOIN f USING (s) GROUP BY ex.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(per.n_shingles, 0) AS n_shingles,
+                   COALESCE(per.n_novel, 0) AS n_novel,
+                   CASE WHEN COALESCE(per.n_shingles, 0) > 0 THEN
+                     CAST(per.n_novel AS DOUBLE) /
+                       CAST(per.n_shingles AS DOUBLE) END AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleFunctions
+          .md5ShingleKeys(col("text"), 3)).as("h"))
+      val first = sh.groupBy("h").agg(min("doc_id").as("first"))
+      val per = sh.join(first, "h")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("first") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            col("n_novel").cast("double") /
+              col("n_shingles").cast("double")).as("novelty"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
@@ -1290,5 +1345,5 @@ ORDER BY id_a, id_b"""
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
-    embedRp, embedOutlier, dedupSubstring, fuzzyJoin)
+    embedRp, embedOutlier, dedupSubstring, fuzzyJoin, ngramNovelty)
 }
