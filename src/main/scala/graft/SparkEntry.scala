@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.TrainPrepQueries.all ++
     graft.queries.UrlQueries.all ++
     graft.queries.CrawlQueries.all ++
-    graft.queries.GraphQueries.all
+    graft.queries.GraphQueries.all ++
+    graft.queries.DiagnosticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

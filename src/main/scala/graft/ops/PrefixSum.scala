@@ -92,4 +92,55 @@ object PrefixSum {
           coalesce(element_at(typedLit(offsets), col("__psb")), lit(0L)))
       .drop("__psb")
   }
+
+  /** Ascending running totals of SEVERAL integral value columns over
+    * the total order (`scoreCol` ASC, unique — e.g. a distinct-value
+    * table keyed by the score itself): the ECDF building block (X113 —
+    * a two-sample KS needs BOTH samples' cumulative counts over the
+    * SAME merged value order, and computing them in one two-pass sweep
+    * halves the shuffles vs two independent cumsums). Same device as
+    * [[runningTotalDesc]]: sampled boundary buckets → partitioned
+    * cumsum per column → per-bucket totals (a `buckets`-sized driver
+    * collect) ride back as exclusive-prefix literal maps. Bit-identical
+    * to the one-window form (integer addition only — enforced). */
+  def runningTotalsAsc(df: DataFrame, valueCols: Seq[String],
+      scoreCol: String, outs: Seq[String], buckets: Int = 32): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.size == outs.size)
+    valueCols.foreach { vc =>
+      val vt = df.schema(vc).dataType
+      require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+        s"runningTotalsAsc requires integral value columns (got $vt for " +
+          s"$vc): float prefix sums are fold-order-sensitive")
+    }
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(scoreCol, probs, 0.001).distinct.sorted
+    // bucket = #boundaries strictly below this score (ascending order)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol) > b, 1).otherwise(0)
+    }
+    val withB = df.withColumn("__psb", bucket)
+    val totals = withB.groupBy("__psb")
+      .agg(sum(col(valueCols.head)).as("__t0"),
+        valueCols.tail.zipWithIndex.map { case (vc, i) =>
+          sum(col(vc)).as(s"__t${i + 1}")
+        }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> valueCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val w = Window.partitionBy("__psb").orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = valueCols.zip(outs).zipWithIndex
+      .foldLeft(withB) { case (acc, ((vc, o), i)) =>
+        val offsets: Map[Int, Long] = totals
+          .scanLeft((0, 0L)) { case ((_, a), (b, t)) => (b, a + t(i)) }
+          .sliding(2).collect { case Array((_, a), (b, _)) => b -> a }
+          .toMap
+        acc.withColumn(o,
+          sum(col(vc)).over(w) +
+            coalesce(element_at(typedLit(offsets), col("__psb")), lit(0L)))
+      }
+    out.drop("__psb")
+  }
 }

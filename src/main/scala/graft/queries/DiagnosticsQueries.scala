@@ -1,0 +1,535 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Num
+import graft.{QueryDef, Tables}
+
+/** Distribution diagnostics and robust statistics — the measurement
+  * layer a 100 TB corpus build runs over its own outputs before
+  * trusting them (ref: the capstone's profiling/QA passes, e.g.
+  * reference/sql/capstone_etl.sql's sanity SELECTs; re-expressed here
+  * as first-class operators over the synthetic tables).
+  *
+  * House float discipline throughout (see [[graft.QueryDef]]):
+  * integer counts stay exact and hash raw; per-group percentile
+  * aggregates are qround(4)-canonicalized BEFORE any downstream
+  * arithmetic so every derived per-row value is element-wise IEEE and
+  * hash-exact; transcendental constants cross the engine boundary as
+  * `Double.toString` literals (`CAST('…' AS DOUBLE)` on the SQL side —
+  * the Dsir decimal-lane device).
+  */
+object DiagnosticsQueries {
+
+  // ------------------------------------------------------- mad outliers
+
+  /** Robust per-source document-length outliers (X106 — Iglewicz &
+    * Hoaglin 1993's modified z-score: med/MAD instead of mean/stddev,
+    * so a handful of megadocs can't mask themselves by inflating the
+    * very stddev that should flag them — the failure mode of a naive
+    * z-score on heavy-tailed web-doc lengths). Two grouped exact
+    * percentile aggregates (median, then median absolute deviation)
+    * each return one row per source — metadata-sized by construction —
+    * and re-attach via broadcast hash joins on the source key; the
+    * per-doc z = 0.6745·(x − med)/MAD is then pure codegen arithmetic.
+    * A zero MAD (over half the source identical lengths) degrades the
+    * z to NULL identically on both engines instead of ±inf. Scale
+    * note: the exact per-source percentile buffers that source's
+    * values (the documented q_percentiles trade-off); the sketched
+    * X77 path is the swap-in when a single source outgrows an
+    * executor. */
+  val madOutliers = QueryDef(
+    "q_mad_outliers",
+    Some(s"""WITH m AS (
+              SELECT source,
+                     ${Num.qroundSql("PERCENTILE_CONT(0.5) WITHIN GROUP " +
+                       "(ORDER BY n_chars)", 4)} AS med
+              FROM documents GROUP BY source),
+            dv AS (
+              SELECT d.source, CAST(d.n_chars AS DOUBLE) AS x, m.med,
+                     ABS(CAST(d.n_chars AS DOUBLE) - m.med) AS dev
+              FROM documents d JOIN m USING (source)),
+            md AS (
+              SELECT source,
+                     ${Num.qroundSql("PERCENTILE_CONT(0.5) WITHIN GROUP " +
+                       "(ORDER BY dev)", 4)} AS mad
+              FROM dv GROUP BY source),
+            z AS (
+              SELECT dv.source, dv.x, dv.med, md.mad,
+                     CASE WHEN md.mad = 0 THEN NULL
+                          ELSE 0.6745 * (dv.x - dv.med) / md.mad END AS z
+              FROM dv JOIN md USING (source))
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(med) AS med, MIN(mad) AS mad,
+                   CAST(COUNT(CASE WHEN ABS(z) > 3.5 THEN 1 END) AS BIGINT)
+                     AS n_outliers,
+                   ${Num.qroundSql("MAX(ABS(z))", 6)} AS max_abs_z
+            FROM z GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = docs.groupBy("source")
+        .agg(Num.qround(percentile(col("n_chars"), lit(0.5)), 4).as("med"))
+      val dv = docs.join(broadcast(m), "source")
+        .select(col("source"), col("n_chars").cast("double").as("x"),
+          col("med"),
+          abs(col("n_chars").cast("double") - col("med")).as("dev"))
+      val md = dv.groupBy("source")
+        .agg(Num.qround(percentile(col("dev"), lit(0.5)), 4).as("mad"))
+      dv.join(broadcast(md), "source")
+        .withColumn("z", when(col("mad") === 0, lit(null))
+          .otherwise(lit(0.6745) * (col("x") - col("med")) / col("mad")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min("med").as("med"), min("mad").as("mad"),
+          count(when(abs(col("z")) > 3.5, 1)).as("n_outliers"),
+          Num.qround(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("source")
+    })
+
+  // --------------------------------------------------- trimmed means
+
+  /** Trimmed + winsorized means (X107 — the robust-location pair every
+    * metrics pipeline reports next to the raw mean once it has seen
+    * one corrupt feed drag an average: trim DROPS the tails, winsorize
+    * CLAMPS them — both referenced to the same p05/p95 fences). The
+    * per-group fences are one exact percentile aggregate, qround(4)'d
+    * so the inclusion predicate compares both engines against the
+    * IDENTICAL constants (an un-rounded fence that differs in one ulp
+    * flips rows in or out of the trim — a whole-row divergence, not a
+    * float ulp), then re-attached via broadcast. */
+  val trimmedMean = QueryDef(
+    "q_trimmed_mean",
+    Some(s"""WITH f AS (
+              SELECT l_returnflag,
+                     ${Num.qroundSql("PERCENTILE_CONT(0.05) WITHIN GROUP " +
+                       "(ORDER BY l_extendedprice)", 4)} AS lo,
+                     ${Num.qroundSql("PERCENTILE_CONT(0.95) WITHIN GROUP " +
+                       "(ORDER BY l_extendedprice)", 4)} AS hi
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag, f.lo, f.hi,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(CASE WHEN l.l_extendedprice >= f.lo
+                     AND l.l_extendedprice <= f.hi THEN 1 END) AS BIGINT)
+                     AS n_kept,
+                   ${Num.qroundSql("AVG(l.l_extendedprice)", 4)} AS mean_raw,
+                   ${Num.qroundSql("AVG(CASE WHEN l.l_extendedprice >= f.lo " +
+                     "AND l.l_extendedprice <= f.hi " +
+                     "THEN l.l_extendedprice END)", 4)} AS mean_trimmed,
+                   ${Num.qroundSql("AVG(GREATEST(f.lo, " +
+                     "LEAST(f.hi, l.l_extendedprice)))", 4)} AS mean_winsor
+            FROM lineitem l JOIN f USING (l_returnflag)
+            GROUP BY l.l_returnflag, f.lo, f.hi
+            ORDER BY l.l_returnflag"""),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val f = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.05), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"),
+          Num.qround(element_at(col("ps"), 1), 4).as("lo"),
+          Num.qround(element_at(col("ps"), 2), 4).as("hi"))
+      val inFence = col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") <= col("hi")
+      li.join(broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          count(when(inFence, 1)).as("n_kept"),
+          Num.qround(avg("l_extendedprice"), 4).as("mean_raw"),
+          Num.qround(avg(when(inFence, col("l_extendedprice"))), 4)
+            .as("mean_trimmed"),
+          Num.qround(avg(greatest(col("lo"),
+            least(col("hi"), col("l_extendedprice")))), 4).as("mean_winsor"))
+        .orderBy("l_returnflag")
+    })
+
+  // --------------------------------------------------------- benford
+
+  /** Benford's-law first-digit audit (X108 — Benford 1938 / Hill 1995:
+    * organically-grown magnitudes put digit d first with probability
+    * log10(1+1/d); synthetic or tampered numeric feeds don't — the
+    * classic forensic screen for generated/duplicated records arriving
+    * through an ingest). The first digit is extracted through INTEGER
+    * formatting (floor → bigint → string → first char) — no
+    * `log10`-of-a-double in the per-row path, because libm log10 is
+    * not correctly-rounded and a one-ulp difference at a power-of-ten
+    * boundary would misfile a row cross-engine. One 9-group keyed
+    * aggregate; the expected shares are Scala-computed
+    * `Double.toString` literals; each χ² term is element-wise off the
+    * exact counts. (TPC-H totalprice is a sum of uniform draws, NOT
+    * Benford — the query measures the misfit, χ² ≈ 2·10⁴ at sf0.01:
+    * the audit firing on synthetic data is the demo working.) */
+  val benford = QueryDef(
+    "q_benford", {
+      val shares = (1 to 9).map(dd => math.log10(1 + 1.0 / dd))
+      val shareSql = (1 to 9).map { dd =>
+        s"WHEN $dd THEN CAST('${shares(dd - 1)}' AS DOUBLE)"
+      }.mkString(" ")
+      Some(s"""WITH src AS (
+                SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+                FROM orders WHERE o_totalprice >= 1),
+              g AS (
+                SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+                FROM src GROUP BY digit),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM src)
+              SELECT g.digit, g.n,
+                     CAST(g.n AS DOUBLE) / CAST(nn.total AS DOUBLE) AS share,
+                     CASE g.digit $shareSql END AS exp_share,
+                     ((CAST(g.n AS DOUBLE) - CAST(nn.total AS DOUBLE) *
+                        (CASE g.digit $shareSql END)) *
+                      (CAST(g.n AS DOUBLE) - CAST(nn.total AS DOUBLE) *
+                        (CASE g.digit $shareSql END))) /
+                     (CAST(nn.total AS DOUBLE) *
+                        (CASE g.digit $shareSql END)) AS chi2_term
+              FROM g CROSS JOIN nn ORDER BY g.digit""")
+    },
+    (s, d) => {
+      val shares = (1 to 9).map(dd => math.log10(1 + 1.0 / dd))
+      val src = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      // total: ONE bounded 1-row driver action at plan build (the
+      // X38/BM25 corpus-stats device) — the same exact long on both
+      // engines, so the IEEE divides below match bit-for-bit
+      val total = src.count()
+      val expShare = (1 to 9).foldLeft(lit(null).cast("double")) {
+        (acc, dd) => when(col("digit") === dd, lit(shares(dd - 1)))
+          .otherwise(acc)
+      }
+      src.groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") / lit(total).cast("double"))
+        .withColumn("exp_share", expShare)
+        .withColumn("chi2_term",
+          ((col("n").cast("double") -
+            lit(total).cast("double") * col("exp_share")) *
+           (col("n").cast("double") -
+            lit(total).cast("double") * col("exp_share"))) /
+          (lit(total).cast("double") * col("exp_share")))
+        .orderBy("digit")
+    })
+
+  // ----------------------------------------------------------- kappa
+
+  /** Cohen's κ inter-annotator agreement (X109 — Cohen 1960: agreement
+    * between two labelers CORRECTED for the agreement their marginal
+    * label rates would produce by chance; the gate double-annotation
+    * QA batches are scored with before a labeling vendor is trusted).
+    * Annotator A = the corpus `lang` label, annotator B = the X8
+    * n-gram detector — i.e. κ is computed off the EXISTING
+    * oracle-green X84 confusion matrix (the X71 composition device:
+    * the oracle nests q_langid_eval's own SQL). po and pe come from
+    * integer cell counts and marginal products (exact, order-free);
+    * the three output ratios are element-wise IEEE divides, so the row
+    * hashes raw. Marginal products Σ rowᵢ·colᵢ stay in longs — exact
+    * until N ~ 3·10⁹ per label pair (2⁶³ headroom); past that the
+    * production swap is DECIMAL(38) lanes, recorded here rather than
+    * silently absorbed. */
+  val annotatorKappa = QueryDef(
+    "q_annotator_kappa",
+    Some(s"""WITH c AS (${TextQueries.langidEval.oracle.get}),
+            t AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(SUM(CASE WHEN lang_labeled = lang_detected
+                       THEN n ELSE 0 END) AS BIGINT) AS agree
+              FROM c),
+            r AS (SELECT lang_labeled AS k, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM c GROUP BY 1),
+            cc AS (SELECT lang_detected AS k, CAST(SUM(n) AS BIGINT) AS cn
+                   FROM c GROUP BY 1),
+            e AS (SELECT CAST(SUM(r.rn * cc.cn) AS BIGINT) AS chance
+                  FROM r JOIN cc USING (k))
+            SELECT t.total, t.agree,
+                   CAST(t.agree AS DOUBLE) / CAST(t.total AS DOUBLE) AS po,
+                   CAST(e.chance AS DOUBLE) /
+                     (CAST(t.total AS DOUBLE) * CAST(t.total AS DOUBLE))
+                     AS pe,
+                   (CAST(t.agree AS DOUBLE) / CAST(t.total AS DOUBLE) -
+                    CAST(e.chance AS DOUBLE) /
+                      (CAST(t.total AS DOUBLE) * CAST(t.total AS DOUBLE))) /
+                   (1.0 - CAST(e.chance AS DOUBLE) /
+                      (CAST(t.total AS DOUBLE) * CAST(t.total AS DOUBLE)))
+                     AS kappa
+            FROM t CROSS JOIN e"""),
+    (s, d) => {
+      // the confusion matrix is alphabet²-bounded driver METADATA (the
+      // q_heavy_hitters sketch-collect device; a 1-row frame joined on
+      // a constant key would fold into the banned BNLJ instead) — ONE
+      // bounded collect, exact long marginals in Scala, and the final
+      // row re-enters the plan as literals under the oracle's exact
+      // expression tree
+      val cells = TextQueries.langidEval.fn(s, d)
+        .select("lang_labeled", "lang_detected", "n")
+        .collect()
+      val total = cells.map(_.getLong(2)).sum
+      val agree = cells.filter(r => r.getString(0) == r.getString(1))
+        .map(_.getLong(2)).sum
+      val rn = cells.groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+      val cn = cells.groupBy(_.getString(1))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+      val chance = rn.keysIterator
+        .map(k => rn(k) * cn.getOrElse(k, 0L)).sum
+      val po = col("agree").cast("double") / col("total").cast("double")
+      val pe = col("chance").cast("double") /
+        (col("total").cast("double") * col("total").cast("double"))
+      s.range(1)
+        .select(lit(total).as("total"), lit(agree).as("agree"),
+          lit(chance).as("chance"))
+        .select(col("total"), col("agree"), po.as("po"), pe.as("pe"),
+          ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    })
+
+  // ------------------------------------------------------------ ewma
+
+  private val EwmaLambda = 0.3
+  private val EwmaWin = 8 // current day + 7 lags
+
+  /** EWMA control chart over daily event volumes (X110 — Roberts 1959,
+    * the small-persistent-shift monitor next to X88's spike-oriented
+    * z-score: a z-score needs one big day to fire, an EWMA accumulates
+    * a run of slightly-elevated days). The recursive filter is
+    * unrolled to its 8-term truncated form — weights λ(1−λ)ʲ down to
+    * 0.7⁷ ≈ 8% of w₀, renormalized over the lags actually present so
+    * the series head isn't biased low — because the truncated form is
+    * ELEMENT-WISE (8 lag() reads + a fixed left-assoc sum tree) where
+    * the infinite recursion would thread engine-ordered state. Weights
+    * cross as Double.toString literals. Scale shape: the heavy input
+    * is one keyed (type, day) count; the lag window runs over the
+    * aggregated daily table — calendar-bounded rows per type, the
+    * standard small-series-after-big-reduce shape. */
+  val ewmaChart = QueryDef(
+    "q_ewma_chart", {
+      val ws = (0 until EwmaWin)
+        .map(j => EwmaLambda * math.pow(1 - EwmaLambda, j))
+      def w(j: Int) = s"CAST('${ws(j)}' AS DOUBLE)"
+      val lagCols = (1 until EwmaWin)
+        .map(j => s"LAG(x, $j) OVER w AS x$j").mkString(", ")
+      val num = (s"${w(0)} * CAST(x AS DOUBLE)" +:
+        (1 until EwmaWin).map(j =>
+          s"CASE WHEN x$j IS NULL THEN 0.0 ELSE ${w(j)} * " +
+            s"CAST(x$j AS DOUBLE) END")).mkString(" + ")
+      val den = (w(0) +: (1 until EwmaWin).map(j =>
+        s"CASE WHEN x$j IS NULL THEN 0.0 ELSE ${w(j)} END")).mkString(" + ")
+      Some(s"""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2),
+              lg AS (
+                SELECT event_type, day, x, $lagCols
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+              e AS (
+                SELECT event_type, day, x, ($num) / ($den) AS ewma
+                FROM lg)
+              SELECT event_type, day, x, ewma,
+                     CAST(x AS DOUBLE) / ewma AS ratio,
+                     CAST(x AS DOUBLE) / ewma > 1.5 AS spike
+              FROM e ORDER BY event_type, day""")
+    },
+    (s, d) => {
+      val ws = (0 until EwmaWin)
+        .map(j => EwmaLambda * math.pow(1 - EwmaLambda, j))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily.select(
+        (Seq(col("event_type"), col("day"), col("x")) ++
+          (1 until EwmaWin).map(j => lag("x", j).over(w).as(s"x$j"))): _*)
+      val num = (1 until EwmaWin).foldLeft(
+        lit(ws(0)) * col("x").cast("double")) { (acc, j) =>
+        acc + when(col(s"x$j").isNull, lit(0.0))
+          .otherwise(lit(ws(j)) * col(s"x$j").cast("double"))
+      }
+      val den = (1 until EwmaWin).foldLeft(lit(ws(0)): Column) { (acc, j) =>
+        acc + when(col(s"x$j").isNull, lit(0.0)).otherwise(lit(ws(j)))
+      }
+      lagged.withColumn("ewma", num / den)
+        .select(col("event_type"), col("day"), col("x"), col("ewma"),
+          (col("x").cast("double") / col("ewma")).as("ratio"),
+          (col("x").cast("double") / col("ewma") > 1.5).as("spike"))
+        .orderBy("event_type", "day")
+    })
+
+  // ------------------------------------------------------------ gini
+
+  /** Gini concentration of per-user engagement (X111 — the Lorenz/Gini
+    * summary every corpus-composition review reads next to the X78
+    * mixing weights: "is this stream's volume a broad base or three
+    * whales?" — the same statistic the X57 domain-cap policy exists to
+    * push down). Computed WITHOUT ranking individual users: users
+    * compress to (activity-level, multiplicity) rows first — one keyed
+    * aggregate — and the rank-weighted sum Σ rank·x uses the closed
+    * form for tied blocks (m·R_prev + m(m+1)/2, all exact longs; the
+    * halving is a shiftright, never a float divide), so the only
+    * window runs over the DISTINCT-LEVEL table ordered by level —
+    * cardinality = distinct activity counts, collapsed by orders of
+    * magnitude from the user universe (the X75 rank-statistic shape).
+    * Gini = 2Σrx/(nΣx) − (n+1)/n, element-wise off exact integers →
+    * hashes raw. */
+  val engagementGini = QueryDef(
+    "q_engagement_gini",
+    Some("""WITH g AS (
+              SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            v AS (
+              SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS m
+              FROM g GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, cnt, m,
+                     COALESCE(SUM(m) OVER (PARTITION BY event_type
+                       ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS rprev
+              FROM v),
+            t AS (
+              SELECT event_type,
+                     CAST(SUM(m) AS BIGINT) AS n_users,
+                     CAST(SUM(cnt * m) AS BIGINT) AS total_events,
+                     CAST(SUM(cnt * (m * rprev + (m * (m + 1)) // 2))
+                       AS BIGINT) AS srx
+              FROM w GROUP BY 1)
+            SELECT event_type, n_users, total_events,
+                   (2.0 * CAST(srx AS DOUBLE)) /
+                     (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+                   - (CAST(n_users AS DOUBLE) + 1.0) /
+                     CAST(n_users AS DOUBLE) AS gini
+            FROM t ORDER BY event_type"""),
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      graft.ops.Concentration.giniByGroup(g, "event_type", "cnt")
+        .withColumnRenamed("n_members", "n_users")
+        .withColumnRenamed("total", "total_events")
+        .orderBy("event_type")
+    })
+
+  // ------------------------------------------------------- heaps' law
+
+  /** Heaps'-law vocabulary-growth curve (X112 — Heaps 1978: V(N) ≈
+    * k·N^β; the corpus-side twin of X103's per-doc novelty. The fitted
+    * β is what a tokenizer-capacity plan reads — a β holding near 0.5+
+    * says new text still mints new vocabulary, a collapsing β says the
+    * crawl went stale before the vocab budget was spent). The
+    * vocabulary UNIT is the word 3-shingle (the X2/X103 unit): this
+    * synthetic corpus draws words from a closed ~31-term pool, so
+    * word-level V saturates inside the first decile and fits β = 0 —
+    * shingle combinations are where the corpus actually mints types
+    * (X103's novelty decay measures the same thing per-doc). Shape:
+    * ONE shingling pass → per-shingle first-occurrence (min doc_id —
+    * one keyed aggregate, the X103 device) and per-doc shingle counts;
+    * both reduce through a single 20-column conditional aggregate over
+    * the 10 doc-id decile cutoffs (exact integer driver literals off
+    * one bounded min/max action), so the curve costs two bounded
+    * rows — no per-decile rescans. β is the closed-form OLS slope over
+    * the 10 log-log points, built as a FIXED left-assoc sum tree over
+    * qround(6)'d logs (the X63 ln lane) — element-wise, no
+    * engine-ordered aggregation anywhere past the integer counts. The
+    * Spark side explodes 60-bit md5 shingle KEYS where the oracle
+    * shingles strings (the X81/X103 hash-invariance device: identical
+    * counts modulo negligible 60-bit collisions). */
+  val heapsLaw = QueryDef(
+    "q_heaps_law", {
+      val ks = 1 to 10
+      def cut(k: Int) = s"(b.mn + ((b.mx - b.mn + 1) * $k) // 10)"
+      val vCols = ks.map(k =>
+        s"CAST(SUM(CASE WHEN fd < ${cut(k)} THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS v$k").mkString(", ")
+      val nCols = ks.map(k =>
+        s"CAST(SUM(CASE WHEN doc_id < ${cut(k)} THEN nt ELSE 0 END)" +
+          s" AS BIGINT) AS n$k").mkString(", ")
+      val cutCols = ks.map(k => s"${cut(k)} AS c$k").mkString(", ")
+      def lx(k: Int) = Num.qroundSql(s"LN(CAST(NULLIF(n$k, 0) AS DOUBLE))", 6)
+      def ly(k: Int) = Num.qroundSql(s"LN(CAST(NULLIF(v$k, 0) AS DOUBLE))", 6)
+      val logCols = ks.map(k =>
+        s"${lx(k)} AS lx$k, ${ly(k)} AS ly$k").mkString(", ")
+      val sx = ks.map(k => s"lx$k").mkString(" + ")
+      val sy = ks.map(k => s"ly$k").mkString(" + ")
+      val sxy = ks.map(k => s"lx$k * ly$k").mkString(" + ")
+      val sxx = ks.map(k => s"lx$k * lx$k").mkString(" + ")
+      val beta = Num.qroundSql(
+        s"(10.0 * ($sxy) - ($sx) * ($sy)) / " +
+          s"(10.0 * ($sxx) - ($sx) * ($sx))", 6)
+      val rows = ks.map(k =>
+        s"SELECT $k AS decile, c$k AS cutoff, n$k AS n_shingles, " +
+          s"v$k AS vocab, lx$k AS ln_shingles, ly$k AS ln_vocab, " +
+          s"beta FROM s").mkString(" UNION ALL ")
+      Some(s"""${SimilarityQueries.sqlShingleCte(3)},
+              ex AS (SELECT doc_id, unnest(shingles) AS w FROM sh),
+              b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+                    FROM documents),
+              fo AS (SELECT w, MIN(doc_id) AS fd FROM ex GROUP BY w),
+              pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+                     FROM ex GROUP BY doc_id),
+              dn AS (SELECT d.doc_id, COALESCE(pd.nt, 0) AS nt
+                     FROM documents d LEFT JOIN pd USING (doc_id)),
+              vr AS (SELECT $vCols, $cutCols FROM fo CROSS JOIN b GROUP BY ALL),
+              nr AS (SELECT $nCols FROM dn CROSS JOIN b GROUP BY ALL),
+              lg AS (SELECT *, $logCols FROM vr CROSS JOIN nr),
+              s AS (SELECT *, $beta AS beta FROM lg)
+              $rows ORDER BY decile""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ex = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleFunctions
+          .md5ShingleKeys(col("text"), 3)).as("w"))
+      // decile cutoffs: exact integer arithmetic off one bounded
+      // min/max driver action (the X38 corpus-stats device)
+      val b = docs.agg(min("doc_id"), max("doc_id")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      def cut(k: Int): Long = mn + ((mx - mn + 1) * k) / 10
+      val fo = ex.groupBy("w").agg(min("doc_id").as("fd"))
+      val pd = ex.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val dn = docs.join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nt"), lit(0L)).as("nt"))
+      val ks = 1 to 10
+      val vr = fo.agg(
+        sum(when(col("fd") < cut(1), 1L).otherwise(0L)).as("v1"),
+        ks.tail.map(k =>
+          sum(when(col("fd") < cut(k), 1L).otherwise(0L)).as(s"v$k")): _*)
+      val nr = dn.agg(
+        sum(when(col("doc_id") < cut(1), col("nt")).otherwise(0L)).as("n1"),
+        ks.tail.map(k =>
+          sum(when(col("doc_id") < cut(k), col("nt")).otherwise(0L))
+            .as(s"n$k")): _*)
+      def lnq(c: Column) =
+        Num.qround(log(when(c === 0, lit(null)).otherwise(c)
+          .cast("double")), 6)
+      // the two 1-row curve aggregates are bounded driver scalars (10
+      // longs each — the X38 device; a constant-key 1-row join would
+      // fold into the banned BNLJ), re-entering the plan as literals
+      // under the oracle's exact log/OLS expression tree
+      val vRow = vr.head()
+      val nRow = nr.head()
+      val lg = s.range(1)
+        .select((ks.map(k => lit(vRow.getLong(k - 1)).as(s"v$k")) ++
+          ks.map(k => lit(nRow.getLong(k - 1)).as(s"n$k"))): _*)
+        .select((ks.map(k => col(s"v$k")) ++ ks.map(k => col(s"n$k")) ++
+          ks.map(k => lnq(col(s"n$k")).as(s"lx$k")) ++
+          ks.map(k => lnq(col(s"v$k")).as(s"ly$k"))): _*)
+      val sx = ks.map(k => col(s"lx$k")).reduce(_ + _)
+      val sy = ks.map(k => col(s"ly$k")).reduce(_ + _)
+      val sxy = ks.map(k => col(s"lx$k") * col(s"ly$k")).reduce(_ + _)
+      val sxx = ks.map(k => col(s"lx$k") * col(s"lx$k")).reduce(_ + _)
+      val beta = Num.qround(
+        (lit(10.0) * sxy - sx * sy) / (lit(10.0) * sxx - sx * sx), 6)
+      lg.withColumn("beta", beta)
+        .select(explode(array(ks.map { k =>
+          struct(lit(k).as("decile"), lit(cut(k)).as("cutoff"),
+            col(s"n$k").as("n_shingles"), col(s"v$k").as("vocab"),
+            col(s"lx$k").as("ln_shingles"), col(s"ly$k").as("ln_vocab"),
+            col("beta"))
+        }: _*)).as("r"))
+        .select(col("r.decile"), col("r.cutoff"), col("r.n_shingles"),
+          col("r.vocab"), col("r.ln_shingles"), col("r.ln_vocab"),
+          col("r.beta"))
+        .orderBy("decile")
+    })
+
+  val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
+    annotatorKappa, ewmaChart, engagementGini, heapsLaw)
+}

@@ -28,7 +28,7 @@ object SimilarityQueries {
     * from the \s+ split, whole-doc fallback for <k-token docs, distinct
     * shingle sets. Shared by both Jaccard oracles so the construction
     * can't drift between them. */
-  private def sqlShingleCte(k: Int, extraCols: String = "") = {
+  private[queries] def sqlShingleCte(k: Int, extraCols: String = "") = {
     val gram = (1 to k).map(j =>
       if (j == 1) "toks[i]" else s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
     s"""WITH t AS (

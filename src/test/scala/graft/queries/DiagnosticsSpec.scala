@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+import graft.ops.Concentration
+import org.apache.spark.sql.functions._
+
+/** Contracts of the X106–X112 diagnostics beyond the oracle hash: the
+  * statistics must MEAN what they claim (hand-checked closed forms on
+  * synthetic rows, plus semantic invariants at sf0.001). */
+class DiagnosticsSpec extends SparkSuite {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, Sf0001)
+
+  test("Concentration.giniByGroup: uniform magnitudes give gini 0") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L))
+      .toDF("g", "x")
+    val r = Concentration.giniByGroup(df, "g", "x").head()
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 20L)
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("Concentration.giniByGroup: matches the mean-abs-diff closed form") {
+    import spark.implicits._
+    // G = ΣΣ|xi−xj| / (2 n² μ): for (1,3) → 4/16 = 0.25; ties between
+    // groups must not leak across the group key
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 2L), ("b", 8L))
+      .toDF("g", "x")
+    val out = Concentration.giniByGroup(df, "g", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out("a") - 0.25) < 1e-12)
+    // (2,2,8): ΣΣ|xi−xj| = 2*(6+6) = 24; 2·n²·μ = 2·9·4 = 72 → 1/3
+    assert(math.abs(out("b") - 24.0 / 72.0) < 1e-12)
+  }
+
+  test("q_engagement_gini: bounded and consistent with event totals") {
+    val rows = run("q_engagement_gini").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val nEvents = spark.read.parquet(s"$Sf0001/events.parquet").count()
+    assert(total === nEvents)
+    rows.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)} gini=$g")
+    }
+  }
+
+  test("q_mad_outliers: fences and counts are coherent") {
+    val rows = run("q_mad_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)                      // n_docs
+      assert(r.getDouble(2) > 0)                    // med
+      assert(r.getDouble(3) >= 0)                   // mad
+      assert(r.getLong(4) <= r.getLong(1))          // outliers ≤ docs
+      if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0)
+    }
+  }
+
+  test("q_trimmed_mean: trimmed/winsorized land inside the fences") {
+    val rows = run("q_trimmed_mean").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      val (n, kept) = (r.getLong(3), r.getLong(4))
+      assert(lo <= hi)
+      // central 90% band: p05/p95 fences keep ~90% (exact count
+      // depends on ties/interpolation — generous envelope)
+      assert(kept >= (n * 0.85).toLong && kept <= n)
+      assert(r.getDouble(6) >= lo && r.getDouble(6) <= hi) // trimmed
+      assert(r.getDouble(7) >= lo && r.getDouble(7) <= hi) // winsor
+    }
+  }
+
+  test("q_benford: shares partition the order population") {
+    val rows = run("q_benford").collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    val nOrders = spark.read.parquet(s"$Sf0001/orders.parquet")
+      .filter(col("o_totalprice") >= 1).count()
+    assert(rows.map(_.getLong(1)).sum === nOrders)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0)) // χ² terms
+    // TPC-H prices are sums of uniforms, NOT Benford: the audit must
+    // actually fire (χ² across 8 dof at α=0.001 is ~26)
+    assert(rows.map(_.getDouble(4)).sum > 100.0)
+  }
+
+  test("q_annotator_kappa: chance-corrected identity holds") {
+    val r = run("q_annotator_kappa").head()
+    val (po, pe, k) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(po >= 0.0 && po <= 1.0)
+    assert(pe > 0.0 && pe < 1.0)
+    assert(k <= 1.0)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-12)
+    val nDocs = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(r.getLong(0) === nDocs)
+  }
+
+  test("q_ewma_chart: head of each series equals its first observation") {
+    val rows = run("q_ewma_chart").collect()
+    assert(rows.nonEmpty)
+    val firstByType = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.minBy(_.getDate(1).getTime) }
+    // single-term normalization: ewma = w0·x/w0 = x exactly
+    firstByType.foreach { r =>
+      assert(r.getDouble(3) === r.getLong(2).toDouble, s"${r.getString(0)}")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0)
+      assert(r.getDouble(4) > 0.0)
+      assert(r.getBoolean(5) === (r.getDouble(4) > 1.5))
+    }
+  }
+
+  test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
+    val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
+    assert(rows.length === 10)
+    val toks = rows.map(_.getLong(2))
+    val vocab = rows.map(_.getLong(3))
+    assert(toks.toSeq === toks.sorted.toSeq)
+    assert(vocab.toSeq === vocab.sorted.toSeq)
+    assert(vocab.last <= toks.last)
+    // final decile covers the whole shingle universe
+    val allVocab = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(explode(graft.functions.ShingleFunctions
+        .md5ShingleKeys(col("text"), 3)).as("w"))
+      .select("w").distinct().count()
+    assert(vocab.last === allVocab)
+    // growth must be REAL on this corpus (the word-level unit
+    // saturates and fits 0 — the reason the unit is the 3-shingle)
+    assert(vocab.last > vocab.head)
+    val beta = rows.head.getDouble(6)
+    assert(beta > 0.0 && beta < 1.2, s"beta=$beta")
+    assert(rows.forall(_.getDouble(6) === beta))
+  }
+}
