@@ -530,6 +530,273 @@ object DiagnosticsQueries {
         .orderBy("decile")
     })
 
+  // -------------------------------------------------------------- ks
+
+  /** Two-sample Kolmogorov–Smirnov test (X113 — Kolmogorov 1933 /
+    * Smirnov 1939: max ECDF gap, the distribution-FREE "did this
+    * cohort's length profile shift?" screen that needs no binning
+    * choice, unlike χ²/PSI — here: English vs non-English document
+    * lengths). Scale shape: values compress to a DISTINCT-VALUE table
+    * with per-sample multiplicities (one keyed aggregate), then BOTH
+    * cumulative counts run in ONE [[graft.ops.PrefixSum.runningTotalsAsc]]
+    * two-pass sweep — no partition-less window, no second shuffle for
+    * the second sample. D-statistic rows are element-wise off exact
+    * integer cumulatives; the α=0.05 critical value
+    * 1.358·√((m+n)/(m·n)) is exact-integer-fed IEEE (sqrt is
+    * correctly rounded by IEEE 754 — one of the few libm calls that
+    * may cross the engine boundary unrounded). Top-20 gap rows by
+    * (D desc, v) via TakeOrdered — the full ECDF never sorts
+    * globally. */
+  val ksTest = QueryDef(
+    "q_ks_test", {
+      val da = "CAST(c.ca AS DOUBLE) / CAST(nn.n_a AS DOUBLE)"
+      val db = "CAST(c.cb AS DOUBLE) / CAST(nn.n_b AS DOUBLE)"
+      val crit = "CAST('1.358' AS DOUBLE) * " +
+        "SQRT(CAST(nn.n_a + nn.n_b AS DOUBLE) / " +
+        "(CAST(nn.n_a AS DOUBLE) * CAST(nn.n_b AS DOUBLE)))"
+      Some(s"""WITH t AS (
+                SELECT n_chars AS v,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ina,
+                       CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS inb
+                FROM documents),
+              g AS (
+                SELECT v, CAST(SUM(ina) AS BIGINT) AS na,
+                       CAST(SUM(inb) AS BIGINT) AS nb
+                FROM t GROUP BY v),
+              c AS (
+                SELECT v, CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+                       CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+                FROM g),
+              nn AS (
+                SELECT CAST(SUM(ina) AS BIGINT) AS n_a,
+                       CAST(SUM(inb) AS BIGINT) AS n_b
+                FROM t)
+              SELECT c.v, c.ca, c.cb, $da AS ecdf_a, $db AS ecdf_b,
+                     ABS($da - $db) AS d, nn.n_a, nn.n_b,
+                     $crit AS ks_crit,
+                     ABS($da - $db) > $crit AS exceeds
+              FROM c CROSS JOIN nn
+              ORDER BY d DESC, v LIMIT 20""")
+    },
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("ina"),
+        when(col("lang") === "en", 0L).otherwise(1L).as("inb"))
+      val g = t.groupBy("v")
+        .agg(sum("ina").as("na"), sum("inb").as("nb"))
+      val c = graft.ops.PrefixSum
+        .runningTotalsAsc(g, Seq("na", "nb"), "v", Seq("ca", "cb"))
+      // sample sizes: one bounded 2-long driver action (X38 device)
+      val nRow = t.agg(sum("ina"), sum("inb")).head()
+      val (nA, nB) = (nRow.getLong(0), nRow.getLong(1))
+      val ea = col("ca").cast("double") / lit(nA).cast("double")
+      val eb = col("cb").cast("double") / lit(nB).cast("double")
+      val crit = 1.358 *
+        math.sqrt((nA + nB).toDouble / (nA.toDouble * nB.toDouble))
+      c.select(col("v"), col("ca"), col("cb"),
+          ea.as("ecdf_a"), eb.as("ecdf_b"), abs(ea - eb).as("d"),
+          lit(nA).as("n_a"), lit(nB).as("n_b"), lit(crit).as("ks_crit"),
+          (abs(ea - eb) > lit(crit)).as("exceeds"))
+        .orderBy(col("d").desc, col("v")).limit(20)
+    })
+
+  // ------------------------------------------------------------- psi
+
+  private val PsiFences = (1 to 9).map(_ / 10.0)
+
+  /** Population stability index (X114 — the banded drift score every
+    * model-ops rollout gates on, next to the X58 KL and X101 χ²
+    * monitors: PSI ≥ 0.2 is the canonical "retrain" alarm; unlike χ²
+    * it is symmetric-ish in the two periods and insensitive to n).
+    * Period split = midpoint of the event time range (exact integer
+    * epoch-micros arithmetic off one bounded min/max action); bands =
+    * deciles of the BASELINE value distribution, qround(6)'d so both
+    * engines band against IDENTICAL fences (the X107 fence lesson),
+    * entering the Spark plan as driver literals (bounded stats
+    * action) and the oracle as a replayed 1-row percentile CTE.
+    * Counting is ONE keyed (type, band) aggregate with conditional
+    * period sums — no join between periods, no second scan. Laplace
+    * (+1/+10) smoothing keeps empty-in-one-period bands finite;
+    * bands empty in BOTH periods contribute nothing (absent
+    * identically on both engines — recorded, not hidden). */
+  val psiDrift = QueryDef(
+    "q_psi_drift", {
+      val fSql = PsiFences.zipWithIndex.map { case (p, i) =>
+        s"${Num.qroundSql(s"PERCENTILE_CONT($p) WITHIN GROUP " +
+          "(ORDER BY value)", 6)} AS f${i + 1}"
+      }.mkString(", ")
+      val bucketSql = (1 to 9).map(i =>
+        s"(CASE WHEN value > f.f$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val mid = "(b.mn + (b.mx - b.mn) // 2)"
+      Some(s"""WITH b AS (
+                SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+                FROM events WHERE value IS NOT NULL),
+              e2 AS (
+                SELECT event_type, value, epoch_us(ts) AS us
+                FROM events WHERE value IS NOT NULL),
+              f AS (
+                SELECT $fSql FROM e2 CROSS JOIN b WHERE us < $mid),
+              g AS (
+                SELECT event_type, $bucketSql AS band,
+                       CAST(SUM(CASE WHEN us < $mid THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cb,
+                       CAST(SUM(CASE WHEN us >= $mid THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cc
+                FROM e2 CROSS JOIN b CROSS JOIN f
+                GROUP BY 1, 2),
+              t AS (
+                SELECT event_type, CAST(SUM(cb) AS BIGINT) AS nb,
+                       CAST(SUM(cc) AS BIGINT) AS nc
+                FROM g GROUP BY 1),
+              terms AS (
+                SELECT g.event_type, t.nb, t.nc,
+                       CAST(g.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)
+                         AS p,
+                       CAST(g.cc + 1 AS DOUBLE) / CAST(t.nc + 10 AS DOUBLE)
+                         AS q
+                FROM g JOIN t USING (event_type))
+              SELECT event_type, nb AS n_base, nc AS n_cur,
+                     ${Num.qroundSql(
+                       "SUM((q - p) * " +
+                         Num.qroundSql("LN(q / p)", 6) + ")", 6)} AS psi
+              FROM terms GROUP BY event_type, nb, nc
+              ORDER BY event_type""")
+    },
+    (s, d) => {
+      val e2 = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      // period split + baseline fences: two bounded driver actions
+      // (min/max epoch micros; 9 decile doubles) — the X38 device
+      val bRow = e2.agg(min("us"), max("us")).head()
+      val mid = bRow.getLong(0) + (bRow.getLong(1) - bRow.getLong(0)) / 2
+      val fences = e2.filter(col("us") < mid)
+        .agg(percentile(col("value"),
+          array(PsiFences.map(lit(_)): _*)).as("f"))
+        .head().getSeq[Double](0)
+        .map(x => math.floor(x * 1e6 + 0.5) / 1e6) // driver-side qround
+      val band = fences.foldLeft(lit(0)) { (acc, fv) =>
+        acc + when(col("value") > fv, 1).otherwise(0)
+      }
+      val g = e2.groupBy(col("event_type"), band.as("band"))
+        .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cb"),
+          sum(when(col("us") >= mid, 1L).otherwise(0L)).as("cc"))
+      val t = g.groupBy("event_type")
+        .agg(sum("cb").as("nb"), sum("cc").as("nc"))
+      val p = (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double")
+      val q = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
+      g.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("nb"), col("nc"),
+          ((q - p) * Num.qround(log(q / p), 6)).as("term"))
+        .groupBy(col("event_type"), col("nb").as("n_base"),
+          col("nc").as("n_cur"))
+        .agg(Num.qround(sum("term"), 6).as("psi"))
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------- markov chain
+
+  /** Event-transition matrix (X115 — the first-order Markov chain of
+    * the product-analytics path report: which step follows which, the
+    * row-normalized version being what journey-drop-off dashboards
+    * and next-event predictors both read; the X9 sessionizer's
+    * aggregate twin). Consecutive pairs via one lag() over the
+    * per-user partition (ties broken by event_id — a deterministic
+    * total order), transition counts one keyed aggregate, the
+    * from-marginal a 5-row broadcast join; probabilities one IEEE
+    * divide off exact counts. */
+  val markovTransitions = QueryDef(
+    "q_markov_transitions",
+    Some("""WITH o AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+              FROM events),
+            p AS (
+              SELECT prev AS from_type, event_type AS to_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+            t AS (
+              SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+              FROM p GROUP BY 1)
+            SELECT p.from_type, p.to_type, p.n, t.n_from,
+                   CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS prob
+            FROM p JOIN t USING (from_type)
+            ORDER BY from_type, to_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val o = Tables.events(s, d)
+        .select(col("event_type"), lag("event_type", 1).over(w).as("prev"))
+      val p = o.filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val t = p.groupBy("from_type").agg(sum("n").as("n_from"))
+      p.join(broadcast(t), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
+        .orderBy("from_type", "to_type")
+    })
+
+  // ------------------------------------------------------ burstiness
+
+  /** Inter-arrival burstiness (X116 — Goh & Barabási 2008's
+    * B = (σ−μ)/(σ+μ) over inter-event gaps: −1 = metronome, 0 =
+    * Poisson, →1 = bursty; the traffic-shape diagnostic next to
+    * X110's volume chart — two streams with identical daily volume
+    * can be a drip and a stampede). Gaps are exact integer
+    * epoch-micros diffs via one lag() over the (user, type) partition
+    * — the per-user keyed order, never a global per-type sequence
+    * (which would funnel each type's whole stream through one task);
+    * per-type μ/σ are qround(6)'d aggregates, B and CV element-wise
+    * off the rounded pair. σ of a single gap is NULL by explicit
+    * guard on BOTH engines (Spark's stddev_samp yields NaN, DuckDB's
+    * NULL — the guard replaces the divergence). */
+  val burstiness = QueryDef(
+    "q_burstiness",
+    Some(s"""WITH o AS (
+              SELECT event_type, epoch_us(ts) AS us,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pus
+              FROM events),
+            g AS (
+              SELECT event_type,
+                     CAST(us - pus AS DOUBLE) / 1000000.0 AS gap
+              FROM o WHERE pus IS NOT NULL),
+            a AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                     ${Num.qroundSql("AVG(gap)", 6)} AS mu,
+                     CASE WHEN COUNT(*) > 1 THEN
+                       ${Num.qroundSql("STDDEV_SAMP(gap)", 6)} END AS sigma
+              FROM g GROUP BY 1)
+            SELECT event_type, n_gaps, mu, sigma,
+                   sigma / NULLIF(mu, 0) AS cv,
+                   (sigma - mu) / NULLIF(sigma + mu, 0) AS burstiness
+            FROM a ORDER BY event_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val o = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          lag(unix_micros(col("ts")), 1).over(w).as("pus"))
+      val a = o.filter(col("pus").isNotNull)
+        .select(col("event_type"),
+          ((col("us") - col("pus")).cast("double") / lit(1000000.0))
+            .as("gap"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          Num.qround(avg("gap"), 6).as("mu"),
+          when(count(lit(1)) > 1, Num.qround(stddev_samp(col("gap")), 6))
+            .as("sigma"))
+      a.select(col("event_type"), col("n_gaps"), col("mu"), col("sigma"),
+          (col("sigma") / when(col("mu") === 0, lit(null))
+            .otherwise(col("mu"))).as("cv"),
+          ((col("sigma") - col("mu")) /
+            when(col("sigma") + col("mu") === 0, lit(null))
+              .otherwise(col("sigma") + col("mu"))).as("burstiness"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
-    annotatorKappa, ewmaChart, engagementGini, heapsLaw)
+    annotatorKappa, ewmaChart, engagementGini, heapsLaw,
+    ksTest, psiDrift, markovTransitions, burstiness)
 }

@@ -114,6 +114,72 @@ class DiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q_ks_test: D rows are true ECDF gaps and respect the critical band") {
+    val rows = run("q_ks_test").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val (nA, nB) = (rows.head.getLong(6), rows.head.getLong(7))
+    val crit = rows.head.getDouble(8)
+    assert(math.abs(crit -
+      1.358 * math.sqrt((nA + nB).toDouble / (nA.toDouble * nB.toDouble)))
+      < 1e-15)
+    rows.foreach { r =>
+      val (ca, cb) = (r.getLong(1), r.getLong(2))
+      assert(ca <= nA && cb <= nB)
+      val d = math.abs(ca.toDouble / nA - cb.toDouble / nB)
+      assert(math.abs(r.getDouble(5) - d) < 1e-15)
+      assert(r.getBoolean(9) === (r.getDouble(5) > crit))
+    }
+    // rows arrive sorted by D descending
+    val ds = rows.map(_.getDouble(5))
+    assert(ds.toSeq === ds.sortBy(-_).toSeq)
+  }
+
+  test("q_psi_drift: nonnegative-ish and small on a stationary stream") {
+    val rows = run("q_psi_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      // PSI is a sum of (q-p)·ln(q/p) terms, each ≥ 0 up to the
+      // qround quantization of the ln factor
+      assert(r.getDouble(3) > -1e-4, s"${r.getString(0)}: ${r.getDouble(3)}")
+      // the synthetic stream is stationary, but at sf0.001 each
+      // period holds only ~100 events per type across 10 bands — the
+      // PSI noise floor is ~2(K−1)/n ≈ 0.18, so bound well above it
+      // while still catching a real regime shift (PSI ≥ 1)
+      assert(r.getDouble(3) < 0.75, s"${r.getString(0)}: ${r.getDouble(3)}")
+    }
+  }
+
+  test("q_markov_transitions: rows of the matrix are distributions") {
+    val rows = run("q_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rs) =>
+      val probSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(probSum - 1.0) < 1e-9, s"$from sums to $probSum")
+      val nFrom = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum === nFrom)
+    }
+  }
+
+  test("q_burstiness: B is the (σ−μ)/(σ+μ) of its own μ/σ columns") {
+    val rows = run("q_burstiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val mu = r.getDouble(2)
+      assert(mu > 0)
+      if (!r.isNullAt(3)) {
+        val sigma = r.getDouble(3)
+        assert(sigma >= 0)
+        assert(math.abs(r.getDouble(4) - sigma / mu) < 1e-15)
+        assert(math.abs(r.getDouble(5) - (sigma - mu) / (sigma + mu))
+          < 1e-15)
+        assert(r.getDouble(5) > -1.0 && r.getDouble(5) < 1.0)
+      }
+    }
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
