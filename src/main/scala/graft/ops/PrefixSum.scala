@@ -143,4 +143,48 @@ object PrefixSum {
       }
     out.drop("__psb")
   }
+
+  /** Ascending running MAX of an integral column over the total order
+    * (`orderCol` ASC, unique) — the out-of-order-depth building block
+    * (X117: lateness = running max of event time over arrival order,
+    * minus own event time). Same two-pass device; max is
+    * order-insensitive, so the bucketed form is trivially identical
+    * to the one-window form. Per-bucket maxima ride back as an
+    * exclusive prefix-max literal map; buckets before the first row
+    * fall back to Long.MinValue (no prior row → the row's own value
+    * wins, exactly like the single-window form's first row). */
+  def runningMaxAsc(df: DataFrame, valueCol: String, orderCol: String,
+      out: String, buckets: Int = 32): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"runningMaxAsc requires an integral valueCol (got $vt)")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+    val withB = df.withColumn("__psb", bucket)
+    val maxima = withB.groupBy("__psb")
+      .agg(max(col(valueCol)).as("__m"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive prefix max per bucket
+    val offsets: Map[Int, Long] = maxima
+      .scanLeft((0, Long.MinValue)) { case ((_, acc), (b, m)) =>
+        (b, math.max(acc, m))
+      }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }
+      .toMap
+    val w = Window.partitionBy("__psb").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn(out,
+        greatest(max(col(valueCol)).over(w),
+          coalesce(element_at(typedLit(offsets), col("__psb")),
+            lit(Long.MinValue))))
+      .drop("__psb")
+  }
 }

@@ -727,14 +727,45 @@ object DiagnosticsQueries {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val o = Tables.events(s, d)
         .select(col("event_type"), lag("event_type", 1).over(w).as("prev"))
-      val p = o.filter(col("prev").isNotNull)
-        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val t = p.groupBy("from_type").agg(sum("n").as("n_from"))
-      p.join(broadcast(t), "from_type")
-        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
-          (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
-        .orderBy("from_type", "to_type")
+      transitionMatrix(o.filter(col("prev").isNotNull)
+        .select(col("prev").as("from_type"),
+          col("event_type").as("to_type")))
+    })
+
+  /** Shared by the batch and streaming transition twins: pair rows →
+    * row-normalized matrix (counts one keyed aggregate, from-marginal
+    * a bounded broadcast join). */
+  private def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val p = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val t = p.groupBy("from_type").agg(sum("n").as("n_from"))
+    p.join(broadcast(t), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** The STATEFUL streaming twin of q_markov_transitions (X115b — the
+    * X99/X15 device: one (lastTs, lastId, lastType) triple per user in
+    * `flatMapGroupsWithState`, emitting append-only (from, to) pairs;
+    * see [[graft.streaming.EventStream.transitionStream]]). The
+    * driver's hash check replays the bounded events table through the
+    * real streaming runtime and the oracle is the BATCH matrix's SQL
+    * verbatim — a green row IS stream/batch transition parity. */
+  val streamTransitions = QueryDef(
+    "q_stream_transitions",
+    markovTransitions.oracle,
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val pairs = EventStream.runAvailableNow(s,
+        EventStream.transitionStream(EventStream.readEvents(s, src)),
+        "q_stream_transitions_sink", outputMode = "append",
+        statePartitions = 4)
+      // fresh attribute ids: the memory-sink View resolves to the SAME
+      // expression ids on both sides of the marginal self-join, which
+      // the analyzer rejects ("conflicting references") — re-rooting
+      // the sink output gives the join two distinct lineages
+      transitionMatrix(s.createDataFrame(pairs.rdd, pairs.schema))
     })
 
   // ------------------------------------------------------ burstiness
@@ -796,7 +827,248 @@ object DiagnosticsQueries {
         .orderBy("event_type")
     })
 
+  // ------------------------------------------------------- ooo depth
+
+  /** Out-of-order depth histogram (X117 — the watermark-sizing study a
+    * Structured Streaming deployment runs BEFORE picking
+    * `withWatermark`: lateness = running max of event time over
+    * ARRIVAL order minus own event time; the histogram's tail says
+    * how much state a given watermark abandons). The synthetic table
+    * arrives PERFECTLY ordered (event_id is ts-sorted — zero
+    * inversions, a one-band histogram), so the arrival sequence is
+    * DRESSED with a deterministic block-16 reversal (the X76
+    * corpus-dressing device: a stand-in for the reordering a
+    * distributed multi-source ingest actually produces; the integer
+    * permutation replays identically in SQL). The running max is the
+    * two-pass [[graft.ops.PrefixSum.runningMaxAsc]] — never a
+    * partition-less window; banding is a CASE chain on exact integer
+    * micros (no float in the classification path); shares divide by
+    * one bounded count action. */
+  val oooDepth = QueryDef(
+    "q_ooo_depth", {
+      val bandSql = """CASE WHEN late_us <= 0 THEN 0
+                            WHEN late_us <= 1000000 THEN 1
+                            WHEN late_us <= 10000000 THEN 2
+                            WHEN late_us <= 60000000 THEN 3
+                            WHEN late_us <= 600000000 THEN 4
+                            WHEN late_us <= 3600000000 THEN 5
+                            ELSE 6 END"""
+      val labelSql = """CASE WHEN late_us <= 0 THEN 'on_time'
+                             WHEN late_us <= 1000000 THEN 'le_1s'
+                             WHEN late_us <= 10000000 THEN 'le_10s'
+                             WHEN late_us <= 60000000 THEN 'le_1m'
+                             WHEN late_us <= 600000000 THEN 'le_10m'
+                             WHEN late_us <= 3600000000 THEN 'le_1h'
+                             ELSE 'gt_1h' END"""
+      Some(s"""WITH o AS (
+                SELECT (event_id // 16) * 16 + (15 - event_id % 16)
+                         AS arrival,
+                       epoch_us(ts) AS us
+                FROM events),
+              m AS (
+                SELECT us, MAX(us) OVER (ORDER BY arrival
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+                FROM o),
+              l AS (SELECT mx - us AS late_us FROM m),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM o)
+              SELECT $bandSql AS band, $labelSql AS band_label,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS DOUBLE) / CAST(nn.total AS DOUBLE)
+                       AS share,
+                     CAST(MAX(late_us) AS DOUBLE) / 1000000.0
+                       AS max_late_s
+              FROM l CROSS JOIN nn
+              GROUP BY band, band_label, nn.total ORDER BY band""")
+    },
+    (s, d) => {
+      val o = Tables.events(s, d)
+        .select((shiftright(col("event_id"), 4) * 16 +
+            (lit(15) - col("event_id") % 16)).as("arrival"),
+          unix_micros(col("ts")).as("us"))
+      val m = graft.ops.PrefixSum.runningMaxAsc(o, "us", "arrival", "mx")
+      val late = m.select((col("mx") - col("us")).as("late_us"))
+      val total = o.count() // bounded 1-long driver action (X38 device)
+      val bandThresholds =
+        Seq(0L, 1000000L, 10000000L, 60000000L, 600000000L, 3600000000L)
+      val bandLabels = Seq("on_time", "le_1s", "le_10s", "le_1m",
+        "le_10m", "le_1h")
+      def chain(outs: Seq[Column], default: Column): Column =
+        bandThresholds.zip(outs).foldRight(default) {
+          case ((th, out), acc) => when(col("late_us") <= th, out)
+            .otherwise(acc)
+        }
+      val band = chain((0 to 5).map(lit(_)), lit(6))
+      val label = chain(bandLabels.map(lit(_)), lit("gt_1h"))
+      late.groupBy(band.as("band"), label.as("band_label"))
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)).cast("double") / lit(total).cast("double"))
+            .as("share"),
+          (max("late_us").cast("double") / lit(1000000.0))
+            .as("max_late_s"))
+        .orderBy("band")
+    })
+
+  // ------------------------------------------------------- top paths
+
+  /** Top session paths (X118 — the full-journey report next to X115's
+    * one-step matrix: the exact ordered event-type sequence per
+    * 30-minute session, counted across sessions — what a funnel
+    * DESIGNER reads before deciding which stages to even put in the
+    * X95 funnel). Sessions reuse the X9 sessionizer's definition
+    * verbatim (lag + running flag sum over the per-user partition);
+    * each session's path is an ordered fold of its OWN events
+    * (array_sort on (ts, event_id, type) structs — bounded by session
+    * length, never a cross-session collect); top-20 by (sessions
+    * desc, path) via TakeOrdered. */
+  val topPaths = QueryDef(
+    "q_top_paths",
+    Some("""WITH g AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN epoch_us(ts) -
+                          LAG(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1
+                          WHEN LAG(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL THEN 1
+                          ELSE 0 END AS new_session
+              FROM events),
+            se AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CAST(SUM(new_session) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS session_id
+              FROM g),
+            p AS (
+              SELECT user_id, session_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM se GROUP BY 1, 2),
+            c AS (
+              SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM p GROUP BY path)
+            SELECT path, CAST(len(string_split(path, '>')) AS INT) AS steps,
+                   n_sessions, n_users
+            FROM c ORDER BY n_sessions DESC, path LIMIT 20"""),
+    (s, d) => {
+      val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val se = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(order))
+        .withColumn("new_session",
+          when(col("us") - col("prev_us") > 1800000000L, 1)
+            .when(col("prev_us").isNull, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(order.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      val p = se.groupBy("user_id", "session_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      p.groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("path"),
+          size(split(col("path"), ">")).cast("int").as("steps"),
+          col("n_sessions"), col("n_users"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    })
+
+  // ------------------------------------------------------ silhouette
+
+  /** Centroid-based simplified silhouette per label (X119 — Rousseeuw
+    * 1987's silhouette in its LINEAR centroid form, the variant that
+    * survives scale: true silhouette is O(n²) pairwise, the
+    * centroid form is one distance per (vector, cluster) — the
+    * embedding-space quality gate next to X89's balance report: "do
+    * these labels occupy separable regions at all?"). Centroids are
+    * per-(label, dim) means — one keyed aggregate over the posexploded
+    * coordinates, qround(6)'d per coordinate so both engines measure
+    * against IDENTICAL centroids — collected as label-alphabet-bounded
+    * driver metadata and re-entering the Spark plan as literal arrays
+    * (NO join at all on the Spark side; the oracle replays them as a
+    * bounded cross join). Distances are the ArrayDot left-to-right
+    * kernel (bit-identical to DuckDB's list_reduce), sqrt is
+    * IEEE-correctly-rounded; s = (b−a)/max(a,b) element-wise; only
+    * the per-label mean is qround(6)'d. */
+  val silhouette = QueryDef(
+    "q_silhouette", {
+      val dist =
+        """SQRT(list_reduce(list_transform(range(1, len(x.embedding) + 1),
+             i -> (CAST(x.embedding[i] AS DOUBLE) - c.cvec[i]) *
+                  (CAST(x.embedding[i] AS DOUBLE) - c.cvec[i])),
+           (p, q) -> p + q))"""
+      Some(s"""WITH x AS (SELECT vec_id, label, embedding FROM embeddings),
+              e1 AS (
+                SELECT label, i.i AS i,
+                       ${Num.qroundSql(
+                         "AVG(CAST(embedding[i.i] AS DOUBLE))", 6)} AS c
+                FROM x CROSS JOIN
+                  (SELECT UNNEST(range(1, 65)) AS i) AS i
+                GROUP BY label, i.i),
+              cents AS (
+                SELECT label, list(c ORDER BY i) AS cvec
+                FROM e1 GROUP BY label),
+              dd AS (
+                SELECT x.vec_id, x.label AS own, c.label AS cl,
+                       $dist AS dist
+                FROM x CROSS JOIN cents c),
+              sil AS (
+                SELECT vec_id, own,
+                       MIN(CASE WHEN cl = own THEN dist END) AS a,
+                       MIN(CASE WHEN cl <> own THEN dist END) AS b
+                FROM dd GROUP BY 1, 2)
+              SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     ${Num.qroundSql(
+                       "AVG(CASE WHEN GREATEST(a, b) > 0 THEN " +
+                         "(b - a) / GREATEST(a, b) END)", 6)} AS mean_sil,
+                     CAST(COUNT(CASE WHEN b < a THEN 1 END) AS BIGINT)
+                       AS n_misfit
+              FROM sil GROUP BY own ORDER BY label""")
+    },
+    (s, d) => {
+      import graft.functions.ArrayFunctions.arrayDot
+      val e = Tables.embeddings(s, d)
+      // centroids: label-alphabet × dim bounded driver metadata (the
+      // q_heavy_hitters sketch-collect device)
+      val centRows = e
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(Num.qround(avg(col("col").cast("double")), 6).as("c"))
+        .collect()
+      val cents: Seq[(Int, Array[Double])] = centRows
+        .groupBy(_.getInt(0))
+        .map { case (l, rs) =>
+          l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+        .toSeq.sortBy(_._1)
+      def distTo(c: Array[Double]): Column = {
+        val diffs = zip_with(col("embedding"), lit(c),
+          (x, cc) => x.cast("double") - cc)
+        sqrt(arrayDot(diffs, diffs))
+      }
+      val a = cents.foldLeft(lit(null).cast("double")) { case (acc, (l, c)) =>
+        when(col("label") === l, distTo(c)).otherwise(acc)
+      }
+      val b = least(cents.map { case (l, c) =>
+        when(col("label") =!= l, distTo(c))
+      }: _*)
+      val sil = e.select(col("label"), a.as("a"), b.as("b"))
+      sil.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          Num.qround(avg(when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))), 6)
+            .as("mean_sil"),
+          count(when(col("b") < col("a"), 1)).as("n_misfit"))
+        .orderBy("label")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
-    ksTest, psiDrift, markovTransitions, burstiness)
+    ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
+    oooDepth, topPaths, silhouette)
 }

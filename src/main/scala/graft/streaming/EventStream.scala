@@ -146,6 +146,43 @@ object EventStream {
     * min-timestamp semantics; equivalence with queries.EventQueries
     * .eventFunnel holds for in-order delivery (the sessionizeStream
     * late-data caveat applies verbatim). */
+  /** The STATEFUL streaming twin of the X115 transition matrix:
+    * `flatMapGroupsWithState` carries one (tsUs, eventId, eventType)
+    * triple — the user's LAST event — and emits one (from, to) pair
+    * per arriving event after the first. Constant state per key at
+    * any stream scale; pairs are append-only so the downstream matrix
+    * is a plain streaming-friendly keyed count. Events inside a
+    * micro-batch are ordered (ts, event_id) before the scan, so under
+    * in-order delivery (Trigger.AvailableNow over a bounded table)
+    * the pair multiset equals the batch lag() form exactly; a
+    * late-arriving event appends its pair in ARRIVAL order — the
+    * standard stream-side divergence, recorded not hidden (the
+    * sessionizeStream caveat verbatim). */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          val evs = it.toSeq.sortBy(e => (e._4, e._1))
+          var prev: Option[(Long, Long, String)] = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          evs.foreach { case (eid, _, typ, ts) =>
+            prev.foreach { case (_, _, ptyp) => out += ((ptyp, typ)) }
+            prev = Some((ts, eid, typ))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("from_type", "to_type")
+  }
+
   def funnelStream(events: DataFrame,
       stages: Seq[String]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

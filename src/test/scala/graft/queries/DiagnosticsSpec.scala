@@ -180,6 +180,58 @@ class DiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q_stream_transitions equals the batch matrix row for row") {
+    val batch = run("q_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val stream = run("q_stream_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(stream.toSeq === batch.toSeq)
+  }
+
+  test("q_ooo_depth: shares partition the stream, depth is banded") {
+    val rows = run("q_ooo_depth").collect()
+    assert(rows.nonEmpty)
+    // the block-16 dressing must actually produce late rows
+    assert(rows.length > 1, "histogram collapsed to one band")
+    val nEvents = spark.read.parquet(s"$Sf0001/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum === nEvents)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 6)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("q_top_paths: step counts match the path strings") {
+    val rows = run("q_top_paths").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val path = r.getString(0)
+      assert(path.nonEmpty)
+      assert(r.getInt(1) === path.split(">").length)
+      assert(r.getLong(3) <= r.getLong(2)) // users ≤ sessions
+    }
+    // arrives sorted by popularity
+    val ns = rows.map(_.getLong(2))
+    assert(ns.toSeq === ns.sortBy(-_).toSeq)
+  }
+
+  test("q_silhouette: bounded scores over the full embedding set") {
+    val rows = run("q_silhouette").collect()
+    assert(rows.nonEmpty)
+    val nVecs = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nVecs)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val sil = r.getDouble(2)
+        assert(sil >= -1.0 && sil <= 1.0, s"label ${r.getInt(0)}: $sil")
+      }
+      assert(r.getLong(3) <= r.getLong(1)) // misfits ≤ members
+    }
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
