@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.Num
+import graft.ops.Bloom
 import graft.{QueryDef, Tables}
 
 /** Distribution diagnostics and robust statistics — the measurement
@@ -1067,8 +1068,462 @@ object DiagnosticsQueries {
         .orderBy("label")
     })
 
+  // -------------------------------------------------------- ri audit
+
+  /** Referential-integrity audit (X120 — the foreign-key orphan scan
+    * every warehouse load gate runs: a child key with no parent row is
+    * how a partial load or out-of-order ingest announces itself; the
+    * star-schema twin of the X41 curation monitors). Five relations in
+    * one plan: each is a child-key aggregate LEFT-joined to the
+    * parent's distinct key set (equi-joins — AQE picks broadcast for
+    * the small dims, shuffle-hash for orders at scale) counting
+    * null-parent hits; the five 1-row summaries union. This corpus
+    * ships CLEAN — all-zero orphans IS the audit's pass state (the
+    * inverse of q_benford, whose firing is the demo), and the spec
+    * pins that contract. */
+  val riAudit = QueryDef(
+    "q_ri_audit", {
+      def rel(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation,
+              CAST(COUNT(*) AS BIGINT) AS n_child,
+              CAST(COUNT(DISTINCT c.$ck) AS BIGINT) AS n_child_keys,
+              CAST(COUNT(CASE WHEN p.$pk IS NULL THEN 1 END) AS BIGINT)
+                AS n_orphans,
+              CAST(COUNT(CASE WHEN p.$pk IS NULL THEN 1 END) AS DOUBLE) /
+                CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+            FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+              ON c.$ck = p.$pk"""
+      Some(Seq(
+        rel("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"))
+        .mkString(" UNION ALL ") + " ORDER BY relation")
+    },
+    (s, d) => {
+      def rel(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val p = parent.select(col(pk).as("__pk")).distinct()
+        child.select(col(ck).as("__ck"))
+          .join(p, col("__ck") === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            countDistinct(col("__ck")).as("n_child_keys"),
+            count(when(col("__pk").isNull, 1)).as("n_orphans"),
+            (count(when(col("__pk").isNull, 1)).cast("double") /
+              count(lit(1)).cast("double")).as("orphan_rate"))
+          .select(lit(name).as("relation"), col("n_child"),
+            col("n_child_keys"), col("n_orphans"), col("orphan_rate"))
+      }
+      val li = Tables.lineitem(s, d)
+      Seq(
+        rel("lineitem.orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        rel("lineitem.partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        rel("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        rel("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        rel("events.user_id->customer", Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"))
+        .reduce(_ unionAll _)
+        .orderBy("relation")
+    })
+
+  // --------------------------------------------------------- islands
+
+  /** Gaps-and-islands run-length profile (X121 — the value-change
+    * islands pattern next to X9's time-gap sessions: maximal runs of
+    * the SAME event type per user in event order; run-length shapes
+    * are how bot/replay traffic shows up — humans interleave, scripts
+    * repeat). Island ids = running sum of change flags over the
+    * per-user partition (the sessionize device with a value-change
+    * trigger instead of a time gap); the profile aggregates islands
+    * by (type, length) so output stays alphabet×length bounded
+    * whatever the corpus size. */
+  val islands = QueryDef(
+    "q_islands",
+    Some("""WITH g AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN LAG(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type THEN 1
+                          ELSE 0 END AS chg
+              FROM events),
+            i AS (
+              SELECT user_id, event_type,
+                     CAST(SUM(chg) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS island_id
+              FROM g),
+            r AS (
+              SELECT user_id, island_id, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS run_len
+              FROM i GROUP BY 1, 2, 3)
+            SELECT event_type, run_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM r GROUP BY 1, 2 ORDER BY event_type, run_len"""),
+    (s, d) => {
+      val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = Tables.events(s, d)
+        .withColumn("chg",
+          when(lag("event_type", 1).over(order).isNull ||
+            lag("event_type", 1).over(order) =!= col("event_type"), 1)
+            .otherwise(0))
+      // first row: LAG NULL IS DISTINCT FROM type → 1 (both engines)
+      g.withColumn("island_id",
+          sum("chg").over(order.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .groupBy("user_id", "island_id", "event_type")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("event_type", "run_len")
+        .agg(count(lit(1)).as("n_islands"))
+        .orderBy("event_type", "run_len")
+    })
+
+  // -------------------------------------------------- funnel latency
+
+  /** Funnel conversion latency (X122 — the TIME dimension of the X95
+    * funnel: the ordered view→click→purchase definition, but reporting
+    * how LONG each converting user took per leg — the metric that
+    * separates "conversion works" from "conversion takes three
+    * weeks"). Stage entries are the X95 keyed min-aggregates (first
+    * qualifying event at-or-after the prior stage's entry — three
+    * user-keyed joins, no windows, no per-user event lists); leg
+    * durations are exact integer micros diffs; per-leg mean/p50/p90
+    * are qround'd aggregates over the converting cohort. */
+  val funnelLatency = QueryDef(
+    "q_funnel_latency", {
+      def leg(name: String, fromT: String, toT: String) =
+        s"""SELECT '$name' AS leg, CAST(COUNT(*) AS BIGINT) AS n_users,
+              ${Num.qroundSql(s"AVG(($toT - $fromT) / 1000000.0)", 4)}
+                AS mean_s,
+              ${Num.qroundSql("PERCENTILE_CONT(0.5) WITHIN GROUP " +
+                s"(ORDER BY ($toT - $fromT) / 1000000.0)", 4)} AS p50_s,
+              ${Num.qroundSql("PERCENTILE_CONT(0.9) WITHIN GROUP " +
+                s"(ORDER BY ($toT - $fromT) / 1000000.0)", 4)} AS p90_s
+            FROM j WHERE $toT IS NOT NULL"""
+      Some(s"""WITH v AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS v_us
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+              c AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+                GROUP BY e.user_id),
+              p AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+                GROUP BY e.user_id),
+              j AS (
+                SELECT v.user_id, v.v_us, c.c_us, p.p_us
+                FROM v LEFT JOIN c ON v.user_id = c.user_id
+                       LEFT JOIN p ON v.user_id = p.user_id)
+              ${leg("1_view_to_click", "v_us", "c_us")}
+              UNION ALL ${leg("2_click_to_purchase", "c_us", "p_us")}
+              UNION ALL ${leg("3_view_to_purchase", "v_us", "p_us")}
+              ORDER BY leg""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") >= col("v_us"))
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") >= col("c_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val j = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      def leg(name: String, fromC: String, toC: String): DataFrame = {
+        val dur = (col(toC) - col(fromC)) / lit(1000000.0)
+        j.filter(col(toC).isNotNull)
+          .agg(count(lit(1)).as("n_users"),
+            Num.qround(avg(dur), 4).as("mean_s"),
+            Num.qround(percentile(dur, lit(0.5)), 4).as("p50_s"),
+            Num.qround(percentile(dur, lit(0.9)), 4).as("p90_s"))
+          .select(lit(name).as("leg"), col("n_users"), col("mean_s"),
+            col("p50_s"), col("p90_s"))
+      }
+      leg("1_view_to_click", "v_us", "c_us")
+        .unionAll(leg("2_click_to_purchase", "c_us", "p_us"))
+        .unionAll(leg("3_view_to_purchase", "v_us", "p_us"))
+        .orderBy("leg")
+    })
+
+  // --------------------------------------------------- recency score
+
+  /** Recency-decayed engagement score (X123 — the exponentially-
+    * time-decayed sum every ranking/retention feature store keeps:
+    * score = Σ value·2^(−age/τ), half-life τ = 7 days; a click last
+    * night outweighs a spree last quarter — the streaming-friendly
+    * alternative to windowed recounts, since the decay composes
+    * multiplicatively across snapshots). Reference "now" = max event
+    * time (one bounded action); ages are exact integer micros; each
+    * 2^(−age/τ) weight is qround(6)'d (the X63 transcendental lane —
+    * pow is not correctly-rounded libm), the weighted terms are
+    * element-wise, only the per-user sum takes the final qround. Top
+    * 20 via TakeOrdered on the canonicalized score (cross-engine
+    * deterministic ranking, user-id tie-break). */
+  val recencyScore = QueryDef(
+    "q_recency_score", {
+      val halfLifeUs = "604800000000.0" // 7 days in micros
+      Some(s"""WITH mx AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+              t AS (
+                SELECT user_id, value,
+                       ${Num.qroundSql("POWER(2.0, " +
+                         s"-((mx.now_us - epoch_us(ts)) / $halfLifeUs))", 6)}
+                         AS w
+                FROM events CROSS JOIN mx),
+              sc AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                       ${Num.qroundSql("SUM(value * w)", 6)} AS score
+                FROM t GROUP BY user_id)
+              SELECT user_id, n_events, score FROM sc
+              ORDER BY score DESC, user_id LIMIT 20""")
+    },
+    (s, d) => {
+      val halfLifeUs = 604800000000.0
+      val ev = Tables.events(s, d)
+      // reference instant: one bounded 1-long driver action
+      val nowUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val w = Num.qround(
+        pow(lit(2.0),
+          -((lit(nowUs) - unix_micros(col("ts"))) / lit(halfLifeUs))), 6)
+      ev.select(col("user_id"), (col("value") * w).as("term"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Num.qround(sum("term"), 6).as("score"))
+        .select(col("user_id"), col("n_events"), col("score"))
+        .orderBy(col("score").desc, col("user_id")).limit(20)
+    })
+
+  // --------------------------------------------------------- ab test
+
+  /** Two-proportion A/B z-test (X124 — the experiment readout every
+    * growth team runs: did treatment move conversion beyond what the
+    * pooled rate explains? The SIGNIFICANCE sibling of the X95
+    * funnel's raw rates). Cohort assignment is the portable md5
+    * hash-split ([[graft.ops.Bloom.hashMod]] — the same deterministic
+    * device as the X44 leakage split, replayed by the oracle from the
+    * hash definition itself, so assignment is auditable not just
+    * reproducible); conversion is one per-user keyed aggregate; the
+    * whole readout reduces in ONE conditional aggregate (no cohort
+    * join), z element-wise off exact integer counts (sqrt
+    * IEEE-correctly-rounded). */
+  val abTest = QueryDef(
+    "q_ab_test", {
+      val coh = Bloom.hashModSql("ab:", "user_id", 2)
+      val pa = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+      val pb = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+      val pp = "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+      // NULLIF: a degenerate cohort (everyone or no one converted →
+      // pooled variance 0) must yield NULL on BOTH engines — Spark's
+      // non-ANSI divide already nulls on a zero divisor, DuckDB would
+      // emit ±inf without the guard
+      val z = s"""(($pb) - ($pa)) /
+        NULLIF(SQRT(($pp) * (1.0 - ($pp)) *
+          (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0)"""
+      Some(s"""WITH u AS (
+                SELECT user_id, $coh AS cohort,
+                       MAX(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY user_id),
+              s AS (
+                SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN cohort = 0 THEN conv ELSE 0 END)
+                         AS BIGINT) AS conv_a,
+                       CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                       CAST(SUM(CASE WHEN cohort = 1 THEN conv ELSE 0 END)
+                         AS BIGINT) AS conv_b
+                FROM u)
+              SELECT n_a, conv_a, $pa AS p_a, n_b, conv_b, $pb AS p_b,
+                     $z AS z, ABS($z) > 1.96 AS significant
+              FROM s""")
+    },
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          Bloom.hashMod("ab:", col("user_id"), 2).as("cohort"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val agg = u.agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 0, col("conv").cast("long"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1, col("conv").cast("long"))
+          .otherwise(0L)).as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+      val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val z = (pb - pa) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))
+      agg.select(col("n_a"), col("conv_a"), pa.as("p_a"),
+        col("n_b"), col("conv_b"), pb.as("p_b"),
+        z.as("z"), (abs(z) > 1.96).as("significant"))
+    })
+
+  // ----------------------------------------------------- followed by
+
+  /** Eventual-follow support matrix (X125 — the NON-consecutive
+    * companion to X115's adjacent transitions: for each type pair
+    * (a, b), how many users ever did a STRICTLY BEFORE their last b?
+    * Sequential-pattern mining's length-2 support, the input a
+    * market-basket "people who viewed eventually purchased" claim is
+    * built on). Per-(user, type) first/last times are ONE keyed
+    * aggregate; the pair expansion is a user-keyed self-join whose
+    * per-user output is alphabet²-bounded (25 rows — an equi-join,
+    * never a product); support and per-antecedent rates reduce
+    * keyed. */
+  val followedBy = QueryDef(
+    "q_followed_by",
+    Some("""WITH s AS (
+              SELECT user_id, event_type,
+                     MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+              FROM events GROUP BY 1, 2),
+            pr AS (
+              SELECT a.event_type AS from_type, b.event_type AS to_type,
+                     CAST(COUNT(CASE WHEN a.mn < b.mx THEN 1 END)
+                       AS BIGINT) AS n_users
+              FROM s a JOIN s b ON a.user_id = b.user_id
+              GROUP BY 1, 2),
+            ante AS (
+              SELECT event_type AS from_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_users_from
+              FROM s GROUP BY 1)
+            SELECT pr.from_type, pr.to_type, pr.n_users, ante.n_users_from,
+                   CAST(pr.n_users AS DOUBLE) /
+                     CAST(ante.n_users_from AS DOUBLE) AS support
+            FROM pr JOIN ante USING (from_type)
+            ORDER BY from_type, to_type"""),
+    (s, d) => {
+      val st = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+      val a = st.select(col("user_id"), col("event_type").as("from_type"),
+        col("mn"))
+      val b = st.select(col("user_id"), col("event_type").as("to_type"),
+        col("mx"))
+      val pr = a.join(b, "user_id")
+        .groupBy("from_type", "to_type")
+        .agg(count(when(col("mn") < col("mx"), 1)).as("n_users"))
+      val ante = st.groupBy(col("event_type").as("from_type"))
+        .agg(count(lit(1)).as("n_users_from"))
+      pr.join(broadcast(ante), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_users"),
+          col("n_users_from"),
+          (col("n_users").cast("double") /
+            col("n_users_from").cast("double")).as("support"))
+        .orderBy("from_type", "to_type")
+    })
+
+  // ----------------------------------------------------- corr matrix
+
+  /** Pearson correlation matrix over the lineitem measures (X126 —
+    * the first page of any feature-engineering EDA: which measures
+    * carry independent signal; also the collinearity screen a linear
+    * quality-model fit needs). All six pairwise correlations reduce
+    * in ONE aggregate pass over the scan (Spark's corr is the
+    * numerically-stable co-moment form, same definition as DuckDB's);
+    * each is qround(6)'d — correlation is an aggregate, not
+    * element-wise. */
+  val corrMatrix = QueryDef(
+    "q_corr_matrix", {
+      def c(x: String, y: String) =
+        Num.qroundSql(s"CORR($x, $y)", 6)
+      Some(s"""SELECT ${c("l_quantity", "l_extendedprice")} AS qty_price,
+                      ${c("l_quantity", "l_discount")} AS qty_disc,
+                      ${c("l_quantity", "l_tax")} AS qty_tax,
+                      ${c("l_extendedprice", "l_discount")} AS price_disc,
+                      ${c("l_extendedprice", "l_tax")} AS price_tax,
+                      ${c("l_discount", "l_tax")} AS disc_tax
+               FROM lineitem""")
+    },
+    (s, d) => Tables.lineitem(s, d).agg(
+      Num.qround(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("qty_price"),
+      Num.qround(corr(col("l_quantity"), col("l_discount")), 6)
+        .as("qty_disc"),
+      Num.qround(corr(col("l_quantity"), col("l_tax")), 6).as("qty_tax"),
+      Num.qround(corr(col("l_extendedprice"), col("l_discount")), 6)
+        .as("price_disc"),
+      Num.qround(corr(col("l_extendedprice"), col("l_tax")), 6)
+        .as("price_tax"),
+      Num.qround(corr(col("l_discount"), col("l_tax")), 6).as("disc_tax")))
+
+  // ------------------------------------------------- pareto coverage
+
+  /** Pareto concentration coverage (X127 — "how many top users carry
+    * 50/80/95% of the traffic", the actionable readout of X111's Gini:
+    * a capacity plan caps THESE users, an outreach plan calls them).
+    * Per-user counts rank through the X52 two-pass
+    * [[graft.ops.PrefixSum.runningTotalDesc]] (busiest first, user-id
+    * tie-break — no partition-less window); coverage thresholds are
+    * EXACT integer ceilings (⌈p·total⌉ via (k·t + k)/d integer
+    * arithmetic — no float in the cut); the three counts reduce in one
+    * conditional aggregate over the cumulative column. */
+  val paretoCoverage = QueryDef(
+    "q_pareto_coverage",
+    Some("""WITH g AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY user_id),
+            c AS (
+              SELECT cnt, CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+              FROM g),
+            nn AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(SUM(cnt) AS BIGINT) AS n_events
+              FROM g)
+            SELECT nn.n_users, nn.n_events,
+                   CAST(SUM(CASE WHEN cum < (nn.n_events + 1) // 2
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n50,
+                   CAST(SUM(CASE WHEN cum < (4 * nn.n_events + 4) // 5
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n80,
+                   CAST(SUM(CASE WHEN cum < (19 * nn.n_events + 19) // 20
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n95
+            FROM c CROSS JOIN nn GROUP BY nn.n_users, nn.n_events"""),
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val c = graft.ops.PrefixSum.runningTotalDesc(g, "cnt", "cnt",
+        "user_id", "cum")
+      // totals: one bounded 2-long driver action (X38 device)
+      val nn = g.agg(count(lit(1)), sum("cnt")).head()
+      val (nUsers, nEvents) = (nn.getLong(0), nn.getLong(1))
+      def th(num: Long, den: Long) = (num * nEvents + num) / den
+      c.agg(
+        (sum(when(col("cum") < th(1, 2), 1L).otherwise(0L)) + 1).as("n50"),
+        (sum(when(col("cum") < th(4, 5), 1L).otherwise(0L)) + 1).as("n80"),
+        (sum(when(col("cum") < th(19, 20), 1L).otherwise(0L)) + 1)
+          .as("n95"))
+        .select(lit(nUsers).as("n_users"), lit(nEvents).as("n_events"),
+          col("n50"), col("n80"), col("n95"))
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
-    oooDepth, topPaths, silhouette)
+    oooDepth, topPaths, silhouette,
+    riAudit, islands, funnelLatency, recencyScore,
+    abTest, followedBy, corrMatrix, paretoCoverage)
 }

@@ -232,6 +232,114 @@ class DiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q_ri_audit: this corpus's keys are fully referenced (the contract)") {
+    val rows = run("q_ri_audit").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)} empty child")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === 0L,
+        s"${r.getString(0)} has orphans — the testdata contract broke")
+      assert(r.getDouble(4) === 0.0)
+    }
+  }
+
+  test("q_islands: island multiset re-covers every event") {
+    val rows = run("q_islands").collect()
+    assert(rows.nonEmpty)
+    val nEvents = spark.read.parquet(s"$Sf0001/events.parquet").count()
+    // Σ (run_len × n_islands) over the profile = total events
+    assert(rows.map(r => r.getLong(1) * r.getLong(2)).sum === nEvents)
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(2) >= 1))
+  }
+
+  test("q_funnel_latency: legs are ordered and compose") {
+    val rows = run("q_funnel_latency").collect()
+    assert(rows.length === 3)
+    val byLeg = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, _, _, _) = byLeg("1_view_to_click")
+    val (n2, _, _, _) = byLeg("2_click_to_purchase")
+    val (n3, _, _, _) = byLeg("3_view_to_purchase")
+    assert(n2 >= n3 && n1 >= n2, "funnel counts must be monotone")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(3) >= 0)
+      assert(r.getDouble(4) >= r.getDouble(3)) // p90 ≥ p50
+    }
+    // end-to-end latency dominates either single leg (same cohort's
+    // v→p = v→c + c→p pointwise)
+    assert(byLeg("3_view_to_purchase")._2 > 0)
+  }
+
+  test("q_recency_score: decay weights are sane and ranking is strict") {
+    val rows = run("q_recency_score").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq)
+  }
+
+  test("q_ab_test: pooled z identity and cohort exhaustiveness") {
+    val r = run("q_ab_test").head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(3),
+      r.getLong(4))
+    assert(ca <= na && cb <= nb)
+    val nUsers = spark.read.parquet(s"$Sf0001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(na + nb === nUsers)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val den = math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    if (den == 0.0) {
+      // degenerate cohort (sf0.001: every user converts) → NULL z by
+      // the explicit guard, on both engines
+      assert(r.isNullAt(6) && r.isNullAt(7))
+    } else {
+      val z = (pb - pa) / den
+      assert(math.abs(r.getDouble(6) - z) < 1e-12)
+      assert(r.getBoolean(7) === (math.abs(r.getDouble(6)) > 1.96))
+    }
+  }
+
+  test("q_followed_by: support bounded by antecedent cohort") {
+    val rows = run("q_followed_by").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"${r.getString(0)}->${r.getString(1)}")
+      val sup = r.getDouble(4)
+      assert(sup >= 0.0 && sup <= 1.0)
+    }
+    // the diagonal (a before another a) requires ≥2 events — support
+    // must still be a valid rate
+    assert(rows.exists(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("q_corr_matrix: correlations are bounded") {
+    val r = run("q_corr_matrix").head()
+    (0 until 6).foreach { i =>
+      val c = r.getDouble(i)
+      assert(c >= -1.0 && c <= 1.0, s"col $i: $c")
+    }
+  }
+
+  test("q_pareto_coverage: thresholds are monotone and exact") {
+    val r = run("q_pareto_coverage").head()
+    val (nUsers, nEvents) = (r.getLong(0), r.getLong(1))
+    val (n50, n80, n95) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n50 <= n80 && n80 <= n95 && n95 <= nUsers)
+    assert(n50 >= 1)
+    // exact-coverage identity: the top-n50 users really do carry
+    // ≥ half the events, and n50−1 do not
+    val counts = spark.read.parquet(s"$Sf0001/events.parquet")
+      .groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val cum = counts.scanLeft(0L)(_ + _).drop(1)
+    val th = (nEvents + 1) / 2
+    assert(cum(n50.toInt - 1) >= th)
+    if (n50 > 1) assert(cum(n50.toInt - 2) < th)
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
