@@ -1520,10 +1520,160 @@ object DiagnosticsQueries {
           col("n50"), col("n80"), col("n95"))
     })
 
+  // ---------------------------------------------------- window ranks
+
+  /** Relative-rank window completion (X128 — ntile / percent_rank /
+    * cume_dist, the three relative-position window functions the W1
+    * inventory didn't yet carry: quartile assignment for binned
+    * reporting, percentile position for score normalization, CDF
+    * position for threshold tuning). All three share one PARTITIONED
+    * window over a UNIQUE compound order (price, orderkey — ties in
+    * the float key alone would make ntile/row-dependent ranks
+    * nondeterministic); definitions are identical across engines
+    * (ntile: first buckets take the remainder; percent_rank:
+    * (rank−1)/(n−1); cume_dist: peers-inclusive). The rank ratios are
+    * element-wise exact integer divides. */
+  val windowRanks = QueryDef(
+    "q_window_ranks",
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(NTILE(4) OVER w AS INT) AS quartile,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderpriority, o_totalprice, o_orderkey"""),
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d).select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    })
+
+  // ----------------------------------------------------- cdc compact
+
+  /** CDC latest-wins compaction (X129 — the change-log → current-state
+    * merge every lakehouse MERGE INTO / upsert pipeline performs:
+    * each user's event stream is a change log, the compacted table
+    * keeps only the newest version per key plus its version count).
+    * One partitioned row_number + count window pass over the keyed
+    * partition (the deterministic (ts, event_id) DESC order), filter
+    * rn = 1 — never a self-join against a max-ts subquery (the
+    * classic twice-the-scan anti-pattern this operator replaces). */
+  val cdcCompact = QueryDef(
+    "q_cdc_compact",
+    Some("""WITH v AS (
+              SELECT user_id, event_id, event_type, value,
+                     CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_versions
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC))
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_type, value AS last_value,
+                   n_versions
+            FROM v WHERE rn = 1 ORDER BY user_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val cw = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_versions", count(lit(1)).over(cw))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id")
+    })
+
+  // ------------------------------------------------------- kmv union
+
+  /** KMV sketch merge-union (X130 — the associativity a 1000-executor
+    * distinct-count rollup RELIES on: per-partition sketches must
+    * merge to the same sketch a single pass would build. The gate
+    * PROVES it: the Spark side computes the union estimate by MERGING
+    * the five per-type sketches — explode + one more bounded bottom-k
+    * aggregate — while the oracle computes it DIRECTLY from the
+    * all-rows distinct hash set; a hash-green row is a cross-engine
+    * proof that merge ≡ direct, not just that both numbers look
+    * close). Per-type rows replay the q_kmv_distinct device; the
+    * portable 60-bit md5 hash keeps every value bit-exact. */
+  val kmvUnion = QueryDef(
+    "q_kmv_union", {
+      val K = 64
+      val hash = """CAST('0x' || substring(md5('kmvu:'
+        || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"""
+      val est = s"""CASE WHEN len(hs) < $K THEN CAST(len(hs) AS DOUBLE)
+             ELSE ${K - 1}.0 / (CAST(hs[$K] AS DOUBLE)
+                                / 1152921504606846976.0) END"""
+      Some(s"""WITH h AS (
+                SELECT event_type, user_id, $hash AS h FROM events),
+              d AS (SELECT DISTINCT event_type, h FROM h),
+              sk AS (
+                SELECT event_type, list(h ORDER BY h)[1:$K] AS hs
+                FROM d GROUP BY event_type),
+              pt AS (
+                SELECT event_type AS scope, $est AS kmv_est FROM sk),
+              du AS (SELECT DISTINCT h FROM h),
+              su AS (SELECT list(h ORDER BY h)[1:$K] AS hs FROM du),
+              un AS (SELECT '<union>' AS scope, $est AS kmv_est FROM su),
+              ex AS (
+                SELECT event_type AS scope,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+                FROM events GROUP BY event_type
+                UNION ALL
+                SELECT '<union>', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                FROM events)
+              SELECT ex.scope, ex.n_exact, e.kmv_est,
+                     ABS(e.kmv_est - CAST(ex.n_exact AS DOUBLE))
+                       / CAST(ex.n_exact AS DOUBLE) <= 0.3 AS within_tol
+              FROM ex JOIN (SELECT * FROM pt UNION ALL SELECT * FROM un) e
+                ON e.scope = ex.scope
+              ORDER BY ex.scope""")
+    },
+    (s, d) => {
+      import graft.functions.SketchFunctions
+      val K = 64
+      val h = conv(substring(md5(concat(lit("kmvu:"),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("user_id"), h.as("h"))
+      val perType = ev.groupBy("event_type")
+        .agg(SketchFunctions.bottomK(col("h"), K).as("sketch"),
+          countDistinct(col("user_id")).as("n_exact"))
+      // the MERGE path: per-type sketches explode back to hash rows
+      // and re-reduce through the same bounded bottom-k aggregate —
+      // 5×64 longs, the shape of an executor-level rollup
+      val merged = perType
+        .select(explode(col("sketch")).as("h"))
+        .agg(SketchFunctions.bottomK(col("h"), K).as("sketch"))
+      val unionExact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .head().getLong(0) // bounded 1-long action for the union row
+      val pt = perType.select(col("event_type").as("scope"),
+        col("n_exact"),
+        SketchFunctions.kmvEstimate(col("sketch"), K).as("kmv_est"))
+      val un = merged.select(
+        SketchFunctions.kmvEstimate(col("sketch"), K).as("kmv_est"))
+        .select(lit("<union>").as("scope"), lit(unionExact).as("n_exact"),
+          col("kmv_est"))
+      pt.unionAll(un)
+        .withColumn("within_tol",
+          abs(col("kmv_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") <= 0.3)
+        .orderBy("scope")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,
     riAudit, islands, funnelLatency, recencyScore,
-    abTest, followedBy, corrMatrix, paretoCoverage)
+    abTest, followedBy, corrMatrix, paretoCoverage,
+    windowRanks, cdcCompact, kmvUnion)
 }

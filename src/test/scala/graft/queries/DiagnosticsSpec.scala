@@ -340,6 +340,59 @@ class DiagnosticsSpec extends SparkSuite {
     if (n50 > 1) assert(cum(n50.toInt - 2) < th)
   }
 
+  test("q_window_ranks: relative ranks behave per definition") {
+    val rows = run("q_window_ranks").collect()
+    assert(rows.nonEmpty)
+    val byPart = rows.groupBy(_.getString(0))
+    byPart.foreach { case (prio, rs) =>
+      val n = rs.length
+      // quartiles partition with remainder-first sizes
+      val sizes = rs.groupBy(_.getInt(3)).map { case (q, g) => q -> g.length }
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)), prio)
+      assert(sizes.values.max - sizes.values.min <= 1, prio)
+      // percent_rank spans [0, 1], cume_dist ends at exactly 1
+      val prs = rs.map(_.getDouble(4))
+      assert(prs.min === 0.0 && prs.max === 1.0, prio)
+      val cds = rs.map(_.getDouble(5))
+      assert(cds.max === 1.0 && cds.min > 0.0, prio)
+      assert(n === rs.map(_.getLong(1)).distinct.length, prio)
+    }
+  }
+
+  test("q_cdc_compact: one current row per key, latest version wins") {
+    val rows = run("q_cdc_compact").collect()
+    val nUsers = spark.read.parquet(s"$Sf0001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.length === nUsers)
+    val nEvents = spark.read.parquet(s"$Sf0001/events.parquet").count()
+    assert(rows.map(_.getLong(4)).sum === nEvents)
+    // spot-check: the reported last event really is the max-ts row
+    // (read through Tables.events — raw parquet may carry NTZ
+    // timestamps, the r9 lesson)
+    val ev = graft.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .groupBy(_.getLong(0))
+    rows.take(10).foreach { r =>
+      val best = ev(r.getLong(0)).maxBy(e => (e.getLong(2), e.getLong(1)))
+      assert(r.getLong(1) === best.getLong(1), s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("q_kmv_union: merged sketch estimate is within contract") {
+    val rows = run("q_kmv_union").collect()
+    assert(rows.map(_.getString(0)).contains("<union>"))
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: est ${r.getDouble(2)} vs ${r.getLong(1)}")
+      assert(r.getDouble(2) > 0)
+    }
+    // the union scope counts at least as many as any single type
+    val un = rows.filter(_.getString(0) == "<union>").head.getLong(1)
+    rows.filter(_.getString(0) != "<union>")
+      .foreach(r => assert(r.getLong(1) <= un))
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
