@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.Num
+import graft.functions.{Num, Text}
 import graft.ops.Bloom
 import graft.{QueryDef, Tables}
 
@@ -1669,11 +1669,168 @@ object DiagnosticsQueries {
         .orderBy("scope")
     })
 
+  // ---------------------------------------------------- html extract
+
+  /** HTML → text extraction (X131 — THE first transform of every
+    * crawl pipeline: strip markup, decode entities, normalize
+    * whitespace; trafilatura/jusText's baseline layer re-expressed as
+    * pure codegen'd regex/replace chains — shuffle-free, scan-shaped).
+    * The corpus is plain text, so each doc is DRESSED into an HTML
+    * page (title/h1/p wrapper + planted entities — the X76 dressing
+    * device, replayed by the oracle) and then extracted BACK: tag
+    * strip via `<[^>]*>` (a literal-class regex java.util.regex and
+    * RE2 agree on), entity decode in the canonical order (&amp; LAST,
+    * so planted `&amp;lt;` decodes to the literal `&lt;` not `<`),
+    * whitespace collapse + trim. The ok column pins the round-trip:
+    * extracted text == the same normalization applied to the raw
+    * text + planted suffix. */
+  val htmlExtract = QueryDef(
+    "q_html_extract", {
+      Some("""WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                         || '</title></head><body><h1>Doc '
+                         || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+                         || '</p><p>tail &amp; &lt;raw&gt; &quot;q&#39;</p>'
+                         || '</body></html>' AS html,
+                       text
+                FROM documents),
+              x AS (
+                SELECT doc_id, html,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(
+                           regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&amp;', '&'),
+                         '\s+', ' ', 'g')) AS extracted,
+                       trim(regexp_replace(
+                         'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc '
+                           || CAST(doc_id AS VARCHAR) || ' ' || text
+                           || ' tail & <raw> "q''',
+                         '\s+', ' ', 'g')) AS expected
+                FROM h)
+              SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+                     CAST(length(extracted) AS BIGINT) AS n_chars_text,
+                     extracted = expected AS ok
+              FROM x ORDER BY doc_id""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idStr = col("doc_id").cast("string")
+      val html = concat(lit("<html><head><title>Doc "), idStr,
+        lit("</title></head><body><h1>Doc "), idStr, lit("</h1><p>"),
+        col("text"),
+        lit("</p><p>tail &amp; &lt;raw&gt; &quot;q&#39;</p>"),
+        lit("</body></html>"))
+      def normalize(c: Column): Column =
+        trim(regexp_replace(c, "\\s+", " "))
+      val extracted = normalize(
+        regexp_replace( // decode &amp; LAST — canonical entity order
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(html, "<[^>]*>", " "),
+            "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+            "&#39;", "'"), "&amp;", "&"))
+      val expected = normalize(concat(lit("Doc "), idStr, lit(" Doc "),
+        idStr, lit(" "), col("text"), lit(" tail & <raw> \"q'")))
+      docs.select(col("doc_id"),
+        length(html).cast("long").as("n_chars_html"),
+        length(extracted).cast("long").as("n_chars_text"),
+        (extracted === expected).as("ok"))
+        .orderBy("doc_id")
+    })
+
+  // -------------------------------------------------- vocab coverage
+
+  /** Tokenizer vocabulary coverage curve (X132 — coverage@k, the
+    * metric a vocab-size decision is actually made on: what share of
+    * token INSTANCES do the top-k types cover? The frequency-side
+    * twin of X112's type-growth curve, and the X127 Pareto device
+    * applied to vocabulary). Scale shape: type counts compress to a
+    * (frequency, multiplicity) table — bounded by DISTINCT frequency
+    * values, collapsed by orders of magnitude from the type universe —
+    * then BOTH running totals (types, instances) rank through the
+    * two-pass [[graft.ops.PrefixSum.runningTotalDesc]] over that
+    * compressed table. Coverage at each k is EXACT integer arithmetic:
+    * within a frequency bucket all types tie, so the partial bucket
+    * contributes (k − types_before)·freq — no per-type ranking
+    * anywhere. */
+  val vocabCoverage = QueryDef(
+    "q_coverage_at_k", {
+      val ks = Seq(10, 100, 1000)
+      val rows = ks.map { k =>
+        s"""SELECT $k AS k,
+              CAST(SUM(CASE WHEN ct <= $k THEN inst
+                WHEN ct - m < $k THEN ($k - (ct - m)) * cnt
+                ELSE 0 END) AS BIGINT) AS covered
+            FROM c"""
+      }.mkString(" UNION ALL ")
+      Some(s"""WITH tl AS (
+                SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> len(t) > 0) AS toks
+                FROM documents),
+              u AS (SELECT unnest(toks) AS w FROM tl),
+              tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM u GROUP BY w),
+              v AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m,
+                           CAST(cnt * COUNT(*) AS BIGINT) AS inst
+                    FROM tc GROUP BY cnt),
+              c AS (
+                SELECT cnt, m, inst,
+                       CAST(SUM(m) OVER (ORDER BY cnt DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS ct
+                FROM v),
+              nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                       CAST(SUM(cnt) AS BIGINT) AS n_instances
+                FROM tc),
+              kk AS ($rows)
+              SELECT kk.k, nn.n_types, nn.n_instances,
+                     LEAST(kk.covered, nn.n_instances) AS covered,
+                     CAST(LEAST(kk.covered, nn.n_instances) AS DOUBLE) /
+                       CAST(nn.n_instances AS DOUBLE) AS coverage
+              FROM kk CROSS JOIN nn ORDER BY kk.k""")
+    },
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(explode(Text.tokens(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val v = tc.groupBy("cnt")
+        .agg(count(lit(1)).as("m"), (col("cnt") * count(lit(1))).as("inst"))
+      val c = graft.ops.PrefixSum.runningTotalDesc(v, "m", "cnt", "cnt",
+        "ct")
+      // corpus totals: one bounded 2-long driver action (X38 device)
+      val nn = tc.agg(count(lit(1)), sum("cnt")).head()
+      val (nTypes, nInstances) = (nn.getLong(0), nn.getLong(1))
+      val ks = Seq(10, 100, 1000)
+      val covAgg = c.agg(
+        sum(when(col("ct") <= ks.head, col("inst"))
+          .when(col("ct") - col("m") < ks.head,
+            (lit(ks.head.toLong) - (col("ct") - col("m"))) * col("cnt"))
+          .otherwise(0L)).as(s"cov${ks.head}"),
+        ks.tail.map { k =>
+          sum(when(col("ct") <= k, col("inst"))
+            .when(col("ct") - col("m") < k,
+              (lit(k.toLong) - (col("ct") - col("m"))) * col("cnt"))
+            .otherwise(0L)).as(s"cov$k")
+        }: _*)
+      covAgg.select(explode(array(ks.map { k =>
+          struct(lit(k).as("k"), lit(nTypes).as("n_types"),
+            lit(nInstances).as("n_instances"),
+            least(col(s"cov$k"), lit(nInstances)).as("covered"),
+            (least(col(s"cov$k"), lit(nInstances)).cast("double") /
+              lit(nInstances).cast("double")).as("coverage"))
+        }: _*)).as("r"))
+        .select(col("r.k"), col("r.n_types"), col("r.n_instances"),
+          col("r.covered"), col("r.coverage"))
+        .orderBy("k")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,
     riAudit, islands, funnelLatency, recencyScore,
     abTest, followedBy, corrMatrix, paretoCoverage,
-    windowRanks, cdcCompact, kmvUnion)
+    windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage)
 }

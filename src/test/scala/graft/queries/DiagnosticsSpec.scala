@@ -393,6 +393,29 @@ class DiagnosticsSpec extends SparkSuite {
       .foreach(r => assert(r.getLong(1) <= un))
   }
 
+  test("q_html_extract: every document round-trips through the markup") {
+    val rows = run("q_html_extract").collect()
+    val nDocs = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(rows.length === nDocs)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} failed round-trip")
+      assert(r.getLong(1) > r.getLong(2)) // markup strictly adds chars
+    }
+  }
+
+  test("q_coverage_at_k: monotone in k, exact at the tail") {
+    val rows = run("q_coverage_at_k").collect().sortBy(_.getInt(0))
+    assert(rows.length === 3)
+    val covs = rows.map(_.getDouble(4))
+    assert(covs.toSeq === covs.sorted.toSeq)
+    covs.foreach(cv => assert(cv > 0.0 && cv <= 1.0))
+    val (nTypes, nInst) = (rows.head.getLong(1), rows.head.getLong(2))
+    assert(nTypes > 0 && nInst >= nTypes)
+    // k beyond the whole vocabulary covers everything exactly
+    rows.filter(_.getInt(0) >= nTypes)
+      .foreach(r => assert(r.getLong(3) === nInst))
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
