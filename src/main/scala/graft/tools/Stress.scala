@@ -713,6 +713,34 @@ object Stress {
         .agg(countDistinct("canonical_id")).collect().head.getLong(0)
     }
 
+    // X113/X117: round-11 two-pass prefix devices on a 10M-row TOTAL
+    // order — the shape a partition-less window would funnel through
+    // one task; the bucketed form must hold its parallelism
+    time("runningTotalsAsc 10M rows x 2 cols") {
+      val vals = spark.range(0, 10000000L, 1, 64).select(
+        col("id").as("v"), (col("id") % 3).as("na"),
+        (col("id") % 5).as("nb"))
+      graft.ops.PrefixSum.runningTotalsAsc(vals, Seq("na", "nb"), "v",
+          Seq("ca", "cb"))
+        .agg(max("ca"), max("cb")).collect().head.getLong(0)
+    }
+    time("runningMaxAsc 10M rows") {
+      val vals = spark.range(0, 10000000L, 1, 64).select(
+        col("id").as("arrival"),
+        pmod(xxhash64(col("id")), lit(1000000000L)).as("us"))
+      graft.ops.PrefixSum.runningMaxAsc(vals, "us", "arrival", "mx")
+        .agg(max("mx")).collect().head.getLong(0)
+    }
+    // X111: Gini over 10M members / 5 groups — members must collapse
+    // to the ≤1000 distinct activity levels BEFORE any window touches
+    // them (the op's whole scale claim)
+    time("giniByGroup 10M members, 5 groups") {
+      val m = spark.range(0, 10000000L, 1, 64).select(
+        (col("id") % 5).cast("string").as("g"),
+        (pmod(xxhash64(col("id")), lit(1000)) + 1).as("x"))
+      graft.ops.Concentration.giniByGroup(m, "g", "x").count()
+    }
+
     spark.stop()
   }
 
