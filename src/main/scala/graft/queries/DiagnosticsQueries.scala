@@ -1826,11 +1826,112 @@ object DiagnosticsQueries {
         .orderBy("k")
     })
 
+  // -------------------------------------------------- interval union
+
+  /** Interval-union dwell time (X134 — the overlapping-interval merge
+    * every engagement metric with a "time on site" number performs:
+    * each event opens a 30-minute presence interval, overlaps must
+    * count ONCE — summing per-event durations would double-count
+    * bursts exactly where engagement is highest). Classic
+    * sweep-line-as-windows: per-user running max of interval ends
+    * (1-preceding frame) marks gap starts, a running flag sum labels
+    * the merged islands (the X9/X121 device family), island spans are
+    * exact integer micros. All windows are user-partitioned. */
+  val intervalUnion = QueryDef(
+    "q_interval_union",
+    Some("""WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     epoch_us(ts) + 1800000000 AS en
+              FROM events),
+            w1 AS (
+              SELECT user_id, event_id, us, en,
+                     MAX(en) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pmax
+              FROM o),
+            f AS (
+              SELECT user_id, event_id, us, en,
+                     CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END
+                       AS new_island
+              FROM w1),
+            i AS (
+              SELECT user_id, us, en,
+                     CAST(SUM(new_island) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS island
+              FROM f),
+            isl AS (
+              SELECT user_id, island, MIN(us) AS s, MAX(en) AS e
+              FROM i GROUP BY 1, 2)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(e - s) AS BIGINT) AS active_us,
+                   CAST(SUM(e - s) AS DOUBLE) / 1000000.0 AS active_s
+            FROM isl GROUP BY user_id ORDER BY user_id"""),
+    (s, d) => {
+      val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val o = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          (unix_micros(col("ts")) + 1800000000L).as("en"))
+      val f = o
+        .withColumn("pmax", max("en").over(order.rowsBetween(
+          Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("pmax").isNull || col("us") > col("pmax"), 1)
+            .otherwise(0))
+      f.withColumn("island",
+          sum("new_island").over(order.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .groupBy("user_id", "island")
+        .agg(min("us").as("s"), max("en").as("e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("active_us"),
+          (sum(col("e") - col("s")).cast("double") / lit(1000000.0))
+            .as("active_s"))
+        .orderBy("user_id")
+    })
+
+  // --------------------------------------------------- prefix setjoin
+
+  /** Prefix-filtered exact set-similarity join (X135 — see
+    * [[graft.ops.SetJoin.prefixJaccardPairs]] for the PPJoin-lite
+    * pruning theorem). The CONTRACT here is the lossless-pruning
+    * proof, the q_kmv_union device: the Spark side runs the pruned
+    * algorithm (df-ordered prefixes → equi-join candidates → exact
+    * verify), the oracle computes the naive ALL-PAIRS ground truth —
+    * a hash-green row means the prefix filter dropped NOTHING, per
+    * run, on real data. Intersection counts are hash-invariant
+    * between shingle strings (oracle) and 60-bit md5 keys (Spark) —
+    * the X81 note. */
+  val setjoinPrefix = QueryDef(
+    "q_setjoin_prefix", {
+      val jac = "CAST(inter AS DOUBLE) / " +
+        "CAST(size_a + size_b - inter AS DOUBLE)"
+      Some(s"""${SimilarityQueries.sqlShingleCte(3)},
+              p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles))
+                         AS BIGINT) AS inter,
+                       CAST(len(a.shingles) AS BIGINT) AS size_a,
+                       CAST(len(b.shingles) AS BIGINT) AS size_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              SELECT id_a, id_b, inter, size_a, size_b, $jac AS jaccard
+              FROM p WHERE $jac >= 0.6
+              ORDER BY id_a, id_b""")
+    },
+    (s, d) => graft.ops.SetJoin
+      .prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy("id_a", "id_b"))
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,
     riAudit, islands, funnelLatency, recencyScore,
     abTest, followedBy, corrMatrix, paretoCoverage,
-    windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage)
+    windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
+    intervalUnion, setjoinPrefix)
 }

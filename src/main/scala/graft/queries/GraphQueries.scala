@@ -472,7 +472,73 @@ object GraphQueries {
             (n * (n * n - lit(1.0)))).as("rho"))
     })
 
+  /** Graph shape summary (X133 — reciprocity + degree assortativity,
+    * the two whole-graph diagnostics read next to the per-node signals
+    * X66/X80/X97: reciprocity = share of directed edges whose reverse
+    * also exists (link exchanges / mutual-citation rings run HIGH;
+    * organic web linking sits low), assortativity = Pearson r of
+    * endpoint total degrees over edges (Newman 2002 — positive: hubs
+    * link hubs; negative: hub-and-spoke). Scale shape: the simple edge
+    * set and the degree table are keyed aggregates; reciprocity is one
+    * self-equi-join on the reversed pair; assortativity one corr
+    * aggregate over degree-joined edges (two vertex-keyed joins).
+    * All three scalars are bounded driver actions re-emitted as one
+    * literal row (the X109 device — a constant-key join of 1-row
+    * frames would fold into the banned BNLJ); zero-variance degree
+    * fields degrade corr to NULL identically on both engines. */
+  val graphShape = QueryDef(
+    "q_graph_shape",
+    Some(s"""WITH e0 AS ($edgeSql),
+            se AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            r AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+              FROM se a JOIN se b ON a.src = b.dst AND a.dst = b.src),
+            ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM se),
+            deg AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT src AS v FROM se
+                    UNION ALL SELECT dst FROM se)
+              GROUP BY v),
+            dd AS (
+              SELECT da.deg AS ds, db.deg AS dt
+              FROM se JOIN deg da ON se.src = da.v
+                      JOIN deg db ON se.dst = db.v),
+            a AS (
+              SELECT ${Num.qroundSql(
+                "CORR(CAST(ds AS DOUBLE), CAST(dt AS DOUBLE))", 6)}
+                AS assortativity
+              FROM dd)
+            SELECT ne.n_edges, r.n_recip,
+                   CAST(r.n_recip AS DOUBLE) / CAST(ne.n_edges AS DOUBLE)
+                     AS reciprocity,
+                   a.assortativity
+            FROM ne CROSS JOIN r CROSS JOIN a"""),
+    (s, d) => {
+      val se = domainEdges(s, d)
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true) // reused 4×: edges, reverse, both deg joins
+      val nEdges = se.count()
+      val rev = se.select(col("dst").as("src"), col("src").as("dst"))
+      val nRecip = se.join(rev, Seq("src", "dst")).count()
+      val deg = se.select(col("src").as("v"))
+        .unionAll(se.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val aRow = se
+        .join(deg.select(col("v").as("src"), col("deg").as("ds")), "src")
+        .join(deg.select(col("v").as("dst"), col("deg").as("dt")), "dst")
+        .agg(Num.qround(corr(col("ds").cast("double"),
+          col("dt").cast("double")), 6)).head()
+      val assort: Any =
+        if (aRow.isNullAt(0) || aRow.getDouble(0).isNaN) null
+        else aRow.getDouble(0)
+      s.range(1).select(
+        lit(nEdges).as("n_edges"), lit(nRecip).as("n_recip"),
+        (lit(nRecip).cast("double") / lit(nEdges).cast("double"))
+          .as("reciprocity"),
+        lit(assort).cast("double").as("assortativity"))
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
-      domainHits, domainBfs, domainKcore, rankAgreement)
+      domainHits, domainBfs, domainKcore, rankAgreement, graphShape)
 }

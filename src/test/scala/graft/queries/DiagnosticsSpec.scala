@@ -416,6 +416,46 @@ class DiagnosticsSpec extends SparkSuite {
       .foreach(r => assert(r.getLong(3) === nInst))
   }
 
+  test("q_interval_union: dwell time between single-interval and sum bounds") {
+    val rows = run("q_interval_union").collect()
+    assert(rows.nonEmpty)
+    val perUser = graft.Tables.events(spark, Sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (u, nI, activeUs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = perUser(u)
+      assert(nI >= 1 && nI <= n)
+      // every island is ≥ one 30-min interval; union ≤ naive sum
+      assert(activeUs >= nI * 1800000000L)
+      assert(activeUs <= n * 1800000000L)
+      assert(math.abs(r.getDouble(3) - activeUs / 1e6) < 1e-9)
+    }
+  }
+
+  test("q_setjoin_prefix: pairs are genuine near-dups above threshold") {
+    val rows = run("q_setjoin_prefix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, sa, sb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getLong(0) < r.getLong(1))
+      assert(inter <= math.min(sa, sb))
+      val j = inter.toDouble / (sa + sb - inter)
+      assert(math.abs(r.getDouble(5) - j) < 1e-15)
+      assert(j >= 0.6)
+    }
+  }
+
+  test("q_graph_shape: bounded whole-graph statistics") {
+    val r = SparkEntry.queries("q_graph_shape")(spark, Sf0001).head()
+    assert(r.getLong(0) > 0)
+    assert(r.getLong(1) <= r.getLong(0))
+    val rec = r.getDouble(2)
+    assert(rec >= 0.0 && rec <= 1.0)
+    if (!r.isNullAt(3))
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
