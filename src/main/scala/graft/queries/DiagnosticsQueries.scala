@@ -1926,6 +1926,143 @@ object DiagnosticsQueries {
       .prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3)
       .orderBy("id_a", "id_b"))
 
+  // ----------------------------------------------------- welch ttest
+
+  /** Welch's unequal-variance t-test on dwell-time uplift (X136 —
+    * the CONTINUOUS-metric experiment readout next to X124's
+    * proportion z-test: conversion is binary, "did treatment change
+    * time-on-site?" needs a mean test, and Welch (1947) is the
+    * default because cohort variances are never equal in practice).
+    * The metric is the X134 interval-union dwell time (nested
+    * verbatim — the X71 composition device), cohorts the same md5
+    * hash-split as X124. One conditional aggregate produces both
+    * cohorts' n/mean/variance (means and variances qround(6)'d — they
+    * are aggregates); t and the Welch–Satterthwaite df are
+    * element-wise off the canonicalized six. */
+  val welchTtest = QueryDef(
+    "q_welch_ttest", {
+      val coh = Bloom.hashModSql("ab:", "user_id", 2)
+      val va = "va / CAST(n_a AS DOUBLE)"
+      val vb = "vb / CAST(n_b AS DOUBLE)"
+      Some(s"""WITH dw AS (${intervalUnion.oracle.get}),
+              u AS (
+                SELECT user_id, active_s, $coh AS cohort FROM dw),
+              s AS (
+                SELECT CAST(COUNT(CASE WHEN cohort = 0 THEN 1 END)
+                         AS BIGINT) AS n_a,
+                       ${Num.qroundSql(
+                         "AVG(CASE WHEN cohort = 0 THEN active_s END)", 6)}
+                         AS mean_a,
+                       ${Num.qroundSql(
+                         "VAR_SAMP(CASE WHEN cohort = 0 THEN active_s END)",
+                         6)} AS va,
+                       CAST(COUNT(CASE WHEN cohort = 1 THEN 1 END)
+                         AS BIGINT) AS n_b,
+                       ${Num.qroundSql(
+                         "AVG(CASE WHEN cohort = 1 THEN active_s END)", 6)}
+                         AS mean_b,
+                       ${Num.qroundSql(
+                         "VAR_SAMP(CASE WHEN cohort = 1 THEN active_s END)",
+                         6)} AS vb
+                FROM u)
+              SELECT n_a, mean_a, va AS var_a, n_b, mean_b, vb AS var_b,
+                     (mean_b - mean_a) / NULLIF(SQRT($va + $vb), 0.0) AS t,
+                     (($va + $vb) * ($va + $vb)) /
+                       NULLIF(($va) * ($va) / (CAST(n_a AS DOUBLE) - 1.0)
+                         + ($vb) * ($vb) / (CAST(n_b AS DOUBLE) - 1.0), 0.0)
+                       AS df_welch
+              FROM s""")
+    },
+    (s, d) => {
+      val dw = intervalUnion.fn(s, d)
+      val u = dw.select(col("user_id"), col("active_s"),
+        Bloom.hashMod("ab:", col("user_id"), 2).as("cohort"))
+      val agg = u.agg(
+        count(when(col("cohort") === 0, 1)).as("n_a"),
+        Num.qround(avg(when(col("cohort") === 0, col("active_s"))), 6)
+          .as("mean_a"),
+        Num.qround(var_samp(when(col("cohort") === 0, col("active_s"))), 6)
+          .as("va"),
+        count(when(col("cohort") === 1, 1)).as("n_b"),
+        Num.qround(avg(when(col("cohort") === 1, col("active_s"))), 6)
+          .as("mean_b"),
+        Num.qround(var_samp(when(col("cohort") === 1, col("active_s"))), 6)
+          .as("vb"))
+      val va = col("va") / col("n_a").cast("double")
+      val vb = col("vb") / col("n_b").cast("double")
+      val den = sqrt(va + vb)
+      val dfDen = va * va / (col("n_a").cast("double") - lit(1.0)) +
+        vb * vb / (col("n_b").cast("double") - lit(1.0))
+      agg.select(col("n_a"), col("mean_a"), col("va").as("var_a"),
+        col("n_b"), col("mean_b"), col("vb").as("var_b"),
+        ((col("mean_b") - col("mean_a")) /
+          when(den === 0, lit(null)).otherwise(den)).as("t"),
+        (((va + vb) * (va + vb)) /
+          when(dfDen === 0, lit(null)).otherwise(dfDen)).as("df_welch"))
+    })
+
+  // ----------------------------------------------------- item cosine
+
+  /** Item-item cosine similarity (X137 — the collaborative-filtering
+    * primitive: event types as items, per-user activity counts as the
+    * implicit-rating vectors, cosine over the user dimension — the
+    * item-based kNN recommender's entire model (Sarwar et al. 2001),
+    * and at corpus scale the "users who X also Y" co-occurrence
+    * strength). Scale shape: the rating matrix is one keyed (user,
+    * item) aggregate; pair dots expand through a user-keyed equi
+    * self-join (alphabet²-bounded per user — never a product); norms
+    * one keyed aggregate, attached via bounded broadcast joins. Dot
+    * products and squared norms are exact integers; cosine is
+    * sqrt+divide element-wise (IEEE-exact sqrt), so rows hash RAW. */
+  val itemCosine = QueryDef(
+    "q_item_cosine",
+    Some("""WITH c AS (
+              SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            d AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot,
+                     CAST(COUNT(*) AS BIGINT) AS n_users_both
+              FROM c a JOIN c b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+            nrm AS (
+              SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+              FROM c GROUP BY 1)
+            SELECT d.type_a, d.type_b, d.dot, d.n_users_both,
+                   CAST(d.dot AS DOUBLE) /
+                     (SQRT(CAST(na.sq AS DOUBLE)) *
+                      SQRT(CAST(nb.sq AS DOUBLE))) AS cosine
+            FROM d JOIN nrm na ON na.event_type = d.type_a
+                   JOIN nrm nb ON nb.event_type = d.type_b
+            ORDER BY type_a, type_b"""),
+    (s, d) => {
+      val c = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val a = c.select(col("user_id"), col("event_type").as("type_a"),
+        col("cnt").as("ca"))
+      val b = c.select(col("user_id"), col("event_type").as("type_b"),
+        col("cnt").as("cb"))
+      val dots = a.join(b, "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("ca") * col("cb")).as("dot"),
+          count(lit(1)).as("n_users_both"))
+      val nrm = c.groupBy("event_type").agg(sum(col("cnt") * col("cnt"))
+        .as("sq"))
+      dots
+        .join(broadcast(nrm.select(col("event_type").as("type_a"),
+          col("sq").as("sqa"))), "type_a")
+        .join(broadcast(nrm.select(col("event_type").as("type_b"),
+          col("sq").as("sqb"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("dot"),
+          col("n_users_both"),
+          (col("dot").cast("double") /
+            (sqrt(col("sqa").cast("double")) *
+              sqrt(col("sqb").cast("double")))).as("cosine"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -1933,5 +2070,5 @@ object DiagnosticsQueries {
     riAudit, islands, funnelLatency, recencyScore,
     abTest, followedBy, corrMatrix, paretoCoverage,
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
-    intervalUnion, setjoinPrefix)
+    intervalUnion, setjoinPrefix, welchTtest, itemCosine)
 }

@@ -456,6 +456,35 @@ class DiagnosticsSpec extends SparkSuite {
       assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q_welch_ttest: t recomputes from its own moments") {
+    val r = run("q_welch_ttest").head()
+    val (na, ma, va) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val (nb, mb, vb) = (r.getLong(3), r.getDouble(4), r.getDouble(5))
+    assert(na > 1 && nb > 1)
+    assert(va >= 0 && vb >= 0)
+    val sea = va / na; val seb = vb / nb
+    if (sea + seb > 0) {
+      val t = (mb - ma) / math.sqrt(sea + seb)
+      assert(math.abs(r.getDouble(6) - t) < 1e-9)
+      val df = (sea + seb) * (sea + seb) /
+        (sea * sea / (na - 1) + seb * seb / (nb - 1))
+      assert(math.abs(r.getDouble(7) - df) < 1e-6)
+      // Welch df is bounded by min-1 and the pooled df
+      assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2)
+    }
+  }
+
+  test("q_item_cosine: cosine is a true cosine over the rating vectors") {
+    val rows = run("q_item_cosine").collect()
+    assert(rows.length === 10) // 5 choose 2 pairs
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val cos = r.getDouble(4)
+      assert(cos > 0.0 && cos <= 1.0)
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
