@@ -30,9 +30,11 @@ import graft.functions.ShingleFunctions
 object SetJoin {
 
   /** Pairs (id_a < id_b, inter, size_a, size_b, jaccard) with
-    * jaccard ≥ 3/5 over distinct word-k-shingle md5 keys. */
+    * jaccard ≥ tauNum/tauDen over distinct word-k-shingle md5 keys.
+    * τ is carried as an exact integer fraction so the prefix length
+    * ⌈τ·n⌉ = (tauNum·n + tauDen − 1) / tauDen never touches a float. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int): DataFrame = {
+      shingleK: Int, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       ShingleFunctions.md5ShingleKeys(col(textCol), shingleK).as("sh"))
     val ex = sets.select(col("id"), explode(col("sh")).as("t"))
@@ -46,9 +48,9 @@ object SetJoin {
       .select(col("id"),
         transform(col("ord"), x => x.getField("t")).as("sh"),
         size(col("ord")).as("n"))
-    // prefix length n − ⌈(3/5)·n⌉ + 1, exact integers
-    val plen = col("n") - floor((lit(3) * col("n") + 4) / 5).cast("int") +
-      1
+    // prefix length n − ⌈τ·n⌉ + 1, exact integers
+    val plen = col("n") -
+      floor((lit(tauNum) * col("n") + (tauDen - 1)) / tauDen).cast("int") + 1
     val prefixes = ordered
       .filter(col("n") > 0)
       .select(col("id"), explode(slice(col("sh"), lit(1), plen)).as("t"))
@@ -69,7 +71,7 @@ object SetJoin {
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
       .select(col("id_a"), col("id_b"), col("inter"),
         col("size_a").cast("long").as("size_a"),
         col("size_b").cast("long").as("size_b"), col("jaccard"))

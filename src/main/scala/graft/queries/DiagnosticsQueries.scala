@@ -2063,6 +2063,243 @@ object DiagnosticsQueries {
         .orderBy("type_a", "type_b")
     })
 
+  // --------------------------------------------------- lsh dedup eval
+
+  /** LSH-dedup precision/recall evaluation (X138 — the X74 eval
+    * discipline applied to the dedup family: q_dedup_minhash's
+    * ESTIMATED-jaccard ≥ 0.4 pairs graded against the EXACT ≥ 0.4
+    * ground truth — the numbers a dedup-pipeline rollout is actually
+    * gated on; precision misses are estimate noise around the
+    * threshold, recall misses are banding. Composition only: the LSH
+    * side IS the oracle-green q_dedup_minhash, the exact side the
+    * X135 prefix join at τ = 2/5 (exact integer fraction — the
+    * all-pairs scan never runs on the Spark side); the oracle nests
+    * the minhash oracle's recursive replay verbatim (X71 device). */
+  val lshDedupEval = QueryDef(
+    "q_lsh_dedup_eval", {
+      val exact =
+        s"""${SimilarityQueries.sqlShingleCte(3).replace("WITH ", "")},
+           exactp AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE ${SimilarityQueries.sqlJaccard(
+               "a.shingles", "b.shingles")} >= 0.4)"""
+      Some(s"""WITH lsh0 AS (${SimilarityQueries.dedupMinhash.oracle.get}),
+              lshp AS (SELECT id_a, id_b FROM lsh0),
+              $exact,
+              nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lshp),
+              ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+                     FROM exactp),
+              nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+                     FROM lshp JOIN exactp USING (id_a, id_b))
+              SELECT nl.n_lsh, ne.n_exact, nh.n_hit,
+                     CAST(nh.n_hit AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE)
+                       AS precision,
+                     CAST(nh.n_hit AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+                       AS recall
+              FROM nl CROSS JOIN ne CROSS JOIN nh""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lsh = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, threshold = 0.4)
+        .select("id_a", "id_b")
+      val exact = graft.ops.SetJoin.prefixJaccardPairs(docs, "doc_id",
+        "text", 3, tauNum = 2, tauDen = 5).select("id_a", "id_b")
+        .localCheckpoint(true) // reused for count + hit join
+      // three bounded pair-count actions → one literal row (X109)
+      val lshCk = lsh.localCheckpoint(true)
+      val nL = lshCk.count()
+      val nE = exact.count()
+      val nH = lshCk.join(exact, Seq("id_a", "id_b")).count()
+      s.range(1).select(lit(nL).as("n_lsh"), lit(nE).as("n_exact"),
+        lit(nH).as("n_hit"),
+        (lit(nH).cast("double") / lit(nL).cast("double")).as("precision"),
+        (lit(nH).cast("double") / lit(nE).cast("double")).as("recall"))
+    })
+
+  // ---------------------------------------------------- kaplan-meier
+
+  /** Kaplan–Meier survival curve (X139 — Kaplan & Meier 1958, the
+    * censoring-aware time-to-event estimator every churn/conversion
+    * lifetime readout uses: subjects without the event by observation
+    * end are CENSORED, not dropped — dropping them biases survival
+    * down). Subjects = users, origin = first event, event = first
+    * purchase, censor time = corpus max timestamp (one bounded
+    * action); day-resolution times are exact integer micros floors.
+    * The risk table is alphabet-of-days bounded; BOTH cumulative
+    * lanes (at-risk depletion, then the zero-flag + fixed-point
+    * log-survival) run through
+    * [[graft.ops.PrefixSum.runningTotalsAsc]] — the ln factors cross
+    * the integer-only prefix device as FLOOR(ln·10⁶ + 0.5) fixed-point
+    * longs (the device requires exact addition; a float cumsum would
+    * be fold-order-sensitive), and S = exp(Σ/10⁶) reconstructs
+    * element-wise, qround(6). A risk set fully consumed (d = n) pins
+    * survival to EXACTLY 0 from that time on via the flag lane — no
+    * ln(0) in either engine. */
+  val kaplanMeier = QueryDef(
+    "q_kaplan_meier",
+    Some("""WITH e2 AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            mx AS (SELECT MAX(us) AS m FROM e2),
+            o AS (SELECT user_id, MIN(us) AS o_us FROM e2 GROUP BY 1),
+            p AS (SELECT user_id, MIN(us) AS p_us FROM e2
+                  WHERE event_type = 'purchase' GROUP BY 1),
+            subj AS (
+              SELECT o.user_id,
+                     CASE WHEN p.p_us IS NOT NULL
+                          THEN (p.p_us - o.o_us) // 86400000000
+                          ELSE (mx.m - o.o_us) // 86400000000 END AS t,
+                     p.p_us IS NOT NULL AS ev
+              FROM o LEFT JOIN p USING (user_id) CROSS JOIN mx),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM subj),
+            g AS (
+              SELECT t,
+                     CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d,
+                     CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c
+              FROM subj GROUP BY t),
+            w1 AS (
+              SELECT *, CAST(SUM(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+              FROM g),
+            r AS (
+              SELECT t, d, c, nn.n_subj - (cum - (d + c)) AS n_risk
+              FROM w1 CROSS JOIN nn),
+            l AS (
+              SELECT *,
+                     CASE WHEN d = n_risk THEN CAST(1 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS zf,
+                     CASE WHEN d = n_risk THEN CAST(0 AS BIGINT)
+                          ELSE CAST(FLOOR(LN(1.0 - CAST(d AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)) * 1000000 + 0.5)
+                            AS BIGINT) END AS li
+              FROM r),
+            w2 AS (
+              SELECT *, CAST(SUM(zf) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cz,
+                CAST(SUM(li) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cl
+              FROM l)
+            SELECT t AS t_day, n_risk, d AS n_events, c AS n_censored,
+                   CASE WHEN cz > 0 THEN 0.0
+                        ELSE FLOOR(EXP(CAST(cl AS DOUBLE) / 1000000.0)
+                          * 1000000 + 0.5) / 1000000 END AS survival
+            FROM w2 ORDER BY t_day"""),
+    (s, d) => {
+      val e2 = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val o = e2.groupBy("user_id").agg(min("us").as("o_us"))
+      val p = e2.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val maxUs = e2.agg(max("us")).head().getLong(0) // bounded action
+      val dayUs = 86400000000L
+      val subj = o.join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("p_us").isNotNull,
+            ((col("p_us") - col("o_us")) / dayUs).cast("long"))
+            .otherwise(((lit(maxUs) - col("o_us")) / dayUs).cast("long"))
+            .as("t"),
+          col("p_us").isNotNull.as("ev"))
+      val nSubj = subj.count() // bounded action
+      val g = subj.groupBy("t")
+        .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("ev"), 0L).otherwise(1L)).as("c"))
+        .withColumn("rm", col("d") + col("c"))
+      val w1 = graft.ops.PrefixSum.runningTotalsAsc(g, Seq("rm"), "t",
+        Seq("cum"))
+      val r = w1.withColumn("n_risk",
+        lit(nSubj) - (col("cum") - (col("d") + col("c"))))
+      val l = r
+        .withColumn("zf", when(col("d") === col("n_risk"), 1L)
+          .otherwise(0L))
+        .withColumn("li", when(col("d") === col("n_risk"), 0L)
+          .otherwise(floor(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")) * 1000000 + 0.5).cast("long")))
+      val w2 = graft.ops.PrefixSum.runningTotalsAsc(l, Seq("zf", "li"),
+        "t", Seq("cz", "cl"))
+      w2.select(col("t").as("t_day"), col("n_risk"),
+          col("d").as("n_events"), col("c").as("n_censored"),
+          when(col("cz") > 0, lit(0.0))
+            .otherwise(Num.qround(
+              exp(col("cl").cast("double") / lit(1000000.0)), 6))
+            .as("survival"))
+        .orderBy("t_day")
+    })
+
+  // ----------------------------------------------------- mutual info
+
+  /** Categorical mutual information (X140 — Shannon MI between event
+    * type and ISO weekday, the feature-selection / dependence screen:
+    * lift says WHICH cells co-occur, MI says HOW MUCH structure the
+    * pair carries overall; the symmetric cousin of X93's PMI, summed
+    * to one number). Cell and marginal counts are keyed aggregates
+    * (alphabet²-bounded output); N is one bounded action; per-cell
+    * lift = (n_xy·N)/(n_x·n_y) with its ln qround(6)'d (X63 lane);
+    * MI = Σ p_xy·ln-lift over the bounded cells — computed as a
+    * driver action over the cell table and re-emitted as a literal
+    * column (the X109 device). */
+  val mutualInfo = QueryDef(
+    "q_mutual_info",
+    Some(s"""WITH e2 AS (
+              SELECT event_type,
+                     CAST(isodow(ts) AS INT) AS dow
+              FROM events),
+            xy AS (
+              SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+              FROM e2 GROUP BY 1, 2),
+            x AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nx
+                  FROM xy GROUP BY 1),
+            y AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS ny
+                  FROM xy GROUP BY 1),
+            nn AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM xy),
+            cells AS (
+              SELECT xy.event_type, xy.dow, xy.n, x.nx, y.ny, nn.total,
+                     ${Num.qroundSql(
+                       "LN((CAST(xy.n AS DOUBLE) * CAST(nn.total AS DOUBLE))" +
+                         " / (CAST(x.nx AS DOUBLE) * CAST(y.ny AS DOUBLE)))",
+                       6)} AS ln_lift
+              FROM xy JOIN x USING (event_type) JOIN y USING (dow)
+              CROSS JOIN nn),
+            mi AS (
+              SELECT ${Num.qroundSql(
+                "SUM((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * ln_lift)",
+                6)} AS mi
+              FROM cells)
+            SELECT c.event_type, c.dow, c.n, c.ln_lift, mi.mi
+            FROM cells c CROSS JOIN mi
+            ORDER BY c.event_type, c.dow"""),
+    (s, d) => {
+      val dowIso = (pmod(dayofweek(col("ts")) + lit(5), lit(7)) + 1)
+        .cast("int")
+      val xy = Tables.events(s, d)
+        .groupBy(col("event_type"), dowIso.as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val x = xy.groupBy("event_type").agg(sum("n").as("nx"))
+      val y = xy.groupBy("dow").agg(sum("n").as("ny"))
+      val total = Tables.events(s, d).count() // bounded action
+      val lnLift = Num.qround(
+        log((col("n").cast("double") * lit(total).cast("double")) /
+          (col("nx").cast("double") * col("ny").cast("double"))), 6)
+      val cells = xy.join(broadcast(x), "event_type")
+        .join(broadcast(y), "dow")
+        .select(col("event_type"), col("dow"), col("n"),
+          lnLift.as("ln_lift"))
+        .localCheckpoint(true) // alphabet²-bounded; reused for MI + rows
+      val mi = cells
+        .agg(Num.qround(sum((col("n").cast("double") /
+          lit(total).cast("double")) * col("ln_lift")), 6))
+        .head().getDouble(0)
+      cells.select(col("event_type"), col("dow"), col("n"),
+          col("ln_lift"), lit(mi).as("mi"))
+        .orderBy("event_type", "dow")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -2070,5 +2307,6 @@ object DiagnosticsQueries {
     riAudit, islands, funnelLatency, recencyScore,
     abTest, followedBy, corrMatrix, paretoCoverage,
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
-    intervalUnion, setjoinPrefix, welchTtest, itemCosine)
+    intervalUnion, setjoinPrefix, welchTtest, itemCosine,
+    lshDedupEval, kaplanMeier, mutualInfo)
 }

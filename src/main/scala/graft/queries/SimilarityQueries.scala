@@ -47,7 +47,7 @@ object SimilarityQueries {
   }
 
   /** Distinct-set Jaccard over two shingle lists in DuckDB. */
-  private def sqlJaccard(a: String, b: String) =
+  private[queries] def sqlJaccard(a: String, b: String) =
     s"""(CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE) /
          CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"""
 

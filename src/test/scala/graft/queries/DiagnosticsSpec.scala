@@ -485,6 +485,49 @@ class DiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q_lsh_dedup_eval: grading identities hold") {
+    val r = run("q_lsh_dedup_eval").head()
+    val (nL, nE, nH) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nH <= nL && nH <= nE)
+    assert(nL > 0 && nE > 0)
+    assert(math.abs(r.getDouble(3) - nH.toDouble / nL) < 1e-15)
+    assert(math.abs(r.getDouble(4) - nH.toDouble / nE) < 1e-15)
+  }
+
+  test("q_kaplan_meier: survival is a proper decreasing step function") {
+    val rows = run("q_kaplan_meier").collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val nUsers = graft.Tables.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(1) === nUsers) // everyone at risk at t=0
+    // at-risk depletes by exactly the prior events + censors
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) === a.getLong(1) - a.getLong(2) - a.getLong(3))
+      case _ =>
+    }
+    val s = rows.map(_.getDouble(4))
+    assert(s.zip(s.tail).forall { case (x, y) => y <= x + 1e-12 })
+    s.foreach(v => assert(v >= 0.0 && v < 1.0))
+    // risk-set exhaustion (if present) pins survival to exactly 0
+    rows.filter(r => r.getLong(2) === r.getLong(1))
+      .foreach(r => assert(rows.filter(_.getLong(0) >= r.getLong(0))
+        .forall(_.getDouble(4) === 0.0)))
+  }
+
+  test("q_mutual_info: MI recomputes from its own cells and is ≥ 0-ish") {
+    val rows = run("q_mutual_info").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val mi = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) === mi))
+    val recomputed = rows.map(r =>
+      (r.getLong(2).toDouble / total) * r.getDouble(3)).sum
+    assert(math.abs(mi - recomputed) < 1e-6)
+    // MI ≥ 0 up to the qround quantization of the ln lanes
+    assert(mi > -1e-4)
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
