@@ -2300,6 +2300,116 @@ object DiagnosticsQueries {
         .orderBy("event_type", "dow")
     })
 
+  // ------------------------------------------------------ stream kmv
+
+  /** STREAMING KMV distinct-count (X141 — the X130 sketch pushed
+    * through the real streaming runtime: the bottom-k
+    * TypedImperativeAggregate runs inside a streaming `groupBy.agg`
+    * in complete mode, exercising the partial/merge machinery the
+    * incremental execution actually uses. A green row proves the
+    * MERGEABLE aggregate is streaming-safe — the property that lets
+    * one sketch pipeline serve both the batch rollup and the live
+    * dashboard). Per-type estimates + exact counts replay the
+    * q_kmv_distinct device; the oracle is pure batch SQL, so the hash
+    * check IS stream/batch sketch parity. */
+  val streamKmv = QueryDef(
+    "q_stream_kmv", {
+      val K = 64
+      val hash = """CAST('0x' || substring(md5('kmvs:'
+        || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"""
+      val est = s"""CASE WHEN len(hs) < $K THEN CAST(len(hs) AS DOUBLE)
+             ELSE ${K - 1}.0 / (CAST(hs[$K] AS DOUBLE)
+                                / 1152921504606846976.0) END"""
+      Some(s"""WITH h AS (
+                SELECT event_type, user_id, $hash AS h FROM events),
+              d AS (SELECT DISTINCT event_type, h FROM h),
+              sk AS (
+                SELECT event_type, list(h ORDER BY h)[1:$K] AS hs
+                FROM d GROUP BY event_type),
+              ex AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+                FROM events GROUP BY event_type)
+              SELECT ex.event_type, ex.n_exact, e.kmv_est,
+                     ABS(e.kmv_est - CAST(ex.n_exact AS DOUBLE))
+                       / CAST(ex.n_exact AS DOUBLE) <= 0.3 AS within_tol
+              FROM ex JOIN (SELECT event_type, $est AS kmv_est FROM sk) e
+                USING (event_type)
+              ORDER BY ex.event_type""")
+    },
+    (s, d) => {
+      import graft.functions.SketchFunctions
+      import graft.streaming.EventStream
+      val K = 64
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val h = conv(substring(md5(concat(lit("kmvs:"),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val plan = EventStream.readEvents(s, src)
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(SketchFunctions.bottomK(col("h"), K).as("sketch"))
+      val sk = EventStream.runAvailableNow(s, plan, "q_stream_kmv_sink",
+        outputMode = "complete", statePartitions = 4)
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact
+        .join(broadcast(s.createDataFrame(sk.rdd, sk.schema)),
+          "event_type")
+        .select(col("event_type"), col("n_exact"),
+          SketchFunctions.kmvEstimate(col("sketch"), K).as("kmv_est"))
+        .withColumn("within_tol",
+          abs(col("kmv_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") <= 0.3)
+        .orderBy("event_type")
+    })
+
+  // ----------------------------------------------------- seasonal dow
+
+  /** Day-of-week seasonal baseline (X142 — the de-seasonalization
+    * step X88's z-score and X110's EWMA both skip: Monday traffic is
+    * structurally unlike Sunday traffic, and a raw volume monitor
+    * either alarms every weekend or is too loose to catch a real
+    * weekday dip; ratio-to-same-weekday-mean is the one-line seasonal
+    * adjustment every ops dashboard ships first). Daily counts are
+    * the keyed aggregate; each ISO weekday's mean over the
+    * calendar-bounded daily table is a second keyed aggregate joined
+    * back on (type, dow); the residual ratio is element-wise off the
+    * qround(6)'d mean. */
+  val seasonalDow = QueryDef(
+    "q_seasonal_dow",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(isodow(ts) AS INT) AS dow,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2, 3),
+            m AS (
+              SELECT event_type, dow,
+                     ${Num.qroundSql("AVG(CAST(x AS DOUBLE))", 6)}
+                       AS dow_mean
+              FROM daily GROUP BY 1, 2)
+            SELECT d.event_type, d.day, d.dow, d.x, m.dow_mean,
+                   CAST(d.x AS DOUBLE) / m.dow_mean AS ratio,
+                   CAST(d.x AS DOUBLE) / m.dow_mean > 1.3 OR
+                   CAST(d.x AS DOUBLE) / m.dow_mean < 0.7 AS flagged
+            FROM daily d JOIN m USING (event_type, dow)
+            ORDER BY d.event_type, d.day"""),
+    (s, d) => {
+      val dowIso = (pmod(dayofweek(col("ts")) + lit(5), lit(7)) + 1)
+        .cast("int")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+          dowIso.as("dow"))
+        .agg(count(lit(1)).as("x"))
+      val m = daily.groupBy("event_type", "dow")
+        .agg(Num.qround(avg(col("x").cast("double")), 6).as("dow_mean"))
+      val ratio = col("x").cast("double") / col("dow_mean")
+      daily.join(broadcast(m), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("dow"), col("x"),
+          col("dow_mean"), ratio.as("ratio"),
+          (ratio > 1.3 || ratio < 0.7).as("flagged"))
+        .orderBy("event_type", "day")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -2308,5 +2418,5 @@ object DiagnosticsQueries {
     abTest, followedBy, corrMatrix, paretoCoverage,
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
-    lshDedupEval, kaplanMeier, mutualInfo)
+    lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow)
 }

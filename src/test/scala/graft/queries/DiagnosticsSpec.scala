@@ -528,6 +528,31 @@ class DiagnosticsSpec extends SparkSuite {
     assert(mi > -1e-4)
   }
 
+  test("q_stream_kmv: streaming sketch matches the batch sketch estimate") {
+    val stream = run("q_stream_kmv").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stream.nonEmpty)
+    stream.values.foreach { case (exact, est) =>
+      assert(exact > 0 && est > 0)
+      assert(math.abs(est - exact) / exact <= 0.3)
+    }
+    val batchTol = run("q_stream_kmv").collect().map(_.getBoolean(3))
+    assert(batchTol.forall(identity))
+  }
+
+  test("q_seasonal_dow: flag fires exactly per its own ratio") {
+    val rows = run("q_seasonal_dow").collect()
+    assert(rows.nonEmpty)
+    val nEvents = graft.Tables.events(spark, Sf0001).count()
+    assert(rows.map(_.getLong(3)).sum === nEvents)
+    rows.foreach { r =>
+      val ratio = r.getDouble(5)
+      assert(ratio > 0)
+      assert(r.getBoolean(6) === (ratio > 1.3 || ratio < 0.7))
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 7)
+    }
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
