@@ -2410,6 +2410,126 @@ object DiagnosticsQueries {
         .orderBy("event_type", "day")
     })
 
+  // ----------------------------------------------- quantile normalize
+
+  /** Cross-source quantile normalization (X143 — the ML-preprocessing
+    * transform that maps every source's length distribution onto the
+    * POOLED distribution: each doc keeps its within-source rank but
+    * takes the pooled value at that rank, so a verbose source and a
+    * terse source become comparable without per-source scalar hacks —
+    * microarray-normalization's trick, Bolstad 2003, applied to
+    * corpus stats). Three scale-honest stages: (1) within-source
+    * percent_rank — a source-partitioned window; (2) the pooled ECDF
+    * over the DISTINCT-value table via
+    * [[graft.ops.PrefixSum.runningTotalsAsc]]; (3) the rank→value
+    * lookup = min pooled value with cdf ≥ r, found WITHOUT a global
+    * window or non-equi broadcast: ranks and cdf rows bucket into 32
+    * [0,1] ranges (equi key), each bucket supplemented with its
+    * FOLLOWING first cdf row (one 32-slot conditional aggregate —
+    * bounded driver metadata) so a forward match always exists
+    * in-bucket; the per-doc answer is one keyed min over the bounded
+    * candidates. All compared quantities are exact integer ratios —
+    * the cdf ≥ r decisions are bit-identical cross-engine, and the
+    * oracle may therefore use the naive correlated-min formulation
+    * (values are plan-shape-independent). */
+  val quantileNormalize = QueryDef(
+    "q_quantile_normalize",
+    Some("""WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     PERCENT_RANK() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS r
+              FROM documents),
+            dv AS (
+              SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS m
+              FROM documents GROUP BY n_chars),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+                   FROM documents),
+            cdf AS (
+              SELECT v, CAST(SUM(m) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM dv)
+            SELECT r.doc_id, r.source, r.n_chars, r.r,
+                   (SELECT MIN(c.v) FROM cdf c CROSS JOIN nn
+                    WHERE CAST(c.cum AS DOUBLE) / CAST(nn.total AS DOUBLE)
+                      >= r.r) AS norm_chars
+            FROM r ORDER BY r.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val r = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        percent_rank().over(w).as("r"))
+      val dv = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+      val total = docs.count() // bounded action
+      val cdf = graft.ops.PrefixSum.runningTotalsAsc(dv, Seq("m"), "v",
+          Seq("cum"))
+        .select(col("v"),
+          (col("cum").cast("double") / lit(total).cast("double"))
+            .as("cdf"))
+      val B = 32
+      def bucketOf(c: Column) = least(floor(c * B).cast("int"), lit(B - 1))
+      // per-bucket forward supplement: for bucket k, the first cdf row
+      // at-or-after (k+1)/B — ONE 32-slot conditional aggregate, then
+      // bounded driver metadata re-entering as a 32-row frame
+      val supRow = cdf.agg(
+        min(when(col("cdf") >= lit(1.0 / B), struct(col("cdf"), col("v"))))
+          .as("s0"),
+        (1 until B).map { k =>
+          min(when(col("cdf") >= lit((k + 1).toDouble / B),
+            struct(col("cdf"), col("v")))).as(s"s$k")
+        }: _*).head()
+      val sup = (0 until B).flatMap { k =>
+        val st = supRow.getStruct(k)
+        if (st == null) None
+        else Some((k, st.getDouble(0), st.getLong(1)))
+      }
+      import s.implicits._
+      val supDf = sup.toDF("bucket", "cdf", "v")
+      val cands = cdf.withColumn("bucket", bucketOf(col("cdf")))
+        .select("bucket", "cdf", "v")
+        .unionAll(supDf)
+      val joined = r.withColumn("bucket", bucketOf(col("r")))
+        .join(cands, "bucket")
+        .groupBy("doc_id", "source", "n_chars", "r")
+        .agg(min(when(col("cdf") >= col("r"), col("v")))
+          .as("norm_chars"))
+      joined.select(col("doc_id"), col("source"), col("n_chars"),
+          col("r"), col("norm_chars"))
+        .orderBy("doc_id")
+    })
+
+  // --------------------------------------------------- balanced sample
+
+  /** Balanced per-class sample (X144 — "n examples per class", the
+    * draw every eval-set and few-shot-prompt builder makes; the
+    * class-conditional sibling of X31's stratified rates: rates keep
+    * PROPORTIONS, this forces EQUAL counts, deliberately re-weighting
+    * rare classes). Deterministic: order within class by the portable
+    * md5 draw (doc-id tie-break), keep rank ≤ k via one
+    * class-partitioned row_number — no global shuffle beyond the
+    * class key. */
+  val balancedSample = QueryDef(
+    "q_balanced_sample", {
+      val h = Bloom.hashModSql("bal:", "doc_id", 1000000)
+      Some(s"""WITH r AS (
+                SELECT lang, doc_id, $h AS draw,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY $h, doc_id) AS BIGINT) AS rank
+                FROM documents)
+              SELECT lang, doc_id, draw, rank
+              FROM r WHERE rank <= 10 ORDER BY lang, rank""")
+    },
+    (s, d) => {
+      val draw = Bloom.hashMod("bal:", col("doc_id"), 1000000)
+      val w = Window.partitionBy("lang").orderBy(draw, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), draw.as("draw"),
+          row_number().over(w).cast("long").as("rank"))
+        .filter(col("rank") <= 10)
+        .orderBy("lang", "rank")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -2418,5 +2538,6 @@ object DiagnosticsQueries {
     abTest, followedBy, corrMatrix, paretoCoverage,
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
-    lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow)
+    lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
+    quantileNormalize, balancedSample)
 }

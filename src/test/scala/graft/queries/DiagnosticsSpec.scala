@@ -553,6 +553,45 @@ class DiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q_quantile_normalize: the mapped value is the true pooled quantile") {
+    val rows = run("q_quantile_normalize").collect()
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = docs.length
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val (rank, norm) = (r.getDouble(3), r.getLong(4))
+      assert(rank >= 0.0 && rank <= 1.0)
+      // recompute min{v : ecdf(v) >= rank} from the raw sorted pool
+      val expected = docs(docs.indices.find(i =>
+        (i + 1).toDouble / n >= rank).get)
+      assert(norm === expected, s"doc ${r.getLong(0)} rank=$rank")
+    }
+    // normalization preserves within-source order
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDouble(3))
+      val norms = sorted.map(_.getLong(4))
+      assert(norms.toSeq === norms.sorted.toSeq)
+    }
+  }
+
+  test("q_balanced_sample: k per class, deterministically drawn") {
+    val rows = run("q_balanced_sample").collect()
+    val byLang = rows.groupBy(_.getString(0))
+    val langSizes = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length === math.min(10L, langSizes(lang)))
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length)
+      // ranks are 1..k and ordered by the draw
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rs.length).toSeq)
+      val draws = sorted.map(_.getLong(2))
+      assert(draws.toSeq === draws.sorted.toSeq)
+    }
+  }
+
   test("q_heaps_law: growth curve is monotone and β is sublinear-ish") {
     val rows = run("q_heaps_law").collect().sortBy(_.getInt(0))
     assert(rows.length === 10)
