@@ -43,23 +43,43 @@ object Bench {
     // (best, second) spread to let a reader separate box noise from
     // real regressions mechanically. The headline figures still use
     // best-of-2.
-    val results: Seq[(String, Long, Long, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def timed(): (Long, Boolean) = {
-          val t0 = System.nanoTime()
-          val ok = try { run(fn); true } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-          ((System.nanoTime() - t0) / 1000000L, ok)
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (String, Long, Long, Boolean) = {
+      def timed(): (Long, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = try { run(fn); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
         }
-        val (ms1, ok1) = timed()
-        if (!ok1) (name, ms1, ms1, false)
-        else {
-          val (ms2, ok2) = timed()
-          (name, math.min(ms1, ms2), math.max(ms1, ms2), ok2)
-        }
+        ((System.nanoTime() - t0) / 1000000L, ok)
       }
+      val (ms1, ok1) = timed()
+      if (!ok1) (name, ms1, ms1, false)
+      else {
+        val (ms2, ok2) = timed()
+        (name, math.min(ms1, ms2), math.max(ms1, ms2), ok2)
+      }
+    }
+    // Noise index (VERDICT r11 #6): the same fixed reference query
+    // (q1_agg, best-of-2) timed at session start / middle / end. The
+    // code is identical at all three points, so the spread measures
+    // the CONTAINER's throughput swing during this run — the
+    // round-over-round comparator divides it out instead of re-timing
+    // by hand. Emitted as the three times plus max/min ratio.
+    val refFn = SparkEntry.queries("q1_agg")
+    def refTime(): Long = timeOne("q1_agg(ref)", refFn)._2
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val noiseStart = refTime()
+    val (firstHalf, secondHalf) = sorted.splitAt(sorted.size / 2)
+    val resultsA = firstHalf.map { case (n, f) => timeOne(n, f) }
+    val noiseMid = refTime()
+    val resultsB = secondHalf.map { case (n, f) => timeOne(n, f) }
+    val noiseEnd = refTime()
+    val results: Seq[(String, Long, Long, Boolean)] = resultsA ++ resultsB
+    val noise = Seq(noiseStart, noiseMid, noiseEnd)
+    val noiseIndex =
+      noise.max.toDouble / math.max(1L, noise.min).toDouble
     val failed = results.collect { case (n, _, _, false) => n }
     // Times are kept as integral milliseconds so per-query values,
     // omitted_sec, and the total agree EXACTLY in decimal (no
@@ -86,13 +106,28 @@ object Bench {
     val spread = results.sortBy(t => -t._3).map { case (n, best, other, _) =>
       "\"" + n + "\":[" + fmt(best) + "," + fmt(other) + "]"
     }.mkString(""","spread":{""", ",", "}")
-    Files.writeString(fullPath, jsonLine(byTime, spread))
+    // IO-bound queries (VERDICT r11 #5): these pay a real disk write
+    // per run BY DESIGN (the write path must stay on the bench) and
+    // are the noisiest rows — tagged so round-over-round comparison
+    // separates compute-plan time from disk noise.
+    val ioQueries = Seq("q_bucketed_join", "q_shard_write")
+      .filter(n => results.exists(_._1 == n))
+    val ioMs = results.filter(r => ioQueries.contains(r._1)).map(_._2).sum
+    val meta =
+      s""","io_queries":${ioQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","io_sec":${fmt(ioMs)},"compute_sec":${fmt(totalMs - ioMs)}""" +
+      s""","noise_ref":[${noise.map(fmt).mkString(",")}]""" +
+      s""","noise_index":${String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(noiseIndex))}"""
+    Files.writeString(fullPath, jsonLine(byTime, spread + meta))
     System.err.println(s"[bench] full per-query JSON: $fullPath")
     // Final stdout line: slowest 40 only, so line + sbt's trailing
     // "[success]" banner both fit inside the driver's tail capture.
     val (kept, omitted) = byTime.splitAt(40)
     val extra =
-      s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"full":"$fullPath""""
+      s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"noise_index":${
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(noiseIndex))
+      },"full":"$fullPath""""
     println(jsonLine(kept, extra))
     spark.stop()
   }

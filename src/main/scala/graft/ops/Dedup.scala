@@ -114,11 +114,6 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 0,
       threshold: Double = 0.7, bucketCap: Int = 1000,
       portableKeys: Boolean = false): DataFrame = {
-    val (nBands, rows) =
-      if (bands == 0) optimalBanding(numHashes, threshold)
-      else { require(numHashes % bands == 0, "bands must divide numHashes")
-        (bands, numHashes / bands) }
-
     // one-pass tokenize+shingle+hash: shingle sets live as array<long>
     // end to end (8-byte elements through the candidate shuffle, no
     // string materialization)
@@ -126,6 +121,25 @@ object Dedup {
       (if (portableKeys) ShingleFunctions.md5ShingleKeys(col(textCol), shingleK)
        else ShingleFunctions.shingleHashes(col(textCol), shingleK))
         .as("shingles"))
+    minhashPairsFromShingles(sh, numHashes, bands, threshold, bucketCap)
+  }
+
+  /** [[minhashPairs]] over an ALREADY-shingled frame `(id, shingles:
+    * array<long>)` — the entry point for callers that share one
+    * shingle pass across several pipelines (q_lsh_dedup_eval feeds the
+    * same localCheckpoint'ed frame to this AND the exact prefix join,
+    * so the corpus is tokenized once, not per pipeline). Semantics and
+    * plan from the shingle sets on are identical to [[minhashPairs]]:
+    * any injective shingle→long keying yields the same verified pair
+    * set, since both the minhash s-curve and the exact Jaccard are
+    * functions of the underlying shingle SETS. */
+  def minhashPairsFromShingles(sh: DataFrame, numHashes: Int = 128,
+      bands: Int = 0, threshold: Double = 0.7,
+      bucketCap: Int = 1000): DataFrame = {
+    val (nBands, rows) =
+      if (bands == 0) optimalBanding(numHashes, threshold)
+      else { require(numHashes % bands == 0, "bands must divide numHashes")
+        (bands, numHashes / bands) }
     val bucketed = sh.select(col("id"),
       HashFunctions.minhashBandBuckets(col("shingles"), nBands, rows)
         .as("buckets"))

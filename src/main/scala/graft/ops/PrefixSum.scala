@@ -94,17 +94,28 @@ object PrefixSum {
   }
 
   /** Ascending running totals of SEVERAL integral value columns over
-    * the total order (`scoreCol` ASC, unique — e.g. a distinct-value
-    * table keyed by the score itself): the ECDF building block (X113 —
-    * a two-sample KS needs BOTH samples' cumulative counts over the
-    * SAME merged value order, and computing them in one two-pass sweep
-    * halves the shuffles vs two independent cumsums). Same device as
-    * [[runningTotalDesc]]: sampled boundary buckets → partitioned
+    * the total order (`distinctScoreCol` ASC): the ECDF building block
+    * (X113 — a two-sample KS needs BOTH samples' cumulative counts over
+    * the SAME merged value order, and computing them in one two-pass
+    * sweep halves the shuffles vs two independent cumsums). Same device
+    * as [[runningTotalDesc]]: sampled boundary buckets → partitioned
     * cumsum per column → per-bucket totals (a `buckets`-sized driver
     * collect) ride back as exclusive-prefix literal maps. Bit-identical
-    * to the one-window form (integer addition only — enforced). */
+    * to the one-window form (integer addition only — enforced).
+    *
+    * PRECONDITION (doc-visible in the param name — ADVICE r11):
+    * `distinctScoreCol` must be UNIQUE per row. It alone is the total
+    * order, and a ROWS frame over a tied order is nondeterministic:
+    * tied keys yield unspecified cumulative values AT the tied rows
+    * (the running total after a tied block is still exact — addition
+    * commutes — but how it distributes within the block is not;
+    * pinned in PrefixSumSpec "tied keys"). Callers feed
+    * grouped/distinct-value tables, where uniqueness holds by
+    * construction. */
   def runningTotalsAsc(df: DataFrame, valueCols: Seq[String],
-      scoreCol: String, outs: Seq[String], buckets: Int = 32): DataFrame = {
+      distinctScoreCol: String, outs: Seq[String],
+      buckets: Int = 32): DataFrame = {
+    val scoreCol = distinctScoreCol
     require(valueCols.nonEmpty && valueCols.size == outs.size)
     valueCols.foreach { vc =>
       val vt = df.schema(vc).dataType

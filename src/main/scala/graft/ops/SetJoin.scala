@@ -34,9 +34,23 @@ object SetJoin {
     * τ is carried as an exact integer fraction so the prefix length
     * ⌈τ·n⌉ = (tauNum·n + tauDen − 1) / tauDen never touches a float. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      ShingleFunctions.md5ShingleKeys(col(textCol), shingleK).as("sh"))
+      shingleK: Int, tauNum: Int = 3, tauDen: Int = 5): DataFrame =
+    prefixJaccardPairsFromSets(
+      docs.select(col(idCol).as("id"),
+        ShingleFunctions.md5ShingleKeys(col(textCol), shingleK).as("sh")),
+      tauNum, tauDen)
+
+  /** [[prefixJaccardPairs]] over an ALREADY-shingled frame `(id, sh:
+    * array<long>)` of DISTINCT per-doc keys — the shared-shingle-pass
+    * entry point (q_lsh_dedup_eval feeds one localCheckpoint'ed
+    * shingle frame to this and to the MinHash pipeline). The key
+    * function only has to be injective on shingles: the prefix-filter
+    * theorem, the df-rarest global order, and the exact Jaccard all
+    * operate on the sets themselves, so the verified pair set is
+    * keying-independent (the internal candidate pruning order may
+    * differ — lossless either way). */
+  def prefixJaccardPairsFromSets(sets: DataFrame, tauNum: Int = 3,
+      tauDen: Int = 5): DataFrame = {
     val ex = sets.select(col("id"), explode(col("sh")).as("t"))
     val df = ex.groupBy("t").agg(count(lit(1)).as("df"))
     // global rarest-first order: re-collect each set sorted by

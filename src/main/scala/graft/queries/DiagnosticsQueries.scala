@@ -550,11 +550,15 @@ object DiagnosticsQueries {
     * globally. */
   val ksTest = QueryDef(
     "q_ks_test", {
-      val da = "CAST(c.ca AS DOUBLE) / CAST(nn.n_a AS DOUBLE)"
-      val db = "CAST(c.cb AS DOUBLE) / CAST(nn.n_b AS DOUBLE)"
+      // empty-sample guard (ADVICE r11): a corpus with zero docs on
+      // either side degrades ECDF/crit to NULL identically on both
+      // engines (the q_ab_test NULLIF discipline) instead of DuckDB
+      // inf/NaN vs Spark null divergence
+      val da = "CAST(c.ca AS DOUBLE) / NULLIF(CAST(nn.n_a AS DOUBLE), 0)"
+      val db = "CAST(c.cb AS DOUBLE) / NULLIF(CAST(nn.n_b AS DOUBLE), 0)"
       val crit = "CAST('1.358' AS DOUBLE) * " +
         "SQRT(CAST(nn.n_a + nn.n_b AS DOUBLE) / " +
-        "(CAST(nn.n_a AS DOUBLE) * CAST(nn.n_b AS DOUBLE)))"
+        "NULLIF(CAST(nn.n_a AS DOUBLE) * CAST(nn.n_b AS DOUBLE), 0))"
       Some(s"""WITH t AS (
                 SELECT n_chars AS v,
                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ina,
@@ -590,14 +594,22 @@ object DiagnosticsQueries {
       // sample sizes: one bounded 2-long driver action (X38 device)
       val nRow = t.agg(sum("ina"), sum("inb")).head()
       val (nA, nB) = (nRow.getLong(0), nRow.getLong(1))
-      val ea = col("ca").cast("double") / lit(nA).cast("double")
-      val eb = col("cb").cast("double") / lit(nB).cast("double")
-      val crit = 1.358 *
-        math.sqrt((nA + nB).toDouble / (nA.toDouble * nB.toDouble))
+      // empty-sample guard (ADVICE r11): either side empty → NULL
+      // ECDF/crit on both engines, never driver-side Infinity
+      def over(c0: org.apache.spark.sql.Column, n: Long) =
+        if (n == 0L) lit(null).cast("double")
+        else c0.cast("double") / lit(n).cast("double")
+      val ea = over(col("ca"), nA)
+      val eb = over(col("cb"), nB)
+      val crit: Any =
+        if (nA == 0L || nB == 0L) null
+        else 1.358 *
+          math.sqrt((nA + nB).toDouble / (nA.toDouble * nB.toDouble))
+      val critC = lit(crit).cast("double")
       c.select(col("v"), col("ca"), col("cb"),
           ea.as("ecdf_a"), eb.as("ecdf_b"), abs(ea - eb).as("d"),
-          lit(nA).as("n_a"), lit(nB).as("n_b"), lit(crit).as("ks_crit"),
-          (abs(ea - eb) > lit(crit)).as("exceeds"))
+          lit(nA).as("n_a"), lit(nB).as("n_b"), critC.as("ks_crit"),
+          (abs(ea - eb) > critC).as("exceeds"))
         .orderBy(col("d").desc, col("v")).limit(20)
     })
 
@@ -2074,7 +2086,11 @@ object DiagnosticsQueries {
     * side IS the oracle-green q_dedup_minhash, the exact side the
     * X135 prefix join at τ = 2/5 (exact integer fraction — the
     * all-pairs scan never runs on the Spark side); the oracle nests
-    * the minhash oracle's recursive replay verbatim (X71 device). */
+    * the minhash oracle's recursive replay verbatim (X71 device).
+    * Both sides read ONE shared shingle pass (the production
+    * ShingleHashes keys — the prefix join's pair set is keying-
+    * independent, see SetJoin.prefixJaccardPairsFromSets), so the
+    * corpus is tokenized/shingled once per eval, not per side. */
   val lshDedupEval = QueryDef(
     "q_lsh_dedup_eval", {
       val exact =
@@ -2093,29 +2109,42 @@ object DiagnosticsQueries {
               nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
                      FROM lshp JOIN exactp USING (id_a, id_b))
               SELECT nl.n_lsh, ne.n_exact, nh.n_hit,
-                     CAST(nh.n_hit AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE)
-                       AS precision,
-                     CAST(nh.n_hit AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
-                       AS recall
+                     CAST(nh.n_hit AS DOUBLE) /
+                       NULLIF(CAST(nl.n_lsh AS DOUBLE), 0) AS precision,
+                     CAST(nh.n_hit AS DOUBLE) /
+                       NULLIF(CAST(ne.n_exact AS DOUBLE), 0) AS recall
               FROM nl CROSS JOIN ne CROSS JOIN nh""")
     },
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val lsh = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 128, threshold = 0.4)
-        .select("id_a", "id_b")
-      val exact = graft.ops.SetJoin.prefixJaccardPairs(docs, "doc_id",
-        "text", 3, tauNum = 2, tauDen = 5).select("id_a", "id_b")
+      // ONE shingle pass feeds both pipelines (the corpus's heaviest
+      // projection — tokenize + 3-shingle + hash — used to run twice,
+      // once per side; the shared frame is materialized once and both
+      // the banding and the prefix join read it from block storage)
+      val sh = docs.select(col("doc_id").as("id"),
+          graft.functions.ShingleFunctions
+            .shingleHashes(col("text"), 3).as("shingles"))
+        .localCheckpoint(true)
+      val lsh = graft.ops.Dedup.minhashPairsFromShingles(sh,
+        numHashes = 128, threshold = 0.4).select("id_a", "id_b")
+      val exact = graft.ops.SetJoin.prefixJaccardPairsFromSets(
+          sh.select(col("id"), col("shingles").as("sh")),
+          tauNum = 2, tauDen = 5).select("id_a", "id_b")
         .localCheckpoint(true) // reused for count + hit join
       // three bounded pair-count actions → one literal row (X109)
       val lshCk = lsh.localCheckpoint(true)
       val nL = lshCk.count()
       val nE = exact.count()
       val nH = lshCk.join(exact, Seq("id_a", "id_b")).count()
+      // degenerate corpora (zero candidate pairs on a side) degrade
+      // the ratio to NULL on both engines, not Infinity/NaN (the
+      // q_ab_test NULLIF discipline)
+      def ratio(num: Long, den: Long) =
+        when(lit(den) === 0L, lit(null).cast("double"))
+          .otherwise(lit(num).cast("double") / lit(den).cast("double"))
       s.range(1).select(lit(nL).as("n_lsh"), lit(nE).as("n_exact"),
         lit(nH).as("n_hit"),
-        (lit(nH).cast("double") / lit(nL).cast("double")).as("precision"),
-        (lit(nH).cast("double") / lit(nE).cast("double")).as("recall"))
+        ratio(nH, nL).as("precision"), ratio(nH, nE).as("recall"))
     })
 
   // ---------------------------------------------------- kaplan-meier
@@ -2427,8 +2456,12 @@ object DiagnosticsQueries {
     * [0,1] ranges (equi key), each bucket supplemented with its
     * FOLLOWING first cdf row (one 32-slot conditional aggregate —
     * bounded driver metadata) so a forward match always exists
-    * in-bucket; the per-doc answer is one keyed min over the bounded
-    * candidates. All compared quantities are exact integer ratios —
+    * in-bucket; the per-doc answer is one keyed min over candidates
+    * bounded by the bucket's cdf rows — up to distinct-values/32 per
+    * doc, so the bucket join fans out to ~n_docs·distinct/32 rows
+    * (NOT O(1) per doc; a large value domain would warrant raising
+    * the bucket count from a bounded distinct-count action — ADVICE
+    * r11). All compared quantities are exact integer ratios —
     * the cdf ≥ r decisions are bit-identical cross-engine, and the
     * oracle may therefore use the naive correlated-min formulation
     * (values are plan-shape-independent). */

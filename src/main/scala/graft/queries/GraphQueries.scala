@@ -509,8 +509,8 @@ object GraphQueries {
                 AS assortativity
               FROM dd)
             SELECT ne.n_edges, r.n_recip,
-                   CAST(r.n_recip AS DOUBLE) / CAST(ne.n_edges AS DOUBLE)
-                     AS reciprocity,
+                   CAST(r.n_recip AS DOUBLE) /
+                     NULLIF(CAST(ne.n_edges AS DOUBLE), 0) AS reciprocity,
                    a.assortativity
             FROM ne CROSS JOIN r CROSS JOIN a"""),
     (s, d) => {
@@ -531,10 +531,14 @@ object GraphQueries {
       val assort: Any =
         if (aRow.isNullAt(0) || aRow.getDouble(0).isNaN) null
         else aRow.getDouble(0)
+      // empty-graph guard (ADVICE r11): 0 edges → NULL reciprocity on
+      // both engines (oracle NULLIFs the denominator)
+      val recip =
+        if (nEdges == 0L) lit(null).cast("double")
+        else lit(nRecip).cast("double") / lit(nEdges).cast("double")
       s.range(1).select(
         lit(nEdges).as("n_edges"), lit(nRecip).as("n_recip"),
-        (lit(nRecip).cast("double") / lit(nEdges).cast("double"))
-          .as("reciprocity"),
+        recip.as("reciprocity"),
         lit(assort).cast("double").as("assortativity"))
     })
 

@@ -63,4 +63,37 @@ class PrefixSumSpec extends SparkSuite {
     val bad = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(bad.isEmpty, s"partition-less window planned:\n$sp")
   }
+
+  test("runningTotalsAsc on a unique key matches the global window") {
+    val df = (0L until 400L).map(i => (i * 3 + i % 2, 1L, i % 5))
+      .toDF("v", "na", "nb")
+    val got = PrefixSum.runningTotalsAsc(df, Seq("na", "nb"), "v",
+        Seq("ca", "cb"), buckets = 8)
+      .select("v", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .select("v", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(got === want)
+  }
+
+  test("tied keys: documented precondition failure mode (ADVICE r11)") {
+    // distinctScoreCol is REQUIRED unique. With ties, intra-block
+    // cumulative values are nondeterministic (ROWS frame over a tied
+    // order) — pin exactly what IS still guaranteed: the running
+    // total at each block's end (= max within the tied block, since
+    // every block permutation ends at the same sum) equals the exact
+    // prefix total through that key. This is the boundary a caller
+    // violating the precondition can still rely on — and nothing more.
+    val df = (0L until 300L).map(i => (i % 10, 1L)).toDF("v", "na")
+    val blockEnd = PrefixSum.runningTotalsAsc(df, Seq("na"), "v",
+        Seq("ca"), buckets = 4)
+      .groupBy("v").agg(max("ca").as("ca"))
+      .select("v", "ca").as[(Long, Long)].collect().toMap
+    val want = (0L until 10L).map(k => k -> (k + 1) * 30L).toMap
+    assert(blockEnd === want)
+  }
 }
