@@ -32,13 +32,25 @@ import org.apache.spark.sql.functions._
   * result is the deterministic round-R state, the honest contract for
   * a replayable distributed pass (the classic async variant is
   * order-dependent and unreproducible).
+  *
+  * CONVERGENCE short-circuit (VERDICT r11 #2): synchronous LPA is a
+  * deterministic function of the previous round's state, so if a round
+  * changes NO label the state is an exact fixpoint and every later
+  * round reproduces it — the loop stops early and the round-R result
+  * is unchanged. The fixed `rounds` budget remains the oscillation
+  * guard (bipartite 2-cycles never hit the fixpoint and still stop at
+  * R). The per-round change probe is one keyed join of two
+  * checkpointed fixed-width (v, label) states — the standard
+  * superstep convergence check, O(nodes) not O(corpus).
   */
 object Communities {
 
   /** @return one row per node: (v, community) after `rounds`
-    *   synchronous votes. */
+    *   synchronous votes (fewer if a round reaches an exact fixpoint).
+    * @param onRound test/diagnostic hook invoked once per EXECUTED
+    *   vote round. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, onRound: Int => Unit = _ => ()): DataFrame = {
     require(rounds >= 1)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // undirected distinct neighbour pairs; self-loops vote for the
@@ -55,7 +67,10 @@ object Communities {
       .localCheckpoint(true)
     var l = nodes.select(col("v"), col("v").as("lbl"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var t = 1
+    var converged = false
+    while (t <= rounds && !converged) {
+      onRound(t)
       val votes = nb.join(l.select(col("v").as("u"), col("lbl")), "u")
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -66,9 +81,17 @@ object Communities {
         .groupBy("v")
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("w"))
-      l = nodes.join(won, Seq("v"), "left")
+      val next = nodes.join(won, Seq("v"), "left")
         .select(col("v"), coalesce(col("w"), col("v")).as("lbl"))
         .localCheckpoint(true)
+      // empty-delta probe over two checkpointed (v, label) states:
+      // no changed label → exact fixpoint → later rounds are no-ops
+      converged = next
+        .join(l.select(col("v"), col("lbl").as("__prev")), "v")
+        .where(col("lbl") =!= col("__prev"))
+        .isEmpty
+      l = next
+      t += 1
     }
     l.select(col("v"), col("lbl").as("community"))
   }

@@ -558,6 +558,30 @@ object Stress {
         .filter(col("layer").isNotNull).count()
     }
 
+    // r11 #2 convergence short-circuit: on a PRE-converged graph
+    // (k=2 on a graph whose every node sits in a cycle — nothing ever
+    // peels) the empty-delta exit stops after ONE executed round of a
+    // 10-round budget; LPA likewise stops at its fixpoint. Returned
+    // value = rounds actually executed (the wasted-superstep count a
+    // fixed-budget loop would have paid is 10 and 10).
+    timeShuffle("kcore 10M edges CONVERGED, 10-round budget") {
+      var rounds = 0
+      // 2-regular union of 1M disjoint-ish cycles via (i, i+1M mod 2M)
+      val cyc = spark.range(0, 2000000L, 1, 32).select(
+        col("id").as("src"), ((col("id") + 1) % 2000000L).as("dst"))
+      graft.ops.KCore.onionLayers(cyc, "src", "dst", 2, 10,
+          onRound = _ => rounds += 1)
+        .filter(col("layer").isNotNull).count()
+      rounds
+    }
+    timeShuffle("lpa 10M edges, 8-round budget, fixpoint exit") {
+      var rounds = 0
+      graft.ops.Communities.labelPropagation(prEdges, "src", "dst", 8,
+          onRound = _ => rounds += 1)
+        .agg(countDistinct(col("community"))).collect().head.getLong(0)
+      rounds
+    }
+
     // X81: containment dedup at 1M docs (~58 tokens each, ~56M
     // (shingle, doc) index rows) with 2% planted quote docs (prefix
     // halves of their base doc — containment exactly 1.0). Tokens are

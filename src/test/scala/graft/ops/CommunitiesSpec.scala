@@ -64,4 +64,26 @@ class CommunitiesSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("fixpoint short-circuit stops early; oscillators run the full " +
+      "budget (r11 #2)") {
+    // triangle: round 1 {1→2,2→1,3→1}, round 2 {1,1,1}, round 3
+    // reproduces round 2 → fixpoint proven at round 3, rounds 4-10
+    // skipped — labels equal the full-budget run's
+    var executed = 0
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val c = Communities.labelPropagation(tri, "src", "dst", rounds = 10,
+        onRound = _ => executed += 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(executed === 3)
+    assert(c === lpa(Seq((1L, 2L), (2L, 3L), (3L, 1L)), rounds = 10))
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the 1–2 pair oscillates with period 2: consecutive states always
+    // differ, so the bounded budget stays the only stop — all rounds run
+    executed = 0
+    Communities.labelPropagation(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", rounds = 6, onRound = _ => executed += 1)
+      .collect()
+    assert(executed === 6)
+  }
 }

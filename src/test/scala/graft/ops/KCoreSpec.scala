@@ -68,4 +68,32 @@ class KCoreSpec extends SparkSuite {
     assert(survivors == 0L || lastRound < 10,
       s"peel not converged: $survivors survivors, last layer $lastRound")
   }
+
+  test("empty-delta short-circuit: converged graph stops early (r11 #2)") {
+    // triangle at k=2 is its own 2-core: round 1 peels nothing → the
+    // loop exits after ONE executed round despite a 10-round budget
+    var executed = 0
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val res = KCore.onionLayers(tri, "src", "dst", k = 2, rounds = 10,
+      onRound = _ => executed += 1)
+    assert(res.filter(res("layer").isNull).count() === 3)
+    assert(executed === 1)
+    // 5-node path at k=2 peels outside-in over 3 rounds; round 4 (the
+    // empty round that PROVES the fixpoint) runs, rounds 5-10 don't —
+    // and the layers equal the full-budget run's
+    executed = 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = layersWithCounter(path, k = 2, rounds = 10,
+      () => executed += 1)
+    assert(executed === 4)
+    assert(got === layers(path, k = 2, rounds = 10))
+  }
+
+  private def layersWithCounter(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int, tick: () => Unit): Map[Long, (Long, Option[Int])] =
+    KCore.onionLayers(edges.toDF("src", "dst"), "src", "dst", k, rounds,
+        onRound = _ => tick())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
 }
