@@ -118,7 +118,62 @@ class UrlSpec extends SparkSuite {
     assert(PublicSuffix.WildcardTailsByK(3).contains("kawasaki.jp"))
     assert(PublicSuffix.PlainByK(2).contains("co.uk"))
     assert(PublicSuffix.PlainByK(3).contains("qld.edu.au"))
-    assert(PublicSuffix.MaxK === 3)
+    // the expanded snapshot reaches the full PSL's depth: 4-label
+    // plain rules (blob.core.windows.net) and the 5-label AWS China
+    // compute wildcard
+    assert(PublicSuffix.PlainByK(4).contains("blob.core.windows.net"))
+    assert(PublicSuffix.WildcardTailsByK(5)
+      .contains("compute.amazonaws.com.cn"))
+    assert(PublicSuffix.MaxK === 5)
+    // both sections feed Rules; ICANN-only remains separately readable
+    assert(PublicSuffix.PrivateRules.contains("github.io"))
+    assert(!PublicSuffix.IcannRules.contains("github.io"))
+    assert(PublicSuffix.Rules.size ===
+      PublicSuffix.IcannRules.size + PublicSuffix.PrivateRules.size)
+  }
+
+  test("private-section suffixes key tenants separately (r11 #3)") {
+    assert(dom(
+      "https://alice.github.io/proj", "https://bob.github.io/other",
+      "https://deep.sub.alice.github.io/x", "https://github.io/") ===
+      Seq("alice.github.io", "bob.github.io", "alice.github.io",
+        "github.io"))
+    assert(dom("http://myblog.blogspot.com/p/1",
+      "http://app-1234.herokuapp.com/",
+      "https://tenant.s3.amazonaws.com/bucket") ===
+      Seq("myblog.blogspot.com", "app-1234.herokuapp.com",
+        "tenant.s3.amazonaws.com"))
+  }
+
+  test("deep cloud suffixes: 4/5-label rules and wildcards (r11 #3)") {
+    // plain 4-label rule: acct.blob.core.windows.net is registrable
+    assert(dom("https://acct.blob.core.windows.net/c",
+      "https://x.acct.blob.core.windows.net/c") ===
+      Seq("acct.blob.core.windows.net", "acct.blob.core.windows.net"))
+    // wildcard consumes one label: ec2-1-2-3-4.compute.amazonaws.com
+    // is a public suffix, so one more label is the registrable domain
+    assert(dom(
+      "http://i-abc.ec2-1.compute.amazonaws.com/",
+      "http://ec2-1.compute.amazonaws.com/") ===
+      Seq("i-abc.ec2-1.compute.amazonaws.com",
+        "ec2-1.compute.amazonaws.com"))
+    // 5-label China variant
+    assert(dom("http://host.ec2-1.compute.amazonaws.com.cn/") ===
+      Seq("host.ec2-1.compute.amazonaws.com.cn"))
+    // fastly's 4-label ssl suffixes
+    assert(dom("https://site.global.ssl.fastly.net/a") ===
+      Seq("site.global.ssl.fastly.net"))
+  }
+
+  test("new ICANN registries: ccTLD second levels and geo codes " +
+      "(r11 #3)") {
+    assert(dom("http://empresa.com.br/x", "http://city.ca.us/x",
+      "http://dept.gc.ca/x", "http://u.ac.at/x",
+      "http://firm.com.co/x", "http://min.gouv.sn/x",
+      "http://pref.tokyo.jp/x", "http://host.in-addr.arpa/x") ===
+      Seq("empresa.com.br", "city.ca.us", "dept.gc.ca", "u.ac.at",
+        "firm.com.co", "min.gouv.sn", "pref.tokyo.jp",
+        "host.in-addr.arpa"))
   }
 
   test("variants of one resource share one canonical form (the dedup key)") {
