@@ -223,7 +223,8 @@ object EventStream {
     * lifetime). Inner join: matches emit as soon as both sides arrive;
     * the watermark only governs state cleanup. */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
-      windowMinutes: Int = 60, lateness: String = "2 hours"): DataFrame = {
+      windowMinutes: Int = 60, lateness: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").as("l_event_id"),
         col("user_id"), col("ts").as("l_ts"))
       .withWatermark("l_ts", lateness)
@@ -235,10 +236,35 @@ object EventStream {
         col("user_id") === col("r_user_id") &&
           col("r_ts") > col("l_ts") &&
           col("r_ts") <= col("l_ts") +
-            expr(s"INTERVAL $windowMinutes MINUTES"))
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(col("l_event_id"), col("user_id"), col("r_event_id"),
         col("r_value"))
   }
+
+  /** Stream-stream LEFT OUTER interval join (VERDICT r11 #4 — the
+    * watermark-driven null-emission semantics class): same join as
+    * [[intervalJoinStream]], but a left event with NO match is
+    * null-padded and emitted ONCE — at state eviction, i.e. when the
+    * global watermark proves no future right row can still match it.
+    *
+    * The emission contract (pinned by probe and oracle): the global
+    * watermark is the MIN over both sides' watermark nodes
+    * (`min(max(l_ts), max(r_ts)) − lateness` after bounded replay,
+    * the default multipleWatermarkPolicy); an unmatched left row is
+    * evicted and emitted exactly when `l_ts + window < watermark` —
+    * any matching right row would have `r_ts ≤ l_ts + window <
+    * watermark` and be dropped as late, so the null verdict is final.
+    * Left rows NEWER than `watermark − window` remain in state,
+    * un-emitted, when a bounded replay ends — the honest streaming
+    * trade-off (an unbounded run emits them as the watermark passes);
+    * the batch-twin oracle reproduces exactly the emitted set. Inner
+    * matches emit immediately, as before — the watermark only governs
+    * the null side. */
+  def intervalJoinOuterStream(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 60, lateness: String = "2 hours"): DataFrame =
+    intervalJoinStream(left, right, windowMinutes, lateness,
+      joinType = "left_outer")
 
   /** Run a streaming plan to completion against a bounded source and
     * return the final result table (memory sink; used by tests and by

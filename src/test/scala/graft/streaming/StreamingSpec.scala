@@ -264,4 +264,61 @@ class StreamingSpec extends SparkSuite {
       .orderBy("doc_id").collect()
     assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("outer interval join: null-padded rows appear ONLY after the " +
+      "watermark passes the join horizon (r11 #4)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ojoin")
+    def writeBatch(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts_us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"),
+          (col("ts_us") * 1000).as("ts")) // nanos, like the testdata
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime * 1000L
+    val min = 60L * 1000000L
+    // batch 1: click 1 matches purchase 100 (+10 min); click 2 never
+    // matches — its null verdict must NOT appear until the watermark
+    // proves it final
+    writeBatch(Seq((1L, 1L, "click", t0), (2L, 2L, "click", t0),
+      (100L, 1L, "purchase", t0 + 10 * min)))
+    val ev = EventStream.readEvents(spark, dir.toString)
+    val joined = EventStream.intervalJoinOuterStream(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      windowMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("ojoin_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def nulls() = spark.table("ojoin_test")
+        .filter(col("r_event_id").isNull)
+        .select("l_event_id").collect().map(_.getLong(0)).toSet
+      // inner match emitted on arrival; watermark still below t0 →
+      // click 2's fate is undecided, NO null rows yet
+      assert(spark.table("ojoin_test").filter(col("r_event_id") === 100L)
+        .count() === 1L)
+      assert(nulls() === Set.empty[Long])
+      // batch 2 advances BOTH sides' event time to t0+6h (the global
+      // watermark is the min of the two sides) → watermark t0+4h at
+      // the next batch; click 2's horizon t0+60min is now provably
+      // matchless
+      writeBatch(Seq((3L, 7L, "click", t0 + 360 * min),
+        (101L, 6L, "purchase", t0 + 360 * min)))
+      q.processAllAvailable()
+      // batch 3 (same event times — no further watermark motion)
+      // guarantees a batch runs WITH the advanced watermark, which is
+      // when eviction emits
+      writeBatch(Seq((4L, 7L, "click", t0 + 361 * min),
+        (102L, 6L, "purchase", t0 + 361 * min)))
+      q.processAllAvailable()
+      // click 2 null-emitted exactly once; clicks 3/4 (newer than
+      // watermark − window) are still in state, NOT emitted; click 1
+      // matched, never null-padded
+      assert(nulls() === Set(2L))
+      assert(spark.table("ojoin_test")
+        .filter(col("l_event_id") === 2L).count() === 1L)
+    } finally q.stop()
+  }
 }
