@@ -246,7 +246,10 @@ object GraphQueries {
               FROM nodes LEFT JOIN ${out}r ON nodes.v = ${out}r.v),
             ${out}t AS (SELECT SUM(raw) AS tot FROM ${out}z),
             $out AS (
-              SELECT v, ${Num.qroundSql("raw / tot", 6)} AS s
+              -- NULLIF: an all-zero half-step (possible only on a
+              -- degenerate edgeless carve) degrades to NULL on both
+              -- engines (Spark divide-by-zero is NULL under non-ANSI)
+              SELECT v, ${Num.qroundSql("raw / NULLIF(tot, 0)", 6)} AS s
               FROM ${out}z CROSS JOIN ${out}t)"""
 
   private def hitsRoundSql(t: Int): String = {
@@ -287,6 +290,56 @@ object GraphQueries {
     (s, d) => {
       val edges = domainEdges(s, d)
       graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+        .select(col("v").as("node"), col("hub"), col("auth"))
+        .orderBy("node")
+    })
+
+  // --------------------------- X146 topic-sensitive HITS (root set)
+
+  /** Topic-sensitive HITS (X146 — Kleinberg 1999 §2's root-set
+    * construction, the r11 #8 item): seeds {0, 25} (the BFS seed
+    * tier) expand to the base set (seeds + one-hop in/out
+    * neighbours), HITS runs on the INDUCED subgraph — hubs and
+    * authorities relative to the seed topic, not the global graph.
+    * Same unrolled half-round oracle device as q_domain_hits, with
+    * the `e`/`nodes` CTEs swapped for the restricted subgraph and the
+    * base universe. */
+  val domainHitsSeeded = QueryDef(
+    "q_domain_hits_seeded",
+    Some(s"""WITH e0 AS ($edgeSql),
+            seeds AS (SELECT CAST(0 AS BIGINT) AS v
+                      UNION ALL SELECT CAST(25 AS BIGINT)),
+            nodes AS (
+              -- the Kleinberg base set: seeds + one-hop in/out nbrs
+              SELECT DISTINCT v FROM (
+                SELECT v FROM seeds
+                UNION ALL
+                SELECT e0.src AS v FROM e0
+                  JOIN seeds s ON e0.dst = s.v
+                UNION ALL
+                SELECT e0.dst AS v FROM e0
+                  JOIN seeds s ON e0.src = s.v)),
+            e AS (
+              SELECT DISTINCT src, dst FROM e0
+              WHERE src <> dst
+                AND src IN (SELECT v FROM nodes)
+                AND dst IN (SELECT v FROM nodes)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            h0 AS (SELECT nodes.v, 1.0 / nn.n AS s
+                   FROM nodes CROSS JOIN nn),
+            ${(1 to HitsRounds).map(hitsRoundSql)
+              .mkString(",\n            ")}
+            SELECT nodes.v AS node, h$HitsRounds.s AS hub,
+                   a$HitsRounds.s AS auth
+            FROM nodes
+              JOIN h$HitsRounds ON nodes.v = h$HitsRounds.v
+              JOIN a$HitsRounds ON nodes.v = a$HitsRounds.v
+            ORDER BY node"""),
+    (s, d) => {
+      import s.implicits._
+      val edges = domainEdges(s, d)
+      val seeds = Seq(0L, 25L).toDF("v")
+      graft.ops.Hits.runSeeded(edges, "src", "dst", seeds, HitsRounds)
         .select(col("v").as("node"), col("hub"), col("auth"))
         .orderBy("node")
     })
@@ -544,5 +597,6 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
-      domainHits, domainBfs, domainKcore, rankAgreement, graphShape)
+      domainHits, domainHitsSeeded, domainBfs, domainKcore,
+      rankAgreement, graphShape)
 }

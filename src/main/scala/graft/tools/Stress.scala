@@ -765,6 +765,98 @@ object Stress {
       graft.ops.Concentration.giniByGroup(m, "g", "x").count()
     }
 
+    // ---- sf1 full-query scale probe (VERDICT r11 #7) ----
+    // `sbt "runMain graft.tools.Stress sf1"`: synthesizes a 10×-sf0.1
+    // directory (disjoint key/shingle spaces per copy — each copy is
+    // an isomorphic corpus, so pair-emitting dedup outputs scale ~10×,
+    // not quadratically in planted cross-copy duplicates), then runs
+    // the 10 heaviest bench queries at sf0.1 and sf1 and prints the
+    // time ratio. The 100× question the brief asks, answered one
+    // decade at a time: a ≲12× ratio at 10× data is the linear-ish
+    // scaling the plans claim; anything super-linear gets a plan note.
+    if (enabled("sf1-scale-probe")) {
+      val sf01 = "/root/testdata/sf0.1"
+      val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val copies = 10
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sf1))) {
+        println(s"[sf1] synthesizing $copies x $sf01 -> $sf1")
+        def shiftUnit(df: org.apache.spark.sql.DataFrame,
+            key: String): Long =
+          df.agg(max(col(key))).head().getLong(0) + 1L
+        val orders0 = spark.read.parquet(s"$sf01/orders.parquet")
+        val cust0 = spark.read.parquet(s"$sf01/customer.parquet")
+        val part0 = spark.read.parquet(s"$sf01/part.parquet")
+        val supp0 = spark.read.parquet(s"$sf01/supplier.parquet")
+        val (uOrd, uCust) =
+          (shiftUnit(orders0, "o_orderkey"), shiftUnit(cust0, "c_custkey"))
+        val (uPart, uSupp) =
+          (shiftUnit(part0, "p_partkey"), shiftUnit(supp0, "s_suppkey"))
+        // key shifts per copy keep every FK relationship intact inside
+        // a copy and disjoint across copies
+        def replicate(table: String, shifts: Map[String, Long],
+            transformCopy: (org.apache.spark.sql.DataFrame, Int) =>
+              org.apache.spark.sql.DataFrame = (d, _) => d): Unit = {
+          val base = spark.read.parquet(s"$sf01/$table.parquet")
+          val out = (0 until copies).map { c =>
+            val shifted = shifts.foldLeft(base) { case (d, (k, u)) =>
+              d.withColumn(k, col(k) + lit(u * c)) }
+            transformCopy(shifted, c)
+          }.reduce(_.unionAll(_))
+          out.write.mode("overwrite").parquet(s"$sf1/$table.parquet")
+        }
+        replicate("region", Map.empty)
+        replicate("nation", Map.empty)
+        replicate("customer", Map("c_custkey" -> uCust))
+        replicate("supplier", Map("s_suppkey" -> uSupp))
+        replicate("part", Map("p_partkey" -> uPart))
+        replicate("orders",
+          Map("o_orderkey" -> uOrd, "o_custkey" -> uCust))
+        replicate("lineitem", Map("l_orderkey" -> uOrd,
+          "l_partkey" -> uPart, "l_suppkey" -> uSupp))
+        val ev0 = spark.read.parquet(s"$sf01/events.parquet")
+        replicate("events", Map(
+          "event_id" -> shiftUnit(ev0, "event_id"),
+          "user_id" -> shiftUnit(ev0, "user_id")))
+        val docs0 = spark.read.parquet(s"$sf01/documents.parquet")
+        replicate("documents",
+          Map("doc_id" -> shiftUnit(docs0, "doc_id")),
+          transformCopy = (d, c) =>
+            if (c == 0) d
+            // suffix every token with the copy tag: shingle spaces are
+            // DISJOINT across copies while each copy preserves the
+            // base corpus's near-dup structure exactly
+            else d.withColumn("text", array_join(transform(
+                split(col("text"), " "),
+                t => concat(t, lit(s"_c$c"))), " "))
+              .withColumn("n_chars", length(col("text")).cast("long")))
+        replicate("embeddings", Map("vec_id" ->
+          shiftUnit(spark.read.parquet(s"$sf01/embeddings.parquet"),
+            "vec_id")))
+      }
+      val heavy = Seq("q_dedup_minhash", "q_lsh_dedup_eval",
+        "q_bucketed_join", "q_ngram_jaccard", "q_dedup_keep",
+        "q_crawl_pipeline", "q_ccnet_buckets", "q_setjoin_prefix",
+        "q_rank_agreement", "q_profile")
+      def best2(name: String, dir: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      // warmup
+      graft.SparkEntry.queries("q1_agg")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+      println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
+      heavy.foreach { q =>
+        val a = best2(q, sf01)
+        val b = best2(q, sf1)
+        println(f"$q%-22s $a%8.2f $b%8.2f ${b / a}%7.2f")
+      }
+    }
+
     spark.stop()
   }
 
