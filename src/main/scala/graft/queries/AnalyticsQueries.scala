@@ -1197,6 +1197,80 @@ cents_${i + 1} AS (
         .orderBy("id_a", "id_b")
     })
 
+  /** Count-min sketch frequency estimation (X148 — Cormode &
+    * Muthukrishnan 2005, the mergeable bounded-memory point-frequency
+    * sketch next to KMV's distinct count (X76) and SpaceSaving-style
+    * heavy hitters (X37): answers "how often did THIS key occur"
+    * within εN with d·width counters, for keys a top-k table never
+    * kept). Spark-first shape: the d×width counter matrix IS a
+    * relational table — one keyed (row, cell) aggregate over the
+    * event stream (explode is a fixed d=4 fan-out of 8-byte pairs,
+    * map-side combined); merge across corpora/streams is union+sum by
+    * construction. The eval (the X74/X138 discipline) grades the
+    * sketch against the exact counts of the 20 largest users: one
+    * d-way cell join, est = min over rows, overestimate = est − exact
+    * ≥ 0 ALWAYS (the one-sided CMS guarantee — deterministic, not
+    * probabilistic, so the spec asserts it row-by-row). Hash rows are
+    * md5-derived, so the whole matrix replays in SQL. */
+  val countminFreq = QueryDef(
+    "q_countmin_freq", {
+      val width = 256
+      def hSql(j: Int, u: String) =
+        s"CAST('0x' || substring(md5('cms$j:' || CAST($u AS VARCHAR)), " +
+          s"1, 8) AS BIGINT) % $width"
+      val rows = (0 until 4)
+      Some(s"""WITH ev AS (SELECT user_id AS u FROM events),
+              cells AS (
+                ${rows.map(j =>
+                  s"""SELECT $j AS j, ${hSql(j, "u")} AS cell,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ev GROUP BY 2""").mkString("\n UNION ALL\n")}),
+              exact AS (
+                SELECT u, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM ev GROUP BY u),
+              top20 AS (
+                SELECT u, n_exact FROM exact
+                ORDER BY n_exact DESC, u LIMIT 20),
+              probes AS (
+                ${rows.map(j =>
+                  s"SELECT u, n_exact, $j AS j, ${hSql(j, "u")} AS cell " +
+                    "FROM top20").mkString("\n UNION ALL\n")}),
+              est AS (
+                SELECT p.u, p.n_exact, MIN(cells.c) AS n_est
+                FROM probes p
+                JOIN cells ON cells.j = p.j AND cells.cell = p.cell
+                GROUP BY 1, 2)
+              SELECT u AS user_id, n_exact, n_est,
+                     n_est - n_exact AS overestimate
+              FROM est ORDER BY n_exact DESC, user_id""")
+    },
+    (s, d) => {
+      val width = 256
+      def h(j: Int, u: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"cms$j:"), u.cast("string"))),
+          1, 8), 16, 10).cast("long") % width
+      val ev = Tables.events(s, d).select(col("user_id").as("u"))
+      val cells = ev.select(explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), h(j, col("u")).as("cell"))): _*))
+          .as("x"))
+        .groupBy(col("x.j").as("j"), col("x.cell").as("cell"))
+        .agg(count(lit(1)).as("c"))
+      val top20 = ev.groupBy("u").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("u")).limit(20)
+      val probes = top20.select(col("u"), col("n_exact"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"), h(j, col("u")).as("cell"))): _*))
+          .as("x"))
+        .select(col("u"), col("n_exact"), col("x.j").as("j"),
+          col("x.cell").as("cell"))
+      probes.join(cells, Seq("j", "cell"))
+        .groupBy("u", "n_exact")
+        .agg(min("c").as("n_est"))
+        .select(col("u").as("user_id"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overestimate"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, kmeansReport,
     semanticDedup,
@@ -1204,5 +1278,6 @@ cents_${i + 1} AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
-    approxDistinct, kmvDistinct, warcParse, warcParseGz, imageDedup)
+    approxDistinct, kmvDistinct, countminFreq, warcParse, warcParseGz,
+    imageDedup)
 }

@@ -1338,6 +1338,64 @@ ORDER BY id_a, id_b"""
         .orderBy("doc_id")
     })
 
+  /** Winnowing fingerprints (X147 — Schleimer/Wilkerson/Aiken 2003;
+    * see [[graft.ops.Winnow]]): k=3 token grams, window w=8 — every
+    * w-window's rightmost minimal key, distinct per (pos, key). The
+    * full fingerprint TABLE is the compared result (not counts), so a
+    * hash-green row proves every selection — window minima, the
+    * rightmost tie rule, the distinct fold — is cross-engine exact.
+    * Expected density 2/(w+1) ≈ 0.22 of gram positions; WinnowSpec
+    * pins the paper's guarantee (a shared run ≥ w+k−1 tokens shares a
+    * fingerprint key) on planted overlaps. */
+  val winnowFp = QueryDef(
+    "q_winnow_fp",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> len(t) > 0) AS toks
+              FROM documents),
+            w0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                         i -> CAST('0x' || substring(md5(
+                                array_to_string(toks[i:i+2], ' ')), 1, 15)
+                              AS BIGINT))
+                     ELSE CAST([] AS BIGINT[]) END AS keys
+              FROM t),
+            nn0 AS (
+              SELECT doc_id, CAST(len(keys) AS INT) AS ng, keys
+              FROM w0 WHERE len(keys) > 0),
+            e AS (
+              SELECT doc_id,
+                     unnest(range(1, ng + 1)) AS pos, keys
+              FROM nn0),
+            e2 AS (SELECT doc_id, pos, keys[pos] AS key FROM e),
+            st AS (SELECT doc_id, ng, LEAST(8, ng) AS wl FROM nn0),
+            ws AS (
+              SELECT doc_id, wl,
+                     unnest(range(1, ng - wl + 2)) AS s
+              FROM st),
+            mem AS (
+              SELECT ws.doc_id, ws.s, e2.pos, e2.key
+              FROM ws JOIN e2 ON e2.doc_id = ws.doc_id
+               AND e2.pos >= ws.s AND e2.pos < ws.s + ws.wl),
+            mn AS (
+              SELECT doc_id, s, MIN(key) AS mh FROM mem GROUP BY 1, 2),
+            sel AS (
+              -- rightmost position of the window minimum (the
+              -- stateless winnowing tie rule)
+              SELECT mem.doc_id, mem.s, mn.mh AS fp_key,
+                     MAX(mem.pos) AS pos
+              FROM mem JOIN mn ON mn.doc_id = mem.doc_id
+               AND mn.s = mem.s AND mem.key = mn.mh
+              GROUP BY 1, 2, 3)
+            SELECT DISTINCT doc_id, pos, fp_key
+            FROM sel ORDER BY doc_id, pos"""),
+    (s, d) => graft.ops.Winnow.fingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 3, w = 8)
+      .orderBy("doc_id", "pos"))
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
@@ -1345,5 +1403,6 @@ ORDER BY id_a, id_b"""
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
-    embedRp, embedOutlier, dedupSubstring, fuzzyJoin, ngramNovelty)
+    embedRp, embedOutlier, dedupSubstring, fuzzyJoin, ngramNovelty,
+    winnowFp)
 }

@@ -1994,6 +1994,88 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id", "rank")
     })
 
+  /** Flesch readability (X149 — Flesch 1948 reading ease + the
+    * Kincaid 1975 grade-level regrading, the standard "how hard is
+    * this prose" screens a curation pass runs next to the X20 quality
+    * heuristics; in LLM-data practice the band feeds difficulty
+    * bucketing/curriculum mixes). All three inputs are deterministic
+    * surface heuristics, identical cross-engine: words = \\s+ tokens,
+    * sentences = count of [.!?]+ runs (min 1), syllables = per-word
+    * count of [aeiouy]+ vowel groups (min 1 per word — the classic
+    * approximation). Ratios are exact-integer-fed IEEE; the score
+    * arithmetic is element-wise (left unrounded per the float
+    * discipline); empty docs degrade to NULL, not a division error.
+    * One shuffle-free scan — per-row HOFs, no UDF. */
+  val readability = QueryDef(
+    "q_readability",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 w -> len(w) > 0) AS toks,
+                     GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS n_sentences
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(n_sentences AS BIGINT) AS n_sentences,
+                     CAST(COALESCE(list_sum(list_transform(toks,
+                       w -> GREATEST(1, len(regexp_extract_all(lower(w),
+                              '[aeiouy]+'))))), 0) AS BIGINT)
+                       AS n_syllables
+              FROM t),
+            r AS (
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                     CAST(n_words AS DOUBLE) /
+                       CAST(n_sentences AS DOUBLE) AS wps,
+                     CAST(n_syllables AS DOUBLE) /
+                       NULLIF(CAST(n_words AS DOUBLE), 0) AS spw
+              FROM c)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   206.835 - 1.015 * wps - 84.6 * spw AS flesch,
+                   0.39 * wps + 11.8 * spw - 15.59 AS fk_grade,
+                   CASE WHEN spw IS NULL THEN NULL
+                        WHEN 206.835 - 1.015 * wps - 84.6 * spw >= 90
+                          THEN 'very_easy'
+                        WHEN 206.835 - 1.015 * wps - 84.6 * spw >= 70
+                          THEN 'easy'
+                        WHEN 206.835 - 1.015 * wps - 84.6 * spw >= 50
+                          THEN 'standard'
+                        WHEN 206.835 - 1.015 * wps - 84.6 * spw >= 30
+                          THEN 'difficult'
+                        ELSE 'very_confusing' END AS band
+            FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      val toks = filter(split(col("text"), "\\s+"),
+        w => length(w) > 0)
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        aggregate(toks, lit(0L), (acc, w) => acc +
+          greatest(lit(1L),
+            regexp_count(lower(w), lit("[aeiouy]+")).cast("long")))
+          .as("n_syllables"))
+      val wps = col("n_words").cast("double") /
+        col("n_sentences").cast("double")
+      val spw = when(col("n_words") === 0L, lit(null).cast("double"))
+        .otherwise(col("n_syllables").cast("double") /
+          col("n_words").cast("double"))
+      val flesch = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+      base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          flesch.as("flesch"),
+          (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"),
+          when(spw.isNull, lit(null).cast("string"))
+            .when(flesch >= 90, "very_easy")
+            .when(flesch >= 70, "easy")
+            .when(flesch >= 50, "standard")
+            .when(flesch >= 30, "difficult")
+            .otherwise("very_confusing").as("band"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2001,5 +2083,6 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     classifierEval, classifierCalibration, langidEval, scriptId,
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
-    ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords)
+    ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
+    readability)
 }

@@ -10,6 +10,30 @@ class EvalQueriesSpec extends SparkSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, Sf0001)
 
+  test("q_countmin_freq: one-sided guarantee and εN error bound") {
+    val rows = run("q_countmin_freq").collect()
+    val nUsers = graft.Tables.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.length === math.min(20L, nUsers))
+    val n = graft.Tables.events(spark, Sf0001).count()
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, "CMS never underestimates — deterministic")
+      assert(over === est - exact)
+      // expected overestimate is (N - n_u)/width per row; min over 4
+      // rows sits well under the single-row εN = N/256 envelope —
+      // allow 4x slack for collision luck at this sf
+      assert(over <= 4L * n / 256L,
+        s"overestimate $over beyond the sketch's error envelope")
+    }
+    // the 20 rows are the true top-20 by exact count
+    val exactTop = graft.Tables.events(spark, Sf0001)
+      .groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === exactTop)
+  }
+
   test("q_quantile_sketch: estimates track exact quantiles") {
     val est = run("q_quantile_sketch").collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
