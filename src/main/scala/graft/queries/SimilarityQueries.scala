@@ -1283,6 +1283,47 @@ ORDER BY id_a, id_b"""
         .orderBy("name_a", "name_b")
     })
 
+  /** Blocked Jaro–Winkler fuzzy join (X150 — the transposition-
+    * tolerant record-linkage member of the fuzzy family next to X91's
+    * levenshtein ≤ 2: JW forgives swapped/shifted characters and
+    * boosts agreeing prefixes, the standard for dirty name strings).
+    * Same scale shape as q_fuzzy_join: exact-dedup names, block on
+    * the last token, quadratic ONLY within a block. The similarity is
+    * the native codegen [[graft.functions.JaroWinkler]] expression,
+    * pinned bit-for-bit to DuckDB's jaro_winkler_similarity (3000
+    * random-pair validation, zero double mismatches) — so the scores
+    * hash UNROUNDED and the ≥ τ verdict set is cross-engine exact. */
+  val fuzzyJoinJw = QueryDef(
+    "q_fuzzy_join_jw",
+    Some("""WITH names AS (
+              SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+                     string_split(p_name, ' ')[-1] AS blk
+              FROM part GROUP BY p_name)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n AS n_a, b.n AS n_b,
+                   jaro_winkler_similarity(a.name, b.name) AS jw
+            FROM names a JOIN names b
+              ON a.blk = b.blk AND a.name < b.name
+            WHERE jaro_winkler_similarity(a.name, b.name) >= 0.93
+            ORDER BY name_a, name_b"""),
+    (s, d) => {
+      import graft.functions.StringSim
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+        col("blk"))
+      val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .where(col("name_a") < col("name_b") &&
+          StringSim.jaroWinkler(col("name_a"), col("name_b")) >= 0.93)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          StringSim.jaroWinkler(col("name_a"), col("name_b")).as("jw"))
+        .orderBy("name_a", "name_b")
+    })
+
   // ----------------------------------- X103 n-gram novelty curve
 
   /** Per-document n-gram novelty (X103 — the corpus-growth diagnostic
@@ -1403,6 +1444,6 @@ ORDER BY id_a, id_b"""
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
-    embedRp, embedOutlier, dedupSubstring, fuzzyJoin, ngramNovelty,
-    winnowFp)
+    embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
+    ngramNovelty, winnowFp)
 }
