@@ -207,6 +207,60 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  /** Native session-window streaming aggregation (X151 — the built-in
+    * merging-window operator next to the custom-state twin
+    * q_stream_session: windows MERGE as events arrive, end = last
+    * event + gap, and append mode emits exactly the sessions the
+    * watermark has closed). The oracle replays the gap-session device
+    * (sessionizeSql's lag/cumsum) aggregated per session, then keeps
+    * sessions with `end ≤ max(ts) − lateness` — the probed eviction
+    * boundary (equality INCLUDED; pinned in StreamingSpec with an
+    * exact end==watermark fixture). Sessions still open at bounded-
+    * replay end are asserted ABSENT by the same hash (the X145
+    * discipline). */
+  val streamSessionWindow = QueryDef(
+    "q_stream_session_window",
+    Some("""WITH g AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch_us(ts) -
+                          LAG(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1
+                          WHEN LAG(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL THEN 1
+                          ELSE 0 END AS new_session
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sid
+              FROM g),
+            agg AS (
+              SELECT user_id, sid,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM s GROUP BY 1, 2),
+            wm AS (SELECT MAX(epoch_us(ts)) - 7200000000 AS w
+                   FROM events)
+            SELECT user_id, session_start, session_end, n_events
+            FROM agg CROSS JOIN wm
+            WHERE epoch_us(session_end) <= wm.w
+            ORDER BY user_id, session_start"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val agg = EventStream.sessionWindowAgg(
+        EventStream.readEvents(s, src))
+      EventStream.runAvailableNow(s, agg, "q_stream_swin_sink",
+          outputMode = "append", statePartitions = 8)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    })
+
   /** Stream-stream interval join under the driver's hash check: click
     * events joined to the same user's purchases within the following
     * hour, BOTH sides unbounded streams with event-time watermarks
@@ -715,8 +769,8 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
-    slidingWindow, sessionize, streamSession, streamIntervalJoin,
-    streamIntervalOuter,
+    slidingWindow, sessionize, streamSession, streamSessionWindow,
+    streamIntervalJoin, streamIntervalOuter,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
     eventFunnel, streamFunnel, eventRetention)

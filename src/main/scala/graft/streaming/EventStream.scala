@@ -83,6 +83,27 @@ object EventStream {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** NATIVE session-window aggregation (the built-in merging-window
+    * operator, complementing the custom-state [[sessionizeStream]]:
+    * same 30-minute-gap semantics, but state, merging and eviction
+    * are Spark's session_window implementation, not hand-rolled).
+    * Each user's events within `gapMinutes` of each other merge into
+    * one session; the window END is last event time + gap. In append
+    * mode a session is emitted exactly when the watermark passes its
+    * end — pinned by probe: `session_end <= watermark` closes
+    * (boundary equality INCLUDED); sessions newer than that are still
+    * in state when a bounded replay ends and are NOT emitted (the
+    * X145 eviction-contract discipline). */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Per-user running value total — stateful agg (update mode). */
   def runningUserTotals(events: DataFrame): DataFrame =
     events.groupBy("user_id")

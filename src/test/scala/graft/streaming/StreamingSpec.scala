@@ -265,6 +265,45 @@ class StreamingSpec extends SparkSuite {
     assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("session_window append mode: a session closes exactly when " +
+      "the watermark reaches its end (boundary equality included)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-swin")
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "ts_us")
+        .select(col("event_id"), lit(1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"), (col("ts_us") * 1000).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      .getTime * 1000L
+    val min30 = 1800L * 1000000L
+    val h2 = 7200L * 1000000L
+    writeBatch(Seq((1L, t0), (2L, t0 + min30 - 1L))) // merge: one session
+    val agg = EventStream.sessionWindowAgg(
+      EventStream.readEvents(spark, dir.toString))
+    val q = agg.writeStream.format("memory").queryName("swin_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("swin_test").count() === 0L) // still open
+      // advance the watermark to EXACTLY the session's end
+      // (end = last event + 30min = t0 + 30m + 30m - 1us)
+      val end = t0 + min30 - 1L + min30
+      writeBatch(Seq((3L, end + h2)))
+      writeBatch(Seq((4L, end + h2 + 1000L))) // batch runs WITH new wm
+      q.processAllAvailable()
+      val rows = spark.table("swin_test")
+        .select(col("user_id"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n_events"))
+        .collect().map(_.toSeq)
+      // the merged 2-event session emitted at end == wm; the
+      // watermark-carrier session (events 3/4) still open, absent
+      assert(rows.toSeq === Seq(Seq(1L, t0, end, 2L)))
+    } finally q.stop()
+  }
+
   test("outer interval join: null-padded rows appear ONLY after the " +
       "watermark passes the join horizon (r11 #4)") {
     import org.apache.spark.sql.functions._
