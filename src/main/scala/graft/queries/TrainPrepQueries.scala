@@ -134,6 +134,55 @@ object TrainPrepQueries {
         "segment_id", "truncated")
       .orderBy("doc_id"))
 
+  /** Deterministic negative sampling (X152 — the contrastive-pair
+    * corruption draw, see [[graft.ops.NegativeSampling]]): positives
+    * = distinct (customer, part) purchase pairs; per customer, k=3
+    * uniform negatives from the dense 0-based part space via
+    * stateless md5 probes (k+slack=6 drawn, accidental positives
+    * anti-joined out, first 3 survivors win in probe order). Fully
+    * deterministic → the oracle replays draw, rejection, and rank. */
+  val negativeSample = QueryDef(
+    "q_negative_sample",
+    Some("""WITH pos AS (
+              SELECT DISTINCT o.o_custkey AS uid, l.l_partkey AS item
+              FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM part),
+            us AS (SELECT DISTINCT uid FROM pos),
+            probes AS (
+              SELECT us.uid, j.probe,
+                     CAST('0x' || substring(md5('neg:'
+                         || CAST(us.uid AS VARCHAR) || ':'
+                         || CAST(j.probe AS VARCHAR)), 1, 12) AS BIGINT)
+                       % n.ni AS neg_item
+              FROM us CROSS JOIN n
+                CROSS JOIN (SELECT unnest(range(1, 7)) AS probe) j),
+            surv AS (
+              SELECT p.uid, p.neg_item, CAST(p.probe AS BIGINT) AS probe
+              FROM probes p
+              WHERE NOT EXISTS (SELECT 1 FROM pos
+                WHERE pos.uid = p.uid AND pos.item = p.neg_item)),
+            r AS (
+              SELECT uid, neg_item, probe,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY uid
+                       ORDER BY probe) AS BIGINT) AS rank
+              FROM surv)
+            SELECT uid AS user_id, neg_item, probe, rank
+            FROM r WHERE rank <= 3
+            ORDER BY user_id, rank"""),
+    (s, d) => {
+      val pos = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("uid"), col("l_partkey").as("item"))
+      val nItems = Tables.part(s, d).count()
+      graft.ops.NegativeSampling.perUser(pos, "uid", "item",
+          nItems, k = 3, slack = 3)
+        .select(col("user").as("user_id"), col("neg_item"),
+          col("probe"), col("rank"))
+        .orderBy("user_id", "rank")
+    })
+
   val all: Seq[QueryDef] =
-    Seq(sampleWeighted, fimTransform, packSegments)
+    Seq(sampleWeighted, fimTransform, packSegments, negativeSample)
 }
