@@ -443,6 +443,41 @@ object EventQueries {
         col("col.ord").as("value"), col("col.id").as("event_id"))
       .orderBy("event_type", "rk"))
 
+  /** STREAMING top-k (X153 — the q_topk_agg heap aggregate run as
+    * stateful streaming state, the "largest transactions per
+    * category, always current" dashboard readout): the custom
+    * [[graft.functions.TopKRows]] TypedImperativeAggregate inside a
+    * streaming groupBy, complete output mode. This puts the SECOND
+    * custom aggregate class (bounded ≤k heap, after X141's KMV
+    * bottom-k sketch) under the streaming runtime's serialize/merge
+    * state path: per micro-batch Spark round-trips the heap through
+    * the state store and MERGES partials, so bounded replay ends at
+    * exactly the batch answer — which is the oracle (q_topk_agg's SQL
+    * verbatim). State per key is ≤ k pairs — constant at any stream
+    * length. */
+  val streamTopK = QueryDef(
+    "q_stream_topk",
+    Some("""SELECT event_type, rk, value, event_id
+            FROM (SELECT event_type, value, event_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id) AS INT) AS rk
+                  FROM events) x
+            WHERE rk <= 3 ORDER BY event_type, rk"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val top = EventStream.readEvents(s, src)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKFunctions.topKRows(
+          col("value"), col("event_id"), 3).as("top"))
+      EventStream.runAvailableNow(s, top, "q_stream_topk_sink",
+          outputMode = "complete", statePartitions = 8)
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.ord").as("value"), col("col.id").as("event_id"))
+        .orderBy("event_type", "rk")
+    })
+
   /** As-of join: each click matched to the user's latest
     * at-or-before purchase (the point-in-time feature-join Spark has
     * no operator for — see ops.AsOf). The right side is pre-aggregated
@@ -770,7 +805,7 @@ object EventQueries {
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
-    streamIntervalJoin, streamIntervalOuter,
+    streamIntervalJoin, streamIntervalOuter, streamTopK,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
     eventFunnel, streamFunnel, eventRetention)

@@ -344,6 +344,62 @@ object GraphQueries {
         .orderBy("node")
     })
 
+  // ------------------- X154 co-citation / bibliographic coupling
+
+  /** Co-citation and bibliographic coupling (X154 — Small 1973 /
+    * Kessler 1963, the two classic "related items" graph signals a
+    * crawl curator reads next to communities X73: two domains are
+    * CO-CITED when the same source links both (endorsement
+    * similarity), COUPLED when they link the same target (content
+    * similarity) — the unsupervised related-domain discovery that
+    * needs no text). One pair row per (a < b) with both counts.
+    * Scale shape: the distinct simple edge set self-joins keyed by
+    * the SHARED endpoint, so pair generation is quadratic only within
+    * one node's neighbor list (the X80 wedge shape — production caps
+    * hub neighborhoods exactly like Dedup's bucketCap; recorded);
+    * counts are one keyed aggregate each, merged by a full outer join
+    * on the pair key. */
+  val domainCocitation = QueryDef(
+    "q_domain_cocitation",
+    Some(s"""WITH e0 AS ($edgeSql),
+            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            co AS (
+              SELECT x.dst AS a, y.dst AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n_cocite
+              FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+              GROUP BY 1, 2),
+            bc AS (
+              SELECT x.src AS a, y.src AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n_coupling
+              FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+              GROUP BY 1, 2)
+            SELECT COALESCE(co.a, bc.a) AS a, COALESCE(co.b, bc.b) AS b,
+                   COALESCE(co.n_cocite, 0) AS n_cocite,
+                   COALESCE(bc.n_coupling, 0) AS n_coupling
+            FROM co FULL JOIN bc ON co.a = bc.a AND co.b = bc.b
+            ORDER BY a, b"""),
+    (s, d) => {
+      val e = domainEdges(s, d)
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true) // feeds both self-joins
+      val co = e.as("x").join(e.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+        .agg(count(lit(1)).as("n_cocite"))
+      val bc = e.as("x").join(e.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+        .agg(count(lit(1)).as("n_coupling"))
+      co.withColumnRenamed("a", "ca").withColumnRenamed("b", "cb")
+        .join(bc, col("ca") === bc("a") && col("cb") === bc("b"),
+          "full_outer")
+        .select(coalesce(col("ca"), bc("a")).as("a"),
+          coalesce(col("cb"), bc("b")).as("b"),
+          coalesce(col("n_cocite"), lit(0L)).as("n_cocite"),
+          coalesce(col("n_coupling"), lit(0L)).as("n_coupling"))
+        .orderBy("a", "b")
+    })
+
   // ------------------------------------ X94 multi-source BFS distance
 
   private val BfsHops = 4
@@ -597,6 +653,6 @@ object GraphQueries {
 
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
-      domainHits, domainHitsSeeded, domainBfs, domainKcore,
+      domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
       rankAgreement, graphShape)
 }
