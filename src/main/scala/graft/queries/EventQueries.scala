@@ -478,6 +478,45 @@ object EventQueries {
         .orderBy("event_type", "rk")
     })
 
+  /** STREAMING CDC latest-wins compaction (X155 — the always-current
+    * state table a lakehouse keeps next to its change log; streaming
+    * twin of X129's q_cdc_compact): one streaming groupBy per key
+    * with `max_by` over the deterministic (ts, event_id) version
+    * struct plus a version count, complete mode — constant state per
+    * key (one winner row + one counter), no windows, no custom state.
+    * Bounded replay ends at exactly the batch compaction — the X129
+    * oracle verbatim. */
+  val streamCdc = QueryDef(
+    "q_stream_cdc",
+    Some("""WITH v AS (
+              SELECT user_id, event_id, event_type, value,
+                     CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_versions
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC))
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_type, value AS last_value,
+                   n_versions
+            FROM v WHERE rn = 1 ORDER BY user_id"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val compacted = EventStream.readEvents(s, src)
+        .groupBy("user_id")
+        .agg(max_by(
+            struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_versions"))
+      EventStream.runAvailableNow(s, compacted, "q_stream_cdc_sink",
+          outputMode = "complete", statePartitions = 8)
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"), col("n_versions"))
+        .orderBy("user_id")
+    })
+
   /** As-of join: each click matched to the user's latest
     * at-or-before purchase (the point-in-time feature-join Spark has
     * no operator for — see ops.AsOf). The right side is pre-aggregated
@@ -805,7 +844,7 @@ object EventQueries {
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
-    streamIntervalJoin, streamIntervalOuter, streamTopK,
+    streamIntervalJoin, streamIntervalOuter, streamTopK, streamCdc,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
     eventFunnel, streamFunnel, eventRetention)
