@@ -123,6 +123,7 @@ object GraftExtensions {
     "span_dedup_stats" -> (args =>
       SpanDedupStats(args.head, intArg(args(1), "k"))),
     "strip_html" -> (args => StripHtml(args.head)),
+    "jaro_winkler" -> (args => JaroWinkler(args.head, args(1))),
     "span_rebuild" -> (args =>
       SpanRebuild(args.head, args(1), intArg(args(2), "k"))))
 

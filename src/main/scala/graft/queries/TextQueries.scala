@@ -2076,6 +2076,93 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  private val ZipfK = 24
+
+  /** Zipf rank-frequency fit (X156 — Zipf 1949's law, the third
+    * member of the corpus-statistics family next to Heaps X112 and
+    * char entropy X92: the log-log slope of rank vs frequency over
+    * the vocabulary head ≈ −1 for natural language; a corpus whose
+    * slope drifts shallow is template/boilerplate-heavy, too steep is
+    * degenerate repetition — a one-number "does this read like
+    * language" screen). Top-K=24 tokens by (freq DESC, token) —
+    * TakeOrdered, no global window on the Spark side; the 24 ln
+    * lanes are qround(6) (libm crosses engines ≤1 ulp), the OLS
+    * sums are EXPLICIT left-to-right expression chains over the
+    * pivoted one-row lanes (the X112 fixed-K device — identical fold
+    * order, so the slope is bit-determined before its own qround).
+    * K ≤ vocabulary is the recorded contract (31 distinct tokens at
+    * the smallest SF). The 24-row collect is bounded metadata (X109
+    * device); ranks/slope re-emit as one literal frame. */
+  val zipfFit = QueryDef(
+    "q_zipf_fit", {
+      val q6 = (e: String) => Num.qroundSql(e, 6)
+      val ks = 1 to ZipfK
+      val px = ks.map(k =>
+        s"MAX(CASE WHEN rank = $k THEN lnr END) AS x$k").mkString(", ")
+      val py = ks.map(k =>
+        s"MAX(CASE WHEN rank = $k THEN lnf END) AS y$k").mkString(", ")
+      val sx = ks.map(k => s"x$k").mkString(" + ")
+      val sy = ks.map(k => s"y$k").mkString(" + ")
+      val sxy = ks.map(k => s"x$k * y$k").mkString(" + ")
+      val sxx = ks.map(k => s"x$k * x$k").mkString(" + ")
+      Some(s"""WITH tok AS (
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                  t -> len(t) > 0)) AS w
+                FROM documents),
+              c AS (
+                SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM tok GROUP BY w),
+              t0 AS (
+                SELECT token, freq,
+                       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+                         AS BIGINT) AS rank
+                FROM c ORDER BY freq DESC, token LIMIT $ZipfK),
+              l AS (
+                SELECT rank, token, freq,
+                       ${q6("ln(CAST(rank AS DOUBLE))")} AS lnr,
+                       ${q6("ln(CAST(freq AS DOUBLE))")} AS lnf
+                FROM t0),
+              p AS (SELECT $px, $py FROM l),
+              sums AS (
+                SELECT ($sx) AS sx, ($sy) AS sy, ($sxy) AS sxy,
+                       ($sxx) AS sxx
+                FROM p)
+              SELECT l.rank, l.token, l.freq, l.lnr AS ln_rank,
+                     l.lnf AS ln_freq,
+                     ${q6(s"($ZipfK.0 * sums.sxy - sums.sx * sums.sy) / " +
+                       s"($ZipfK.0 * sums.sxx - sums.sx * sums.sx)")}
+                       AS slope
+              FROM l CROSS JOIN sums ORDER BY rank""")
+    },
+    (s, d) => {
+      import s.implicits._
+      def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val top = Tables.documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(ZipfK)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(top.length == ZipfK,
+        s"q_zipf_fit needs a vocabulary of >= $ZipfK tokens")
+      val lanes = top.zipWithIndex.map { case ((t, f), i) =>
+        (i + 1L, t, f, q6(math.log((i + 1).toDouble)),
+          q6(math.log(f.toDouble)))
+      }
+      // explicit left-to-right folds in rank order — the same chains
+      // the oracle builds, so the slope is bit-determined pre-qround
+      val sx = lanes.map(_._4).reduceLeft(_ + _)
+      val sy = lanes.map(_._5).reduceLeft(_ + _)
+      val sxy = lanes.map(l => l._4 * l._5).reduceLeft(_ + _)
+      val sxx = lanes.map(l => l._4 * l._4).reduceLeft(_ + _)
+      val k = ZipfK.toDouble
+      val slope = q6((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      lanes.toSeq.map { case (r, t, f, lnr, lnf) =>
+        (r, t, f, lnr, lnf, slope)
+      }.toDF("rank", "token", "freq", "ln_rank", "ln_freq", "slope")
+        .orderBy("rank")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2084,5 +2171,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
-    readability)
+    readability, zipfFit)
 }
