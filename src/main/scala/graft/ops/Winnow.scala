@@ -62,34 +62,20 @@ object Winnow {
             6)))
 
   /** (doc_id, n, fps: array<struct<h,p>>) — the distinct rightmost-
-    * minimum selections per w-window. Effective window = min(w, n) so
+    * minimum selections per w-window, via the one-pass O(n)
+    * [[graft.functions.WinnowSelect]] deque kernel (the HOF
+    * slice-per-window form costs O(n·w) with per-window copies and
+    * measured 22 s at sf0.1 — the kernel is the fused-scan shape the
+    * repo's other per-row loops use). Effective window = min(w, n) so
     * a doc shorter than w still yields selections (one whole-doc
     * window); n = 0 (fewer than k tokens) yields an empty set. */
   private def selected(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1)
-    val keyed = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
         ShingleFunctions.md5ShingleKeysAll(col(textCol), k).as("ks"))
-      .withColumn("n", size(col("ks")))
-    // keys tagged with 1-based positions, as (h, p) structs
-    val zipped = transform(col("ks"),
-      (x: Column, i: Column) => struct(x.as("h"),
-        (i + 1).cast("long").as("p")))
-    val wlen = least(lit(w), col("n"))
-    // window starting at 0-based s: rightmost minimum via a struct
-    // fold — `x.h <= acc.h` so a later equal key replaces the pick
-    val initial = struct(lit(Long.MaxValue).as("h"), lit(0L).as("p"))
-    val starts = sequence(lit(0), col("n") - wlen)
-    val picks = transform(starts, (s: Column) =>
-      aggregate(slice(col("z"), s + 1, wlen), initial,
-        (acc: Column, x: Column) =>
-          when(x.getField("h") <= acc.getField("h"), x).otherwise(acc)))
-    keyed
-      .withColumn("z", zipped)
-      .withColumn("fps",
-        when(col("n") === 0,
-          array().cast("array<struct<h:bigint,p:bigint>>"))
-        .otherwise(array_distinct(picks)))
-      .select("doc_id", "n", "fps")
+      .select(col("doc_id"), size(col("ks")).as("n"),
+        graft.functions.WinnowFunctions.winnowSelect(col("ks"), w)
+          .as("fps"))
   }
 }
