@@ -1271,6 +1271,86 @@ cents_${i + 1} AS (
         .orderBy(col("n_exact").desc, col("user_id"))
     })
 
+  /** Frequent item-pair association rules (X157 — Agrawal & Srikant
+    * 1994's Apriori at level 2, the market-basket support/confidence/
+    * lift readout): baskets = orders, items = parts. The Apriori
+    * property drives the plan: pair candidates are generated ONLY
+    * from items that are themselves frequent (one keyed item count +
+    * a semi-join gate before the within-basket self-join), and the
+    * self-join is quadratic only within one basket's item list —
+    * bounded by basket size, never a corpus cross product. All three
+    * metrics are exact integer ratios (support, confidence in both
+    * directions, lift = n·c_ab/(c_a·c_b)) — element-wise IEEE on
+    * exact operands, hashed raw. Top pairs by (co-count DESC, a, b)
+    * via TakeOrdered. */
+  val itemsetPairs = QueryDef(
+    "q_itemset_pairs", {
+      val minItem = 2
+      val minPair = 2
+      Some(s"""WITH b AS (
+                SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS i
+                FROM lineitem l),
+              n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+                    FROM b),
+              ic AS (
+                SELECT i, CAST(COUNT(*) AS BIGINT) AS c
+                FROM b GROUP BY i HAVING COUNT(*) >= $minItem),
+              bf AS (
+                SELECT b.o, b.i FROM b JOIN ic ON b.i = ic.i),
+              pc AS (
+                SELECT x.i AS a, y.i AS bb,
+                       CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM bf x JOIN bf y ON x.o = y.o AND x.i < y.i
+                GROUP BY 1, 2 HAVING COUNT(*) >= $minPair)
+              SELECT pc.a, pc.bb AS b, pc.c_ab,
+                     ca.c AS c_a, cb.c AS c_b,
+                     CAST(pc.c_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+                       AS support,
+                     CAST(pc.c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE)
+                       AS conf_a_b,
+                     CAST(pc.c_ab AS DOUBLE) / CAST(cb.c AS DOUBLE)
+                       AS conf_b_a,
+                     CAST(pc.c_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                       / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+                       AS lift
+              FROM pc
+              JOIN ic ca ON ca.i = pc.a
+              JOIN ic cb ON cb.i = pc.bb
+              CROSS JOIN n
+              ORDER BY c_ab DESC, a, b LIMIT 50""")
+    },
+    (s, d) => {
+      val minItem = 2
+      val minPair = 2
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+      val nOrders = b.select("o").distinct().count()
+      val ic = b.groupBy("i").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minItem)
+        .localCheckpoint(true) // feeds the gate + both metric joins
+      val bf = b.join(ic.select("i"), Seq("i"), "left_semi")
+      val pc = bf.as("x").join(bf.as("y"),
+          col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minPair)
+      pc
+        .join(ic.select(col("i").as("a"), col("c").as("c_a")), "a")
+        .join(ic.select(col("i").as("b"), col("c").as("c_b")), "b")
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          (col("c_ab").cast("double") / lit(nOrders).cast("double"))
+            .as("support"),
+          (col("c_ab").cast("double") / col("c_a").cast("double"))
+            .as("conf_a_b"),
+          (col("c_ab").cast("double") / col("c_b").cast("double"))
+            .as("conf_b_a"),
+          (col("c_ab").cast("double") * lit(nOrders).cast("double") /
+            (col("c_a").cast("double") * col("c_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, kmeansReport,
     semanticDedup,
@@ -1278,6 +1358,6 @@ cents_${i + 1} AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
-    approxDistinct, kmvDistinct, countminFreq, warcParse, warcParseGz,
+    approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
     imageDedup)
 }
