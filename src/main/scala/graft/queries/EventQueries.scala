@@ -478,6 +478,76 @@ object EventQueries {
         .orderBy("event_type", "rk")
     })
 
+  /** Multi-touch attribution (X158 — the marketing-analytics join
+    * every conversion pipeline runs: each purchase's credit split
+    * LINEARLY across the user's clicks in the trailing 24 h window,
+    * plus the last-touch winner; purchases with no touch keep NULL
+    * credit — the "organic" bucket, not silently dropped). Scale
+    * shape: contributing pairs come from the bucketized
+    * [[graft.ops.RangeJoin.timeRangeJoin]] (pair volume is true
+    * temporal adjacency, never per-user quadratic); per-purchase
+    * rollup is one keyed aggregate with a deterministic `max_by`
+    * last-touch ((ts, id) total order); zero-touch purchases rejoin
+    * by left join. Credit = value/n_touch is an exact integer-fed
+    * IEEE divide, hashed raw. */
+  val attribution = QueryDef(
+    "q_attribution",
+    Some("""WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+              FROM events WHERE event_type = 'purchase'),
+            c AS (
+              SELECT event_id AS click_id, user_id, ts AS c_ts
+              FROM events WHERE event_type = 'click'),
+            t AS (
+              SELECT p.purchase_id, p.user_id, p.value,
+                     c.click_id, c.c_ts
+              FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts <= p.p_ts
+               AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR),
+            n AS (
+              SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touch
+              FROM t GROUP BY purchase_id),
+            lt AS (
+              SELECT purchase_id, click_id AS last_click_id
+              FROM (SELECT purchase_id, click_id,
+                      ROW_NUMBER() OVER (PARTITION BY purchase_id
+                        ORDER BY c_ts DESC, click_id DESC) AS rn
+                    FROM t) x
+              WHERE rn = 1)
+            SELECT p.purchase_id, p.user_id, p.value,
+                   COALESCE(n.n_touch, 0) AS n_touch,
+                   lt.last_click_id,
+                   p.value / CAST(NULLIF(n.n_touch, 0) AS DOUBLE)
+                     AS credit_per_touch
+            FROM p LEFT JOIN n USING (purchase_id)
+                 LEFT JOIN lt USING (purchase_id)
+            ORDER BY purchase_id"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id"), col("ts").as("c_ts"))
+      val pairs = graft.ops.RangeJoin.timeRangeJoin(
+        p, c, Seq("user_id"), "ts", "c_ts",
+        lowerMicros = -24L * 3600L * 1000000L, upperMicros = 0L,
+        payload = Seq("click_id", "c_ts"))
+      val r = pairs.groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_touch"),
+          max_by(col("click_id"), struct(col("c_ts"), col("click_id")))
+            .as("last_click_id"))
+      p.join(r, Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("user_id"), col("value"),
+          coalesce(col("n_touch"), lit(0L)).as("n_touch"),
+          col("last_click_id"),
+          (col("value") /
+            nullif(col("n_touch"), lit(0L)).cast("double"))
+            .as("credit_per_touch"))
+        .orderBy("purchase_id")
+    })
+
   /** STREAMING CDC latest-wins compaction (X155 — the always-current
     * state table a lakehouse keeps next to its change log; streaming
     * twin of X129's q_cdc_compact): one streaming groupBy per key
@@ -845,6 +915,7 @@ object EventQueries {
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
     streamIntervalJoin, streamIntervalOuter, streamTopK, streamCdc,
+    attribution,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
     eventFunnel, streamFunnel, eventRetention)
