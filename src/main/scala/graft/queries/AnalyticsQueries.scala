@@ -335,6 +335,55 @@ cents_${i + 1} AS (
         .orderBy("method", "query_id")
     })
 
+  /** Quantization-loss recall (X159 — the X74 eval discipline applied
+    * to the int8 scan path: int8TopK reads 4× fewer vector bytes, and
+    * THIS row is the price tag — recall@10 of the quantized ranking
+    * against the float brute-force ground truth; a rollout gates the
+    * byte savings on this number the same way nprobe/plane counts are
+    * gated). Composition only — both rankings are the existing
+    * oracle-checked queries; the oracle nests their texts (X71). */
+  val annRecallInt8 = QueryDef(
+    "q_ann_recall_int8",
+    Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
+             i8 AS (${SimilarityQueries.annInt8.oracle.get}),
+             qs AS (SELECT vec_id AS query_id FROM embeddings
+                    WHERE vec_id < 5),
+             tc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM bf GROUP BY query_id),
+             hq AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN i8 a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id)
+             SELECT 'int8' AS method, qs.query_id,
+                    COALESCE(hq.n, 0) AS n_hits,
+                    CAST(COALESCE(hq.n, 0) AS DOUBLE)
+                      / CAST(tc.d AS DOUBLE) AS recall
+             FROM qs JOIN tc USING (query_id) LEFT JOIN hq USING (query_id)
+             ORDER BY query_id"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, q,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val i8 = Similarity.int8TopK(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val truthCounts = truth.groupBy("query_id")
+        .agg(count(lit(1)).as("d"))
+      val hits = truth.join(i8, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      q.select(col("vec_id").as("query_id"))
+        .join(truthCounts, Seq("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit("int8").as("method"), col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          (coalesce(col("n"), lit(0L)).cast("double") /
+            col("d").cast("double")).as("recall"))
+        .orderBy("query_id")
+    })
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
     * cluster the embedding space with the SAME deterministic IVF fit
     * as q_ann_ivf, then drop any row with a lower-id duplicate
@@ -1352,7 +1401,7 @@ cents_${i + 1} AS (
     })
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
-    cube_, groupingSets, rangeFrame, annIvf, annRecall, kmeansReport,
+    cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
