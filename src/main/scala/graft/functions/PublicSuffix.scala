@@ -19,6 +19,13 @@ package graft.functions
   * as a broadcast literal — no join, no shuffle, O(1) per row
   * regardless of list size).
   *
+  * PROVENANCE: entries are reproduced from the public
+  * publicsuffix.org list (no network in this container, so the
+  * snapshot cannot be re-fetched verbatim); any entry that has since
+  * churned on the live list shifts only WHERE a tenant boundary
+  * falls — both engines share this exact snapshot, so cross-engine
+  * results are unaffected, and refreshing is a pure data drop-in.
+  *
   * SECTION CHOICE (recorded — VERDICT r11 #3): the live PSL has two
   * sections, ICANN (registry-mandated, e.g. "co.uk") and PRIVATE
   * (operator-submitted, e.g. "github.io"). `Rules` merges BOTH — the
