@@ -1566,6 +1566,130 @@ object DiagnosticsQueries {
         .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
     })
 
+  // --------------------------------------------------------- boxplot
+
+  /** Grouped exact quantile profile / boxplot (X160 — per-source
+    * p25/median/p75, IQR, Tukey 1.5·IQR fences and outlier counts:
+    * the distribution profile a corpus intake dashboard shows per
+    * source). The POINT is the plan shape: Spark's `percentile`
+    * aggregate buffers every group value in memory (the per-group
+    * collect anti-pattern — a 20M-row group OOMs an executor); here
+    * quantiles come from the DISTINCT-VALUE counting device — one
+    * keyed (source, value) count, a source-partitioned cumulative
+    * (each partition holds only the source's distinct values —
+    * alphabet-bounded), and each quantile is one conditional-min
+    * lookup. With quarter quantiles the interpolation is EXACT
+    * integer arithmetic end-to-end: h = (n−1)·k/4 splits into an
+    * integer rank and a frac ∈ {0, ¼, ½, ¾} (exact in IEEE), values
+    * are integers, so every output — quantiles, IQR, fences, outlier
+    * counts — hashes RAW with no qround anywhere. */
+  val boxplot = QueryDef(
+    "q_boxplot",
+    Some("""WITH g AS (
+              SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS m
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT source, v, m,
+                     CAST(SUM(m) OVER (PARTITION BY source ORDER BY v)
+                       AS BIGINT) AS cum
+              FROM g),
+            n AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n
+                  FROM g GROUP BY 1),
+            r AS (
+              SELECT n.source, n.n,
+                     (n.n - 1) * 1 // 4 + 1 AS lo1,
+                     ((n.n - 1) * 1 % 4) AS f1,
+                     (n.n - 1) * 2 // 4 + 1 AS lo2,
+                     ((n.n - 1) * 2 % 4) AS f2,
+                     (n.n - 1) * 3 // 4 + 1 AS lo3,
+                     ((n.n - 1) * 3 % 4) AS f3
+              FROM n),
+            q AS (
+              SELECT r.source, r.n,
+                     MIN(CASE WHEN c.cum >= r.lo1 THEN c.v END) AS a1,
+                     MIN(CASE WHEN c.cum >= r.lo1 + 1 THEN c.v END) AS b1,
+                     r.f1,
+                     MIN(CASE WHEN c.cum >= r.lo2 THEN c.v END) AS a2,
+                     MIN(CASE WHEN c.cum >= r.lo2 + 1 THEN c.v END) AS b2,
+                     r.f2,
+                     MIN(CASE WHEN c.cum >= r.lo3 THEN c.v END) AS a3,
+                     MIN(CASE WHEN c.cum >= r.lo3 + 1 THEN c.v END) AS b3,
+                     r.f3
+              FROM r JOIN c ON c.source = r.source
+              GROUP BY r.source, r.n, r.f1, r.f2, r.f3),
+            p AS (
+              SELECT source, n,
+                     CAST(a1 AS DOUBLE) + (CAST(f1 AS DOUBLE) / 4.0) *
+                       (CAST(COALESCE(b1, a1) AS DOUBLE)
+                        - CAST(a1 AS DOUBLE)) AS p25,
+                     CAST(a2 AS DOUBLE) + (CAST(f2 AS DOUBLE) / 4.0) *
+                       (CAST(COALESCE(b2, a2) AS DOUBLE)
+                        - CAST(a2 AS DOUBLE)) AS p50,
+                     CAST(a3 AS DOUBLE) + (CAST(f3 AS DOUBLE) / 4.0) *
+                       (CAST(COALESCE(b3, a3) AS DOUBLE)
+                        - CAST(a3 AS DOUBLE)) AS p75
+              FROM q),
+            f AS (
+              SELECT source, n, p25, p50, p75, p75 - p25 AS iqr,
+                     p25 - 1.5 * (p75 - p25) AS lo_fence,
+                     p75 + 1.5 * (p75 - p25) AS hi_fence
+              FROM p)
+            SELECT f.source, f.n, f.p25, f.p50, f.p75, f.iqr,
+                   f.lo_fence, f.hi_fence,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(g.v AS DOUBLE)
+                       < f.lo_fence OR CAST(g.v AS DOUBLE) > f.hi_fence
+                     THEN g.m END), 0) AS BIGINT) AS n_outliers
+            FROM f JOIN g ON g.source = f.source
+            GROUP BY f.source, f.n, f.p25, f.p50, f.p75, f.iqr,
+                     f.lo_fence, f.hi_fence
+            ORDER BY f.source"""),
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint(true) // feeds cum, totals, and outlier count
+      val c = g.withColumn("cum",
+        sum("m").over(Window.partitionBy("source").orderBy("v")))
+      val n = g.groupBy("source").agg(sum("m").as("n"))
+      val r = n.select(col("source"), col("n"),
+        ((col("n") - 1) * 1 / 4).cast("long").as("lo1"),
+        pmod((col("n") - 1) * 1, lit(4)).as("f1"),
+        ((col("n") - 1) * 2 / 4).cast("long").as("lo2"),
+        pmod((col("n") - 1) * 2, lit(4)).as("f2"),
+        ((col("n") - 1) * 3 / 4).cast("long").as("lo3"),
+        pmod((col("n") - 1) * 3, lit(4)).as("f3"))
+      val joined = r.join(c.withColumnRenamed("source", "src2"),
+        col("source") === col("src2"))
+      val q = joined.groupBy("source", "n", "f1", "f2", "f3")
+        .agg(
+          min(when(col("cum") >= col("lo1") + 1, col("v"))).as("a1"),
+          min(when(col("cum") >= col("lo1") + 2, col("v"))).as("b1"),
+          min(when(col("cum") >= col("lo2") + 1, col("v"))).as("a2"),
+          min(when(col("cum") >= col("lo2") + 2, col("v"))).as("b2"),
+          min(when(col("cum") >= col("lo3") + 1, col("v"))).as("a3"),
+          min(when(col("cum") >= col("lo3") + 2, col("v"))).as("b3"))
+      def interp(k: Int) =
+        col(s"a$k").cast("double") +
+          (col(s"f$k").cast("double") / lit(4.0)) *
+          (coalesce(col(s"b$k"), col(s"a$k")).cast("double") -
+            col(s"a$k").cast("double"))
+      val p = q.select(col("source"), col("n"),
+        interp(1).as("p25"), interp(2).as("p50"), interp(3).as("p75"))
+      val f = p
+        .withColumn("iqr", col("p75") - col("p25"))
+        .withColumn("lo_fence", col("p25") - lit(1.5) * col("iqr"))
+        .withColumn("hi_fence", col("p75") + lit(1.5) * col("iqr"))
+      f.join(g.withColumnRenamed("source", "gs"),
+          col("source") === col("gs"))
+        .groupBy("source", "n", "p25", "p50", "p75", "iqr",
+          "lo_fence", "hi_fence")
+        .agg(coalesce(sum(when(
+            col("v").cast("double") < col("lo_fence") ||
+            col("v").cast("double") > col("hi_fence"), col("m"))),
+          lit(0L)).as("n_outliers"))
+        .orderBy("source")
+    })
+
   // ----------------------------------------------------- cdc compact
 
   /** CDC latest-wins compaction (X129 — the change-log → current-state
@@ -2572,5 +2696,5 @@ object DiagnosticsQueries {
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
-    quantileNormalize, balancedSample)
+    quantileNormalize, balancedSample, boxplot)
 }

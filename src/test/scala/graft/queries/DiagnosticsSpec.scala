@@ -543,6 +543,33 @@ class DiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q_boxplot: counting-device quantiles equal Spark's own " +
+      "percentile aggregate (definition pin)") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_boxplot").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val want = graft.Tables.documents(spark, Sf0001)
+      .groupBy("source")
+      .agg(percentile(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (s, (p25, p50, p75)) =>
+      assert(Seq(p25, p50, p75) === want(s).toSeq, s)
+    }
+    // outlier counts recount exactly under the fences
+    run("q_boxplot").collect().foreach { r =>
+      val (src, lo, hi) = (r.getString(0), r.getDouble(6), r.getDouble(7))
+      val n = graft.Tables.documents(spark, Sf0001)
+        .filter(col("source") === src &&
+          (col("n_chars").cast("double") < lo ||
+           col("n_chars").cast("double") > hi)).count()
+      assert(r.getLong(8) === n, src)
+    }
+  }
+
   test("q_seasonal_dow: flag fires exactly per its own ratio") {
     val rows = run("q_seasonal_dow").collect()
     assert(rows.nonEmpty)
