@@ -1324,6 +1324,65 @@ ORDER BY id_a, id_b"""
         .orderBy("name_a", "name_b")
     })
 
+  /** Soundex phonetic encoding (X161 — Russell/Odell's 1918 code, the
+    * phonetic BLOCKING key of classic record linkage: names that
+    * sound alike share a code, so candidate pairs come from one
+    * equi-join on the code instead of any pairwise scan — the third
+    * fuzzy-family member next to levenshtein X91 and Jaro–Winkler
+    * X150). Spark side is the BUILT-IN `soundex` (codegen'd — the
+    * functions-not-UDFs rule); the oracle replays the exact
+    * H/W-transparent algorithm (H/W never reset the last code,
+    * vowels do; the first letter's code participates in collapse) as
+    * a list_reduce state machine over the letter-code map string —
+    * validated on the classic vectors (Ashcraft→A261, Pfister→P236,
+    * Honeyman→H555, Tymczak→T522) against the builtin bit-for-bit.
+    * Names are the corpus token vocabulary normalized to letters only
+    * (the standard pre-encoding cleanup — Soundex is defined on
+    * alphabetic strings; non-letter handling is engine-defined, so
+    * the normalization is part of the recorded contract). Per-name
+    * rows hash-check EVERY encoding; the blocking histogram is one
+    * groupBy away. */
+  val soundexBlock = QueryDef(
+    "q_soundex_block",
+    Some("""WITH names AS (
+              SELECT DISTINCT regexp_replace(t, '[^A-Za-z]', '', 'g')
+                       AS name
+              FROM (SELECT unnest(list_filter(
+                      string_split_regex(text, '\s+'),
+                      x -> len(x) > 0)) AS t
+                    FROM documents)
+              WHERE len(regexp_replace(t, '[^A-Za-z]', '', 'g')) > 0),
+            s AS (
+              SELECT name,
+                CASE WHEN len(name) <= 1 THEN upper(name) || '000'
+                ELSE upper(name[1]) || rpad(substring(split_part(
+                  list_reduce(
+                    list_prepend('|' ||
+                        substring('01230127022455012623017202',
+                          ascii(upper(name[1])) - 64, 1),
+                      list_transform(
+                        list_filter(string_split_regex(
+                            substring(upper(name), 2), ''),
+                          c -> c <> ''),
+                        c -> substring('01230127022455012623017202',
+                               ascii(c) - 64, 1))),
+                    (acc, c) -> CASE
+                      WHEN c = '7' THEN acc
+                      WHEN c = '0' THEN split_part(acc, '|', 1) || '|0'
+                      WHEN c = split_part(acc, '|', 2) THEN acc
+                      ELSE split_part(acc, '|', 1) || c || '|' || c END),
+                  '|', 1), 1, 3), 3, '0') END AS code
+              FROM names)
+            SELECT name, code FROM s ORDER BY name"""),
+    (s, d) => Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), "\\s+"),
+        t => length(t) > 0)).as("t"))
+      .select(regexp_replace(col("t"), "[^A-Za-z]", "").as("name"))
+      .filter(length(col("name")) > 0)
+      .distinct()
+      .select(col("name"), soundex(col("name")).as("code"))
+      .orderBy("name"))
+
   // ----------------------------------- X103 n-gram novelty curve
 
   /** Per-document n-gram novelty (X103 — the corpus-growth diagnostic
@@ -1445,5 +1504,5 @@ ORDER BY id_a, id_b"""
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
-    ngramNovelty, winnowFp)
+    ngramNovelty, winnowFp, soundexBlock)
 }
