@@ -1383,6 +1383,45 @@ ORDER BY id_a, id_b"""
       .select(col("name"), soundex(col("name")).as("code"))
       .orderBy("name"))
 
+  /** Sorted-neighborhood linkage (X162 — Hernández & Stolfo 1995; see
+    * [[graft.ops.SortedNeighborhood]]): every part-name pair within 3
+    * sorted positions, verified at Jaro–Winkler ≥ 0.9 with the X150
+    * bit-identical expression. The sliding-window alternative to key
+    * blocking: candidate budget n·w by construction, rank from the
+    * two-pass bucket device, neighbor pairs from rank-bucketization —
+    * no global window, no same-key quadratic anywhere. */
+  val sortedNeighborhood = QueryDef(
+    "q_sorted_neighborhood",
+    Some("""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+            r AS (
+              SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name)
+                AS BIGINT) AS rk
+              FROM names),
+            p AS (
+              SELECT a.name AS name_a, b.name AS name_b,
+                     b.rk - a.rk AS rank_dist
+              FROM r a JOIN r b
+                ON b.rk > a.rk AND b.rk <= a.rk + 3)
+            SELECT name_a, name_b, rank_dist,
+                   jaro_winkler_similarity(name_a, name_b) AS jw,
+                   jaro_winkler_similarity(name_a, name_b) >= 0.9
+                     AS is_match
+            FROM p
+            ORDER BY name_a, name_b"""),
+    (s, d) => {
+      import graft.functions.StringSim
+      // the FULL n·w window pair set is the compared result (not just
+      // the matches): a hash-green row proves every global rank the
+      // two-pass device assigned and every JW score
+      val pairs = graft.ops.SortedNeighborhood.pairs(
+        Tables.part(s, d).select(col("p_name")), "p_name", w = 3)
+      val jw = StringSim.jaroWinkler(col("name_a"), col("name_b"))
+      pairs
+        .select(col("name_a"), col("name_b"), col("rank_dist"),
+          jw.as("jw"), (jw >= 0.9).as("is_match"))
+        .orderBy("name_a", "name_b")
+    })
+
   // ----------------------------------- X103 n-gram novelty curve
 
   /** Per-document n-gram novelty (X103 — the corpus-growth diagnostic
@@ -1504,5 +1543,5 @@ ORDER BY id_a, id_b"""
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
-    ngramNovelty, winnowFp, soundexBlock)
+    ngramNovelty, winnowFp, soundexBlock, sortedNeighborhood)
 }
