@@ -110,8 +110,9 @@ object Bench {
     // per run BY DESIGN (the write path must stay on the bench) and
     // are the noisiest rows — tagged so round-over-round comparison
     // separates compute-plan time from disk noise.
-    val ioQueries = Seq("q_bucketed_join", "q_shard_write")
-      .filter(n => results.exists(_._1 == n))
+    val ioQueries =
+      Seq("q_bucketed_join", "q_shard_write", "q_schema_evolution")
+        .filter(n => results.exists(_._1 == n))
     val ioMs = results.filter(r => ioQueries.contains(r._1)).map(_._2).sum
     val meta =
       s""","io_queries":${ioQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +

@@ -455,10 +455,43 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     })
 
+  /** Schema-evolution read (X163 — the lakehouse ingestion reality a
+    * long-lived table lives with: producers ADD columns over time and
+    * old files never rewrite; the reader must union the schemas and
+    * null-fill). Two parquet batches with DIFFERENT schemas land in
+    * one directory (even orderkeys carry o_custkey, odd ones carry
+    * the later-added o_totalprice), then ONE `mergeSchema` read
+    * returns the union schema with per-batch null-fill — the
+    * capability under test is the READER's, so the oracle recomputes
+    * the expected union directly from `orders`. Pays a real write per
+    * run (io-tagged in the bench, like q_shard_write). */
+  val schemaEvolution = QueryDef(
+    "q_schema_evolution",
+    Some("""SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END
+                     AS o_custkey,
+                   CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END
+                     AS o_totalprice
+            FROM orders ORDER BY o_orderkey"""),
+    (s, d) => {
+      val sfTag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
+      val dir = s"/tmp/graft_schevo_$sfTag"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/b=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/b=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+
   val all: Seq[QueryDef] = Seq(
     scanProject, filterNullLike, caseWhen, distinctQ, dictLeftJoin,
     rowNumJoin, exprKeyJoin, fullOuter, semiJoin, antiJoin,
     groupCountOne, scalarAgg, countAll, rowNumber, topK,
     intersectQ, unionQ, unionAll, exceptQ, stringFuncs, castArith,
-    dateFuncs, q1Agg, bucketedJoin)
+    dateFuncs, q1Agg, bucketedJoin, schemaEvolution)
 }
