@@ -9,6 +9,58 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Corrupt-record ingestion (X164 — the PERMISSIVE-mode contract a
+    * production JSON/CSV intake relies on: malformed rows are
+    * QUARANTINED into the corrupt column, not dropped and not fatal;
+    * partially-parseable rows keep their good fields AND carry the
+    * raw line for the quarantine audit). A deterministic 7-line
+    * fixture exercises the full matrix — valid, missing-field,
+    * malformed JSON, type-mismatched field (good fields SURVIVE,
+    * corrupt populated), bad double, unknown-extra-field, non-JSON —
+    * and the oracle is the pinned literal outcome table (the robots-
+    * fixture device; semantics probed against the reader, not
+    * assumed). Sort key coalesce(v, corrupt) is unique and non-null
+    * by fixture construction. */
+  val corruptRecords = QueryDef(
+    "q_corrupt_records",
+    Some("""SELECT CAST(id AS BIGINT) AS id, v,
+                   CAST(x AS DOUBLE) AS x, corrupt
+            FROM (VALUES
+              (1, 'alpha', 2.5, NULL),
+              (2, 'beta', NULL, NULL),
+              (NULL, NULL, NULL, '{id: 3, oops'),
+              (NULL, 'gamma', 1.0,
+               '{"id": "notanint", "v": "gamma", "x": 1.0}'),
+              (5, 'delta', NULL, '{"id": 5, "v": "delta", "x": "NaNope"}'),
+              (6, 'epsilon', 7.25, NULL),
+              (NULL, NULL, NULL, 'not json at all'))
+              AS t(id, v, x, corrupt)
+            ORDER BY COALESCE(v, corrupt)"""),
+    (s, _) => {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+      val lines = Seq(
+        """{"id": 1, "v": "alpha", "x": 2.5}""",
+        """{"id": 2, "v": "beta"}""",
+        """{id: 3, oops""",
+        """{"id": "notanint", "v": "gamma", "x": 1.0}""",
+        """{"id": 5, "v": "delta", "x": "NaNope"}""",
+        """{"id": 6, "v": "epsilon", "x": 7.25, "extra": true}""",
+        """not json at all""")
+      java.nio.file.Files.write(dir.resolve("a.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType), StructField("x", DoubleType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir.toString)
+        .select(col("id"), col("v"), col("x"),
+          col("_corrupt").as("corrupt"))
+        .orderBy(coalesce(col("v"), col("corrupt")))
+    })
+
   /** SO1 + §5: the reference's QA harness with its EXACT literals
     * (ref `:1097-1126`, FIXTURES.md A5): two 5-row tables, counts and
     * intersect count — expected (5, 5, 4). */
@@ -190,7 +242,7 @@ object PipelineQueries {
     })
 
   val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain,
-    cleanPipeline, ncesJoin, multiState)
+    cleanPipeline, ncesJoin, multiState, corruptRecords)
 }
 
 /** The q_clean_pipeline DuckDB oracle: the reference pipeline (ref
