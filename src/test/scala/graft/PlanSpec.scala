@@ -222,12 +222,14 @@ class PlanSpec extends SparkSuite {
     // codes — and exact all-pairs embedding dedup joins on id_a < id_b
     // (vs the banded q_dedup_embedding_lsh). All nested-loop by
     // contract.
-    // q_ann_recall inherits the brute-force BNLJ: recall@k is BY
-    // DEFINITION measured against the exact ground truth, so the
-    // eval necessarily contains the q_ann_bruteforce scan (the two
-    // approximate paths it grades stay hash-join-only).
+    // q_ann_recall / q_ann_recall_int8 inherit the brute-force BNLJ:
+    // recall@k is BY DEFINITION measured against the exact ground
+    // truth, so each eval necessarily contains the q_ann_bruteforce
+    // scan (the approximate/quantized paths they grade stay
+    // hash-join-only; q_ann_recall_int8 additionally contains the
+    // q_ann_int8 full scan it is grading).
     val bnljByDesign = Set("q_ann_bruteforce", "q_ann_int8",
-      "q_dedup_embedding_exact", "q_ann_recall")
+      "q_dedup_embedding_exact", "q_ann_recall", "q_ann_recall_int8")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(
