@@ -261,6 +261,93 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     })
 
+  /** Stream-static enrichment join (X166 — the third streaming join
+    * class next to stream-stream X43/X145: every event enriched from
+    * a bounded dimension, here the customer's market segment keyed by
+    * user_id; see [[graft.streaming.EventStream.enrichStream]]). No
+    * state, no watermark — the static side re-plans per micro-batch;
+    * LEFT join surfaces dimension-miss rows as NULL segment instead
+    * of dropping them. Bounded replay trivially equals the batch
+    * join, which is the oracle. */
+  val streamEnrich = QueryDef(
+    "q_stream_enrich",
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+                   e.value
+            FROM events e LEFT JOIN customer c
+              ON e.user_id = c.c_custkey
+            ORDER BY e.event_id"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val enriched = EventStream.enrichStream(
+        EventStream.readEvents(s, src),
+        Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment")),
+        "user_id", "c_custkey", Seq("segment"))
+      EventStream.runAvailableNow(s, enriched, "q_stream_enrich_sink",
+          outputMode = "append")
+        .select("event_id", "user_id", "segment", "value")
+        .orderBy("event_id")
+    })
+
+  /** Stream-stream FULL OUTER interval join (X165 — completes the
+    * outer family begun by X145: BOTH sides' unmatched rows null-pad
+    * at their own watermark-driven eviction points). The oracle is
+    * the two eviction contracts in batch SQL: inner pairs UNION ALL
+    * anti-joined clicks with `l_ts + 60min < W` UNION ALL anti-joined
+    * purchases with `r_ts < W` (a purchase's candidates satisfy
+    * `l_ts < r_ts`, so once `W > r_ts` every future candidate is
+    * late — probed); W = least of the two sides' max(ts) − 2 h. Rows
+    * newer than their bound are asserted ABSENT by the same hash. */
+  val streamIntervalFull = QueryDef(
+    "q_stream_interval_full",
+    Some("""WITH l AS (
+              SELECT event_id AS l_event_id, user_id, ts AS l_ts
+              FROM events WHERE event_type = 'click'),
+            r AS (
+              SELECT event_id AS r_event_id, user_id AS r_user_id,
+                     ts AS r_ts, value AS r_value
+              FROM events WHERE event_type = 'purchase'),
+            wm AS (
+              SELECT least((SELECT MAX(epoch_us(ts)) FROM events
+                            WHERE event_type = 'click'),
+                           (SELECT MAX(epoch_us(ts)) FROM events
+                            WHERE event_type = 'purchase'))
+                     - 7200000000 AS w),
+            pairs AS (
+              SELECT l.l_event_id, l.user_id, r.r_event_id, r.r_value
+              FROM l JOIN r ON l.user_id = r.r_user_id
+               AND r.r_ts > l.l_ts
+               AND r.r_ts <= l.l_ts + INTERVAL 60 MINUTE)
+            SELECT l_event_id, user_id, r_event_id, r_value FROM pairs
+            UNION ALL
+            SELECT l.l_event_id, l.user_id,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+            FROM l CROSS JOIN wm
+            WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                              WHERE p.l_event_id = l.l_event_id)
+              AND epoch_us(l.l_ts) + 3600000000 < wm.w
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), r.r_user_id AS user_id,
+                   r.r_event_id, r.r_value
+            FROM r CROSS JOIN wm
+            WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                              WHERE p.r_event_id = r.r_event_id)
+              AND epoch_us(r.r_ts) < wm.w
+            ORDER BY l_event_id, r_event_id"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val ev = EventStream.readEvents(s, src)
+      val joined = EventStream.intervalJoinFullStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowMinutes = 60)
+      EventStream.runAvailableNow(s, joined, "q_stream_fjoin_sink",
+          outputMode = "append", statePartitions = 8)
+        .orderBy("l_event_id", "r_event_id")
+    })
+
   /** Stream-stream interval join under the driver's hash check: click
     * events joined to the same user's purchases within the following
     * hour, BOTH sides unbounded streams with event-time watermarks
@@ -914,7 +1001,9 @@ object EventQueries {
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
-    streamIntervalJoin, streamIntervalOuter, streamTopK, streamCdc,
+    streamIntervalJoin, streamIntervalOuter, streamIntervalFull,
+    streamEnrich,
+    streamTopK, streamCdc,
     attribution,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats,

@@ -287,6 +287,51 @@ object EventStream {
     intervalJoinStream(left, right, windowMinutes, lateness,
       joinType = "left_outer")
 
+  /** Stream-stream FULL OUTER interval join — BOTH sides' unmatched
+    * rows null-pad at their own eviction points (completing the
+    * [[intervalJoinOuterStream]] family): an unmatched LEFT row emits
+    * when `l_ts + window < watermark` (its match horizon closed); an
+    * unmatched RIGHT row emits when `r_ts < watermark` (any matching
+    * left row would have `l_ts < r_ts < watermark` and be
+    * late-dropped — probed and pinned). `user_id` coalesces across
+    * sides so every emitted row carries its key. Rows newer than
+    * their eviction bound stay in state at bounded-replay end,
+    * un-emitted — the X145 contract, applied to both sides. */
+  def intervalJoinFullStream(left: DataFrame, right: DataFrame,
+      windowMinutes: Int = 60, lateness: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        "full_outer")
+      .select(col("l_event_id"),
+        coalesce(col("user_id"), col("r_user_id")).as("user_id"),
+        col("r_event_id"), col("r_value"))
+  }
+
+  /** Stream-STATIC enrichment join (the third streaming join class
+    * next to stream-stream X43/X145: the streaming fact side joined
+    * to a bounded dimension — the classic per-event enrichment). No
+    * join state at all: the static side is (re)planned per
+    * micro-batch — at production scale it broadcasts when small or
+    * shuffles batch-side when not, exactly as in batch. LEFT join
+    * keeps unmatched events (the dimension-miss rows an enrichment
+    * must surface, not drop). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      payload: Seq[String]): DataFrame =
+    events.join(
+      dim.select((col(dimKey).as(eventKey) +: payload.map(col)): _*),
+      Seq(eventKey), "left")
+
   /** Run a streaming plan to completion against a bounded source and
     * return the final result table (memory sink; used by tests and by
     * batch/stream parity checks). */
