@@ -304,6 +304,58 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join: the RIGHT side null-pads at its own " +
+      "eviction point (X165)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fjoin")
+    def writeBatch(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts_us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"),
+          (col("ts_us") * 1000).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime * 1000L
+    val min = 60L * 1000000L
+    // click 1 matches purchase 100; purchase 101 (user 3) never
+    // matches — its null verdict waits for wm > its OWN event time
+    writeBatch(Seq((1L, 1L, "click", t0), (100L, 1L, "purchase",
+      t0 + 10 * min), (101L, 3L, "purchase", t0 + 5 * min)))
+    val ev = EventStream.readEvents(spark, dir.toString)
+    val joined = EventStream.intervalJoinFullStream(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      windowMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("fjoin_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rightNulls() = spark.table("fjoin_test")
+        .filter(col("l_event_id").isNull)
+        .select("r_event_id").collect().map(_.getLong(0)).toSet
+      assert(spark.table("fjoin_test")
+        .filter(col("r_event_id") === 100L).count() === 1L)
+      assert(rightNulls() === Set.empty[Long])
+      // advance both sides to t0+6h, then one more batch so eviction
+      // runs WITH the advanced watermark (t0+4h > purchase 101's time)
+      writeBatch(Seq((3L, 7L, "click", t0 + 360 * min),
+        (102L, 6L, "purchase", t0 + 360 * min)))
+      writeBatch(Seq((4L, 7L, "click", t0 + 361 * min),
+        (103L, 6L, "purchase", t0 + 361 * min)))
+      q.processAllAvailable()
+      // purchase 101 null-emitted exactly once; matched purchase 100
+      // never; purchases 102/103 (newer than the watermark) still in
+      // state; the unmatched click 1's... (click 1 MATCHED, no null)
+      assert(rightNulls() === Set(101L))
+      assert(spark.table("fjoin_test")
+        .filter(col("r_event_id") === 101L).count() === 1L)
+      // user_id carried on right-null rows (coalesced across sides)
+      assert(spark.table("fjoin_test")
+        .filter(col("r_event_id") === 101L)
+        .head().getAs[Long]("user_id") === 3L)
+    } finally q.stop()
+  }
+
   test("outer interval join: null-padded rows appear ONLY after the " +
       "watermark passes the join horizon (r11 #4)") {
     import org.apache.spark.sql.functions._
