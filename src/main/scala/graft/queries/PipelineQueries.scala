@@ -61,6 +61,57 @@ object PipelineQueries {
         .orderBy(coalesce(col("v"), col("corrupt")))
     })
 
+  /** Quoted-CSV ingestion (X167 — the RFC 4180 edge matrix the
+    * reference's naive tab-split BULK INSERT cannot express, and the
+    * second member of the intake-robustness family next to X164's
+    * JSON quarantine: embedded delimiters inside quotes, doubled-
+    * quote escapes, a MULTILINE quoted field (needs multiLine=true —
+    * the option that changes the file's splittability contract:
+    * multiline CSV cannot split inside records), and unquoted
+    * whitespace preserved). Fixture-pinned literal oracle (the X164
+    * device). */
+  val csvQuoted = QueryDef(
+    "q_csv_quoted",
+    Some("""SELECT CAST(id AS BIGINT) AS id, a, b
+            FROM (VALUES
+              (1, 'plain', 'x'),
+              (2, 'with,comma', 'y'),
+              (3, 'say "hi"', 'z'),
+              (4, 'two
+lines', 'w'),
+              (5, ' padded ', 'v'))
+              AS t(id, a, b)
+            ORDER BY id"""),
+    (s, _) => {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-csvq")
+      val csv = Seq(
+        "id,a,b",
+        "1,plain,x",
+        "2,\"with,comma\",y",
+        "3,\"say \"\"hi\"\"\",z",
+        "4,\"two\nlines\",w",
+        "5, padded ,v").mkString("\n")
+      java.nio.file.Files.write(dir.resolve("a.csv"),
+        csv.getBytes("UTF-8"))
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("a", StringType), StructField("b", StringType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        // RFC 4180 doubled-quote escaping: Spark's DEFAULT escape is
+        // backslash (a recorded gotcha — without this option the
+        // doubled quote survives verbatim); escape = the quote char
+        // is the RFC dialect
+        .option("escape", "\"")
+        // keep unquoted whitespace (the reference's all-varchar
+        // spirit: bytes in, bytes kept)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(dir.toString)
+        .orderBy("id")
+    })
+
   /** SO1 + §5: the reference's QA harness with its EXACT literals
     * (ref `:1097-1126`, FIXTURES.md A5): two 5-row tables, counts and
     * intersect count — expected (5, 5, 4). */
@@ -242,7 +293,7 @@ object PipelineQueries {
     })
 
   val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain,
-    cleanPipeline, ncesJoin, multiState, corruptRecords)
+    cleanPipeline, ncesJoin, multiState, corruptRecords, csvQuoted)
 }
 
 /** The q_clean_pipeline DuckDB oracle: the reference pipeline (ref
