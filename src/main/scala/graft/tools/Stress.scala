@@ -765,6 +765,55 @@ object Stress {
       graft.ops.Concentration.giniByGroup(m, "g", "x").count()
     }
 
+    // ---- round-12 operator probes ----
+
+    // X147 winnowing at 1M docs (~60 tokens): the one-pass deque
+    // kernel (the HOF form measured 22 s at 5k sf0.1 docs — this is
+    // 200x the doc count). Returned value = total fingerprints;
+    // density ≈ 2/(w+1) of grams sanity-checks the selection.
+    timeShuffle("winnow fingerprints 1M docs, k=3 w=8") {
+      graft.ops.Winnow.fingerprints(docs, "id", "text", 3, 8).count()
+    }
+
+    // X152 negative sampling at 10M positives / 1M users / 1M items:
+    // probes are a fixed 6-way fan-out, rejection one anti-join,
+    // ranks a <=6-row-per-user window. Returned value = rows emitted
+    // (3 per user with negatives available).
+    timeShuffle("negative sampling 1M users x 10M positives") {
+      val pos = spark.range(0, 10000000L, 1, 64).select(
+        (col("id") % 1000000L).as("u"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("i"))
+      graft.ops.NegativeSampling.perUser(pos, "u", "i",
+        nItems = 1000000L, k = 3).count()
+    }
+
+    // X162 sorted neighborhood at 2M distinct names, w=3: rank via
+    // the bucketed two-pass device, pairs via rank-bucketization —
+    // pair volume must be ~2M*3 (the method's own budget), never
+    // same-key quadratic. Returned value = candidate pairs.
+    timeShuffle("sorted neighborhood 2M names, w=3") {
+      val names = spark.range(0, 2000000L, 1, 64).select(
+        concat(lit("name"), lpad(pmod(xxhash64(col("id")),
+          lit(10000000L)).cast("string"), 8, "0")).as("n"))
+      graft.ops.SortedNeighborhood.pairs(names, "n", w = 3).count()
+    }
+
+    // X148 count-min at 50M draws / 1M keys: the d=4 x 256 matrix is
+    // one keyed aggregate over a fixed 4-way fan-out — state is 1024
+    // cells regardless of stream size. Returned value = matrix mass
+    // (must equal 4 x 50M).
+    timeShuffle("count-min sketch 50M draws") {
+      val ev = spark.range(0, 50000000L, 1, 64).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).cast("string").as("u"))
+      val cells = ev.select(explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"),
+            (pmod(xxhash64(concat(lit(s"cms$j:"), col("u"))),
+              lit(256L))).as("cell"))): _*)).as("x"))
+        .groupBy(col("x.j"), col("x.cell"))
+        .agg(count(lit(1)).as("c"))
+      cells.agg(sum("c")).collect().head.getLong(0)
+    }
+
     // ---- sf1 full-query scale probe (VERDICT r11 #7) ----
     // `sbt "runMain graft.tools.Stress sf1"`: synthesizes a 10×-sf0.1
     // directory (disjoint key/shingle spaces per copy — each copy is
