@@ -47,6 +47,28 @@ object Winnow {
       .select(col("doc_id"), col("fp.p").as("pos"),
         col("fp.h").as("fp_key"))
 
+  /** MOSS-style overlap report: document pairs ranked by the number
+    * of DISTINCT fingerprint keys they share — the detection readout
+    * the winnowing index exists for (Schleimer et al. §MOSS). Keys
+    * shared by more than `keyCap` documents are dropped before the
+    * pair join (boilerplate protection — the Dedup.capBuckets
+    * contract: bounded quadratic cost per key, recall traded on
+    * ubiquitous keys, recorded not hidden). Only (key, doc_id) longs
+    * shuffle. */
+  def sharedFingerprintPairs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, keyCap: Int = 100): DataFrame = {
+    val sel = fingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp_key")).distinct()
+    val keyDf = sel.groupBy("fp_key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= keyCap).select("fp_key")
+    val capped = sel.join(keyDf, Seq("fp_key"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        col("a.fp_key") === col("b.fp_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-document selection summary: (doc_id, n_grams, n_fp,
     * density) — density = n_fp / n_grams, the observable the 2/(w+1)
     * expectation bounds. */

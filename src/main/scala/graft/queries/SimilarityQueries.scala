@@ -1535,6 +1535,40 @@ ORDER BY id_a, id_b"""
         Tables.documents(s, d), "doc_id", "text", k = 3, w = 8)
       .orderBy("doc_id", "pos"))
 
+  /** Winnowing overlap report (X168 — the MOSS detection readout the
+    * X147 index exists for: document pairs ranked by DISTINCT shared
+    * fingerprint keys; keys on more than 100 docs dropped first —
+    * boilerplate protection, the capBuckets contract). Top-25 pairs
+    * under the total (n_shared DESC, id_a, id_b) order. The oracle
+    * nests the X147 selection replay and re-runs cap, pair join and
+    * count. */
+  val winnowPairs = QueryDef(
+    "q_winnow_pairs", {
+      val fpCte = winnowFp.oracle.get
+        .replaceAll("ORDER BY doc_id, pos$", "")
+      Some(s"""WITH wfp AS ($fpCte),
+              sel AS (SELECT DISTINCT doc_id, fp_key FROM wfp),
+              keys AS (
+                SELECT fp_key FROM sel GROUP BY fp_key
+                HAVING COUNT(*) <= 100),
+              capped AS (
+                SELECT sel.doc_id, sel.fp_key
+                FROM sel JOIN keys USING (fp_key)),
+              pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM capped a JOIN capped b
+                  ON a.fp_key = b.fp_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT id_a, id_b, n_shared FROM pr
+              ORDER BY n_shared DESC, id_a, id_b LIMIT 25""")
+    },
+    (s, d) => graft.ops.Winnow.sharedFingerprintPairs(
+        Tables.documents(s, d), "doc_id", "text", k = 3, w = 8,
+        keyCap = 100)
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(25))
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
@@ -1543,5 +1577,5 @@ ORDER BY id_a, id_b"""
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
-    ngramNovelty, winnowFp, soundexBlock, sortedNeighborhood)
+    ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood)
 }
