@@ -23,9 +23,15 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warmup: initialize FS/codegen/parquet-footer caches so the first
-    // timed query doesn't absorb one-time session costs
-    SparkEntry.queries.get("q1_agg").foreach(fn =>
-      try run(fn) catch { case _: Throwable => () })
+    // timed query doesn't absorb one-time session costs. TWO warmup
+    // runs (VERDICT r12 #4): a single run left residual JIT compilation
+    // in the session-start noise probe (noise_ref[0] measured ~1.8x the
+    // mid/end probes on identical code), conflating JIT warmup with
+    // container drift — the index must measure the BOX, not the JIT.
+    SparkEntry.queries.get("q1_agg").foreach { fn =>
+      try run(fn) catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
+    }
     // Per-query (elapsedMillis, ok). A throwing query is RECORDED as
     // failed — it must not silently score ~0 s and "improve" the total
     // (VERDICT r4 defect #1); the driver can cross-check n_failed

@@ -26,18 +26,31 @@ import org.apache.spark.sql.functions._
   * fixed (k+slack)-way per-user fan-out of fixed-width rows; the
   * rejection is a key-partitioned anti-join; no window touches more
   * than k+slack rows per user key.
+  *
+  * Uniformity bound (ADVICE r12 #4): the draw is a 48-bit md5 slice
+  * mod nItems, so "uniform" is exact only when nItems divides 2^48;
+  * otherwise the low (2^48 mod nItems) residues are hit once more in
+  * 2^48 probes — a per-item probability skew ≤ nItems/2^48 (~2^-28 at
+  * 1M items). Recorded, not corrected: rejection on the top remainder
+  * range would buy exactness nothing measurable here at the cost of a
+  * variable probe count.
   */
 object NegativeSampling {
 
   /** @param positives (user, item) distinct positive pairs
-    * @param nItems    dense item-space size (items are 0..nItems−1)
+    * @param nItems    dense item-space size: items are
+    *                  itemBase..itemBase+nItems−1
     * @param k         negatives to emit per user
     * @param slack     extra probes to absorb accidental-positive
     *                  rejections
+    * @param itemBase  first valid item id (0 for a 0-based dense space,
+    *                  1 for 1-based keys like TPC-H p_partkey — ADVICE
+    *                  r12 #1: a 1-based caller on the 0-based default
+    *                  emitted phantom item 0 and never item nItems)
     * @return (user, neg_item, probe, rank) — rank 1..k in probe order */
   def perUser(positives: DataFrame, userCol: String, itemCol: String,
       nItems: Long, k: Int, slack: Int = 3,
-      prefix: String = "neg:"): DataFrame = {
+      prefix: String = "neg:", itemBase: Long = 0L): DataFrame = {
     require(k >= 1 && slack >= 0 && nItems >= 1)
     val pos = positives.select(col(userCol).as("user"),
       col(itemCol).as("item")).distinct()
@@ -47,7 +60,7 @@ object NegativeSampling {
       .withColumn("neg_item",
         conv(substring(md5(concat(lit(prefix), col("user").cast("string"),
           lit(":"), col("probe").cast("string"))), 1, 12), 16, 10)
-          .cast("long") % nItems)
+          .cast("long") % nItems + itemBase)
     val survivors = probes.join(
       pos.select(col("user"), col("item").as("neg_item")),
       Seq("user", "neg_item"), "left_anti")

@@ -111,7 +111,13 @@ object PrefixSum {
     * commutes — but how it distributes within the block is not;
     * pinned in PrefixSumSpec "tied keys"). Callers feed
     * grouped/distinct-value tables, where uniqueness holds by
-    * construction. */
+    * construction — and it is now ENFORCED at runtime (VERDICT r12
+    * #3): the per-bucket totals aggregate (which runs anyway)
+    * piggybacks an exact `count(*) vs count(distinct key)` probe per
+    * bucket — equal keys always share a bucket, so per-bucket
+    * distinctness is global distinctness — and a tied key fails fast
+    * with the offending bucket instead of silently breaking the
+    * bit-identity claim. Zero extra Spark jobs. */
   def runningTotalsAsc(df: DataFrame, valueCols: Seq[String],
       distinctScoreCol: String, outs: Seq[String],
       buckets: Int = 32): DataFrame = {
@@ -132,12 +138,23 @@ object PrefixSum {
       acc + when(col(scoreCol) > b, 1).otherwise(0)
     }
     val withB = df.withColumn("__psb", bucket)
-    val totals = withB.groupBy("__psb")
+    val nv = valueCols.size
+    val totalRows = withB.groupBy("__psb")
       .agg(sum(col(valueCols.head)).as("__t0"),
         valueCols.tail.zipWithIndex.map { case (vc, i) =>
           sum(col(vc)).as(s"__t${i + 1}")
-        }: _*)
+        } ++ Seq(count(lit(1)).as("__n"),
+          countDistinct(col(scoreCol)).as("__d")): _*)
       .collect()
+    totalRows.foreach { r =>
+      require(r.getLong(nv + 1) == r.getLong(nv + 2),
+        s"runningTotalsAsc: order key '$scoreCol' has tied values " +
+          s"(bucket ${r.getInt(0)}: ${r.getLong(nv + 1)} rows, " +
+          s"${r.getLong(nv + 2)} distinct keys) — a ROWS frame over a " +
+          "tied order is nondeterministic at the tied rows; feed a " +
+          "unique key (see PrefixSumSpec \"tied keys\")")
+    }
+    val totals = totalRows
       .map(r => r.getInt(0) -> valueCols.indices.map(i => r.getLong(i + 1)))
       .sortBy(_._1)
     val w = Window.partitionBy("__psb").orderBy(col(scoreCol))

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   *
   * ASCII names are the recorded contract (the prefix-key order
   * homomorphism is byte-wise; the callers feed normalized catalog
-  * strings).
+  * strings) — ENFORCED at runtime: a non-ASCII name raise_errors the
+  * job instead of silently corrupting ranks (ADVICE r12 #2).
   */
 object SortedNeighborhood {
 
@@ -42,7 +43,15 @@ object SortedNeighborhood {
     // as a big-endian long (ASCII => always positive)
     val pfx = conv(rpad(substring(hex(encode(col("name"), "UTF-8")),
       1, 16), 16, "0"), 16, 10).cast("long")
-    val keyed = n0.withColumn("pfx", pfx)
+    // Loud ASCII enforcement (ADVICE r12 #2): a first byte >= 0x80
+    // overflows conv's unsigned result on the Long cast -> NULL pfx,
+    // which would silently land in bucket 0 and sort nulls-first,
+    // corrupting neighbor ranks. Fail the job instead.
+    val guarded = when(col("name").rlike("^[\\x00-\\x7F]*$"), pfx)
+      .otherwise(raise_error(concat(
+        lit("SortedNeighborhood: non-ASCII name violates the "),
+        lit("prefix-order contract: "), col("name"))))
+    val keyed = n0.withColumn("pfx", guarded)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]

@@ -474,8 +474,12 @@ object CoreQueries {
                      AS o_totalprice
             FROM orders ORDER BY o_orderkey"""),
     (s, d) => {
-      val sfTag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
-      val dir = s"/tmp/graft_schevo_$sfTag"
+      // Per-invocation tempdir (ADVICE r12 #3): a fixed shared path let
+      // two concurrent harness runs at the same sf overwrite each
+      // other's files mid-read; createTempDirectory isolates them like
+      // the q_corrupt_records / q_csv_quoted fixtures already do.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_schevo_").toString
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey")

@@ -137,7 +137,7 @@ object TrainPrepQueries {
   /** Deterministic negative sampling (X152 — the contrastive-pair
     * corruption draw, see [[graft.ops.NegativeSampling]]): positives
     * = distinct (customer, part) purchase pairs; per customer, k=3
-    * uniform negatives from the dense 0-based part space via
+    * uniform negatives from the dense 1-based p_partkey space via
     * stateless md5 probes (k+slack=6 drawn, accidental positives
     * anti-joined out, first 3 survivors win in probe order). Fully
     * deterministic → the oracle replays draw, rejection, and rank. */
@@ -154,7 +154,7 @@ object TrainPrepQueries {
                      CAST('0x' || substring(md5('neg:'
                          || CAST(us.uid AS VARCHAR) || ':'
                          || CAST(j.probe AS VARCHAR)), 1, 12) AS BIGINT)
-                       % n.ni AS neg_item
+                       % n.ni + 1 AS neg_item
               FROM us CROSS JOIN n
                 CROSS JOIN (SELECT unnest(range(1, 7)) AS probe) j),
             surv AS (
@@ -176,8 +176,10 @@ object TrainPrepQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("uid"), col("l_partkey").as("item"))
       val nItems = Tables.part(s, d).count()
+      // itemBase = 1: p_partkey is 1..nItems (ADVICE r12 #1 — the
+      // 0-based default emitted phantom part 0, never part nItems)
       graft.ops.NegativeSampling.perUser(pos, "uid", "item",
-          nItems, k = 3, slack = 3)
+          nItems, k = 3, slack = 3, itemBase = 1L)
         .select(col("user").as("user_id"), col("neg_item"),
           col("probe"), col("rank"))
         .orderBy("user_id", "rank")

@@ -80,20 +80,18 @@ class PrefixSumSpec extends SparkSuite {
     assert(got === want)
   }
 
-  test("tied keys: documented precondition failure mode (ADVICE r11)") {
+  test("tied keys: precondition now enforced at runtime (VERDICT r12 #3)") {
     // distinctScoreCol is REQUIRED unique. With ties, intra-block
     // cumulative values are nondeterministic (ROWS frame over a tied
-    // order) — pin exactly what IS still guaranteed: the running
-    // total at each block's end (= max within the tied block, since
-    // every block permutation ends at the same sum) equals the exact
-    // prefix total through that key. This is the boundary a caller
-    // violating the precondition can still rely on — and nothing more.
+    // order), so rather than letting the bit-identity claim silently
+    // break, the per-bucket totals aggregate piggybacks an exact
+    // count-vs-countDistinct probe and fails fast naming the key.
     val df = (0L until 300L).map(i => (i % 10, 1L)).toDF("v", "na")
-    val blockEnd = PrefixSum.runningTotalsAsc(df, Seq("na"), "v",
-        Seq("ca"), buckets = 4)
-      .groupBy("v").agg(max("ca").as("ca"))
-      .select("v", "ca").as[(Long, Long)].collect().toMap
-    val want = (0L until 10L).map(k => k -> (k + 1) * 30L).toMap
-    assert(blockEnd === want)
+    val ex = intercept[IllegalArgumentException] {
+      PrefixSum.runningTotalsAsc(df, Seq("na"), "v",
+        Seq("ca"), buckets = 4).collect()
+    }
+    assert(ex.getMessage.contains("tied values"))
+    assert(ex.getMessage.contains("'v'"))
   }
 }

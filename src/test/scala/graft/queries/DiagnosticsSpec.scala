@@ -546,7 +546,11 @@ class DiagnosticsSpec extends SparkSuite {
   test("q_boxplot: counting-device quantiles equal Spark's own " +
       "percentile aggregate (definition pin)") {
     import org.apache.spark.sql.functions._
-    val got = run("q_boxplot").collect()
+    // one run; both the quantile pins and the outlier recount read the
+    // same collected rows (same single-collect discipline as
+    // q_stream_kmv above)
+    val rows = run("q_boxplot").collect()
+    val got = rows
       .map(r => r.getString(0) ->
         ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
     val want = graft.Tables.documents(spark, Sf0001)
@@ -560,7 +564,7 @@ class DiagnosticsSpec extends SparkSuite {
       assert(Seq(p25, p50, p75) === want(s).toSeq, s)
     }
     // outlier counts recount exactly under the fences
-    run("q_boxplot").collect().foreach { r =>
+    rows.foreach { r =>
       val (src, lo, hi) = (r.getString(0), r.getDouble(6), r.getDouble(7))
       val n = graft.Tables.documents(spark, Sf0001)
         .filter(col("source") === src &&
