@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.UrlQueries.all ++
     graft.queries.CrawlQueries.all ++
     graft.queries.GraphQueries.all ++
-    graft.queries.DiagnosticsQueries.all
+    graft.queries.DiagnosticsQueries.all ++
+    graft.queries.StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -121,6 +121,11 @@ object Dedup {
       (if (portableKeys) ShingleFunctions.md5ShingleKeys(col(textCol), shingleK)
        else ShingleFunctions.shingleHashes(col(textCol), shingleK))
         .as("shingles"))
+      // the shingle pass is the corpus's heaviest projection and is
+      // consumed by banding AND both verify sides — materialize once
+      // (r13 sf1 decomposition: un-checkpointed, the 3x recompute
+      // dominated the scale curve)
+      .localCheckpoint(true)
     minhashPairsFromShingles(sh, numHashes, bands, threshold, bucketCap)
   }
 
@@ -143,8 +148,14 @@ object Dedup {
     val bucketed = sh.select(col("id"),
       HashFunctions.minhashBandBuckets(col("shingles"), nBands, rows)
         .as("buckets"))
+    // (id, band, bucket) is fixed-width and bands·n rows; WITHOUT this
+    // checkpoint the 128-minhash signature kernel re-runs for every
+    // consumer (capBuckets' two sides + both join sides = 4x) — the
+    // r13 sf1 stage decomposition measured the minhash stage at 66.7 s
+    // for 50k docs, almost all of it signature recompute
     val banded = bucketed.select(col("id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
 
     val capped = capBuckets(banded, Seq("band", "bucket"), bucketCap)
 

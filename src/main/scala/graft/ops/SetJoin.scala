@@ -62,6 +62,11 @@ object SetJoin {
       .select(col("id"),
         transform(col("ord"), x => x.getField("t")).as("sh"),
         size(col("ord")).as("n"))
+      // consumed 3x (prefix explode + both verify sides); the lineage
+      // above it is the explode + df join + collect_list/sort — the
+      // exact side's whole cost — so materialize once (r13 sf1 stage
+      // decomposition)
+      .localCheckpoint(true)
     // prefix length n − ⌈τ·n⌉ + 1, exact integers
     val plen = col("n") -
       floor((lit(tauNum) * col("n") + (tauDen - 1)) / tauDen).cast("int") + 1

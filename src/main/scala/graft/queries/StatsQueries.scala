@@ -1,0 +1,477 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Round-13 statistical monitors (SURVEY §2l X169–X174): the drift /
+  * trend / diversity readouts a corpus-curation dashboard sits on,
+  * each the standard named method composed from the house devices
+  * (bounded driver actions for scalars, PrefixSum for cumulatives,
+  * exact-integer lanes wherever the method allows).
+  *
+  * Reference scope note: the reference pipeline (SURVEY §2) has no
+  * statistics beyond COUNT/MAX; everything here is extension surface
+  * in the X-row series, same contract — every query oracle-checked
+  * against DuckDB.
+  */
+object StatsQueries {
+
+  // ------------------------------------------------- JS divergence
+
+  /** Jensen–Shannon divergence drift (X169 — Lin 1991: the SYMMETRIC,
+    * always-finite sibling of the X58 KL monitor; JS needs no
+    * smoothing because the mixture M = (P+Q)/2 is nonzero wherever
+    * either side is, so a class empty in one period contributes a
+    * finite term instead of KL's ∞ — the reason drift dashboards
+    * prefer it for sparse alphabets). Periods = first/second half of
+    * the event-time range (the X114 midpoint device, one bounded
+    * min/max action); distributions over the bounded event-type
+    * alphabet. p, q, m are exact integer ratios (element-wise);
+    * each class's contribution carries one log2 lane → qround(6)
+    * (the X58 discipline); the total is a bounded-alphabet aggregate
+    * re-emitted as a literal (X109 device — no partition-less window,
+    * no 1-row cross join). 0 ≤ JS ≤ 1 in log2 units. */
+  val jsDivergence = QueryDef(
+    "q_js_divergence", {
+      val mid = "(b.mn + (b.mx - b.mn) // 2)"
+      val p = "CAST(j.c_old AS DOUBLE) / CAST(t.n_old AS DOUBLE)"
+      val q = "CAST(j.c_new AS DOUBLE) / CAST(t.n_new AS DOUBLE)"
+      val m = s"(($p) + ($q)) / 2.0"
+      val contrib =
+        s"""0.5 * (CASE WHEN j.c_old > 0
+                   THEN ($p) * log2(($p) / ($m)) ELSE 0.0 END) +
+            0.5 * (CASE WHEN j.c_new > 0
+                   THEN ($q) * log2(($q) / ($m)) ELSE 0.0 END)"""
+      Some(s"""WITH b AS (
+                SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+                FROM events),
+              e2 AS (
+                SELECT event_type, epoch_us(ts) AS us FROM events),
+              j AS (
+                SELECT event_type,
+                       CAST(SUM(CASE WHEN us < $mid THEN 1 ELSE 0 END)
+                         AS BIGINT) AS c_old,
+                       CAST(SUM(CASE WHEN us >= $mid THEN 1 ELSE 0 END)
+                         AS BIGINT) AS c_new
+                FROM e2 CROSS JOIN b GROUP BY 1),
+              t AS (
+                SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+                       CAST(SUM(c_new) AS BIGINT) AS n_new
+                FROM j),
+              terms AS (
+                SELECT j.event_type, j.c_old, j.c_new,
+                       $p AS p_old, $q AS p_new,
+                       ${Num.qroundSql(contrib, 6)} AS js_contrib
+                FROM j CROSS JOIN t),
+              tot AS (
+                SELECT ${Num.qroundSql("SUM(js_contrib)", 6)} AS js_total
+                FROM terms)
+              SELECT terms.*, tot.js_total
+              FROM terms CROSS JOIN tot
+              ORDER BY event_type""")
+    },
+    (s, d) => {
+      val e2 = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val bRow = e2.agg(min("us"), max("us")).head()
+      val mid = bRow.getLong(0) + (bRow.getLong(1) - bRow.getLong(0)) / 2
+      // one keyed aggregate over the bounded type alphabet, consumed
+      // twice (totals action + final projection) → checkpoint once
+      val j = e2.groupBy("event_type")
+        .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("c_old"),
+          sum(when(col("us") >= mid, 1L).otherwise(0L)).as("c_new"))
+        .localCheckpoint()
+      val tot = j.agg(sum("c_old"), sum("c_new")).head()
+      val (nOld, nNew) = (tot.getLong(0), tot.getLong(1))
+      val p = col("c_old").cast("double") / lit(nOld).cast("double")
+      val q = col("c_new").cast("double") / lit(nNew).cast("double")
+      val m = (p + q) / 2.0
+      val contrib =
+        lit(0.5) * when(col("c_old") > 0, p * log2(p / m)).otherwise(0.0) +
+        lit(0.5) * when(col("c_new") > 0, q * log2(q / m)).otherwise(0.0)
+      val terms = j.select(col("event_type"), col("c_old"), col("c_new"),
+          p.as("p_old"), q.as("p_new"),
+          Num.qround(contrib, 6).as("js_contrib"))
+        .localCheckpoint()
+      // total = bounded-alphabet aggregate → driver literal (X109)
+      val jsRow = terms.agg(Num.qround(sum("js_contrib"), 6)).head()
+      terms.withColumn("js_total", lit(jsRow.getDouble(0)))
+        .orderBy("event_type")
+    })
+
+  // --------------------------------------------------- Cramér's V
+
+  /** Cramér's V association (X170 — Cramér 1946: the [0,1]-normalized
+    * χ² between two categoricals, the "are these columns related at
+    * all" screen run before any per-class drilldown; the global
+    * sibling of X140's mutual information, in χ² units instead of
+    * nats — here: document language × source). The contingency table
+    * is one keyed aggregate over the bounded lang×source alphabet;
+    * marginals are broadcast joins of grouped frames; expected counts
+    * and per-cell χ² terms are exact-integer-fed element-wise
+    * arithmetic (hash raw); the χ² total and the R/C alphabet sizes
+    * are bounded driver actions, V = sqrt(χ²/(N·(min(R,C)−1)))
+    * re-emitted as a literal, NULL when min(R,C) = 1 (degenerate
+    * single-category axis — the q_ab_test NULLIF discipline). */
+  val cramersV = QueryDef(
+    "q_cramers_v", {
+      val e = "CAST(rl.rt AS DOUBLE) * CAST(cl.ct AS DOUBLE) / " +
+        "CAST(t.n AS DOUBLE)"
+      Some(s"""WITH c AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2),
+              rl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rt
+                     FROM c GROUP BY 1),
+              cl AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ct
+                     FROM c GROUP BY 1),
+              t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                           CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+                           CAST(COUNT(DISTINCT source) AS BIGINT) AS cc
+                    FROM c),
+              cells AS (
+                SELECT c.lang, c.source, c.n, $e AS expected,
+                       (CAST(c.n AS DOUBLE) - ($e)) *
+                       (CAST(c.n AS DOUBLE) - ($e)) / ($e) AS cell_chi2
+                FROM c JOIN rl USING (lang) JOIN cl USING (source)
+                  CROSS JOIN t),
+              tot AS (
+                SELECT ${Num.qroundSql("SUM(cell_chi2)", 6)} AS chi2
+                FROM cells)
+              SELECT cells.lang, cells.source, cells.n, cells.expected,
+                     cells.cell_chi2, tot.chi2,
+                     SQRT(tot.chi2 / (CAST(t.n AS DOUBLE) *
+                       NULLIF(CAST(LEAST(t.r, t.cc) AS DOUBLE) - 1.0, 0.0)))
+                       AS cramers_v
+              FROM cells CROSS JOIN tot CROSS JOIN t
+              ORDER BY lang, source""")
+    },
+    (s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // alphabet²-bounded; consumed 4×
+      val tRow = c.agg(sum("n"), countDistinct("lang"),
+        countDistinct("source")).head()
+      val (n, r, cc) = (tRow.getLong(0), tRow.getLong(1), tRow.getLong(2))
+      val rl = c.groupBy("lang").agg(sum("n").as("rt"))
+      val cl = c.groupBy("source").agg(sum("n").as("ct"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        lit(n).cast("double")
+      val cells = c.join(broadcast(rl), "lang")
+        .join(broadcast(cl), "source")
+        .select(col("lang"), col("source"), col("n"), e.as("expected"),
+          ((col("n").cast("double") - e) * (col("n").cast("double") - e) / e)
+            .as("cell_chi2"))
+        .localCheckpoint()
+      val chi2 = cells.agg(Num.qround(sum("cell_chi2"), 6)).head()
+        .getDouble(0)
+      val minDim = math.min(r, cc).toDouble - 1.0
+      val v: Any =
+        if (minDim == 0.0) null
+        else math.sqrt(chi2 / (n.toDouble * minDim))
+      cells.withColumn("chi2", lit(chi2))
+        .withColumn("cramers_v", lit(v).cast("double"))
+        .orderBy("lang", "source")
+    })
+
+  // --------------------------------------------------- OLS trend
+
+  /** Per-group OLS trend fit (X171 — the least-squares "is this
+    * series growing?" line every metrics dashboard draws: daily event
+    * counts regressed on the day index, slope/intercept/R² from the
+    * five sufficient statistics in ONE keyed aggregate — no window,
+    * no per-point second pass, the classic distributed-regression
+    * shape). x = days since the corpus's first day (one bounded
+    * min action); all five sums are exact longs (n ≤ days, y daily
+    * counts — the long lanes hold to ~3·10⁹ events/day), so slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) and R² are exact-integer-fed
+    * element-wise IEEE — rows hash RAW. Degenerate groups (single
+    * day, or constant y) degrade slope/R² to NULL via NULLIF on both
+    * engines. */
+  val olsTrend = QueryDef(
+    "q_ols_trend", {
+      val sl = "(CAST(n_days * sxy - sx * sy AS DOUBLE)) / " +
+        "NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0)"
+      Some(s"""WITH d0 AS (
+                SELECT MIN(CAST(ts AS DATE)) AS first_day FROM events),
+              daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - d0.first_day AS BIGINT)
+                         AS x,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events CROSS JOIN d0
+                GROUP BY 1, 2),
+              s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM daily GROUP BY 1)
+              SELECT event_type, n_days, sx, sy,
+                     $sl AS slope,
+                     (CAST(sy AS DOUBLE) - ($sl) * CAST(sx AS DOUBLE)) /
+                       CAST(n_days AS DOUBLE) AS intercept,
+                     (CAST(n_days * sxy - sx * sy AS DOUBLE) *
+                      CAST(n_days * sxy - sx * sy AS DOUBLE)) /
+                       NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+                              CAST(n_days * syy - sy * sy AS DOUBLE), 0.0)
+                       AS r2
+              FROM s ORDER BY event_type""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val d0 = ev.agg(min(col("ts").cast("date"))).head().getDate(0)
+      val daily = ev
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit(d0)).cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      val sfr = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      def dd(c: Column) = c.cast("double")
+      val varX = dd(col("n_days") * col("sxx") - col("sx") * col("sx"))
+      val varY = dd(col("n_days") * col("syy") - col("sy") * col("sy"))
+      val cov = dd(col("n_days") * col("sxy") - col("sx") * col("sy"))
+      val slope = cov / when(varX === 0.0, lit(null)).otherwise(varX)
+      sfr.select(col("event_type"), col("n_days"), col("sx"), col("sy"),
+          slope.as("slope"),
+          ((dd(col("sy")) - slope * dd(col("sx"))) / dd(col("n_days")))
+            .as("intercept"),
+          (cov * cov / when(varX * varY === 0.0, lit(null))
+            .otherwise(varX * varY)).as("r2"))
+        .orderBy("event_type")
+    })
+
+  // --------------------------------------------- lexical diversity
+
+  /** Lexical diversity profile (X172 — type-token ratio, hapax share,
+    * and Yule's K per source: the vocabulary-richness screens corpus
+    * linguists run before mixing sources — a boilerplate-heavy crawl
+    * shows low TTR / low hapax / high K (repetitive), while K is the
+    * size-robust member of the trio (Yule 1944: K = 10⁴·(Σm²·Vₘ −
+    * N)/N² over the frequency-of-frequencies table, insensitive to N
+    * where raw TTR is not). Scale shape: one (source, token) keyed
+    * aggregate, then one per-source aggregate — the frequency table
+    * never leaves the executors, no windows. All counts are exact
+    * longs; the three ratios are exact-integer-fed element-wise
+    * divides (hash raw); a source with an empty vocabulary degrades
+    * to NULL via NULLIF. */
+  val lexicalDiversity = QueryDef(
+    "q_lexical_diversity",
+    Some("""WITH tf AS (
+              SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS m
+              FROM (SELECT source,
+                           unnest(list_filter(
+                             string_split_regex(text, '\s+'),
+                             t -> len(t) > 0)) AS tok
+                    FROM documents)
+              GROUP BY 1, 2),
+            s AS (
+              SELECT source,
+                     CAST(SUM(m) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_types,
+                     CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_hapax,
+                     CAST(SUM(m * m) AS BIGINT) AS sum_m2
+              FROM tf GROUP BY 1)
+            SELECT source, n_tokens, n_types, n_hapax,
+                   CAST(n_types AS DOUBLE) /
+                     NULLIF(CAST(n_tokens AS DOUBLE), 0.0) AS ttr,
+                   CAST(n_hapax AS DOUBLE) /
+                     NULLIF(CAST(n_types AS DOUBLE), 0.0) AS hapax_ratio,
+                   10000.0 * CAST(sum_m2 - n_tokens AS DOUBLE) /
+                     NULLIF(CAST(n_tokens AS DOUBLE) *
+                            CAST(n_tokens AS DOUBLE), 0.0) AS yule_k
+            FROM s ORDER BY source"""),
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("m"))
+      val agg = tf.groupBy("source").agg(
+        sum("m").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("m") * col("m")).as("sum_m2"))
+      def nz(c: Column) = when(c === 0.0, lit(null)).otherwise(c)
+      val nT = col("n_tokens").cast("double")
+      agg.select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          (col("n_types").cast("double") / nz(nT)).as("ttr"),
+          (col("n_hapax").cast("double") /
+            nz(col("n_types").cast("double"))).as("hapax_ratio"),
+          (lit(10000.0) * (col("sum_m2") - col("n_tokens")).cast("double") /
+            nz(nT * nT)).as("yule_k"))
+        .orderBy("source")
+    })
+
+  // ------------------------------------------------ CUSUM changepoint
+
+  /** CUSUM changepoint detection (X173 — Page 1954's cumulative-sum
+    * chart in its retrospective argmax form: D_t = T·cumsum(x)_t −
+    * t·Σx peaks where the daily event-count series changes level —
+    * the "when did the pipeline break" locator the X110 EWMA chart's
+    * per-point alarms don't give). Integer-exact throughout: the
+    * mean-centered cumsum is scaled by T·(days count) so D_t stays a
+    * LONG (no float drift, rows hash raw); both cumulative lanes
+    * (counts and the day rank t) run in ONE
+    * [[graft.ops.PrefixSum.runningTotalsAsc]] two-pass sweep — no
+    * partition-less window. The changepoint flag marks every row
+    * attaining max |D| (ties flagged alike, deterministically). */
+  val cusumChange = QueryDef(
+    "q_cusum_change",
+    Some("""WITH d0 AS (
+              SELECT MIN(CAST(ts AS DATE)) AS first_day FROM events),
+            daily AS (
+              SELECT CAST(CAST(ts AS DATE) - d0.first_day AS BIGINT)
+                       AS xday,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events CROSS JOIN d0 GROUP BY 1),
+            c AS (
+              SELECT xday, x,
+                     CAST(SUM(x) OVER (ORDER BY xday) AS BIGINT) AS cum,
+                     CAST(ROW_NUMBER() OVER (ORDER BY xday) AS BIGINT)
+                       AS t
+              FROM daily),
+            tt AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(x) AS BIGINT) AS total
+              FROM daily),
+            dstat AS (
+              SELECT c.xday, c.x, c.cum, c.t,
+                     tt.n_days * c.cum - c.t * tt.total AS d_stat
+              FROM c CROSS JOIN tt),
+            mx AS (SELECT MAX(ABS(d_stat)) AS m FROM dstat)
+            SELECT dstat.xday, dstat.x, dstat.cum, dstat.t, dstat.d_stat,
+                   ABS(dstat.d_stat) = mx.m AS is_changepoint
+            FROM dstat CROSS JOIN mx
+            ORDER BY xday"""),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val d0 = ev.agg(min(col("ts").cast("date"))).head().getDate(0)
+      val daily = ev
+        .groupBy(datediff(col("ts").cast("date"), lit(d0)).cast("long")
+          .as("xday"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("one", lit(1L))
+      // both cumulative lanes in one two-pass sweep (X113 device)
+      val c = graft.ops.PrefixSum
+        .runningTotalsAsc(daily, Seq("x", "one"), "xday", Seq("cum", "t"))
+        .drop("one")
+        .localCheckpoint() // consumed by totals action + max action
+      val tot = c.agg(count(lit(1)), sum("x")).head()
+      val (nDays, total) = (tot.getLong(0), tot.getLong(1))
+      val dstat = c.select(col("xday"), col("x"), col("cum"), col("t"),
+          (lit(nDays) * col("cum") - col("t") * lit(total)).as("d_stat"))
+        .localCheckpoint()
+      val maxAbs = dstat.agg(max(abs(col("d_stat")))).head().getLong(0)
+      dstat.withColumn("is_changepoint", abs(col("d_stat")) === maxAbs)
+        .orderBy("xday")
+    })
+
+  // --------------------------------------------- forecast-error eval
+
+  /** Seasonal-baseline forecast evaluation (X174 — sMAPE + MASE,
+    * Hyndman & Koehler 2006: before any forecaster ships, its error
+    * must beat the seasonal-naive yardstick — MASE < 1 — and sMAPE
+    * gives the scale-free percentage twin. Here the X142 day-of-week
+    * baseline, FIT ON THE FIRST THREE WEEKS ONLY, forecasts the
+    * remaining days per event type; MASE's denominator is the
+    * in-train mean |x_t − x_{t−7}|, the lag-7 pairs found by an
+    * equi-join on (type, day−7) — no window, no cross join).
+    * Aggregated error means carry qround(6) on both engines; a type
+    * with no eval days or no lag-7 train pairs degrades to NULL via
+    * NULLIF. */
+  val maseEval = QueryDef(
+    "q_mase_eval", {
+      val smapeTerm = "CASE WHEN CAST(e.x AS DOUBLE) + f.fc = 0.0 " +
+        "THEN 0.0 ELSE 2.0 * ABS(CAST(e.x AS DOUBLE) - f.fc) / " +
+        "(CAST(e.x AS DOUBLE) + f.fc) END"
+      Some(s"""WITH d0 AS (
+                SELECT MIN(CAST(ts AS DATE)) AS first_day FROM events),
+              daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - d0.first_day AS BIGINT)
+                         AS xday,
+                       CAST(isodow(ts) AS INT) AS dow,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events CROSS JOIN d0 GROUP BY 1, 2, 3),
+              f AS (
+                SELECT event_type, dow,
+                       ${Num.qroundSql("AVG(CAST(x AS DOUBLE))", 6)} AS fc
+                FROM daily WHERE xday < 21 GROUP BY 1, 2),
+              ev AS (SELECT * FROM daily WHERE xday >= 21),
+              sm AS (
+                SELECT e.event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_eval,
+                       ${Num.qroundSql(s"AVG($smapeTerm)", 6)} AS smape,
+                       ${Num.qroundSql(
+                         "AVG(ABS(CAST(e.x AS DOUBLE) - f.fc))", 6)}
+                         AS mae_eval
+                FROM ev e JOIN f
+                  ON e.event_type = f.event_type AND e.dow = f.dow
+                GROUP BY 1),
+              den AS (
+                SELECT a.event_type,
+                       ${Num.qroundSql(
+                         "AVG(ABS(CAST(a.x AS DOUBLE) - " +
+                           "CAST(b.x AS DOUBLE)))", 6)} AS naive_mae
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type
+                 AND b.xday = a.xday - 7
+                WHERE a.xday < 21
+                GROUP BY 1)
+              SELECT sm.event_type, sm.n_eval, sm.smape, sm.mae_eval,
+                     den.naive_mae,
+                     sm.mae_eval / NULLIF(den.naive_mae, 0.0) AS mase
+              FROM sm JOIN den USING (event_type)
+              ORDER BY event_type""")
+    },
+    (s, d) => {
+      val ev0 = Tables.events(s, d)
+      val d0 = ev0.agg(min(col("ts").cast("date"))).head().getDate(0)
+      val dowIso = (pmod(dayofweek(col("ts")) + lit(5), lit(7)) + 1)
+        .cast("int")
+      val daily = ev0
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit(d0)).cast("long").as("xday"),
+          dowIso.as("dow"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // consumed 3× (fit, eval, lag-7 pairs)
+      val f = daily.filter(col("xday") < 21)
+        .groupBy("event_type", "dow")
+        .agg(Num.qround(avg(col("x").cast("double")), 6).as("fc"))
+      val evd = daily.filter(col("xday") >= 21)
+      val xD = col("x").cast("double")
+      val smapeTerm = when(xD + col("fc") === 0.0, 0.0)
+        .otherwise(lit(2.0) * abs(xD - col("fc")) / (xD + col("fc")))
+      val sm = evd.join(broadcast(f), Seq("event_type", "dow"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          Num.qround(avg(smapeTerm), 6).as("smape"),
+          Num.qround(avg(abs(xD - col("fc"))), 6).as("mae_eval"))
+      val lag = daily.filter(col("xday") < 21)
+        .join(daily.select(col("event_type"),
+            (col("xday") + 7).as("xday"), col("x").as("x_lag")),
+          Seq("event_type", "xday"))
+      val den = lag.groupBy("event_type")
+        .agg(Num.qround(avg(abs(xD - col("x_lag").cast("double"))), 6)
+          .as("naive_mae"))
+      sm.join(den, "event_type")
+        .select(col("event_type"), col("n_eval"), col("smape"),
+          col("mae_eval"), col("naive_mae"),
+          (col("mae_eval") / when(col("naive_mae") === 0.0, lit(null))
+            .otherwise(col("naive_mae"))).as("mase"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
+    lexicalDiversity, cusumChange, maseEval)
+}

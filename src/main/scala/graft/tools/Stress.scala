@@ -775,6 +775,28 @@ object Stress {
       graft.ops.Winnow.fingerprints(docs, "id", "text", 3, 8).count()
     }
 
+    // X168 winnow-PAIRS scale curve (VERDICT r12 #7): same corpus
+    // shape at 1M and 10M docs — each doc's 60 tokens are the
+    // consecutive integers [7·id, 7·id+59], so every 3-gram key lives
+    // on ≤9 neighboring docs (under the cap) and each doc overlaps a
+    // BOUNDED neighborhood: the scale-honest shape where pair volume
+    // must grow ∝ docs, fingerprints ∝ docs × 2/(w+1) of grams.
+    // Returned value = (fingerprints, pairs); the 10M/1M ratios of
+    // both counts and time must sit near 10, not 100.
+    Seq(1000000L, 10000000L).foreach { n =>
+      timeShuffle(s"winnow pairs ${n / 1000000}M docs, k=3 w=8 cap=100") {
+        val dd = spark.range(0, n, 1, 64).select(col("id"),
+          concat_ws(" ", (0 until 60).map(i =>
+            concat(lit("tok"), (col("id") * 7 + i).cast("string"))): _*)
+            .as("text"))
+        val nFp = graft.ops.Winnow.fingerprints(dd, "id", "text", 3, 8)
+          .count()
+        val nPairs = graft.ops.Winnow.sharedFingerprintPairs(
+          dd, "id", "text", 3, 8, keyCap = 100).count()
+        (nFp, nPairs)
+      }
+    }
+
     // X152 negative sampling at 10M positives / 1M users / 1M items:
     // probes are a fixed 6-way fan-out, rejection one anti-join,
     // ranks a <=6-row-per-user window. Returned value = rows emitted
@@ -867,25 +889,38 @@ object Stress {
           "event_id" -> shiftUnit(ev0, "event_id"),
           "user_id" -> shiftUnit(ev0, "user_id")))
         val docs0 = spark.read.parquet(s"$sf01/documents.parquet")
+        // per-copy Caesar rotation of letters+digits: BYTE-PRESERVING
+        // disjointness (r13 — the earlier token-suffix scheme inflated
+        // text bytes 1.49x, so byte-bound queries read ~15x at 10x
+        // rows and the scale curve overstated). Rotated tokens are
+        // gibberish, so a cross-copy shingle (3 consecutive token
+        // collisions) is essentially impossible, while lengths,
+        // whitespace, n_chars and the within-copy near-dup structure
+        // are preserved EXACTLY.
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val digit = "0123456789"
         replicate("documents",
           Map("doc_id" -> shiftUnit(docs0, "doc_id")),
           transformCopy = (d, c) =>
             if (c == 0) d
-            // suffix every token with the copy tag: shingle spaces are
-            // DISJOINT across copies while each copy preserves the
-            // base corpus's near-dup structure exactly
-            else d.withColumn("text", array_join(transform(
-                split(col("text"), " "),
-                t => concat(t, lit(s"_c$c"))), " "))
-              .withColumn("n_chars", length(col("text")).cast("long")))
+            else d.withColumn("text", translate(col("text"),
+              alpha + digit,
+              alpha.drop(c % 26) + alpha.take(c % 26) +
+                digit.drop(c % 10) + digit.take(c % 10))))
         replicate("embeddings", Map("vec_id" ->
           shiftUnit(spark.read.parquet(s"$sf01/embeddings.parquet"),
             "vec_id")))
       }
-      val heavy = Seq("q_dedup_minhash", "q_lsh_dedup_eval",
-        "q_bucketed_join", "q_ngram_jaccard", "q_dedup_keep",
-        "q_crawl_pipeline", "q_ccnet_buckets", "q_setjoin_prefix",
-        "q_rank_agreement", "q_profile")
+      // the CURRENT top-10 heaviest from bench_full.json (VERDICT r12
+      // #1 — the probe set must track the bench, not round-11's), plus
+      // q_crawl_pipeline: its r11 flat ratio was recorded as a
+      // fixed-fixture artifact, but the chain now derives its WARC
+      // members from the sf-scaled documents table, so its curve is
+      // measurable and stays on the probe
+      val heavy = Seq("q_dedup_clusters", "q_classifier_calibration",
+        "q_incremental_dedup", "q_lsh_dedup_eval", "q_ngram_jaccard",
+        "q_rank_agreement", "q_setjoin_prefix", "q_itemset_pairs",
+        "q_dedup_containment", "q_dedup_keep", "q_crawl_pipeline")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
