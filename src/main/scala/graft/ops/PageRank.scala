@@ -41,7 +41,33 @@ object PageRank {
   /** @return one row per node: (v, pr) after `iters` damped rounds
     *   from the uniform start 1/N. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double): DataFrame = {
+      iters: Int, damping: Double): DataFrame =
+    iterate(edges, srcCol, dstCol, iters, damping,
+      (nodes, n) => nodes.select(col("v"), lit(1.0 / n).as("pr")))
+
+  /** Warm-started power iteration (the incremental/delta-PageRank
+    * entry, X176): ranks start from `init` (v, pr) — typically the
+    * PREVIOUS snapshot's converged ranks — instead of uniform, so a
+    * refreshed graph needs a couple of catch-up rounds rather than a
+    * full from-scratch run (Page et al. 1999 note convergence is
+    * geometric in the damping factor; a warm start begins near the
+    * fixed point). Nodes absent from `init` (graph newcomers) start
+    * at 1/N; `init` mass for vanished nodes is dropped — the start
+    * vector then sums to ≈1, and the teleport term pulls the
+    * iteration toward the new graph's fixed point regardless (the
+    * start is a preconditioner, not a correctness input). */
+  def runFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      init: DataFrame, iters: Int, damping: Double): DataFrame =
+    iterate(edges, srcCol, dstCol, iters, damping,
+      (nodes, n) => nodes
+        .join(init.select(col("v"), col("pr").as("__init")),
+          Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("__init"), lit(1.0 / n)).as("pr")))
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double,
+      start: (DataFrame, Double) => DataFrame): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // nodes and degreed edges are consumed every round — materialize
@@ -57,8 +83,7 @@ object PageRank {
     // float discipline below divides by this exact double, matching
     // the oracle's `… / nn.n` on the same IEEE value
     val n = nodes.count().toDouble
-    var r = nodes.select(col("v"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
+    var r = start(nodes, n).localCheckpoint(true)
     for (_ <- 1 to iters) {
       // dangling mass: 1-row aggregate off the checkpointed rank state,
       // qround(6)'d so both engines damp with the identical double;

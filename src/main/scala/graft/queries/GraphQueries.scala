@@ -651,8 +651,205 @@ object GraphQueries {
         lit(assort).cast("double").as("assortativity"))
     })
 
+  // ---------------------------------------- X175 link prediction
+
+  /** Link prediction scores (X175 — the classic unsupervised triple
+    * over one wedge pass: common neighbors, Jaccard, and Adamic–Adar
+    * Σ 1/ln(deg z) (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2003
+    * established AA as the strong simple baseline) — "which domains
+    * SHOULD link but don't", the crawl-frontier/recommendation signal
+    * next to X154's co-citation which scores ALREADY-related pairs).
+    * Undirected simple neighbor sets; candidate pairs from the
+    * shared-endpoint wedge join (the X80 shape — quadratic only
+    * within one node's neighbor list); already-adjacent pairs removed
+    * by one anti-join on the normalized edge; deg(z) ≥ 2 for any
+    * common neighbor BY CONSTRUCTION, so 1/ln never divides by zero.
+    * Counts and Jaccard are exact-integer-fed (hash raw); the AA sum
+    * crosses a libm ln → per-term qround(6) then qround(6) after the
+    * sum (the X114 ln-lane discipline). Top-25 under the total
+    * (aa DESC, id_a, id_b) order. Density caveat recorded: the 50-
+    * domain carve saturates toward complete as sf grows, thinning
+    * NON-adjacent candidates — the scoring work still runs; the
+    * oracle-gated sf keeps a meaningful candidate set. */
+  val linkPredict = QueryDef(
+    "q_link_predict", {
+      val aaTerm =
+        s"1.0 / (${Num.qroundSql("LN(CAST(deg.deg AS DOUBLE))", 6)})"
+      Some(s"""WITH e0 AS ($edgeSql),
+              se AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+              und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a,
+                       GREATEST(src, dst) AS b
+                FROM se),
+              nb AS (
+                SELECT a AS v, b AS u FROM und
+                UNION SELECT b AS v, a AS u FROM und),
+              deg AS (
+                SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM nb GROUP BY v),
+              w AS (
+                SELECT n1.u AS id_a, n2.u AS id_b, n1.v AS z
+                FROM nb n1 JOIN nb n2
+                  ON n1.v = n2.v AND n1.u < n2.u),
+              sc AS (
+                SELECT w.id_a, w.id_b,
+                       CAST(COUNT(*) AS BIGINT) AS common_n,
+                       ${Num.qroundSql(s"SUM($aaTerm)", 6)} AS adamic_adar
+                FROM w JOIN deg ON w.z = deg.v
+                GROUP BY 1, 2),
+              cand AS (
+                SELECT sc.* FROM sc
+                WHERE NOT EXISTS (SELECT 1 FROM und
+                  WHERE und.a = sc.id_a AND und.b = sc.id_b))
+              SELECT c.id_a, c.id_b, c.common_n, c.adamic_adar,
+                     CAST(c.common_n AS DOUBLE) /
+                       CAST(da.deg + db.deg - c.common_n AS DOUBLE)
+                       AS jaccard
+              FROM cand c JOIN deg da ON c.id_a = da.v
+                JOIN deg db ON c.id_b = db.v
+              ORDER BY adamic_adar DESC, id_a, id_b LIMIT 25""")
+    },
+    (s, d) => {
+      val se = domainEdges(s, d)
+        .filter(col("src") =!= col("dst")).distinct()
+      val und = se.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true) // neighbor build + adjacency anti-join
+      val nb = und.select(col("a").as("v"), col("b").as("u"))
+        .union(und.select(col("b").as("v"), col("a").as("u")))
+        .localCheckpoint(true) // wedge self-join both sides + degrees
+      val deg = nb.groupBy("v").agg(count(lit(1)).as("deg"))
+      val w = nb.as("n1").join(nb.as("n2"),
+          col("n1.v") === col("n2.v") && col("n1.u") < col("n2.u"))
+        .select(col("n1.u").as("id_a"), col("n2.u").as("id_b"),
+          col("n1.v").as("z"))
+      val aaTerm = lit(1.0) /
+        Num.qround(log(col("deg").cast("double")), 6)
+      val sc = w.join(broadcast(deg.select(col("v").as("z"), col("deg"))),
+          "z")
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("common_n"),
+          Num.qround(sum(aaTerm), 6).as("adamic_adar"))
+      val cand = sc.join(und.select(col("a").as("id_a"),
+          col("b").as("id_b")), Seq("id_a", "id_b"), "left_anti")
+      cand
+        .join(broadcast(deg.select(col("v").as("id_a"),
+          col("deg").as("deg_a"))), "id_a")
+        .join(broadcast(deg.select(col("v").as("id_b"),
+          col("deg").as("deg_b"))), "id_b")
+        .select(col("id_a"), col("id_b"), col("common_n"),
+          col("adamic_adar"),
+          (col("common_n").cast("double") /
+            (col("deg_a") + col("deg_b") - col("common_n")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("adamic_adar").desc, col("id_a"), col("id_b"))
+        .limit(25)
+    })
+
+  // ------------------------------------ X176 incremental PageRank
+
+  /** One unrolled PR round over a SUFFIXED CTE family (`e$g`,
+    * `deg$g`, `nodes$g`, `nn$g`, `r$g<t>`) so two graphs' iterations
+    * coexist in one oracle query — the q_domain_pagerank round device
+    * (CurationQueries.prRoundSql) parameterized by graph tag. */
+  private def prRoundSfx(t: Int, g: String): String = {
+    val p = t - 1
+    s"""c$g$t AS (
+              SELECT e$g.dst AS v, SUM(r$g$p.pr / CAST(e$g.deg AS DOUBLE))
+                AS c
+              FROM e$g JOIN r$g$p ON e$g.src = r$g$p.v GROUP BY e$g.dst),
+            d$g$t AS (
+              SELECT ${Num.qroundSql(
+                s"COALESCE((SELECT SUM(r.pr) FROM r$g$p r LEFT JOIN " +
+                  s"deg$g ON r.v = deg$g.src WHERE deg$g.src IS NULL), " +
+                  "0.0)", 6)} AS dm),
+            r$g$t AS (
+              SELECT nodes$g.v,
+                     ${Num.qroundSql(
+                       s"${CurationQueries.PrTeleport} / nn$g.n + " +
+                         s"${CurationQueries.PrDamping} * " +
+                         s"(COALESCE(c$g$t.c, 0.0) + d$g$t.dm / nn$g.n)",
+                       6)} AS pr
+              FROM nodes$g CROSS JOIN nn$g CROSS JOIN d$g$t
+                LEFT JOIN c$g$t ON nodes$g.v = c$g$t.v)"""
+  }
+
+  /** The graph-family CTEs for one snapshot's carve, suffixed `g`. */
+  private def graphCtes(g: String, docFilter: String): String =
+    s"""e${g}0 AS (
+              SELECT doc_id % 50 AS src,
+                     CAST('0x' || substring(md5('pr:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 50 AS dst
+              FROM documents WHERE $docFilter),
+            nodes$g AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e${g}0
+                UNION ALL SELECT dst AS v FROM e${g}0)),
+            nn$g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes$g),
+            deg$g AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e${g}0 GROUP BY src),
+            e$g AS (SELECT e${g}0.src, e${g}0.dst, deg$g.deg
+                  FROM e${g}0 JOIN deg$g USING (src))"""
+
+  /** Incremental (delta) PageRank over a corpus refresh (X176 — the
+    * r12 verdict's suggested graph-family completion: compose X32's
+    * snapshot split with X66's rounds; Page et al. 1999 §convergence
+    * — power iteration converges geometrically in the damping factor,
+    * so ranks warm-started NEAR the fixed point need a couple of
+    * catch-up rounds, not a from-scratch run — the production shape
+    * for daily graph refreshes at Common-Crawl scale, where
+    * recomputing 5+ cold rounds per refresh is the dominant cost).
+    * Old snapshot's graph runs the full 5 cold rounds; the refreshed
+    * snapshot's graph runs 2 WARM rounds from those ranks (newcomer
+    * nodes start at 1/N; vanished nodes' mass drops — the start is a
+    * preconditioner, recorded in [[graft.ops.PageRank.runFrom]]).
+    * Emits per new-graph node: old rank, incremental rank, delta —
+    * the refresh dashboard row. Same qround(6)-per-round float
+    * discipline as X66, so delta is an exact element-wise difference
+    * (hash raw); a node absent from the old graph carries NULL
+    * pr_old/delta on both engines. */
+  val pagerankDelta = QueryDef(
+    "q_pagerank_delta",
+    Some(s"""WITH ${graphCtes("o", "doc_id % 10 <> 7")},
+            ro0 AS (SELECT v, 1.0 / nno.n AS pr
+                    FROM nodeso CROSS JOIN nno),
+            ${(1 to 5).map(prRoundSfx(_, "o")).mkString(",\n            ")},
+            ${graphCtes("n", "doc_id % 10 <> 3")},
+            rn0 AS (
+              SELECT nodesn.v, COALESCE(ro5.pr, 1.0 / nnn.n) AS pr
+              FROM nodesn CROSS JOIN nnn
+                LEFT JOIN ro5 ON nodesn.v = ro5.v),
+            ${(1 to 2).map(prRoundSfx(_, "n")).mkString(",\n            ")}
+            SELECT rn2.v AS node, ro5.pr AS pr_old, rn2.pr AS pr_inc,
+                   rn2.pr - ro5.pr AS delta
+            FROM rn2 LEFT JOIN ro5 ON rn2.v = ro5.v
+            ORDER BY node"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def carve(f: org.apache.spark.sql.DataFrame) = f.select(
+        (col("doc_id") % 50).as("src"),
+        (conv(substring(md5(concat(lit("pr:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 50).as("dst"))
+      val oldEdges = carve(docs.filter(col("doc_id") % 10 =!= 7))
+      val newEdges = carve(docs.filter(col("doc_id") % 10 =!= 3))
+      val prOld = graft.ops.PageRank.run(oldEdges, "src", "dst",
+          5, CurationQueries.PrDamping)
+        .localCheckpoint(true) // warm start + the final delta join
+      val prInc = graft.ops.PageRank.runFrom(newEdges, "src", "dst",
+        prOld, 2, CurationQueries.PrDamping)
+      prInc.join(prOld.select(col("v"), col("pr").as("pr_old")),
+          Seq("v"), "left")
+        .select(col("v").as("node"), col("pr_old"),
+          col("pr").as("pr_inc"),
+          (col("pr") - col("pr_old")).as("delta"))
+        .orderBy("node")
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
-      rankAgreement, graphShape)
+      rankAgreement, graphShape, linkPredict, pagerankDelta)
 }
