@@ -781,6 +781,63 @@ object DiagnosticsQueries {
       transitionMatrix(s.createDataFrame(pairs.rdd, pairs.schema))
     })
 
+  // ----------------------------------------------- streaming ewma
+
+  private val StreamEwmaLambda = 0.3
+
+  /** STREAMING EWMA anomaly chart (X179 — the streaming member of the
+    * X110 control-chart family, see
+    * [[graft.streaming.EventStream.ewmaStream]]: recursive e₁ = x₁,
+    * e = (1−λ)e + λx over per-type daily counts, each day graded
+    * against the ewma BEFORE it — one (lastDay, ewma) pair of state
+    * per type, constant at any stream length). The oracle replays the
+    * recursion as a DuckDB list_reduce prefix fold in the SAME IEEE
+    * op order ((1−λ)·acc + λ·x, both factors the same interpolated
+    * Scala doubles), so every per-day ewma/ratio/spike hashes RAW —
+    * a green row is stream/batch recursion parity, not just a
+    * smoke check. First day per type carries NULL ratio/spike on
+    * both engines. */
+  val streamEwma = QueryDef(
+    "q_stream_ewma", {
+      val l = StreamEwmaLambda
+      val fold = s"(${1.0 - l}) * acc + ($l) * x"
+      Some(s"""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2),
+              lst AS (
+                SELECT event_type,
+                       list(CAST(x AS DOUBLE) ORDER BY day) AS xs,
+                       list(day ORDER BY day) AS ds
+                FROM daily GROUP BY 1),
+              e AS (
+                SELECT event_type, ds, xs,
+                       list_transform(range(1, len(xs) + 1), t ->
+                         list_reduce(xs[1:t], (acc, x) -> $fold)) AS es
+                FROM lst),
+              u AS (
+                SELECT event_type, ds, xs, es,
+                       unnest(range(1, len(ds) + 1)) AS t
+                FROM e)
+              SELECT event_type, ds[t] AS day,
+                     CAST(xs[t] AS BIGINT) AS x, es[t] AS ewma,
+                     CASE WHEN t = 1 THEN NULL
+                          ELSE xs[t] / es[t - 1] END AS ratio,
+                     CASE WHEN t = 1 THEN NULL
+                          ELSE xs[t] / es[t - 1] > 1.5 END AS spike
+              FROM u ORDER BY event_type, day""")
+    },
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      EventStream.runAvailableNow(s,
+          EventStream.ewmaStream(EventStream.readEvents(s, src),
+            StreamEwmaLambda),
+          "q_stream_ewma_sink", outputMode = "append",
+          statePartitions = 4)
+        .orderBy("event_type", "day")
+    })
+
   // ------------------------------------------------------ burstiness
 
   /** Inter-arrival burstiness (X116 — Goh & Barabási 2008's
@@ -2137,6 +2194,93 @@ object DiagnosticsQueries {
           when(dfDen === 0, lit(null)).otherwise(dfDen)).as("df_welch"))
     })
 
+  // ---------------------------------------------------- mann-whitney
+
+  /** Mann–Whitney U rank-sum test (X177 — Mann & Whitney 1947: the
+    * NONPARAMETRIC twin of X136's Welch t on the same dwell-time
+    * uplift — rank-based, so a heavy-tailed dwell distribution (which
+    * engagement time always is) can't mislead it the way it biases a
+    * means test; the pair is the standard A/B readout). Scale shape:
+    * dwell values compress to a DISTINCT-VALUE table with per-cohort
+    * multiplicities (one keyed aggregate), the pooled cumulative runs
+    * through [[graft.ops.PrefixSum.runningTotalsAsc]] (no global
+    * window), and tied values take their average rank by the closed
+    * form 2·rank_avg = 2·cum − m + 1 — an exact LONG lane, so the
+    * doubled rank sum Σ na·(2cum−m+1) is integer-exact and every
+    * downstream statistic (U, tie-corrected σ, z) is exact-integer-
+    * fed element-wise IEEE — the single output row hashes RAW. σ = 0
+    * (all values tied) degrades z to NULL on both engines. */
+  val mannWhitney = QueryDef(
+    "q_mannwhitney", {
+      val coh = Bloom.hashModSql("ab:", "user_id", 2)
+      val na = "CAST(t.n_a AS DOUBLE)"
+      val nb = "CAST(t.n_b AS DOUBLE)"
+      val nn = s"($na + $nb)"
+      val ua = s"(CAST(r.r2a AS DOUBLE) - $na * ($na + 1.0)) / 2.0"
+      val sg = s"SQRT($na * $nb / 12.0 * (($nn + 1.0) - " +
+        s"CAST(t.tie_term AS DOUBLE) / ($nn * ($nn - 1.0))))"
+      Some(s"""WITH dw AS (${intervalUnion.oracle.get}),
+              u AS (SELECT user_id, active_us, $coh AS cohort FROM dw),
+              g AS (
+                SELECT active_us AS v,
+                       CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS na,
+                       CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS nb,
+                       CAST(COUNT(*) AS BIGINT) AS m
+                FROM u GROUP BY 1),
+              c AS (
+                SELECT v, na, m,
+                       CAST(SUM(m) OVER (ORDER BY v) AS BIGINT) AS cum
+                FROM g),
+              t AS (
+                SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+                       CAST(SUM(nb) AS BIGINT) AS n_b,
+                       CAST(SUM(m * m * m - m) AS BIGINT) AS tie_term
+                FROM g),
+              r AS (
+                SELECT CAST(SUM(na * (2 * cum - m + 1)) AS BIGINT) AS r2a
+                FROM c)
+              SELECT t.n_a, t.n_b, t.tie_term,
+                     CAST(r.r2a AS DOUBLE) / 2.0 AS rank_sum_a,
+                     $ua AS u_a,
+                     $na * $nb - ($ua) AS u_b,
+                     (($ua) - $na * $nb / 2.0) / NULLIF($sg, 0.0) AS z
+              FROM t CROSS JOIN r""")
+    },
+    (s, d) => {
+      val dw = intervalUnion.fn(s, d)
+      val u = dw.select(col("active_us"),
+        Bloom.hashMod("ab:", col("user_id"), 2).as("cohort"))
+      val g = u.groupBy(col("active_us").as("v")).agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("nb"),
+          count(lit(1)).as("m"))
+        .localCheckpoint(true) // totals action + the cumulative sweep
+      val c = graft.ops.PrefixSum
+        .runningTotalsAsc(g, Seq("m"), "v", Seq("cum"))
+      // two bounded driver actions → one literal row (X109 device)
+      val tRow = g.agg(sum("na"), sum("nb"),
+        sum(col("m") * col("m") * col("m") - col("m"))).head()
+      val (nA, nB, tie) =
+        (tRow.getLong(0), tRow.getLong(1), tRow.getLong(2))
+      val r2a = c.agg(sum(col("na") * (lit(2) * col("cum") - col("m") + 1)))
+        .head().getLong(0)
+      val na = lit(nA).cast("double")
+      val nb = lit(nB).cast("double")
+      val nn = na + nb
+      val ua = (lit(r2a).cast("double") - na * (na + lit(1.0))) / lit(2.0)
+      val sg = sqrt(na * nb / lit(12.0) * ((nn + lit(1.0)) -
+        lit(tie).cast("double") / (nn * (nn - lit(1.0)))))
+      s.range(1).select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        lit(tie).as("tie_term"),
+        (lit(r2a).cast("double") / lit(2.0)).as("rank_sum_a"),
+        ua.as("u_a"),
+        (na * nb - ua).as("u_b"),
+        ((ua - na * nb / lit(2.0)) /
+          when(sg === 0.0, lit(null)).otherwise(sg)).as("z"))
+    })
+
   // ----------------------------------------------------- item cosine
 
   /** Item-item cosine similarity (X137 — the collaborative-filtering
@@ -2706,5 +2850,5 @@ object DiagnosticsQueries {
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
-    quantileNormalize, balancedSample, boxplot)
+    quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma)
 }

@@ -1569,6 +1569,113 @@ ORDER BY id_a, id_b"""
       .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
       .limit(25))
 
+  // --------------------------------------- X178 Fellegi–Sunter
+
+  /** Fellegi–Sunter probabilistic record linkage (X178 — Fellegi &
+    * Sunter 1969, the decision theory every production linker
+    * (Splink, the Census Bureau matchers) implements: each field
+    * comparison contributes log2(m/u) evidence on agreement and
+    * log2((1−m)/(1−u)) on disagreement, the pair's total weight is
+    * classified by two thresholds into match / possible / non-match —
+    * the calibrated upgrade over X91/X150's single-field cutoffs).
+    * Records = distinct (p_name, p_brand, p_type) part tuples;
+    * candidate pairs from the X91 last-token block (quadratic only
+    * within a block); name agreement = the X150 bit-identical
+    * Jaro–Winkler ≥ 0.9, brand/container exact equality. m/u are
+    * DOCUMENTED priors (match probability / chance-agreement rate —
+    * u from each field's alphabet: 25 brands, 6 types, within-block
+    * name similarity),
+    * their log2 weights computed ONCE in Scala and interpolated into
+    * both engines as identical double literals — the 3-term weight
+    * sum is then element-wise fixed-order IEEE and rows hash RAW.
+    * Emits the positive-evidence pairs (weight > 0), top-50 under the
+    * total (weight DESC, fields) order. */
+  val fellegiSunter = QueryDef(
+    "q_fellegi_sunter", {
+      // (m, u) priors per field: P(agree | same entity), P(agree |
+      // different entities). u reflects the field's alphabet (25
+      // brands, 6 types, within-block name similarity).
+      def w(m: Double, u: Double) =
+        (math.log(m / u) / math.log(2.0),
+          math.log((1.0 - m) / (1.0 - u)) / math.log(2.0))
+      val (wNameA, wNameD) = w(0.95, 0.10)
+      val (wBrandA, wBrandD) = w(0.95, 0.04)
+      val (wContA, wContD) = w(0.95, 1.0 / 6.0)
+      val weight =
+        s"""(CASE WHEN jaro_winkler_similarity(a.name, b.name) >= 0.9
+                  THEN CAST('$wNameA' AS DOUBLE)
+                  ELSE CAST('$wNameD' AS DOUBLE) END) +
+            (CASE WHEN a.brand = b.brand
+                  THEN CAST('$wBrandA' AS DOUBLE)
+                  ELSE CAST('$wBrandD' AS DOUBLE) END) +
+            (CASE WHEN a.ptype = b.ptype
+                  THEN CAST('$wContA' AS DOUBLE)
+                  ELSE CAST('$wContD' AS DOUBLE) END)"""
+      Some(s"""WITH rec AS (
+                SELECT DISTINCT p_name AS name, p_brand AS brand,
+                       p_type AS ptype,
+                       string_split(p_name, ' ')[-1] AS blk
+                FROM part),
+              pr AS (
+                SELECT a.name AS name_a, a.brand AS brand_a,
+                       a.ptype AS type_a,
+                       b.name AS name_b, b.brand AS brand_b,
+                       b.ptype AS type_b,
+                       jaro_winkler_similarity(a.name, b.name) AS jw,
+                       $weight AS weight
+                FROM rec a JOIN rec b
+                  ON a.blk = b.blk
+                 AND (a.name, a.brand, a.ptype) <
+                     (b.name, b.brand, b.ptype))
+              SELECT *,
+                     CASE WHEN weight >= 6.0 THEN 'match'
+                          ELSE 'possible' END AS verdict
+              FROM pr WHERE weight > 0.0
+              ORDER BY weight DESC, name_a, brand_a, type_a,
+                       name_b, brand_b, type_b
+              LIMIT 50""")
+    },
+    (s, d) => {
+      def w(m: Double, u: Double) =
+        (math.log(m / u) / math.log(2.0),
+          math.log((1.0 - m) / (1.0 - u)) / math.log(2.0))
+      val (wNameA, wNameD) = w(0.95, 0.10)
+      val (wBrandA, wBrandD) = w(0.95, 0.04)
+      val (wContA, wContD) = w(0.95, 1.0 / 6.0)
+      val rec = Tables.part(s, d)
+        .select(col("p_name").as("name"), col("p_brand").as("brand"),
+          col("p_type").as("ptype")).distinct()
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+        .localCheckpoint(true) // both sides of the block join
+      val a = rec.select(col("name").as("name_a"),
+        col("brand").as("brand_a"), col("ptype").as("type_a"),
+        col("blk"))
+      val b = rec.select(col("name").as("name_b"),
+        col("brand").as("brand_b"), col("ptype").as("type_b"),
+        col("blk"))
+      val jw = graft.functions.StringSim
+        .jaroWinkler(col("name_a"), col("name_b"))
+      val weight =
+        when(jw >= 0.9, lit(wNameA)).otherwise(lit(wNameD)) +
+        when(col("brand_a") === col("brand_b"), lit(wBrandA))
+          .otherwise(lit(wBrandD)) +
+        when(col("type_a") === col("type_b"), lit(wContA))
+          .otherwise(lit(wContD))
+      a.join(b, Seq("blk"))
+        .where(struct(col("name_a"), col("brand_a"), col("type_a")) <
+          struct(col("name_b"), col("brand_b"), col("type_b")))
+        .select(col("name_a"), col("brand_a"), col("type_a"),
+          col("name_b"), col("brand_b"), col("type_b"),
+          jw.as("jw"), weight.as("weight"))
+        .where(col("weight") > 0.0)
+        .withColumn("verdict",
+          when(col("weight") >= 6.0, "match").otherwise("possible"))
+        .orderBy(col("weight").desc, col("name_a"), col("brand_a"),
+          col("type_a"), col("name_b"), col("brand_b"),
+          col("type_b"))
+        .limit(50)
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
@@ -1577,5 +1684,6 @@ ORDER BY id_a, id_b"""
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
-    ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood)
+    ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
+    fellegiSunter)
 }

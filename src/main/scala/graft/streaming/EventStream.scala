@@ -109,6 +109,57 @@ object EventStream {
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** Stateful streaming EWMA anomaly (X179 — the streaming member of
+    * the X110 control-chart family, in the RECURSIVE form streaming
+    * state makes natural: e₁ = x₁, e = (1−λ)·e + λ·x over per-type
+    * daily counts; each day's count is graded against the ewma BEFORE
+    * it, so the alarm never includes the spike it is judging).
+    * State is one (lastDay, ewma) pair per event type — constant
+    * memory per key at any stream length. Days inside a micro-batch
+    * are counted and folded in day order; day boundaries must align
+    * with batch boundaries (trivially true under the bounded
+    * AvailableNow replay — the sessionizeStream in-order caveat
+    * verbatim). The fold's IEEE op order is fixed ((1−λ)·e + λ·x,
+    * both factors interpolated from the same Scala doubles the oracle
+    * SQL embeds), so the batch twin's list_reduce replay is
+    * bit-identical and rows hash RAW. */
+  def ewmaStream(events: DataFrame, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val oneML = 1.0 - lambda
+    events.select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Double)]) =>
+          val counts = it.map(_._2 / 86400000000L).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong)
+            .toSeq.sortBy(_._1)
+          var st = state.getOption
+          val out = counts.map { case (day, x) =>
+            val prev = st.map(_._2)
+            val e = prev match {
+              case None    => x.toDouble
+              case Some(p) => oneML * p + lambda * x.toDouble
+            }
+            val ratio = prev.map(p => x.toDouble / p)
+            st = Some((day, e))
+            (typ, day, x, e, ratio, ratio.map(_ > 1.5))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF("event_type", "epoch_day", "x", "ewma", "ratio", "spike")
+      // epoch day → date (session is pinned UTC, so the floor matches
+      // CAST(ts AS DATE) on both engines)
+      .select(col("event_type"),
+        to_date(timestamp_seconds(col("epoch_day") * 86400L)).as("day"),
+        col("x"), col("ewma"), col("ratio"), col("spike"))
+  }
+
   /** Stateful sessionization: per-user session ids with an inactivity
     * gap, carried as explicit per-group state (`flatMapGroupsWithState`
     * — the custom-state path for logic windows/watermarks can't
