@@ -22,6 +22,61 @@ import org.apache.spark.sql.functions._
   */
 object Chunker {
 
+  /** Content-defined chunking (X182 — rolling-window breakpoints,
+    * the LBFS device of Muthitacharoen et al. 2001 and FastCDC's
+    * ancestor): a chunk boundary falls after token p+k−1 whenever the
+    * k-gram window key at position p ≡ 0 (mod `divisor`), so expected
+    * chunk length ≈ divisor grams and — the whole point —
+    * boundaries are SHIFT-RESISTANT: a token inserted at a document's
+    * head realigns every boundary after the next cut, so chunk-hash
+    * dedup catches duplicated content that fixed-offset chunking
+    * (X29) and whole-doc exact dedup (X1) both miss. Stateless
+    * windowed variant (no min/max chunk constraint): the boundary
+    * predicate is pure per-position, hence one shuffle-free HOF scan
+    * and an exact SQL replay. Keys are the portable positional md5
+    * window keys (the X147 lane); chunk_hash is the portable 60-bit
+    * md5 of the chunk text.
+    *
+    * @return one row per (doc, chunk): chunk_id (1-based), start_tok,
+    *   n_chunk_tokens, chunk_hash, chunk_text. Token-less docs yield
+    *   no rows; docs shorter than k tokens yield one whole-doc chunk. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, divisor: Int = 32): DataFrame = {
+    require(k >= 1 && divisor >= 2)
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    val nk = org.apache.spark.sql.functions.size(col("__keys"))
+    // gram positions whose window key cuts; the cut closes the chunk
+    // at token p + k − 1
+    val cutEnds = transform(
+      filter(sequence(lit(1), greatest(nk, lit(1))),
+        p => p <= nk && (element_at(col("__keys"), p) % divisor === 0)),
+      p => p + (k - 1))
+    val starts = filter(
+      concat(array(lit(1)), transform(col("__cuts"), e => e + 1)),
+      s => s <= n)
+    df.select(col(idCol),
+        graft.functions.Text.tokens(col(textCol)).as("__toks"),
+        graft.functions.ShingleFunctions
+          .md5ShingleKeysAll(col(textCol), k).as("__keys"))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) > 0)
+      .withColumn("__cuts", cutEnds)
+      .select(col(idCol), col("__toks"), col("__cuts"),
+        posexplode(starts).as(Seq("__pos", "__s")))
+      .withColumn("__e",
+        coalesce(element_at(filter(col("__cuts"),
+          e => e >= col("__s")), 1),
+          org.apache.spark.sql.functions.size(col("__toks"))))
+      .select(col(idCol),
+        (col("__pos") + 1).cast("long").as("chunk_id"),
+        col("__s").cast("long").as("start_tok"),
+        (col("__e") - col("__s") + 1).cast("long").as("n_chunk_tokens"),
+        conv(substring(md5(array_join(slice(col("__toks"), col("__s"),
+          col("__e") - col("__s") + 1), " ")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"),
+        array_join(slice(col("__toks"), col("__s"),
+          col("__e") - col("__s") + 1), " ").as("chunk_text"))
+  }
+
   /** One row per (doc, chunk): chunk_id (1-based), start_tok,
     * n_chunk_tokens, chunk_text. Token-less docs yield no rows. */
   def chunk(df: DataFrame, idCol: String, textCol: String,

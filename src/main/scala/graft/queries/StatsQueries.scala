@@ -472,6 +472,207 @@ object StatsQueries {
         .orderBy("event_type")
     })
 
+  // ----------------------------------------------- Theil–Sen trend
+
+  /** Per-group Theil–Sen robust trend (X180 — Theil 1950 / Sen 1968:
+    * slope = MEDIAN of all pairwise day-slopes, the 29%-breakdown
+    * robust sibling of X171's OLS — one corrupted day drags a
+    * least-squares line, the pairwise median shrugs; reading the two
+    * side by side is the standard outlier screen). Shape: the
+    * pairwise expansion is day-alphabet-bounded per group (T days →
+    * T(T−1)/2 slopes, a recorded bound like X80's wedge shape), so
+    * slopes collect into ONE per-group array aggregate and the
+    * median is an exact array_sort + middle-element selection — for
+    * even counts the two middles average, element-wise IEEE.
+    * Intercept = median of (y − slope·x) residuals, same device.
+    * Slopes are exact-integer-fed divides; sorting doubles is
+    * total-ordered and engine-identical — rows hash RAW. */
+  val theilSen = QueryDef(
+    "q_theil_sen", {
+      def medSql(lst: String) =
+        s"""CASE WHEN len($lst) % 2 = 1 THEN ($lst)[(len($lst) + 1) // 2]
+                 ELSE (($lst)[len($lst) // 2] +
+                       ($lst)[len($lst) // 2 + 1]) / 2.0 END"""
+      Some(s"""WITH d0 AS (
+                SELECT MIN(CAST(ts AS DATE)) AS first_day FROM events),
+              daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - d0.first_day AS BIGINT)
+                         AS x,
+                       CAST(COUNT(*) AS BIGINT) AS y
+                FROM events CROSS JOIN d0 GROUP BY 1, 2),
+              sl AS (
+                SELECT a.event_type,
+                       CAST(b.y - a.y AS DOUBLE) /
+                         CAST(b.x - a.x AS DOUBLE) AS s
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.x < b.x),
+              ms AS (
+                SELECT event_type, list_sort(list(s)) AS ss,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs
+                FROM sl GROUP BY 1),
+              med AS (
+                SELECT event_type, n_pairs, ${medSql("ss")} AS slope
+                FROM ms),
+              res AS (
+                SELECT d.event_type, m.n_pairs, m.slope,
+                       list_sort(list(CAST(d.y AS DOUBLE) -
+                         m.slope * CAST(d.x AS DOUBLE))) AS rs
+                FROM daily d JOIN med m USING (event_type)
+                GROUP BY 1, 2, 3)
+              SELECT event_type, n_pairs, slope,
+                     ${medSql("rs")} AS intercept
+              FROM res ORDER BY event_type""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val d0 = ev.agg(min(col("ts").cast("date"))).head().getDate(0)
+      val daily = ev
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit(d0)).cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // pair join both sides + residual pass
+      def medC(lst: Column) = {
+        val n = size(lst)
+        // integer halving: / on ints is a DOUBLE divide under the
+        // non-ANSI session — floor-div via explicit casts
+        val half = floor(n / 2).cast("int")
+        when(n % 2 === 1, element_at(lst, floor((n + 1) / 2).cast("int")))
+          .otherwise((element_at(lst, half) +
+            element_at(lst, half + 1)) / 2.0)
+      }
+      val a = daily.select(col("event_type"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = daily.select(col("event_type"), col("x").as("xb"),
+        col("y").as("yb"))
+      val sl = a.join(b, Seq("event_type"))
+        .where(col("xa") < col("xb"))
+        .select(col("event_type"),
+          ((col("yb") - col("ya")).cast("double") /
+            (col("xb") - col("xa")).cast("double")).as("s"))
+      val med = sl.groupBy("event_type")
+        .agg(sort_array(collect_list("s")).as("ss"),
+          count(lit(1)).as("n_pairs"))
+        .select(col("event_type"), col("n_pairs"),
+          medC(col("ss")).as("slope"))
+      daily.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("n_pairs"), col("slope"))
+        .agg(sort_array(collect_list(
+          col("y").cast("double") - col("slope") * col("x").cast("double")))
+          .as("rs"))
+        .select(col("event_type"), col("n_pairs"), col("slope"),
+          medC(col("rs")).as("intercept"))
+        .orderBy("event_type")
+    })
+
+  // -------------------------------------------- KMV source overlap
+
+  /** Cross-source content-overlap matrix from mergeable KMV sketches
+    * (X181 — the corpus-composition question "how much of source A's
+    * content also appears in B" answered at sketch cost: per-source
+    * bottom-K sketches over the 3-gram shingle key space (the X130
+    * mergeable-union device), pairwise union estimates from MERGED
+    * sketches, intersection by inclusion–exclusion, Jaccard and
+    * directional containments — the Broder 1997 resemblance/
+    * containment pair, the scale path where X13's exact contamination
+    * join cannot run corpus×corpus). Shape: one shingle explode +
+    * distinct, one bottom-K aggregate per source, then a
+    * source-alphabet-bounded pair self-join of K-long sketch rows —
+    * the 100 TB cost lives entirely in the first scan. All estimate
+    * arithmetic is element-wise off exact 60-bit integer hash lanes
+    * (rows hash RAW); inclusion–exclusion can go negative on sketch
+    * noise → clamped at 0 on both engines, denominators NULLIF'd. */
+  val sourceOverlap = QueryDef(
+    "q_source_overlap", {
+      val K = 64
+      val est = (hs: String) =>
+        s"""CASE WHEN len($hs) < $K THEN CAST(len($hs) AS DOUBLE)
+                 ELSE ${K - 1}.0 / (CAST(($hs)[$K] AS DOUBLE)
+                                    / 1152921504606846976.0) END"""
+      Some(s"""WITH t AS (
+                SELECT source,
+                       list_filter(string_split_regex(text, '\\s+'),
+                         t -> len(t) > 0) AS toks
+                FROM documents),
+              g AS (
+                SELECT source,
+                       unnest(CASE WHEN len(toks) = 0 THEN []
+                         WHEN len(toks) < 3
+                           THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                || toks[i + 2]) END) AS gram
+                FROM t),
+              h AS (
+                SELECT DISTINCT source,
+                       CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT)
+                         AS h
+                FROM g),
+              sk AS (
+                SELECT source, list(h ORDER BY h)[1:$K] AS hs
+                FROM h GROUP BY source),
+              p AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       ${est("a.hs")} AS est_a, ${est("b.hs")} AS est_b,
+                       list_sort(list_distinct(a.hs || b.hs))[1:$K] AS hu
+                FROM sk a JOIN sk b ON a.source < b.source),
+              e AS (
+                SELECT source_a, source_b, est_a, est_b,
+                       ${est("hu")} AS est_union
+                FROM p)
+              SELECT source_a, source_b, est_a, est_b, est_union,
+                     GREATEST(0.0, est_a + est_b - est_union) AS est_inter,
+                     GREATEST(0.0, est_a + est_b - est_union) /
+                       NULLIF(est_union, 0.0) AS jaccard,
+                     GREATEST(0.0, est_a + est_b - est_union) /
+                       NULLIF(est_a, 0.0) AS containment_a,
+                     GREATEST(0.0, est_a + est_b - est_union) /
+                       NULLIF(est_b, 0.0) AS containment_b
+              FROM e ORDER BY source_a, source_b""")
+    },
+    (s, d) => {
+      val K = 64
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.ShingleFunctions
+            .md5ShingleKeys(col("text"), 3)).as("h"))
+        .distinct()
+      // per-source sketches are |sources|·K longs — bounded driver
+      // metadata by construction; a non-equi pair self-join would
+      // plan the banned BNLJ, so pairs assemble on the driver and
+      // re-enter as one literal frame (the X109 device)
+      val sketches = h.groupBy("source")
+        .agg(graft.functions.SketchFunctions.bottomK(col("h"), K).as("hs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1)
+      def est(hs: Array[Long]): Double =
+        if (hs.length < K) hs.length.toDouble
+        else (K - 1).toDouble / (hs(K - 1).toDouble / math.pow(2.0, 60))
+      val rows = for {
+        i <- sketches.indices; j <- sketches.indices if i < j
+      } yield {
+        val (sa, ha) = sketches(i)
+        val (sb, hb) = sketches(j)
+        val (ea, eb) = (est(ha), est(hb))
+        val eu = est((ha ++ hb).distinct.sorted.take(K))
+        val inter = math.max(0.0, ea + eb - eu)
+        def over(den: Double): Any =
+          if (den == 0.0) null else inter / den
+        org.apache.spark.sql.Row(
+          sa, sb, ea, eb, eu, inter, over(eu), over(ea), over(eb))
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        Seq("source_a", "source_b").map(StructField(_, StringType)) ++
+        Seq("est_a", "est_b", "est_union", "est_inter", "jaccard",
+          "containment_a", "containment_b")
+          .map(StructField(_, DoubleType)))
+      s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("source_a", "source_b")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
-    lexicalDiversity, cusumChange, maseEval)
+    lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap)
 }

@@ -2163,6 +2163,68 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("rank")
     })
 
+  // --------------------------------------- X182 content-defined chunks
+
+  /** Content-defined chunking (X182 — see
+    * [[graft.ops.Chunker.cdcChunks]]: rolling-window breakpoints, the
+    * LBFS/FastCDC-ancestor device — a boundary wherever the 3-gram
+    * window key ≡ 0 mod 32, expected chunk ≈ 32 grams, boundaries
+    * SHIFT-RESISTANT so chunk-hash dedup catches duplicated content
+    * that fixed-offset chunking (X29) and whole-doc dedup (X1) miss).
+    * The FULL chunk table is the compared result — boundary
+    * positions, lengths, the portable 60-bit chunk hashes and the
+    * chunk text all hash-check, so a green row pins the cut
+    * predicate, the slice arithmetic, and the hash lane at once. */
+  val cdcChunks = QueryDef(
+    "q_cdc_chunks",
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       x -> len(x) > 0) AS toks
+              FROM documents),
+            t2 AS (
+              SELECT doc_id, toks, len(toks) AS n
+              FROM t WHERE len(toks) > 0),
+            ky AS (
+              SELECT doc_id, toks, n,
+                     list_transform(range(1, n - 1),
+                       i -> CAST('0x' || substring(md5(toks[i] || ' '
+                         || toks[i + 1] || ' ' || toks[i + 2]), 1, 15)
+                         AS BIGINT)) AS keys
+              FROM t2),
+            ct AS (
+              SELECT doc_id, toks, n,
+                     list_transform(list_filter(range(1, n - 1),
+                       p -> keys[p] % 32 = 0), p -> p + 2) AS cuts
+              FROM ky),
+            st AS (
+              SELECT doc_id, toks, n, cuts,
+                     list_filter([1] || list_transform(cuts, e -> e + 1),
+                       s -> s <= n) AS starts
+              FROM ct),
+            u AS (
+              SELECT doc_id, toks, n, cuts, starts,
+                     unnest(range(1, len(starts) + 1)) AS t
+              FROM st),
+            ch AS (
+              SELECT doc_id, CAST(t AS BIGINT) AS chunk_id,
+                     CAST(starts[t] AS BIGINT) AS start_tok,
+                     starts[t] AS s,
+                     COALESCE(list_filter(cuts,
+                       e -> e >= starts[t])[1], n) AS e,
+                     toks
+              FROM u)
+            SELECT doc_id, chunk_id, start_tok,
+                   CAST(e - s + 1 AS BIGINT) AS n_chunk_tokens,
+                   CAST('0x' || substring(md5(
+                     array_to_string(toks[s:e], ' ')), 1, 15) AS BIGINT)
+                     AS chunk_hash,
+                   array_to_string(toks[s:e], ' ') AS chunk_text
+            FROM ch ORDER BY doc_id, chunk_id"""),
+    (s, d) => graft.ops.Chunker.cdcChunks(
+        Tables.documents(s, d), "doc_id", "text", k = 3, divisor = 32)
+      .orderBy("doc_id", "chunk_id"))
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2171,5 +2233,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
-    readability, zipfFit)
+    readability, zipfFit, cdcChunks)
 }
