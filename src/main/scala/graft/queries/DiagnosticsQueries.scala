@@ -2529,6 +2529,149 @@ object DiagnosticsQueries {
         .orderBy("t_day")
     })
 
+  // --------------------------------------------------- log-rank test
+
+  /** Two-cohort log-rank test (X184 — Mantel 1966 / Peto 1972: the
+    * censoring-aware "do these survival curves differ?" test, the
+    * inferential companion to X139's Kaplan–Meier DESCRIPTION — an
+    * A/B on time-to-purchase must compare curves at every risk set,
+    * not mean times, or censored users bias the answer; the X124/
+    * X136/X177 A/B family's survival member). Same subject table as
+    * X139 (origin = first event, event = first purchase, censor =
+    * corpus max ts) split by the X124 md5 cohort draw; per event day:
+    * at-risk by cohort from ONE two-lane
+    * [[graft.ops.PrefixSum.runningTotalsAsc]] removal sweep (the X139
+    * device — no global window), expected events E₁ = d·n₁/n and
+    * hypergeometric variance per day element-wise off exact longs;
+    * O/E/V sums are bounded-alphabet aggregates → driver literals
+    * (X109), E/V sums qround(6) (fold order), χ² and z element-wise
+    * after. A zero variance (degenerate risk sets) degrades χ²/z to
+    * NULL on both engines. */
+  val logRank = QueryDef(
+    "q_logrank", {
+      val coh = Bloom.hashModSql("ab:", "o.user_id", 2)
+      val e1 = "CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)"
+      val vt = """CASE WHEN n <= 1 THEN 0.0
+                 ELSE CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      * CAST(n2 AS DOUBLE) * CAST(n - d AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0)) END"""
+      Some(s"""WITH e2 AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us
+                FROM events),
+              mx AS (SELECT MAX(us) AS m FROM e2),
+              o AS (SELECT user_id, MIN(us) AS o_us FROM e2 GROUP BY 1),
+              p AS (SELECT user_id, MIN(us) AS p_us FROM e2
+                    WHERE event_type = 'purchase' GROUP BY 1),
+              subj AS (
+                SELECT o.user_id, $coh AS cohort,
+                       CASE WHEN p.p_us IS NOT NULL
+                            THEN (p.p_us - o.o_us) // 86400000000
+                            ELSE (mx.m - o.o_us) // 86400000000 END AS t,
+                       p.p_us IS NOT NULL AS ev
+                FROM o LEFT JOIN p USING (user_id) CROSS JOIN mx),
+              nn AS (
+                SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_1,
+                       CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_2
+                FROM subj),
+              g AS (
+                SELECT t,
+                       CAST(SUM(CASE WHEN cohort = 0 AND ev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                       CAST(SUM(CASE WHEN cohort = 1 AND ev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                       CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS r1,
+                       CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS r2
+                FROM subj GROUP BY t),
+              w1 AS (
+                SELECT *,
+                       CAST(SUM(r1) OVER w AS BIGINT) AS cu1,
+                       CAST(SUM(r2) OVER w AS BIGINT) AS cu2
+                FROM g
+                WINDOW w AS (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              r AS (
+                SELECT t, d1, d2, d1 + d2 AS d,
+                       nn.n_1 - (cu1 - r1) AS n1,
+                       nn.n_2 - (cu2 - r2) AS n2,
+                       (nn.n_1 - (cu1 - r1)) + (nn.n_2 - (cu2 - r2)) AS n
+                FROM w1 CROSS JOIN nn),
+              sums AS (
+                SELECT CAST(SUM(d1) AS BIGINT) AS o_1,
+                       CAST(SUM(d2) AS BIGINT) AS o_2,
+                       ${Num.qroundSql(s"SUM($e1)", 6)} AS e_1,
+                       ${Num.qroundSql(s"SUM($vt)", 6)} AS var_sum
+                FROM r)
+              SELECT nn.n_1, nn.n_2, s.o_1 AS observed_1,
+                     s.o_2 AS observed_2, s.e_1 AS expected_1,
+                     s.var_sum,
+                     (CAST(s.o_1 AS DOUBLE) - s.e_1) *
+                     (CAST(s.o_1 AS DOUBLE) - s.e_1) /
+                       NULLIF(s.var_sum, 0.0) AS chi2,
+                     (CAST(s.o_1 AS DOUBLE) - s.e_1) /
+                       NULLIF(SQRT(s.var_sum), 0.0) AS z
+              FROM sums s CROSS JOIN nn""")
+    },
+    (s, d) => {
+      val e2 = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val o = e2.groupBy("user_id").agg(min("us").as("o_us"))
+      val p = e2.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val maxUs = e2.agg(max("us")).head().getLong(0) // bounded action
+      val dayUs = 86400000000L
+      val subj = o.join(p, Seq("user_id"), "left")
+        .select(Bloom.hashMod("ab:", col("user_id"), 2).as("cohort"),
+          when(col("p_us").isNotNull,
+            ((col("p_us") - col("o_us")) / dayUs).cast("long"))
+            .otherwise(((lit(maxUs) - col("o_us")) / dayUs).cast("long"))
+            .as("t"),
+          col("p_us").isNotNull.as("ev"))
+        .localCheckpoint(true) // cohort totals + the day table
+      val nRow = subj.agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L))).head()
+      val (n1T, n2T) = (nRow.getLong(0), nRow.getLong(1))
+      val g = subj.groupBy("t").agg(
+        sum(when(col("cohort") === 0 && col("ev"), 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("cohort") === 1 && col("ev"), 1L).otherwise(0L))
+          .as("d2"),
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("r2"))
+      val w1 = graft.ops.PrefixSum.runningTotalsAsc(g, Seq("r1", "r2"),
+        "t", Seq("cu1", "cu2"))
+      val n1 = lit(n1T) - (col("cu1") - col("r1"))
+      val n2 = lit(n2T) - (col("cu2") - col("r2"))
+      val r = w1.select(col("d1"), col("d2"),
+        (col("d1") + col("d2")).as("d"),
+        n1.as("n1"), n2.as("n2"), (n1 + n2).as("n"))
+      def dd(c: Column) = c.cast("double")
+      val e1 = dd(col("d")) * dd(col("n1")) / dd(col("n"))
+      val vt = when(col("n") <= 1, lit(0.0))
+        .otherwise(dd(col("d")) * dd(col("n1")) * dd(col("n2")) *
+          dd(col("n") - col("d")) /
+          (dd(col("n")) * dd(col("n")) * (dd(col("n")) - lit(1.0))))
+      // day-alphabet-bounded sums → one literal row (X109)
+      val sRow = r.agg(sum("d1"), sum("d2"),
+        Num.qround(sum(e1), 6), Num.qround(sum(vt), 6)).head()
+      val (o1, o2) = (sRow.getLong(0), sRow.getLong(1))
+      val (e1s, vs) = (sRow.getDouble(2), sRow.getDouble(3))
+      val diff = lit(o1).cast("double") - lit(e1s)
+      s.range(1).select(lit(n1T).as("n_1"), lit(n2T).as("n_2"),
+        lit(o1).as("observed_1"), lit(o2).as("observed_2"),
+        lit(e1s).as("expected_1"), lit(vs).as("var_sum"),
+        (diff * diff / when(lit(vs) === 0.0, lit(null))
+          .otherwise(lit(vs))).as("chi2"),
+        (diff / when(sqrt(lit(vs)) === 0.0, lit(null))
+          .otherwise(sqrt(lit(vs)))).as("z"))
+    })
+
   // ----------------------------------------------------- mutual info
 
   /** Categorical mutual information (X140 — Shannon MI between event
@@ -2850,5 +2993,6 @@ object DiagnosticsQueries {
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
-    quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma)
+    quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
+    logRank)
 }

@@ -581,6 +581,63 @@ object GraphQueries {
             (n * (n * n - lit(1.0)))).as("rho"))
     })
 
+  /** Reciprocal-rank fusion of two centrality rankings (X183 —
+    * Cormack, Clarke & Buettcher SIGIR 2009: RRF(v) = Σᵢ 1/(k + rᵢ(v))
+    * with k = 60, the evidence-free rank combiner that reliably beats
+    * its inputs and is the standard hybrid-retrieval merge (BM25 ⊕
+    * dense) — here fusing PageRank and HITS authority, the two
+    * rankings X102 only COMPARES; same composition seam, opposite
+    * purpose). Ranks come from the X75 two-pass PrefixSum rank device
+    * (deterministic node tie-break, no global window) — bit-identical
+    * to ROW_NUMBER; the RRF score is a fixed-order two-term sum of
+    * exact-integer-fed divides and the fused rank re-runs the same
+    * device on (rrf DESC, node) — every lane hashes RAW. */
+  val rankFusion = QueryDef(
+    "q_rank_fusion",
+    Some(s"""WITH pr_q AS (${CurationQueries.domainPagerank.oracle.get}),
+            ht_q AS (${domainHits.oracle.get}),
+            rp AS (
+              SELECT node, CAST(ROW_NUMBER() OVER (
+                ORDER BY pr DESC, node) AS BIGINT) AS r_pr
+              FROM pr_q),
+            ra AS (
+              SELECT node, CAST(ROW_NUMBER() OVER (
+                ORDER BY auth DESC, node) AS BIGINT) AS r_auth
+              FROM ht_q),
+            f AS (
+              SELECT rp.node, rp.r_pr, ra.r_auth,
+                     1.0 / (60.0 + CAST(rp.r_pr AS DOUBLE)) +
+                     1.0 / (60.0 + CAST(ra.r_auth AS DOUBLE)) AS rrf
+              FROM rp JOIN ra USING (node))
+            SELECT node, r_pr, r_auth, rrf,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, node)
+                     AS BIGINT) AS fused_rank
+            FROM f ORDER BY fused_rank"""),
+    (s, d) => {
+      val edges = domainEdges(s, d)
+      val pr = graft.ops.PageRank.run(edges, "src", "dst",
+        CurationQueries.PrIters, CurationQueries.PrDamping)
+      val ht = graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+      def rank(df: org.apache.spark.sql.DataFrame, score: String,
+          out: String) =
+        graft.ops.PrefixSum.runningTotalDesc(
+            df.withColumn("__one", lit(1L)), "__one", score, "v", out)
+          .select(col("v"), col(out))
+      val rp = rank(pr.select(col("v"), col("pr")), "pr", "r_pr")
+      val ra = rank(ht.select(col("v"), col("auth")), "auth", "r_auth")
+      val f = rp.join(ra, "v")
+        .select(col("v"), col("r_pr"), col("r_auth"),
+          (lit(1.0) / (lit(60.0) + col("r_pr").cast("double")) +
+            lit(1.0) / (lit(60.0) + col("r_auth").cast("double")))
+            .as("rrf"))
+      graft.ops.PrefixSum.runningTotalDesc(
+          f.withColumn("__one", lit(1L)), "__one", "rrf", "v",
+          "fused_rank")
+        .select(col("v").as("node"), col("r_pr"), col("r_auth"),
+          col("rrf"), col("fused_rank"))
+        .orderBy("fused_rank")
+    })
+
   /** Graph shape summary (X133 — reciprocity + degree assortativity,
     * the two whole-graph diagnostics read next to the per-node signals
     * X66/X80/X97: reciprocity = share of directed edges whose reverse
@@ -851,5 +908,6 @@ object GraphQueries {
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
-      rankAgreement, graphShape, linkPredict, pagerankDelta)
+      rankAgreement, graphShape, linkPredict, pagerankDelta,
+      rankFusion)
 }

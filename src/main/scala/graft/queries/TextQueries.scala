@@ -2163,6 +2163,77 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("rank")
     })
 
+  // ------------------------------------------- X185 Brier / ECE
+
+  /** Probability-calibration scores (X185 — Brier 1950 + expected /
+    * maximum calibration error, Naeini et al. 2015: X87's reliability
+    * DIAGRAM compressed to the three numbers a model gate thresholds
+    * on — Brier = mean squared probability error (refinement +
+    * calibration together), ECE = bucket-weighted |accuracy −
+    * confidence|, MCE = the worst bucket. Composition: nests the X45
+    * classifier scores; per-doc p = σ(margin) qround(6)'d AFTER the
+    * transcendental (the X63 exp lane); Brier terms (p−y)² are then
+    * element-wise exact, bucket confidences qround'd aggregates, and
+    * the ECE sum runs over the bounded margin-bucket alphabet —
+    * bucket rows and doc totals are two bounded driver actions
+    * re-emitted as ONE literal row (X109; a 1-row cross join would
+    * fold into the banned BNLJ). */
+  val brierEce = QueryDef(
+    "q_brier_ece", {
+      val pSql = Num.qroundSql("1.0 / (1.0 + exp(-margin))", 6)
+      Some(s"""WITH hc AS (${hashClassifier.oracle.get}),
+              sc AS (
+                SELECT CAST(FLOOR(margin / 2.0) AS INT) AS bucket,
+                       $pSql AS p,
+                       CASE WHEN is_en THEN 1.0 ELSE 0.0 END AS y
+                FROM hc),
+              tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       ${Num.qroundSql("AVG((p - y) * (p - y))", 6)}
+                         AS brier
+                FROM sc),
+              b AS (
+                SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc,
+                       ${Num.qroundSql("AVG(p)", 6)} AS conf
+                FROM sc GROUP BY bucket),
+              e AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       ${Num.qroundSql(
+                         "SUM(CAST(n AS DOUBLE) * ABS(acc - conf))", 6)}
+                         AS ece_num,
+                       MAX(ABS(acc - conf)) AS mce
+                FROM b)
+              SELECT tot.n_docs, tot.brier,
+                     e.ece_num / CAST(tot.n_docs AS DOUBLE) AS ece,
+                     e.mce, e.n_buckets
+              FROM tot CROSS JOIN e""")
+    },
+    (s, d) => {
+      val hc = hcScores(s, d)
+      val p = Num.qround(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6)
+      val sc = hc.select(
+          floor(col("margin") / 2.0).cast("int").as("bucket"),
+          p.as("p"),
+          when(col("is_en"), 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint(true) // doc totals + bucket table
+      val tRow = sc.agg(count(lit(1)),
+        Num.qround(avg((col("p") - col("y")) * (col("p") - col("y"))), 6))
+        .head()
+      val (nDocs, brier) = (tRow.getLong(0), tRow.getDouble(1))
+      val b = sc.groupBy("bucket").agg(count(lit(1)).as("n"),
+        (sum("y").cast("double") / count(lit(1))).as("acc"),
+        Num.qround(avg("p"), 6).as("conf"))
+      val eRow = b.agg(count(lit(1)),
+        Num.qround(sum(col("n").cast("double") *
+          abs(col("acc") - col("conf"))), 6),
+        max(abs(col("acc") - col("conf")))).head()
+      s.range(1).select(lit(nDocs).as("n_docs"), lit(brier).as("brier"),
+        (lit(eRow.getDouble(1)) / lit(nDocs).cast("double")).as("ece"),
+        lit(eRow.getDouble(2)).as("mce"),
+        lit(eRow.getLong(0)).as("n_buckets"))
+    })
+
   // --------------------------------------- X182 content-defined chunks
 
   /** Content-defined chunking (X182 — see
@@ -2233,5 +2304,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
-    readability, zipfFit, cdcChunks)
+    readability, zipfFit, cdcChunks, brierEce)
 }
