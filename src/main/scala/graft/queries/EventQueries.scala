@@ -827,6 +827,66 @@ object EventQueries {
         "user_id", "event_id", bits = 4)
       .orderBy("zbucket"))
 
+  /** One xy2d Hilbert level as oracle CTEs: rx/ry extracted, the
+    * level's contribution added, then the flip+swap quadrant rotation
+    * — state columns (hx, hy, hd) thread level to level, the exact
+    * arithmetic [[graft.ops.Layout.hilbertKey]] unrolls. */
+  private def hilbertStepSql(k: Int, s: Long): String = {
+    val p = k - 1
+    s"""hr$k AS (
+               SELECT *,
+                      CASE WHEN (hx$p & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                      CASE WHEN (hy$p & $s) > 0 THEN 1 ELSE 0 END AS ry
+               FROM hs$p),
+             hs$k AS (
+               SELECT user_id, event_id,
+                      hd$p + $s * $s * xor(3 * rx, ry) AS hd$k,
+                      CASE WHEN ry = 0 THEN
+                        (CASE WHEN rx = 1 THEN $s - 1 - hy$p
+                              ELSE hy$p END)
+                        ELSE hx$p END AS hx$k,
+                      CASE WHEN ry = 0 THEN
+                        (CASE WHEN rx = 1 THEN $s - 1 - hx$p
+                              ELSE hx$p END)
+                        ELSE hy$p END AS hy$k
+               FROM hr$k)"""
+  }
+
+  /** Hilbert-curve layout stats (X187 — see
+    * [[graft.ops.Layout.hilbertKey]]: the locality-better sibling of
+    * X30's Z-order — consecutive Hilbert indices are always
+    * Manhattan-adjacent cells, no quadrant-seam jumps, so range scans
+    * touch fewer files; same 16×16 binning and per-bucket extents as
+    * q_zorder_stats, so the two layouts read side by side). The xy2d
+    * transform unrolls per bit level on BOTH engines (pure integer
+    * CASE arithmetic — the SQL threads (hx, hy, hd) state columns
+    * through four level CTEs); everything hashes integer-exact. */
+  val hilbertStats = QueryDef(
+    "q_hilbert_stats", {
+      val steps = (1 to 4).map(k => hilbertStepSql(k, 1L << (4 - k)))
+        .mkString(",\n             ")
+      Some(s"""WITH b AS (
+               SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                      MIN(event_id) AS elo, MAX(event_id) AS ehi
+               FROM events),
+             hs0 AS (
+               SELECT user_id, event_id,
+                      CAST(FLOOR((user_id - ulo) * 16 /
+                        CAST(uhi - ulo + 1 AS DOUBLE)) AS BIGINT) AS hx0,
+                      CAST(FLOOR((event_id - elo) * 16 /
+                        CAST(ehi - elo + 1 AS DOUBLE)) AS BIGINT) AS hy0,
+                      CAST(0 AS BIGINT) AS hd0
+               FROM events, b),
+             $steps
+             SELECT hd4 AS hbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    MIN(user_id) AS a_min, MAX(user_id) AS a_max,
+                    MIN(event_id) AS b_min, MAX(event_id) AS b_max
+             FROM hs4 GROUP BY hd4 ORDER BY hbucket""")
+    },
+    (s, d) => graft.ops.Layout.hilbertStats(Tables.events(s, d),
+        "user_id", "event_id", bits = 4)
+      .orderBy("hbucket"))
+
   // ----------------------------------- X95 ordered conversion funnel
 
   /** Ordered conversion funnel (X95 — the product-analytics staple
@@ -1006,6 +1066,6 @@ object EventQueries {
     streamTopK, streamCdc,
     attribution,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
-    asofJoinBucketed, rangeJoin, skewJoin, zorderStats,
+    asofJoinBucketed, rangeJoin, skewJoin, zorderStats, hilbertStats,
     eventFunnel, streamFunnel, eventRetention)
 }

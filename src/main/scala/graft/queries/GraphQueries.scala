@@ -638,6 +638,102 @@ object GraphQueries {
         .orderBy("fused_rank")
     })
 
+  /** Rank-biased overlap between two centrality rankings (X186 —
+    * Webber, Moffat & Zobel TOIS 2010: RBO(p) = (1−p)·Σ_d p^(d−1)·
+    * |A∩B @ d|/d, the TOP-WEIGHTED list-similarity measure X102's
+    * Spearman is not — Spearman weights a swap at rank 49 like one at
+    * rank 2; RBO's geometric depth discount matches how rankings are
+    * consumed. Truncated at the list length n (RBO_min). The swap of
+    * summation order makes it one pass: each node contributes the
+    * TAIL sum T(m) = Σ_{d≥m} p^(d−1)/d at m = max(rank_pr, rank_auth)
+    * — so the whole statistic needs only the rank join plus a
+    * depth-alphabet-bounded tail table. Float discipline: p^(d−1)/d
+    * enters a ×10⁹ fixed-point floor (the X139 ln-lane device — libm
+    * pow's ≤1 ulp cross-engine drift dies at the floor), tail sums
+    * are then EXACT long prefix arithmetic via
+    * [[graft.ops.PrefixSum.runningTotalsAsc]], and rbo = (1−p)·
+    * (Σ T_int / 10⁹) is element-wise off exact longs — every row
+    * hashes RAW. */
+  val rankRbo = QueryDef(
+    "q_rank_rbo", {
+      val P = 0.9
+      Some(s"""WITH pr_q AS (${CurationQueries.domainPagerank.oracle.get}),
+              ht_q AS (${domainHits.oracle.get}),
+              rp AS (
+                SELECT node, CAST(ROW_NUMBER() OVER (
+                  ORDER BY pr DESC, node) AS BIGINT) AS r_pr
+                FROM pr_q),
+              ra AS (
+                SELECT node, CAST(ROW_NUMBER() OVER (
+                  ORDER BY auth DESC, node) AS BIGINT) AS r_auth
+                FROM ht_q),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rp),
+              dep AS (
+                SELECT CAST(unnest(range(1, nn.n + 1)) AS BIGINT) AS d
+                FROM nn),
+              td AS (
+                SELECT d,
+                       CAST(FLOOR(POWER($P, d - 1) / d * 1000000000.0
+                         + 0.5) AS BIGINT) AS t
+                FROM dep),
+              ct AS (
+                SELECT d, t,
+                       CAST(SUM(t) OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum
+                FROM td),
+              tt AS (SELECT CAST(SUM(t) AS BIGINT) AS total FROM td),
+              j AS (
+                SELECT rp.node, rp.r_pr, ra.r_auth,
+                       GREATEST(rp.r_pr, ra.r_auth) AS m
+                FROM rp JOIN ra USING (node)),
+              k AS (
+                SELECT j.node, j.r_pr, j.r_auth, j.m,
+                       tt.total - (ct.cum - ct.t) AS t_int
+                FROM j JOIN ct ON j.m = ct.d CROSS JOIN tt),
+              sm AS (SELECT CAST(SUM(t_int) AS BIGINT) AS s FROM k)
+              SELECT k.node, k.r_pr, k.r_auth, k.m, k.t_int,
+                     ${1.0 - P} * (CAST(sm.s AS DOUBLE) / 1000000000.0)
+                       AS rbo
+              FROM k CROSS JOIN sm ORDER BY k.node""")
+    },
+    (s, d) => {
+      val P = 0.9
+      val edges = domainEdges(s, d)
+      val pr = graft.ops.PageRank.run(edges, "src", "dst",
+        CurationQueries.PrIters, CurationQueries.PrDamping)
+      val ht = graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+      def rank(df: org.apache.spark.sql.DataFrame, score: String,
+          out: String) =
+        graft.ops.PrefixSum.runningTotalDesc(
+            df.withColumn("__one", lit(1L)), "__one", score, "v", out)
+          .select(col("v"), col(out))
+      val rp = rank(pr.select(col("v"), col("pr")), "pr", "r_pr")
+        .localCheckpoint(true) // count action + the rank join
+      val ra = rank(ht.select(col("v"), col("auth")), "auth", "r_auth")
+      val n = rp.count() // bounded action: list length
+      val dep = s.range(1, n + 1).select(col("id").as("d"))
+        .withColumn("t",
+          floor(pow(lit(P), col("d") - 1) / col("d") *
+            lit(1000000000.0) + 0.5).cast("long"))
+      val ct = graft.ops.PrefixSum
+        .runningTotalsAsc(dep, Seq("t"), "d", Seq("cum"))
+        .localCheckpoint(true) // total action + the m-join
+      val total = ct.agg(sum("t")).head().getLong(0)
+      val j = rp.join(ra, "v")
+        .select(col("v").as("node"), col("r_pr"), col("r_auth"),
+          greatest(col("r_pr"), col("r_auth")).as("m"))
+      val k = j.join(ct.select(col("d").as("m"), col("t"), col("cum")),
+          "m")
+        .select(col("node"), col("r_pr"), col("r_auth"), col("m"),
+          (lit(total) - (col("cum") - col("t"))).as("t_int"))
+        .localCheckpoint(true) // sum action + the emitted rows
+      val sumT = k.agg(sum("t_int")).head().getLong(0)
+      k.withColumn("rbo", lit(1.0 - P) *
+          (lit(sumT).cast("double") / lit(1000000000.0)))
+        .orderBy("node")
+    })
+
   /** Graph shape summary (X133 — reciprocity + degree assortativity,
     * the two whole-graph diagnostics read next to the per-node signals
     * X66/X80/X97: reciprocity = share of directed edges whose reverse
@@ -909,5 +1005,5 @@ object GraphQueries {
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
       rankAgreement, graphShape, linkPredict, pagerankDelta,
-      rankFusion)
+      rankFusion, rankRbo)
 }

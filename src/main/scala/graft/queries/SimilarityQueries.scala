@@ -1569,6 +1569,188 @@ ORDER BY id_a, id_b"""
       .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
       .limit(25))
 
+  // ------------------------------------------------- X188 PCA
+
+  /** One power-iteration round as oracle CTEs (the X66 unroll device
+    * applied to an eigen-solve): matvec components, the norm, and the
+    * normalized state each qround(6) so round t+1 starts from
+    * bit-identical doubles on both engines. */
+  private def pcaRoundSql(t: Int, g: String, cv: String,
+      ortho: Option[String] = None): String = {
+    val p = t - 1
+    // MATERIALIZED is load-bearing on every per-round state: without
+    // it DuckDB re-inlines the covariance CTE (and, through it, the
+    // parquet scan) at EVERY round of the chain — exponential plan
+    // blowup that exhausts file descriptors before executing.
+    val mv = s"""u$g$t AS MATERIALIZED (
+              SELECT $cv.i AS i,
+                     ${Num.qroundSql(s"SUM($cv.c * v$g$p.x)", 6)} AS u
+              FROM $cv JOIN v$g$p ON $cv.j = v$g$p.i GROUP BY $cv.i)"""
+    // second-component rounds Gram-Schmidt-project off the given
+    // unit vector EVERY round (see Pca.powerIter: deflation alone
+    // converges at (λ2/λ1)^t — never orthogonal on a flat spectrum)
+    val (src, proj) = ortho match {
+      case None => (s"u$g$t", "")
+      case Some(o) => (s"o$g$t", s""",
+            d$g$t AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM(u$g$t.u * o.x)", 6)} AS d
+              FROM u$g$t JOIN $o o ON u$g$t.i = o.i),
+            o$g$t AS MATERIALIZED (
+              SELECT u$g$t.i,
+                     ${Num.qroundSql(s"u$g$t.u - d$g$t.d * o.x", 6)} AS u
+              FROM u$g$t JOIN $o o ON u$g$t.i = o.i
+                CROSS JOIN d$g$t)""")
+    }
+    s"""$mv$proj,
+            n$g$t AS MATERIALIZED (
+              SELECT SQRT(${Num.qroundSql("SUM(u * u)", 6)}) AS nm
+              FROM $src),
+            v$g$t AS MATERIALIZED (
+              SELECT i, ${Num.qroundSql("u / nm", 6)} AS x
+              FROM $src CROSS JOIN n$g$t)"""
+  }
+
+  private val PcaIters = 12
+
+  /** Two-component PCA projection of the embedding table (X188 — see
+    * [[graft.ops.Pca]]: ONE map-side-combining moment pass (count,
+    * Σx, Σxxᵀ through the DoubleVecSum accumulator — 4160 doubles per
+    * partition cross the wire, never rows), 64×64 covariance
+    * eigen-solved ON THE DRIVER by fixed-round deflated power
+    * iteration, components re-entering the projection scan as
+    * literals; the dimensionality-reduction classic next to X49's
+    * random projection — RP preserves distances obliviously, PCA
+    * finds the variance-optimal axes). The result is PINNED as
+    * "12-round power-iteration PCA" (qround(6) state per round, the
+    * X66 discipline; uniform unit start, never random), so the
+    * oracle's unrolled replay lands on bit-identical components;
+    * projections are sequential zip-folds off identical (μ, v) lanes
+    * (the X49 device) and hash RAW. */
+  val pcaProject = QueryDef(
+    "q_pca_project", {
+      val roundsA = (1 to PcaIters).map(pcaRoundSql(_, "a", "cv1"))
+        .mkString(",\n            ")
+      val roundsB = (1 to PcaIters)
+        .map(pcaRoundSql(_, "b", "cv2", ortho = Some(s"va$PcaIters")))
+        .mkString(",\n            ")
+      val vA = s"va$PcaIters"
+      val vB = s"vb$PcaIters"
+      Some(s"""WITH ee AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ee),
+            dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+            mu AS MATERIALIZED (
+              SELECT d.i,
+                     ${Num.qroundSql(
+                       "SUM(CAST(e.embedding[d.i] AS DOUBLE)) / nn.n",
+                       6)} AS x
+              FROM ee e CROSS JOIN dims d CROSS JOIN nn
+              GROUP BY d.i, nn.n),
+            cv1 AS MATERIALIZED (
+              SELECT di.i, dj.i AS j,
+                     ${Num.qroundSql(
+                       "SUM(CAST(e.embedding[di.i] AS DOUBLE) * " +
+                         "CAST(e.embedding[dj.i] AS DOUBLE)) / nn.n",
+                       6)} - mi.x * mj.x AS c
+              FROM ee e CROSS JOIN dims di CROSS JOIN dims dj
+                CROSS JOIN nn
+                JOIN mu mi ON mi.i = di.i
+                JOIN mu mj ON mj.i = dj.i
+              GROUP BY di.i, dj.i, nn.n, mi.x, mj.x),
+            va0 AS MATERIALIZED (SELECT i, 0.125 AS x FROM dims),
+            $roundsA,
+            uaf AS MATERIALIZED (
+              SELECT cv1.i AS i,
+                     ${Num.qroundSql(s"SUM(cv1.c * $vA.x)", 6)} AS u
+              FROM cv1 JOIN $vA ON cv1.j = $vA.i GROUP BY cv1.i),
+            la AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM($vA.x * uaf.u)", 6)} AS l
+              FROM $vA JOIN uaf ON $vA.i = uaf.i),
+            cv2 AS MATERIALIZED (
+              SELECT cv1.i, cv1.j, cv1.c - la.l * vi.x * vj.x AS c
+              FROM cv1 CROSS JOIN la
+                JOIN $vA vi ON vi.i = cv1.i
+                JOIN $vA vj ON vj.i = cv1.j),
+            vb0 AS MATERIALIZED (SELECT i, 0.125 AS x FROM dims),
+            $roundsB,
+            wa AS MATERIALIZED (
+              SELECT cv1.i AS i,
+                     ${Num.qroundSql(s"SUM(cv1.c * $vA.x)", 12)} AS u
+              FROM cv1 JOIN $vA ON cv1.j = $vA.i GROUP BY cv1.i),
+            wb AS MATERIALIZED (
+              SELECT cv1.i AS i,
+                     ${Num.qroundSql(s"SUM(cv1.c * $vB.x)", 12)} AS u
+              FROM cv1 JOIN $vB ON cv1.j = $vB.i GROUP BY cv1.i),
+            h11 AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM($vA.x * wa.u)", 12)} AS h
+              FROM $vA JOIN wa ON $vA.i = wa.i),
+            h12 AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM($vB.x * wa.u)", 12)} AS h
+              FROM $vB JOIN wa ON $vB.i = wa.i),
+            h22 AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM($vB.x * wb.u)", 12)} AS h
+              FROM $vB JOIN wb ON $vB.i = wb.i),
+            dsc AS MATERIALIZED (
+              SELECT ${Num.qroundSql(
+                s"SQRT(${Num.qroundSql(
+                  "(h11.h - h22.h) * (h11.h - h22.h) + 4.0 * h12.h * h12.h",
+                  12)})", 12)} AS d
+              FROM h11 CROSS JOIN h22 CROSS JOIN h12),
+            eg1 AS MATERIALIZED (
+              SELECT (h12.h = 0.0) AS z, (h11.h < h22.h) AS sw,
+                     h11.h AS h11, h12.h AS h12,
+                     ${Num.qroundSql("(h11.h + h22.h + dsc.d) / 2.0", 12)}
+                       AS l1,
+                     ${Num.qroundSql("(h11.h + h22.h - dsc.d) / 2.0", 12)}
+                       AS l2
+              FROM h11 CROSS JOIN h22 CROSS JOIN h12 CROSS JOIN dsc),
+            eg AS MATERIALIZED (
+              SELECT z, sw, l1, l2,
+                     CASE WHEN z THEN NULL ELSE ${Num.qroundSql(
+                       s"h12 / SQRT(${Num.qroundSql(
+                         "h12 * h12 + (l1 - h11) * (l1 - h11)", 12)})",
+                       12)} END AS al,
+                     CASE WHEN z THEN NULL ELSE ${Num.qroundSql(
+                       s"(l1 - h11) / SQRT(${Num.qroundSql(
+                         "h12 * h12 + (l1 - h11) * (l1 - h11)", 12)})",
+                       12)} END AS be
+              FROM eg1),
+            v1f AS MATERIALIZED (
+              SELECT va.i,
+                     CASE WHEN eg.z THEN
+                       (CASE WHEN eg.sw THEN vb.x ELSE va.x END)
+                     ELSE ${Num.qroundSql(
+                       "eg.al * va.x + eg.be * vb.x", 6)} END AS x
+              FROM $vA va JOIN $vB vb ON va.i = vb.i CROSS JOIN eg),
+            v2f AS MATERIALIZED (
+              SELECT va.i,
+                     CASE WHEN eg.z THEN
+                       (CASE WHEN eg.sw THEN va.x ELSE vb.x END)
+                     ELSE ${Num.qroundSql(
+                       "eg.be * va.x - eg.al * vb.x", 6)} END AS x
+              FROM $vA va JOIN $vB vb ON va.i = vb.i CROSS JOIN eg),
+            mul AS MATERIALIZED (SELECT list(x ORDER BY i) AS m FROM mu),
+            v1l AS MATERIALIZED (SELECT list(x ORDER BY i) AS v FROM v1f),
+            v2l AS MATERIALIZED (SELECT list(x ORDER BY i) AS v FROM v2f)
+            SELECT e.vec_id,
+                   list_reduce(list_transform(range(1, 65),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - mul.m[i])
+                          * v1l.v[i]), (a, b) -> a + b) AS pc1,
+                   list_reduce(list_transform(range(1, 65),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - mul.m[i])
+                          * v2l.v[i]), (a, b) -> a + b) AS pc2,
+                   eg.l1 AS lambda1, eg.l2 AS lambda2
+            FROM ee e CROSS JOIN mul CROSS JOIN v1l CROSS JOIN v2l
+              CROSS JOIN eg
+            ORDER BY e.vec_id""")
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m = graft.ops.Pca.fit(emb, "embedding", dims = 64,
+        iters = PcaIters)
+      graft.ops.Pca.project(emb, "vec_id", "embedding", m)
+        .orderBy("vec_id")
+    })
+
   // --------------------------------------- X178 Fellegi–Sunter
 
   /** Fellegi–Sunter probabilistic record linkage (X178 — Fellegi &
@@ -1685,5 +1867,5 @@ ORDER BY id_a, id_b"""
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
-    fellegiSunter)
+    fellegiSunter, pcaProject)
 }
