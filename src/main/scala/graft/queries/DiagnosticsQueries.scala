@@ -2984,6 +2984,164 @@ object DiagnosticsQueries {
         .orderBy("lang", "rank")
     })
 
+  // --------------------------------------------------- X190 BH-FDR
+
+  private val FdrTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val FdrAlpha = 0.1
+
+  /** Benjamini–Hochberg FDR control over a 10-test experiment family
+    * (X190 — Benjamini & Hochberg 1995; see [[graft.ops.Fdr]]: the
+    * multiple-comparisons step the X124/X136/X177 single-test
+    * readouts lack — at m tests the family-wise false-positive rate
+    * is 1−(1−α)^m, BH admits the largest prefix of the p-sorted
+    * family with p_(i) ≤ i·α/m and bounds the expected false-
+    * discovery share at α). The family: for each event type, a
+    * hash-split A/B (md5 cohorts — null by construction) and an
+    * activity-split (light vs heavy users, heavy ⇔ n·U ≥ E exact
+    * integers — real effects by construction), so the readout
+    * demonstrates exactly the separation BH exists for. Success =
+    * the user's type-t event count is above the corpus mean for t
+    * (c_t·U ≥ E_t, exact integers — "has ≥ 1 of t" is vacuous on
+    * this corpus: every user emits every type, a degenerate 100%
+    * conversion that NULLs every z). Per-test
+    * stats are ONE exploded-literal conditional aggregate (no join);
+    * z element-wise off exact integer counts; p = A&S 26.2.17
+    * product-chain polynomial floored 1e-9 (the one exp lane); the
+    * BH step runs on the driver over m = 10 rows (test definitions
+    * are a literal of the query — metadata-sized at ANY corpus
+    * scale) and verdicts re-enter the plan as literal maps. */
+  val bhFdr = QueryDef(
+    "q_bh_fdr", {
+      val convCases = FdrTypes.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS c_$t")
+        .mkString(",\n                       ")
+      val typeTotals = FdrTypes.map(t =>
+        s"CAST(SUM(c_$t) AS BIGINT) AS e_$t")
+        .mkString(",\n                      ")
+      val testRows = FdrTypes.flatMap(t => Seq(
+        s"('$t:hash', '$t', 'hash')", s"('$t:activity', '$t', 'activity')"))
+        .mkString(", ")
+      val succCase = "CASE t.typ " + FdrTypes.map(t =>
+        s"WHEN '$t' THEN (CASE WHEN ut.c_$t * ut.nu >= ut.e_$t " +
+          "THEN 1 ELSE 0 END)").mkString(" ") + " END"
+      val pa = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+      val pb = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+      val pp = "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+      val z = s"""(($pb) - ($pa)) /
+               NULLIF(SQRT(($pp) * (1.0 - ($pp)) *
+                 (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+                 0.0)"""
+      Some(s"""WITH u AS (
+               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       $convCases
+               FROM events GROUP BY user_id),
+             tot AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                      CAST(SUM(n) AS BIGINT) AS ne,
+                      $typeTotals
+               FROM u),
+             ut AS (
+               SELECT u.*, tot.nu, tot.ne,
+                      ${FdrTypes.map(t => s"tot.e_$t").mkString(", ")},
+                      ${Bloom.hashModSql("fdr:", "user_id", 2)} AS ch,
+                      CASE WHEN u.n * tot.nu >= tot.ne
+                        THEN 1 ELSE 0 END AS heavy
+               FROM u CROSS JOIN tot),
+             tests(test_id, typ, split) AS (VALUES $testRows),
+             x AS (
+               SELECT t.test_id,
+                      CASE WHEN t.split = 'hash' THEN ut.ch
+                        ELSE ut.heavy END AS grp,
+                      $succCase AS succ
+               FROM ut CROSS JOIN tests t),
+             agg AS (
+               SELECT test_id,
+                      CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                      CAST(SUM(CASE WHEN grp = 0 THEN succ ELSE 0 END)
+                        AS BIGINT) AS conv_a,
+                      CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                      CAST(SUM(CASE WHEN grp = 1 THEN succ ELSE 0 END)
+                        AS BIGINT) AS conv_b
+               FROM x GROUP BY test_id),
+             zt AS (SELECT *, $z AS z FROM agg),
+             pt AS (SELECT *, ${graft.ops.Fdr.pTwoSidedSql("z")} AS p
+                    FROM zt),
+             mm AS (SELECT CAST(COUNT(p) AS BIGINT) AS m FROM pt),
+             rnk AS (
+               SELECT test_id, p,
+                      CAST(ROW_NUMBER() OVER (ORDER BY p, test_id)
+                        AS BIGINT) AS bh_rank
+               FROM pt WHERE p IS NOT NULL),
+             ct AS (
+               SELECT rnk.*,
+                      ${Num.qroundSql(
+                        s"CAST(bh_rank AS DOUBLE) * $FdrAlpha / mm.m", 9)}
+                        AS bh_crit
+               FROM rnk CROSS JOIN mm),
+             ks AS (
+               SELECT COALESCE(MAX(CASE WHEN p <= bh_crit
+                 THEN bh_rank END), 0) AS kstar
+               FROM ct)
+             SELECT pt.test_id, pt.n_a, pt.conv_a, pt.n_b, pt.conv_b,
+                    pt.z, pt.p, ct.bh_rank, ct.bh_crit,
+                    CAST(CASE WHEN ct.bh_rank IS NULL THEN NULL
+                      WHEN ct.bh_rank <= ks.kstar THEN 1 ELSE 0 END
+                      AS BIGINT) AS rejected
+             FROM pt LEFT JOIN ct ON pt.test_id = ct.test_id
+               CROSS JOIN ks
+             ORDER BY pt.test_id""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        FdrTypes.map(t => sum(when(col("event_type") === t, 1L)
+          .otherwise(0L)).as(s"c_$t")): _*)
+      // bounded 7-long action: user count, event count, per-type totals
+      val tot = u.agg(count(lit(1)),
+        sum("n") +: FdrTypes.map(t => sum(s"c_$t")): _*).head()
+      val (nu, ne) = (tot.getLong(0), tot.getLong(1))
+      val eT = FdrTypes.zipWithIndex
+        .map { case (t, i) => t -> tot.getLong(i + 2) }.toMap
+      val tests = FdrTypes.flatMap(t =>
+        Seq((s"$t:hash", t, "hash"), (s"$t:activity", t, "activity")))
+      val succ = FdrTypes.foldLeft(lit(null).cast("long")) { (acc, t) =>
+        when(col("tst._2") === t,
+          when(col(s"c_$t") * nu >= eT(t), 1L).otherwise(0L))
+          .otherwise(acc)
+      }
+      val grp = when(col("tst._3") === "hash",
+          Bloom.hashMod("fdr:", col("user_id"), 2))
+        .otherwise(when(col("n") * nu >= ne, 1L).otherwise(0L))
+      val agg = u
+        .select(col("*"), explode(typedLit(tests)).as("tst"))
+        .select(col("tst._1").as("test_id"), grp.as("grp"), succ.as("succ"))
+        .groupBy("test_id").agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp") === 0, col("succ")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("grp") === 1, col("succ")).otherwise(0L))
+            .as("conv_b"))
+      val paC = col("conv_a").cast("double") / col("n_a").cast("double")
+      val pbC = col("conv_b").cast("double") / col("n_b").cast("double")
+      val ppC = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val zC = (pbC - paC) /
+        sqrt(ppC * (lit(1.0) - ppC) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))
+      val withP = agg
+        .withColumn("z", zC)
+        .withColumn("p", graft.ops.Fdr.pTwoSided(col("z")))
+        .localCheckpoint(true) // m bounded rows: the BH collect reads it
+      graft.ops.Fdr.bh(withP, "test_id", "p", FdrAlpha)
+        .orderBy("test_id")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -2994,5 +3152,5 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank)
+    logRank, bhFdr)
 }
