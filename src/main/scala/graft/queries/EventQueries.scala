@@ -1058,6 +1058,112 @@ object EventQueries {
         .orderBy("cohort_week", "week_offset")
     })
 
+  // ------------------------------------------- X192 Shapley attribution
+
+  private val ShapleyBits =
+    Seq("click" -> 1, "view" -> 2, "signup" -> 4, "error" -> 8)
+
+  /** Shapley-value channel attribution (X192 — Shapley 1953, the
+    * game-theoretic completion of X158's heuristic splits: channel
+    * j's credit = its average marginal lift across every coalition
+    * order, the unique allocation satisfying efficiency/symmetry/
+    * dummy; what ad-platform "data-driven attribution" computes).
+    * Unit = user-day; coalition = the set of non-purchase channels
+    * touched that day (4-bit mask); v(S) = observed conversion rate
+    * of units touching EXACTLY S, v(∅) = 0 by the exposed-paths
+    * convention (no-touch units enter the events table only when
+    * they convert — the classic selection artifact; they are
+    * excluded, and unobserved coalitions score 0). Scale shape: ONE
+    * user-day keyed aggregate then ONE mask aggregate (≤ 2⁴ rows —
+    * alphabet-bounded by the literal channel set at ANY corpus
+    * scale); the 4·8-term Shapley sum runs on the driver and
+    * re-enters as literals (the X190 device). v lanes are exact
+    * integer ratios; coalition weights s!(3−s)!/4! are exact CASE
+    * rationals over 24.0; φ takes the one qround(6) (summation
+    * order). */
+  val shapley = QueryDef(
+    "q_shapley", {
+      val maskSql = ShapleyBits.map { case (t, b) =>
+        s"$b * MAX(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      val popSql = "(s0 & 1) + ((s0 >> 1) & 1) + ((s0 >> 2) & 1) + " +
+        "((s0 >> 3) & 1)"
+      val chRows = ShapleyBits
+        .map { case (t, b) => s"('$t', $b)" }.mkString(", ")
+      Some(s"""WITH g AS (
+               SELECT user_id, CAST(ts AS DATE) AS d,
+                      $maskSql AS mask,
+                      MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS conv
+               FROM events GROUP BY 1, 2),
+             m AS (
+               SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(conv) AS BIGINT) AS c
+               FROM g WHERE mask > 0 GROUP BY mask),
+             sub AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS s),
+             v AS (
+               SELECT sub.s,
+                      COALESCE(CAST(m.c AS DOUBLE) / CAST(m.n AS DOUBLE),
+                        0.0) AS v
+               FROM sub LEFT JOIN m ON m.mask = sub.s),
+             ch(channel, bit) AS (VALUES $chRows),
+             pr AS (
+               SELECT ch.channel, ch.bit, v0.s AS s0,
+                      (CASE $popSql WHEN 0 THEN 6.0 WHEN 1 THEN 2.0
+                        WHEN 2 THEN 2.0 ELSE 6.0 END) / 24.0 AS w,
+                      v0.v AS va, v1.v AS vb
+               FROM ch
+                 JOIN v v0 ON (v0.s & ch.bit) = 0
+                 JOIN v v1 ON v1.s = v0.s + ch.bit),
+             phi AS (
+               SELECT channel,
+                      ${Num.qroundSql("SUM(w * (vb - va))", 6)} AS phi
+               FROM pr GROUP BY channel),
+             tch AS (
+               SELECT ch.channel,
+                      CAST(SUM(m.n) AS BIGINT) AS n_touch,
+                      CAST(SUM(m.c) AS BIGINT) AS conv_touch
+               FROM ch JOIN m ON (m.mask & ch.bit) > 0
+               GROUP BY ch.channel)
+             SELECT phi.channel, tch.n_touch, tch.conv_touch, phi.phi
+             FROM phi JOIN tch USING (channel)
+             ORDER BY channel""")
+    },
+    (s, d) => {
+      val maskC = ShapleyBits.map { case (t, b) =>
+        max(when(col("event_type") === t, lit(b)).otherwise(lit(0))) * 1
+      }.reduce(_ + _)
+      val g = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(maskC.as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      // bounded collect: <= 2^4 coalition rows by the literal alphabet
+      val m = g.filter(col("mask") > 0).groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val v = m.map { case (mask, n, c) =>
+        mask -> c.toDouble / n.toDouble }.toMap.withDefaultValue(0.0)
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val wBySize = Map(0 -> 6.0, 1 -> 2.0, 2 -> 2.0, 3 -> 6.0)
+      val rows = ShapleyBits.map { case (t, bit) =>
+        val phi = q6((0 until 16).filter(s0 => (s0 & bit) == 0).map {
+          s0 =>
+            (wBySize(Integer.bitCount(s0)) / 24.0) *
+              (v(s0 + bit) - v(s0))
+        }.sum)
+        val nTouch = m.collect { case (mk, n, _) if (mk & bit) > 0 => n }
+          .sum
+        val cTouch = m.collect { case (mk, _, c) if (mk & bit) > 0 => c }
+          .sum
+        (t, nTouch, cTouch, phi)
+      }
+      import s.implicits._
+      rows.toDF("channel", "n_touch", "conv_touch", "phi")
+        .orderBy("channel")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
@@ -1067,5 +1173,6 @@ object EventQueries {
     attribution,
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats, hilbertStats,
+    shapley,
     eventFunnel, streamFunnel, eventRetention)
 }

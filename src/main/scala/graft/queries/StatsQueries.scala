@@ -673,6 +673,122 @@ object StatsQueries {
         .orderBy("source_a", "source_b")
     })
 
+  // ---------------------------------------- X191 conformal intervals
+
+  /** Split-conformal prediction intervals on the seasonal forecaster
+    * (X191 — Vovk et al. 2005 / Lei et al. 2018: the
+    * distribution-free way to put FINITE-SAMPLE coverage guarantees
+    * on ANY point forecaster — here X142/X174's day-of-week baseline
+    * — without believing its error model: fit on days <14, compute
+    * absolute residuals on a held-out calibration week [14,21), take
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration residual, and the
+    * interval forecast±q̂ covers eval days ≥21 with probability
+    * ≥ 1−α by exchangeability alone; α = 0.25). The q̂ selection is
+    * an EXACT order statistic per series: calibration residuals
+    * collect into one per-type sorted array (day-alphabet-bounded —
+    * ≤7 values, the Theil–Sen recorded-bound device) and the k-th
+    * element is selected, never interpolated; residuals are
+    * element-wise doubles off the qround(6) fit, k exact integer
+    * ceil arithmetic, lo/hi/covered element-wise, per-type empirical
+    * coverage the one qround(6) aggregate (5-row broadcast join
+    * back). */
+  val conformal = QueryDef(
+    "q_conformal", {
+      val kSql = "LEAST(n_cal, CAST(CEIL((n_cal + 1) * 0.75) AS BIGINT))"
+      Some(s"""WITH d0 AS (
+                SELECT MIN(CAST(ts AS DATE)) AS first_day FROM events),
+              daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - d0.first_day AS BIGINT)
+                         AS xday,
+                       CAST(isodow(ts) AS INT) AS dow,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events CROSS JOIN d0 GROUP BY 1, 2, 3),
+              f AS (
+                SELECT event_type, dow,
+                       ${Num.qroundSql("AVG(CAST(x AS DOUBLE))", 6)} AS fc
+                FROM daily WHERE xday < 14 GROUP BY 1, 2),
+              cal AS (
+                SELECT c.event_type,
+                       ABS(CAST(c.x AS DOUBLE) - f.fc) AS r
+                FROM daily c JOIN f USING (event_type, dow)
+                WHERE c.xday >= 14 AND c.xday < 21),
+              q AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+                       list_sort(list(r)) AS rs
+                FROM cal GROUP BY 1),
+              qq AS (
+                SELECT event_type, n_cal, $kSql AS k,
+                       rs[CAST($kSql AS INT)] AS qhat
+                FROM q),
+              ev AS (
+                SELECT e.event_type, e.xday, e.x, f.fc
+                FROM daily e JOIN f USING (event_type, dow)
+                WHERE e.xday >= 21),
+              r AS (
+                SELECT ev.event_type, ev.xday, ev.x, ev.fc,
+                       qq.n_cal, qq.k, qq.qhat,
+                       ev.fc - qq.qhat AS lo, ev.fc + qq.qhat AS hi,
+                       CAST(ev.x AS DOUBLE) >= ev.fc - qq.qhat AND
+                       CAST(ev.x AS DOUBLE) <= ev.fc + qq.qhat AS covered
+                FROM ev JOIN qq USING (event_type)),
+              cov AS (
+                SELECT event_type,
+                       ${Num.qroundSql(
+                         "AVG(CASE WHEN covered THEN 1.0 ELSE 0.0 END)",
+                         6)} AS coverage
+                FROM r GROUP BY 1)
+              SELECT r.event_type, r.xday, r.x, r.fc, r.n_cal, r.k,
+                     r.qhat, r.lo, r.hi, r.covered, cov.coverage
+              FROM r JOIN cov USING (event_type)
+              ORDER BY r.event_type, r.xday""")
+    },
+    (s, d) => {
+      val ev0 = Tables.events(s, d)
+      val d0 = ev0.agg(min(col("ts").cast("date"))).head().getDate(0)
+      val dowIso = (pmod(dayofweek(col("ts")) + lit(5), lit(7)) + 1)
+        .cast("int")
+      val daily = ev0
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit(d0)).cast("long")
+            .as("xday"),
+          dowIso.as("dow"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // consumed 3x (fit, calibration, eval)
+      val f = daily.filter(col("xday") < 14)
+        .groupBy("event_type", "dow")
+        .agg(Num.qround(avg(col("x").cast("double")), 6).as("fc"))
+        .localCheckpoint() // consumed 2x (calibration, eval joins)
+      val xD = col("x").cast("double")
+      val cal = daily.filter(col("xday") >= 14 && col("xday") < 21)
+        .join(broadcast(f), Seq("event_type", "dow"))
+        .select(col("event_type"), abs(xD - col("fc")).as("r"))
+      val kC = least(col("n_cal"),
+        ceil((col("n_cal") + 1) * lit(0.75)).cast("long"))
+      val qq = cal.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cal"), sort_array(collect_list("r"))
+          .as("rs"))
+        .select(col("event_type"), col("n_cal"), kC.as("k"),
+          element_at(col("rs"), kC.cast("int")).as("qhat"))
+      val evd = daily.filter(col("xday") >= 21)
+        .join(broadcast(f), Seq("event_type", "dow"))
+      val lo = col("fc") - col("qhat")
+      val hi = col("fc") + col("qhat")
+      val r = evd.join(broadcast(qq), "event_type")
+        .select(col("event_type"), col("xday"), col("x"), col("fc"),
+          col("n_cal"), col("k"), col("qhat"), lo.as("lo"), hi.as("hi"),
+          (xD >= lo && xD <= hi).as("covered"))
+      val cov = r.groupBy("event_type")
+        .agg(Num.qround(avg(when(col("covered"), 1.0).otherwise(0.0)), 6)
+          .as("coverage"))
+      r.join(broadcast(cov), "event_type")
+        .select(col("event_type"), col("xday"), col("x"), col("fc"),
+          col("n_cal"), col("k"), col("qhat"), col("lo"), col("hi"),
+          col("covered"), col("coverage"))
+        .orderBy("event_type", "xday")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
-    lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap)
+    lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
+    conformal)
 }

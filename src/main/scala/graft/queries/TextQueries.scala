@@ -2422,6 +2422,113 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  // ------------------------------------------- X193 isotonic calibration
+
+  private val IsoFences = (1 to 19).map(_ / 20.0)
+
+  /** Isotonic score calibration via pool-adjacent-violators (X193 —
+    * Ayer et al. 1955 / Barlow & Brunk 1972: THE nonparametric
+    * monotone calibration behind sklearn's `isotonic` and Zadrozny &
+    * Elkan 2002's classifier work — fit the best nondecreasing map
+    * score→P(y=1); the shape-constrained completion of X87's merely
+    * BINNED reliability curve, which can zig-zag). Score = the X45
+    * Naive Bayes margin (nesting the full q_hash_classifier fit —
+    * the q_classifier_eval composition precedent — a signal with
+    * real slope, AUC 0.753, so the fit genuinely pools rather than
+    * collapsing to a constant); 20 quantile
+    * bins via the X114 fence device (qround(6) percentiles — Spark
+    * exact `percentile`, oracle PERCENTILE_CONT); the fit itself uses
+    * the MINIMAX characterization iso_i = min_{k≥i} max_{j≤i}
+    * mean(y over bins j..k) — mathematically equal to PAV pooling,
+    * and every candidate mean is an exact integer ratio
+    * Σc/Σn, so min/max comparisons are bit-identical cross-engine
+    * with NO iteration to pin. Scale shape: one doc-keyed pass to
+    * bins, then the fit runs on ≤20 bounded rows (driver-side, the
+    * X190 device — re-entering as a literal map); the oracle replays
+    * the minimax as a bounded triple join. */
+  val isotonic = QueryDef(
+    "q_isotonic", {
+      val fSql = IsoFences.zipWithIndex.map { case (p, i) =>
+        s"${Num.qroundSql(s"PERCENTILE_CONT($p) WITHIN GROUP " +
+          "(ORDER BY s)", 6)} AS f${i + 1}"
+      }.mkString(",\n                   ")
+      val bandSql = (1 to 19).map(i =>
+        s"(CASE WHEN s0.s > f.f$i THEN 1 ELSE 0 END)").mkString(" + ")
+      Some(s"""WITH hc AS (${hashClassifier.oracle.get}),
+             s0 AS (
+               SELECT doc_id,
+                      CASE WHEN is_en THEN 1 ELSE 0 END AS y,
+                      margin AS s
+               FROM hc),
+             f AS (SELECT $fSql FROM s0),
+             g AS (
+               SELECT $bandSql AS bin,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(s0.y) AS BIGINT) AS c
+               FROM s0 CROSS JOIN f GROUP BY 1),
+             bs AS (
+               SELECT bin, n, c,
+                      CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT)
+                        AS i
+               FROM g),
+             tri AS (
+               SELECT a.i AS i, j.i AS j, k.i AS k
+               FROM bs a
+                 JOIN bs j ON j.i <= a.i
+                 JOIN bs k ON k.i >= a.i),
+             rng AS (
+               SELECT t.i, t.j, t.k,
+                      CAST(SUM(m.c) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE)
+                        AS a
+               FROM tri t JOIN bs m ON m.i >= t.j AND m.i <= t.k
+               GROUP BY t.i, t.j, t.k),
+             mx AS (SELECT i, k, MAX(a) AS mxa FROM rng GROUP BY i, k),
+             iso AS (SELECT i, MIN(mxa) AS iso FROM mx GROUP BY i)
+             SELECT bs.bin, bs.n AS n_docs, bs.c AS n_pos,
+                    CAST(bs.c AS DOUBLE) / CAST(bs.n AS DOUBLE)
+                      AS raw_rate,
+                    iso.iso AS iso_rate
+             FROM bs JOIN iso USING (i)
+             ORDER BY bs.bin""")
+    },
+    (s, d) => {
+      val s0 = hcScores(s, d)
+        .select(col("doc_id"),
+          when(col("is_en"), 1L).otherwise(0L).as("y"),
+          col("margin").as("s"))
+        .localCheckpoint(true) // NB fit runs once; 3 consumers below
+      // fences: one bounded exact-percentile action (X114 device)
+      val fences = s0
+        .agg(percentile(col("s"), array(IsoFences.map(lit(_)): _*)))
+        .head().getSeq[Double](0)
+        .map(x => math.floor(x * 1e6 + 0.5) / 1e6)
+      val band = fences.foldLeft(lit(0)) { (acc, fv) =>
+        acc + when(col("s") > fv, 1).otherwise(0)
+      }
+      val g = s0.groupBy(band.as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").as("c"))
+        .localCheckpoint(true) // <= 20 bounded rows: fit reads them
+      // minimax PAV on the driver over the bounded bin table
+      val bins = g.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val ns = bins.map(_._2)
+      val cs = bins.map(_._3)
+      def mean(j: Int, k: Int): Double =
+        cs.slice(j, k + 1).sum.toDouble / ns.slice(j, k + 1).sum.toDouble
+      val isoVals = bins.indices.map { i =>
+        (i until bins.length).map { k =>
+          (0 to i).map(j => mean(j, k)).max
+        }.min
+      }
+      val isoMap = bins.indices.map(i => bins(i)._1 -> isoVals(i)).toMap
+      g.select(col("bin"), col("n").as("n_docs"), col("c").as("n_pos"),
+          (col("c").cast("double") / col("n").cast("double"))
+            .as("raw_rate"),
+          element_at(typedLit(isoMap), col("bin")).as("iso_rate"))
+        .orderBy("bin")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2430,5 +2537,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
-    readability, zipfFit, cdcChunks, brierEce, logreg)
+    readability, zipfFit, cdcChunks, brierEce, logreg, isotonic)
 }
