@@ -1400,6 +1400,110 @@ cents_${i + 1} AS (
         .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
     })
 
+  // -------------------------------------------------- X194 rank-2 ALS
+
+  private val AlsIters = 3
+  private val AlsLambda = 0.1
+
+  /** One ALS half-round as oracle CTEs — five qround(6) moment lanes
+    * per entity, then the closed-form 2×2 solve (see
+    * [[graft.ops.Als]]); `src`/`dst` are the join/group keys of this
+    * half (item-key join + user group for the user half, vice versa
+    * for the item half). */
+  private def alsHalfSql(out: String, prev: String, joinKey: String,
+      groupKey: String): String = {
+    val det = s"((a11 + $AlsLambda) * (a22 + $AlsLambda) - a12 * a12)"
+    s"""${out}m AS MATERIALIZED (
+              SELECT rr.$groupKey AS k,
+                     ${Num.qroundSql("SUM(p.f1 * p.f1)", 6)} AS a11,
+                     ${Num.qroundSql("SUM(p.f1 * p.f2)", 6)} AS a12,
+                     ${Num.qroundSql("SUM(p.f2 * p.f2)", 6)} AS a22,
+                     ${Num.qroundSql("SUM(rr.r * p.f1)", 6)} AS b1,
+                     ${Num.qroundSql("SUM(rr.r * p.f2)", 6)} AS b2
+              FROM rr JOIN $prev p ON rr.$joinKey = p.k
+              GROUP BY rr.$groupKey),
+            $out AS MATERIALIZED (
+              SELECT k,
+                     ${Num.qroundSql(
+                       s"((a22 + $AlsLambda) * b1 - a12 * b2) / $det",
+                       6)} AS f1,
+                     ${Num.qroundSql(
+                       s"((a11 + $AlsLambda) * b2 - a12 * b1) / $det",
+                       6)} AS f2
+              FROM ${out}m)"""
+  }
+
+  /** Rank-2 ALS matrix factorization of the customer×part quantity
+    * matrix (X194 — Zhou et al. 2008 / Koren et al. 2009, the
+    * collaborative-filtering classic Spark MLlib ships, re-expressed
+    * in the pinned-round discipline; see [[graft.ops.Als]]: rank 2
+    * makes every normal-equation solve CLOSED FORM — four multiplies
+    * and a determinant, no iterative inner solver to pin; det ≥ λ²
+    * so no zero-divide lane exists). Each half-round is one shuffle
+    * join + one keyed five-lane qround(6) aggregate; factors are
+    * entity-sized tables localCheckpoint'ed per half-round (the
+    * PageRank device), ratings stream through joins — the 100 TB
+    * shape. Pinned as "3-round ALS from the (key%7−3)/10 item
+    * start"; the readout is per-customer factors + reconstruction
+    * RMSE over that customer's observed cells. */
+  val als = QueryDef(
+    "q_als", {
+      val rounds = (1 to AlsIters).flatMap { t =>
+        Seq(alsHalfSql(s"uf$t", if (t == 1) "vf0" else s"vf${t - 1}",
+            "i", "u"),
+          alsHalfSql(s"vf$t", s"uf$t", "u", "i"))
+      }.mkString(",\n            ")
+      Some(s"""WITH rr AS MATERIALIZED (
+              SELECT o.o_custkey AS u, l.l_partkey AS i,
+                     ${Num.qroundSql("SUM(l.l_quantity)", 6)} AS r
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2),
+            vf0 AS MATERIALIZED (
+              SELECT p_partkey AS k, 1.0 AS f1,
+                     CAST((p_partkey % 7) - 3 AS DOUBLE) / 10.0 AS f2
+              FROM part),
+            $rounds,
+            pr AS (
+              SELECT rr.u, rr.r,
+                     u.f1 * v.f1 + u.f2 * v.f2 AS pred
+              FROM rr JOIN uf$AlsIters u ON rr.u = u.k
+                      JOIN vf$AlsIters v ON rr.i = v.k)
+            SELECT u.k AS custkey, u.f1, u.f2,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   SQRT(${Num.qroundSql(
+                     "AVG((pr.r - pr.pred) * (pr.r - pr.pred))", 6)})
+                     AS rmse
+            FROM pr JOIN uf$AlsIters u ON pr.u = u.k
+            GROUP BY u.k, u.f1, u.f2
+            ORDER BY custkey""")
+    },
+    (s, d) => {
+      val ratings = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(Num.qround(sum("l_quantity"), 6).as("r"))
+        .localCheckpoint(true) // consumed every half-round + readout
+      val (uF, vF) = graft.ops.Als.run(ratings, "u", "i",
+        Tables.part(s, d).select(col("p_partkey").as("i")),
+        AlsIters, AlsLambda)
+      val pred = col("uf1") * col("vf1") + col("uf2") * col("vf2")
+      val pr = ratings
+        .join(uF.select(col("u"), col("f1").as("uf1"),
+          col("f2").as("uf2")), "u")
+        .join(vF.select(col("i"), col("f1").as("vf1"),
+          col("f2").as("vf2")), "i")
+        .select(col("u"), col("uf1"), col("uf2"), col("r"),
+          pred.as("pred"))
+      pr.groupBy(col("u").as("custkey"), col("uf1").as("f1"),
+          col("uf2").as("f2"))
+        .agg(count(lit(1)).as("n_items"),
+          sqrt(Num.qround(
+            avg((col("r") - col("pred")) * (col("r") - col("pred"))),
+            6)).as("rmse"))
+        .orderBy("custkey")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
@@ -1408,5 +1512,5 @@ cents_${i + 1} AS (
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
     approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
-    imageDedup)
+    imageDedup, als)
 }
