@@ -2984,6 +2984,188 @@ object DiagnosticsQueries {
         .orderBy("lang", "rank")
     })
 
+  // ----------------------------------------------------- X195 CUPED
+
+  /** CUPED variance reduction (X195 — Deng, Xu, Kohavi & Walker
+    * WSDM 2013: the industry-standard experiment accelerator — adjust
+    * each unit's metric by its PRE-period covariate,
+    * ycv = y − θ(x − x̄) with θ = cov(x,y)/var(x), shrinking metric
+    * variance by the squared correlation while leaving the treatment
+    * uplift unbiased (assignment ⊥ pre-period). The readout X124's
+    * raw z-test should be run THROUGH: same uplift, smaller standard
+    * error). Periods split at the event-time midpoint (X114 device,
+    * exact integer micros); unit = user, y/x = post/pre value sums
+    * (per-user aggregated doubles → qround(6)); θ and x̄ are pooled
+    * qround(6) moment lanes off ONE bounded 1-row action, re-entering
+    * the second pass as literals (the X38 device); cohorts = md5
+    * hash-split. Every emitted figure is element-wise off the ten
+    * quantized conditional-sum lanes — uplift_raw vs uplift_cuped
+    * identical in expectation, var_reduction ≈ ρ². Honest corpus
+    * note: this synthetic user population has no persistent
+    * behavior, so realized ρ² ≈ 0.005 and the adjustment is a
+    * measured near-no-op — the machinery (θ fit, literal re-entry,
+    * pooled-reduction guarantee) is the deliverable, and the
+    * pooled var(ycv) ≤ var(y) optimality still holds and is pinned.
+    * var(x) = 0 → NULL θ and NULL cuped lanes on both engines. */
+  val cuped = QueryDef(
+    "q_cuped", {
+      val coh = Bloom.hashModSql("cuped:", "user_id", 2)
+      val mid = "(b.mn + (b.mx - b.mn) // 2)"
+      def meanOf(sc: String, nc: String) =
+        s"($sc / CAST($nc AS DOUBLE))"
+      val vyPool = s"(syy_a + syy_b) / CAST(n_a + n_b AS DOUBLE) - " +
+        s"((sy_a + sy_b) / CAST(n_a + n_b AS DOUBLE)) * " +
+        s"((sy_a + sy_b) / CAST(n_a + n_b AS DOUBLE))"
+      val vcPool = s"(scc_a + scc_b) / CAST(n_a + n_b AS DOUBLE) - " +
+        s"((sc_a + sc_b) / CAST(n_a + n_b AS DOUBLE)) * " +
+        s"((sc_a + sc_b) / CAST(n_a + n_b AS DOUBLE))"
+      def varOf(sq: String, sm: String, n: String) =
+        s"($sq / CAST($n AS DOUBLE) - ${meanOf(sm, n)} * ${meanOf(sm, n)})"
+      Some(s"""WITH b AS (
+               SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+               FROM events),
+             u AS (
+               SELECT user_id, $coh AS cohort,
+                      ${Num.qroundSql(
+                        s"SUM(CASE WHEN epoch_us(ts) < $mid " +
+                          "THEN value ELSE 0.0 END)", 6)} AS x,
+                      ${Num.qroundSql(
+                        s"SUM(CASE WHEN epoch_us(ts) >= $mid " +
+                          "THEN value ELSE 0.0 END)", 6)} AS y
+               FROM events CROSS JOIN b
+               GROUP BY user_id, $coh),
+             mo AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      ${Num.qroundSql("AVG(x)", 6)} AS mx,
+                      ${Num.qroundSql("AVG(y)", 6)} AS my,
+                      ${Num.qroundSql("AVG(x * y)", 6)} AS exy,
+                      ${Num.qroundSql("AVG(x * x)", 6)} AS ex2
+               FROM u),
+             th AS (
+               SELECT mx,
+                      (exy - mx * my) / NULLIF(ex2 - mx * mx, 0.0)
+                        AS theta
+               FROM mo),
+             cv AS (
+               SELECT u.cohort, u.y,
+                      u.y - th.theta * (u.x - th.mx) AS ycv
+               FROM u CROSS JOIN th),
+             ag AS (
+               SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                      CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 0 THEN y ELSE 0.0 END)",
+                        6)} AS sy_a,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 1 THEN y ELSE 0.0 END)",
+                        6)} AS sy_b,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 0 THEN y * y " +
+                          "ELSE 0.0 END)", 6)} AS syy_a,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 1 THEN y * y " +
+                          "ELSE 0.0 END)", 6)} AS syy_b,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 0 THEN ycv " +
+                          "ELSE 0.0 END)", 6)} AS sc_a,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 1 THEN ycv " +
+                          "ELSE 0.0 END)", 6)} AS sc_b,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 0 THEN ycv * ycv " +
+                          "ELSE 0.0 END)", 6)} AS scc_a,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN cohort = 1 THEN ycv * ycv " +
+                          "ELSE 0.0 END)", 6)} AS scc_b
+               FROM cv)
+             SELECT ag.n_a, ag.n_b, th.theta,
+                    ${meanOf("sy_b", "n_b")} - ${meanOf("sy_a", "n_a")}
+                      AS uplift_raw,
+                    SQRT(${varOf("syy_a", "sy_a", "n_a")}
+                        / CAST(n_a AS DOUBLE)
+                      + ${varOf("syy_b", "sy_b", "n_b")}
+                        / CAST(n_b AS DOUBLE)) AS se_raw,
+                    ${meanOf("sc_b", "n_b")} - ${meanOf("sc_a", "n_a")}
+                      AS uplift_cuped,
+                    SQRT(${varOf("scc_a", "sc_a", "n_a")}
+                        / CAST(n_a AS DOUBLE)
+                      + ${varOf("scc_b", "sc_b", "n_b")}
+                        / CAST(n_b AS DOUBLE)) AS se_cuped,
+                    1.0 - ($vcPool) / NULLIF($vyPool, 0.0)
+                      AS var_reduction
+             FROM ag CROSS JOIN th""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bRow = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val mid = bRow.getLong(0) + (bRow.getLong(1) - bRow.getLong(0)) / 2
+      val us = unix_micros(col("ts"))
+      val u = ev.groupBy(col("user_id"),
+          Bloom.hashMod("cuped:", col("user_id"), 2).as("cohort"))
+        .agg(
+          Num.qround(sum(when(us < mid, col("value")).otherwise(0.0)), 6)
+            .as("x"),
+          Num.qround(sum(when(us >= mid, col("value")).otherwise(0.0)), 6)
+            .as("y"))
+        .localCheckpoint(true) // moment pass + adjusted pass
+      // pooled moment lanes: one bounded 1-row action (X38 device)
+      val mo = u.agg(count(lit(1)),
+        Num.qround(avg("x"), 6), Num.qround(avg("y"), 6),
+        Num.qround(avg(col("x") * col("y")), 6),
+        Num.qround(avg(col("x") * col("x")), 6)).head()
+      val (mx, my, exy, ex2) =
+        (mo.getDouble(1), mo.getDouble(2), mo.getDouble(3),
+          mo.getDouble(4))
+      val varX = ex2 - mx * mx
+      val theta: Any =
+        if (varX == 0.0) null else (exy - mx * my) / varX
+      val thetaC = lit(theta).cast("double")
+      val ycv = col("y") - thetaC * (col("x") - lit(mx))
+      def s6(c: org.apache.spark.sql.Column, coh: Int) =
+        Num.qround(sum(when(col("cohort") === coh, c).otherwise(0.0)), 6)
+      val ag = u.select(col("cohort"), col("y"), ycv.as("ycv"))
+        .agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+          s6(col("y"), 0).as("sy_a"), s6(col("y"), 1).as("sy_b"),
+          s6(col("y") * col("y"), 0).as("syy_a"),
+          s6(col("y") * col("y"), 1).as("syy_b"),
+          s6(col("ycv"), 0).as("sc_a"), s6(col("ycv"), 1).as("sc_b"),
+          s6(col("ycv") * col("ycv"), 0).as("scc_a"),
+          s6(col("ycv") * col("ycv"), 1).as("scc_b"))
+      def meanOf(sc: org.apache.spark.sql.Column,
+          nc: org.apache.spark.sql.Column) = sc / nc.cast("double")
+      def varOf(sq: org.apache.spark.sql.Column,
+          sm: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        sq / n.cast("double") - meanOf(sm, n) * meanOf(sm, n)
+      val nAll = (col("n_a") + col("n_b")).cast("double")
+      val vyPool = (col("syy_a") + col("syy_b")) / nAll -
+        ((col("sy_a") + col("sy_b")) / nAll) *
+          ((col("sy_a") + col("sy_b")) / nAll)
+      val vcPool = (col("scc_a") + col("scc_b")) / nAll -
+        ((col("sc_a") + col("sc_b")) / nAll) *
+          ((col("sc_a") + col("sc_b")) / nAll)
+      ag.select(col("n_a"), col("n_b"), thetaC.as("theta"),
+        (meanOf(col("sy_b"), col("n_b")) -
+          meanOf(col("sy_a"), col("n_a"))).as("uplift_raw"),
+        sqrt(varOf(col("syy_a"), col("sy_a"), col("n_a")) /
+            col("n_a").cast("double") +
+          varOf(col("syy_b"), col("sy_b"), col("n_b")) /
+            col("n_b").cast("double")).as("se_raw"),
+        (meanOf(col("sc_b"), col("n_b")) -
+          meanOf(col("sc_a"), col("n_a"))).as("uplift_cuped"),
+        sqrt(varOf(col("scc_a"), col("sc_a"), col("n_a")) /
+            col("n_a").cast("double") +
+          varOf(col("scc_b"), col("sc_b"), col("n_b")) /
+            col("n_b").cast("double")).as("se_cuped"),
+        (lit(1.0) - vcPool / when(vyPool === 0.0, lit(null))
+          .otherwise(vyPool)).as("var_reduction"))
+    })
+
   // --------------------------------------------------- X190 BH-FDR
 
   private val FdrTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -3152,5 +3334,5 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank, bhFdr)
+    logRank, bhFdr, cuped)
 }
