@@ -788,7 +788,94 @@ object StatsQueries {
         .orderBy("event_type", "xday")
     })
 
+  // ------------------------------------------ X196 jackknife ratio CI
+
+  /** Delete-one-group jackknife for a ratio estimator (X196 —
+    * Quenouille 1956 / Tukey 1958; Wolter 2007's survey-sampling
+    * workhorse: a ratio R = Σy/Σx has no closed-form variance, the
+    * grouped jackknife gets one by recomputing R with each stratum
+    * deleted — var = (G−1)/G·Σ(R₍₋g₎−R̄)², plus the G·R−(G−1)·R̄
+    * bias correction; the CI machinery a corpus-composition report
+    * needs around "share of English docs" when docs arrive in
+    * correlated source batches, which per-doc binomial CIs ignore).
+    * Strata = the bounded source alphabet: ONE keyed integer
+    * aggregate, totals a bounded 1-row action re-entering as
+    * literals (X38 device), every leave-one-out ratio an EXACT
+    * integer-fed divide, the two cross-stratum reductions (R̄, Σdev²)
+    * qround(6), everything downstream element-wise. */
+  val jackknife = QueryDef(
+    "q_jackknife",
+    Some(s"""WITH g AS (
+               SELECT source, CAST(COUNT(*) AS BIGINT) AS x,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+               FROM documents GROUP BY source),
+             t AS (
+               SELECT CAST(SUM(x) AS BIGINT) AS tx,
+                      CAST(SUM(y) AS BIGINT) AS ty,
+                      CAST(COUNT(*) AS BIGINT) AS gg
+               FROM g),
+             lo AS (
+               SELECT g.source, g.x, g.y, t.tx, t.ty, t.gg,
+                      CAST(t.ty - g.y AS DOUBLE) /
+                        NULLIF(CAST(t.tx - g.x AS DOUBLE), 0.0) AS r_loo
+               FROM g CROSS JOIN t),
+             mn AS (SELECT ${Num.qroundSql("AVG(r_loo)", 6)} AS rbar
+                    FROM lo),
+             vj AS (
+               SELECT ${Num.qroundSql(
+                 "SUM((lo.r_loo - mn.rbar) * (lo.r_loo - mn.rbar))", 6)}
+                 AS ss
+               FROM lo CROSS JOIN mn)
+             SELECT lo.source, lo.x AS n_docs, lo.y AS n_en, lo.r_loo,
+                    CAST(lo.ty AS DOUBLE) / CAST(lo.tx AS DOUBLE)
+                      AS r_full,
+                    CAST(lo.gg AS DOUBLE) *
+                      (CAST(lo.ty AS DOUBLE) / CAST(lo.tx AS DOUBLE)) -
+                      CAST(lo.gg - 1 AS DOUBLE) * mn.rbar AS r_jack,
+                    SQRT(CAST(lo.gg - 1 AS DOUBLE) /
+                      CAST(lo.gg AS DOUBLE) * vj.ss) AS se_jack,
+                    CAST(lo.ty AS DOUBLE) / CAST(lo.tx AS DOUBLE) -
+                      1.96 * SQRT(CAST(lo.gg - 1 AS DOUBLE) /
+                        CAST(lo.gg AS DOUBLE) * vj.ss) AS ci_lo,
+                    CAST(lo.ty AS DOUBLE) / CAST(lo.tx AS DOUBLE) +
+                      1.96 * SQRT(CAST(lo.gg - 1 AS DOUBLE) /
+                        CAST(lo.gg AS DOUBLE) * vj.ss) AS ci_hi
+             FROM lo CROSS JOIN mn CROSS JOIN vj
+             ORDER BY lo.source"""),
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y"))
+        .localCheckpoint(true) // totals + loo + reductions read it
+      // bounded actions: totals (1 row), then the two cross-stratum
+      // reduction lanes over the <=G-row loo frame (X38 device)
+      val t = g.agg(sum("x"), sum("y"), count(lit(1))).head()
+      val (tx, ty, gg) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      val rLoo = (lit(ty) - col("y")).cast("double") /
+        (lit(tx) - col("x")).cast("double")
+      val lo = g.select(col("source"), col("x"), col("y"),
+        rLoo.as("r_loo")).localCheckpoint(true)
+      val m = lo.agg(Num.qround(avg("r_loo"), 6)).head().getDouble(0)
+      val ss = lo.agg(Num.qround(
+        sum((col("r_loo") - m) * (col("r_loo") - m)), 6))
+        .head().getDouble(0)
+      val rFull = lit(ty).cast("double") / lit(tx).cast("double")
+      val seJack = sqrt(lit(gg - 1).cast("double") /
+        lit(gg).cast("double") * lit(ss))
+      lo.select(col("source"), col("x").as("n_docs"),
+          col("y").as("n_en"), col("r_loo"),
+          rFull.as("r_full"),
+          (lit(gg).cast("double") * rFull -
+            lit(gg - 1).cast("double") * lit(m)).as("r_jack"),
+          seJack.as("se_jack"),
+          (rFull - lit(1.96) * seJack).as("ci_lo"),
+          (rFull + lit(1.96) * seJack).as("ci_hi"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
-    conformal)
+    conformal, jackknife)
 }
