@@ -120,6 +120,41 @@ object LogReg {
     w
   }
 
+  /** [[fit]] with the learning curve: each round's aggregate carries
+    * ONE extra qround(6) log-loss lane alongside the gradient vector
+    * (same pass, same per-row sigmoid — zero additional scans), so
+    * the loss of the weights ENTERING round t comes free.
+    * p clamps to (1e-12, 1−1e-12) before the ln lanes, identically
+    * to the oracle. Returns (finalWeights, losses(1..iters)). */
+  def fitCurve(feats: DataFrame, xsCol: String, yCol: String,
+      dims: Int, iters: Int, lr: Double)
+      : (Array[Double], Seq[Double]) = {
+    val n = feats.count()
+    require(n > 0, "LogReg.fitCurve: empty input")
+    val nD = n.toDouble
+    var w = new Array[Double](dims)
+    val losses = Seq.newBuilder[Double]
+    var t = 0
+    while (t < iters) {
+      val p = sigmoid(col(xsCol), w)
+      val pc = least(greatest(p, lit(1e-12)), lit(1.0) - lit(1e-12))
+      val resid = p - col(yCol)
+      val terms = transform(col(xsCol), x => x * resid)
+      val row = feats.agg(
+        graft.functions.VecAggregates.vecSum(terms, dims),
+        Num.qround(-avg(col(yCol) * log(pc) +
+          (lit(1.0) - col(yCol)) * log(lit(1.0) - pc)), 6))
+        .head()
+      val g = row.getSeq[Double](0)
+      losses += row.getDouble(1)
+      w = Array.tabulate(dims) { j =>
+        q6(w(j) - lr * q6(g(j) / nD))
+      }
+      t += 1
+    }
+    (w, losses.result())
+  }
+
   /** Score a corpus with the fitted weights: (idCol, yCol,
     * score=σ floored 1e-6, pred). */
   def score(feats: DataFrame, idCol: String, xsCol: String,

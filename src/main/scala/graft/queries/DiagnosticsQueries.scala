@@ -2984,6 +2984,116 @@ object DiagnosticsQueries {
         .orderBy("lang", "rank")
     })
 
+  // ------------------------------------------- X199 permutation test
+
+  private val PermReps = 128
+
+  /** Monte-Carlo permutation test for the A/B uplift (X199 — Fisher
+    * 1935's randomization inference, the assumption-free sibling of
+    * X124's normal z-test: re-label units under the null B times and
+    * ask where the observed uplift falls in the re-labeled
+    * distribution; p = (1+#{|uplift_b| ≥ |uplift_obs|})/(B+1), the
+    * add-one form that keeps p valid at any B — Phipson & Smyth
+    * 2010). Re-labelings are DETERMINISTIC md5 splits keyed by the
+    * replicate index ('perm<b>:' prefix — b = 0 IS the observed
+    * assignment, same formula), so both engines replay the identical
+    * ensemble — no RNG to pin. Shape: per-user metric one keyed
+    * aggregate; the replicate fan-out is an exploded literal
+    * sequence (rows × (B+1), bounded by the literal B — the
+    * recorded cost of any resampling method); per-replicate uplifts
+    * are element-wise off qround(6) conditional sums; the verdict
+    * lanes reduce over the B-row bounded table on the driver
+    * (X190 device), null-band edges exact order statistics. */
+  val permTest = QueryDef(
+    "q_perm_test", {
+      val hash = "CAST('0x' || substring(md5('perm' || " +
+        "CAST(x.b AS VARCHAR) || ':' || CAST(x.user_id AS VARCHAR)), " +
+        "1, 15) AS BIGINT) % 2"
+      val kLo = math.max(1, math.floor(0.05 * PermReps).toInt)
+      val kHi = math.min(PermReps, math.ceil(0.95 * PermReps).toInt)
+      Some(s"""WITH u AS (
+               SELECT user_id, ${Num.qroundSql("SUM(value)", 6)} AS y
+               FROM events GROUP BY user_id),
+             x AS (
+               SELECT u.user_id, u.y,
+                      CAST(unnest(range(0, ${PermReps + 1})) AS BIGINT)
+                        AS b
+               FROM u),
+             c AS (SELECT x.b, x.y, $hash AS coh FROM x),
+             ub AS (
+               SELECT b,
+                      CAST(SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                      CAST(SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN coh = 0 THEN y ELSE 0.0 END)",
+                        6)} AS sy_a,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN coh = 1 THEN y ELSE 0.0 END)",
+                        6)} AS sy_b
+               FROM c GROUP BY b),
+             up AS (
+               SELECT b, n_a, n_b,
+                      sy_b / CAST(n_b AS DOUBLE) -
+                        sy_a / CAST(n_a AS DOUBLE) AS uplift
+               FROM ub),
+             ob AS (SELECT n_a, n_b, uplift AS u0 FROM up WHERE b = 0),
+             ex AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_extreme
+               FROM up CROSS JOIN ob
+               WHERE up.b > 0 AND ABS(up.uplift) >= ABS(ob.u0)),
+             ns AS (
+               SELECT list_sort(list(uplift)) AS ls
+               FROM up WHERE b > 0)
+             SELECT ob.n_a, ob.n_b, ob.u0 AS uplift_obs,
+                    CAST($PermReps AS BIGINT) AS b_reps,
+                    ex.n_extreme,
+                    CAST(1 + ex.n_extreme AS DOUBLE) /
+                      CAST(${PermReps + 1} AS DOUBLE) AS p_perm,
+                    ns.ls[$kLo] AS null_lo, ns.ls[$kHi] AS null_hi
+             FROM ob CROSS JOIN ex CROSS JOIN ns""")
+    },
+    (s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(Num.qround(sum("value"), 6).as("y"))
+      val x = u.select(col("user_id"), col("y"),
+        explode(typedLit((0 to PermReps).map(_.toLong))).as("b"))
+      val coh = pmod(conv(substring(md5(concat(lit("perm"),
+        col("b").cast("string"), lit(":"),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(2L))
+      val ub = x.select(col("b"), col("y"), coh.as("coh"))
+        .groupBy("b").agg(
+          sum(when(col("coh") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("coh") === 1, 1L).otherwise(0L)).as("n_b"),
+          Num.qround(sum(when(col("coh") === 0, col("y"))
+            .otherwise(0.0)), 6).as("sy_a"),
+          Num.qround(sum(when(col("coh") === 1, col("y"))
+            .otherwise(0.0)), 6).as("sy_b"))
+        .select(col("b"), col("n_a"), col("n_b"),
+          (col("sy_b") / col("n_b").cast("double") -
+            col("sy_a") / col("n_a").cast("double")).as("uplift"))
+      // bounded collect: B+1 replicate rows by the literal B
+      val reps = ub.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+      val (obsNa, obsNb, u0) = {
+        val o = reps.find(_._1 == 0L).get
+        (o._2, o._3, o._4)
+      }
+      val nulls = reps.filter(_._1 > 0L).map(_._4)
+      val nExtreme = nulls.count(v => math.abs(v) >= math.abs(u0))
+      val sorted = nulls.sorted
+      val kLo = math.max(1, math.floor(0.05 * PermReps).toInt)
+      val kHi = math.min(PermReps, math.ceil(0.95 * PermReps).toInt)
+      import s.implicits._
+      Seq((obsNa, obsNb, u0, PermReps.toLong, nExtreme.toLong,
+        (1.0 + nExtreme) / (PermReps + 1).toDouble,
+        sorted(kLo - 1), sorted(kHi - 1)))
+        .toDF("n_a", "n_b", "uplift_obs", "b_reps", "n_extreme",
+          "p_perm", "null_lo", "null_hi")
+    })
+
   // ----------------------------------------------------- X195 CUPED
 
   /** CUPED variance reduction (X195 — Deng, Xu, Kohavi & Walker
@@ -3334,5 +3444,5 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank, bhFdr, cuped)
+    logRank, bhFdr, cuped, permTest)
 }

@@ -2303,24 +2303,41 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * round's weight list, per-dim gradient means qround(6), updated
     * weights qround(6) again — so round t+1 starts from bit-identical
     * doubles on both engines. */
-  private def logregRoundSql(t: Int, dims: Int, lr: Double): String = {
+  private def logregRoundSql(t: Int, dims: Int, lr: Double,
+      pfx: String = "l"): String = {
     val p = t - 1
-    s"""lp$t AS MATERIALIZED (
+    s"""${pfx}p$t AS MATERIALIZED (
               SELECT sx.doc_id, sx.y, sx.xs,
                      1.0 / (1.0 + exp(-(list_reduce(list_transform(
                        range(1, ${dims + 1}), j -> sx.xs[j] * w.w[j]),
                        (a, b) -> a + b)))) AS p
-              FROM sx CROSS JOIN lw$p w),
-            lg$t AS MATERIALIZED (
+              FROM sx CROSS JOIN ${pfx}w$p w),
+            ${pfx}g$t AS MATERIALIZED (
               SELECT dms.j,
                      ${Num.qroundSql(
                        "SUM((p.p - p.y) * p.xs[dms.j]) / nn.n", 6)} AS g
-              FROM lp$t p CROSS JOIN dms CROSS JOIN nn
+              FROM ${pfx}p$t p CROSS JOIN dms CROSS JOIN nn
               GROUP BY dms.j, nn.n),
-            lw$t AS MATERIALIZED (
+            ${pfx}w$t AS MATERIALIZED (
               SELECT list(${Num.qroundSql(s"w.w[g.j] - $lr * g.g", 6)}
                        ORDER BY g.j) AS w
-              FROM lg$t g CROSS JOIN lw$p w)"""
+              FROM ${pfx}g$t g CROSS JOIN ${pfx}w$p w)"""
+  }
+
+  /** The round-t log-loss lane of chain `pfx` — the loss of the
+    * weights ENTERING round t, read off the same per-row sigmoid the
+    * round's gradient already computed (zero extra passes); p clamped
+    * to (1e-12, 1−1e-12) identically on both engines before the ln
+    * lanes. */
+  private def logregLossSql(t: Int, lr: Double, pfx: String): String = {
+    val pc = "LEAST(GREATEST(p, 1e-12), 1.0 - 1e-12)"
+    s"""${pfx}l$t AS (
+              SELECT CAST($lr AS DOUBLE) AS lr,
+                     CAST($t AS BIGINT) AS round,
+                     ${Num.qroundSql(
+                       s"-AVG(y * LN($pc) + (1.0 - y) * LN(1.0 - $pc))",
+                       6)} AS loss
+              FROM ${pfx}p$t)"""
   }
 
   private val LrK = 128      // hashed feature buckets
@@ -2349,7 +2366,38 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       val rounds = (1 to LrIters)
         .map(logregRoundSql(_, LrDims, LrRate))
         .mkString(",\n            ")
-      Some(s"""WITH b0 AS (
+      Some(s"""WITH $logregBaseSql,
+            lw0 AS (SELECT list_transform(range(1, ${LrDims + 1}),
+                      j -> 0.0) AS w),
+            $rounds
+            SELECT sx.doc_id, CAST(sx.y AS BIGINT) AS label,
+                   ${Num.qroundSql(
+                     s"""1.0 / (1.0 + exp(-(list_reduce(list_transform(
+                       range(1, ${LrDims + 1}), j -> sx.xs[j] * w.w[j]),
+                       (a, b) -> a + b))))""", 6)} AS score,
+                   CAST(CASE WHEN ${Num.qroundSql(
+                     s"""1.0 / (1.0 + exp(-(list_reduce(list_transform(
+                       range(1, ${LrDims + 1}), j -> sx.xs[j] * w.w[j]),
+                       (a, b) -> a + b))))""", 6)} >= 0.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS pred
+            FROM sx CROSS JOIN lw$LrIters w
+            ORDER BY sx.doc_id""")
+    },
+    (s, d) => {
+      val feats = graft.ops.LogReg
+        .hashedStdFeatures(Tables.documents(s, d), LrK)
+        .localCheckpoint(true) // 18 passes (moments + 16 rounds + score)
+      val w = graft.ops.LogReg.fit(feats, "xs", "y", LrDims,
+        LrIters, LrRate)
+      graft.ops.LogReg.score(feats, "doc_id", "xs", "y", w)
+        .orderBy("doc_id")
+    })
+
+  /** The standardized-feature CTE chain shared by q_logreg and
+    * q_learning_curve (tokens → hashed buckets → bucket-share
+    * features → qround(6) moment standardization). */
+  private lazy val logregBaseSql: String =
+    s"""b0 AS (
               SELECT doc_id, lang, $sqlToks AS toks FROM documents),
             lbase AS (
               SELECT doc_id,
@@ -2395,32 +2443,7 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                          THEN (xsr[j] - mus.v[j]) / sds.v[j]
                          ELSE 0.0 END)) AS xs
               FROM xr CROSS JOIN mus CROSS JOIN sds),
-            dms AS (SELECT CAST(unnest(range(1, ${LrDims + 1})) AS INT) AS j),
-            lw0 AS (SELECT list_transform(range(1, ${LrDims + 1}),
-                      j -> 0.0) AS w),
-            $rounds
-            SELECT sx.doc_id, CAST(sx.y AS BIGINT) AS label,
-                   ${Num.qroundSql(
-                     s"""1.0 / (1.0 + exp(-(list_reduce(list_transform(
-                       range(1, ${LrDims + 1}), j -> sx.xs[j] * w.w[j]),
-                       (a, b) -> a + b))))""", 6)} AS score,
-                   CAST(CASE WHEN ${Num.qroundSql(
-                     s"""1.0 / (1.0 + exp(-(list_reduce(list_transform(
-                       range(1, ${LrDims + 1}), j -> sx.xs[j] * w.w[j]),
-                       (a, b) -> a + b))))""", 6)} >= 0.5
-                     THEN 1 ELSE 0 END AS BIGINT) AS pred
-            FROM sx CROSS JOIN lw$LrIters w
-            ORDER BY sx.doc_id""")
-    },
-    (s, d) => {
-      val feats = graft.ops.LogReg
-        .hashedStdFeatures(Tables.documents(s, d), LrK)
-        .localCheckpoint(true) // 18 passes (moments + 16 rounds + score)
-      val w = graft.ops.LogReg.fit(feats, "xs", "y", LrDims,
-        LrIters, LrRate)
-      graft.ops.LogReg.score(feats, "doc_id", "xs", "y", w)
-        .orderBy("doc_id")
-    })
+            dms AS (SELECT CAST(unnest(range(1, ${LrDims + 1})) AS INT) AS j)"""
 
   // ------------------------------------------- X193 isotonic calibration
 
@@ -2529,6 +2552,56 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("bin")
     })
 
+  // -------------------------------------------- X197 learning curve
+
+  private val CurveRates = Seq(0.25 -> "ca", 1.0 -> "cb", 4.0 -> "cc")
+
+  /** Learning-rate grid with per-round loss curves (X197 — the
+    * grid-search / learning-curve readout every training run is
+    * tuned from, Bengio 2012 §3's "the learning rate is the single
+    * most important hyperparameter": the X189 GD re-run at
+    * η ∈ {0.25, 1, 4} with the log-loss of the entering weights
+    * emitted EVERY round). The loss lane rides the SAME
+    * map-side-combining aggregate as the gradient (one extra qround(6)
+    * double per round — zero additional scans; see
+    * [[graft.ops.LogReg.fitCurve]]), and the three chains share one
+    * standardized-feature pass. The readout is the elbow table: η=4
+    * oscillates, η=1 converges fastest, η=0.25 undertrains — the
+    * shape a tuner acts on. */
+  val learningCurve = QueryDef(
+    "q_learning_curve", {
+      val chains = CurveRates.map { case (lr, pfx) =>
+        val w0 = s"""${pfx}w0 AS (SELECT list_transform(
+               range(1, ${LrDims + 1}), j -> 0.0) AS w)"""
+        val rounds = (1 to LrIters).flatMap(t => Seq(
+          logregRoundSql(t, LrDims, lr, pfx),
+          logregLossSql(t, lr, pfx)))
+        (w0 +: rounds).mkString(",\n            ")
+      }.mkString(",\n            ")
+      val union = CurveRates.flatMap { case (_, pfx) =>
+        (1 to LrIters).map(t => s"SELECT * FROM ${pfx}l$t")
+      }.mkString("\n             UNION ALL ")
+      Some(s"""WITH $logregBaseSql,
+            $chains
+            SELECT lr, round, loss FROM (
+             $union
+            ) ORDER BY lr, round""")
+    },
+    (s, d) => {
+      val feats = graft.ops.LogReg
+        .hashedStdFeatures(Tables.documents(s, d), LrK)
+        .localCheckpoint(true) // 3 chains x 16 rounds read it
+      val rows = CurveRates.flatMap { case (lr, _) =>
+        val (_, losses) = graft.ops.LogReg.fitCurve(
+          feats, "xs", "y", LrDims, LrIters, lr)
+        losses.zipWithIndex.map { case (l, i) =>
+          (lr, (i + 1).toLong, l)
+        }
+      }
+      import s.implicits._
+      rows.toDF("lr", "round", "loss").orderBy("lr", "round")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2537,5 +2610,6 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
-    readability, zipfFit, cdcChunks, brierEce, logreg, isotonic)
+    readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
+    learningCurve)
 }

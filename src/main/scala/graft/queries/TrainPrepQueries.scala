@@ -185,6 +185,78 @@ object TrainPrepQueries {
         .orderBy("user_id", "rank")
     })
 
+  // --------------------------------------- X198 OOF target encoding
+
+  /** Out-of-fold target encoding (X198 — Micci-Barreca SIGKDD 2001 +
+    * the K-fold leakage control every gradient-boosting pipeline
+    * bolts on: encode a high-cardinality categorical by the mean
+    * target of OTHER folds' rows, so a row never sees its own label —
+    * the encoding twin of X48's leakage-free split; the smoothed
+    * variant shrinks rare categories toward the global prior,
+    * (s_oof + m·p)/(n_oof + m), m = 10). Folds are the portable md5
+    * hash-split (auditable, oracle-replayable); every encoding is an
+    * EXACT integer-fed divide off one (source, fold) keyed aggregate
+    * + one source-keyed rollup joined back — two bounded-width
+    * aggregates, one broadcast-sized join to the doc scan; the
+    * global prior is a bounded 1-row action re-entering as a literal
+    * (X38 device). A source entirely inside one fold → NULL raw
+    * encoding on both engines (the smoothed lane stays finite). */
+  val targetEncode = QueryDef(
+    "q_target_encode", {
+      val fold = graft.ops.Bloom.hashModSql("te:", "doc_id", 3)
+      Some(s"""WITH dd AS (
+               SELECT doc_id, source, $fold AS fold,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents),
+             g AS (
+               SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_sf,
+                      CAST(SUM(y) AS BIGINT) AS s_sf
+               FROM dd GROUP BY 1, 2),
+             t AS (
+               SELECT source, CAST(SUM(n_sf) AS BIGINT) AS n_s,
+                      CAST(SUM(s_sf) AS BIGINT) AS s_s
+               FROM g GROUP BY 1),
+             p AS (
+               SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS prior
+               FROM dd)
+             SELECT dd.doc_id, dd.source, dd.fold,
+                    CAST(dd.y AS BIGINT) AS y,
+                    CAST(t.s_s - g.s_sf AS DOUBLE) /
+                      NULLIF(CAST(t.n_s - g.n_sf AS DOUBLE), 0.0)
+                      AS te,
+                    (CAST(t.s_s - g.s_sf AS DOUBLE) + 10.0 * p.prior) /
+                      (CAST(t.n_s - g.n_sf AS DOUBLE) + 10.0) AS te_sm
+             FROM dd
+               JOIN g ON dd.source = g.source AND dd.fold = g.fold
+               JOIN t ON dd.source = t.source
+               CROSS JOIN p
+             ORDER BY dd.doc_id""")
+    },
+    (s, d) => {
+      val dd = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.ops.Bloom.hashMod("te:", col("doc_id"), 3).as("fold"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .localCheckpoint(true) // grouped stats + prior + final join
+      val g = dd.groupBy("source", "fold")
+        .agg(count(lit(1)).as("n_sf"), sum("y").as("s_sf"))
+      val t = g.groupBy("source")
+        .agg(sum("n_sf").as("n_s"), sum("s_sf").as("s_s"))
+      // bounded 1-row action: the global prior
+      val pRow = dd.agg(sum("y"), count(lit(1))).head()
+      val prior = pRow.getLong(0).toDouble / pRow.getLong(1)
+      val sOof = (col("s_s") - col("s_sf")).cast("double")
+      val nOof = (col("n_s") - col("n_sf")).cast("double")
+      dd.join(broadcast(g), Seq("source", "fold"))
+        .join(broadcast(t), Seq("source"))
+        .select(col("doc_id"), col("source"), col("fold"), col("y"),
+          (sOof / nOof).as("te"),
+          ((sOof + lit(10.0) * lit(prior)) / (nOof + lit(10.0)))
+            .as("te_sm"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
-    Seq(sampleWeighted, fimTransform, packSegments, negativeSample)
+    Seq(sampleWeighted, fimTransform, packSegments, negativeSample,
+      targetEncode)
 }

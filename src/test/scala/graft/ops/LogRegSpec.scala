@@ -67,6 +67,21 @@ class LogRegSpec extends SparkSuite {
       s"accuracy $acc does not beat majority $majority")
   }
 
+  test("fitCurve: loss lane rides the gradient pass — round-1 loss " +
+      "is ln 2 and the curve descends at a conservative rate") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val feats = LogReg.hashedStdFeatures(docs, k = 128)
+      .localCheckpoint(true)
+    val (w, losses) = LogReg.fitCurve(feats, "xs", "y", 129,
+      iters = 6, lr = 0.25)
+    // w0 = 0 -> p = 0.5 everywhere -> loss = ln 2 (qround 6)
+    assert(losses.head === math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6)
+    assert(losses.sliding(2).forall { case Seq(a, b) => b < a },
+      s"curve not descending at lr=0.25: $losses")
+    // the final weights equal a plain fit of the same rounds
+    assert(w.toSeq === LogReg.fit(feats, "xs", "y", 129, 6, 0.25).toSeq)
+  }
+
   test("score: floored sigmoid, pred thresholds at 0.5") {
     val df = Seq((1L, 1.0, Seq(1.0)), (2L, 0.0, Seq(-1.0)))
       .toDF("doc_id", "y", "xs")
