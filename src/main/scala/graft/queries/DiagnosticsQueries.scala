@@ -2984,6 +2984,128 @@ object DiagnosticsQueries {
         .orderBy("lang", "rank")
     })
 
+  // ------------------------------------- X200 difference-in-differences
+
+  /** Difference-in-differences (X200 — Card & Krueger 1994's
+    * quasi-experimental workhorse: when assignment isn't randomized,
+    * difference out the group LEVEL and the common time TREND,
+    * DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre);
+    * the readout left when X124's randomization assumption fails).
+    * Treat = heavy users (n·U ≥ E exact integers, the X190 split —
+    * deliberately non-random: DiD's whole point), periods = event-time
+    * midpoint (X114 device); unit = (user, period) value sum
+    * (qround(6)); the 2×2 cell table is ONE conditional aggregate
+    * (8 qround(6) sum/sumsq lanes + 4 exact counts), every derived
+    * figure — four cell means, DiD, the pooled SE
+    * √Σvar_c/n_c, z — element-wise off the quantized lanes in a
+    * single row. */
+  val did = QueryDef(
+    "q_did", {
+      val mid = "(b.mn + (b.mx - b.mn) // 2)"
+      def cell(t: Int, p: Int, e: String) =
+        s"SUM(CASE WHEN treat = $t AND period = $p THEN $e ELSE 0.0 END)"
+      def cnt(t: Int, p: Int) =
+        s"CAST(SUM(CASE WHEN treat = $t AND period = $p THEN 1 ELSE 0 " +
+          s"END) AS BIGINT)"
+      def mean(t: Int, p: Int) =
+        s"(s$t$p / CAST(n$t$p AS DOUBLE))"
+      def vr(t: Int, p: Int) =
+        s"(q$t$p / CAST(n$t$p AS DOUBLE) - ${mean(t, p)} * ${mean(t, p)})"
+      val didE = s"(${mean(1, 1)} - ${mean(1, 0)}) - " +
+        s"(${mean(0, 1)} - ${mean(0, 0)})"
+      val seE = s"SQRT(${vr(1, 1)} / CAST(n11 AS DOUBLE) + " +
+        s"${vr(1, 0)} / CAST(n10 AS DOUBLE) + " +
+        s"${vr(0, 1)} / CAST(n01 AS DOUBLE) + " +
+        s"${vr(0, 0)} / CAST(n00 AS DOUBLE))"
+      val cells = (for (t <- Seq(0, 1); p <- Seq(0, 1)) yield
+        s"""${cnt(t, p)} AS n$t$p,
+                      ${Num.qroundSql(cell(t, p, "y"), 6)} AS s$t$p,
+                      ${Num.qroundSql(cell(t, p, "y * y"), 6)} AS q$t$p""")
+        .mkString(",\n                      ")
+      Some(s"""WITH b AS (
+               SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+               FROM events),
+             ucnt AS (
+               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+             tot AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                      CAST(SUM(n) AS BIGINT) AS ne
+               FROM ucnt),
+             up AS (
+               SELECT e.user_id,
+                      CASE WHEN epoch_us(e.ts) >= $mid
+                        THEN 1 ELSE 0 END AS period,
+                      ${Num.qroundSql("SUM(e.value)", 6)} AS y
+               FROM events e CROSS JOIN b
+               GROUP BY e.user_id, CASE WHEN epoch_us(e.ts) >= $mid
+                 THEN 1 ELSE 0 END),
+             uu AS (
+               SELECT up.user_id, up.period, up.y,
+                      CASE WHEN uc.n * tot.nu >= tot.ne
+                        THEN 1 ELSE 0 END AS treat
+               FROM up JOIN ucnt uc ON up.user_id = uc.user_id
+                 CROSS JOIN tot),
+             ag AS (SELECT $cells FROM uu)
+             SELECT n00, n01, n10, n11,
+                    ${mean(0, 0)} AS mean_ctrl_pre,
+                    ${mean(0, 1)} AS mean_ctrl_post,
+                    ${mean(1, 0)} AS mean_treat_pre,
+                    ${mean(1, 1)} AS mean_treat_post,
+                    $didE AS did,
+                    $seE AS se,
+                    ($didE) / NULLIF($seE, 0.0) AS z
+             FROM ag""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bRow = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val mid = bRow.getLong(0) + (bRow.getLong(1) - bRow.getLong(0)) / 2
+      val ucnt = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals action + the treat join
+      val tot = ucnt.agg(count(lit(1)), sum("n")).head()
+      val (nu, ne) = (tot.getLong(0), tot.getLong(1))
+      val up = ev.groupBy(col("user_id"),
+          when(unix_micros(col("ts")) >= mid, 1).otherwise(0)
+            .as("period"))
+        .agg(Num.qround(sum("value"), 6).as("y"))
+      val uu = up.join(ucnt, "user_id")
+        .select(col("period"), col("y"),
+          when(col("n") * nu >= ne, 1).otherwise(0).as("treat"))
+      def cCell(t: Int, p: Int, e: org.apache.spark.sql.Column) =
+        Num.qround(sum(when(col("treat") === t && col("period") === p,
+          e).otherwise(0.0)), 6)
+      def cCnt(t: Int, p: Int) =
+        sum(when(col("treat") === t && col("period") === p, 1L)
+          .otherwise(0L))
+      val ag = uu.agg(
+        cCnt(0, 0).as("n00"), cCell(0, 0, col("y")).as("s00"),
+        cCell(0, 0, col("y") * col("y")).as("q00"),
+        cCnt(0, 1).as("n01"), cCell(0, 1, col("y")).as("s01"),
+        cCell(0, 1, col("y") * col("y")).as("q01"),
+        cCnt(1, 0).as("n10"), cCell(1, 0, col("y")).as("s10"),
+        cCell(1, 0, col("y") * col("y")).as("q10"),
+        cCnt(1, 1).as("n11"), cCell(1, 1, col("y")).as("s11"),
+        cCell(1, 1, col("y") * col("y")).as("q11"))
+      def mean(t: Int, p: Int) =
+        col(s"s$t$p") / col(s"n$t$p").cast("double")
+      def vr(t: Int, p: Int) =
+        col(s"q$t$p") / col(s"n$t$p").cast("double") -
+          mean(t, p) * mean(t, p)
+      val didC = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+      val seC = sqrt(vr(1, 1) / col("n11").cast("double") +
+        vr(1, 0) / col("n10").cast("double") +
+        vr(0, 1) / col("n01").cast("double") +
+        vr(0, 0) / col("n00").cast("double"))
+      ag.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        mean(0, 0).as("mean_ctrl_pre"), mean(0, 1).as("mean_ctrl_post"),
+        mean(1, 0).as("mean_treat_pre"),
+        mean(1, 1).as("mean_treat_post"),
+        didC.as("did"), seC.as("se"),
+        (didC / when(seC === 0.0, lit(null)).otherwise(seC)).as("z"))
+    })
+
   // ------------------------------------------- X199 permutation test
 
   private val PermReps = 128
@@ -3444,5 +3566,5 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank, bhFdr, cuped, permTest)
+    logRank, bhFdr, cuped, permTest, did)
 }

@@ -256,7 +256,175 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     })
 
+  // ------------------------------------------- X201 GBDT stumps
+
+  private val GbdtProbs = (1 to 15).map(_ / 16.0)
+  private val GbdtIters = 3
+  private val GbdtNu = 0.5
+
+  /** One boosting round as oracle CTEs: per-(feature, bin) residual
+    * histogram, ordered-window prefixes (bit-identical to the
+    * driver's sequential fold), SSE-reduction gains, the
+    * deterministically tie-broken best stump, and the model update. */
+  private def gbdtRoundSql(m: Int): String = {
+    val p = m - 1
+    s"""gh$m AS MATERIALIZED (
+              SELECT lb.j, lb.bin, CAST(COUNT(*) AS BIGINT) AS c,
+                     ${graft.functions.Num.qroundSql(
+                       "SUM(fc.y - fc.f)", 6)} AS s
+              FROM lb JOIN fc$p fc USING (doc_id)
+              GROUP BY lb.j, lb.bin),
+            gp$m AS (
+              SELECT j, bin,
+                     SUM(c) OVER w AS nl, SUM(s) OVER w AS sl
+              FROM gh$m
+              WINDOW w AS (PARTITION BY j ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            gt$m AS (
+              SELECT p.j, p.nl AS nt, p.sl AS st
+              FROM gp$m p JOIN (SELECT j, MAX(bin) AS mb FROM gp$m
+                GROUP BY j) t ON p.j = t.j AND p.bin = t.mb),
+            gg$m AS (
+              SELECT p.j, p.bin, p.nl, p.sl, tt.nt, tt.st,
+                     p.sl * p.sl / p.nl +
+                       (tt.st - p.sl) * (tt.st - p.sl) / (tt.nt - p.nl)
+                       - tt.st * tt.st / tt.nt AS gain
+              FROM gp$m p JOIN gt$m tt ON p.j = tt.j
+              WHERE p.nl > 0 AND tt.nt - p.nl > 0),
+            gb$m AS MATERIALIZED (
+              SELECT j, bin,
+                     ${graft.functions.Num.qroundSql("sl / nl", 6)} AS vl,
+                     ${graft.functions.Num.qroundSql(
+                       "(st - sl) / (nt - nl)", 6)} AS vr
+              FROM gg$m ORDER BY gain DESC, j, bin LIMIT 1),
+            fc$m AS MATERIALIZED (
+              SELECT fc.doc_id, fc.y, fc.b1, fc.b2, fc.b3, fc.b4,
+                     fc.f + $GbdtNu * (CASE WHEN
+                       (CASE b.j WHEN 1 THEN fc.b1 WHEN 2 THEN fc.b2
+                         WHEN 3 THEN fc.b3 ELSE fc.b4 END) <= b.bin
+                       THEN b.vl ELSE b.vr END) AS f
+              FROM fc$p fc CROSS JOIN gb$m b)"""
+  }
+
+  /** Histogram gradient-boosted stumps (X201 — Friedman 2001 via the
+    * Chen & Guestrin 2016 §3.3 hist algorithm, the shape XGBoost and
+    * LightGBM distribute: features pre-bucketed into STATIC quantile
+    * bins once, then each round is ONE map-side-combining pass
+    * building the features×bins residual histogram — counts +
+    * qround(6) sums, metadata-sized — with split search, leaf fit,
+    * and model update all driver-side, literals re-entering the next
+    * scan; see [[graft.ops.Gbdt]]. Rows never leave the cluster).
+    * Task: predict ln(1+tokens) from (n_chars, punct ratio, digit
+    * ratio, type-token ratio) — n_chars carries real signal, so the
+    * stump chain genuinely splits and refines. Pinned as "3 stumps,
+    * ν = 0.5, 16 static bins"; every lane is either exact-integer,
+    * qround(6), or the sequential ordered prefix both engines
+    * replay. */
+  val gbdtStumps = QueryDef(
+    "q_gbdt_stumps", {
+      val fenceLists = (1 to 4).map { j =>
+        s"""list_transform(quantile_cont(x$j,
+               [${GbdtProbs.mkString(", ")}]),
+               v -> FLOOR(v * 1000000 + 0.5) / 1000000) AS f$j"""
+      }.mkString(",\n                      ")
+      val binCols = (1 to 4).map(j =>
+        s"len(list_filter(fen.f$j, v -> t0.x$j > v)) AS b$j")
+        .mkString(",\n                      ")
+      val longUnion = (1 to 4).map(j =>
+        s"SELECT doc_id, $j AS j, b$j AS bin FROM tb")
+        .mkString("\n              UNION ALL ")
+      val rounds = (1 to GbdtIters).map(gbdtRoundSql)
+        .mkString(",\n            ")
+      Some(s"""WITH t00 AS (
+               SELECT doc_id, text, n_chars, $sqlToks AS toks
+               FROM documents),
+             t0 AS (
+               SELECT doc_id,
+                      ${graft.functions.Num.qroundSql(
+                        "LN(1 + len(toks))", 6)} AS y,
+                      CAST(n_chars AS DOUBLE) AS x1,
+                      CAST(length(regexp_replace(text, '[^.,;:!?]', '',
+                        'g')) AS DOUBLE) / length(text) AS x2,
+                      CAST(length(regexp_replace(text, '[^0-9]', '',
+                        'g')) AS DOUBLE) / length(text) AS x3,
+                      CAST(len(list_distinct(toks)) AS DOUBLE) /
+                        len(toks) AS x4
+               FROM t00
+               WHERE len(toks) > 0 AND length(text) > 0),
+             fen AS MATERIALIZED (
+               SELECT $fenceLists FROM t0),
+             tb AS MATERIALIZED (
+               SELECT t0.doc_id, t0.y,
+                      $binCols
+               FROM t0 CROSS JOIN fen),
+             lb AS MATERIALIZED (
+              $longUnion),
+             f0c AS (SELECT ${graft.functions.Num.qroundSql(
+               "AVG(y)", 6)} AS v FROM tb),
+             fc0 AS MATERIALIZED (
+               SELECT tb.doc_id, tb.y, tb.b1, tb.b2, tb.b3, tb.b4,
+                      f0c.v AS f
+               FROM tb CROSS JOIN f0c),
+             $rounds
+             SELECT fc.doc_id, fc.y, fc.f AS pred,
+                    ABS(fc.y - fc.f) AS abs_err,
+                    CAST(s1.j AS BIGINT) AS r1_feat,
+                    CAST(s1.bin AS BIGINT) AS r1_bin,
+                    CAST(s2.j AS BIGINT) AS r2_feat,
+                    CAST(s2.bin AS BIGINT) AS r2_bin,
+                    CAST(s3.j AS BIGINT) AS r3_feat,
+                    CAST(s3.bin AS BIGINT) AS r3_bin
+             FROM fc$GbdtIters fc CROSS JOIN gb1 s1
+               CROSS JOIN gb2 s2 CROSS JOIN gb3 s3
+             ORDER BY fc.doc_id""")
+    },
+    (s, d) => {
+      import graft.functions.{Num, Text}
+      val toks = Text.tokens(col("text"))
+      val t0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          toks.as("toks"))
+        .filter(size(col("toks")) > 0 && length(col("text")) > 0)
+        .select(col("doc_id"),
+          Num.qround(log(size(col("toks")) + 1), 6).as("y"),
+          col("n_chars").cast("double").as("x1"),
+          (length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+            .cast("double") / length(col("text"))).as("x2"),
+          (length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("double") / length(col("text"))).as("x3"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("x4"))
+        .localCheckpoint(true) // fences action + the binned frame
+      // static quantile fences: one bounded exact-percentile action
+      val fRow = t0.agg(
+        percentile(col("x1"), array(GbdtProbs.map(lit(_)): _*)),
+        percentile(col("x2"), array(GbdtProbs.map(lit(_)): _*)),
+        percentile(col("x3"), array(GbdtProbs.map(lit(_)): _*)),
+        percentile(col("x4"), array(GbdtProbs.map(lit(_)): _*)))
+        .head()
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val fences = (0 until 4).map(j =>
+        fRow.getSeq[Double](j).map(q6))
+      def binOf(j: Int) = fences(j - 1).foldLeft(lit(0)) { (acc, f) =>
+        acc + when(col(s"x$j") > f, 1).otherwise(0)
+      }
+      val binned = t0.select(col("doc_id"), col("y"),
+          binOf(1).as("b1"), binOf(2).as("b2"),
+          binOf(3).as("b3"), binOf(4).as("b4"))
+        .localCheckpoint(true) // one histogram pass per round
+      val (f0, stumps) = graft.ops.Gbdt.fit(binned, "y", nFeats = 4,
+        iters = GbdtIters, nu = GbdtNu)
+      val pred = graft.ops.Gbdt.predict(f0, stumps, GbdtNu)
+      val lits = stumps.zipWithIndex.flatMap { case (st, i) =>
+        Seq(lit(st.j.toLong).as(s"r${i + 1}_feat"),
+          lit(st.bin.toLong).as(s"r${i + 1}_bin"))
+      }
+      binned.select(Seq(col("doc_id"), col("y"), pred.as("pred"),
+          abs(col("y") - pred).as("abs_err")) ++ lits: _*)
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(sampleWeighted, fimTransform, packSegments, negativeSample,
-      targetEncode)
+      targetEncode, gbdtStumps)
 }

@@ -31,6 +31,22 @@ class TrainPrepSpec2 extends SparkSuite {
     }
   }
 
+  test("q_did: the four cell means compose into did and z exactly") {
+    val r = DiagnosticsQueries.did.fn(spark, Sf0001).head()
+    val did = (r.getAs[Double]("mean_treat_post") -
+      r.getAs[Double]("mean_treat_pre")) -
+      (r.getAs[Double]("mean_ctrl_post") -
+        r.getAs[Double]("mean_ctrl_pre"))
+    assert(r.getAs[Double]("did") === did)
+    assert(r.getAs[Double]("z") ===
+      did / r.getAs[Double]("se"))
+    // the treat group's LEVEL advantage must be differenced out:
+    // |did| far below the raw treat-vs-ctrl gap
+    val levelGap = r.getAs[Double]("mean_treat_post") -
+      r.getAs[Double]("mean_ctrl_post")
+    assert(math.abs(r.getAs[Double]("did")) < math.abs(levelGap))
+  }
+
   test("q_perm_test: verdict lanes recompute from the replicate " +
       "ensemble and the p-value is the add-one rank") {
     val row = DiagnosticsQueries.permTest.fn(spark, Sf0001).head()
