@@ -55,13 +55,22 @@ object LogReg {
           i => concat(element_at(col("toks"), i), lit(" "),
             element_at(col("toks"), i + 1))))
         .otherwise(array().cast("array<string>")))
+    // bucket counts via explode + map-side-combining groupBy, NOT a
+    // per-row k-wide filter scan: the k·|tokens| interpreted-HOF form
+    // measured 100+ s at sf0.1 (one lambda dispatch per bucket per
+    // token); the exploded form is one shuffle whose map side already
+    // reduces each doc to <= k rows — the scale shape
     val hashed = base.select(col("doc_id"), col("y"),
-      size(fs).cast("double").as("nf"),
-      transform(fs, t => Bloom.hashMod("lr:", t, k)).as("hs"))
-    val raw = hashed.select(col("doc_id"), col("y"),
+      explode(transform(fs, t => Bloom.hashMod("lr:", t, k))).as("h"))
+    val raw = hashed.groupBy("doc_id", "y", "h")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "y")
+      .agg(map_from_entries(collect_list(struct(col("h"), col("c"))))
+        .as("m"), sum("c").cast("double").as("nf"))
+      .select(col("doc_id"), col("y"),
         transform(sequence(lit(0), lit(k - 1)), b =>
-          (lit(k) * size(filter(col("hs"), h => h === b)))
-            .cast("double") / col("nf")).as("xsr"))
+          (lit(k) * coalesce(element_at(col("m"), b.cast("long")),
+            lit(0L))).cast("double") / col("nf")).as("xsr"))
       .localCheckpoint(true)
     val mrow = raw.agg(count(lit(1)),
         graft.functions.VecAggregates.vecSum(col("xsr"), k),
@@ -85,12 +94,15 @@ object LogReg {
   }
 
   /** σ(Σ_j w_j·x_j) for a features array column against a literal
-    * weight vector: the zip-fold runs left-to-right exactly like the
-    * oracle's `list_reduce(list_transform(...))`. */
+    * weight vector. The dot product is the codegen
+    * [[graft.functions.ArrayDot]] kernel — a left-to-right
+    * accumulation from 0.0, BIT-IDENTICAL to the oracle's
+    * `list_reduce(list_transform(...))` zip-fold, but inside
+    * whole-stage codegen instead of one interpreted lambda dispatch
+    * per element (the dispatch cost dominated the sf0.1 bench). */
   def sigmoid(xs: Column, w: Array[Double]): Column = {
-    val z = aggregate(
-      zip_with(xs, typedLit(w.toSeq), (x, ww) => x * ww),
-      lit(0.0), (a, x) => a + x)
+    val z = graft.functions.ArrayFunctions
+      .arrayDot(xs, typedLit(w.toSeq))
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
@@ -108,9 +120,9 @@ object LogReg {
     var t = 0
     while (t < iters) {
       val resid = sigmoid(col(xsCol), w) - col(yCol)
-      val terms = transform(col(xsCol), x => x * resid)
       val g = feats
-        .agg(graft.functions.VecAggregates.vecSum(terms, dims))
+        .agg(graft.functions.VecAggregates
+          .vecAxpy(col(xsCol), resid, dims))
         .head().getSeq[Double](0)
       w = Array.tabulate(dims) { j =>
         q6(w(j) - lr * q6(g(j) / nD))
@@ -139,9 +151,8 @@ object LogReg {
       val p = sigmoid(col(xsCol), w)
       val pc = least(greatest(p, lit(1e-12)), lit(1.0) - lit(1e-12))
       val resid = p - col(yCol)
-      val terms = transform(col(xsCol), x => x * resid)
       val row = feats.agg(
-        graft.functions.VecAggregates.vecSum(terms, dims),
+        graft.functions.VecAggregates.vecAxpy(col(xsCol), resid, dims),
         Num.qround(-avg(col(yCol) * log(pc) +
           (lit(1.0) - col(yCol)) * log(lit(1.0) - pc)), 6))
         .head()

@@ -2984,6 +2984,115 @@ object DiagnosticsQueries {
         .orderBy("lang", "rank")
     })
 
+  // ---------------------------------------- X203 Nelson–Aalen hazard
+
+  /** Nelson–Aalen cumulative hazard (X203 — Nelson 1972 / Aalen 1978:
+    * the estimator read NEXT TO X139's Kaplan–Meier on the same
+    * risk table — H(t) = Σ_{s≤t} d_s/n_s sums hazard increments
+    * instead of multiplying survival factors, is better-behaved at
+    * small n_risk, and exp(−H) gives the Fleming–Harrington survival
+    * twin; variance by Σ d_s/n_s² — Klein & Moeschberger eq. 4.2.3.
+    * Same subjects/risk construction as X139 (first event → first
+    * purchase, right-censored at the corpus horizon). Float
+    * discipline: each increment enters a ×10⁹ fixed-point long lane
+    * (the X139 ln-lane device — d/n is an exact rational, the floor
+    * kills nothing real), cumulative sums are EXACT long prefix
+    * arithmetic via [[graft.ops.PrefixSum.runningTotalsAsc]], and
+    * H/var/surv re-emerge as element-wise floats off exact longs —
+    * every row hashes RAW. */
+  val nelsonAalen = QueryDef(
+    "q_nelson_aalen",
+    Some("""WITH e2 AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            mx AS (SELECT MAX(us) AS m FROM e2),
+            o AS (SELECT user_id, MIN(us) AS o_us FROM e2 GROUP BY 1),
+            p AS (SELECT user_id, MIN(us) AS p_us FROM e2
+                  WHERE event_type = 'purchase' GROUP BY 1),
+            subj AS (
+              SELECT o.user_id,
+                     CASE WHEN p.p_us IS NOT NULL
+                          THEN (p.p_us - o.o_us) // 86400000000
+                          ELSE (mx.m - o.o_us) // 86400000000 END AS t,
+                     p.p_us IS NOT NULL AS ev
+              FROM o LEFT JOIN p USING (user_id) CROSS JOIN mx),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM subj),
+            g AS (
+              SELECT t,
+                     CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d,
+                     CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c
+              FROM subj GROUP BY t),
+            w1 AS (
+              SELECT *, CAST(SUM(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+              FROM g),
+            r AS (
+              SELECT t, d, c, nn.n_subj - (cum - (d + c)) AS n_risk
+              FROM w1 CROSS JOIN nn),
+            l AS (
+              SELECT *,
+                     CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                       * 1000000000 + 0.5) AS BIGINT) AS hi,
+                     CAST(FLOOR(CAST(d AS DOUBLE) /
+                       (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+                       * 1000000000 + 0.5) AS BIGINT) AS vi
+              FROM r),
+            w2 AS (
+              SELECT *, CAST(SUM(hi) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ch,
+                CAST(SUM(vi) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cv
+              FROM l)
+            SELECT t AS t_day, n_risk, d AS n_events, c AS n_censored,
+                   CAST(ch AS DOUBLE) / 1000000000.0 AS cum_hazard,
+                   CAST(cv AS DOUBLE) / 1000000000.0 AS var_hazard,
+                   FLOOR(EXP(-(CAST(ch AS DOUBLE) / 1000000000.0))
+                     * 1000000 + 0.5) / 1000000 AS surv_fh
+            FROM w2 ORDER BY t_day"""),
+    (s, d) => {
+      val e2 = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val o = e2.groupBy("user_id").agg(min("us").as("o_us"))
+      val p = e2.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val maxUs = e2.agg(max("us")).head().getLong(0) // bounded action
+      val dayUs = 86400000000L
+      val subj = o.join(p, Seq("user_id"), "left")
+        .select(
+          when(col("p_us").isNotNull,
+            ((col("p_us") - col("o_us")) / dayUs).cast("long"))
+            .otherwise(((lit(maxUs) - col("o_us")) / dayUs).cast("long"))
+            .as("t"),
+          col("p_us").isNotNull.as("ev"))
+      val nSubj = subj.count() // bounded action
+      val g = subj.groupBy("t")
+        .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("ev"), 0L).otherwise(1L)).as("c"))
+        .withColumn("rm", col("d") + col("c"))
+      val w1 = graft.ops.PrefixSum.runningTotalsAsc(g, Seq("rm"), "t",
+        Seq("cum"))
+      val nRisk = lit(nSubj) - (col("cum") - col("rm"))
+      val dD = col("d").cast("double")
+      val nrD = nRisk.cast("double")
+      val l = w1.select(col("t"), col("d"), col("c"), nRisk.as("n_risk"),
+        floor(dD / nrD * 1e9 + 0.5).cast("long").as("hi"),
+        floor(dD / (nrD * nrD) * 1e9 + 0.5).cast("long").as("vi"))
+      val w2 = graft.ops.PrefixSum.runningTotalsAsc(l, Seq("hi", "vi"),
+        "t", Seq("ch", "cv"))
+      w2.select(col("t").as("t_day"), col("n_risk"),
+          col("d").as("n_events"), col("c").as("n_censored"),
+          (col("ch").cast("double") / 1e9).as("cum_hazard"),
+          (col("cv").cast("double") / 1e9).as("var_hazard"),
+          (floor(exp(-(col("ch").cast("double") / 1e9)) * 1e6 + 0.5) /
+            1e6).as("surv_fh"))
+        .orderBy("t_day")
+    })
+
   // ------------------------------------- X200 difference-in-differences
 
   /** Difference-in-differences (X200 — Card & Krueger 1994's
@@ -3566,5 +3675,5 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank, bhFdr, cuped, permTest, did)
+    logRank, bhFdr, cuped, permTest, did, nelsonAalen)
 }

@@ -2602,6 +2602,89 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       rows.toDF("lr", "round", "loss").orderBy("lr", "round")
     })
 
+  // ------------------------------------------- X204 gains / lift chart
+
+  /** Cumulative gains and lift chart (X204 — the campaign-targeting
+    * readout, Berry & Linoff 2004: rank by model score, cut into
+    * deciles, ask "mailing the top k deciles captures what share of
+    * all responders, at what lift over random?" — the X75 ROC's
+    * business-facing sibling on the same X45 margins). Deciles from
+    * 9 qround(6) margin percentiles (X114 fence device); per-decile
+    * counts are ONE keyed aggregate over the bounded decile alphabet;
+    * cumulative capture re-enters from the driver (X190 device — no
+    * window); response rate, lift, and capture are EXACT integer
+    * ratios, hashing raw. */
+  val gainsChart = QueryDef(
+    "q_gains_chart", {
+      val fSql = (1 to 9).map { i =>
+        s"${Num.qroundSql(s"PERCENTILE_CONT(${i / 10.0}) WITHIN GROUP " +
+          "(ORDER BY margin)", 6)} AS f$i"
+      }.mkString(",\n                   ")
+      val binSql = (1 to 9).map(i =>
+        s"(CASE WHEN hc.margin > f.f$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      Some(s"""WITH hc AS (${hashClassifier.oracle.get}),
+             f AS (SELECT $fSql FROM hc),
+             dec AS (
+               SELECT CAST(10 - ($binSql) AS BIGINT) AS decile,
+                      CASE WHEN hc.is_en THEN 1 ELSE 0 END AS pos
+               FROM hc CROSS JOIN f),
+             g AS (
+               SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(pos) AS BIGINT) AS n_pos
+               FROM dec GROUP BY decile),
+             t AS (
+               SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                      CAST(SUM(n_pos) AS BIGINT) AS tp
+               FROM g),
+             w AS (
+               SELECT g.*, t.tn, t.tp,
+                      CAST(SUM(g.n_pos) OVER (ORDER BY g.decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS BIGINT) AS cum_pos
+               FROM g CROSS JOIN t)
+             SELECT decile, n, n_pos,
+                    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                      AS resp_rate,
+                    (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) /
+                      (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift,
+                    CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+                      AS cum_capture
+             FROM w ORDER BY decile""")
+    },
+    (s, d) => {
+      val hc = hcScores(s, d)
+        .select(col("margin"),
+          when(col("is_en"), 1L).otherwise(0L).as("pos"))
+        .localCheckpoint(true) // fences action + the decile aggregate
+      val fences = hc.agg(percentile(col("margin"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)))
+        .head().getSeq[Double](0)
+        .map(x => math.floor(x * 1e6 + 0.5) / 1e6)
+      val bin = fences.foldLeft(lit(0)) { (acc, f) =>
+        acc + when(col("margin") > f, 1).otherwise(0)
+      }
+      val g = hc.groupBy((lit(10) - bin).cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        .localCheckpoint(true) // bounded alphabet: driver cum + emit
+      // bounded collect: <= 10 decile rows
+      val rows = g.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val (tn, tp) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val cumPos = rows.scanLeft(0L)(_ + _._3).tail
+      val cumMap = rows.map(_._1).zip(cumPos).toMap
+      g.select(col("decile"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("resp_rate"),
+          ((col("n_pos").cast("double") / col("n").cast("double")) /
+            (lit(tp).cast("double") / lit(tn).cast("double")))
+            .as("lift"),
+          (element_at(typedLit(cumMap), col("decile")).cast("double") /
+            lit(tp).cast("double")).as("cum_capture"))
+        .orderBy("decile")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2611,5 +2694,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
-    learningCurve)
+    learningCurve, gainsChart)
 }
