@@ -72,13 +72,23 @@ object LogReg {
           (lit(k) * coalesce(element_at(col("m"), b.cast("long")),
             lit(0L))).cast("double") / col("nf")).as("xsr"))
       .localCheckpoint(true)
+    standardized(raw, k)
+  }
+
+  /** Moment-standardize a raw feature frame (idCols…, `yCol`,
+    * `xsrCol`: array<double> of length k) and prepend the bias —
+    * the (x−μ)/σ + bias-1 tail of [[hashedStdFeatures]], reusable
+    * for any caller's engineered features (X202's propensity fit):
+    * one qround(6) moment pass through DoubleVecSum, σ = 0 features
+    * zero out, output column `xs` of length k+1. */
+  def standardized(raw: DataFrame, k: Int): DataFrame = {
     val mrow = raw.agg(count(lit(1)),
         graft.functions.VecAggregates.vecSum(col("xsr"), k),
         graft.functions.VecAggregates.vecSum(
           transform(col("xsr"), x => x * x), k))
       .head()
     val nD = mrow.getLong(0).toDouble
-    require(nD > 0, "LogReg.hashedStdFeatures: empty corpus")
+    require(nD > 0, "LogReg.standardized: empty input")
     val mu = mrow.getSeq[Double](1).map(s => q6(s / nD)).toArray
     val ex2 = mrow.getSeq[Double](2).map(s => q6(s / nD)).toArray
     val sd = Array.tabulate(k) { j =>
@@ -89,8 +99,7 @@ object LogReg {
       zip_with(col("xsr"), typedLit(mu.toSeq), (x, m) => x - m),
       typedLit(sd.toSeq),
       (d0, s0) => when(s0 > 0.0, d0 / s0).otherwise(0.0))
-    raw.select(col("doc_id"), col("y"),
-      concat(array(lit(1.0)), std).as("xs"))
+    raw.withColumn("xs", concat(array(lit(1.0)), std)).drop("xsr")
   }
 
   /** σ(Σ_j w_j·x_j) for a features array column against a literal

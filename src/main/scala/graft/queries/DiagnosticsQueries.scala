@@ -2984,6 +2984,240 @@ object DiagnosticsQueries {
         .orderBy("lang", "rank")
     })
 
+  // ------------------------------- X202 propensity-score stratification
+
+  private val PsIters = 8
+  private val PsTypes = Seq("click", "view", "signup", "error")
+
+  /** Propensity-score stratification (X202 — Rosenbaum & Rubin 1983,
+    * the observational-causal workhorse X200's DiD sits beside: model
+    * e(x) = P(treat|x) with the X189 logistic machinery, cut units
+    * into propensity quintiles, and average the within-stratum
+    * treated-vs-control outcome gaps — removing the confounding the
+    * covariates CARRY; quintile stratification removes ~90% of the
+    * bias e(x) captures, Cochran 1968). Treat = heavy users (the
+    * deliberately non-random X200 split); covariates deliberately
+    * EXCLUDE the count that defines treatment (type shares + mean
+    * event hour + mean value — exact rationals; including n would be
+    * a positivity violation, e → {0,1}). The propensity fit is the
+    * X189 pinned-round GD (8 rounds, qround(6) lanes, shared
+    * logregRoundSql oracle device); scores floor 1e-6; quintile
+    * fences are qround(6) percentiles (X114); the stratum readout is
+    * ONE conditional aggregate over the bounded stratum alphabet,
+    * ATT/ATE re-entering from the driver (X190 device). Outcome =
+    * per-user mean event value. */
+  val propensityStrat = QueryDef(
+    "q_propensity_strat", {
+      val shareCols = PsTypes.zipWithIndex.map { case (t, i) =>
+        s"CAST(c_$t AS DOUBLE) / CAST(n AS DOUBLE)"
+      }
+      val rawList = (shareCols ++ Seq(
+        "CAST(hsum AS DOUBLE) / CAST(n AS DOUBLE)",
+        "sv / CAST(n AS DOUBLE)")).mkString(", ")
+      val cntCols = PsTypes.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS c_$t").mkString(",\n                      ")
+      val rounds = (1 to PsIters)
+        .map(TextQueries.logregRoundSql(_, 7, 1.0, "ps"))
+        .mkString(",\n            ")
+      val fSql = (1 to 4).map { i =>
+        s"${Num.qroundSql(s"PERCENTILE_CONT(${i / 5.0}) WITHIN GROUP " +
+          "(ORDER BY e)", 6)} AS f$i"
+      }.mkString(", ")
+      val binSql = (1 to 4).map(i =>
+        s"(CASE WHEN es.e > f.f$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val sig = s"""1.0 / (1.0 + exp(-(list_reduce(list_transform(
+                       range(1, 8), j -> sx.xs[j] * w.w[j]),
+                       (a, b) -> a + b))))"""
+      Some(s"""WITH uc AS (
+               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                      ${Num.qroundSql("SUM(value)", 6)} AS sv,
+                      CAST(SUM(CAST(date_part('hour', ts) AS BIGINT))
+                        AS BIGINT) AS hsum,
+                      $cntCols
+               FROM events GROUP BY user_id),
+             tot AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                      CAST(SUM(n) AS BIGINT) AS ne
+               FROM uc),
+             xr AS (
+               SELECT uc.user_id AS doc_id,
+                      CASE WHEN uc.n * tot.nu >= tot.ne
+                        THEN 1.0 ELSE 0.0 END AS y,
+                      sv / CAST(n AS DOUBLE) AS y_out,
+                      [$rawList] AS xsr
+               FROM uc CROSS JOIN tot),
+             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM xr),
+             rdm AS (SELECT CAST(unnest(range(1, 7)) AS INT) AS j),
+             mm AS MATERIALIZED (
+               SELECT rdm.j,
+                      ${Num.qroundSql("SUM(xr.xsr[rdm.j]) / nn.n", 6)}
+                        AS mu,
+                      ${Num.qroundSql(
+                        "SUM(xr.xsr[rdm.j] * xr.xsr[rdm.j]) / nn.n", 6)}
+                        AS ex2
+               FROM xr CROSS JOIN rdm CROSS JOIN nn
+               GROUP BY rdm.j, nn.n),
+             sdt AS (
+               SELECT j, mu,
+                      CASE WHEN ex2 - mu * mu > 0.0
+                        THEN SQRT(ex2 - mu * mu) ELSE 0.0 END AS sd
+               FROM mm),
+             mus AS (SELECT list(mu ORDER BY j) AS v FROM sdt),
+             sds AS (SELECT list(sd ORDER BY j) AS v FROM sdt),
+             sx AS MATERIALIZED (
+               SELECT doc_id, y, y_out,
+                      list_prepend(1.0, list_transform(range(1, 7),
+                        j -> CASE WHEN sds.v[j] > 0.0
+                          THEN (xsr[j] - mus.v[j]) / sds.v[j]
+                          ELSE 0.0 END)) AS xs
+               FROM xr CROSS JOIN mus CROSS JOIN sds),
+             dms AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS j),
+             psw0 AS (SELECT list_transform(range(1, 8),
+                       j -> 0.0) AS w),
+             $rounds,
+             es AS MATERIALIZED (
+               SELECT sx.doc_id, sx.y, sx.y_out,
+                      ${Num.qroundSql(sig, 6)} AS e
+               FROM sx CROSS JOIN psw$PsIters w),
+             f AS (SELECT $fSql FROM es),
+             st AS (
+               SELECT es.doc_id, es.y, es.y_out,
+                      CAST(1 + ($binSql) AS BIGINT) AS stratum
+               FROM es CROSS JOIN f),
+             g AS (
+               SELECT stratum,
+                      CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                      CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN y = 1.0 THEN y_out ELSE 0.0 END)",
+                        6)} AS s1,
+                      ${Num.qroundSql(
+                        "SUM(CASE WHEN y = 0.0 THEN y_out ELSE 0.0 END)",
+                        6)} AS s0
+               FROM st GROUP BY stratum),
+             tt AS (
+               SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+                      CAST(SUM(n0) AS BIGINT) AS tn0,
+                      CAST(SUM(n1 + n0) AS BIGINT) AS tn
+               FROM g),
+             dd AS (
+               SELECT g.*, tt.tn1, tt.tn0, tt.tn,
+                      s1 / NULLIF(CAST(n1 AS DOUBLE), 0.0) -
+                        s0 / NULLIF(CAST(n0 AS DOUBLE), 0.0) AS diff
+               FROM g CROSS JOIN tt),
+             eff AS (
+               SELECT ${Num.qroundSql(
+                 "SUM(CAST(n1 + n0 AS DOUBLE) / CAST(tn AS DOUBLE) " +
+                   "* diff)", 6)} AS ate,
+                      ${Num.qroundSql(
+                 "SUM(CAST(n1 AS DOUBLE) / CAST(tn1 AS DOUBLE) " +
+                   "* diff)", 6)} AS att
+               FROM dd),
+             nv AS (
+               SELECT ${Num.qroundSql(
+                 "SUM(CASE WHEN y = 1.0 THEN y_out ELSE 0.0 END)", 6)}
+                 AS sa1,
+                      ${Num.qroundSql(
+                 "SUM(CASE WHEN y = 0.0 THEN y_out ELSE 0.0 END)", 6)}
+                 AS sa0,
+                      CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na1,
+                      CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na0
+               FROM st)
+             SELECT dd.stratum, dd.n0, dd.n1,
+                    dd.s0 / NULLIF(CAST(dd.n0 AS DOUBLE), 0.0)
+                      AS mean_ctrl,
+                    dd.s1 / NULLIF(CAST(dd.n1 AS DOUBLE), 0.0)
+                      AS mean_treat,
+                    dd.diff, eff.ate AS ate_strat, eff.att,
+                    nv.sa1 / CAST(nv.na1 AS DOUBLE) -
+                      nv.sa0 / CAST(nv.na0 AS DOUBLE) AS naive_diff
+             FROM dd CROSS JOIN eff CROSS JOIN nv
+             ORDER BY dd.stratum""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val ucCols = Seq(count(lit(1)).as("n"),
+        Num.qround(sum("value"), 6).as("sv"),
+        sum(hour(col("ts")).cast("long")).as("hsum")) ++
+        PsTypes.map(t => sum(when(col("event_type") === t, 1L)
+          .otherwise(0L)).as(s"c_$t"))
+      val uc = ev.groupBy("user_id")
+        .agg(ucCols.head, ucCols.tail: _*)
+        .localCheckpoint(true) // totals + features read it
+      val tot = uc.agg(count(lit(1)), sum("n")).head()
+      val (nu, ne) = (tot.getLong(0), tot.getLong(1))
+      val nD = col("n").cast("double")
+      val rawFeats = array(
+        (PsTypes.map(t => col(s"c_$t").cast("double") / nD) ++
+          Seq(col("hsum").cast("double") / nD, col("sv") / nD)): _*)
+      val raw = uc.select(col("user_id").as("doc_id"),
+          when(col("n") * nu >= ne, 1.0).otherwise(0.0).as("y"),
+          (col("sv") / nD).as("y_out"), rawFeats.as("xsr"))
+        .localCheckpoint(true)
+      val feats = graft.ops.LogReg.standardized(raw, 6)
+        .localCheckpoint(true) // 8 GD rounds + scoring read it
+      val w = graft.ops.LogReg.fit(feats, "xs", "y", 7, PsIters, 1.0)
+      val es = feats.select(col("doc_id"), col("y"), col("y_out"),
+          Num.qround(graft.ops.LogReg.sigmoid(col("xs"), w), 6).as("e"))
+        .localCheckpoint(true) // fences action + stratum aggregate
+      val fences = es.agg(percentile(col("e"),
+          array((1 to 4).map(i => lit(i / 5.0)): _*)))
+        .head().getSeq[Double](0)
+        .map(x => math.floor(x * 1e6 + 0.5) / 1e6)
+      val stratum = fences.foldLeft(lit(1)) { (acc, f) =>
+        acc + when(col("e") > f, 1).otherwise(0)
+      }.cast("long")
+      val g = es.groupBy(stratum.as("stratum")).agg(
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n0"),
+          Num.qround(sum(when(col("y") === 1.0, col("y_out"))
+            .otherwise(0.0)), 6).as("s1"),
+          Num.qround(sum(when(col("y") === 0.0, col("y_out"))
+            .otherwise(0.0)), 6).as("s0"))
+        .localCheckpoint(true) // bounded stratum alphabet
+      // driver effect lanes off the <= 5 stratum rows (X190 device)
+      val rows = g.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      val (tn1, tn0) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val tn = tn1 + tn0
+      def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      // a one-sided stratum (n1 = 0 or n0 = 0) has a NULL diff in the
+      // oracle, whose SUM skips it — skip here identically
+      val defined = rows.filter(r => r._2 > 0 && r._3 > 0)
+      def diffOf(r: (Long, Long, Long, Double, Double)): Double =
+        r._4 / r._2.toDouble - r._5 / r._3.toDouble
+      val ate = q6d(defined.map(r =>
+        (r._2 + r._3).toDouble / tn.toDouble * diffOf(r)).sum)
+      val att = q6d(defined.map(r =>
+        r._2.toDouble / tn1.toDouble * diffOf(r)).sum)
+      val nvRow = es.agg(
+        Num.qround(sum(when(col("y") === 1.0, col("y_out"))
+          .otherwise(0.0)), 6),
+        Num.qround(sum(when(col("y") === 0.0, col("y_out"))
+          .otherwise(0.0)), 6),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)),
+        sum(when(col("y") === 0.0, 1L).otherwise(0L))).head()
+      val naive = nvRow.getDouble(0) / nvRow.getLong(2) -
+        nvRow.getDouble(1) / nvRow.getLong(3)
+      g.select(col("stratum"), col("n0"), col("n1"),
+          (col("s0") / when(col("n0") === 0, lit(null))
+            .otherwise(col("n0").cast("double"))).as("mean_ctrl"),
+          (col("s1") / when(col("n1") === 0, lit(null))
+            .otherwise(col("n1").cast("double"))).as("mean_treat"),
+          (col("s1") / when(col("n1") === 0, lit(null))
+            .otherwise(col("n1").cast("double")) -
+            col("s0") / when(col("n0") === 0, lit(null))
+              .otherwise(col("n0").cast("double"))).as("diff"),
+          lit(ate).as("ate_strat"), lit(att).as("att"),
+          lit(naive).as("naive_diff"))
+        .orderBy("stratum")
+    })
+
   // ---------------------------------------- X203 Nelson–Aalen hazard
 
   /** Nelson–Aalen cumulative hazard (X203 — Nelson 1972 / Aalen 1978:
@@ -3675,5 +3909,5 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank, bhFdr, cuped, permTest, did, nelsonAalen)
+    logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat)
 }

@@ -2303,7 +2303,10 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * round's weight list, per-dim gradient means qround(6), updated
     * weights qround(6) again — so round t+1 starts from bit-identical
     * doubles on both engines. */
-  private def logregRoundSql(t: Int, dims: Int, lr: Double,
+  /** Shared with X202's propensity fit (DiagnosticsQueries) — the
+    * caller's WITH-chain must define CTEs named `sx` (doc_id, y, xs),
+    * `nn` (n), and `dms` (j) for the referenced dims. */
+  private[queries] def logregRoundSql(t: Int, dims: Int, lr: Double,
       pfx: String = "l"): String = {
     val p = t - 1
     s"""${pfx}p$t AS MATERIALIZED (
