@@ -875,7 +875,154 @@ object StatsQueries {
         .orderBy("source")
     })
 
+  // ------------------------------------------------ X205 IPF raking
+
+  private val IpfRounds = 6
+
+  /** One IPF round as oracle CTEs: row scaling to the type targets,
+    * then column scaling to the daypart targets — margin sums
+    * qround(6), scaled cells qround(6), so round t+1 starts from
+    * bit-identical doubles (the X66 discipline on a bounded table). */
+  private def ipfRoundSql(t: Int): String = {
+    val p = t - 1
+    s"""ra$t AS MATERIALIZED (
+              SELECT typ, ${Num.qroundSql("SUM(m)", 6)} AS s
+              FROM ipf$p GROUP BY typ),
+            ipfr$t AS MATERIALIZED (
+              SELECT c.typ, c.dp, c.n,
+                     ${Num.qroundSql(
+                       "c.m * (rt.tgt / NULLIF(ra.s, 0.0))", 6)} AS m
+              FROM ipf$p c JOIN ra$t ra ON c.typ = ra.typ
+                JOIN rowt rt ON c.typ = rt.typ),
+            ca$t AS MATERIALIZED (
+              SELECT dp, ${Num.qroundSql("SUM(m)", 6)} AS s
+              FROM ipfr$t GROUP BY dp),
+            ipf$t AS MATERIALIZED (
+              SELECT c.typ, c.dp, c.n,
+                     ${Num.qroundSql(
+                       "c.m * (ct.tgt / NULLIF(ca.s, 0.0))", 6)} AS m
+              FROM ipfr$t c JOIN ca$t ca ON c.dp = ca.dp
+                JOIN colt ct ON c.dp = ct.dp)"""
+  }
+
+  /** Survey raking / iterative proportional fitting (X205 — Deming &
+    * Stephan 1940: reweight a biased stratum so its margins match
+    * population targets, the post-stratification workhorse behind
+    * every survey house's weighting step and the 2-D special case of
+    * maximum-entropy calibration. Here: the HEAVY-user stratum's
+    * (event_type × daypart) activity table is raked to the FULL
+    * population's margins — the correction X202's propensity answer
+    * would want applied before reading per-type rates off heavy
+    * users). Shape: two counting passes (stratum cells + population
+    * margins, both alphabet-bounded), then 6 pinned IPF rounds on the
+    * ≤20-cell table — driver-side, literals re-entering (X190
+    * device); the oracle unrolls the identical rounds. Margin sums
+    * and scaled cells qround(6) per half-round; targets are qround(6)
+    * population-share × stratum-total lanes; weights w = m/n exact
+    * element-wise off the quantized fixpoint. */
+  val ipfRake = QueryDef(
+    "q_ipf_rake", {
+      val rounds = (1 to IpfRounds).map(ipfRoundSql)
+        .mkString(",\n            ")
+      Some(s"""WITH u AS (
+               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+             t AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                      CAST(SUM(n) AS BIGINT) AS ne
+               FROM u),
+             hv AS (
+               SELECT u.user_id FROM u CROSS JOIN t
+               WHERE u.n * t.nu >= t.ne),
+             cells AS MATERIALIZED (
+               SELECT e.event_type AS typ,
+                      CAST(date_part('hour', e.ts) // 6 AS BIGINT) AS dp,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events e JOIN hv ON e.user_id = hv.user_id
+               GROUP BY 1, 2),
+             stot AS (SELECT CAST(SUM(n) AS BIGINT) AS s FROM cells),
+             ptot AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM events),
+             rowt AS MATERIALIZED (
+               SELECT event_type AS typ,
+                      ${Num.qroundSql(
+                        "CAST(COUNT(*) AS DOUBLE) / ptot.p * stot.s",
+                        6)} AS tgt
+               FROM events CROSS JOIN ptot CROSS JOIN stot
+               GROUP BY event_type, ptot.p, stot.s),
+             colt AS MATERIALIZED (
+               SELECT CAST(date_part('hour', ts) // 6 AS BIGINT) AS dp,
+                      ${Num.qroundSql(
+                        "CAST(COUNT(*) AS DOUBLE) / ptot.p * stot.s",
+                        6)} AS tgt
+               FROM events CROSS JOIN ptot CROSS JOIN stot
+               GROUP BY 1, ptot.p, stot.s),
+             ipf0 AS MATERIALIZED (
+               SELECT typ, dp, n, CAST(n AS DOUBLE) AS m FROM cells),
+             $rounds
+             SELECT c.typ AS event_type, c.dp AS daypart, c.n,
+                    c.m AS raked, c.m / CAST(c.n AS DOUBLE) AS weight,
+                    rt.tgt AS row_target, ct.tgt AS col_target
+             FROM ipf$IpfRounds c
+               JOIN rowt rt ON c.typ = rt.typ
+               JOIN colt ct ON c.dp = ct.dp
+             ORDER BY event_type, daypart""")
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      val tRow = u.agg(count(lit(1)), sum("n")).head()
+      val (nu, ne) = (tRow.getLong(0), tRow.getLong(1))
+      val hv = u.filter(col("n") * nu >= ne).select("user_id")
+      val dpCol = (hour(col("ts")).cast("long") / 6).cast("long")
+      val cells = ev.join(hv, "user_id")
+        .groupBy(col("event_type").as("typ"), dpCol.as("dp"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // bounded cell table: collected below
+      // bounded actions: stratum total, population total + margins
+      val sTot = cells.agg(sum("n")).head().getLong(0)
+      val pTot = ev.count()
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val rowT = ev.groupBy(col("event_type").as("typ"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) ->
+          q6(r.getLong(1).toDouble / pTot * sTot)).toMap
+      val colT = ev.groupBy(dpCol.as("dp"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getLong(0) ->
+          q6(r.getLong(1).toDouble / pTot * sTot)).toMap
+      // 6 pinned IPF rounds on the <=20-cell driver table
+      var m = cells.collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+          r.getLong(2).toDouble))
+      for (_ <- 1 to IpfRounds) {
+        val rs = m.groupBy(_._1._1)
+          .map { case (k, cs) => k -> q6(cs.map(_._3).sum) }
+        m = m.map { case (k, n0, v) =>
+          val sK = rs(k._1)
+          (k, n0, q6(v * (rowT(k._1) / (if (sK == 0.0) Double.NaN
+            else sK))))
+        }
+        val csm = m.groupBy(_._1._2)
+          .map { case (k, cs) => k -> q6(cs.map(_._3).sum) }
+        m = m.map { case (k, n0, v) =>
+          val sK = csm(k._2)
+          (k, n0, q6(v * (colT(k._2) / (if (sK == 0.0) Double.NaN
+            else sK))))
+        }
+      }
+      val raked = m.map { case ((typ, dp), n0, v) => (typ, dp, n0, v) }
+      import s.implicits._
+      raked.toSeq.toDF("event_type", "daypart", "n", "raked")
+        .select(col("event_type"), col("daypart"), col("n"),
+          col("raked"),
+          (col("raked") / col("n").cast("double")).as("weight"),
+          element_at(typedLit(rowT), col("event_type"))
+            .as("row_target"),
+          element_at(typedLit(colT), col("daypart")).as("col_target"))
+        .orderBy("event_type", "daypart")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
-    conformal, jackknife)
+    conformal, jackknife, ipfRake)
 }

@@ -917,10 +917,10 @@ object Stress {
       // fixed-fixture artifact, but the chain now derives its WARC
       // members from the sf-scaled documents table, so its curve is
       // measurable and stays on the probe
-      val heavy = Seq("q_dedup_clusters", "q_classifier_calibration",
-        "q_incremental_dedup", "q_lsh_dedup_eval", "q_ngram_jaccard",
-        "q_rank_agreement", "q_setjoin_prefix", "q_itemset_pairs",
-        "q_dedup_containment", "q_dedup_keep", "q_crawl_pipeline")
+      val heavy = Seq("q_learning_curve", "q_setjoin_prefix",
+        "q_hilbert_stats", "q_rank_rbo", "q_rank_fusion", "q_logreg",
+        "q_als", "q_rank_agreement", "q_ngram_jaccard",
+        "q_lsh_dedup_eval", "q_crawl_pipeline")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
