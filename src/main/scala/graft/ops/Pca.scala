@@ -96,6 +96,28 @@ object Pca {
     (v, q6(l))
   }
 
+  /** Top-2 eigenpairs of an arbitrary symmetric driver matrix by the
+    * same pinned-round deflated power iteration the X188 oracle
+    * replays (chain a on `m`, chain b on the rank-1 deflation with
+    * per-round Gram-Schmidt; λ₂ as the qround(6) Rayleigh quotient of
+    * the second vector against the ORIGINAL matrix — X206's PPMI-SVD
+    * entry point; no Rayleigh–Ritz rotation, PPMI spectra are not
+    * near-flat). NOT restricted to PSD input: a caller whose matrix
+    * has a negative eigenvalue sees it in the returned λ and guards
+    * the sqrt itself. */
+  def eigen2(m: Array[Array[Double]], dims: Int, iters: Int)
+      : (Array[Double], Double, Array[Double], Double) = {
+    val (p1, l1) = powerIter(m, dims, iters)
+    val c2 = Array.tabulate(dims, dims)((i, j) =>
+      m(i)(j) - l1 * p1(i) * p1(j))
+    val (p2, _) = powerIter(c2, dims, iters, ortho = Some(p1))
+    val u2 = matvec(m, p2, dims)
+    var l2 = 0.0
+    var i = 0
+    while (i < dims) { l2 += p2(i) * u2(i); i += 1 }
+    (p1, l1, p2, q6(l2))
+  }
+
   /** One moment pass + driver eigen-solve. `dims` must be the
     * embedding length (64 for the testdata corpus). */
   def fit(df: DataFrame, vecCol: String, dims: Int = 64,

@@ -1858,7 +1858,184 @@ ORDER BY id_a, id_b"""
         .limit(50)
     })
 
-  val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact,
+  // ------------------------------------------------ X206 PPMI-SVD
+
+  private val PpmiV = 32       // vocabulary size (top tokens)
+  private val PpmiWin = 2      // symmetric co-occurrence window
+  private val PpmiIters = 12
+
+  /** PPMI-SVD static token embeddings (X206 — Levy & Goldberg NIPS
+    * 2014: factorizing the positive-PMI co-occurrence matrix is
+    * implicitly what skip-gram/word2vec optimizes, and the
+    * count-based route is exactly distributable — count, transform,
+    * eigen-solve. The count passes (token frequencies, windowed
+    * co-occurrence pairs) stream over the corpus map-side-combining;
+    * the PPMI matrix is vocabulary-bounded (V² = 1024 cells by the
+    * LITERAL V — driver metadata at any corpus scale), and the
+    * 2-dim factorization reuses X188's pinned-round deflated power
+    * iteration verbatim, components re-emitted as literals. Window =
+    * ±2 via the X93 offset-pair device (element-wise, no self-join);
+    * vocabulary = top-32 tokens, deterministic (count DESC, token)
+    * tie-break; PPMI lanes = max(0, qround(ln(N·c_ab/(c_a·c_b)), 6))
+    * off exact integer counts; embeddings e = qround(v·√λ⁺, 6)
+    * (PPMI is NOT PSD — a negative λ zeroes the axis, recorded). */
+  val ppmiSvd = QueryDef(
+    "q_ppmi_svd", {
+      val offs = (1 to PpmiWin).map { off =>
+        s"""CASE WHEN len(toks) >= ${off + 1} THEN
+               list_transform(range(1, CAST(len(toks) AS INT) - ${off - 1}),
+                 k -> [toks[k], toks[k + $off]])
+             ELSE CAST([] AS VARCHAR[][]) END"""
+      }.mkString(" || ")
+      val roundsA = (1 to PpmiIters).map(pcaRoundSql(_, "a", "pm"))
+        .mkString(",\n            ")
+      val roundsB = (1 to PpmiIters)
+        .map(pcaRoundSql(_, "b", "pm2", ortho = Some(s"va$PpmiIters")))
+        .mkString(",\n            ")
+      val vA = s"va$PpmiIters"
+      val vB = s"vb$PpmiIters"
+      Some(s"""WITH tk AS MATERIALIZED (
+              SELECT ${TextQueries.sqlToksShared} AS toks FROM documents),
+            tf AS MATERIALIZED (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t),
+            vb AS MATERIALIZED (
+              SELECT t, cnt, i FROM (
+                SELECT t, cnt, CAST(ROW_NUMBER() OVER
+                  (ORDER BY cnt DESC, t) AS INT) AS i
+                FROM tf) WHERE i <= $PpmiV),
+            pr AS MATERIALIZED (
+              SELECT p[1] AS a, p[2] AS b
+              FROM (SELECT unnest($offs) AS p FROM tk)),
+            pc AS MATERIALIZED (
+              SELECT va.i AS i, vbb.i AS j, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pr JOIN vb va ON pr.a = va.t
+                      JOIN vb vbb ON pr.b = vbb.t
+              GROUP BY va.i, vbb.i),
+            grid AS (
+              SELECT va.i AS i, vbb.i AS j
+              FROM vb va CROSS JOIN vb vbb),
+            sym AS MATERIALIZED (
+              SELECT g.i, g.j,
+                     COALESCE(f.c, 0) + COALESCE(r.c, 0) AS c
+              FROM grid g
+                LEFT JOIN pc f ON f.i = g.i AND f.j = g.j
+                LEFT JOIN pc r ON r.i = g.j AND r.j = g.i),
+            mg AS MATERIALIZED (
+              SELECT i, CAST(SUM(c) AS BIGINT) AS c
+              FROM sym GROUP BY i),
+            nnp AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM sym),
+            pm AS MATERIALIZED (
+              SELECT s.i, s.j,
+                     CASE WHEN s.c > 0 THEN
+                       GREATEST(0.0, ${Num.qroundSql(
+                         "LN((CAST(nnp.tot AS DOUBLE) * " +
+                           "CAST(s.c AS DOUBLE)) / " +
+                           "(CAST(mi.c AS DOUBLE) * CAST(mj.c AS DOUBLE)))",
+                         6)})
+                     ELSE 0.0 END AS c
+              FROM sym s
+                JOIN mg mi ON mi.i = s.i
+                JOIN mg mj ON mj.i = s.j
+                CROSS JOIN nnp),
+            va0 AS MATERIALIZED (SELECT i, 0.125 AS x FROM mg),
+            $roundsA,
+            uaf AS MATERIALIZED (
+              SELECT pm.i AS i,
+                     ${Num.qroundSql(s"SUM(pm.c * $vA.x)", 6)} AS u
+              FROM pm JOIN $vA ON pm.j = $vA.i GROUP BY pm.i),
+            la AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM($vA.x * uaf.u)", 6)} AS l
+              FROM $vA JOIN uaf ON $vA.i = uaf.i),
+            pm2 AS MATERIALIZED (
+              SELECT pm.i, pm.j, pm.c - la.l * vi.x * vj.x AS c
+              FROM pm CROSS JOIN la
+                JOIN $vA vi ON vi.i = pm.i
+                JOIN $vA vj ON vj.i = pm.j),
+            vb0 AS MATERIALIZED (SELECT i, 0.125 AS x FROM mg),
+            $roundsB,
+            ubf AS MATERIALIZED (
+              SELECT pm.i AS i,
+                     ${Num.qroundSql(s"SUM(pm.c * $vB.x)", 6)} AS u
+              FROM pm JOIN $vB ON pm.j = $vB.i GROUP BY pm.i),
+            lb AS MATERIALIZED (
+              SELECT ${Num.qroundSql(s"SUM($vB.x * ubf.u)", 6)} AS l
+              FROM $vB JOIN ubf ON $vB.i = ubf.i)
+            SELECT vb.t AS token, CAST(vb.i AS BIGINT) AS rnk,
+                   vb.cnt,
+                   ${Num.qroundSql(
+                     s"""v1.x * (CASE WHEN la.l > 0.0
+                       THEN SQRT(la.l) ELSE 0.0 END)""", 6)} AS e1,
+                   ${Num.qroundSql(
+                     s"""v2.x * (CASE WHEN lb.l > 0.0
+                       THEN SQRT(lb.l) ELSE 0.0 END)""", 6)} AS e2,
+                   la.l AS lambda1, lb.l AS lambda2
+            FROM vb
+              JOIN $vA v1 ON v1.i = vb.i
+              JOIN $vB v2 ON v2.i = vb.i
+              CROSS JOIN la CROSS JOIN lb
+            ORDER BY rnk""")
+    },
+    (s, d) => {
+      import graft.functions.Text
+      val toks = Text.tokens(col("text"))
+      val tk = Tables.documents(s, d).select(toks.as("toks"))
+        .localCheckpoint(true) // token counts + pair counts read it
+      // vocabulary: top-V by count, deterministic tie-break — bounded
+      // collect by the LITERAL V
+      val vocab = tk.select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(PpmiV)
+        .collect().zipWithIndex
+        .map { case (r, k) => (r.getString(0), r.getLong(1), k + 1) }
+      val idx = vocab.map(v => v._1 -> v._3).toMap
+      // forward windowed pairs (offsets 1..win), filtered to the
+      // vocabulary, counted distributed; the result is <= V^2 rows
+      val offCols = (1 to PpmiWin).map { off =>
+        when(size(col("toks")) >= off + 1,
+          transform(sequence(lit(1), size(col("toks")) - off),
+            k => array(element_at(col("toks"), k),
+              element_at(col("toks"), k + off))))
+          .otherwise(array().cast("array<array<string>>"))
+      }
+      val fwd = tk.select(explode(concat(offCols: _*)).as("p"))
+        .select(element_at(col("p"), 1).as("a"),
+          element_at(col("p"), 2).as("b"))
+        .filter(col("a").isInCollection(idx.keys.toSeq) &&
+          col("b").isInCollection(idx.keys.toSeq))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (idx(r.getString(0)), idx(r.getString(1)),
+          r.getLong(2))).toSeq
+      val fwdMap = fwd.map { case (i, j, c) => (i, j) -> c }.toMap
+        .withDefaultValue(0L)
+      val csym = Array.tabulate(PpmiV, PpmiV)((i0, j0) =>
+        fwdMap((i0 + 1, j0 + 1)) + fwdMap((j0 + 1, i0 + 1)))
+      val marg = Array.tabulate(PpmiV)(i0 => csym(i0).sum)
+      val nTot = marg.sum
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val pmM = Array.tabulate(PpmiV, PpmiV) { (i0, j0) =>
+        val c = csym(i0)(j0)
+        if (c > 0)
+          math.max(0.0, q6(math.log(
+            (nTot.toDouble * c.toDouble) /
+              (marg(i0).toDouble * marg(j0).toDouble))))
+        else 0.0
+      }
+      val (v1, l1, v2, l2) =
+        graft.ops.Pca.eigen2(pmM, PpmiV, PpmiIters)
+      def scale(l: Double) = if (l > 0.0) math.sqrt(l) else 0.0
+      val rows = vocab.map { case (t, cnt, i) =>
+        (t, i.toLong, cnt, q6(v1(i - 1) * scale(l1)),
+          q6(v2(i - 1) * scale(l2)), l1, l2)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("token", "rnk", "cnt", "e1", "e2",
+          "lambda1", "lambda2")
+        .orderBy("rnk")
+    })
+
+  val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact, ppmiSvd,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
     dupEmbeddingExact, dupEmbeddingLsh,

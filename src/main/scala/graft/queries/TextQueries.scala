@@ -17,6 +17,9 @@ object TextQueries {
   private val sqlToks =
     """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
 
+  /** [[sqlToks]] for sibling query objects (X206 nests it). */
+  private[queries] def sqlToksShared: String = sqlToks
+
   val textStats = QueryDef(
     "q_text_stats",
     // zero-token guards mirror Spark's NULL results: list_reduce errors
