@@ -1400,6 +1400,108 @@ cents_${i + 1} AS (
         .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
     })
 
+  // ------------------------------------------- X208 itemset triples
+
+  /** Frequent item TRIPLES + two-antecedent association rules (X208 —
+    * Agrawal & Srikant 1994's Apriori one level past X157's pairs:
+    * {a,b} → c is where basket analysis earns its keep, pair rules
+    * mostly restate popularity; support monotonicity c_abc ≤ c_ab
+    * means every sub-pair of a kept triple is automatically frequent
+    * at the same threshold — the pc joins are metric LOOKUPS, not
+    * gates). The triple expansion is two order-keyed self-joins —
+    * quadratic-free: per-order fan-out is C(items,3), basket-size-
+    * bounded (the X80 wedge discipline, recorded); confidences and
+    * support are EXACT integer ratios; deterministic
+    * (c_abc DESC, a, b, c) top-50. */
+  val itemsetTriples = QueryDef(
+    "q_itemset_triples", {
+      val minItem = 2
+      val minTriple = 2
+      Some(s"""WITH b AS (
+                SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS i
+                FROM lineitem l),
+              n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+                    FROM b),
+              ic AS (
+                SELECT i, CAST(COUNT(*) AS BIGINT) AS c
+                FROM b GROUP BY i HAVING COUNT(*) >= $minItem),
+              bf AS (
+                SELECT b.o, b.i FROM b JOIN ic ON b.i = ic.i),
+              pc AS (
+                SELECT x.i AS a, y.i AS bb,
+                       CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM bf x JOIN bf y ON x.o = y.o AND x.i < y.i
+                GROUP BY 1, 2),
+              tc AS (
+                SELECT x.i AS a, y.i AS bb, z.i AS cc,
+                       CAST(COUNT(*) AS BIGINT) AS c_abc
+                FROM bf x
+                  JOIN bf y ON x.o = y.o AND x.i < y.i
+                  JOIN bf z ON y.o = z.o AND y.i < z.i
+                GROUP BY 1, 2, 3 HAVING COUNT(*) >= $minTriple)
+              SELECT tc.a, tc.bb AS b, tc.cc AS c, tc.c_abc,
+                     pab.c_ab, pac.c_ab AS c_ac, pbc.c_ab AS c_bc,
+                     CAST(tc.c_abc AS DOUBLE) /
+                       CAST(n.n_orders AS DOUBLE) AS support,
+                     CAST(tc.c_abc AS DOUBLE) / CAST(pab.c_ab AS DOUBLE)
+                       AS conf_ab_c,
+                     CAST(tc.c_abc AS DOUBLE) / CAST(pac.c_ab AS DOUBLE)
+                       AS conf_ac_b,
+                     CAST(tc.c_abc AS DOUBLE) / CAST(pbc.c_ab AS DOUBLE)
+                       AS conf_bc_a
+              FROM tc
+                JOIN pc pab ON pab.a = tc.a AND pab.bb = tc.bb
+                JOIN pc pac ON pac.a = tc.a AND pac.bb = tc.cc
+                JOIN pc pbc ON pbc.a = tc.bb AND pbc.bb = tc.cc
+                CROSS JOIN n
+              ORDER BY tc.c_abc DESC, tc.a, tc.bb, tc.cc LIMIT 50""")
+    },
+    (s, d) => {
+      val minItem = 2
+      val minTriple = 2
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+      val nOrders = b.select("o").distinct().count()
+      val ic = b.groupBy("i").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minItem)
+      val bf = b.join(ic.select("i"), Seq("i"), "left_semi")
+        .localCheckpoint(true) // three self-join arms read it
+      val pc = bf.as("x").join(bf.as("y"),
+          col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("a"), col("y.i").as("bb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(true) // three metric lookups read it
+      val tc = bf.as("x")
+        .join(bf.as("y"),
+          col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+        .join(bf.as("z"),
+          col("y.o") === col("z.o") && col("y.i") < col("z.i"))
+        .groupBy(col("x.i").as("a"), col("y.i").as("bb"),
+          col("z.i").as("cc"))
+        .agg(count(lit(1)).as("c_abc"))
+        .filter(col("c_abc") >= minTriple)
+      tc
+        .join(pc.select(col("a"), col("bb"), col("c_ab")),
+          Seq("a", "bb"))
+        .join(pc.select(col("a"), col("bb").as("cc"),
+          col("c_ab").as("c_ac")), Seq("a", "cc"))
+        .join(pc.select(col("a").as("bb"), col("bb").as("cc"),
+          col("c_ab").as("c_bc")), Seq("bb", "cc"))
+        .select(col("a"), col("bb").as("b"), col("cc").as("c"),
+          col("c_abc"), col("c_ab"), col("c_ac"), col("c_bc"),
+          (col("c_abc").cast("double") / lit(nOrders).cast("double"))
+            .as("support"),
+          (col("c_abc").cast("double") / col("c_ab").cast("double"))
+            .as("conf_ab_c"),
+          (col("c_abc").cast("double") / col("c_ac").cast("double"))
+            .as("conf_ac_b"),
+          (col("c_abc").cast("double") / col("c_bc").cast("double"))
+            .as("conf_bc_a"))
+        .orderBy(col("c_abc").desc, col("a"), col("b"), col("c"))
+        .limit(50)
+    })
+
   // -------------------------------------------------- X194 rank-2 ALS
 
   private val AlsIters = 3
@@ -1512,5 +1614,5 @@ cents_${i + 1} AS (
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
     approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
-    imageDedup, als)
+    imageDedup, als, itemsetTriples)
 }

@@ -292,8 +292,52 @@ lines', 'w'),
       wi.unionByName(mn).orderBy("state", "school name")
     })
 
+  // -------------------------------------- X207 ORC partitioned round-trip
+
+  /** ORC partitioned write → partition-pruned read-back (X207 — the
+    * third member of the intake family next to X164's JSON quarantine
+    * and X167's RFC 4180 CSV: the OTHER columnar warehouse format,
+    * exercising Spark's ORC writer/reader, Hive-style partition
+    * directory layout, partition pruning AT THE SCAN (the `status=F`
+    * predicate never reads the other partitions' files), and
+    * column pruning through a non-parquet source). Orders are written
+    * partitioned by status to a per-run tempdir (the X163 isolation
+    * discipline), read back with the partition filter, and reduced;
+    * the oracle recomputes the same slice straight from the source
+    * table — a green row IS round-trip fidelity (types, timestamps,
+    * doubles) plus correct pruning. IO-tagged cost by design, like
+    * q_shard_write. */
+  val orcRoundtrip = QueryDef(
+    "q_orc_roundtrip",
+    Some(s"""SELECT o_orderpriority,
+                    CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    ${graft.functions.Num.qroundSql(
+                      "SUM(o_totalprice)", 4)} AS sum_price,
+                    MIN(o_orderdate) AS first_date,
+                    MAX(o_orderdate) AS last_date
+             FROM orders WHERE o_orderstatus = 'F'
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority"""),
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .orc(dir)
+      s.read.orc(dir)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.Num.qround(sum("o_totalprice"), 4)
+            .as("sum_price"),
+          min("o_orderdate").as("first_date"),
+          max("o_orderdate").as("last_date"))
+        .orderBy("o_orderpriority")
+    })
+
   val all: Seq[QueryDef] = Seq(qaIntersect, deriveFallbacks, recodeChain,
-    cleanPipeline, ncesJoin, multiState, corruptRecords, csvQuoted)
+    cleanPipeline, ncesJoin, multiState, corruptRecords, csvQuoted,
+    orcRoundtrip)
 }
 
 /** The q_clean_pipeline DuckDB oracle: the reference pipeline (ref

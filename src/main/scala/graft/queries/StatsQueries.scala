@@ -1022,7 +1022,83 @@ object StatsQueries {
         .orderBy("event_type", "daypart")
     })
 
+  // --------------------------------------- X209 empirical-Bayes rates
+
+  /** Empirical-Bayes Beta shrinkage of per-source rates (X209 —
+    * Robbins 1956 via the method-of-moments Beta fit, Morris 1983:
+    * a 25-doc source's raw English share is noise-dominated; fit
+    * Beta(α, β) to the ACROSS-source rate distribution and report
+    * each source's posterior mean (y+α)/(n+α+β) — the partial-pooling
+    * readout X196's jackknife CI says you need, and the shrinkage
+    * every "top sources by rate" league table should apply before
+    * ranking small sources over large ones). MoM lanes: m₁, m₂
+    * across the bounded source alphabet qround(6); ν = m₁(1−m₁)/var
+    * − 1, α = m₁ν, β = (1−m₁)ν element-wise; degenerate fits
+    * (var ≤ 0, i.e. under-dispersed vs binomial) → NULL α/β and
+    * shrunk = raw on both engines; posterior means exact element-wise
+    * off the quantized lanes. */
+  val ebShrink = QueryDef(
+    "q_eb_shrink",
+    Some(s"""WITH g AS (
+               SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+               FROM documents GROUP BY source),
+             r AS (
+               SELECT source, n, y,
+                      CAST(y AS DOUBLE) / CAST(n AS DOUBLE) AS p
+               FROM g),
+             m AS (
+               SELECT ${Num.qroundSql("AVG(p)", 6)} AS m1,
+                      ${Num.qroundSql("AVG(p * p)", 6)} AS m2
+               FROM r),
+             ab AS (
+               SELECT m1, m2,
+                      CASE WHEN m2 - m1 * m1 > 0.0 AND
+                        m1 * (1.0 - m1) / (m2 - m1 * m1) - 1.0 > 0.0
+                        THEN m1 * (m1 * (1.0 - m1) / (m2 - m1 * m1)
+                          - 1.0) END AS alpha,
+                      CASE WHEN m2 - m1 * m1 > 0.0 AND
+                        m1 * (1.0 - m1) / (m2 - m1 * m1) - 1.0 > 0.0
+                        THEN (1.0 - m1) * (m1 * (1.0 - m1) /
+                          (m2 - m1 * m1) - 1.0) END AS beta
+               FROM m)
+             SELECT r.source, r.n, r.y, r.p AS raw_rate,
+                    CASE WHEN ab.alpha IS NULL THEN r.p
+                      ELSE (CAST(r.y AS DOUBLE) + ab.alpha) /
+                        (CAST(r.n AS DOUBLE) + ab.alpha + ab.beta)
+                      END AS shrunk_rate,
+                    ab.alpha, ab.beta
+             FROM r CROSS JOIN ab
+             ORDER BY r.source"""),
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y"))
+      val r = g.select(col("source"), col("n"), col("y"),
+          (col("y").cast("double") / col("n").cast("double")).as("p"))
+        .localCheckpoint(true) // moment action + the final projection
+      val mRow = r.agg(Num.qround(avg("p"), 6),
+        Num.qround(avg(col("p") * col("p")), 6)).head()
+      val (m1, m2) = (mRow.getDouble(0), mRow.getDouble(1))
+      val varP = m2 - m1 * m1
+      val nu = if (varP > 0.0) m1 * (1.0 - m1) / varP - 1.0
+        else Double.NaN
+      val (alpha: Any, beta: Any) =
+        if (varP > 0.0 && nu > 0.0) (m1 * nu, (1.0 - m1) * nu)
+        else (null, null)
+      val aC = lit(alpha).cast("double")
+      val bC = lit(beta).cast("double")
+      r.select(col("source"), col("n"), col("y"), col("p").as("raw_rate"),
+          when(aC.isNull, col("p"))
+            .otherwise((col("y").cast("double") + aC) /
+              (col("n").cast("double") + aC + bC)).as("shrunk_rate"),
+          aC.as("alpha"), bC.as("beta"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
-    conformal, jackknife, ipfRake)
+    conformal, jackknife, ipfRake, ebShrink)
 }
