@@ -23,7 +23,10 @@ object SparkEntry {
     graft.queries.CrawlQueries.all ++
     graft.queries.GraphQueries.all ++
     graft.queries.DiagnosticsQueries.all ++
-    graft.queries.StatsQueries.all
+    graft.queries.StatsQueries.all ++
+    graft.queries.WarehouseQueries.all ++
+    graft.queries.ClusterQueries.all ++
+    graft.queries.RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

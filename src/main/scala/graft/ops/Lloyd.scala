@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayFunctions, VecAggregates}
+
+/** FULL-CORPUS distributed spherical k-means by fixed-round Lloyd
+  * iteration (X212) — the scale sibling of [[Similarity.fitIvf]]:
+  * where the IVF fit collects a bounded 2048-row SAMPLE to the driver
+  * and iterates there, this fit never moves a vector. Each round is
+  * ONE map-side-combining pass over the corpus: every partition folds
+  * its rows into k per-cluster (count, Σvec) buffers through
+  * [[graft.functions.DoubleVecSum]] under a
+  * [[graft.functions.ArrayFunctions.nearestCentroid]] codegen
+  * assignment, partials merge pairwise, and only k·(dim+1) doubles
+  * reach the driver — the centroid matrix is driver-resident metadata
+  * that re-enters the next round's scan as literals. At 100 TB that
+  * is k × 65 numbers per round regardless of corpus size.
+  *
+  * Determinism contract (the X66/X188/X189 pinned-round discipline):
+  * the result is "`iters`-round Lloyd from the k lowest-id vectors",
+  * not "the converged clustering". The per-cluster mean lanes are
+  * merged-fold doubles → each dimension is qround(6) before the
+  * (element-wise, hence bit-identical) L2 normalization, so any
+  * engine replaying the same rounds lands on identical centroids.
+  * Ties in the assignment argmax break first-max (lowest cluster id),
+  * matching the oracle's `ORDER BY dot DESC, c ASC` row_number.
+  * Empty clusters keep their previous centroid (the fitIvf rule). */
+object Lloyd {
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Left-fold L2 normalization — same accumulation order as the
+    * oracle's `list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)`
+    * so the sqrt argument is bit-identical. */
+  private[ops] def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** `iters` Lloyd rounds over the whole corpus; returns the final
+    * L2-normalized centroid matrix (k × dim). `vecCol` may be
+    * array<float> — widened exactly to double on both engines. */
+  def fit(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+    val init = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length == k, s"corpus has < $k vectors")
+    var cents = init.map(normalize)
+    for (_ <- 0 until iters) {
+      val rows = corpus
+        .groupBy(ArrayFunctions.nearestCentroid(col(vecCol), cents)
+          .as("c"))
+        .agg(count(lit(1)).as("n"),
+          VecAggregates.vecSum(col(vecCol).cast("array<double>"), dim)
+            .as("s"))
+        .collect() // ≤ k rows: bounded driver metadata
+      val byC = rows.map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray)).toMap
+      cents = Array.tabulate(k) { c =>
+        byC.get(c) match {
+          case Some((n, sum)) if n > 0 =>
+            normalize(sum.map(x => q6(x / n)))
+          case _ => cents(c)
+        }
+      }
+    }
+    cents
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Round-13 index-based retrieval (SURVEY §2l X214): positional
+  * inverted index + phrase query — the posting-list device under
+  * every phrase-capable search engine, next to X38's BM25 scorer
+  * (which ranks but cannot answer "these words ADJACENT, in order").
+  */
+object RetrievalQueries {
+
+  /** Positional-index phrase search (X214 — Manning et al. IIR §2.4:
+    * tokenize to (doc, position, term) postings, answer a two-word
+    * phrase by joining the two terms' posting lists on
+    * pos₂ = pos₁ + 1). The query phrase is data-derived so the query
+    * is self-contained: the corpus's most frequent adjacent bigram
+    * (ties break lexicographically), found by one exploded
+    * groupBy — a bounded top-1 driver literal (the X12/X91 probe
+    * discipline, no hand-picked string constant).
+    *
+    * Scale shape: the phrase join is term-filtered FIRST — each side
+    * of the join is the single term's posting list (the filter
+    * pushes to the parquet scan of a real postings table), then an
+    * EQUI join on (doc_id, adjacent position). No regex scan of the
+    * corpus at query time: the full-text pass happens once at
+    * index-build, which is the entire point of an inverted index at
+    * 100 TB. All lanes exact integers/strings — hash raw. */
+  val phraseSearch = QueryDef(
+    "q_phrase_search",
+    Some("""WITH t AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> len(x) > 0) AS toks
+             FROM documents),
+           pstruct AS (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {'pos': CAST(i AS BIGINT), 'tok': toks[i]}))
+                      AS pt
+             FROM t),
+           postings AS (
+             SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM pstruct),
+           bg AS (
+             SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS phrase
+             FROM t WHERE len(toks) >= 2),
+           top1 AS (
+             SELECT phrase, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bg GROUP BY phrase
+             ORDER BY cnt DESC, phrase ASC LIMIT 1),
+           hits AS (
+             SELECT p1.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_occ
+             FROM postings p1
+             JOIN postings p2
+               ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+             WHERE p1.tok = (SELECT split_part(phrase, ' ', 1) FROM top1)
+               AND p2.tok = (SELECT split_part(phrase, ' ', 2) FROM top1)
+             GROUP BY p1.doc_id)
+           SELECT h.doc_id, h.n_occ, (SELECT phrase FROM top1) AS phrase
+           FROM hits h ORDER BY h.doc_id"""),
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+        .localCheckpoint() // feeds bigram stats AND the postings index
+      val bg = t.select(explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("phrase"))
+      val top = bg.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("phrase").asc).limit(1).head()
+      val phrase = top.getString(0)
+      val Array(w1, w2) = phrase.split(" ", 2)
+      val postings = t.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val p1 = postings.filter(col("tok") === w1)
+        .select(col("doc_id"), col("pos"))
+      val p2 = postings.filter(col("tok") === w2)
+        .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+      p1.join(p2, col("d2") === col("doc_id") &&
+          col("pos2") === col("pos") + 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .withColumn("phrase", lit(phrase))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(phraseSearch)
+}

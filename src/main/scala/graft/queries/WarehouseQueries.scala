@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 warehouse-core operators (SURVEY §2l X210–X211): the
+  * dimensional-modeling devices every Kimball-style warehouse ships —
+  * slowly-changing-dimension history build, point-in-time enrichment
+  * against it — plus the HyperLogLog register sketch (the
+  * industry-standard distinct counter next to X130's KMV).
+  *
+  * Reference scope note: the reference pipeline (SURVEY §2) rebuilds
+  * its dimension tables from scratch each year — no history, no
+  * point-in-time semantics. These rows are the extension surface that
+  * makes the same dictionary data usable for longitudinal joins.
+  */
+object WarehouseQueries {
+
+  // ------------------------------------------------------ SCD Type 2
+
+  /** Slowly-changing-dimension Type 2 build (X210 — Kimball's SCD2:
+    * turn a change-event stream into validity intervals
+    * [valid_from, valid_to) with a version counter and an is_current
+    * flag, collapsing consecutive no-change rows first). Here the
+    * per-user `event_type` stream plays the tracked attribute: a
+    * user's dimension row changes whenever their event type differs
+    * from the previous event's.
+    *
+    * Shape: two windows partitioned by user_id (ONE shuffle on the
+    * natural dimension key, reused by both — Catalyst collapses
+    * same-partitioning windows into one exchange), ordered by the
+    * total key (ts, event_id) so ties are deterministic. No global
+    * window, no driver loop: at 100 TB this is a single keyed sort
+    * per user, the minimum any interval build needs. Timestamps are
+    * emitted as epoch micros (exact integer lane). */
+  val scd2Build = QueryDef(
+    "q_scd2_build",
+    Some("""WITH e AS (
+             SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             FROM events),
+           o AS (
+             SELECT user_id, event_type, us, event_id,
+                    lag(event_type) OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS prev
+             FROM e),
+           c AS (
+             SELECT user_id, event_type, us AS valid_from_us,
+                    row_number() OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS version
+             FROM o WHERE prev IS NULL OR prev <> event_type),
+           f AS (
+             SELECT user_id, version, event_type, valid_from_us,
+                    lead(valid_from_us) OVER
+                      (PARTITION BY user_id ORDER BY version)
+                      AS valid_to_us
+             FROM c)
+           SELECT user_id, version, event_type, valid_from_us,
+                  valid_to_us,
+                  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END
+                    AS is_current
+           FROM f ORDER BY user_id, version"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      val changes = e
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from_us"),
+          row_number().over(w).as("version"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      changes
+        .withColumn("valid_to_us", lead("valid_from_us", 1).over(wv))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"),
+          when(col("valid_to_us").isNull, 1).otherwise(0)
+            .as("is_current"))
+        .orderBy("user_id", "version")
+    })
+
+  /** Point-in-time (PIT) enrichment against the X210 SCD2 dimension
+    * (Kimball's "as-was" join: each fact row picks the dimension
+    * version whose validity interval CONTAINS its timestamp). Probe
+    * set = a deterministic ~6% event slice (pmod(event_id, 17) = 0 —
+    * the X12 discipline, no RNG). The join is an EQUI join on
+    * user_id with the interval containment as a residual predicate —
+    * a shuffled hash join on the dimension key, never a range
+    * cross-product; per-user interval counts are bounded by that
+    * user's change count, so the residual filter is local and cheap.
+    *
+    * Self-consistency contract (pinned in WarehouseSpec): the
+    * interval containing any event was opened by the most recent
+    * type CHANGE at or before it, so the matched dimension type must
+    * equal the probe event's own type — every PIT row is its own
+    * oracle. */
+  val scd2Pit = QueryDef(
+    "q_scd2_pit",
+    Some("""WITH e AS (
+             SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             FROM events),
+           o AS (
+             SELECT user_id, event_type, us, event_id,
+                    lag(event_type) OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS prev
+             FROM e),
+           c AS (
+             SELECT user_id, event_type, us AS valid_from_us,
+                    row_number() OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS version
+             FROM o WHERE prev IS NULL OR prev <> event_type),
+           dim AS (
+             SELECT user_id, version, event_type, valid_from_us,
+                    lead(valid_from_us) OVER
+                      (PARTITION BY user_id ORDER BY version)
+                      AS valid_to_us
+             FROM c),
+           probe AS (
+             SELECT event_id, user_id, event_type, us FROM e
+             WHERE event_id % 17 = 0)
+           SELECT p.event_id, p.user_id, p.us, d.version,
+                  d.event_type AS dim_type,
+                  CASE WHEN d.valid_to_us IS NULL THEN 1 ELSE 0 END
+                    AS is_current
+           FROM probe p JOIN dim d
+             ON p.user_id = d.user_id
+            AND p.us >= d.valid_from_us
+            AND (d.valid_to_us IS NULL OR p.us < d.valid_to_us)
+           ORDER BY p.event_id"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      val dim = e
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from_us"),
+          row_number().over(w).as("version"))
+        .withColumn("valid_to_us", lead("valid_from_us", 1).over(wv))
+        .select(col("user_id").as("d_user"), col("version"),
+          col("event_type").as("dim_type"), col("valid_from_us"),
+          col("valid_to_us"))
+      val probe = e.filter(pmod(col("event_id"), lit(17)) === 0)
+      probe.join(dim,
+          col("user_id") === col("d_user") &&
+          col("us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("version"), col("dim_type"),
+          when(col("valid_to_us").isNull, 1).otherwise(0)
+            .as("is_current"))
+        .orderBy("event_id")
+    })
+
+  // ---------------------------------------------------- HyperLogLog
+
+  /** HyperLogLog distinct-user estimate per event type (X211 —
+    * Flajolet et al. 2007, the register sketch behind every
+    * warehouse APPROX_COUNT_DISTINCT; the stochastic-averaging
+    * sibling of X130's KMV bottom-k). b = 8 → m = 256 registers.
+    *
+    * Portable-hash register math, exact on both engines: h = the
+    * first 48 md5 bits of the salted key; register index = the top 8
+    * bits; ρ = position of the first 1-bit in the remaining 40 (via
+    * length(bin(rem)) — an exact integer/string lane, not a log2
+    * float). Registers are a groupBy(type, idx) MAX — map-side
+    * combinable, 256 bounded rows per group, the idiomatic Spark
+    * form of the sketch (register merge ≡ the aggregate's own max).
+    * The harmonic sum Σ2^{-M_j} adds exact powers of two spanning
+    * < 53 bits, so it is order-independent and EXACT; only the final
+    * estimate (one division, plus the linear-counting ln lane when
+    * the small-range correction fires) carries qround(6).
+    *
+    * At 100 TB: the sketch never materializes distinct keys — the
+    * only exact-distinct pass here is the eval lane that makes the
+    * approximation error measurable (the X74 recall discipline). */
+  val hllDistinct = QueryDef(
+    "q_hll_distinct", {
+      val h = "CAST('0x' || substring(md5('graft-hll:' || " +
+        "CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)"
+      val alpha = "(0.7213 / (1.0 + 1.079 / 256.0))"
+      Some(s"""WITH k AS (
+               SELECT event_type, $h AS h FROM events),
+             r AS (
+               SELECT event_type, h >> 40 AS idx,
+                      h & ((1::BIGINT << 40) - 1) AS rem
+               FROM k),
+             regs AS (
+               SELECT event_type, idx,
+                      MAX(CASE WHEN rem = 0 THEN 41
+                          ELSE 41 - length(bin(rem)) END) AS mj
+               FROM r GROUP BY 1, 2),
+             agg AS (
+               SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS registers_hit,
+                      SUM(1.0 / CAST((1::BIGINT << mj) AS DOUBLE))
+                        AS sp
+               FROM regs GROUP BY 1),
+             est AS (
+               SELECT event_type, registers_hit,
+                      256 - registers_hit AS zeros,
+                      $alpha * 65536.0 /
+                        (sp + CAST(256 - registers_hit AS DOUBLE))
+                        AS raw
+               FROM agg),
+             fin AS (
+               SELECT event_type, registers_hit, zeros,
+                      ${Num.qroundSql(
+                        """CASE WHEN raw <= 640.0 AND zeros > 0
+                           THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                           ELSE raw END""", 6)} AS est
+               FROM est),
+             ex AS (
+               SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n_rows,
+                      CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                        AS exact_distinct
+               FROM events GROUP BY 1)
+             SELECT f.event_type, ex.n_rows, ex.exact_distinct,
+                    f.registers_hit, f.zeros, f.est,
+                    ${Num.qroundSql(
+                      "abs(f.est - CAST(ex.exact_distinct AS DOUBLE))" +
+                      " / CAST(ex.exact_distinct AS DOUBLE)", 6)}
+                      AS rel_err
+             FROM fin f JOIN ex USING (event_type)
+             ORDER BY event_type""")
+    },
+    (s, d) => {
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val e = Tables.events(s, d).select(col("event_type"),
+        col("user_id"))
+      val h = conv(substring(md5(concat(lit("graft-hll:"),
+        col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val r = e.select(col("event_type"),
+        shiftright(h, 40).as("idx"),
+        h.bitwiseAND(lit((1L << 40) - 1)).as("rem"))
+      val regs = r.groupBy("event_type", "idx")
+        .agg(max(when(col("rem") === 0, 41)
+          .otherwise(lit(41) - length(bin(col("rem"))))).as("mj"))
+      val agg = regs.groupBy("event_type")
+        .agg(count(lit(1)).as("registers_hit"),
+          sum(lit(1.0) / expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)"))
+            .as("sp"))
+      val est = agg
+        .withColumn("zeros", lit(256) - col("registers_hit"))
+        .withColumn("raw", lit(alpha) * 65536.0 /
+          (col("sp") + col("zeros").cast("double")))
+        .withColumn("est", Num.qround(
+          when(col("raw") <= 640.0 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+            .otherwise(col("raw")), 6))
+      val ex = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("exact_distinct"))
+      est.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+          col("registers_hit"), col("zeros"), col("est"),
+          Num.qround(abs(col("est") - col("exact_distinct")
+            .cast("double")) / col("exact_distinct").cast("double"), 6)
+            .as("rel_err"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct)
+}
