@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.StatsQueries.all ++
     graft.queries.WarehouseQueries.all ++
     graft.queries.ClusterQueries.all ++
-    graft.queries.RetrievalQueries.all
+    graft.queries.RetrievalQueries.all ++
+    graft.queries.GeoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1098,7 +1098,74 @@ object StatsQueries {
         .orderBy("source")
     })
 
+  // ----------------------------------------- weight of evidence / IV
+
+  /** Weight-of-evidence + information value feature screen (X215 —
+    * the credit-scoring device (Siddiqi 2006) that became the
+    * standard "is this feature worth binning into a quality
+    * classifier" screen: per feature bucket, WOE = ln of the
+    * good-share/bad-share odds ratio; IV = Σ (share gap)·WOE, read
+    * against the folk thresholds 0.02/0.1/0.3. Here: doc-length
+    * buckets (width-64 floor, capped at 9 — exact integer lane)
+    * against the X45/X189 label lang = 'en'. Counts are one keyed
+    * aggregate over the bounded bucket alphabet; G/B totals are a
+    * bounded driver action re-entering as literals (X109 device);
+    * shares are exact integer ratios with +0.5 smoothing (exact
+    * dyadic) so empty-side buckets stay finite; the single ln lane
+    * and the IV contributions carry qround(6); iv_total re-emitted
+    * as a literal. */
+  val woeIv = QueryDef(
+    "q_woe_iv", {
+      val gs = "((CAST(g.good_n AS DOUBLE) + 0.5) / CAST(t.gt AS DOUBLE))"
+      val bs = "((CAST(g.bad_n AS DOUBLE) + 0.5) / CAST(t.bt AS DOUBLE))"
+      Some(s"""WITH b AS (
+               SELECT LEAST(n_chars // 64, 9) AS bucket,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents),
+             g AS (
+               SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS good_n,
+                      CAST(SUM(1 - y) AS BIGINT) AS bad_n
+               FROM b GROUP BY bucket),
+             t AS (
+               SELECT CAST(SUM(good_n) AS BIGINT) AS gt,
+                      CAST(SUM(bad_n) AS BIGINT) AS bt
+               FROM g),
+             w AS (
+               SELECT g.bucket, g.n, g.good_n, g.bad_n,
+                      ${Num.qroundSql(s"ln($gs / $bs)", 6)} AS woe,
+                      ${Num.qroundSql(s"($gs - $bs) * ln($gs / $bs)", 6)}
+                        AS iv_contrib
+               FROM g CROSS JOIN t),
+             tot AS (
+               SELECT ${Num.qroundSql("SUM(iv_contrib)", 6)} AS iv_total
+               FROM w)
+             SELECT w.*, tot.iv_total
+             FROM w CROSS JOIN tot
+             ORDER BY w.bucket""")
+    },
+    (s, d) => {
+      val b = Tables.documents(s, d).select(
+        least(expr("n_chars div 64"), lit(9L)).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val g = b.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("y").as("good_n"),
+          sum(lit(1L) - col("y")).as("bad_n"))
+        .localCheckpoint(true) // totals action + final projection
+      val tRow = g.agg(sum("good_n"), sum("bad_n")).head()
+      val (gt, bt) = (tRow.getLong(0), tRow.getLong(1))
+      val gs = (col("good_n").cast("double") + 0.5) / lit(gt.toDouble)
+      val bs = (col("bad_n").cast("double") + 0.5) / lit(bt.toDouble)
+      val w = g.select(col("bucket"), col("n"), col("good_n"),
+          col("bad_n"),
+          Num.qround(log(gs / bs), 6).as("woe"),
+          Num.qround((gs - bs) * log(gs / bs), 6).as("iv_contrib"))
+        .localCheckpoint(true)
+      val iv = w.agg(Num.qround(sum("iv_contrib"), 6)).head().getDouble(0)
+      w.withColumn("iv_total", lit(iv)).orderBy("bucket")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
-    conformal, jackknife, ipfRake, ebShrink)
+    conformal, jackknife, ipfRake, ebShrink, woeIv)
 }

@@ -2691,6 +2691,122 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("decile")
     })
 
+  /** Interpolated Kneser–Ney bigram cross-entropy (X216 — Kneser &
+    * Ney 1995 / Chen & Goodman 1998: the smoother that replaced X51's
+    * add-1 in every serious n-gram LM. Absolute discount D = 0.75 on
+    * the bigram count, with the discounted mass backed off to the
+    * CONTINUATION unigram — "how many distinct left contexts does
+    * this word follow" — the device that stops "san francisco"-style
+    * collocations from inflating the backoff weight of "francisco").
+    * Same bounded class alphabet as X51 (top-24 tokens + OOV, so the
+    * count tables stay ≤ 625 rows — broadcast-sized by construction):
+    * P(cb|ca) = (c−D)/t(ca) + ((D·N1+(ca·))/t(ca)) · (N1+(·cb)/T).
+    * Every scored pair exists in the fit (fit corpus = scored corpus)
+    * so c ≥ 1 and the discount never clips. All probability lanes are
+    * identical-tree rational arithmetic; the log2 lanes aggregate per
+    * doc → qround(6) (the X51 discipline). Per-doc output aligns with
+    * q_lm_bigram so the two smoothers are directly comparable. */
+  val lmKneserNey = QueryDef(
+    "q_lm_kneser_ney", {
+      val p = """((pc.c - 0.75) / lt.t +
+                 ((0.75 * nr.n1r) / lt.t) * (nl.n1l / (SELECT tt FROM tot)))"""
+      Some(s"""WITH tk0 AS (
+               SELECT doc_id, $sqlToks AS toks FROM documents),
+             pos AS (
+               SELECT doc_id,
+                      unnest(range(1, CAST(len(toks) AS INT) + 1)) AS p,
+                      toks
+               FROM tk0),
+             tok AS (SELECT doc_id, p, toks[p] AS tok FROM pos),
+             cnt AS (
+               SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tok GROUP BY tok),
+             top AS (
+               SELECT tok, rn - 1 AS cid FROM (
+                 SELECT tok, c,
+                        row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+                 FROM cnt) t0 WHERE rn <= 24),
+             cls AS (
+               SELECT t.doc_id, t.p, COALESCE(tp.cid, 24) AS cid
+               FROM tok t LEFT JOIN top tp USING (tok)),
+             pr AS (
+               SELECT a.doc_id, a.cid AS ca, b.cid AS cb
+               FROM cls a JOIN cls b
+                 ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+             pc AS (
+               SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS c
+               FROM pr GROUP BY ca, cb),
+             lt AS (
+               SELECT ca, CAST(SUM(c) AS DOUBLE) AS t
+               FROM pc GROUP BY ca),
+             nr AS (
+               SELECT ca, CAST(COUNT(*) AS DOUBLE) AS n1r
+               FROM pc GROUP BY ca),
+             nl AS (
+               SELECT cb, CAST(COUNT(*) AS DOUBLE) AS n1l
+               FROM pc GROUP BY cb),
+             tot AS (
+               SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM pc),
+             sc AS (
+               SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+                      SUM(log2($p)) AS sm
+               FROM pr
+                    JOIN pc USING (ca, cb)
+                    JOIN lt USING (ca)
+                    JOIN nr USING (ca)
+                    JOIN nl USING (cb)
+               GROUP BY pr.doc_id)
+             SELECT t.doc_id,
+                    CAST(COALESCE(sc.np, 0) AS BIGINT) AS n_pairs,
+                    ${Num.qroundSql("-sc.sm / sc.np", 6)} AS xent_kn
+             FROM tk0 t LEFT JOIN sc ON t.doc_id = sc.doc_id
+             ORDER BY t.doc_id""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint(true) // feeds the fit and the per-doc shell
+      // bounded top-24 vocab -> class-id map literal (X51 alphabet)
+      val topRows = docs.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(24).collect()
+      val cidMap = topRows.zipWithIndex
+        .map { case (r, i) => r.getString(0) -> i }.toMap
+      val cids = transform(col("toks"),
+        t => coalesce(element_at(typedLit(cidMap), t), lit(24)))
+      val pairs = docs.select(col("doc_id"), cids.as("cs"))
+        .select(col("doc_id"), explode(when(size(col("cs")) >= 2,
+          transform(sequence(lit(1), size(col("cs")) - 1),
+            i => struct(element_at(col("cs"), i).as("ca"),
+              element_at(col("cs"), i + 1).as("cb"))))
+          .otherwise(array().cast("array<struct<ca:int,cb:int>>")))
+          .as("pr"))
+        .select(col("doc_id"), col("pr.ca").as("ca"), col("pr.cb").as("cb"))
+        .localCheckpoint(true) // fit tables AND scoring read this
+      val pc = pairs.groupBy("ca", "cb").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // ≤ 625 rows; feeds lt/nr/nl/tot
+      val lt = pc.groupBy("ca").agg(sum("c").cast("double").as("t"))
+      val nr = pc.groupBy("ca").agg(count(lit(1)).cast("double").as("n1r"))
+      val nl = pc.groupBy("cb").agg(count(lit(1)).cast("double").as("n1l"))
+      val tt = pc.count().toDouble
+      val p = (col("c") - 0.75) / col("t") +
+        ((lit(0.75) * col("n1r")) / col("t")) * (col("n1l") / lit(tt))
+      val sc = pairs
+        .join(broadcast(pc), Seq("ca", "cb"))
+        .join(broadcast(lt), Seq("ca"))
+        .join(broadcast(nr), Seq("ca"))
+        .join(broadcast(nl), Seq("cb"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("np"), sum(log2(p)).as("sm"))
+      docs.select(col("doc_id"),
+          greatest(size(col("toks")) - 1, lit(0)).cast("long")
+            .as("n_pairs"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pairs"),
+          Num.qround(-col("sm") / col("np"), 6).as("xent_kn"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2700,5 +2816,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
-    learningCurve, gainsChart)
+    learningCurve, gainsChart, lmKneserNey)
 }
