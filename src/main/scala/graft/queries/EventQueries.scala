@@ -1164,6 +1164,85 @@ object EventQueries {
         .orderBy("channel")
     })
 
+  // ------------------------- X221 A→B-within-window pattern matching
+
+  private val patternOracle = Some(
+    """WITH b AS (
+        SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'),
+      a AS (
+        SELECT user_id, epoch_us(ts) AS aus
+        FROM events WHERE event_type = 'click'),
+      m AS (
+        SELECT b.event_id, b.user_id, b.purchase_us,
+               MAX(a.aus) AS click_us
+        FROM b JOIN a
+          ON a.user_id = b.user_id
+         AND a.aus < b.purchase_us
+         AND a.aus > b.purchase_us - 1800000000
+        GROUP BY b.event_id, b.user_id, b.purchase_us)
+      SELECT event_id, user_id, click_us, purchase_us,
+             purchase_us - click_us AS gap_us
+      FROM m ORDER BY event_id""")
+
+  /** A→B-within-window pattern match, batch form (X221 — the
+    * MATCH_RECOGNIZE / CEP primitive: each purchase attributed to the
+    * MOST RECENT click strictly before it and within 30 minutes; the
+    * windowed, last-touch sibling of X125's unwindowed followed-by
+    * support and X158's position-based attribution). Shape: both
+    * sides type-filtered AT the scan, then one user-keyed equi join
+    * with the time window as residual and a keyed MAX — candidate
+    * fan-out is bounded by per-user clicks inside the window, never
+    * the event product. Strict inequalities so same-timestamp
+    * click/purchase pairs resolve identically everywhere (including
+    * the streaming twin). All-integer micros lanes. */
+  val patternWithin = QueryDef(
+    "q_pattern_within",
+    patternOracle,
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("us").as("purchase_us"))
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("au"), col("us").as("aus"))
+      b.join(a, col("au") === col("user_id") &&
+          col("aus") < col("purchase_us") &&
+          col("aus") > col("purchase_us") - 1800000000L)
+        .groupBy("event_id", "user_id", "purchase_us")
+        .agg(max("aus").as("click_us"))
+        .select(col("event_id"), col("user_id"), col("click_us"),
+          col("purchase_us"),
+          (col("purchase_us") - col("click_us")).as("gap_us"))
+        .orderBy("event_id")
+    })
+
+  /** The STREAMING twin of q_pattern_within (X221 — the pattern as a
+    * per-user state machine: `flatMapGroupsWithState` carries ONE
+    * long (the last click timestamp) per user and emits append-only
+    * match rows; see [[graft.streaming.EventStream.patternStream]]).
+    * Replayed through the real runtime (Trigger.AvailableNow), hashed
+    * against the BATCH form's SQL verbatim — a green row IS
+    * stream/batch CEP parity. */
+  val streamPattern = QueryDef(
+    "q_stream_pattern",
+    patternOracle,
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val matches = EventStream.runAvailableNow(s,
+        EventStream.patternStream(EventStream.readEvents(s, src),
+          "click", "purchase", windowMinutes = 30),
+        "q_stream_pattern_sink", outputMode = "append",
+        statePartitions = 4)
+      matches.select(col("event_id"), col("user_id"), col("click_us"),
+          col("purchase_us"),
+          (col("purchase_us") - col("click_us")).as("gap_us"))
+        .orderBy("event_id")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
@@ -1174,5 +1253,6 @@ object EventQueries {
     streamDedup, streamTotals, topEventPerUser, topKAgg, asofJoin,
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats, hilbertStats,
     shapley,
-    eventFunnel, streamFunnel, eventRetention)
+    eventFunnel, streamFunnel, eventRetention,
+    patternWithin, streamPattern)
 }

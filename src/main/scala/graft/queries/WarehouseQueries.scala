@@ -272,5 +272,152 @@ object WarehouseQueries {
         .orderBy("event_type")
     })
 
-  val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct)
+  // -------------------------------------------------- MERGE / upsert
+
+  /** MERGE INTO (upsert) semantics with action audit (X218 — the
+    * warehouse write primitive SCD1 updates, CDC applies, and
+    * lakehouse MERGE statements all reduce to: base LEFT JOIN changes
+    * on the key, rows classified keep / update / delete / insert,
+    * one pass, no row visited twice). The change set is derived
+    * deterministically from the base (pmod(custkey,10): 0 → update
+    * +100, 1 → delete, 2 → insert at key+10⁷ — disjoint by
+    * construction, so the key join is 1:≤1). The merged table is the
+    * keep∪update survivors plus the inserts, each row carrying its
+    * action — deletes are absent by definition and auditable as the
+    * row-count delta (pinned in WarehouseSpec). All lanes exact
+    * (integer keys, dyadic-exact +100/·1.5 on the doubles). Scale:
+    * ONE equi shuffle join on the merge key + a union of the
+    * insert slice — the minimum a distributed MERGE can do. */
+  val mergeUpsert = QueryDef(
+    "q_merge_upsert",
+    Some("""WITH chg AS (
+             SELECT c_custkey AS k, 'U' AS op,
+                    c_acctbal + 100.0 AS v
+             FROM customer WHERE c_custkey % 10 = 0
+             UNION ALL
+             SELECT c_custkey, 'D', NULL FROM customer
+             WHERE c_custkey % 10 = 1
+             UNION ALL
+             SELECT c_custkey + 10000000, 'I',
+                    CAST(c_custkey AS DOUBLE) * 1.5
+             FROM customer WHERE c_custkey % 10 = 2),
+           survivors AS (
+             SELECT b.c_custkey AS k,
+                    CASE WHEN c.op = 'U' THEN c.v
+                         ELSE b.c_acctbal END AS acctbal,
+                    CASE WHEN c.op = 'U' THEN 'update'
+                         ELSE 'keep' END AS action
+             FROM customer b
+             LEFT JOIN chg c
+               ON c.k = b.c_custkey AND c.op IN ('U', 'D')
+             WHERE c.op IS NULL OR c.op <> 'D'),
+           merged AS (
+             SELECT * FROM survivors
+             UNION ALL
+             SELECT k, v, 'insert' FROM chg WHERE op = 'I')
+           SELECT k AS c_custkey, acctbal, action
+           FROM merged ORDER BY c_custkey"""),
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .localCheckpoint(true) // base AND the derived change set
+      val m10 = pmod(col("c_custkey"), lit(10))
+      val chg = base.filter(m10 === 0)
+        .select(col("c_custkey").as("k"), lit("U").as("op"),
+          (col("c_acctbal") + 100.0).as("v"))
+        .union(base.filter(m10 === 1)
+          .select(col("c_custkey"), lit("D"),
+            lit(null).cast("double")))
+        .union(base.filter(m10 === 2)
+          .select(col("c_custkey") + 10000000L, lit("I"),
+            col("c_custkey").cast("double") * 1.5))
+      val survivors = base
+        .join(chg.filter(col("op").isin("U", "D")),
+          col("k") === col("c_custkey"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          when(col("op") === "U", col("v")).otherwise(col("c_acctbal"))
+            .as("acctbal"),
+          when(col("op") === "U", "update").otherwise("keep")
+            .as("action"))
+      survivors
+        .union(chg.filter(col("op") === "I")
+          .select(col("k"), col("v"), lit("insert")))
+        .orderBy("c_custkey")
+    })
+
+  // ----------------------------------------------------- UNPIVOT
+
+  /** Pivot → UNPIVOT round-trip (X219 — the melt half of reshaping,
+    * the inverse X16's pivot only implies: a wide per-status ×
+    * priority revenue matrix stacked back to tidy long form. The
+    * oracle is the DIRECT long-form aggregate, so a green row proves
+    * wide→long loses nothing — the property every "export to
+    * spreadsheet, re-ingest" hop silently depends on). Pivot values
+    * are the enumerated priority alphabet (explicit list — Spark
+    * never scans to discover columns, the scale discipline for
+    * pivot); absent cells unpivot to NULL and are dropped to match
+    * the long form. Sums are fold-order doubles → qround(2) (the
+    * q1_agg discipline). */
+  val unpivotMelt = QueryDef(
+    "q_unpivot",
+    Some(s"""SELECT o_orderstatus,
+                  o_orderpriority AS priority,
+                  ${Num.qroundSql("SUM(o_totalprice)", 2)} AS total
+           FROM orders
+           GROUP BY o_orderstatus, o_orderpriority
+           ORDER BY o_orderstatus, priority"""),
+    (s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val wide = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(Num.qround(sum("o_totalprice"), 2))
+      wide.unpivot(Array(col("o_orderstatus")),
+          prios.map(col).toArray, "priority", "total")
+        .filter(col("total").isNotNull)
+        .orderBy("o_orderstatus", "priority")
+    })
+
+  // ----------------------------------------- cumulative distinct
+
+  /** Cumulative distinct-user curve (X220 — "users to date", the
+    * growth line on every dashboard; naively a running
+    * COUNT(DISTINCT) which no engine does incrementally — the
+    * standard rewrite is FIRST-TOUCH attribution: a user counts only
+    * on their first-seen day, so the curve is a running SUM of daily
+    * first-seen counts). First-seen = one keyed min; the running sum
+    * rides the two-pass [[graft.ops.PrefixSum.runningTotalsAsc]]
+    * device (bucketed partial windows + exclusive-offset literals —
+    * no partition-less WindowExec, the W1 scale rule; the day key is
+    * unique by construction so the device's distinct-order
+    * precondition holds). All-integer lanes. */
+  val cumulativeDistinct = QueryDef(
+    "q_cumulative_distinct",
+    Some("""WITH f AS (
+             SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+             FROM events GROUP BY user_id),
+           d AS (
+             SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+             FROM f GROUP BY day)
+           SELECT day, new_users,
+                  CAST(SUM(new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+           FROM d ORDER BY day"""),
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy("user_id").agg(min(col("ts").cast("date")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("day_num", datediff(col("day"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      graft.ops.PrefixSum.runningTotalsAsc(daily, Seq("new_users"),
+          "day_num", Seq("cum_users"))
+        .select(col("day"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    })
+
+  val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
+    mergeUpsert, unpivotMelt, cumulativeDistinct)
 }

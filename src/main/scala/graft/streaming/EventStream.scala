@@ -376,6 +376,47 @@ object EventStream {
     * shuffles batch-side when not, exactly as in batch. LEFT join
     * keeps unmatched events (the dimension-miss rows an enrichment
     * must surface, not drop). */
+  /** CEP-style A→B-within-window pattern detection (X221 streaming
+    * twin): per user, match each `thenType` event to the MOST RECENT
+    * `firstType` event strictly before it and within `windowMinutes`.
+    * State is ONE long per user (the last A timestamp) — constant
+    * memory per key; emissions are append-only match rows. Both
+    * inequalities are STRICT so a same-timestamp A/B pair resolves
+    * identically to the batch twin's `a.us < b.us` predicate
+    * regardless of intra-timestamp arrival order. Events inside a
+    * micro-batch are ordered (ts, event_id) before the scan (the
+    * sessionizeStream in-order discipline; cross-batch late A's
+    * can't retro-match already-emitted B's — the standard streaming
+    * trade-off, recorded). */
+  def patternStream(events: DataFrame, firstType: String,
+      thenType: String, windowMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val win = windowMinutes * 60L * 1000000L
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .where(col("event_type").isin(firstType, thenType))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[Long]) =>
+          val evs = it.toSeq.sortBy(e => (e._4, e._1))
+          var lastA = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[(Long, Long, Long, Long)]
+          evs.foreach { case (eid, _, typ, ts) =>
+            if (typ == firstType) lastA = math.max(lastA, ts)
+            else if (lastA < ts && lastA > ts - win)
+              out += ((eid, uid, lastA, ts))
+          }
+          state.update(lastA)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "click_us", "purchase_us")
+  }
+
   def enrichStream(events: DataFrame, dim: DataFrame,
       eventKey: String, dimKey: String,
       payload: Seq[String]): DataFrame =

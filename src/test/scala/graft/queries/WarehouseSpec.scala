@@ -49,6 +49,65 @@ class WarehouseSpec extends SparkSuite {
     assert(rows.length == nProbes, "a probe fell outside all intervals")
   }
 
+  test("q_merge_upsert: action classes partition the key space and " +
+      "the deltas are applied exactly") {
+    val base = Tables.customer(spark, Sf0001)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = WarehouseQueries.mergeUpsert.fn(spark, Sf0001).collect()
+    val byAction = rows.groupBy(_.getString(2))
+    val updates = base.keys.count(_ % 10 == 0)
+    val deletes = base.keys.count(_ % 10 == 1)
+    val inserts = base.keys.count(_ % 10 == 2)
+    assert(byAction("update").length == updates)
+    assert(byAction("insert").length == inserts)
+    assert(byAction("keep").length == base.size - updates - deletes)
+    assert(rows.length == base.size - deletes + inserts)
+    byAction("update").foreach { r =>
+      assert(r.getDouble(1) == base(r.getLong(0)) + 100.0)
+    }
+    byAction("insert").foreach { r =>
+      val origKey = r.getLong(0) - 10000000L
+      assert(origKey % 10 == 2 && base.contains(origKey))
+      assert(r.getDouble(1) == origKey.toDouble * 1.5)
+    }
+    // no deleted key survives
+    rows.foreach(r => assert(r.getLong(0) % 10 != 1 ||
+      r.getString(2) == "insert"))
+  }
+
+  test("q_unpivot: wide->long round-trip matches the direct long " +
+      "aggregate row for row") {
+    val rows = WarehouseQueries.unpivotMelt.fn(spark, Sf0001).collect()
+    val direct = Tables.orders(spark, Sf0001)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(graft.functions.Num.qround(
+        org.apache.spark.sql.functions.sum("o_totalprice"), 2)
+        .as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(rows.length == direct.size, "melt dropped or invented cells")
+    rows.foreach { r =>
+      assert(r.getDouble(2) == direct((r.getString(0), r.getString(1))))
+    }
+  }
+
+  test("q_cumulative_distinct: curve is monotone and ends at the " +
+      "total distinct-user count") {
+    val rows = WarehouseQueries.cumulativeDistinct.fn(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    var prev = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == prev + r.getLong(1), "running sum")
+      prev = r.getLong(2)
+    }
+    val distinctUsers = Tables.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(prev == distinctUsers)
+  }
+
   test("q_hll_distinct: register universe, estimate in range, error " +
       "bounded at m=256") {
     val rows = WarehouseQueries.hllDistinct.fn(spark, Sf0001).collect()
