@@ -1606,6 +1606,77 @@ cents_${i + 1} AS (
         .orderBy("custkey")
     })
 
+  /** Sketch-based join-size estimation (X223 — Alon–Gibbons–Matias–
+    * Szegedy 1999 / Cormode–Muthukrishnan 2005: |A ⋈ B| = Σ_k a_k·b_k
+    * is the inner product of the two key-frequency vectors, estimated
+    * as the MIN over hash rows of the sketch-counter inner product —
+    * the cardinality estimate a cost-based optimizer wants BEFORE
+    * running the join, from two O(d·w) sketches built in one pass per
+    * table). Same d=4/w=256 portable-md5 sketch family as X148 (same
+    * `cms j:` salts, so the two sketch rows provably share hashes).
+    * Everything is exact integers — counters, per-row inner products,
+    * the min, the exact replay — except the reported relative error
+    * (exact-integer-fed division, hashes raw). Upward bias is
+    * structural (collisions only ADD mass); the eval lane makes it
+    * measurable, the X74 discipline. */
+  val joinSizeCm = QueryDef(
+    "q_join_size_cm", {
+      val width = 256
+      def hSql(j: Int, u: String) =
+        s"CAST('0x' || substring(md5('cms$j:' || CAST($u AS VARCHAR)), " +
+          s"1, 8) AS BIGINT) % $width"
+      val rows = (0 until 4)
+      Some(s"""WITH ea AS (SELECT user_id AS u FROM events),
+              eb AS (SELECT o_custkey AS u FROM orders),
+              ca AS (
+                ${rows.map(j =>
+                  s"""SELECT $j AS j, ${hSql(j, "u")} AS cell,
+                         CAST(COUNT(*) AS BIGINT) AS a
+                     FROM ea GROUP BY 2""").mkString("\n UNION ALL\n")}),
+              cb AS (
+                ${rows.map(j =>
+                  s"""SELECT $j AS j, ${hSql(j, "u")} AS cell,
+                         CAST(COUNT(*) AS BIGINT) AS b
+                     FROM eb GROUP BY 2""").mkString("\n UNION ALL\n")}),
+              ip AS (
+                SELECT ca.j, CAST(SUM(ca.a * cb.b) AS BIGINT) AS est_j
+                FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell
+                GROUP BY ca.j),
+              mn AS (SELECT CAST(MIN(est_j) AS BIGINT) AS est FROM ip),
+              ex AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM ea JOIN eb ON ea.u = eb.u)
+              SELECT ip.j, ip.est_j, mn.est, ex.n_exact,
+                     CAST(mn.est - ex.n_exact AS DOUBLE) /
+                       CAST(ex.n_exact AS DOUBLE) AS rel_overestimate
+              FROM ip CROSS JOIN mn CROSS JOIN ex
+              ORDER BY ip.j""")
+    },
+    (s, d) => {
+      val width = 256
+      def h(j: Int, u: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"cms$j:"), u.cast("string"))),
+          1, 8), 16, 10).cast("long") % width
+      def sketch(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.select(explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"), h(j, col("u")).as("cell"))): _*))
+            .as("x"))
+          .groupBy(col("x.j").as("j"), col("x.cell").as("cell"))
+          .agg(count(lit(1)).as(out))
+      val ea = Tables.events(s, d).select(col("user_id").as("u"))
+      val eb = Tables.orders(s, d).select(col("o_custkey").as("u"))
+      val ip = sketch(ea, "a").join(sketch(eb, "b"), Seq("j", "cell"))
+        .groupBy("j").agg(sum(col("a") * col("b")).as("est_j"))
+        .localCheckpoint(true) // 4 rows: min probe + final projection
+      val est = ip.agg(min("est_j")).head().getLong(0)
+      val nExact = ea.join(eb, Seq("u")).count()
+      ip.select(col("j"), col("est_j"), lit(est).as("est"),
+          lit(nExact).as("n_exact"),
+          ((lit(est) - lit(nExact)).cast("double") /
+            lit(nExact).cast("double")).as("rel_overestimate"))
+        .orderBy("j")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
@@ -1614,5 +1685,5 @@ cents_${i + 1} AS (
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
     approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
-    imageDedup, als, itemsetTriples)
+    imageDedup, als, itemsetTriples, joinSizeCm)
 }

@@ -1001,9 +1001,128 @@ object GraphQueries {
         .orderBy("node")
     })
 
+  // ------------------- X222 strongly connected components + bow-tie
+
+  /** Strongly connected components + bow-tie decomposition (X222 —
+    * Broder et al. 2000's web-graph anatomy: the largest SCC is the
+    * CORE, upstream pages that reach it are IN, downstream pages it
+    * reaches are OUT, the rest tendrils/disconnected — the structural
+    * map a crawler reads before deciding where frontier budget goes;
+    * the DIRECTED completion of X73's undirected communities).
+    *
+    * Graph = the sparse carve of the shared 50-node domain multigraph
+    * (doc_id ≡ 0 mod 5 slice, distinct edges — the dense carve is one
+    * giant SCC, structurally vacuous). Reachability is 6 rounds of
+    * PATH DOUBLING (R ← R ∪ R∘R, each ONE self equi-join + distinct,
+    * localCheckpoint per round): lengths covered double per round, so
+    * 6 rounds ≥ 64 > any simple path on ≤50 nodes — closure is EXACT
+    * by construction, no convergence probe needed. scc_id(u) =
+    * min{v : u→v ∧ v→u} ∪ {u} off one closure self-join. Pair volume
+    * is bounded by the 50-node carve (≤2500) — the declared
+    * bounded-domain-graph tier every X66-family row shares; at web
+    * scale the same rounds run on the contracted DOMAIN graph, not
+    * pages. Core/IN/OUT sets are bounded driver metadata (≤50 ids)
+    * re-entering as literals. All-integer lanes; full 0..49 node
+    * universe (graph-op node-semantics discipline). */
+  val domainScc = QueryDef(
+    "q_domain_scc",
+    Some("""WITH RECURSIVE se AS (
+             SELECT DISTINCT doc_id % 50 AS src,
+                    CAST('0x' || substring(md5('pr:'
+                        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      % 50 AS dst
+             FROM documents WHERE doc_id % 5 = 0),
+           reach(s, t) AS (
+             SELECT src, dst FROM se
+             UNION
+             SELECT r.s, se.dst FROM reach r JOIN se ON se.src = r.t),
+           nodes AS (SELECT CAST(range AS BIGINT) AS v FROM range(0, 50)),
+           mutual AS (
+             SELECT r1.s AS u, r1.t AS v
+             FROM reach r1 JOIN reach r2
+               ON r1.s = r2.t AND r1.t = r2.s),
+           sccid AS (
+             SELECT n.v AS node,
+                    LEAST(n.v, COALESCE(MIN(m.v), n.v)) AS scc_id
+             FROM nodes n LEFT JOIN mutual m ON m.u = n.v
+             GROUP BY n.v),
+           sizes AS (
+             SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+             FROM sccid GROUP BY scc_id),
+           core AS (
+             SELECT scc_id AS core_id FROM sizes
+             ORDER BY scc_size DESC, scc_id ASC LIMIT 1),
+           coremembers AS (
+             SELECT node FROM sccid
+             WHERE scc_id = (SELECT core_id FROM core)),
+           innodes AS (
+             SELECT DISTINCT r.s AS node FROM reach r
+             WHERE r.t IN (SELECT node FROM coremembers)),
+           outnodes AS (
+             SELECT DISTINCT r.t AS node FROM reach r
+             WHERE r.s IN (SELECT node FROM coremembers))
+           SELECT s.node, s.scc_id, z.scc_size,
+                  CASE
+                    WHEN s.scc_id = (SELECT core_id FROM core)
+                      THEN 'CORE'
+                    WHEN s.node IN (SELECT node FROM innodes)
+                      THEN 'IN'
+                    WHEN s.node IN (SELECT node FROM outnodes)
+                      THEN 'OUT'
+                    ELSE 'OTHER' END AS btclass
+           FROM sccid s JOIN sizes z ON z.scc_id = s.scc_id
+           ORDER BY s.node"""),
+    (s, d) => {
+      val se = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") % 50).as("s"),
+          (conv(substring(md5(concat(lit("pr:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 50).as("t"))
+        .distinct()
+      // exact closure: 6 path-doubling rounds cover length <= 64 > 49
+      var reach = se.localCheckpoint()
+      for (_ <- 0 until 6) {
+        val hop = reach.select(col("s"), col("t").as("m"))
+          .join(reach.select(col("s").as("m"), col("t").as("t2")),
+            Seq("m"))
+          .select(col("s"), col("t2").as("t"))
+        reach = reach.union(hop).distinct().localCheckpoint()
+      }
+      val mutual = reach
+        .join(reach.select(col("s").as("t"), col("t").as("s")),
+          Seq("s", "t"), "left_semi") // (u,v) with both directions
+      val nodes = s.range(0, 50).select(col("id").as("node"))
+      val sccid = nodes
+        .join(mutual.select(col("s").as("node"), col("t").as("w")),
+          Seq("node"), "left")
+        .groupBy("node")
+        .agg(least(col("node"), coalesce(min("w"), col("node")))
+          .as("scc_id"))
+        .localCheckpoint(true) // sizes + core probe + final projection
+      val sizes = sccid.groupBy("scc_id")
+        .agg(count(lit(1)).as("scc_size"))
+      val coreId = sizes.orderBy(col("scc_size").desc,
+        col("scc_id").asc).limit(1).head().getLong(0)
+      // bounded driver metadata: core members, IN set, OUT set (<=50)
+      val coreMembers = sccid.filter(col("scc_id") === coreId)
+        .select("node").collect().map(_.getLong(0)).toSet
+      val inSet = reach.filter(col("t").isin(coreMembers.toSeq: _*))
+        .select("s").distinct().collect().map(_.getLong(0)).toSet
+      val outSet = reach.filter(col("s").isin(coreMembers.toSeq: _*))
+        .select("t").distinct().collect().map(_.getLong(0)).toSet
+      sccid.join(sizes, Seq("scc_id"))
+        .select(col("node"), col("scc_id"), col("scc_size"),
+          when(col("scc_id") === coreId, "CORE")
+            .when(col("node").isin(inSet.toSeq: _*), "IN")
+            .when(col("node").isin(outSet.toSeq: _*), "OUT")
+            .otherwise("OTHER").as("btclass"))
+        .orderBy("node")
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
       rankAgreement, graphShape, linkPredict, pagerankDelta,
-      rankFusion, rankRbo)
+      rankFusion, rankRbo, domainScc)
 }

@@ -1165,7 +1165,102 @@ object StatsQueries {
       w.withColumn("iv_total", lit(iv)).orderBy("bucket")
     })
 
+  // ------------------------------------------- quantile regression
+
+  /** Quantile (pinball-loss) regression by fixed-round subgradient
+    * descent (X224 — Koenker & Bassett 1978: fit the τ = 0.9
+    * CONDITIONAL quantile of event value against hour-of-day; the
+    * tail-risk member of the regression family next to X171's OLS
+    * mean, X180's Theil–Sen median trend and X189's logistic
+    * classifier). Each round is ONE aggregated pass (count + the two
+    * subgradient components + the pinball loss at the entering
+    * weights); the 2-double weight vector lives on the driver and
+    * re-enters as literals — the X189 GD shape exactly.
+    *
+    * Determinism: the X189 pinned-round discipline — subgradient
+    * means and updated weights qround(6) per round; the pinball
+    * branch constants are the exact literals 0.1 / −0.9 / 0.9 / −0.1
+    * (NOT computed as 1−τ, whose IEEE value differs from the 0.1
+    * literal) so the indicator and loss trees are identical on both
+    * engines. y is scaled by 1/500 (one deterministic element-wise
+    * divide) to keep η = 1 stable. Output: rounds 0..5 with entering
+    * weights and their loss — the loss CURVE is the result, the
+    * X197 learning-curve shape. */
+  val quantileReg = QueryDef(
+    "q_quantile_reg", {
+      def yhat(w: String) = s"($w.w0 + $w.w1 * b.x)"
+      def dC(w: String) =
+        s"(CASE WHEN b.y < ${yhat(w)} THEN 0.1 ELSE -0.9 END)"
+      def lossC(w: String) =
+        s"GREATEST(0.9 * (b.y - ${yhat(w)}), -0.1 * (b.y - ${yhat(w)}))"
+      val rounds = (1 to 5).map { i =>
+        val w = s"w_${i - 1}"
+        s"""g_$i AS (
+             SELECT ${Num.qroundSql(s"SUM(${dC(w)}) / nn.n", 6)} AS g0,
+                    ${Num.qroundSql(s"SUM(${dC(w)} * b.x) / nn.n", 6)}
+                      AS g1,
+                    ${Num.qroundSql(s"SUM(${lossC(w)}) / nn.n", 6)}
+                      AS loss
+             FROM base b CROSS JOIN $w CROSS JOIN nn
+             GROUP BY nn.n),
+           w_$i AS (
+             SELECT ${Num.qroundSql(s"w.w0 - 1.0 * g.g0", 6)} AS w0,
+                    ${Num.qroundSql(s"w.w1 - 1.0 * g.g1", 6)} AS w1
+             FROM $w w CROSS JOIN g_$i g)"""
+      }.mkString(",\n")
+      Some(s"""WITH base AS (
+               SELECT value / 500.0 AS y,
+                      CAST(hour(ts) AS DOUBLE) / 24.0 AS x
+               FROM events),
+             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+             w_0 AS (SELECT 0.0 AS w0, 0.0 AS w1),
+             $rounds,
+             l_6 AS (
+               SELECT ${Num.qroundSql(
+                 s"SUM(${lossC("w_5")}) / nn.n", 6)} AS loss
+               FROM base b CROSS JOIN w_5 CROSS JOIN nn
+               GROUP BY nn.n)
+             SELECT * FROM (
+               ${(1 to 5).map(i =>
+                 s"""SELECT ${i - 1} AS gd_round, w.w0, w.w1,
+                     g.loss FROM w_${i - 1} w CROSS JOIN g_$i g""")
+                 .mkString(" UNION ALL ")}
+               UNION ALL
+               SELECT 5, w.w0, w.w1, l.loss
+               FROM w_5 w CROSS JOIN l_6 l) uq
+             ORDER BY gd_round""")
+    },
+    (s, d) => {
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val feats = Tables.events(s, d)
+        .select((col("value") / 500.0).as("y"),
+          (hour(col("ts")).cast("double") / 24.0).as("x"))
+        .localCheckpoint(true) // 6 aggregated passes over one frame
+      var (w0, w1) = (0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Double, Double)]
+      def yhat = lit(w0) + lit(w1) * col("x")
+      def dCol = when(col("y") < yhat, 0.1).otherwise(-0.9)
+      def lossCol = greatest(lit(0.9) * (col("y") - yhat),
+        lit(-0.1) * (col("y") - yhat))
+      for (r <- 0 until 5) {
+        val row = feats.agg(count(lit(1)), sum(dCol),
+          sum(dCol * col("x")), sum(lossCol)).head()
+        val n = row.getLong(0).toDouble
+        out += ((r, w0, w1, q6(row.getDouble(3) / n)))
+        val g0 = q6(row.getDouble(1) / n)
+        val g1 = q6(row.getDouble(2) / n)
+        w0 = q6(w0 - 1.0 * g0)
+        w1 = q6(w1 - 1.0 * g1)
+      }
+      val fin = feats.agg(count(lit(1)), sum(lossCol)).head()
+      out += ((5, w0, w1, q6(fin.getDouble(1) / fin.getLong(0))))
+      import s.implicits._
+      out.toSeq.toDF("gd_round", "w0", "w1", "loss")
+        .orderBy("gd_round")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
-    conformal, jackknife, ipfRake, ebShrink, woeIv)
+    conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg)
 }
