@@ -186,7 +186,76 @@ case class CmsSketch(child: Expression, depth: Int, width: Int,
     copy(child = c)
 }
 
+/** `hll_registers(h)`: HyperLogLog register vector (b = 8 → m = 256)
+  * over a 48-bit non-negative hash column — the NATIVE mergeable form
+  * of the X211 groupBy-register sketch (Flajolet et al. 2007), as a
+  * TypedImperativeAggregate so ONE operator serves batch rollups,
+  * partial/merge map-side combine, AND streaming complete-mode
+  * aggregation (the X141 KMV discipline: merge ≡ element-wise max,
+  * which is exactly this aggregate's merge).
+  *
+  * Register math matches WarehouseQueries.hllDistinct bit for bit:
+  * idx = top 8 hash bits, ρ = 41 − bitlength(low 40 bits) (41 when
+  * zero) — so the register vector this aggregate produces is
+  * IDENTICAL to the groupBy-MAX formulation's and one oracle serves
+  * both. State is a fixed 256-byte array per group. */
+case class HllRegisters(child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_registers needs a BIGINT 48-bit hash, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_registers"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](256)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val idx = (h >>> 40).toInt & 0xff
+      val rem = h & ((1L << 40) - 1)
+      val rho =
+        if (rem == 0L) 41
+        else 41 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > buf(idx)) buf(idx) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < 256) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): HllRegisters =
+    copy(child = c)
+}
+
 object SketchFunctions {
+
+  /** HLL register vector (length 256, ints) of a 48-bit hash column. */
+  def hllRegisters(e: Column): Column =
+    ColumnBridge.column(
+      HllRegisters(ColumnBridge.expression(e)).toAggregateExpression())
 
   /** Bottom-k distinct values of a long column, ascending. */
   def bottomK(e: Column, k: Int): Column =

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.Text
+import graft.functions.{Num, Text}
 import org.apache.spark.sql.functions._
 
 /** Round-13 index-based retrieval (SURVEY §2l X214): positional
@@ -89,5 +89,90 @@ object RetrievalQueries {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QueryDef] = Seq(phraseSearch)
+  /** NDCG@10 ranking evaluation (X227 — Järvelin & Kekäläinen 2002:
+    * THE graded ranking metric, completing the eval family next to
+    * X74's recall@k, X185's calibration and X186's RBO. Ranker under
+    * test = global part popularity (the canonical cold-start
+    * baseline); relevance truth = each customer's own order count per
+    * part, so the metric asks "how well does the bestseller list
+    * serve THIS customer"). DCG folds rel/log2(pos+1) down the
+    * top-10 literal list (bounded driver metadata — the X12 top-k
+    * discipline, ties partkey-ASC); IDCG re-ranks the customer's own
+    * relevances via one customer-partitioned row_number ≤ 10. Both
+    * are ≤10-term aggregated log2 sums → qround(6); ndcg = the ratio
+    * of the two quantized lanes (element-wise, hashes raw). Customers
+    * sharing no part with the top-10 get dcg = 0 exactly. */
+  val ndcgEval = QueryDef(
+    "q_ndcg",
+    Some(s"""WITH rel AS (
+             SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+                    CAST(COUNT(*) AS BIGINT) AS rel
+             FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+             GROUP BY 1, 2),
+           pop AS (
+             SELECT partkey, CAST(SUM(rel) AS BIGINT) AS tot
+             FROM rel GROUP BY partkey),
+           top10 AS (
+             SELECT partkey,
+                    CAST(ROW_NUMBER() OVER
+                      (ORDER BY tot DESC, partkey ASC) AS BIGINT) AS pos
+             FROM pop ORDER BY tot DESC, partkey ASC LIMIT 10),
+           dcg AS (
+             SELECT r.custkey,
+                    ${Num.qroundSql(
+                      "SUM(CAST(r.rel AS DOUBLE) / " +
+                        "log2(CAST(t.pos + 1 AS DOUBLE)))", 6)} AS dcg
+             FROM rel r JOIN top10 t ON t.partkey = r.partkey
+             GROUP BY r.custkey),
+           ranked AS (
+             SELECT custkey, rel,
+                    ROW_NUMBER() OVER (PARTITION BY custkey
+                      ORDER BY rel DESC, partkey ASC) AS rn
+             FROM rel),
+           idcg AS (
+             SELECT custkey,
+                    ${Num.qroundSql(
+                      "SUM(CAST(rel AS DOUBLE) / " +
+                        "log2(CAST(rn + 1 AS DOUBLE)))", 6)} AS idcg
+             FROM ranked WHERE rn <= 10 GROUP BY custkey),
+           m AS (
+             SELECT i.custkey, COALESCE(d.dcg, 0.0) AS dcg, i.idcg
+             FROM idcg i LEFT JOIN dcg d ON d.custkey = i.custkey)
+           SELECT custkey, dcg, idcg, dcg / idcg AS ndcg
+           FROM m ORDER BY custkey"""),
+    (s, d) => {
+      val rel = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"),
+          col("l_partkey").as("partkey"))
+        .agg(count(lit(1)).as("rel"))
+        .localCheckpoint(true) // popularity fit + dcg + idcg lanes
+      val top10 = rel.groupBy("partkey").agg(sum("rel").as("tot"))
+        .orderBy(col("tot").desc, col("partkey").asc).limit(10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), (i + 1).toLong) }
+      import s.implicits._
+      val topDf = broadcast(top10.toSeq.toDF("partkey", "pos"))
+      val dcg = rel.join(topDf, Seq("partkey"))
+        .groupBy("custkey")
+        .agg(Num.qround(sum(col("rel").cast("double") /
+          log2((col("pos") + 1).cast("double"))), 6).as("dcg"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("custkey").orderBy(col("rel").desc,
+          col("partkey").asc)
+      val idcg = rel.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("custkey")
+        .agg(Num.qround(sum(col("rel").cast("double") /
+          log2((col("rn") + 1).cast("double"))), 6).as("idcg"))
+      idcg.join(dcg, Seq("custkey"), "left")
+        .select(col("custkey"),
+          coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"))
+        .withColumn("ndcg", col("dcg") / col("idcg"))
+        .orderBy("custkey")
+    })
+
+  val all: Seq[QueryDef] = Seq(phraseSearch, ndcgEval)
 }

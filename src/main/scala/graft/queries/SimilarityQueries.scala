@@ -2035,6 +2035,100 @@ ORDER BY id_a, id_b"""
         .orderBy("rnk")
     })
 
+  /** Golden-record entity resolution (X228 — the MDM step AFTER
+    * linkage: X91's fuzzy pairs are only evidence; master data wants
+    * CLUSTERS (transitive closure of the match graph) and ONE
+    * canonical survivor per cluster under a survivorship rule —
+    * here: highest frequency, then shortest, then lexicographic
+    * name; the cluster id is the lexicographically-least member, so
+    * ids are content-derived and stable across runs). Pairs = the
+    * exact q_fuzzy_join construction (same block, same levenshtein
+    * ≤ 2 gate — shared so evidence and resolution can't drift).
+    * Closure = the X222 path-doubling device on the symmetrized
+    * match graph seeded with identity pairs, doubled to FIXPOINT
+    * (count-stable probe, ≤ 8 rounds = paths ≤ 2⁸; require guards
+    * the pathological chain) — pair volume bounded by the blocked
+    * match graph, never |names|². All-integer/string lanes. */
+  val goldenRecord = QueryDef(
+    "q_golden_record",
+    Some("""WITH RECURSIVE names AS (
+              SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+                     string_split(p_name, ' ')[-1] AS blk
+              FROM part GROUP BY p_name),
+            pairs AS (
+              SELECT a.name AS x, b.name AS y
+              FROM names a JOIN names b
+                ON a.blk = b.blk AND a.name < b.name
+              WHERE levenshtein(a.name, b.name) <= 2),
+            und AS (
+              SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+            memb AS (SELECT DISTINCT x AS name FROM und),
+            reach(s, t) AS (
+              SELECT name, name FROM memb
+              UNION
+              SELECT r.s, u.y FROM reach r JOIN und u ON u.x = r.t),
+            lab AS (
+              SELECT s AS name, MIN(t) AS cluster_id
+              FROM reach GROUP BY s),
+            clustered AS (
+              SELECT l.cluster_id, l.name, nm.n
+              FROM lab l JOIN names nm ON nm.name = l.name),
+            ranked AS (
+              SELECT cluster_id, name, n,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY n DESC, length(name) ASC, name ASC)
+                       AS rn
+              FROM clustered)
+            SELECT cluster_id, name, n, rn = 1 AS is_canonical
+            FROM ranked ORDER BY cluster_id, name"""),
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+        .localCheckpoint(true) // pair build + the n re-join
+      val a = names.select(col("name").as("x"), col("blk"))
+      val b = names.select(col("name").as("y"), col("blk"))
+      val pairs = a.join(b, Seq("blk"))
+        .where(col("x") < col("y") &&
+          levenshtein(col("x"), col("y")) <= 2)
+        .select("x", "y")
+      val und = pairs
+        .union(pairs.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      val memb = und.select(col("x").as("name")).distinct()
+      var reach = memb
+        .select(col("name").as("s"), col("name").as("t"))
+        .union(und.select(col("x").as("s"), col("y").as("t")))
+        .distinct().localCheckpoint()
+      // path doubling to fixpoint: closure exact once count stabilizes
+      var prev = -1L
+      var cnt = reach.count()
+      var rounds = 0
+      while (cnt != prev && rounds < 8) {
+        prev = cnt
+        val hop = reach.select(col("s"), col("t").as("m"))
+          .join(reach.select(col("s").as("m"), col("t").as("t2")),
+            Seq("m"))
+          .select(col("s"), col("t2").as("t"))
+        reach = reach.union(hop).distinct().localCheckpoint()
+        cnt = reach.count()
+        rounds += 1
+      }
+      require(cnt == prev, "golden-record closure did not converge")
+      val lab = reach.groupBy(col("s").as("name"))
+        .agg(min("t").as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n").desc, length(col("name")).asc,
+          col("name").asc)
+      lab.join(names.select("name", "n"), Seq("name"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("cluster_id"), col("name"), col("n"),
+          (col("rn") === 1).as("is_canonical"))
+        .orderBy("cluster_id", "name")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact, ppmiSvd,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
@@ -2044,5 +2138,5 @@ ORDER BY id_a, id_b"""
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
-    fellegiSunter, pcaProject)
+    fellegiSunter, pcaProject, goldenRecord)
 }

@@ -272,6 +272,60 @@ object WarehouseQueries {
         .orderBy("event_type")
     })
 
+  /** STREAMING HyperLogLog distinct-count (X225 — the X211 sketch as
+    * a NATIVE mergeable aggregate pushed through the real streaming
+    * runtime: [[graft.functions.HllRegisters]] runs inside a
+    * streaming groupBy.agg in complete mode, exercising the
+    * partial/merge machinery (merge ≡ element-wise register max) the
+    * way X141 proved it for KMV. The register vector the aggregate
+    * emits is bit-identical to the batch groupBy-MAX formulation's,
+    * so q_hll_distinct's ORACLE serves this query unchanged — a green
+    * row proves sketch-native streaming and the relational batch form
+    * agree to the last register. The estimate tail (harmonic fold of
+    * exact powers of two, linear-counting correction) is evaluated
+    * from the emitted registers by one sequential HOF fold — exact,
+    * order-free (<53-bit span). */
+  val streamHll = QueryDef(
+    "q_stream_hll",
+    hllDistinct.oracle, // the batch formulation's SQL, verbatim
+    (s, d) => {
+      import graft.functions.SketchFunctions
+      import graft.streaming.EventStream
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val h = conv(substring(md5(concat(lit("graft-hll:"),
+        col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val plan = EventStream.readEvents(s, src)
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(SketchFunctions.hllRegisters(col("h")).as("regs"))
+      val sk = EventStream.runAvailableNow(s, plan, "q_stream_hll_sink",
+        outputMode = "complete", statePartitions = 4)
+      val regs = s.createDataFrame(sk.rdd, sk.schema) // re-root (X115b)
+      val sumpow = expr("""aggregate(regs, CAST(0.0 AS DOUBLE),
+        (acc, m) -> acc +
+          1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE))""")
+      val zeros = size(filter(col("regs"), m => m === 0)).cast("long")
+      val est0 = regs
+        .withColumn("zeros", zeros)
+        .withColumn("registers_hit", lit(256L) - col("zeros"))
+        .withColumn("raw", lit(alpha) * 65536.0 / sumpow)
+        .withColumn("est", Num.qround(
+          when(col("raw") <= 640.0 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+            .otherwise(col("raw")), 6))
+      val ex = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("exact_distinct"))
+      est0.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+          col("registers_hit"), col("zeros"), col("est"),
+          Num.qround(abs(col("est") - col("exact_distinct")
+            .cast("double")) / col("exact_distinct").cast("double"), 6)
+            .as("rel_err"))
+        .orderBy("event_type")
+    })
+
   // -------------------------------------------------- MERGE / upsert
 
   /** MERGE INTO (upsert) semantics with action audit (X218 — the
@@ -418,6 +472,66 @@ object WarehouseQueries {
         .orderBy("day")
     })
 
+  // ------------------------------------- range-partition planning
+
+  /** Equal-depth range-partition plan (X226 — the histogram-driven
+    * boundary assignment behind every range partitioner and sort
+    * shuffle (TeraSort's sampler, Spark's RangePartitioner): given
+    * the key-frequency histogram, assign each key to the partition
+    * its EXCLUSIVE cumulative offset falls in at depth ⌈N/P⌉ —
+    * heavy keys stay atomic (a key is never split), so the report's
+    * skew factor shows exactly where load balance breaks and a
+    * salting decision (X17) becomes data-driven). P = 16 over the
+    * orders-per-customer histogram. The cumulative offset rides the
+    * two-pass [[graft.ops.PrefixSum.runningTotalsAsc]] device (no
+    * partition-less WindowExec; unique custkey satisfies its
+    * precondition). All-integer lanes except the skew ratio
+    * (exact-integer-fed divide, hashes raw). */
+  val rangePartitionPlan = QueryDef(
+    "q_range_partition_plan",
+    Some("""WITH k AS (
+             SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+             FROM orders GROUP BY o_custkey),
+           cum AS (
+             SELECT key, c,
+                    CAST(SUM(c) OVER (ORDER BY key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) - c AS startoff
+             FROM k),
+           t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM k),
+           asg AS (
+             SELECT cum.key, cum.c,
+                    cum.startoff // ((t.total + 15) // 16) AS pid
+             FROM cum CROSS JOIN t)
+           SELECT pid,
+                  CAST(MIN(key) AS BIGINT) AS min_key,
+                  CAST(MAX(key) AS BIGINT) AS max_key,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(c) AS BIGINT) AS n_rows,
+                  CAST(SUM(c) AS DOUBLE) /
+                    ((SELECT CAST(total AS DOUBLE) FROM t) / 16.0)
+                    AS skew
+           FROM asg GROUP BY pid ORDER BY pid"""),
+    (s, d) => {
+      val k = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("c"))
+      val cum = graft.ops.PrefixSum.runningTotalsAsc(k, Seq("c"),
+          "key", Seq("cumc"))
+        .withColumn("startoff", col("cumc") - col("c"))
+        .localCheckpoint(true) // total action + the assignment scan
+      val total = cum.agg(sum("c")).head().getLong(0)
+      val depth = (total + 15) / 16
+      cum.withColumn("pid", expr(s"startoff div $depth"))
+        .groupBy("pid")
+        .agg(min("key").as("min_key"), max("key").as("max_key"),
+          count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+        .withColumn("skew",
+          col("n_rows").cast("double") / (lit(total.toDouble) / 16.0))
+        .orderBy("pid")
+    })
+
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
-    mergeUpsert, unpivotMelt, cumulativeDistinct)
+    streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
+    rangePartitionPlan)
 }
