@@ -2035,6 +2035,54 @@ ORDER BY id_a, id_b"""
         .orderBy("rnk")
     })
 
+  /** Blocked Damerau–Levenshtein fuzzy join (X231 — the third member
+    * of the string-kernel linkage family: X91 levenshtein (no
+    * transpositions), X150 Jaro–Winkler (normalized similarity), and
+    * now the UNRESTRICTED transposition edit DISTANCE via the native
+    * codegen [[graft.functions.DamerauLevenshtein]] kernel, pinned to
+    * DuckDB's damerau_levenshtein (3000 random-pair validation, zero
+    * mismatches — the X150 discipline). Same scale shape as both
+    * siblings: exact-dedup names, block on the last token, quadratic
+    * only within a block. Both distances emitted so the rows SHOW
+    * where the transposition credit changes the verdict (dl < lev on
+    * swapped-token names); the ≤ 2 gate is on the DL lane. Exact
+    * integer lanes — hash raw. */
+  val fuzzyJoinDl = QueryDef(
+    "q_fuzzy_join_dl",
+    Some("""WITH names AS (
+              SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+                     string_split(p_name, ' ')[-1] AS blk
+              FROM part GROUP BY p_name)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n AS n_a, b.n AS n_b,
+                   CAST(damerau_levenshtein(a.name, b.name) AS INT)
+                     AS dist_dl,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist_lev
+            FROM names a JOIN names b
+              ON a.blk = b.blk AND a.name < b.name
+            WHERE damerau_levenshtein(a.name, b.name) <= 2
+            ORDER BY name_a, name_b"""),
+    (s, d) => {
+      import graft.functions.StringKernels
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+        col("blk"))
+      val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .where(col("name_a") < col("name_b") &&
+          StringKernels.damerauLevenshtein(col("name_a"),
+            col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          StringKernels.damerauLevenshtein(col("name_a"), col("name_b"))
+            .as("dist_dl"),
+          levenshtein(col("name_a"), col("name_b")).as("dist_lev"))
+        .orderBy("name_a", "name_b")
+    })
+
   /** Golden-record entity resolution (X228 — the MDM step AFTER
     * linkage: X91's fuzzy pairs are only evidence; master data wants
     * CLUSTERS (transitive closure of the match graph) and ONE
@@ -2138,5 +2186,5 @@ ORDER BY id_a, id_b"""
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
-    fellegiSunter, pcaProject, goldenRecord)
+    fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.Num
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-13 statistical monitors (SURVEY §2l X169–X174): the drift /
@@ -1260,7 +1261,85 @@ object StatsQueries {
         .orderBy("gd_round")
     })
 
+  // ------------------------------------------- Wasserstein-1 drift
+
+  /** Pairwise 1-D Wasserstein (earth-mover) distance between the
+    * sources' doc-length distributions (X229 — Vaserstein 1969;
+    * the INTEGRAL drift metric completing the divergence family:
+    * X113's KS is the sup of the cdf gap, X169's JS weighs
+    * probability ratios — W₁ = ∫|F_a − F_b| dv is the only one in
+    * actual UNITS (characters here), "how far must mass move", which
+    * is why distribution-shift papers report it. On integer support,
+    * W₁ = Σ_v |F_a(v) − F_b(v)| exactly — unit gaps, no sorting, no
+    * quantile coupling). Shape: per-(source, v) counts are one keyed
+    * aggregate over the bounded length alphabet; the cdf grid is the
+    * BOUNDED 5 × (max+1) frame (sources × integer support — metadata,
+    * not data) cumulated by a source-PARTITIONED window; the pair
+    * matrix is a grid self-join on v (10 pairs). F lanes are exact
+    * integer ratios; the 600-term |gap| sum is the one aggregated
+    * lane → qround(6). */
+  val wassersteinDrift = QueryDef(
+    "q_wasserstein_drift",
+    Some(s"""WITH c AS (
+             SELECT source, n_chars AS v,
+                    CAST(COUNT(*) AS BIGINT) AS m
+             FROM documents GROUP BY source, n_chars),
+           t AS (
+             SELECT source, CAST(SUM(m) AS BIGINT) AS n
+             FROM c GROUP BY source),
+           mx AS (SELECT CAST(MAX(n_chars) AS INT) AS mv FROM documents),
+           grid AS (
+             SELECT t.source, t.n,
+                    CAST(unnest(range(0, (SELECT mv FROM mx) + 1))
+                      AS BIGINT) AS v
+             FROM t),
+           cdf AS (
+             SELECT g.source, g.n, g.v,
+                    CAST(COALESCE(SUM(c.m) OVER (PARTITION BY g.source
+                      ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW), 0) AS DOUBLE) /
+                      CAST(g.n AS DOUBLE) AS f
+             FROM grid g LEFT JOIN c
+               ON c.source = g.source AND c.v = g.v)
+           SELECT a.source AS source_a, b.source AS source_b,
+                  a.n AS n_a, b.n AS n_b,
+                  ${Num.qroundSql("SUM(ABS(a.f - b.f))", 6)} AS w1_chars
+           FROM cdf a JOIN cdf b
+             ON a.v = b.v AND a.source < b.source
+           GROUP BY a.source, b.source, a.n, b.n
+           ORDER BY source_a, source_b"""),
+    (s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint(true) // totals + max probe + the cdf join
+      val t = c.groupBy("source").agg(sum("m").as("n"))
+      val maxV = c.agg(max("v")).head().getLong(0)
+      // grid via per-source sequence explode — a generator, not a
+      // cross join (no CartesianProduct node; the grid is bounded
+      // sources × support metadata)
+      val grid = t.withColumn("v",
+        explode(sequence(lit(0L), lit(maxV))))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid.join(c, Seq("source", "v"), "left")
+        .withColumn("f", coalesce(sum("m").over(w), lit(0L))
+          .cast("double") / col("n").cast("double"))
+        .select(col("source"), col("n"), col("v"), col("f"))
+      val a = cdf.select(col("source").as("source_a"),
+        col("n").as("n_a"), col("v"), col("f").as("fa"))
+      val b = cdf.select(col("source").as("source_b"),
+        col("n").as("n_b"), col("v"), col("f").as("fb"))
+      a.join(b, Seq("v"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(Num.qround(sum(abs(col("fa") - col("fb"))), 6)
+          .as("w1_chars"))
+        .orderBy("source_a", "source_b")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
-    conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg)
+    conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg,
+    wassersteinDrift)
 }

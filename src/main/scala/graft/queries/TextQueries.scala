@@ -2807,6 +2807,106 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("doc_id")
     })
 
+  /** Platt scaling (X232 — Platt 1999: fit p = σ(a·s + b) on a raw
+    * classifier score, the PARAMETRIC member completing the
+    * calibration family: X87 draws the reliability curve, X185
+    * scores it, X193's isotonic fits the monotone nonparametric map —
+    * Platt is what production rankers ship when the score backbone is
+    * roughly sigmoidal and data per bin is thin). Score = stopword
+    * ratio (the cheapest English-ness signal, X8's lane), label =
+    * lang = 'en'; empty-token docs drop on both engines. 5 pinned
+    * GD rounds on log-loss, the X189/X224 discipline exactly: one
+    * aggregated pass per round (both gradient lanes + the
+    * entering-weights loss), weights qround(6) re-entering as
+    * literals, the per-row sigmoid exp as the one transcendental
+    * lane, probabilities clamped to [1e-6, 1−1e-6] (the X139 floor
+    * device) before both the gradient and the loss. Output = the
+    * rounds-0..5 curve (a, b, loss) — the X197 shape. */
+  val plattScaling = QueryDef(
+    "q_platt_scaling", {
+      val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+      def p(w: String) =
+        s"""LEAST(GREATEST(1.0 / (1.0 + exp(-($w.a * b.s + $w.b))),
+            0.000001), 0.999999)"""
+      def lossC(w: String) =
+        s"""-(b.y * ln(${p(w)}) + (1.0 - b.y) * ln(1.0 - ${p(w)}))"""
+      val rounds = (1 to 5).map { i =>
+        val w = s"w_${i - 1}"
+        s"""g_$i AS (
+             SELECT ${Num.qroundSql(
+               s"SUM((${p(w)} - b.y) * b.s) / nn.n", 6)} AS ga,
+                    ${Num.qroundSql(
+               s"SUM(${p(w)} - b.y) / nn.n", 6)} AS gb,
+                    ${Num.qroundSql(s"SUM(${lossC(w)}) / nn.n", 6)}
+                      AS loss
+             FROM base b CROSS JOIN $w CROSS JOIN nn
+             GROUP BY nn.n),
+           w_$i AS (
+             SELECT ${Num.qroundSql("w.a - 4.0 * g.ga", 6)} AS a,
+                    ${Num.qroundSql("w.b - 4.0 * g.gb", 6)} AS b
+             FROM $w w CROSS JOIN g_$i g)"""
+      }.mkString(",\n")
+      Some(s"""WITH t0 AS (
+               SELECT lang, $sqlToks AS toks FROM documents),
+             base AS (
+               SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                      CAST(len(list_filter(toks, t -> lower(t)
+                        IN ($stop))) AS DOUBLE) /
+                        CAST(len(toks) AS DOUBLE) AS s
+               FROM t0 WHERE len(toks) > 0),
+             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+             w_0 AS (SELECT 0.0 AS a, 0.0 AS b),
+             $rounds,
+             l_6 AS (
+               SELECT ${Num.qroundSql(
+                 s"SUM(${lossC("w_5")}) / nn.n", 6)} AS loss
+               FROM base b CROSS JOIN w_5 CROSS JOIN nn
+               GROUP BY nn.n)
+             SELECT * FROM (
+               ${(1 to 5).map(i =>
+                 s"""SELECT ${i - 1} AS gd_round, w.a, w.b, g.loss
+                     FROM w_${i - 1} w CROSS JOIN g_$i g""")
+                 .mkString(" UNION ALL ")}
+               UNION ALL
+               SELECT 5, w.a, w.b, l.loss
+               FROM w_5 w CROSS JOIN l_6 l) uq
+             ORDER BY gd_round""")
+    },
+    (s, d) => {
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val toks = Text.tokens(col("text"))
+      val sw = filter(toks, t =>
+        lower(t).isin(Text.DefaultStopwords: _*))
+      val base = Tables.documents(s, d)
+        .filter(size(toks) > 0)
+        .select(when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          (size(sw).cast("double") / size(toks).cast("double"))
+            .as("s"))
+        .localCheckpoint(true) // 6 aggregated passes over one frame
+      var (a, b) = (0.0, 0.0)
+      def pCol = least(greatest(
+        lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("s") + lit(b)))),
+        lit(0.000001)), lit(0.999999))
+      def lossCol = -(col("y") * log(pCol) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - pCol))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Double, Double)]
+      for (r <- 0 until 5) {
+        val row = base.agg(count(lit(1)), sum((pCol - col("y")) * col("s")),
+          sum(pCol - col("y")), sum(lossCol)).head()
+        val n = row.getLong(0).toDouble
+        out += ((r, a, b, q6(row.getDouble(3) / n)))
+        val ga = q6(row.getDouble(1) / n)
+        val gb = q6(row.getDouble(2) / n)
+        a = q6(a - 4.0 * ga)
+        b = q6(b - 4.0 * gb)
+      }
+      val fin = base.agg(count(lit(1)), sum(lossCol)).head()
+      out += ((5, a, b, q6(fin.getDouble(1) / fin.getLong(0))))
+      import s.implicits._
+      out.toSeq.toDF("gd_round", "a", "b", "loss").orderBy("gd_round")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2816,5 +2916,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
-    learningCurve, gainsChart, lmKneserNey)
+    learningCurve, gainsChart, lmKneserNey, plattScaling)
 }

@@ -531,7 +531,117 @@ object WarehouseQueries {
         .orderBy("pid")
     })
 
+  // --------------------------------------- delete-propagation audit
+
+  /** Right-to-be-forgotten cascade audit (X230 — the GDPR/CCPA
+    * erasure primitive: delete a subject set and PROVE no surviving
+    * row still references it across the foreign-key chain
+    * customer → orders → lineitem, plus the events stream keyed by
+    * the same subject space. The residual_refs column is the point:
+    * it RECOMPUTES dangling references from the surviving rows
+    * rather than asserting zero — the q_anti_join verified-empty
+    * discipline, per table). Subject set = keys ≡ 0 (mod 13). Every
+    * lane is a semi/anti equi-join count — the cascade is expressible
+    * at any scale as the same keyed joins; the 4-row summary is
+    * bounded driver metadata (the funnelSummary device). */
+  val forgetAudit = QueryDef(
+    "q_forget_audit",
+    Some("""WITH delc AS (
+             SELECT c_custkey AS k FROM customer
+             WHERE c_custkey % 13 = 0),
+           delo AS (
+             SELECT o_orderkey AS ok FROM orders
+             WHERE o_custkey IN (SELECT k FROM delc)),
+           delli AS (
+             SELECT l_orderkey FROM lineitem
+             WHERE l_orderkey IN (SELECT ok FROM delo)),
+           dele AS (
+             SELECT event_id FROM events WHERE user_id % 13 = 0)
+           SELECT * FROM (
+           SELECT 'customer' AS tbl,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+                    AS rows_before,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM delc)
+                    AS rows_deleted,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                   WHERE c_custkey NOT IN (SELECT k FROM delc))
+                    AS rows_after,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                   WHERE c_custkey % 13 = 0
+                     AND c_custkey NOT IN (SELECT k FROM delc))
+                    AS residual_refs
+           UNION ALL
+           SELECT 'events',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM dele),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                   WHERE event_id NOT IN (SELECT event_id FROM dele)),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                   WHERE user_id % 13 = 0
+                     AND event_id NOT IN (SELECT event_id FROM dele))
+           UNION ALL
+           SELECT 'lineitem',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM delli),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT ok FROM delo)),
+                  (SELECT CAST(COUNT(*) AS BIGINT)
+                   FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE l.l_orderkey NOT IN (SELECT ok FROM delo)
+                     AND o.o_custkey IN (SELECT k FROM delc))
+           UNION ALL
+           SELECT 'orders',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM delo),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                   WHERE o_orderkey NOT IN (SELECT ok FROM delo)),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                   WHERE o_custkey IN (SELECT k FROM delc)
+                     AND o_orderkey NOT IN (SELECT ok FROM delo))) uq
+           ORDER BY tbl"""),
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val ords = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val ev = Tables.events(s, d)
+      val delC = cust.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select(col("c_custkey").as("k")).localCheckpoint(true)
+      val delO = ords.join(delC, col("o_custkey") === col("k"),
+        "left_semi").select(col("o_orderkey").as("ok"))
+        .localCheckpoint(true)
+      val custAfter = cust.join(delC, col("c_custkey") === col("k"),
+        "left_anti")
+      val ordsAfter = ords.join(delO, col("o_orderkey") === col("ok"),
+        "left_anti").localCheckpoint(true)
+      val liAfter = li.join(delO, col("l_orderkey") === col("ok"),
+        "left_anti")
+      val evDel = ev.filter(pmod(col("user_id"), lit(13)) === 0)
+      val rows = Seq(
+        ("customer", cust.count(), delC.count(), custAfter.count(),
+          custAfter.filter(pmod(col("c_custkey"), lit(13)) === 0)
+            .count()),
+        ("events", ev.count(), evDel.count(),
+          ev.count() - evDel.count(),
+          ev.join(evDel.select("event_id"), Seq("event_id"),
+            "left_anti").filter(pmod(col("user_id"), lit(13)) === 0)
+            .count()),
+        ("lineitem", li.count(),
+          li.join(delO, col("l_orderkey") === col("ok"), "left_semi")
+            .count(),
+          liAfter.count(),
+          liAfter.join(ords, col("l_orderkey") === col("o_orderkey"))
+            .join(delC, col("o_custkey") === col("k"), "left_semi")
+            .count()),
+        ("orders", ords.count(), delO.count(), ordsAfter.count(),
+          ordsAfter.join(delC, col("o_custkey") === col("k"),
+            "left_semi").count()))
+      import s.implicits._
+      rows.toDF("tbl", "rows_before", "rows_deleted", "rows_after",
+        "residual_refs").orderBy("tbl")
+    })
+
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
-    rangePartitionPlan)
+    rangePartitionPlan, forgetAudit)
 }
