@@ -1243,6 +1243,92 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  /** Second-order sequential patterns with first-order surprise
+    * (X235 — PrefixSpan-lite: the top contiguous event-type TRIPLES
+    * per user stream, each scored against what the X115 first-order
+    * Markov chain would predict: expected(abc) = c(ab)·c(bc)/c(b·),
+    * so ratio ≫ 1 marks genuinely second-order behavior a transition
+    * matrix cannot see — the standard "is one hop of memory enough"
+    * probe before anyone fits a bigger sequence model). Shape: two
+    * leads over ONE user-keyed window (ts, event_id total order —
+    * one shuffle), triple/pair counts over the bounded type³
+    * alphabet, top-20 under the total order (support DESC, triple
+    * ASC). Counts exact; support and the surprise ratio are
+    * exact-integer-fed element-wise divides (hash raw). */
+  val seqTriples = QueryDef(
+    "q_seq_triples",
+    Some("""WITH o AS (
+             SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             FROM events),
+           lagged AS (
+             SELECT user_id, event_type AS a,
+                    lead(event_type, 1) OVER w AS b,
+                    lead(event_type, 2) OVER w AS c
+             FROM o
+             WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           triples AS (
+             SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+             FROM lagged WHERE b IS NOT NULL AND c IS NOT NULL
+             GROUP BY a, b, c),
+           prs AS (
+             SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+             FROM lagged WHERE b IS NOT NULL
+             GROUP BY a, b),
+           midstart AS (
+             SELECT a AS b, CAST(SUM(n_ab) AS BIGINT) AS n_bdot
+             FROM prs GROUP BY a),
+           tot AS (
+             SELECT CAST(SUM(n) AS BIGINT) AS nt FROM triples),
+           scored AS (
+             SELECT t.a, t.b, t.c, t.n,
+                    CAST(t.n AS DOUBLE) /
+                      CAST((SELECT nt FROM tot) AS DOUBLE) AS support,
+                    CAST(t.n AS DOUBLE) /
+                      (CAST(p1.n_ab AS DOUBLE) *
+                       CAST(p2.n_ab AS DOUBLE) /
+                       CAST(m.n_bdot AS DOUBLE)) AS surprise
+             FROM triples t
+             JOIN prs p1 ON p1.a = t.a AND p1.b = t.b
+             JOIN prs p2 ON p2.a = t.b AND p2.b = t.c
+             JOIN midstart m ON m.b = t.b)
+           SELECT a, b, c, n, support, surprise FROM scored
+           ORDER BY n DESC, a, b, c LIMIT 20"""),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val lagged = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("a"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("b", lead("a", 1).over(w))
+        .withColumn("c", lead("a", 2).over(w))
+        .localCheckpoint(true) // triple AND pair counts
+      val triples = lagged
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals probe + the scoring join
+      val prs = lagged.filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint(true) // p1/p2 joins + the mid totals
+      val midstart = prs.groupBy(col("a").as("bm"))
+        .agg(sum("n_ab").as("n_bdot"))
+      val nt = triples.agg(sum("n")).head().getLong(0)
+      triples
+        .join(broadcast(prs.select(col("a").as("p1a"),
+          col("b").as("p1b"), col("n_ab").as("n_ab1"))),
+          col("p1a") === col("a") && col("p1b") === col("b"))
+        .join(broadcast(prs.select(col("a").as("p2a"),
+          col("b").as("p2b"), col("n_ab").as("n_ab2"))),
+          col("p2a") === col("b") && col("p2b") === col("c"))
+        .join(broadcast(midstart), col("bm") === col("b"))
+        .select(col("a"), col("b"), col("c"), col("n"),
+          (col("n").cast("double") / lit(nt.toDouble)).as("support"),
+          (col("n").cast("double") /
+            (col("n_ab1").cast("double") * col("n_ab2").cast("double") /
+              col("n_bdot").cast("double"))).as("surprise"))
+        .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
@@ -1254,5 +1340,5 @@ object EventQueries {
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats, hilbertStats,
     shapley,
     eventFunnel, streamFunnel, eventRetention,
-    patternWithin, streamPattern)
+    patternWithin, streamPattern, seqTriples)
 }

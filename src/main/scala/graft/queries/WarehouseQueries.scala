@@ -641,7 +641,233 @@ object WarehouseQueries {
         "residual_refs").orderBy("tbl")
     })
 
+  // ------------------------------------------- hierarchy rollup
+
+  /** Bill-of-materials / hierarchy subtree rollup (X233 — the parts-
+    * explosion aggregate every catalog and org-chart warehouse needs:
+    * per internal node, the size and value of its WHOLE subtree.
+    * Naively a recursive query; at scale the standard rewrite is the
+    * ANCESTOR-PATH EXPLODE: a node's ancestor chain is bounded by
+    * tree DEPTH (≤ 7 here), so each leaf emits ≤ 7 (ancestor, leaf)
+    * rows and the rollup is ONE explode + ONE keyed aggregate — no
+    * iteration, no recursion, no closure. Tree = the implicit decimal
+    * trie on p_partkey + 1 (parent = key div 10; the +1 makes the id
+    * space 1-based — key 0 has no decimal digits and would fall out
+    * of the trie), the X66-style deterministic carve). level = digit
+    * count (exact string lane);
+    * subtree_value is a fold-order money sum → qround(2) (the q1_agg
+    * discipline); counts exact. */
+  val hierarchyRollup = QueryDef(
+    "q_hierarchy_rollup",
+    Some(s"""WITH anc AS (
+             SELECT unnest(list_transform(
+                      [1, 10, 100, 1000, 10000, 100000, 1000000],
+                      dv -> (p_partkey + 1) // dv)) AS node,
+                    p_retailprice AS v
+             FROM part),
+           live AS (SELECT node, v FROM anc WHERE node > 0)
+           SELECT node,
+                  CAST(length(CAST(node AS VARCHAR)) AS INT) AS lvl,
+                  CAST(COUNT(*) AS BIGINT) AS subtree_n,
+                  ${Num.qroundSql("SUM(v)", 2)} AS subtree_value
+           FROM live GROUP BY node
+           ORDER BY node"""),
+    (s, d) => {
+      val divisors = (0 to 6).map(i => math.pow(10, i).toLong)
+      val anc = Tables.part(s, d).select(
+        explode(array(divisors.map(dv =>
+          expr(s"(p_partkey + 1) div $dv")): _*)).as("node"),
+        col("p_retailprice").as("v"))
+        .filter(col("node") > 0)
+      anc.groupBy("node")
+        .agg(count(lit(1)).as("subtree_n"),
+          Num.qround(sum("v"), 2).as("subtree_value"))
+        .select(col("node"),
+          length(col("node").cast("string")).as("lvl"),
+          col("subtree_n"), col("subtree_value"))
+        .orderBy("node")
+    })
+
+  // --------------------------------------------- HLL set algebra
+
+  /** HyperLogLog set algebra (X234 — Flajolet's register merge is a
+    * semilattice: max-merging two types' registers IS the sketch of
+    * their UNION, and |A∩B| falls out by inclusion–exclusion — the
+    * audience-overlap estimate every ads/reach dashboard computes
+    * from sketches because the raw id sets are too big to intersect;
+    * the register-family sibling of X130's KMV merge-union). Shares
+    * the X211 register construction (same salt, same ρ lanes); the
+    * pair merge is one equi-join on register index over the bounded
+    * (types × 256) table; estimates replay the X211 formula on the
+    * merged registers; intersections are differences of qround(6)
+    * lanes (deterministic); the exact replays make both estimates'
+    * error measurable (X74 discipline). */
+  val hllAlgebra = QueryDef(
+    "q_hll_algebra", {
+      val h = "CAST('0x' || substring(md5('graft-hll:' || " +
+        "CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)"
+      val alpha = "(0.7213 / (1.0 + 1.079 / 256.0))"
+      def estFrom(spCol: String, zerosCol: String) =
+        Num.qroundSql(
+          s"""CASE WHEN $alpha * 65536.0 /
+                ($spCol + CAST($zerosCol AS DOUBLE)) <= 640.0
+                AND $zerosCol > 0
+              THEN 256.0 * ln(256.0 / CAST($zerosCol AS DOUBLE))
+              ELSE $alpha * 65536.0 /
+                ($spCol + CAST($zerosCol AS DOUBLE)) END""", 6)
+      Some(s"""WITH k AS (
+               SELECT event_type, $h AS h FROM events),
+             r AS (
+               SELECT event_type, h >> 40 AS idx,
+                      h & ((1::BIGINT << 40) - 1) AS rem
+               FROM k),
+             regs AS (
+               SELECT event_type, idx,
+                      MAX(CASE WHEN rem = 0 THEN 41
+                          ELSE 41 - length(bin(rem)) END) AS mj
+               FROM r GROUP BY 1, 2),
+             single AS (
+               SELECT event_type,
+                      SUM(1.0 / CAST((1::BIGINT << mj) AS DOUBLE))
+                        AS sp,
+                      256 - CAST(COUNT(*) AS BIGINT) AS zeros
+               FROM regs GROUP BY 1),
+             sest AS (
+               SELECT event_type,
+                      ${estFrom("sp", "zeros")} AS est
+               FROM single),
+             tp AS (
+               SELECT a.event_type AS type_a, b.event_type AS type_b
+               FROM (SELECT DISTINCT event_type FROM events) a
+               JOIN (SELECT DISTINCT event_type FROM events) b
+                 ON a.event_type < b.event_type),
+             pr AS (
+               SELECT tp.type_a, tp.type_b, r.idx, r.mj
+               FROM tp JOIN regs r ON r.event_type = tp.type_a
+               UNION ALL
+               SELECT tp.type_a, tp.type_b, r.idx, r.mj
+               FROM tp JOIN regs r ON r.event_type = tp.type_b),
+             merged AS (
+               SELECT type_a, type_b, idx, MAX(mj) AS mj
+               FROM pr GROUP BY 1, 2, 3),
+             um AS (
+               SELECT type_a, type_b,
+                      SUM(1.0 / CAST((1::BIGINT << mj) AS DOUBLE))
+                        AS sp,
+                      256 - CAST(COUNT(*) AS BIGINT) AS zeros
+               FROM merged GROUP BY 1, 2),
+             uest AS (
+               SELECT type_a, type_b,
+                      ${estFrom("sp", "zeros")} AS est_union
+               FROM um),
+             du AS (SELECT DISTINCT event_type, user_id FROM events),
+             exu AS (
+               SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      CAST(COUNT(DISTINCT a.user_id) AS BIGINT)
+                        AS exact_intersect
+               FROM du a JOIN du b
+                 ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+               GROUP BY 1, 2),
+             exs AS (
+               SELECT event_type,
+                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+               FROM events GROUP BY 1)
+             SELECT u.type_a, u.type_b,
+                    sa.est AS est_a, sb.est AS est_b, u.est_union,
+                    ${Num.qroundSql(
+                      "sa.est + sb.est - u.est_union", 6)}
+                      AS est_intersect,
+                    ea.ex + eb.ex - x.exact_intersect AS exact_union,
+                    x.exact_intersect
+             FROM uest u
+             JOIN sest sa ON sa.event_type = u.type_a
+             JOIN sest sb ON sb.event_type = u.type_b
+             JOIN exs ea ON ea.event_type = u.type_a
+             JOIN exs eb ON eb.event_type = u.type_b
+             JOIN exu x ON x.type_a = u.type_a AND x.type_b = u.type_b
+             ORDER BY u.type_a, u.type_b""")
+    },
+    (s, d) => {
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      def estFrom(sp: org.apache.spark.sql.Column,
+          zeros: org.apache.spark.sql.Column) = {
+        val raw = lit(alpha) * 65536.0 / (sp + zeros.cast("double"))
+        Num.qround(when(raw <= 640.0 && zeros > 0,
+          lit(256.0) * log(lit(256.0) / zeros.cast("double")))
+          .otherwise(raw), 6)
+      }
+      val e = Tables.events(s, d).select(col("event_type"),
+        col("user_id"))
+      val h = conv(substring(md5(concat(lit("graft-hll:"),
+        col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val r = e.select(col("event_type"),
+        shiftright(h, 40).as("idx"),
+        h.bitwiseAND(lit((1L << 40) - 1)).as("rem"))
+      val regs = r.groupBy("event_type", "idx")
+        .agg(max(when(col("rem") === 0, 41)
+          .otherwise(lit(41) - length(bin(col("rem"))))).as("mj"))
+        .localCheckpoint(true) // singles + the pair merge
+      val pw = lit(1.0) / expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)")
+      val single = regs.groupBy("event_type")
+        .agg(sum(pw).as("sp"),
+          (lit(256L) - count(lit(1))).as("zeros"))
+        .select(col("event_type"),
+          estFrom(col("sp"), col("zeros")).as("est"))
+      // bounded type alphabet -> pair literal frame (X109 device; a
+      // relational t_a < t_b pairing of two 1-col frames would plan
+      // as the banned BroadcastNestedLoopJoin)
+      val typeList = e.select("event_type").distinct().collect()
+        .map(_.getString(0)).sorted
+      val pairsSeq = for {
+        a <- typeList.toSeq; b <- typeList.toSeq if a < b
+      } yield (a, b)
+      import s.implicits._
+      val tp = broadcast(pairsSeq.toDF("type_a", "type_b"))
+      val pr = tp.join(regs, col("event_type") === col("type_a"))
+        .select(col("type_a"), col("type_b"), col("idx"), col("mj"))
+        .union(tp.join(regs, col("event_type") === col("type_b"))
+          .select(col("type_a"), col("type_b"), col("idx"), col("mj")))
+      val merged = pr.groupBy("type_a", "type_b", "idx")
+        .agg(max("mj").as("mj"))
+      val uest = merged.groupBy("type_a", "type_b")
+        .agg(sum(lit(1.0) / expr(
+          "CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)"))
+          .as("sp"), (lit(256L) - count(lit(1))).as("zeros"))
+        .select(col("type_a"), col("type_b"),
+          estFrom(col("sp"), col("zeros")).as("est_union"))
+      val du = e.distinct()
+      val exu = du.select(col("event_type").as("type_a"),
+          col("user_id"))
+        .join(du.select(col("event_type").as("type_b"),
+          col("user_id")), Seq("user_id"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(countDistinct("user_id").as("exact_intersect"))
+      val exs = e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("ex"))
+      uest
+        .join(single.select(col("event_type").as("type_a"),
+          col("est").as("est_a")), Seq("type_a"))
+        .join(single.select(col("event_type").as("type_b"),
+          col("est").as("est_b")), Seq("type_b"))
+        .join(exs.select(col("event_type").as("type_a"),
+          col("ex").as("exa")), Seq("type_a"))
+        .join(exs.select(col("event_type").as("type_b"),
+          col("ex").as("exb")), Seq("type_b"))
+        .join(exu, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("est_a"),
+          col("est_b"), col("est_union"),
+          Num.qround(col("est_a") + col("est_b") - col("est_union"), 6)
+            .as("est_intersect"),
+          (col("exa") + col("exb") - col("exact_intersect"))
+            .as("exact_union"),
+          col("exact_intersect"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
-    rangePartitionPlan, forgetAudit)
+    rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra)
 }
