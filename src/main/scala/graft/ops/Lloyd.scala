@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArrayFunctions, VecAggregates}
@@ -63,6 +63,57 @@ object Lloyd {
         byC.get(c) match {
           case Some((n, sum)) if n > 0 =>
             normalize(sum.map(x => q6(x / n)))
+          case _ => cents(c)
+        }
+      }
+    }
+    cents
+  }
+
+  /** ||v − c||² as a 0.0-init sequential zip-fold — identical
+    * accumulation to the oracle's list_reduce(list_transform(...))
+    * (0.0 + e₁ ≡ e₁, the recorded fold-equivalence), so per-row
+    * distances are bit-identical cross-engine. Interpreted HOFs —
+    * fine for the bounded k×subdim product-quantization tier (X236),
+    * NOT for a 64-dim full-corpus hot path (the X189 lesson; that
+    * path has the fused NearestCentroid kernel). */
+  def sqDist(v: Column, c: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(c.toSeq),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+
+  /** argmin_c ||v − c||², first-min tie-break (array_position finds
+    * the FIRST occurrence — mirrors the oracle's
+    * `ORDER BY dist ASC, c ASC` row_number). */
+  def assignL2(v: Column, cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.map(c => sqDist(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Plain-L2 (non-spherical) fixed-round Lloyd over an arbitrary
+    * vector EXPRESSION — the product-quantization subspace fit
+    * (X236): same one-aggregated-pass-per-round / qround(6)-mean
+    * shape as [[fit]], but argmin Euclidean distance and NO
+    * normalization (PQ codebooks are means, not directions). `vec`
+    * must already be array<double>. */
+  def fitL2(corpus: DataFrame, vec: Column, idCol: String,
+      k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+    val frame = corpus.select(col(idCol).as("__id"), vec.as("__v"))
+    val init = frame.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length == k, s"corpus has < $k vectors")
+    var cents = init
+    for (_ <- 0 until iters) {
+      val rows = frame
+        .groupBy(assignL2(col("__v"), cents).as("c"))
+        .agg(count(lit(1)).as("n"),
+          VecAggregates.vecSum(col("__v"), dim).as("s"))
+        .collect() // ≤ k rows: bounded driver metadata
+      val byC = rows.map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray)).toMap
+      cents = Array.tabulate(k) { c =>
+        byC.get(c) match {
+          case Some((n, sum)) if n > 0 => sum.map(x => q6(x / n))
           case _ => cents(c)
         }
       }

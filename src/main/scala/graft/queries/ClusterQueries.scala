@@ -192,5 +192,209 @@ cents_${i + 1} AS (
         .orderBy("sel_round")
     })
 
-  val all: Seq[QueryDef] = Seq(kmeansLloyd, coverageSelect)
+  // ------------------------------------------ product quantization
+
+  // 16-dim L2 distance as the 0.0-init fold (bit-identical to the
+  // Scala zip-fold; see Lloyd.sqDist)
+  private def dist16(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, 17),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+  private def dist64(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, 65),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+
+  /** One plain-L2 Lloyd round over subspace `s` in SQL, mirroring
+    * [[Lloyd.fitL2]]: first-min assignment (dist ASC, c ASC),
+    * qround(6) per-dim means, NO normalization, empty codes keep
+    * their centroid. */
+  private def pqIterSql(s: Int, i: Int): String = s"""
+pasg_${s}_$i AS (
+  SELECT e.vec_id, e.v, c.c,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ${dist16("c.cv", "e.v")} ASC, c.c ASC) AS rn
+  FROM sv_$s e, pc_${s}_$i c),
+pbest_${s}_$i AS (SELECT vec_id, v, c FROM pasg_${s}_$i WHERE rn = 1),
+pm_${s}_$i AS (
+  SELECT c, t.d,
+         FLOOR(SUM(v[t.d]) / COUNT(*) * 1000000 + 0.5) / 1000000 AS m
+  FROM pbest_${s}_$i, range(1, 17) t(d) GROUP BY c, t.d),
+pcm_${s}_$i AS (
+  SELECT c, list(m ORDER BY d) AS mv FROM pm_${s}_$i GROUP BY c),
+pc_${s}_${i + 1} AS (
+  SELECT o.c, COALESCE(n.mv, o.cv) AS cv
+  FROM pc_${s}_$i o LEFT JOIN pcm_${s}_$i n ON n.c = o.c)"""
+
+  /** Product-quantization ANN with asymmetric-distance recall eval
+    * (X236 — Jégou et al. 2011: split the 64-dim space into M = 4
+    * × 16-dim subspaces, k-means each (k = 4, 2 pinned L2 Lloyd
+    * rounds), encode every corpus vector as 4 code bytes, and answer
+    * queries by ADC — the query precomputes a 4×4 distance table and
+    * each candidate costs 4 lookups + 3 adds. The memory-bound member
+    * of the quantization family: X24's int8 keeps 64 bytes/vec, PQ
+    * keeps 4 — the codebook trick behind FAISS-scale billion-vector
+    * indexes). Codes are ONE projection over broadcast codebooks; the
+    * ADC join is code-table equi-joins (the 4×4 tables are driver
+    * literals, bit-identical on both engines because the fold order
+    * is pinned); the one declared-BNLJ lane is the exact ground truth
+    * (PlanSpec bnljByDesign, the X74 eval discipline). recall@10
+    * exact-integer ratio. */
+  val pqRecall = QueryDef(
+    "q_pq_recall", {
+      val subs = (0 until 4)
+      val slices = subs.map(s =>
+        s"""sv_$s AS (SELECT vec_id,
+              v[${16 * s + 1}:${16 * s + 16}] AS v FROM corpusv)""")
+        .mkString(",\n")
+      val inits = subs.map(s =>
+        s"""pc_${s}_0 AS (
+             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                      AS INTEGER) AS c, v AS cv
+             FROM (SELECT vec_id, v FROM sv_$s
+                   ORDER BY vec_id LIMIT 4) i$s)""").mkString(",\n")
+      val rounds = subs.flatMap(s => (0 until 2).map(i =>
+        pqIterSql(s, i))).mkString(",")
+      val codes = subs.map(s =>
+        s"""codes_$s AS (
+             SELECT vec_id, c FROM (
+               SELECT e.vec_id, c.c,
+                      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${dist16("c.cv", "e.v")} ASC, c.c ASC)
+                        AS rn
+               FROM sv_$s e, pc_${s}_2 c) z$s WHERE rn = 1)""")
+        .mkString(",\n")
+      val qds = subs.map(s =>
+        s"""qd_$s AS (
+             SELECT q.vec_id AS qid, c.c, ${dist16("c.cv", "q.v")} AS d
+             FROM (SELECT vec_id, v FROM sv_$s WHERE vec_id < 5) q,
+                  pc_${s}_2 c)""").mkString(",\n")
+      Some(s"""WITH corpusv AS (
+               SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS v
+               FROM embeddings),
+             $slices,
+             $inits,
+             $rounds,
+             $codes,
+             $qds,
+             codesw AS (
+               SELECT c0.vec_id, c0.c AS k0, c1.c AS k1,
+                      c2.c AS k2, c3.c AS k3
+               FROM codes_0 c0
+               JOIN codes_1 c1 USING (vec_id)
+               JOIN codes_2 c2 USING (vec_id)
+               JOIN codes_3 c3 USING (vec_id)),
+             est AS (
+               SELECT q0.qid, w.vec_id,
+                      ((q0.d + q1.d) + q2.d) + q3.d AS adist
+               FROM codesw w
+               JOIN qd_0 q0 ON q0.c = w.k0
+               JOIN qd_1 q1 ON q1.c = w.k1 AND q1.qid = q0.qid
+               JOIN qd_2 q2 ON q2.c = w.k2 AND q2.qid = q0.qid
+               JOIN qd_3 q3 ON q3.c = w.k3 AND q3.qid = q0.qid
+               WHERE w.vec_id <> q0.qid),
+             approx AS (
+               SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY adist ASC, vec_id ASC) AS rn
+                 FROM est) za WHERE rn <= 10),
+             exd AS (
+               SELECT q.vec_id AS qid, e.vec_id,
+                      ${dist64("q.v", "e.v")} AS d
+               FROM (SELECT vec_id, v FROM corpusv WHERE vec_id < 5) q,
+                    corpusv e
+               WHERE e.vec_id <> q.vec_id),
+             exr AS (
+               SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY d ASC, vec_id ASC) AS rn
+                 FROM exd) zx WHERE rn <= 10),
+             hits AS (
+               SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+               FROM approx a JOIN exr x
+                 ON x.qid = a.qid AND x.vec_id = a.vec_id
+               GROUP BY a.qid)
+             SELECT q.qid AS query_id,
+                    COALESCE(h.n_hit, 0) AS n_hit,
+                    CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0
+                      AS recall10
+             FROM (SELECT DISTINCT vec_id AS qid FROM corpusv
+                   WHERE vec_id < 5) q
+             LEFT JOIN hits h ON h.qid = q.qid
+             ORDER BY query_id""")
+    },
+    (s, d) => {
+      import graft.ops.Lloyd
+      val frame = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .localCheckpoint(true) // 4 subspace fits + codes + exact lane
+      val subs = (0 until 4)
+      val cents = subs.map { sub =>
+        Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16),
+          "vec_id", k = 4, dim = 16, iters = 2)
+      }
+      val codesw = frame.select((col("vec_id") +:
+        subs.map(sub => Lloyd.assignL2(
+          slice(col("v"), 16 * sub + 1, 16), cents(sub))
+          .as(s"k$sub"))): _*)
+      // per-query 4x4 ADC tables: same 0.0-init fold as the SQL lane
+      val qRows = frame.filter(col("vec_id") < 5)
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def d16(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0
+        var i = 0
+        while (i < 16) {
+          val t = a(i) - b(i); acc = acc + t * t; i += 1
+        }
+        acc
+      }
+      import s.implicits._
+      val qd = subs.map { sub =>
+        val rows = for {
+          (qid, qv) <- qRows.toSeq
+          c <- 0 until 4
+        } yield (qid, c,
+          d16(qv.slice(16 * sub, 16 * sub + 16), cents(sub)(c)))
+        broadcast(rows.toDF("qid", s"c$sub", s"d$sub"))
+      }
+      val est = codesw
+        .join(qd(0), col("c0") === col("k0"))
+        .join(qd(1), col("c1") === col("k1") && qd(1)("qid") === qd(0)("qid"))
+        .join(qd(2), col("c2") === col("k2") && qd(2)("qid") === qd(0)("qid"))
+        .join(qd(3), col("c3") === col("k3") && qd(3)("qid") === qd(0)("qid"))
+        .where(col("vec_id") =!= qd(0)("qid"))
+        .select(qd(0)("qid").as("qid"), col("vec_id"),
+          (((col("d0") + col("d1")) + col("d2")) + col("d3"))
+            .as("adist"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+      val approx = est.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val qFrame = broadcast(frame.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      val exd = frame.join(qFrame, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(zip_with(col("qv"), col("v"),
+            (x, y) => (x - y) * (x - y)), lit(0.0),
+            (acc, t) => acc + t).as("dx"))
+      val wX = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dx").asc, col("vec_id").asc)
+      val exr = exd.withColumn("rn", row_number().over(wX))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val hits = approx.join(exr, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      qFrame.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid").as("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+            .as("recall10"))
+        .orderBy("query_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(kmeansLloyd, coverageSelect, pqRecall)
 }

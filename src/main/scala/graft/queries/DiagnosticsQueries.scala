@@ -3899,6 +3899,100 @@ object DiagnosticsQueries {
         .orderBy("test_id")
     })
 
+  /** Markov absorption curve toward 'purchase' (X237 — the
+    * absorbing-chain readout on the X115 transition matrix: treat
+    * purchase as absorbing and iterate p_i(a) = Σ_b P(a,b)·[b =
+    * purchase ? 1 : p_{i−1}(b)] — p_k(a) is the probability a user
+    * currently at state a converts within k MORE events, the
+    * "how close is each state to the money" number the funnel's
+    * stage counts (X95) cannot express because real paths wander).
+    * 5 pinned value-iteration rounds over the BOUNDED type alphabet:
+    * the transition matrix is ≤ |types|² driver metadata (X109
+    * device) and the iteration is driver math with qround(6) per
+    * round — the oracle unrolls the same 5 rounds as CTEs over the
+    * same exact-ratio matrix. Output: one row per state, the
+    * p₁..p₅ curve (absorbing row pinned at 1). */
+  val markovAbsorption = QueryDef(
+    "q_markov_absorption", {
+      val rounds = (1 to 5).map { i =>
+        val prev = s"p_${i - 1}"
+        s"""p_$i AS (
+             SELECT t.from_type AS state,
+                    CASE WHEN t.from_type = 'purchase' THEN 1.0
+                    ELSE ${graft.functions.Num.qroundSql(
+                      s"""SUM((CAST(pr.n AS DOUBLE) /
+                            CAST(t.n_from AS DOUBLE)) *
+                          (CASE WHEN pr.to_type = 'purchase' THEN 1.0
+                            ELSE COALESCE(pp.p, 0.0) END))""", 6)}
+                    END AS p
+             FROM t JOIN pr ON pr.from_type = t.from_type
+             LEFT JOIN $prev pp ON pp.state = pr.to_type
+             GROUP BY t.from_type, t.n_from)"""
+      }.mkString(",\n")
+      Some(s"""WITH o AS (
+               SELECT event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+               FROM events),
+             pr AS (
+               SELECT prev AS from_type, event_type AS to_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+             t AS (
+               SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+               FROM pr GROUP BY 1),
+             p_0 AS (
+               SELECT from_type AS state,
+                      CASE WHEN from_type = 'purchase' THEN 1.0
+                        ELSE 0.0 END AS p
+               FROM t),
+             $rounds
+             SELECT p_1.state, p_1.p AS p1, p_2.p AS p2, p_3.p AS p3,
+                    p_4.p AS p4, p_5.p AS p5
+             FROM p_1
+             JOIN p_2 ON p_2.state = p_1.state
+             JOIN p_3 ON p_3.state = p_1.state
+             JOIN p_4 ON p_4.state = p_1.state
+             JOIN p_5 ON p_5.state = p_1.state
+             ORDER BY p_1.state""")
+    },
+    (s, d) => {
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // bounded |types|^2 transition matrix -> driver metadata (X109)
+      val pairs = Tables.events(s, d)
+        .select(col("event_type"),
+          lag("event_type", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nFrom = pairs.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toMap
+      val states = nFrom.keys.toSeq.sorted
+      var p = states.map(st =>
+        st -> (if (st == "purchase") 1.0 else 0.0)).toMap
+      val hist = scala.collection.mutable.ArrayBuffer
+        .empty[Map[String, Double]]
+      for (_ <- 1 to 5) {
+        p = states.map { st =>
+          st -> (if (st == "purchase") 1.0
+          else q6(pairs.filter(_._1 == st).map { case (_, b, n) =>
+            (n.toDouble / nFrom(st).toDouble) *
+              (if (b == "purchase") 1.0 else p.getOrElse(b, 0.0))
+          }.sum))
+        }.toMap
+        hist += p
+      }
+      import s.implicits._
+      states.map(st => (st, hist(0)(st), hist(1)(st), hist(2)(st),
+          hist(3)(st), hist(4)(st)))
+        .toDF("state", "p1", "p2", "p3", "p4", "p5")
+        .orderBy("state")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -3909,5 +4003,6 @@ object DiagnosticsQueries {
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
-    logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat)
+    logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat,
+    markovAbsorption)
 }

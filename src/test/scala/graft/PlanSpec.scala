@@ -229,7 +229,11 @@ class PlanSpec extends SparkSuite {
     // hash-join-only; q_ann_recall_int8 additionally contains the
     // q_ann_int8 full scan it is grading).
     val bnljByDesign = Set("q_ann_bruteforce", "q_ann_int8",
-      "q_dedup_embedding_exact", "q_ann_recall", "q_ann_recall_int8")
+      "q_dedup_embedding_exact", "q_ann_recall", "q_ann_recall_int8",
+      // X236 PQ eval: the exact ground-truth lane is a declared
+      // brute-force scan (the X74 discipline); the PQ path itself is
+      // code-table equi-joins
+      "q_pq_recall")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(
