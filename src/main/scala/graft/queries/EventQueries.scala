@@ -1329,6 +1329,113 @@ object EventQueries {
         .limit(20)
     })
 
+  /** Multi-window SLO burn-rate alerting (X239 — the Google SRE
+    * workbook's error-budget policy: page when BOTH a fast (1 h) and
+    * a slow (6 h) window burn the budget faster than threshold —
+    * the fast window catches the spike, the slow window stops a
+    * blip from paging. "Error" = value > 400 (the synthetic SLI),
+    * budget = 1%, thresholds 14.4 / 6 — the workbook's numbers).
+    * Windows are integer epoch-hour keys (exact, no session-zone
+    * lane); the 6 h window is the tumbling hour ÷ 6 (exact integer
+    * div); rates and burn factors are exact-integer-fed divides
+    * (hash raw); page is a boolean conjunction of the two lanes. */
+  val sloBurn = QueryDef(
+    "q_slo_burn",
+    Some("""WITH e AS (
+             SELECT event_type,
+                    epoch_us(ts) // 3600000000 AS hr,
+                    CASE WHEN value > 400.0 THEN 1 ELSE 0 END AS err
+             FROM events),
+           h AS (
+             SELECT event_type, hr,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(err) AS BIGINT) AS n_err
+             FROM e GROUP BY 1, 2),
+           s AS (
+             SELECT event_type, hr // 6 AS hr6,
+                    CAST(SUM(n) AS BIGINT) AS n6,
+                    CAST(SUM(n_err) AS BIGINT) AS n_err6
+             FROM h GROUP BY 1, 2)
+           SELECT h.event_type, h.hr, h.n, h.n_err,
+                  CAST(h.n_err AS DOUBLE) / CAST(h.n AS DOUBLE) / 0.01
+                    AS burn1,
+                  CAST(s.n_err6 AS DOUBLE) / CAST(s.n6 AS DOUBLE)
+                    / 0.01 AS burn6,
+                  CAST(h.n_err AS DOUBLE) / CAST(h.n AS DOUBLE) / 0.01
+                      > 14.4
+                    AND CAST(s.n_err6 AS DOUBLE) / CAST(s.n6 AS DOUBLE)
+                      / 0.01 > 6.0 AS page
+           FROM h JOIN s
+             ON s.event_type = h.event_type AND s.hr6 = h.hr // 6
+           ORDER BY h.event_type, h.hr"""),
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"),
+        when(col("value") > 400.0, 1L).otherwise(0L).as("err"))
+      val h = e.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), sum("err").as("n_err"))
+        .localCheckpoint(true) // the 6h rollup re-reads it
+      val s6 = h.groupBy(col("event_type").as("t6"),
+          expr("hr div 6").as("hr6"))
+        .agg(sum("n").as("n6"), sum("n_err").as("n_err6"))
+      val burn1 = col("n_err").cast("double") / col("n").cast("double") /
+        0.01
+      val burn6 = col("n_err6").cast("double") / col("n6").cast("double") /
+        0.01
+      h.join(s6, col("t6") === col("event_type") &&
+          col("hr6") === expr("hr div 6"))
+        .select(col("event_type"), col("hr"), col("n"), col("n_err"),
+          burn1.as("burn1"), burn6.as("burn6"),
+          (burn1 > 14.4 && burn6 > 6.0).as("page"))
+        .orderBy("event_type", "hr")
+    })
+
+  /** Time-weighted average value per event type (X240 — the TWAP
+    * device: each observation weighted by how long it REMAINED the
+    * current value (till the same user's next event), vs the naive
+    * mean that over-weights burst periods — the standard correction
+    * for irregularly-sampled series, finance's TWAP and ops' "mean
+    * gauge reading" alike). Dwell = lead(ts) − ts over ONE user-keyed
+    * window (last event per user carries no dwell and drops on both
+    * engines); weights are exact integer micros; the Σw·v / Σw lanes
+    * are fold-order aggregates → qround(6); the naive mean rides
+    * along for contrast. */
+  val twap = QueryDef(
+    "q_twap",
+    Some(s"""WITH o AS (
+             SELECT event_type, value, user_id,
+                    epoch_us(ts) AS us, event_id
+             FROM events),
+           w AS (
+             SELECT event_type, value,
+                    lead(us) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) - us AS dwell_us
+             FROM o),
+           k AS (SELECT * FROM w WHERE dwell_us IS NOT NULL)
+           SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_weighted,
+                  ${Num.qroundSql(
+                    """SUM(CAST(dwell_us AS DOUBLE) * value) /
+                       SUM(CAST(dwell_us AS DOUBLE))""", 6)} AS twap,
+                  ${Num.qroundSql("AVG(value)", 6)} AS naive_mean
+           FROM k GROUP BY event_type
+           ORDER BY event_type"""),
+    (s, d) => {
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val w = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("dwell_us", lead("us", 1).over(wspec) - col("us"))
+        .filter(col("dwell_us").isNotNull)
+      w.groupBy("event_type")
+        .agg(count(lit(1)).as("n_weighted"),
+          Num.qround(sum(col("dwell_us").cast("double") * col("value")) /
+            sum(col("dwell_us").cast("double")), 6).as("twap"),
+          Num.qround(avg("value"), 6).as("naive_mean"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
@@ -1340,5 +1447,5 @@ object EventQueries {
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats, hilbertStats,
     shapley,
     eventFunnel, streamFunnel, eventRetention,
-    patternWithin, streamPattern, seqTriples)
+    patternWithin, streamPattern, seqTriples, sloBurn, twap)
 }

@@ -1338,8 +1338,153 @@ object StatsQueries {
         .orderBy("source_a", "source_b")
     })
 
+  // --------------------------------------------- EM Gaussian mixture
+
+  /** Two-component 1-D Gaussian mixture by fixed-round EM (X238 —
+    * Dempster, Laird & Rubin 1977 on doc lengths: the canonical
+    * latent-variable fit, and the model-based sibling of the X212
+    * hard k-means — responsibilities are SOFT assignments, so short-
+    * and long-doc subpopulations emerge with uncertainty attached.
+    * The famous EM guarantee — log-likelihood never decreases — is
+    * pinned as the spec contract). 5 pinned rounds, the X189/X224
+    * shape: each round ONE aggregated pass (Σr, Σrx, Σrx², Σ ln mix),
+    * parameters live on the driver and re-enter as literals.
+    *
+    * Determinism: init from one qround(6) moment pass (μ ± σ split,
+    * equal weights); per-round aggregate lanes qround(6); the
+    * Gaussian density is element-wise with the 2π literal written
+    * identically on both engines (6.283185307179586) and σ² floored
+    * at 1e-4 (x is n_chars/1000 — scaled so the Σrx² lanes sit
+    * far above the qround quantum relative to any exp-ulp jitter)
+    * so no component collapses; responsibilities
+    * are identical-tree ratios of exp lanes. Output = the rounds-0..5
+    * parameter + log-likelihood curve. */
+  val emMixture = QueryDef(
+    "q_em_mixture", {
+      val twoPi = "6.283185307179586"
+      def phi(mu: String, s2: String) =
+        s"""(exp(-((b.x - $mu) * (b.x - $mu)) / (2.0 * $s2)) /
+            sqrt($twoPi * $s2))"""
+      def mix(w: String) =
+        s"""($w.pi1 * ${phi(s"$w.mu1", s"$w.s21")} +
+            (1.0 - $w.pi1) * ${phi(s"$w.mu2", s"$w.s22")})"""
+      def r1(w: String) =
+        s"""(($w.pi1 * ${phi(s"$w.mu1", s"$w.s21")}) / ${mix(w)})"""
+      val rounds = (1 to 5).map { i =>
+        val w = s"w_${i - 1}"
+        s"""g_$i AS (
+             SELECT ${Num.qroundSql(s"SUM(${r1(w)})", 6)} AS sr1,
+                    ${Num.qroundSql(s"SUM(${r1(w)} * b.x)", 6)} AS srx1,
+                    ${Num.qroundSql(s"SUM(${r1(w)} * b.x * b.x)", 6)}
+                      AS srxx1,
+                    ${Num.qroundSql(s"SUM((1.0 - ${r1(w)}) * b.x)", 6)}
+                      AS srx2,
+                    ${Num.qroundSql(
+                      s"SUM((1.0 - ${r1(w)}) * b.x * b.x)", 6)}
+                      AS srxx2,
+                    ${Num.qroundSql(s"SUM(ln(${mix(w)})) / nn.n", 6)}
+                      AS loglik
+             FROM base b CROSS JOIN $w CROSS JOIN nn
+             GROUP BY nn.n),
+           w_$i AS (
+             SELECT ${Num.qroundSql("g.srx1 / g.sr1", 6)} AS mu1,
+                    ${Num.qroundSql("g.srx2 / (nn.n - g.sr1)", 6)}
+                      AS mu2,
+                    GREATEST(${Num.qroundSql(
+                      """g.srxx1 / g.sr1 -
+                         (g.srx1 / g.sr1) * (g.srx1 / g.sr1)""", 6)},
+                      0.0001) AS s21,
+                    GREATEST(${Num.qroundSql(
+                      """g.srxx2 / (nn.n - g.sr1) -
+                         (g.srx2 / (nn.n - g.sr1)) *
+                         (g.srx2 / (nn.n - g.sr1))""", 6)}, 0.0001)
+                      AS s22,
+                    ${Num.qroundSql("g.sr1 / nn.n", 6)} AS pi1,
+                    g.loglik
+             FROM g_$i g CROSS JOIN nn)"""
+      }.mkString(",\n")
+      Some(s"""WITH base AS (
+               SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x FROM documents),
+             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+             mom AS (
+               SELECT ${Num.qroundSql("AVG(x)", 6)} AS m,
+                      ${Num.qroundSql("AVG(x * x)", 6)} AS m2
+               FROM base),
+             w_0 AS (
+               SELECT m - sqrt(GREATEST(m2 - m * m, 0.0001)) AS mu1,
+                      m + sqrt(GREATEST(m2 - m * m, 0.0001)) AS mu2,
+                      GREATEST(m2 - m * m, 0.0001) AS s21,
+                      GREATEST(m2 - m * m, 0.0001) AS s22,
+                      0.5 AS pi1
+               FROM mom),
+             $rounds,
+             l_6 AS (
+               SELECT ${Num.qroundSql(
+                 s"SUM(ln(${mix("w_5")})) / nn.n", 6)} AS loglik
+               FROM base b CROSS JOIN w_5 CROSS JOIN nn
+               GROUP BY nn.n)
+             SELECT * FROM (
+               ${(1 to 5).map(i =>
+                 s"""SELECT ${i - 1} AS em_round, w.mu1, w.mu2, w.s21,
+                     w.s22, w.pi1, g.loglik
+                   FROM w_${i - 1} w CROSS JOIN g_$i g""")
+                 .mkString(" UNION ALL ")}
+               UNION ALL
+               SELECT 5, w.mu1, w.mu2, w.s21, w.s22, w.pi1, l.loglik
+               FROM w_5 w CROSS JOIN l_6 l) uq
+             ORDER BY em_round""")
+    },
+    (s, d) => {
+      def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val TwoPi = 6.283185307179586
+      val base = Tables.documents(s, d)
+        .select((col("n_chars").cast("double") / 1000.0).as("x"))
+        .localCheckpoint(true) // 6 aggregated passes over one frame
+      val momRow = base.agg(Num.qround(avg("x"), 6),
+        Num.qround(avg(col("x") * col("x")), 6)).head()
+      val (m, m2) = (momRow.getDouble(0), momRow.getDouble(1))
+      val v0 = math.max(m2 - m * m, 0.0001)
+      var (mu1, mu2) = (m - math.sqrt(v0), m + math.sqrt(v0))
+      var (s21, s22) = (v0, v0)
+      var pi1 = 0.5
+      def phi(mu: Double, s2: Double) =
+        exp(-((col("x") - mu) * (col("x") - mu)) / (2.0 * s2)) /
+          math.sqrt(TwoPi * s2)
+      def mixCol = lit(pi1) * phi(mu1, s21) +
+        lit(1.0 - pi1) * phi(mu2, s22)
+      def r1Col = (lit(pi1) * phi(mu1, s21)) / mixCol
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Double, Double, Double, Double, Double)]
+      val n = base.count().toDouble
+      for (r <- 0 until 5) {
+        val row = base.agg(
+          Num.qround(sum(r1Col), 6),
+          Num.qround(sum(r1Col * col("x")), 6),
+          Num.qround(sum(r1Col * col("x") * col("x")), 6),
+          Num.qround(sum((lit(1.0) - r1Col) * col("x")), 6),
+          Num.qround(sum((lit(1.0) - r1Col) * col("x") * col("x")), 6),
+          Num.qround(sum(log(mixCol)) / n, 6)).head()
+        val (sr1, srx1, srxx1, srx2, srxx2, ll) = (row.getDouble(0),
+          row.getDouble(1), row.getDouble(2), row.getDouble(3),
+          row.getDouble(4), row.getDouble(5))
+        out += ((r, mu1, mu2, s21, s22, pi1, ll))
+        mu1 = q6d(srx1 / sr1)
+        mu2 = q6d(srx2 / (n - sr1))
+        s21 = math.max(q6d(srxx1 / sr1 - (srx1 / sr1) * (srx1 / sr1)),
+          0.0001)
+        s22 = math.max(q6d(srxx2 / (n - sr1) -
+          (srx2 / (n - sr1)) * (srx2 / (n - sr1))), 0.0001)
+        pi1 = q6d(sr1 / n)
+      }
+      val fin = base.agg(Num.qround(sum(log(mixCol)) / n, 6)).head()
+      out += ((5, mu1, mu2, s21, s22, pi1, fin.getDouble(0)))
+      import s.implicits._
+      out.toSeq.toDF("em_round", "mu1", "mu2", "s21", "s22", "pi1",
+        "loglik").orderBy("em_round")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
     conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg,
-    wassersteinDrift)
+    wassersteinDrift, emMixture)
 }

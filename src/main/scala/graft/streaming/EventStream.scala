@@ -476,7 +476,25 @@ object EventStream {
   def stageDir(file: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     val src = java.nio.file.Paths.get(file).toAbsolutePath
-    java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+    if (java.nio.file.Files.isDirectory(src)) {
+      // multi-file parquet dataset (the sf1 synthesized tables): stage
+      // each part file flat — the file stream source lists one level
+      // and would otherwise see only an opaque subdirectory
+      val it = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.createSymbolicLink(
+            dir.resolve(f"part-$i%05d.parquet"), p)
+          i += 1
+        }
+      }
+      require(i > 0, s"stageDir: no parquet parts under $src")
+    } else {
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(src.getFileName), src)
+    }
     dir.toString
   }
 }

@@ -917,10 +917,11 @@ object Stress {
       // fixed-fixture artifact, but the chain now derives its WARC
       // members from the sf-scaled documents table, so its curve is
       // measurable and stays on the probe
-      val heavy = Seq("q_learning_curve", "q_setjoin_prefix",
-        "q_hilbert_stats", "q_rank_rbo", "q_rank_fusion", "q_logreg",
-        "q_als", "q_rank_agreement", "q_ngram_jaccard",
-        "q_lsh_dedup_eval", "q_crawl_pipeline")
+      val heavy = Seq("q_dedup_simhash_md5", "q_domain_communities",
+        "q_coverage_select", "q_learning_curve",
+        "q_stream_interval_join", "q_rank_rbo", "q_setjoin_prefix",
+        "q_als", "q_rank_fusion", "q_rank_agreement",
+        "q_crawl_pipeline")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
