@@ -1483,8 +1483,171 @@ object StatsQueries {
         "loglik").orderBy("em_round")
     })
 
+  // ----------------------------------------------- one-way ANOVA
+
+  /** One-way ANOVA on doc length by source (X241 — Fisher 1925: the
+    * "does the grouping explain the variance AT ALL" omnibus before
+    * any per-pair drilldown; the continuous-outcome sibling of X170's
+    * Cramér's V and the k-group generalization of X136's two-sample
+    * t). All moment inputs are EXACT integers (n, Σx, Σx² per group —
+    * one keyed aggregate over the bounded source alphabet); the
+    * between-groups sum Σ_g S_g²/n_g is the one aggregated double
+    * lane → qround(6); everything downstream (SSB, SSW, F, η²) is
+    * element-wise arithmetic on exact or quantized inputs. Per-group
+    * rows carry their exact-ratio means; F/η²/df re-emitted as
+    * literals (X109 device). */
+  val anova = QueryDef(
+    "q_anova",
+    Some(s"""WITH g AS (
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+                    CAST(SUM(n_chars) AS BIGINT) AS s_g,
+                    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx_g
+             FROM documents GROUP BY source),
+           t AS (
+             SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                    CAST(SUM(s_g) AS BIGINT) AS s,
+                    CAST(SUM(sxx_g) AS BIGINT) AS sxx,
+                    CAST(COUNT(*) AS BIGINT) AS k,
+                    ${Num.qroundSql(
+                      """SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                         / CAST(n_g AS DOUBLE))""", 6)} AS a
+             FROM g),
+           f AS (
+             SELECT k, n,
+                    a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE) AS ssb,
+                    CAST(sxx AS DOUBLE) - a AS ssw
+             FROM t)
+           SELECT g.source, g.n_g,
+                  CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                    AS mean_g,
+                  f.k, f.n,
+                  ${Num.qroundSql("f.ssb", 6)} AS ssb,
+                  ${Num.qroundSql("f.ssw", 6)} AS ssw,
+                  ${Num.qroundSql(
+                    """(f.ssb / CAST(f.k - 1 AS DOUBLE)) /
+                       (f.ssw / CAST(f.n - f.k AS DOUBLE))""", 6)}
+                    AS f_stat,
+                  ${Num.qroundSql("f.ssb / (f.ssb + f.ssw)", 6)}
+                    AS eta2
+           FROM g CROSS JOIN f
+           ORDER BY g.source"""),
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_g"), sum("n_chars").as("s_g"),
+          sum(col("n_chars") * col("n_chars")).as("sxx_g"))
+        .localCheckpoint(true) // totals action + final projection
+      val tRow = g.agg(sum("n_g"), sum("s_g"), sum("sxx_g"),
+        count(lit(1)),
+        Num.qround(sum(col("s_g").cast("double") *
+          col("s_g").cast("double") / col("n_g").cast("double")), 6))
+        .head()
+      val (n, sTot, sxx, k, a) = (tRow.getLong(0), tRow.getLong(1),
+        tRow.getLong(2), tRow.getLong(3), tRow.getDouble(4))
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val ssb = a - sTot.toDouble * sTot.toDouble / n.toDouble
+      val ssw = sxx.toDouble - a
+      val fStat = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+      g.select(col("source"), col("n_g"),
+          (col("s_g").cast("double") / col("n_g").cast("double"))
+            .as("mean_g"),
+          lit(k).as("k"), lit(n).as("n"),
+          lit(q6(ssb)).as("ssb"), lit(q6(ssw)).as("ssw"),
+          lit(q6(fStat)).as("f_stat"),
+          lit(q6(ssb / (ssb + ssw))).as("eta2"))
+        .orderBy("source")
+    })
+
+  // ------------------------------------------- partial correlation
+
+  /** First-order partial correlation (X242 — Yule 1907: the
+    * confounder-adjusted association r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)) — the first question after X126's raw
+    * matrix shows two variables moving together: "or do they both
+    * just follow z?"). Raw correlations are the X126 qround(6) CORR
+    * lanes on the lineitem trio; the partials are element-wise
+    * algebra on the QUANTIZED inputs (deterministic, hash raw) —
+    * all three orderings so the table shows which pair survives
+    * which control. */
+  val partialCorr = QueryDef(
+    "q_partial_corr", {
+      def c(x: String, y: String) = Num.qroundSql(s"CORR($x, $y)", 6)
+      def part(rxy: String, rxz: String, ryz: String) =
+        s"""(($rxy - $rxz * $ryz) /
+            sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"""
+      Some(s"""WITH r AS (
+               SELECT ${c("l_quantity", "l_extendedprice")} AS r_qp,
+                      ${c("l_quantity", "l_discount")} AS r_qd,
+                      ${c("l_extendedprice", "l_discount")} AS r_pd
+               FROM lineitem)
+             SELECT r_qp, r_qd, r_pd,
+                    ${part("r_qp", "r_qd", "r_pd")} AS r_qp_given_d,
+                    ${part("r_qd", "r_qp", "r_pd")} AS r_qd_given_p,
+                    ${part("r_pd", "r_qp", "r_qd")} AS r_pd_given_q
+             FROM r""")
+    },
+    (s, d) => {
+      val r = Tables.lineitem(s, d).agg(
+        Num.qround(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("r_qp"),
+        Num.qround(corr(col("l_quantity"), col("l_discount")), 6)
+          .as("r_qd"),
+        Num.qround(corr(col("l_extendedprice"), col("l_discount")), 6)
+          .as("r_pd"))
+      def part(rxy: Column, rxz: Column, ryz: Column) =
+        (rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+      r.select(col("r_qp"), col("r_qd"), col("r_pd"),
+        part(col("r_qp"), col("r_qd"), col("r_pd")).as("r_qp_given_d"),
+        part(col("r_qd"), col("r_qp"), col("r_pd")).as("r_qd_given_p"),
+        part(col("r_pd"), col("r_qp"), col("r_qd")).as("r_pd_given_q"))
+    })
+
+  // --------------------------------------- Simpson's-paradox screen
+
+  /** Simpson's-paradox screen (X243 — Simpson 1951 / Yule 1903: a
+    * per-stratum association whose SIGN flips against the pooled
+    * one — the classic aggregation trap every cohort dashboard walks
+    * into; this screen runs the comparison for every stratum before
+    * anyone trusts the pooled number). Value-vs-hour correlation per
+    * event type vs pooled: both lanes the X126 qround(6) CORR device
+    * (hour is an exact integer lane); reversal = strict sign product
+    * < 0 on the quantized values (deterministic boolean). */
+  val simpsonScreen = QueryDef(
+    "q_simpson", {
+      val x = "CAST(hour(ts) AS DOUBLE)"
+      Some(s"""WITH p AS (
+               SELECT ${Num.qroundSql(s"CORR($x, value)", 6)}
+                 AS r_pooled
+               FROM events),
+             g AS (
+               SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      ${Num.qroundSql(s"CORR($x, value)", 6)} AS r_type
+               FROM events GROUP BY event_type)
+             SELECT g.event_type, g.n, g.r_type, p.r_pooled,
+                    g.r_type * p.r_pooled < 0.0 AS reversed
+             FROM g CROSS JOIN p
+             ORDER BY g.event_type""")
+    },
+    (s, d) => {
+      val x = hour(col("ts")).cast("double")
+      val e = Tables.events(s, d).select(col("event_type"),
+        x.as("x"), col("value"))
+        .localCheckpoint(true) // pooled action + per-type aggregate
+      val pooled = e.agg(Num.qround(corr(col("x"), col("value")), 6))
+        .head().getDouble(0)
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Num.qround(corr(col("x"), col("value")), 6).as("r_type"))
+        .withColumn("r_pooled", lit(pooled))
+        .withColumn("reversed", col("r_type") * col("r_pooled") < 0.0)
+        .orderBy("event_type")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
     conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg,
-    wassersteinDrift, emMixture)
+    wassersteinDrift, emMixture, anova, partialCorr, simpsonScreen)
 }
