@@ -1693,8 +1693,67 @@ object CurationQueries {
         .orderBy("node")
     })
 
+  /** Duplication-debiased corpus statistics (X245 — the estimator fix
+    * BEFORE anyone reports "mean doc length" on a crawl: duplicated
+    * documents over-weight their cluster's value, so every per-doc
+    * mean is biased toward whatever gets copied most. The standard
+    * correction weights each row by 1/|its duplicate cluster| — each
+    * cluster then contributes exactly once, the Horvitz–Thompson view
+    * of the X1 near-exact dedup). Clusters = the X1 md5 fingerprint
+    * (one keyed aggregate); weights are exact rationals joined back
+    * on the fingerprint (never a row explosion); the weighted and
+    * naive means are the only qround(6) lanes; the bias column makes
+    * the duplication distortion a measurable number per source. */
+  val dedupWeightedStats = QueryDef(
+    "q_dedup_weighted_stats",
+    Some(s"""WITH f AS (
+             SELECT source, n_chars,
+                    md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+                      AS fp
+             FROM documents),
+           cs AS (
+             SELECT fp, CAST(COUNT(*) AS BIGINT) AS csize
+             FROM f GROUP BY fp),
+           j AS (
+             SELECT f.source, f.n_chars,
+                    CAST(f.n_chars AS DOUBLE) /
+                      CAST(cs.csize AS DOUBLE) AS wx,
+                    1.0 / CAST(cs.csize AS DOUBLE) AS w
+             FROM f JOIN cs ON cs.fp = f.fp)
+           SELECT source,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  ${Num.qroundSql(
+                    "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 6)}
+                    AS naive_mean,
+                  ${Num.qroundSql("SUM(wx) / SUM(w)", 6)}
+                    AS weighted_mean,
+                  ${Num.qroundSql("SUM(w)", 6)} AS effective_docs
+           FROM j GROUP BY source
+           ORDER BY source"""),
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          Text.fingerprintMd5(col("text")).as("fp"))
+        .localCheckpoint(true) // cluster sizes + the weighted join
+      val cs = f.groupBy("fp").agg(count(lit(1)).as("csize"))
+      f.join(cs, Seq("fp"))
+        .select(col("source"), col("n_chars"),
+          (col("n_chars").cast("double") / col("csize").cast("double"))
+            .as("wx"),
+          (lit(1.0) / col("csize").cast("double")).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          Num.qround(sum("n_chars").cast("double") / count(lit(1)), 6)
+            .as("naive_mean"),
+          Num.qround(sum("wx") / sum("w"), 6).as("weighted_mean"),
+          Num.qround(sum("w"), 6).as("effective_docs"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
+      dedupWeightedStats,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
       bootstrapCi, chisqDrift, dpCounts, tokenBudget,

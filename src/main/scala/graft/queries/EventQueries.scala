@@ -1436,6 +1436,118 @@ object EventQueries {
         .orderBy("event_type")
     })
 
+  /** File-skipping effectiveness across physical layouts (X244 — the
+    * number data layouts exist to move: given the SAME 32-file split
+    * budget, how many files does min/max pruning skip for a point
+    * predicate on user and a range predicate on time, under (a) a
+    * time-ingest sort, (b) an entity sort, (c) a z-order interleave?
+    * The quantified version of the X30/X187 layout rows' claim: the
+    * sorted layouts each ace ONE predicate and fail the other, the
+    * z-order prunes BOTH — per-file (min,max) extents are exactly
+    * what parquet row-group / Delta file stats give a scan planner).
+    * All lanes exact integers: the bin device is the X30
+    * exact-numerator floor, file ids integer division of the z-key,
+    * predicates integer midpoint/percent arithmetic, prune verdicts
+    * interval tests on exact extents. */
+  val skippingEval = QueryDef(
+    "q_skipping_eval",
+    Some(s"""WITH b AS (
+             SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                    MIN(epoch_us(ts)) AS tlo, MAX(epoch_us(ts)) AS thi
+             FROM events),
+           e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+           binned AS (
+             SELECT u, t,
+                    CAST(FLOOR((t - b.tlo) * 32 /
+                      CAST(b.thi - b.tlo + 1 AS DOUBLE)) AS BIGINT)
+                      AS f_time,
+                    CAST(FLOOR((u - b.ulo) * 32 /
+                      CAST(b.uhi - b.ulo + 1 AS DOUBLE)) AS BIGINT)
+                      AS f_user,
+                    CAST(FLOOR((u - b.ulo) * 16 /
+                      CAST(b.uhi - b.ulo + 1 AS DOUBLE)) AS BIGINT)
+                      AS ub,
+                    CAST(FLOOR((t - b.tlo) * 16 /
+                      CAST(b.thi - b.tlo + 1 AS DOUBLE)) AS BIGINT)
+                      AS eb
+             FROM e CROSS JOIN b),
+           zz AS (
+             SELECT u, t, f_time, f_user,
+                    (${(0 until 4).flatMap(i => Seq(
+                      s"(((ub >> $i) & 1) << ${2 * i})",
+                      s"(((eb >> $i) & 1) << ${2 * i + 1})"))
+                      .mkString(" + ")}) // 8 AS f_z
+             FROM binned),
+           files AS (
+             SELECT 'time' AS layout, f_time AS f,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    MIN(u) AS min_u, MAX(u) AS max_u,
+                    MIN(t) AS min_t, MAX(t) AS max_t
+             FROM zz GROUP BY f_time
+             UNION ALL
+             SELECT 'user', f_user, CAST(COUNT(*) AS BIGINT),
+                    MIN(u), MAX(u), MIN(t), MAX(t)
+             FROM zz GROUP BY f_user
+             UNION ALL
+             SELECT 'zorder', f_z, CAST(COUNT(*) AS BIGINT),
+                    MIN(u), MAX(u), MIN(t), MAX(t)
+             FROM zz GROUP BY f_z),
+           p AS (
+             SELECT (ulo + uhi) // 2 AS u0,
+                    tlo + ((thi - tlo) * 45) // 100 AS t1,
+                    tlo + ((thi - tlo) * 55) // 100 AS t2
+             FROM b)
+           SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+                  CAST(SUM(CASE WHEN p.u0 >= min_u AND p.u0 <= max_u
+                    THEN 0 ELSE 1 END) AS BIGINT) AS pruned_point,
+                  CAST(SUM(CASE WHEN max_t < p.t1 OR min_t > p.t2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pruned_range,
+                  CAST(SUM(CASE WHEN p.u0 >= min_u AND p.u0 <= max_u
+                    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned_point,
+                  CAST(SUM(CASE WHEN max_t < p.t1 OR min_t > p.t2
+                    THEN 0 ELSE n END) AS BIGINT) AS rows_scanned_range
+           FROM files CROSS JOIN p
+           GROUP BY layout ORDER BY layout"""),
+    (s, d) => {
+      import graft.ops.Layout
+      val e = Tables.events(s, d)
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("t"))
+        .localCheckpoint(true) // bounds action + the binned scan
+      val bd = Layout.bounds(e, "u", "t")
+      def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long,
+          k: Int) =
+        floor(((c - lit(lo)) * lit(k.toLong)).cast("double") /
+          lit((hi - lo + 1).toDouble)).cast("long")
+      val zz = e.select(col("u"), col("t"),
+          bin(col("t"), bd.bLo, bd.bHi, 32).as("f_time"),
+          bin(col("u"), bd.aLo, bd.aHi, 32).as("f_user"),
+          Layout.zKey(col("u"), col("t"), bd, 4).cast("long").as("zk"))
+        .withColumn("f_z", expr("zk div 8"))
+      def filesOf(layout: String, fcol: String) =
+        zz.groupBy(col(fcol).as("f"))
+          .agg(count(lit(1)).as("n"), min("u").as("min_u"),
+            max("u").as("max_u"), min("t").as("min_t"),
+            max("t").as("max_t"))
+          .withColumn("layout", lit(layout))
+      val files = filesOf("time", "f_time")
+        .union(filesOf("user", "f_user"))
+        .union(filesOf("zorder", "f_z"))
+      val u0 = (bd.aLo + bd.aHi) / 2
+      val t1 = bd.bLo + ((bd.bHi - bd.bLo) * 45) / 100
+      val t2 = bd.bLo + ((bd.bHi - bd.bLo) * 55) / 100
+      val hitPoint = lit(u0) >= col("min_u") && lit(u0) <= col("max_u")
+      val missRange = col("max_t") < t1 || col("min_t") > t2
+      files.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(hitPoint, 0L).otherwise(1L)).as("pruned_point"),
+          sum(when(missRange, 1L).otherwise(0L)).as("pruned_range"),
+          sum(when(hitPoint, col("n")).otherwise(0L))
+            .as("rows_scanned_point"),
+          sum(when(missRange, 0L).otherwise(col("n")))
+            .as("rows_scanned_range"))
+        .orderBy("layout")
+    })
+
   val all: Seq[QueryDef] = Seq(jsonExtract, eventWindow, streamWindow,
     eventAnomaly,
     slidingWindow, sessionize, streamSession, streamSessionWindow,
@@ -1447,5 +1559,6 @@ object EventQueries {
     asofJoinBucketed, rangeJoin, skewJoin, zorderStats, hilbertStats,
     shapley,
     eventFunnel, streamFunnel, eventRetention,
-    patternWithin, streamPattern, seqTriples, sloBurn, twap)
+    patternWithin, streamPattern, seqTriples, sloBurn, twap,
+    skippingEval)
 }

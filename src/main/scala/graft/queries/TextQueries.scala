@@ -2907,6 +2907,49 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       out.toSeq.toDF("gd_round", "a", "b", "loss").orderBy("gd_round")
     })
 
+  /** Tokenizer fertility by language (X246 — the bytes-per-token /
+    * tokens-per-word numbers every multilingual tokenizer review
+    * leads with (Rust et al. 2021): a vocabulary that spends 3
+    * subwords per word in one language and 1.2 in another taxes the
+    * first language's effective context length — the fairness number
+    * behind "byte-premium" debates). Units from the established
+    * lanes: bytes = octet_length (DuckDB strlen), chars = length,
+    * subwords = the X8 BPE-ish splitter, words = whitespace tokens —
+    * all EXACT integer sums per bounded lang group; fertility ratios
+    * are exact-integer-fed divides (hash raw). */
+  val tokenizerFertility = QueryDef(
+    "q_tokenizer_fertility",
+    Some(s"""SELECT lang,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+                  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                  CAST(SUM(len(regexp_extract_all(text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                    AS n_subwords,
+                  CAST(SUM(len($sqlToks)) AS BIGINT) AS n_words,
+                  CAST(SUM(strlen(text)) AS DOUBLE) /
+                    CAST(SUM(len(regexp_extract_all(text,
+                      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+                    AS bytes_per_subword,
+                  CAST(SUM(len(regexp_extract_all(text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) /
+                    CAST(SUM(len($sqlToks)) AS DOUBLE) AS fertility
+           FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).as("n_bytes"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(Text.bpeishTokenCount(col("text"))).as("n_subwords"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_words"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"),
+        col("n_chars"), col("n_subwords"), col("n_words"),
+        (col("n_bytes").cast("double") / col("n_subwords").cast("double"))
+          .as("bytes_per_subword"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("lang"))
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2916,5 +2959,6 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
-    learningCurve, gainsChart, lmKneserNey, plattScaling)
+    learningCurve, gainsChart, lmKneserNey, plattScaling,
+    tokenizerFertility)
 }
