@@ -1677,6 +1677,94 @@ cents_${i + 1} AS (
         .orderBy("j")
     })
 
+  /** Matryoshka truncation recall (X247 — Kusupati et al. 2022: MRL
+    * embeddings are trained so PREFIXES are usable vectors; serving
+    * then picks a truncation level per latency budget. This eval
+    * measures exactly that tradeoff on the shipped embeddings:
+    * brute-force top-10 by cosine over the first 32/16/8 dims,
+    * recall against the full-64-dim truth — the dimension axis of
+    * the quantization family, next to X24's int8 (precision axis)
+    * and X236's PQ (codebook axis)). Slices are zero-copy prefix
+    * `slice()` lanes; cosine per level is the same X7 raw-ranked
+    * device (bit-identical element-wise folds, id ties); the
+    * brute-force scans are declared BNLJ (PlanSpec bnljByDesign,
+    * the X74 eval contract). recall exact-integer ratio. */
+  val matryoshka = QueryDef(
+    "q_matryoshka", {
+      def dotSlice(a: String, b: String, k: Int) =
+        s"""list_reduce(list_transform(range(1, ${k + 1}),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+            (x, y) -> x + y)"""
+      def cosSlice(a: String, b: String, k: Int) =
+        s"""(${dotSlice(a, b, k)} /
+             NULLIF(SQRT(${dotSlice(a, a, k)}) *
+                    SQRT(${dotSlice(b, b, k)}), 0.0))"""
+      def rankCte(k: Int, name: String) = s"""
+$name AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSlice("q.embedding", "e.embedding", k)} DESC,
+                      e.vec_id ASC) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings e
+    WHERE e.vec_id <> q.vec_id) z$name WHERE rn <= 10)"""
+      Some(s"""WITH ${rankCte(64, "truth")},
+             ${(Seq(32, 16, 8).map(k => rankCte(k, s"lvl$k"))
+               .mkString(","))},
+             hits AS (
+               ${Seq(32, 16, 8).map(k =>
+                 s"""SELECT $k AS dims, a.qid,
+                     CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM lvl$k a JOIN truth t
+                     ON t.qid = a.qid AND t.vec_id = a.vec_id
+                   GROUP BY a.qid""").mkString(" UNION ALL ")})
+             SELECT q.dims, q.qid AS query_id,
+                    COALESCE(h.n_hit, 0) AS n_hit,
+                    CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0
+                      AS recall10
+             FROM (SELECT dims, vec_id AS qid
+                   FROM (SELECT DISTINCT vec_id FROM embeddings
+                         WHERE vec_id < 5) qq,
+                        (SELECT unnest([32, 16, 8]) AS dims) dd) q
+             LEFT JOIN hits h ON h.dims = q.dims AND h.qid = q.qid
+             ORDER BY q.dims, query_id""")
+    },
+    (s, d) => {
+      import graft.functions.ArrayFunctions.arrayDot
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .localCheckpoint(true) // 4 brute-force lanes share the frame
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      def topK(k: Int) = {
+        def sl(c: org.apache.spark.sql.Column) =
+          if (k == 64) c else slice(c, 1, k)
+        val cos = arrayDot(sl(col("qv")), sl(col("embedding"))) /
+          (sqrt(arrayDot(sl(col("qv")), sl(col("qv")))) *
+           sqrt(arrayDot(sl(col("embedding")), sl(col("embedding")))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc,
+            col("vec_id").asc)
+        e.join(q, col("vec_id") =!= col("qid"))
+          .withColumn("cos", cos)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+      }
+      val truth = topK(64).localCheckpoint(true) // 3 levels join it
+      val hits = Seq(32, 16, 8).map { k =>
+        topK(k).join(truth, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+          .withColumn("dims", lit(k))
+      }.reduce(_ union _)
+      val shell = q.select(col("qid"))
+        .withColumn("dims", explode(array(lit(32), lit(16), lit(8))))
+      shell.join(hits, Seq("dims", "qid"), "left")
+        .select(col("dims"), col("qid").as("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0)
+            .as("recall10"))
+        .orderBy("dims", "query_id")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
@@ -1685,5 +1773,5 @@ cents_${i + 1} AS (
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
     approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
-    imageDedup, als, itemsetTriples, joinSizeCm)
+    imageDedup, als, itemsetTriples, joinSizeCm, matryoshka)
 }

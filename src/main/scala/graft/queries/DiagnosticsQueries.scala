@@ -3993,6 +3993,146 @@ object DiagnosticsQueries {
         .orderBy("state")
     })
 
+  /** Markov entropy rate (X248 — Shannon 1948's uncertainty-per-step
+    * of the X115 chain: H = Σ_a π̂(a)·H(next|a), the single number
+    * that says how PREDICTABLE user journeys are — 0 bits = scripted
+    * funnels, log₂|types| = white noise; the sequence-level
+    * completion of X92's per-document character entropy). Transition
+    * probabilities and the empirical from-state distribution are
+    * exact integer ratios over the bounded type alphabet; the per-
+    * state conditional entropies are ≤|types|-term log2 aggregates →
+    * qround(6); the rate re-emitted as an X109 literal. */
+  val entropyRate = QueryDef(
+    "q_entropy_rate",
+    Some(s"""WITH o AS (
+             SELECT event_type,
+                    LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev
+             FROM events),
+           pc AS (
+             SELECT prev AS from_type, event_type AS to_type,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+           t AS (
+             SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+             FROM pc GROUP BY 1),
+           tt AS (SELECT CAST(SUM(n_from) AS BIGINT) AS nt FROM t),
+           h AS (
+             SELECT pc.from_type, t.n_from,
+                    ${Num.qroundSql(
+                      """SUM(-(CAST(pc.n AS DOUBLE) /
+                           CAST(t.n_from AS DOUBLE)) *
+                          log2(CAST(pc.n AS DOUBLE) /
+                           CAST(t.n_from AS DOUBLE)))""", 6)} AS h_cond
+             FROM pc JOIN t USING (from_type)
+             GROUP BY pc.from_type, t.n_from),
+           r AS (
+             SELECT ${Num.qroundSql(
+               """SUM((CAST(n_from AS DOUBLE) /
+                   CAST((SELECT nt FROM tt) AS DOUBLE)) * h_cond)""",
+               6)} AS h_rate
+             FROM h)
+           SELECT h.from_type, h.n_from,
+                  CAST(h.n_from AS DOUBLE) /
+                    CAST((SELECT nt FROM tt) AS DOUBLE) AS pi,
+                  h.h_cond, r.h_rate
+           FROM h CROSS JOIN r
+           ORDER BY h.from_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pc = Tables.events(s, d)
+        .select(col("event_type"),
+          lag("event_type", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals + the entropy aggregate
+      val t = pc.groupBy("from_type").agg(sum("n").as("n_from"))
+      val nt = t.agg(sum("n_from")).head().getLong(0)
+      val p = col("n").cast("double") / col("n_from").cast("double")
+      val h = pc.join(broadcast(t), Seq("from_type"))
+        .groupBy("from_type", "n_from")
+        .agg(Num.qround(sum(-p * log2(p)), 6).as("h_cond"))
+        .localCheckpoint(true) // rate action + final projection
+      val rate = h.agg(Num.qround(sum((col("n_from").cast("double") /
+        lit(nt.toDouble)) * col("h_cond")), 6)).head().getDouble(0)
+      h.select(col("from_type"), col("n_from"),
+          (col("n_from").cast("double") / lit(nt.toDouble)).as("pi"),
+          col("h_cond"), lit(rate).as("h_rate"))
+        .orderBy("from_type")
+    })
+
+  /** Kendall's τ-b (X249 — Kendall 1938: the concordant/discordant
+    * pair view of rank agreement, completing the trio with X102's
+    * Spearman (squared rank gaps) and X186's RBO (top-weighted):
+    * τ-b is the one with clean tie handling and a direct
+    * probabilistic reading, P(concordant) − P(discordant). Variables:
+    * per-domain doc count vs distinct-source count on the shared
+    * 50-node carve — a BOUNDED table, so the 1225-pair count is
+    * driver metadata by declared contract (X109 device; the oracle
+    * does the same pairs as a SQL self-join). ALL lanes exact
+    * integers until the final τ (two integer-fed sqrt/divide ops,
+    * deterministic). */
+  val kendallTau = QueryDef(
+    "q_kendall_tau",
+    Some("""WITH g AS (
+             SELECT doc_id % 50 AS dom,
+                    CAST(SUM(n_chars) AS BIGINT) AS x,
+                    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS y
+             FROM documents GROUP BY 1),
+           pr AS (
+             SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+             FROM g a JOIN g b ON a.dom < b.dom),
+           cnt AS (
+             SELECT
+               CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN xa = xb AND ya <> yb
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN ya = yb AND xa <> xb
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM pr)
+           SELECT n_pairs, c AS concordant, d AS discordant,
+                  tx AS ties_x, ty AS ties_y,
+                  CAST(c - d AS DOUBLE) /
+                    NULLIF(sqrt(CAST(c + d + tx AS DOUBLE)) *
+                           sqrt(CAST(c + d + ty AS DOUBLE)), 0.0)
+                    AS tau_b
+           FROM cnt"""),
+    (s, d) => {
+      // bounded 50-row domain table -> driver pair count (X109)
+      val g = Tables.documents(s, d)
+        .groupBy((col("doc_id") % 50).as("dom"))
+        .agg(sum("n_chars").as("x"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      var (c, dd, tx, ty, np) = (0L, 0L, 0L, 0L, 0L)
+      for (i <- g.indices; j <- g.indices if i < j) {
+        val ((xa, ya), (xb, yb)) = (g(i), g(j))
+        np += 1
+        val s0 = (xa - xb) * (ya - yb)
+        if (s0 > 0) c += 1
+        else if (s0 < 0) dd += 1
+        else {
+          if (xa == xb && ya != yb) tx += 1
+          if (ya == yb && xa != xb) ty += 1
+        }
+      }
+      val denom = math.sqrt((c + dd + tx).toDouble) *
+        math.sqrt((c + dd + ty).toDouble)
+      val tau: Any =
+        if (denom == 0.0) null else (c - dd).toDouble / denom
+      import s.implicits._
+      Seq((np, c, dd, tx, ty)).toDF("n_pairs", "concordant",
+          "discordant", "ties_x", "ties_y")
+        .withColumn("tau_b", lit(tau).cast("double"))
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -4004,5 +4144,5 @@ object DiagnosticsQueries {
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
     logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat,
-    markovAbsorption)
+    markovAbsorption, entropyRate, kendallTau)
 }

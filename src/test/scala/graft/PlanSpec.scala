@@ -233,7 +233,10 @@ class PlanSpec extends SparkSuite {
       // X236 PQ eval: the exact ground-truth lane is a declared
       // brute-force scan (the X74 discipline); the PQ path itself is
       // code-table equi-joins
-      "q_pq_recall")
+      "q_pq_recall",
+      // X247 Matryoshka eval: all four lanes are declared exact
+      // brute-force scans by contract (truncation-recall ground truth)
+      "q_matryoshka")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(
