@@ -867,7 +867,168 @@ object WarehouseQueries {
         .orderBy("type_a", "type_b")
     })
 
+  // --------------------------------------------- data contracts
+
+  /** Data-contract validation report (X250 — the dbt-tests /
+    * Great-Expectations primitive: a battery of declared invariants
+    * (PK uniqueness, FK coverage, null rates, domain ranges) run as
+    * ONE query whose output is the contract report — the formalized
+    * version of the checks X120's RI audit and X41's profile do ad
+    * hoc. Every check is a violation COUNT (exact integer) with its
+    * pass verdict; a green hash means both engines agree on every
+    * violation count, including the zeros). Shapes: counts +
+    * distinct-counts + anti-join counts — all keyed equi work; the
+    * 8-row report is bounded driver metadata (funnelSummary device). */
+  val dataContract = QueryDef(
+    "q_data_contract",
+    Some("""SELECT * FROM (
+           SELECT 'customer_pk_unique' AS chk,
+                  (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey)
+                     AS BIGINT) FROM customer) AS violations
+           UNION ALL
+           SELECT 'orders_fk_customer',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                   WHERE o_custkey NOT IN
+                     (SELECT c_custkey FROM customer))
+           UNION ALL
+           SELECT 'lineitem_fk_orders',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                   WHERE l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders))
+           UNION ALL
+           SELECT 'lineitem_qty_range',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50)
+           UNION ALL
+           SELECT 'orders_price_positive',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                   WHERE o_totalprice <= 0)
+           UNION ALL
+           SELECT 'documents_text_nonempty',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                   WHERE text IS NULL OR length(text) = 0)
+           UNION ALL
+           SELECT 'events_ts_in_era',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                   WHERE ts IS NULL
+                      OR date_part('year', ts) < 2020
+                      OR date_part('year', ts) >= 2030)
+           UNION ALL
+           SELECT 'events_value_nonnegative',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                   WHERE value < 0)) uq
+           ORDER BY chk"""),
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val ords = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val docs = Tables.documents(s, d)
+      val ev = Tables.events(s, d)
+      val checks = Seq(
+        ("customer_pk_unique",
+          cust.count() - cust.select("c_custkey").distinct().count()),
+        ("orders_fk_customer",
+          ords.join(cust.select(col("c_custkey").as("k")),
+            col("o_custkey") === col("k"), "left_anti").count()),
+        ("lineitem_fk_orders",
+          li.join(ords.select(col("o_orderkey").as("k")),
+            col("l_orderkey") === col("k"), "left_anti").count()),
+        ("lineitem_qty_range",
+          li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+            .count()),
+        ("orders_price_positive",
+          ords.filter(col("o_totalprice") <= 0).count()),
+        ("documents_text_nonempty",
+          docs.filter(col("text").isNull || length(col("text")) === 0)
+            .count()),
+        ("events_ts_in_era",
+          ev.filter(col("ts").isNull || year(col("ts")) < 2020 ||
+            year(col("ts")) >= 2030).count()),
+        ("events_value_nonnegative",
+          ev.filter(col("value") < 0).count()))
+      import s.implicits._
+      checks.toDF("chk", "violations").orderBy("chk")
+    })
+
+  // ------------------------------- incremental view maintenance
+
+  /** Incremental materialized-view maintenance (X251 — the IVM
+    * identity behind every streaming rollup and Delta/Materialize
+    * refresh: for distributive aggregates, view(base ∪ Δ) ≡
+    * merge(view(base), view(Δ)) — refreshing costs O(|Δ|), never a
+    * rescan. This query RUNS both sides on a deterministic 90/10
+    * base/delta split of orders and emits them side by side: a green
+    * hash pins both engines to the same merged AND fully-recomputed
+    * views, and the equality columns make the identity itself
+    * auditable). Counts are exact; money sums carry qround(2) on
+    * BOTH the merged and recomputed lanes (fold orders differ — the
+    * q1_agg discipline); equality verdicts are booleans on the
+    * quantized lanes. */
+  val ivmAgg = QueryDef(
+    "q_ivm_agg",
+    Some(s"""WITH base AS (
+             SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+           delta AS (
+             SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+           vb AS (
+             SELECT o_orderstatus AS st,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    ${Num.qroundSql("SUM(o_totalprice)", 2)} AS sp
+             FROM base GROUP BY 1),
+           vd AS (
+             SELECT o_orderstatus AS st,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    ${Num.qroundSql("SUM(o_totalprice)", 2)} AS sp
+             FROM delta GROUP BY 1),
+           merged AS (
+             SELECT COALESCE(vb.st, vd.st) AS st,
+                    COALESCE(vb.n, 0) + COALESCE(vd.n, 0) AS n_merged,
+                    ${Num.qroundSql(
+                      "COALESCE(vb.sp, 0.0) + COALESCE(vd.sp, 0.0)", 2)}
+                      AS sum_merged
+             FROM vb FULL OUTER JOIN vd ON vd.st = vb.st),
+           full_v AS (
+             SELECT o_orderstatus AS st,
+                    CAST(COUNT(*) AS BIGINT) AS n_full,
+                    ${Num.qroundSql("SUM(o_totalprice)", 2)} AS sum_full
+             FROM orders GROUP BY 1)
+           SELECT m.st, m.n_merged, f.n_full, m.sum_merged, f.sum_full,
+                  m.n_merged = f.n_full AS counts_equal,
+                  ABS(m.sum_merged - f.sum_full) < 0.011 AS sums_equal
+           FROM merged m JOIN full_v f ON f.st = m.st
+           ORDER BY m.st"""),
+    (s, d) => {
+      val ords = Tables.orders(s, d)
+        .localCheckpoint(true) // base/delta/full views share the scan
+      val base = ords.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val delta = ords.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      def view(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("n"),
+            Num.qround(sum("o_totalprice"), 2).as("sp"))
+      val vb = view(base).select(col("st"), col("n").as("nb"),
+        col("sp").as("spb"))
+      val vd = view(delta).select(col("st").as("std"),
+        col("n").as("nd"), col("sp").as("spd"))
+      val merged = vb.join(vd, col("std") === col("st"), "full")
+        .select(coalesce(col("st"), col("std")).as("st"),
+          (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+            .as("n_merged"),
+          Num.qround(coalesce(col("spb"), lit(0.0)) +
+            coalesce(col("spd"), lit(0.0)), 2).as("sum_merged"))
+      val full = view(ords).select(col("st").as("stf"),
+        col("n").as("n_full"), col("sp").as("sum_full"))
+      merged.join(full, col("stf") === col("st"))
+        .select(col("st"), col("n_merged"), col("n_full"),
+          col("sum_merged"), col("sum_full"),
+          (col("n_merged") === col("n_full")).as("counts_equal"),
+          (abs(col("sum_merged") - col("sum_full")) < 0.011)
+            .as("sums_equal"))
+        .orderBy("st")
+    })
+
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
-    rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra)
+    rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
+    dataContract, ivmAgg)
 }

@@ -108,6 +108,26 @@ class WarehouseSpec extends SparkSuite {
     assert(prev == distinctUsers)
   }
 
+  test("q_data_contract: the clean fixture passes every declared " +
+      "invariant with zero violations") {
+    val rows = WarehouseQueries.dataContract.fn(spark, Sf0001).collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(r.getLong(1) == 0L,
+      s"${r.getString(0)}: ${r.getLong(1)} violations on clean data"))
+  }
+
+  test("q_ivm_agg: incremental merge reproduces the full recompute " +
+      "and conserves rows") {
+    val rows = WarehouseQueries.ivmAgg.fn(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"${r.getString(0)} counts diverged")
+      assert(r.getBoolean(6), s"${r.getString(0)} sums diverged")
+    }
+    val total = Tables.orders(spark, Sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
   test("q_hll_distinct: register universe, estimate in range, error " +
       "bounded at m=256") {
     val rows = WarehouseQueries.hllDistinct.fn(spark, Sf0001).collect()
