@@ -743,7 +743,7 @@ object CurationQueries {
 
   // ------------------------------ X100 bootstrap confidence intervals
 
-  private val BootReplicas = 32
+  private[queries] val BootReplicas = 32
 
   /** Cumulative Poisson(1) CDF P(X ≤ k), k = 0..6 — the replicate
     * weight is the count of thresholds at or below u (inverse-CDF
@@ -752,7 +752,7 @@ object CurationQueries {
     * Double.toString (which round-trips exactly; the SQL side parses
     * through CAST('…' AS DOUBLE) because a bare SQL decimal literal
     * is DECIMAL-lane — the Dsir hashUniform lesson). */
-  private val PoissonCum: Seq[Double] = {
+  private[queries] val PoissonCum: Seq[Double] = {
     var p = math.exp(-1.0); var c = p
     (0 to 6).map { k =>
       if (k > 0) { p = p / k; c = c + p }

@@ -4133,6 +4133,67 @@ object DiagnosticsQueries {
         .withColumn("tau_b", lit(tau).cast("double"))
     })
 
+  /** Krippendorff's α (X252 — Krippendorff 1970: the reliability
+    * coefficient that generalizes X109's Cohen κ (same two-coder
+    * nominal setup here, but α's coincidence-matrix expectation is
+    * the one that extends to missing data, many coders, and ordinal
+    * metrics — the content-analysis standard the κ row stops short
+    * of). Same labeled-vs-detected confusion as κ so the two
+    * coefficients are directly comparable on identical data: D_o =
+    * disagreeing coincidences / n, D_e = (Σn_c)²−Σn_c² over n(n−1),
+    * α = 1 − D_o/D_e — ALL integer-fed exact ratios (hash raw); the
+    * alphabet²-bounded matrix is driver metadata (the κ device). */
+  val krippendorff = QueryDef(
+    "q_krippendorff",
+    Some(s"""WITH c AS (${TextQueries.langidEval.oracle.get}),
+            t AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS units,
+                     CAST(SUM(CASE WHEN lang_labeled = lang_detected
+                       THEN n ELSE 0 END) AS BIGINT) AS agree
+              FROM c),
+            marg AS (
+              SELECT k, CAST(SUM(cnt) AS BIGINT) AS nc FROM (
+                SELECT lang_labeled AS k, n AS cnt FROM c
+                UNION ALL
+                SELECT lang_detected, n FROM c) z GROUP BY k),
+            s AS (
+              SELECT CAST(SUM(nc) AS BIGINT) AS s1,
+                     CAST(SUM(nc * nc) AS BIGINT) AS s2
+              FROM marg)
+            SELECT t.units, t.agree,
+                   1.0 - CAST(t.agree AS DOUBLE) /
+                     CAST(t.units AS DOUBLE) AS d_o,
+                   CAST(s.s1 * s.s1 - s.s2 AS DOUBLE) /
+                     (CAST(s.s1 AS DOUBLE) *
+                      CAST(s.s1 - 1 AS DOUBLE)) AS d_e,
+                   1.0 - (1.0 - CAST(t.agree AS DOUBLE) /
+                       CAST(t.units AS DOUBLE)) /
+                     (CAST(s.s1 * s.s1 - s.s2 AS DOUBLE) /
+                      (CAST(s.s1 AS DOUBLE) *
+                       CAST(s.s1 - 1 AS DOUBLE))) AS alpha
+            FROM t CROSS JOIN s"""),
+    (s, d) => {
+      // alphabet^2-bounded confusion -> driver metadata (the kappa
+      // device), exact long arithmetic, literals under the oracle tree
+      val cells = TextQueries.langidEval.fn(s, d)
+        .select("lang_labeled", "lang_detected", "n")
+        .collect()
+      val units = cells.map(_.getLong(2)).sum
+      val agree = cells.filter(r => r.getString(0) == r.getString(1))
+        .map(_.getLong(2)).sum
+      val marg = (cells.map(r => r.getString(0) -> r.getLong(2)) ++
+        cells.map(r => r.getString(1) -> r.getLong(2)))
+        .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+      val s1 = marg.sum
+      val s2 = marg.map(x => x * x).sum
+      val dO = 1.0 - agree.toDouble / units.toDouble
+      val dE = (s1 * s1 - s2).toDouble /
+        (s1.toDouble * (s1 - 1).toDouble)
+      import s.implicits._
+      Seq((units, agree, dO, dE, 1.0 - dO / dE))
+        .toDF("units", "agree", "d_o", "d_e", "alpha")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
@@ -4144,5 +4205,5 @@ object DiagnosticsQueries {
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
     logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat,
-    markovAbsorption, entropyRate, kendallTau)
+    markovAbsorption, entropyRate, kendallTau, krippendorff)
 }

@@ -174,5 +174,87 @@ object RetrievalQueries {
         .orderBy("custkey")
     })
 
-  val all: Seq[QueryDef] = Seq(phraseSearch, ndcgEval)
+  /** Bootstrap CI on mean NDCG@10 (X253 — the eval-rigor step a
+    * single point metric skips: is 0.41 vs 0.43 real or resampling
+    * noise? Poisson(1) bootstrap over CUSTOMERS (the X100 device —
+    * per-replicate weights from portable md5 uniforms, so both
+    * engines draw the SAME 32 pseudo-samples), replicate means
+    * qround(6), CI = the 2nd/31st order statistics. Composes the
+    * X227 per-customer table verbatim (shared oracle CTE, the κ
+    * nesting device); the 32 replicate means are bounded driver
+    * metadata (no partition-less rank window — X109). */
+  val ndcgCi = QueryDef(
+    "q_ndcg_ci", {
+      val wChain = CurationQueries.PoissonCum.map(t =>
+        s"CASE WHEN u >= CAST('${t.toString}' AS DOUBLE) " +
+          "THEN 1 ELSE 0 END").mkString("(0 + ", " + ", ")")
+      Some(s"""WITH nd AS (${ndcgEval.oracle.get}),
+             reps AS (
+               SELECT custkey, ndcg, t.b
+               FROM nd, range(${CurationQueries.BootReplicas}) t(b)),
+             uw AS (
+               SELECT custkey, ndcg, b,
+                      CAST(CAST('0x' || substring(md5('bootndcg:'
+                          || CAST(b AS VARCHAR) || ':'
+                          || CAST(custkey AS VARCHAR)), 1, 13)
+                        AS BIGINT) * 2 + 1 AS DOUBLE)
+                        / 9007199254740992.0 AS u
+               FROM reps),
+             wts AS (SELECT b, ndcg, $wChain AS w FROM uw),
+             rm AS (
+               SELECT b, ${Num.qroundSql("SUM(w * ndcg)", 6)} AS sw,
+                      CAST(SUM(w) AS BIGINT) AS ww
+               FROM wts GROUP BY b),
+             means AS (
+               SELECT b, sw / CAST(ww AS DOUBLE) AS m
+               FROM rm WHERE ww > 0),
+             rk AS (
+               SELECT b, m,
+                      ROW_NUMBER() OVER (ORDER BY m, b) AS rn
+               FROM means),
+             ci AS (
+               SELECT MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+                      MAX(CASE WHEN rn =
+                        ${CurationQueries.BootReplicas - 1} THEN m END)
+                        AS ci_hi
+               FROM rk),
+             st AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                      ${Num.qroundSql("AVG(ndcg)", 6)} AS mean_ndcg
+               FROM nd)
+             SELECT st.n_customers, st.mean_ndcg, ci.ci_lo, ci.ci_hi
+             FROM st CROSS JOIN ci""")
+    },
+    (s, d) => {
+      val nd = ndcgEval.fn(s, d).select(col("custkey"), col("ndcg"))
+        .localCheckpoint(true) // 32 replicate lanes + the point stats
+      val reps = nd.withColumn("b",
+        explode(sequence(lit(0), lit(CurationQueries.BootReplicas - 1))))
+      val u = conv(substring(md5(concat(lit("bootndcg:"),
+          col("b").cast("string"), lit(":"),
+          col("custkey").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+      val uu = (u * 2 + 1).cast("double") / 9007199254740992.0
+      val w = CurationQueries.PoissonCum.map(t =>
+        when(uu >= lit(t), 1).otherwise(0))
+        .reduce[org.apache.spark.sql.Column](_ + _)
+      val rm = reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(Num.qround(sum(col("w") * col("ndcg")), 6).as("sw"),
+          sum("w").cast("long").as("ww"))
+        .filter(col("ww") > 0)
+        .select(col("b"), (col("sw") / col("ww").cast("double")).as("m"))
+        .collect() // 32 bounded replicate means (X109)
+      val sorted = rm.map(r => (r.getDouble(1), r.getInt(0)))
+        .sortBy(identity)
+      val (ciLo, ciHi) = (sorted(1)._1,
+        sorted(CurationQueries.BootReplicas - 2)._1)
+      val stRow = nd.agg(count(lit(1)), Num.qround(avg("ndcg"), 6))
+        .head()
+      import s.implicits._
+      Seq((stRow.getLong(0), stRow.getDouble(1), ciLo, ciHi))
+        .toDF("n_customers", "mean_ndcg", "ci_lo", "ci_hi")
+    })
+
+  val all: Seq[QueryDef] = Seq(phraseSearch, ndcgEval, ndcgCi)
 }

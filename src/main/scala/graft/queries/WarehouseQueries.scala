@@ -326,6 +326,111 @@ object WarehouseQueries {
         .orderBy("event_type")
     })
 
+  /** STREAMING hourly windowed HLL distinct-count (X254 — the X225
+    * register aggregate under event-time WINDOWS: one streaming
+    * groupBy(window, type).agg over the real runtime gives the
+    * "live distinct users per hour" dashboard — per-group state is
+    * a fixed 256 bytes regardless of user cardinality, which is why
+    * windowed sketches are how streaming distinct-count dashboards
+    * exist at all (a windowed exact distinct holds every id in
+    * state). Register math and the estimate tail are the X211/X225
+    * lanes verbatim; hour keys are exact epoch integers; exact
+    * replays per (hour, type) make the window-level error measurable
+    * (X74). */
+  val streamHllWindow = QueryDef(
+    "q_stream_hll_window", {
+      val h = "CAST('0x' || substring(md5('graft-hll:' || " +
+        "CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)"
+      val alpha = "(0.7213 / (1.0 + 1.079 / 256.0))"
+      Some(s"""WITH k AS (
+               SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS hr,
+                      $h AS h
+               FROM events),
+             r AS (
+               SELECT event_type, hr, h >> 40 AS idx,
+                      h & ((1::BIGINT << 40) - 1) AS rem
+               FROM k),
+             regs AS (
+               SELECT event_type, hr, idx,
+                      MAX(CASE WHEN rem = 0 THEN 41
+                          ELSE 41 - length(bin(rem)) END) AS mj
+               FROM r GROUP BY 1, 2, 3),
+             agg AS (
+               SELECT event_type, hr,
+                      SUM(1.0 / CAST((1::BIGINT << mj) AS DOUBLE))
+                        AS sp,
+                      256 - CAST(COUNT(*) AS BIGINT) AS zeros
+               FROM regs GROUP BY 1, 2),
+             est AS (
+               SELECT event_type, hr, zeros,
+                      $alpha * 65536.0 /
+                        (sp + CAST(zeros AS DOUBLE)) AS raw
+               FROM agg),
+             fin AS (
+               SELECT event_type, hr,
+                      ${Num.qroundSql(
+                        """CASE WHEN raw <= 640.0 AND zeros > 0
+                           THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                           ELSE raw END""", 6)} AS est
+               FROM est),
+             ex AS (
+               SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS hr,
+                      CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                        AS exact_distinct
+               FROM events GROUP BY 1, 2)
+             SELECT f.event_type, f.hr, ex.exact_distinct, f.est,
+                    ${Num.qroundSql(
+                      "abs(f.est - CAST(ex.exact_distinct AS DOUBLE))" +
+                      " / CAST(ex.exact_distinct AS DOUBLE)", 6)}
+                      AS rel_err
+             FROM fin f JOIN ex
+               ON ex.event_type = f.event_type AND ex.hr = f.hr
+             ORDER BY f.event_type, f.hr""")
+    },
+    (s, d) => {
+      import graft.functions.SketchFunctions
+      import graft.streaming.EventStream
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val h = conv(substring(md5(concat(lit("graft-hll:"),
+        col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val plan = EventStream.readEvents(s, src)
+        .select(window(col("ts"), "1 hour").as("win"),
+          col("event_type"), h.as("h"))
+        .groupBy("win", "event_type")
+        .agg(SketchFunctions.hllRegisters(col("h")).as("regs"))
+      val sk = EventStream.runAvailableNow(s, plan,
+        "q_stream_hll_window_sink", outputMode = "complete",
+        statePartitions = 4)
+      val regs = s.createDataFrame(sk.rdd, sk.schema) // re-root (X115b)
+        .select(expr("unix_micros(win.start) div 3600000000").as("hr"),
+          col("event_type"), col("regs"))
+      val sumpow = expr("""aggregate(regs, CAST(0.0 AS DOUBLE),
+        (acc, m) -> acc +
+          1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE))""")
+      val zeros = size(filter(col("regs"), m => m === 0)).cast("long")
+      val est0 = regs
+        .withColumn("zeros", zeros)
+        .withColumn("raw", lit(alpha) * 65536.0 / sumpow)
+        .withColumn("est", Num.qround(
+          when(col("raw") <= 640.0 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+            .otherwise(col("raw")), 6))
+      val ex = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      est0.join(ex, Seq("event_type", "hr"))
+        .select(col("event_type"), col("hr"), col("exact_distinct"),
+          col("est"),
+          Num.qround(abs(col("est") - col("exact_distinct")
+            .cast("double")) / col("exact_distinct").cast("double"), 6)
+            .as("rel_err"))
+        .orderBy("event_type", "hr")
+    })
+
   // -------------------------------------------------- MERGE / upsert
 
   /** MERGE INTO (upsert) semantics with action audit (X218 — the
@@ -1030,5 +1135,5 @@ object WarehouseQueries {
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
     rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
-    dataContract, ivmAgg)
+    dataContract, ivmAgg, streamHllWindow)
 }
