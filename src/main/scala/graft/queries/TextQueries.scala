@@ -2950,6 +2950,59 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
           .as("fertility"))
       .orderBy("lang"))
 
+  /** Good–Turing unseen mass + Chao1 richness (X255 — Good 1953 /
+    * Chao 1984: "how much of this source's vocabulary have we NOT
+    * seen yet" — P(next token is novel) ≈ N₁/N (hapax share), and
+    * the bias-corrected Chao1 floor on true vocabulary size
+    * V + N₁(N₁−1)/(2(N₂+1)) — the coverage numbers behind corpus-
+    * size planning and X112's Heaps-law curve, from frequency-of-
+    * frequencies instead of growth fitting). Shape: token counts →
+    * frequency-of-frequencies, two keyed aggregates; ALL lanes exact
+    * integers, the two estimates exact-integer-fed divides (hash
+    * raw); the bias-corrected Chao1 form is always finite (no N₂=0
+    * guard needed — the q_ab_test discipline by construction). */
+  val goodTuring = QueryDef(
+    "q_good_turing",
+    Some(s"""WITH tok AS (
+             SELECT source, unnest($sqlToks) AS tok FROM documents),
+           tc AS (
+             SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY source, tok),
+           st AS (
+             SELECT source,
+                    CAST(SUM(c) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS v_seen,
+                    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+             FROM tc GROUP BY source)
+           SELECT source, n_tokens, v_seen, n1, n2,
+                  CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    AS p_unseen,
+                  CAST(v_seen AS DOUBLE) +
+                    CAST(n1 * (n1 - 1) AS DOUBLE) /
+                    CAST(2 * (n2 + 1) AS DOUBLE) AS chao1
+           FROM st ORDER BY source"""),
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("source"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("v_seen"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("v_seen"),
+          col("n1"), col("n2"),
+          (col("n1").cast("double") / col("n_tokens").cast("double"))
+            .as("p_unseen"),
+          (col("v_seen").cast("double") +
+            (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2) * (col("n2") + 1)).cast("double")).as("chao1"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -2960,5 +3013,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
-    tokenizerFertility)
+    tokenizerFertility, goodTuring)
 }

@@ -61,4 +61,32 @@ class CiAlphaSpec extends SparkSuite {
           s"abs $absErr")
     }
   }
+
+  test("q_good_turing: frequency-of-frequencies accounting and the " +
+      "Chao1 floor recompute from raw tokens") {
+    val rows = TextQueries.goodTuring.fn(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.Text.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = toks.filter(_._1 == src).map(_._2)
+      val counts = mine.groupBy(identity).view.mapValues(_.size).toMap
+      assert(r.getLong(1) == mine.length, s"$src n_tokens")
+      assert(r.getLong(2) == counts.size, s"$src v_seen")
+      val n1 = counts.values.count(_ == 1).toLong
+      val n2 = counts.values.count(_ == 2).toLong
+      assert(r.getLong(3) == n1 && r.getLong(4) == n2)
+      assert(r.getDouble(5) == n1.toDouble / mine.length)
+      val chao1 = counts.size +
+        (n1 * (n1 - 1)).toDouble / (2 * (n2 + 1)).toDouble
+      assert(math.abs(r.getDouble(6) - chao1) < 1e-9, s"$src chao1")
+      assert(r.getDouble(6) >= r.getLong(2).toDouble,
+        "Chao1 is a floor above the seen vocabulary")
+    }
+  }
 }
