@@ -39,6 +39,36 @@ object Lloyd {
     if (n == 0) v else v.map(_ / n)
   }
 
+  /** The shared Lloyd round body (VERDICT r13 #7 — `fit` and `fitL2`
+    * previously carried near-identical copies): `iters` rounds where
+    * each round is ONE map-side-combining groupBy(assign).agg(count,
+    * vecSum) pass collecting ≤ k rows, means are qround(6) per
+    * dimension, empty clusters keep their previous centroid, and
+    * `finish` post-processes each new centroid (L2-normalize for the
+    * spherical lane, identity for plain L2). */
+  private def rounds(frame: DataFrame, sumVec: Column, k: Int, dim: Int,
+      iters: Int, init: Array[Array[Double]],
+      assign: Array[Array[Double]] => Column,
+      finish: Array[Double] => Array[Double]): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val rows = frame
+        .groupBy(assign(cents).as("c"))
+        .agg(count(lit(1)).as("n"),
+          VecAggregates.vecSum(sumVec, dim).as("s"))
+        .collect() // ≤ k rows: bounded driver metadata
+      val byC = rows.map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray)).toMap
+      cents = Array.tabulate(k) { c =>
+        byC.get(c) match {
+          case Some((n, sum)) if n > 0 => finish(sum.map(x => q6(x / n)))
+          case _ => cents(c)
+        }
+      }
+    }
+    cents
+  }
+
   /** `iters` Lloyd rounds over the whole corpus; returns the final
     * L2-normalized centroid matrix (k × dim). `vecCol` may be
     * array<float> — widened exactly to double on both engines. */
@@ -48,26 +78,10 @@ object Lloyd {
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(init.length == k, s"corpus has < $k vectors")
-    var cents = init.map(normalize)
-    for (_ <- 0 until iters) {
-      val rows = corpus
-        .groupBy(ArrayFunctions.nearestCentroid(col(vecCol), cents)
-          .as("c"))
-        .agg(count(lit(1)).as("n"),
-          VecAggregates.vecSum(col(vecCol).cast("array<double>"), dim)
-            .as("s"))
-        .collect() // ≤ k rows: bounded driver metadata
-      val byC = rows.map(r =>
-        r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray)).toMap
-      cents = Array.tabulate(k) { c =>
-        byC.get(c) match {
-          case Some((n, sum)) if n > 0 =>
-            normalize(sum.map(x => q6(x / n)))
-          case _ => cents(c)
-        }
-      }
-    }
-    cents
+    rounds(corpus, col(vecCol).cast("array<double>"), k, dim, iters,
+      init.map(normalize),
+      cents => ArrayFunctions.nearestCentroid(col(vecCol), cents),
+      normalize)
   }
 
   /** ||v − c||² as a 0.0-init sequential zip-fold — identical
@@ -102,22 +116,7 @@ object Lloyd {
       .select(col("__v")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(init.length == k, s"corpus has < $k vectors")
-    var cents = init
-    for (_ <- 0 until iters) {
-      val rows = frame
-        .groupBy(assignL2(col("__v"), cents).as("c"))
-        .agg(count(lit(1)).as("n"),
-          VecAggregates.vecSum(col("__v"), dim).as("s"))
-        .collect() // ≤ k rows: bounded driver metadata
-      val byC = rows.map(r =>
-        r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray)).toMap
-      cents = Array.tabulate(k) { c =>
-        byC.get(c) match {
-          case Some((n, sum)) if n > 0 => sum.map(x => q6(x / n))
-          case _ => cents(c)
-        }
-      }
-    }
-    cents
+    rounds(frame, col("__v"), k, dim, iters, init,
+      cents => assignL2(col("__v"), cents), identity)
   }
 }
