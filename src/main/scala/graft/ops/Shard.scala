@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic output sharding — the last stage of a training-data
@@ -45,4 +46,41 @@ object Shard {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), orderKey(col(keyCol), orderSalt))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Deterministic epoch shuffle (X257 — the global training-order
+    * permutation every run performs before epoch 0): each row gets a
+    * seeded shuffle key md5("epoch:E:" || key), and its GLOBAL rank in
+    * key order is its training position. The scale shape avoids both
+    * the partition-less ROW_NUMBER window and any driver-side sort:
+    * the first hex digit of the key is an order-preserving RANGE
+    * bucket (`shard` 0–15 — shard asc + key asc ≡ global key order,
+    * exactly a repartition-by-range with literal boundaries), so
+    * positions come from a shard-PARTITIONED window plus per-shard
+    * base offsets (an exclusive prefix sum over a 16-row aggregate —
+    * bounded driver metadata, the PrefixSum device). Emits `skey`,
+    * `shard`, `pos_in_shard` (1-based within the shard) and
+    * `global_pos` (1-based global permutation index). At 100 TB this
+    * is ONE shuffle on a 16-ary key + a 16-row collect; feeding the
+    * result to [[writeSharded]]-style partitioned output gives the
+    * epoch's shard files in training order. */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    val withK = df
+      .withColumn("skey",
+        md5(concat(lit(s"epoch:$epoch:"), col(keyCol).cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 1), 16, 10).cast("int"))
+    val counts = withK.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect() // ≤ 16 rows: bounded driver metadata
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases: Map[Int, Long] = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (sh, n)) => (sh, acc + n) }
+      .sliding(2).collect { case Array((_, acc), (sh, _)) => sh -> acc }
+      .toMap
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col(keyCol))
+    withK
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .withColumn("global_pos",
+        col("pos_in_shard") +
+          coalesce(element_at(typedLit(bases), col("shard")), lit(0L)))
+  }
 }

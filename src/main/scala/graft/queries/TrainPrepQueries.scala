@@ -424,7 +424,41 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     })
 
+  // --------------------------------------------- X257 epoch shuffle
+
+  /** Deterministic epoch-0 training-order shuffle (X257 — see
+    * [[graft.ops.Shard.epochShuffle]]): the seeded global permutation
+    * every training run performs before its first epoch. The md5
+    * shuffle key makes the order cross-engine exact; the oracle ranks
+    * with a plain global ROW_NUMBER while the Spark side derives the
+    * identical rank from a shard-PARTITIONED window plus 16 exclusive
+    * prefix offsets (the first hex digit of the key is an
+    * order-preserving range bucket) — no partition-less window, no
+    * driver sort (plan pinned in ShardSpec). */
+  val epochShuffle = QueryDef(
+    "q_epoch_shuffle",
+    Some("""WITH k AS (
+              SELECT doc_id,
+                     md5('epoch:0:' || CAST(doc_id AS VARCHAR)) AS skey
+              FROM documents),
+            sh AS (
+              SELECT doc_id, skey,
+                     CAST(CAST('0x' || substring(skey, 1, 1) AS BIGINT)
+                       AS INTEGER) AS shard
+              FROM k)
+            SELECT doc_id, skey, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY skey, doc_id)
+                     AS BIGINT) AS pos_in_shard,
+                   CAST(row_number() OVER (ORDER BY skey, doc_id)
+                     AS BIGINT) AS global_pos
+            FROM sh ORDER BY doc_id"""),
+    (s, d) => graft.ops.Shard.epochShuffle(Tables.documents(s, d),
+        "doc_id", epoch = 0)
+      .select("doc_id", "skey", "shard", "pos_in_shard", "global_pos")
+      .orderBy("doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(sampleWeighted, fimTransform, packSegments, negativeSample,
-      targetEncode, gbdtStumps)
+      targetEncode, gbdtStumps, epochShuffle)
 }

@@ -1132,8 +1132,114 @@ object WarehouseQueries {
         .orderBy("st")
     })
 
+  /** Join-view incremental maintenance (X256 — completes X251's
+    * aggregate-only IVM with the classic delta rule for a two-table
+    * join view V = A ⋈ B under insert-only deltas:
+    * ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, so refreshing the view costs
+    * three delta-sided joins — each bounded by |Δ| on at least one
+    * side — never a full A⋈B rescan. The query RUNS both lanes on a
+    * deterministic 90/10 split of orders (by o_orderkey) and lineitem
+    * (by l_partkey, independent of the join key so deltas land on
+    * both sides of existing matches) and emits them side by side: the
+    * maintained view (old view merged with the grouped delta
+    * contribution, the X251 merge) against the full recompute, with
+    * equality verdicts making the identity auditable.
+    *
+    * Scale shape: the three delta joins shuffle on the SAME join key
+    * as the original view build (l_orderkey = o_orderkey) — at 100 TB
+    * with a small Δ the two Δ-sided joins broadcast their delta side
+    * under AQE and only A_old⋈ΔB touches big data, keyed. Money sums
+    * carry qround(2) per lane (fold orders differ — the q1_agg
+    * discipline); the merged sum re-quantizes the sum of two
+    * quantized lanes exactly as X251 does. */
+  val ivmJoin = QueryDef(
+    "q_ivm_join",
+    Some(s"""WITH oa AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+           da AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+           ob AS (SELECT * FROM lineitem WHERE l_partkey % 10 <> 0),
+           db AS (SELECT * FROM lineitem WHERE l_partkey % 10 = 0),
+           v_old AS (
+             SELECT o_orderstatus AS st, l_returnflag AS rf,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    ${Num.qroundSql("SUM(l_extendedprice)", 2)} AS sp
+             FROM oa JOIN ob ON l_orderkey = o_orderkey GROUP BY 1, 2),
+           dv AS (
+             SELECT st, rf, CAST(COUNT(*) AS BIGINT) AS n,
+                    ${Num.qroundSql("SUM(px)", 2)} AS sp
+             FROM (
+               SELECT o_orderstatus AS st, l_returnflag AS rf,
+                      l_extendedprice AS px
+               FROM da JOIN ob ON l_orderkey = o_orderkey
+               UNION ALL
+               SELECT o_orderstatus, l_returnflag, l_extendedprice
+               FROM oa JOIN db ON l_orderkey = o_orderkey
+               UNION ALL
+               SELECT o_orderstatus, l_returnflag, l_extendedprice
+               FROM da JOIN db ON l_orderkey = o_orderkey) u
+             GROUP BY 1, 2),
+           merged AS (
+             SELECT COALESCE(v.st, d.st) AS st,
+                    COALESCE(v.rf, d.rf) AS rf,
+                    COALESCE(v.n, 0) + COALESCE(d.n, 0) AS n_maint,
+                    ${Num.qroundSql(
+                      "COALESCE(v.sp, 0.0) + COALESCE(d.sp, 0.0)", 2)}
+                      AS sum_maint
+             FROM v_old v FULL OUTER JOIN dv d
+               ON d.st = v.st AND d.rf = v.rf),
+           full_v AS (
+             SELECT o_orderstatus AS st, l_returnflag AS rf,
+                    CAST(COUNT(*) AS BIGINT) AS n_full,
+                    ${Num.qroundSql("SUM(l_extendedprice)", 2)} AS sum_full
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             GROUP BY 1, 2)
+           SELECT m.st, m.rf, m.n_maint, f.n_full,
+                  m.sum_maint, f.sum_full,
+                  m.n_maint = f.n_full AS counts_equal,
+                  ABS(m.sum_maint - f.sum_full) < 0.011 AS sums_equal
+           FROM merged m JOIN full_v f ON f.st = m.st AND f.rf = m.rf
+           ORDER BY m.st, m.rf"""),
+    (s, d) => {
+      val ords = Tables.orders(s, d).localCheckpoint(true)
+      val li = Tables.lineitem(s, d).localCheckpoint(true)
+      val oa = ords.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val da = ords.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val ob = li.filter(pmod(col("l_partkey"), lit(10)) =!= 0)
+      val db = li.filter(pmod(col("l_partkey"), lit(10)) === 0)
+      def j(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderstatus").as("st"),
+            col("l_returnflag").as("rf"),
+            col("l_extendedprice").as("px"))
+      def view(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("st", "rf").agg(count(lit(1)).as("n"),
+          Num.qround(sum("px"), 2).as("sp"))
+      val vOld = view(j(oa, ob))
+      val dv = view(j(da, ob).unionAll(j(oa, db)).unionAll(j(da, db)))
+        .select(col("st").as("std"), col("rf").as("rfd"),
+          col("n").as("nd"), col("sp").as("spd"))
+      val merged = vOld.join(dv,
+          col("std") === col("st") && col("rfd") === col("rf"), "full")
+        .select(coalesce(col("st"), col("std")).as("st"),
+          coalesce(col("rf"), col("rfd")).as("rf"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+            .as("n_maint"),
+          Num.qround(coalesce(col("sp"), lit(0.0)) +
+            coalesce(col("spd"), lit(0.0)), 2).as("sum_maint"))
+      val full = view(j(ords, li)).select(col("st").as("stf"),
+        col("rf").as("rff"), col("n").as("n_full"),
+        col("sp").as("sum_full"))
+      merged.join(full, col("stf") === col("st") && col("rff") === col("rf"))
+        .select(col("st"), col("rf"), col("n_maint"), col("n_full"),
+          col("sum_maint"), col("sum_full"),
+          (col("n_maint") === col("n_full")).as("counts_equal"),
+          (abs(col("sum_maint") - col("sum_full")) < 0.011)
+            .as("sums_equal"))
+        .orderBy("st", "rf")
+    })
+
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
     rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
-    dataContract, ivmAgg, streamHllWindow)
+    dataContract, ivmAgg, streamHllWindow, ivmJoin)
 }
