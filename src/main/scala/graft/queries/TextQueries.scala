@@ -664,6 +664,144 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("token")
     })
 
+  // ------------------------------------------------------- unigram LM
+
+  /** One unrolled soft-EM round for the X258 oracle (mirrors
+    * [[graft.ops.UnigramLm.emRound]] expression-for-expression):
+    * probability pivots from v{r-1} via correlated lookups, forward
+    * alphas / reversed-word betas as lateral column aliases in the
+    * SAME j = 1..MaxPiece left-fold order as the Spark side, the
+    * (i, j) occurrence expansion with the identical
+    * ((alpha·p)·beta)/alpha_n association, qround(4) expected counts,
+    * qround(6) renormalization. */
+  private def unigramRoundSql(r: Int): String = {
+    val L = graft.ops.UnigramLm.MaxWordLen
+    val P = graft.ops.UnigramLm.MaxPiece
+    val vPrev = s"v${r - 1}"
+    val pivots = (for { i <- 0 until L; j <- 1 to P } yield
+      s"""COALESCE((SELECT p FROM $vPrev
+         |        WHERE piece = substring(word, ${i + 1}, $j)), 0.0)
+         |      AS p_${i}_$j""".stripMargin).mkString(",\n    ")
+    val rpivots = (for { i <- 0 until L; j <- 1 to P } yield
+      s"""COALESCE((SELECT p FROM $vPrev
+         |        WHERE piece = reverse(substring(reverse(word), ${i + 1}, $j))), 0.0)
+         |      AS r_${i}_$j""".stripMargin).mkString(",\n    ")
+    val alphas = (1 to L).map { k =>
+      (1 to math.min(P, k)).map(j => s"a${k - j} * p_${k - j}_$j")
+        .mkString("", " + ", s" AS a$k")
+    }.mkString(",\n    ")
+    val betas = (1 to L).map { m =>
+      (1 to math.min(P, m)).map(j => s"b${m - j} * r_${m - j}_$j")
+        .mkString("", " + ", s" AS b$m")
+    }.mkString(",\n    ")
+    val pL = (0 until L).map(i =>
+      "[" + (1 to P).map(j => s"p_${i}_$j").mkString(", ") + "]")
+      .mkString("[", ", ", "]")
+    val aList = (0 to L).map(k => s"a$k").mkString("[", ", ", "]")
+    val bList = (0 to L).map(k => s"b$k").mkString("[", ", ", "]")
+    s"""pv$r AS (
+  SELECT word, freq, CAST(len(word) AS INT) AS n,
+    $pivots,
+    $rpivots
+  FROM words),
+dp$r AS (
+  SELECT word, freq, n, $pL AS pl,
+    1.0 AS a0,
+    $alphas,
+    1.0 AS b0,
+    $betas
+  FROM pv$r),
+lx$r AS (
+  SELECT word, freq, n, pl, $aList AS al, $bList AS bl FROM dp$r),
+oc$r AS (
+  SELECT substring(word, i + 1, j) AS piece,
+         CAST(freq AS DOUBLE) *
+           (((al[i + 1] * pl[i + 1][j]) * bl[n - i - j + 1])
+             / al[n + 1]) AS w
+  FROM lx$r
+  CROSS JOIN range(0, $L) t1(i)
+  CROSS JOIN range(1, ${P + 1}) t2(j)
+  WHERE i + j <= n AND pl[i + 1][j] > 0),
+ec$r AS (
+  SELECT piece, ${Num.qroundSql("SUM(w)", 4)} AS ec
+  FROM oc$r GROUP BY piece),
+v$r AS MATERIALIZED (
+  SELECT piece,
+         ${Num.qroundSql(s"ec / (SELECT SUM(ec) FROM ec$r)", 6)} AS p
+  FROM ec$r)"""
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer (X258 — Kudo
+    * 2018; see [[graft.ops.UnigramLm]] for the algorithm, scale shape
+    * and determinism contract). Two pinned soft-EM rounds from the
+    * substring-frequency seed; emits the chosen vocabulary with seed
+    * counts, initial and fitted probabilities, and per-piece
+    * log-probs (q6 — ln is the one transcendental lane, the
+    * q_sample_weighted discipline). The oracle re-derives seed AND
+    * both EM rounds as unrolled CTEs. */
+  val unigramLm = QueryDef(
+    "q_unigram_lm",
+    Some {
+      val L = graft.ops.UnigramLm.MaxWordLen
+      val P = graft.ops.UnigramLm.MaxPiece
+      val M = graft.ops.UnigramLm.TopMulti
+      s"""WITH wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
+            words AS MATERIALIZED (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM wtok
+              WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) <= $L
+              GROUP BY word),
+            subs AS (
+              SELECT substring(word, i + 1, j) AS piece, freq
+              FROM words
+              CROSS JOIN range(0, $L) t1(i)
+              CROSS JOIN range(1, ${P + 1}) t2(j)
+              WHERE i + j <= len(word)),
+            cnts AS (
+              SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM subs GROUP BY piece),
+            seed AS (
+              SELECT piece, cnt FROM cnts WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM
+                (SELECT piece, cnt FROM cnts WHERE len(piece) >= 2
+                 ORDER BY cnt DESC, piece LIMIT $M)),
+            v0 AS MATERIALIZED (
+              SELECT piece, ${Num.qroundSql(
+                "CAST(cnt AS DOUBLE) / " +
+                  "CAST((SELECT SUM(cnt) FROM seed) AS DOUBLE)", 6)} AS p
+              FROM seed),
+            ${unigramRoundSql(1)},
+            ${unigramRoundSql(2)}
+            SELECT s.piece AS piece,
+                   CAST(len(s.piece) AS INT) AS piece_len,
+                   s.cnt AS n_raw,
+                   v0.p AS p_init,
+                   v2.p AS p_final,
+                   ${Num.qroundSql("ln(v2.p)", 6)} AS logp
+            FROM seed s
+            JOIN v0 ON v0.piece = s.piece
+            JOIN v2 ON v2.piece = s.piece
+            ORDER BY piece"""
+    },
+    (s, d) => {
+      import graft.ops.UnigramLm
+      def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val words = UnigramLm.wordTable(Tables.documents(s, d)).persist()
+      try {
+        val seed = UnigramLm.seedVocab(words)
+        val p0 = UnigramLm.initProbs(seed).toMap
+        var probs = p0
+        for (_ <- 1 to 2) probs = UnigramLm.emRound(words, probs).toMap
+        import s.implicits._
+        seed.map { case (pc, c) =>
+          val pf = probs(pc)
+          (pc, pc.length, c, p0(pc), pf, q6(math.log(pf)))
+        }.toDF("piece", "piece_len", "n_raw", "p_init", "p_final",
+          "logp").orderBy("piece")
+      } finally words.unpersist()
+    })
+
   // ----------------------------------------------------- model scoring
 
   /** LM cross-entropy scoring (X: the CCNet/KenLM perplexity filter).
@@ -3013,5 +3151,5 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
-    tokenizerFertility, goodTuring)
+    tokenizerFertility, goodTuring, unigramLm)
 }
