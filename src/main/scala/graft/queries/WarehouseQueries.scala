@@ -162,6 +162,52 @@ object WarehouseQueries {
         .orderBy("event_id")
     })
 
+  /** The STREAMING twin of q_scd2_build (X259 — see
+    * [[graft.streaming.EventStream.scd2Stream]]): per-user
+    * flatMapGroupsWithState emitting CLOSED validity intervals
+    * append-only; the open interval stays in the state store. Replayed
+    * through the real runtime (Trigger.AvailableNow) and hashed
+    * against the batch SQL restricted to closed intervals — a green
+    * row IS batch/stream SCD2 parity, completing the warehouse
+    * family's batch/stream story the way X15/X43 did for
+    * windows/dedup. */
+  val streamScd2 = QueryDef(
+    "q_stream_scd2",
+    Some("""WITH e AS (
+             SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             FROM events),
+           o AS (
+             SELECT user_id, event_type, us, event_id,
+                    lag(event_type) OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS prev
+             FROM e),
+           c AS (
+             SELECT user_id, event_type, us AS valid_from_us,
+                    row_number() OVER
+                      (PARTITION BY user_id ORDER BY us, event_id)
+                      AS version
+             FROM o WHERE prev IS NULL OR prev <> event_type),
+           f AS (
+             SELECT user_id, version, event_type, valid_from_us,
+                    lead(valid_from_us) OVER
+                      (PARTITION BY user_id ORDER BY version)
+                      AS valid_to_us
+             FROM c)
+           SELECT user_id, version, event_type, valid_from_us,
+                  valid_to_us
+           FROM f WHERE valid_to_us IS NOT NULL
+           ORDER BY user_id, version"""),
+    (s, d) => {
+      import graft.streaming.EventStream
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      EventStream.runAvailableNow(s,
+        EventStream.scd2Stream(EventStream.readEvents(s, src)),
+        "q_stream_scd2_sink", outputMode = "append",
+        statePartitions = 4)
+        .orderBy("user_id", "version")
+    })
+
   // ---------------------------------------------------- HyperLogLog
 
   /** HyperLogLog distinct-user estimate per event type (X211 —
@@ -1241,5 +1287,5 @@ object WarehouseQueries {
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
     rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
-    dataContract, ivmAgg, streamHllWindow, ivmJoin)
+    dataContract, ivmAgg, streamHllWindow, ivmJoin, streamScd2)
 }

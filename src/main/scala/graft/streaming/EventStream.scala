@@ -417,6 +417,51 @@ object EventStream {
       .toDF("event_id", "user_id", "click_us", "purchase_us")
   }
 
+  /** STREAMING SCD2 build (X259 — the X210 dimension-history build as
+    * a live per-key state machine, the shape a warehouse CDC pipeline
+    * actually ships): `flatMapGroupsWithState` carries ONE
+    * (currentType, validFromUs, version) triple per user and emits an
+    * interval row the moment a type change CLOSES it — append-only,
+    * so downstream sinks are insert-only. The still-OPEN (is_current)
+    * interval lives in the state store, never in the output: exactly
+    * the closed/open split of an incremental SCD2 merge, and why the
+    * batch twin's oracle is filtered to `valid_to IS NOT NULL`.
+    * Events inside a micro-batch are ordered (ts, event_id) before
+    * the scan (the sessionizeStream in-order discipline; a cross-batch
+    * late event cannot retro-split an already-emitted interval — the
+    * standard streaming trade-off, recorded). State is constant per
+    * user regardless of stream length. */
+  def scd2Stream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(String, Long, Long)]) =>
+          val evs = it.toSeq.sortBy(e => (e._4, e._1))
+          var cur = state.getOption
+          val out = Seq.newBuilder[(Long, Long, String, Long, Long)]
+          evs.foreach { case (_, _, typ, ts) =>
+            cur match {
+              case None => cur = Some((typ, ts, 1L))
+              case Some((t, from, v)) if t != typ =>
+                out += ((uid, v, t, from, ts))
+                cur = Some((typ, ts, v + 1L))
+              case _ => () // same type: the open interval continues
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "version", "event_type", "valid_from_us",
+        "valid_to_us")
+  }
+
   def enrichStream(events: DataFrame, dim: DataFrame,
       eventKey: String, dimKey: String,
       payload: Seq[String]): DataFrame =

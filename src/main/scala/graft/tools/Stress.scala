@@ -911,16 +911,17 @@ object Stress {
           shiftUnit(spark.read.parquet(s"$sf01/embeddings.parquet"),
             "vec_id")))
       }
-      // the CURRENT top-10 heaviest from bench_full.json (VERDICT r12
-      // #1 — the probe set must track the bench, not round-11's), plus
-      // q_crawl_pipeline: its r11 flat ratio was recorded as a
-      // fixed-fixture artifact, but the chain now derives its WARC
-      // members from the sf-scaled documents table, so its curve is
-      // measurable and stays on the probe
-      val heavy = Seq("q_dedup_simhash_md5", "q_domain_communities",
-        "q_coverage_select", "q_learning_curve",
-        "q_stream_interval_join", "q_rank_rbo", "q_setjoin_prefix",
-        "q_als", "q_rank_fusion", "q_rank_agreement",
+      // the CURRENT top-10 heaviest from bench_full.json (VERDICT r13
+      // #1 — the probe set must track the FINAL committed bench:
+      // r13's late entrants q_classifier_eval / q_bpe_encode /
+      // q_bpe_merges / q_platt_scaling / q_hilbert_stats had no
+      // measured 10x ratio), plus q_crawl_pipeline: the chain derives
+      // its WARC members from the sf-scaled documents table, so its
+      // curve is measurable and stays on the probe
+      val heavy = Seq("q_classifier_eval", "q_bpe_encode",
+        "q_learning_curve", "q_bpe_merges", "q_rank_rbo",
+        "q_rank_fusion", "q_hilbert_stats", "q_coverage_select",
+        "q_platt_scaling", "q_als",
         "q_crawl_pipeline")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
