@@ -181,6 +181,62 @@ object PrefixSum {
     * exclusive prefix-max literal map; buckets before the first row
     * fall back to Long.MinValue (no prior row → the row's own value
     * wins, exactly like the single-window form's first row). */
+  /** EXCLUSIVE running MAX of an integral column over the total order
+    * (`orderCol` DESC, unique) — `out` = max of `valueCol` over all
+    * rows whose order key is STRICTLY GREATER; Long.MinValue at the
+    * top row. The skyline/Pareto building block (X260: a point is on
+    * the 2-D frontier iff its y exceeds the max y of every strictly
+    * larger x). Same two-pass device as [[runningMaxAsc]], with the
+    * window frame ending at the PREVIOUS row — which is only
+    * deterministic over a unique order, so `orderCol` uniqueness is
+    * enforced by the per-bucket totals probe exactly like
+    * [[runningTotalsAsc]] (equal keys always share a bucket). */
+  def runningMaxExclusiveDesc(df: DataFrame, valueCol: String,
+      orderCol: String, out: String, buckets: Int = 32): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"runningMaxExclusiveDesc requires an integral valueCol (got $vt)")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001)
+        .distinct.sorted.reverse // descending, like the order
+    // bucket 0 holds the largest keys; equal keys share a bucket
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) < b, 1).otherwise(0)
+    }
+    val withB = df.withColumn("__psb", bucket)
+    val probeRows = withB.groupBy("__psb")
+      .agg(max(col(valueCol)).as("__m"), count(lit(1)).as("__n"),
+        countDistinct(col(orderCol)).as("__d"))
+      .collect()
+    probeRows.foreach { r =>
+      require(r.getLong(2) == r.getLong(3),
+        s"runningMaxExclusiveDesc: order key '$orderCol' has tied " +
+          s"values (bucket ${r.getInt(0)}: ${r.getLong(2)} rows, " +
+          s"${r.getLong(3)} distinct keys) — an exclusive frame over " +
+          "a tied order is nondeterministic; feed a distinct-key table")
+    }
+    val maxima = probeRows.map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive prefix max of PRIOR buckets (prior = larger keys)
+    val offsets: Map[Int, Long] = maxima
+      .scanLeft((0, Long.MinValue)) { case ((_, acc), (b, m)) =>
+        (b, math.max(acc, m))
+      }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }
+      .toMap
+    val w = Window.partitionBy("__psb").orderBy(col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .withColumn(out,
+        greatest(
+          coalesce(max(col(valueCol)).over(w), lit(Long.MinValue)),
+          coalesce(element_at(typedLit(offsets), col("__psb")),
+            lit(Long.MinValue))))
+      .drop("__psb")
+  }
+
   def runningMaxAsc(df: DataFrame, valueCol: String, orderCol: String,
       out: String, buckets: Int = 32): DataFrame = {
     val vt = df.schema(valueCol).dataType

@@ -1765,6 +1765,55 @@ $name AS (
         .orderBy("dims", "query_id")
     })
 
+  /** 2-D skyline / Pareto frontier (X260 — Börzsönyi et al. 2001's
+    * SKYLINE OF operator, the multi-objective selection primitive:
+    * keep every customer not dominated on (total spend, order count)
+    * — "best tradeoffs" without collapsing the two objectives into
+    * one score, the device behind quality-vs-coverage corpus picks).
+    *
+    * Scale shape — NO all-pairs: the classic sort-based identity
+    * (a point is on the frontier iff its y exceeds the max y of all
+    * STRICTLY larger x, and it holds the max y of its own x). The
+    * strictly-larger-x max comes from
+    * [[graft.ops.PrefixSum.runningMaxExclusiveDesc]] over the
+    * DISTINCT-x table (two-pass bucketed device — no partition-less
+    * window), and membership rejoins on x equality. The oracle states
+    * the definition directly as NOT EXISTS over all pairs — fine at
+    * oracle scale, the thing the distributed form must never do.
+    * Spend is qround(2) (aggregated doubles) BEFORE it becomes the
+    * key, so both engines' frontiers are boundary-stable. */
+  val skyline = QueryDef(
+    "q_skyline",
+    Some(s"""WITH pts AS (
+              SELECT o_custkey AS custkey,
+                     ${Num.qroundSql("SUM(o_totalprice)", 2)} AS spend,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1)
+            SELECT custkey, spend, n_orders,
+                   NOT EXISTS (
+                     SELECT 1 FROM pts q
+                     WHERE q.spend >= p.spend
+                       AND q.n_orders >= p.n_orders
+                       AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+                     AS on_frontier
+            FROM pts p
+            ORDER BY custkey"""),
+    (s, d) => {
+      val pts = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(Num.qround(sum("o_totalprice"), 2).as("spend"),
+          count(lit(1)).as("n_orders"))
+      val domain = pts.groupBy("spend").agg(max("n_orders").as("ymax"))
+      val withGt = graft.ops.PrefixSum.runningMaxExclusiveDesc(
+        domain, "ymax", "spend", "ygt")
+      pts.join(withGt.select(col("spend").as("sp2"), col("ymax"),
+          col("ygt")), col("spend") === col("sp2"))
+        .select(col("custkey"), col("spend"), col("n_orders"),
+          (col("n_orders") > col("ygt") &&
+            col("n_orders") === col("ymax")).as("on_frontier"))
+        .orderBy("custkey")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
@@ -1773,5 +1822,5 @@ $name AS (
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
     approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
-    imageDedup, als, itemsetTriples, joinSizeCm, matryoshka)
+    imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
 }

@@ -94,4 +94,37 @@ class PrefixSumSpec extends SparkSuite {
     assert(ex.getMessage.contains("tied values"))
     assert(ex.getMessage.contains("'v'"))
   }
+
+  test("runningMaxExclusiveDesc matches the global exclusive window " +
+      "on a unique key; top row gets Long.MinValue") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 400L)
+      .map(i => (i, i * 0.37 + rnd.nextInt(3) * 0.001, rnd.nextInt(50).toLong))
+      .toDF("id", "key", "v")
+      .groupBy("key").agg(max("v").as("v"), max("id").as("id"))
+    val w = Window.orderBy(col("key").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("m", coalesce(max("v").over(w), lit(Long.MinValue)))
+      .select("id", "m").as[(Long, Long)].collect().toMap
+    val got = PrefixSum.runningMaxExclusiveDesc(df, "v", "key", "m", 8)
+      .select("id", "m").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.values.min === Long.MinValue) // the top-key row
+    // no partition-less window in the two-pass plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = PrefixSum.runningMaxExclusiveDesc(df, "v", "key", "m", 8)
+      .queryExecution.sparkPlan
+    sp.collect { case wx: WindowExec => wx }
+      .foreach(wx => assert(wx.partitionSpec.nonEmpty))
+  }
+
+  test("runningMaxExclusiveDesc rejects tied order keys") {
+    val df = Seq((1L, 1.0, 5L), (2L, 1.0, 7L), (3L, 2.0, 1L))
+      .toDF("id", "key", "v")
+    val ex = intercept[IllegalArgumentException] {
+      PrefixSum.runningMaxExclusiveDesc(df, "v", "key", "m", 4)
+    }
+    assert(ex.getMessage.contains("tied"))
+  }
 }
