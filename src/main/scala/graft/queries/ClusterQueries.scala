@@ -396,5 +396,87 @@ pc_${s}_${i + 1} AS (
         .orderBy("query_id")
     })
 
-  val all: Seq[QueryDef] = Seq(kmeansLloyd, coverageSelect, pqRecall)
+  /** DuckDB twin of [[Lloyd.sqDist]]'s 0.0-init zip-fold (the
+    * recorded fold-equivalence: list_reduce's first-element seed ≡
+    * aggregate's 0.0 init because 0.0 + e₁ ≡ e₁). */
+  private def sqD(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, 65),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+
+  private val KcRounds = 6
+
+  /** One greedy k-center round in SQL: every vector's min squared
+    * distance to the current center set (cross join over ≤k centers,
+    * keyed MIN), farthest point wins (d DESC, vec_id ASC). */
+  private def kcenterRoundSql(r: Int): String = s"""
+md_$r AS (
+  SELECT e.vec_id, MIN(${sqD("c.v", "e.v")}) AS d
+  FROM corpusv e, cents_${r - 1} c GROUP BY e.vec_id),
+pick_$r AS MATERIALIZED (
+  SELECT vec_id, d FROM md_$r ORDER BY d DESC, vec_id LIMIT 1),
+cents_$r AS MATERIALIZED (
+  SELECT vec_id, v FROM cents_${r - 1}
+  UNION ALL
+  SELECT p.vec_id, cv.v FROM pick_$r p
+  JOIN corpusv cv ON cv.vec_id = p.vec_id)"""
+
+  /** Greedy k-center coreset selection (X263 — Gonzalez 1985
+    * farthest-point traversal, the 2-approximation every diversity-
+    * aware data-selection pipeline uses as the geometric sibling of
+    * X213's coverage greedy: pick the point FARTHEST from the chosen
+    * set, k−1 times from the lowest-id seed). Scale shape (the
+    * X212/X189 pinned-round discipline): per round ONE distributed
+    * pass — min-distance against ≤k centroid literals (a per-row
+    * element-wise expression) into a TakeOrdered top-1 (per-partition
+    * heaps + driver merge, no global sort, no corpus shuffle); the
+    * driver holds only the k picked vectors. Distances are
+    * element-wise zip-folds of exact doubles — bit-identical
+    * cross-engine (the Lloyd.sqDist contract), so ranks and emitted
+    * d hash RAW with (d DESC, vec_id ASC) tie-breaks. */
+  val kcenter = QueryDef(
+    "q_kcenter",
+    Some(s"""WITH corpusv AS MATERIALIZED (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE))
+                      AS v
+             FROM embeddings),
+           seedv AS MATERIALIZED (
+             SELECT vec_id, v FROM corpusv ORDER BY vec_id LIMIT 1),
+           cents_1 AS MATERIALIZED (SELECT vec_id, v FROM seedv),
+           ${(2 to KcRounds).map(kcenterRoundSql).mkString(",")}
+           SELECT CAST(1 AS INT) AS sel_rank, vec_id,
+                  CAST(NULL AS DOUBLE) AS d
+           FROM seedv
+           ${(2 to KcRounds).map(r =>
+             s"UNION ALL SELECT CAST($r AS INT), vec_id, d FROM pick_$r")
+             .mkString("\n           ")}
+           ORDER BY sel_rank"""),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).persist()
+      try {
+        val seed = emb.orderBy("vec_id").limit(1)
+          .select("vec_id", "v").collect()(0)
+        var centers =
+          Vector(seed.getSeq[Double](1).toArray)
+        val picks = Seq.newBuilder[(Int, Long, Option[Double])]
+        picks += ((1, seed.getLong(0), None))
+        for (r <- 2 to KcRounds) {
+          val dists = array(centers.map(c =>
+            Lloyd.sqDist(col("v"), c)): _*)
+          val top = emb
+            .select(col("vec_id"), col("v"), array_min(dists).as("d"))
+            .orderBy(col("d").desc, col("vec_id")).limit(1)
+            .collect()(0) // 1 row: bounded driver metadata
+          picks += ((r, top.getLong(0), Some(top.getDouble(2))))
+          centers :+= top.getSeq[Double](1).toArray
+        }
+        import s.implicits._
+        picks.result().toDF("sel_rank", "vec_id", "d")
+          .orderBy("sel_rank")
+      } finally emb.unpersist()
+    })
+
+  val all: Seq[QueryDef] = Seq(kmeansLloyd, coverageSelect, pqRecall,
+    kcenter)
 }

@@ -1751,8 +1751,67 @@ object CurationQueries {
         .orderBy("source")
     })
 
+  /** Per-source WEIGHTED median + quartiles of document length (X262
+    * — the token-weighted view of the corpus: "the median CHARACTER
+    * sits in a doc of length X", which is what a training budget
+    * actually consumes, vs X160's per-document quantiles where a
+    * 10-token stub counts as much as a 10k-token article). Weighted
+    * quantile q = the smallest value whose cumulative weight reaches
+    * q·total — all comparisons kept in EXACT integer arithmetic
+    * (4·cumw ≥ total etc., no rational thresholds). Shape: ONE
+    * source-partitioned cumulative window over the (value, doc_id)
+    * total order + one keyed aggregate; weights are token counts
+    * (exact longs). No partition-less window; per-source sorts are
+    * the minimum any exact weighted quantile needs (at 100 TB,
+    * sketch-based X77 is the approximate sibling). */
+  val weightedMedian = QueryDef(
+    "q_weighted_median",
+    Some(s"""WITH t AS (
+              SELECT source, n_chars, doc_id,
+                     CAST(len($sqlToks) AS BIGINT) AS wgt
+              FROM documents),
+            c AS (
+              SELECT source, n_chars, wgt,
+                     CAST(SUM(wgt) OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+                     CAST(SUM(wgt) OVER (PARTITION BY source)
+                       AS BIGINT) AS total
+              FROM t)
+            SELECT source,
+                   MIN(CASE WHEN cumw * 4 >= total THEN n_chars END)
+                     AS wp25,
+                   MIN(CASE WHEN cumw * 2 >= total THEN n_chars END)
+                     AS wmedian,
+                   MIN(CASE WHEN cumw * 4 >= total * 3 THEN n_chars END)
+                     AS wp75,
+                   MAX(total) AS total_weight
+            FROM c GROUP BY source ORDER BY source"""),
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("source"),
+        col("n_chars"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("wgt"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cw = Window.partitionBy("source")
+      t.withColumn("cumw", sum("wgt").over(w))
+        .withColumn("total", sum("wgt").over(cw))
+        .groupBy("source")
+        .agg(
+          min(when(col("cumw") * 4 >= col("total"), col("n_chars")))
+            .as("wp25"),
+          min(when(col("cumw") * 2 >= col("total"), col("n_chars")))
+            .as("wmedian"),
+          min(when(col("cumw") * 4 >= col("total") * 3, col("n_chars")))
+            .as("wp75"),
+          max("total").as("total_weight"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
+      weightedMedian,
       dedupWeightedStats,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,

@@ -1101,6 +1101,76 @@ object WarehouseQueries {
       checks.toDF("chk", "violations").orderBy("chk")
     })
 
+  /** Time-travel / snapshot-as-of reads (X261 — the Delta/Iceberg
+    * `VERSION AS OF` identity over a CDC log: state_as_of(T) =
+    * latest-wins compaction of all changes with ts ≤ T, the X129
+    * device parameterized by cutoff). Three snapshots materialize in
+    * ONE pass: each event row explodes into exactly the cutoffs it
+    * precedes (fan-out ≤ |cutoffs|, a per-row expression — no
+    * re-scan per snapshot), then one window partitioned by
+    * (cutoff, user_id) elects each user's latest version per
+    * snapshot. The last cutoff lies past the data's horizon, so its
+    * lane hash-pins as-of(∞) ≡ the full X129 compaction. Cutoff
+    * micros are computed ONCE in Scala and interpolated into both
+    * engines (exact integer lane). At 100 TB: fan-out×corpus
+    * fixed-width rows through one keyed shuffle — the minimum any
+    * multi-snapshot replay needs. */
+  val timeTravel = QueryDef(
+    "q_time_travel", {
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-02-01").map(c =>
+        c -> java.time.Instant.parse(s"${c}T00:00:00Z")
+          .toEpochMilli * 1000L)
+      val values = cuts.map { case (l, us) => s"('$l', $us)" }
+        .mkString(", ")
+      Some(s"""WITH x AS (
+             SELECT c.cutoff, user_id, event_id, event_type, value,
+                    epoch_us(ts) AS us
+             FROM events, (VALUES $values) c(cutoff, cut_us)
+             WHERE epoch_us(ts) <= c.cut_us),
+           v AS (
+             SELECT cutoff, user_id, event_id, event_type, value,
+                    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                    CAST(COUNT(*) OVER (PARTITION BY cutoff, user_id)
+                      AS BIGINT) AS n_versions
+             FROM x
+             WINDOW w AS (PARTITION BY cutoff, user_id
+                          ORDER BY us DESC, event_id DESC))
+           SELECT cutoff, user_id, event_id AS last_event_id,
+                  event_type AS last_type, value AS last_value,
+                  n_versions
+           FROM v WHERE rn = 1 ORDER BY cutoff, user_id""")
+    },
+    (s, d) => {
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-02-01").map(c =>
+        c -> java.time.Instant.parse(s"${c}T00:00:00Z")
+          .toEpochMilli * 1000L)
+      val cutArr = array(cuts.map { case (l, us) =>
+        struct(lit(l).as("cutoff"), lit(us).as("cut_us"))
+      }: _*)
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      val exploded = ev
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("us"),
+          explode(filter(cutArr, c => col("us") <= c("cut_us")))
+            .as("c"))
+        .select(col("c.cutoff").as("cutoff"), col("user_id"),
+          col("event_id"), col("event_type"), col("value"), col("us"))
+      val w = Window.partitionBy("cutoff", "user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val cw = Window.partitionBy("cutoff", "user_id")
+      exploded
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_versions", count(lit(1)).over(cw))
+        .filter(col("rn") === 1)
+        .select(col("cutoff"), col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"), col("n_versions"))
+        .orderBy("cutoff", "user_id")
+    })
+
   // ------------------------------- incremental view maintenance
 
   /** Incremental materialized-view maintenance (X251 — the IVM
@@ -1287,5 +1357,6 @@ object WarehouseQueries {
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
     rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
-    dataContract, ivmAgg, streamHllWindow, ivmJoin, streamScd2)
+    dataContract, ivmAgg, streamHllWindow, ivmJoin, streamScd2,
+    timeTravel)
 }
