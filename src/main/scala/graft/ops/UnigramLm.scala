@@ -107,13 +107,11 @@ object UnigramLm {
     * lookups), freq-weighted and aggregated corpus-wide in ONE
     * piece-keyed shuffle; EC lanes qround(4), renormalized to
     * qround(6). Returns the updated (piece, prob), piece ASC. */
-  def emRound(words: DataFrame, probs: Map[String, Double])
-      : Seq[(String, Double)] = {
-    val vlit = typedLit(probs)
-    def pOf(sub: Column): Column =
-      coalesce(element_at(vlit, sub), lit(0.0))
-    // forward: a_k = sum_j a_{k-j} * p(word[k-j+1 .. k-j+j])
-    var df = words.withColumn("a0", lit(1.0))
+  /** Unrolled forward DP columns a0..aMaxWordLen:
+    * a_k = sum_j a_{k-j} * p(word[k-j+1 .. k-j+j]). */
+  private def forwardCols(df0: DataFrame,
+      pOf: Column => Column): DataFrame = {
+    var df = df0.withColumn("a0", lit(1.0))
     for (k <- 1 to MaxWordLen) {
       val terms = (1 to math.min(MaxPiece, k)).map { j =>
         col(s"a${k - j}") *
@@ -121,6 +119,31 @@ object UnigramLm {
       }
       df = df.withColumn(s"a$k", terms.reduceLeft(_ + _))
     }
+    df
+  }
+
+  /** Marginal word likelihood under `probs`: adds `alpha_n` (the
+    * forward total over all segmentations) to a frame with a `word`
+    * column — the scoring half of the model, shared by the EM E-step
+    * and the X264 corpus cross-entropy scorer. Element-wise on q6
+    * literals — bit-identical cross-engine. */
+  def forward(words: DataFrame, probs: Map[String, Double]): DataFrame = {
+    val vlit = typedLit(probs)
+    def pOf(sub: Column): Column =
+      coalesce(element_at(vlit, sub), lit(0.0))
+    forwardCols(words, pOf)
+      .withColumn("alpha_n",
+        element_at(array((0 to MaxWordLen).map(k => col(s"a$k")): _*),
+          length(col("word")) + 1))
+      .drop((0 to MaxWordLen).map(k => s"a$k"): _*)
+  }
+
+  def emRound(words: DataFrame, probs: Map[String, Double])
+      : Seq[(String, Double)] = {
+    val vlit = typedLit(probs)
+    def pOf(sub: Column): Column =
+      coalesce(element_at(vlit, sub), lit(0.0))
+    var df = forwardCols(words, pOf)
     // backward, as forward over the reversed word: b_m covers the
     // last m characters; piece lookup un-reverses the slice
     df = df.withColumn("rw", reverse(col("word")))

@@ -4194,7 +4194,111 @@ object DiagnosticsQueries {
         .toDF("units", "agree", "d_o", "d_e", "alpha")
     })
 
+  /** Wald's SPRT sequential A/B monitor (X265 — the sequential
+    * sibling of X124's fixed-horizon z-test: decide H0 p = p0 vs
+    * H1 p = p1 the moment the evidence suffices, instead of waiting
+    * for a fixed n). Two md5-bucketed arms each monitor their trial
+    * stream (conversion = purchase) in arrival order (:= event_id,
+    * the recorded contract — unique, so the cumulative lane is
+    * deterministic); the log-likelihood ratio after n trials
+    * factorizes as LLR_n = conv_n·ln(p1/p0) + (n−conv_n)·ln(q1/q0),
+    * so the ONLY distributed state is two INTEGER prefix sums — run
+    * through [[graft.ops.PrefixSum.runningTotalsAsc]] per arm (the
+    * two-pass form: parallel within arm, no partition-less window,
+    * no per-arm sequential scan). LLR lanes are products of
+    * driver-computed double literals (Double.toString round-trip,
+    * the PoissonCum device) with exact ints — element-wise exact, so
+    * crossings and emitted values hash RAW. α = β = 0.05, p0 = 0.10,
+    * p1 = 0.15. */
+  val sprt = QueryDef(
+    "q_sprt", {
+      val la = math.log(0.15 / 0.10)
+      val lb = math.log(0.85 / 0.90)
+      val up = math.log(0.95 / 0.05)
+      val lo = math.log(0.05 / 0.95)
+      def d(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+      Some(s"""WITH t AS (
+              SELECT event_id,
+                     CAST(CAST('0x' || substring(md5('sprt:'
+                         || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 2 AS INT) AS arm,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+              FROM events),
+            c AS (
+              SELECT arm, event_id,
+                     CAST(SUM(conv) OVER w AS BIGINT) AS cum_conv,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS n
+              FROM t
+              WINDOW w AS (PARTITION BY arm ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING)),
+            l AS (
+              SELECT arm, n, cum_conv,
+                     CAST(cum_conv AS DOUBLE) * ${d(la)}
+                       + CAST(n - cum_conv AS DOUBLE) * ${d(lb)} AS llr
+              FROM c),
+            agg AS (
+              SELECT arm,
+                     MAX(n) AS n_trials,
+                     MAX(cum_conv) AS n_conv,
+                     MIN(CASE WHEN llr >= ${d(up)} THEN n END)
+                       AS first_up,
+                     MIN(CASE WHEN llr <= ${d(lo)} THEN n END)
+                       AS first_lo
+              FROM l GROUP BY arm)
+            SELECT arm, n_trials, n_conv,
+                   CAST(n_conv AS DOUBLE) * ${d(la)}
+                     + CAST(n_trials - n_conv AS DOUBLE) * ${d(lb)}
+                     AS llr_final,
+                   first_up, first_lo,
+                   CASE WHEN first_up IS NOT NULL
+                          AND (first_lo IS NULL OR first_up < first_lo)
+                        THEN 'accept_h1'
+                        WHEN first_lo IS NOT NULL THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM agg ORDER BY arm""")
+    },
+    (s, d0) => {
+      val la = math.log(0.15 / 0.10)
+      val lb = math.log(0.85 / 0.90)
+      val up = math.log(0.95 / 0.05)
+      val lo = math.log(0.05 / 0.95)
+      val t = Tables.events(s, d0).select(col("event_id"),
+        (graft.ops.Sampling.hashBucket(col("user_id"), "sprt:")
+          % 2).cast("int").as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("conv"))
+        .withColumn("one", lit(1L))
+        .localCheckpoint(true) // both arm lanes share the scan
+      val lanes = Seq(0, 1).map { a =>
+        graft.ops.PrefixSum.runningTotalsAsc(
+          t.filter(col("arm") === a), Seq("conv", "one"), "event_id",
+          Seq("cum_conv", "n"))
+      }
+      val l = lanes.reduce(_.unionAll(_))
+        .select(col("arm"), col("n"), col("cum_conv"),
+          (col("cum_conv").cast("double") * lit(la) +
+            (col("n") - col("cum_conv")).cast("double") * lit(lb))
+            .as("llr"))
+      l.groupBy("arm")
+        .agg(max("n").as("n_trials"), max("cum_conv").as("n_conv"),
+          min(when(col("llr") >= up, col("n"))).as("first_up"),
+          min(when(col("llr") <= lo, col("n"))).as("first_lo"))
+        .select(col("arm"), col("n_trials"), col("n_conv"),
+          (col("n_conv").cast("double") * lit(la) +
+            (col("n_trials") - col("n_conv")).cast("double") * lit(lb))
+            .as("llr_final"),
+          col("first_up"), col("first_lo"),
+          when(col("first_up").isNotNull &&
+              (col("first_lo").isNull ||
+                col("first_up") < col("first_lo")), "accept_h1")
+            .when(col("first_lo").isNotNull, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("arm")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
+    sprt,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,

@@ -739,13 +739,13 @@ v$r AS MATERIALIZED (
     * log-probs (q6 — ln is the one transcendental lane, the
     * q_sample_weighted discipline). The oracle re-derives seed AND
     * both EM rounds as unrolled CTEs. */
-  val unigramLm = QueryDef(
-    "q_unigram_lm",
-    Some {
-      val L = graft.ops.UnigramLm.MaxWordLen
-      val P = graft.ops.UnigramLm.MaxPiece
-      val M = graft.ops.UnigramLm.TopMulti
-      s"""WITH wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
+  /** Shared oracle chain for X258/X264: word table → substring seed →
+    * v0 → two unrolled EM rounds (v2 = the fitted vocabulary). */
+  private def unigramChainSql: String = {
+    val L = graft.ops.UnigramLm.MaxWordLen
+    val P = graft.ops.UnigramLm.MaxPiece
+    val M = graft.ops.UnigramLm.TopMulti
+    s"""wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
             words AS MATERIALIZED (
               SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
               FROM wtok
@@ -772,7 +772,13 @@ v$r AS MATERIALIZED (
                   "CAST((SELECT SUM(cnt) FROM seed) AS DOUBLE)", 6)} AS p
               FROM seed),
             ${unigramRoundSql(1)},
-            ${unigramRoundSql(2)}
+            ${unigramRoundSql(2)}"""
+  }
+
+  val unigramLm = QueryDef(
+    "q_unigram_lm",
+    Some {
+      s"""WITH $unigramChainSql
             SELECT s.piece AS piece,
                    CAST(len(s.piece) AS INT) AS piece_len,
                    s.cnt AS n_raw,
@@ -799,6 +805,101 @@ v$r AS MATERIALIZED (
           (pc, pc.length, c, p0(pc), pf, q6(math.log(pf)))
         }.toDF("piece", "piece_len", "n_raw", "p_init", "p_final",
           "logp").orderBy("piece")
+      } finally words.unpersist()
+    })
+
+  /** Corpus cross-entropy under the X258 unigram LM (X264 — the
+    * scoring pass that completes the unigram family the way
+    * q_bpe_encode completes X31: fit the tokenizer, then ask "how
+    * well does it model each source?"). Per distinct word the
+    * MARGINAL likelihood alpha_n (forward over ALL segmentations —
+    * [[graft.ops.UnigramLm.forward]]) gives nll = −ln α, kept RAW:
+    * quantizing per-word lns amplifies a single libm 1-ulp boundary
+    * hit by word frequency (measured: one q6 word lane moved a q4 sum
+    * a full grid step), while raw 1-ulp diffs aggregate to ~1e-11 —
+    * the q_lm_score discipline, quantize the AGGREGATE only
+    * (qround(4)); the per-char/per-token rates are q6 of
+    * quantized/exact-int divides. Shape: the DP runs ONCE over the
+    * distinct-word table; per-source aggregation is a word-keyed join
+    * + one keyed aggregate — corpus text never re-enters. */
+  val unigramScore = QueryDef(
+    "q_unigram_score",
+    Some {
+      val L = graft.ops.UnigramLm.MaxWordLen
+      val P = graft.ops.UnigramLm.MaxPiece
+      val pivots = (for { i <- 0 until L; j <- 1 to P } yield
+        s"""COALESCE((SELECT p FROM v2
+           |        WHERE piece = substring(word, ${i + 1}, $j)), 0.0)
+           |      AS p_${i}_$j""".stripMargin).mkString(",\n    ")
+      val alphas = (1 to L).map { k =>
+        (1 to math.min(P, k)).map(j => s"a${k - j} * p_${k - j}_$j")
+          .mkString("", " + ", s" AS a$k")
+      }.mkString(",\n    ")
+      val aList = (0 to L).map(k => s"a$k").mkString("[", ", ", "]")
+      s"""WITH $unigramChainSql,
+            sp AS (
+              SELECT word, CAST(len(word) AS INT) AS n,
+                $pivots
+              FROM words),
+            sd AS (
+              SELECT word, n, 1.0 AS a0,
+                $alphas
+              FROM sp),
+            snll AS MATERIALIZED (
+              SELECT word, -ln(list_extract($aList, n + 1)) AS nll
+              FROM sd),
+            wsrc AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS f
+              FROM (SELECT source, unnest($sqlToks) AS word
+                    FROM documents)
+              WHERE regexp_matches(word, '^[a-z]+$$')
+                AND len(word) <= $L
+              GROUP BY source, word),
+            xs AS (
+              SELECT w.source,
+                     CAST(SUM(w.f) AS BIGINT) AS n_tokens,
+                     CAST(SUM(w.f * len(w.word)) AS BIGINT) AS n_chars,
+                     ${Num.qroundSql(
+                       "SUM(CAST(w.f AS DOUBLE) * s.nll)", 4)} AS sum_nll
+              FROM wsrc w JOIN snll s ON s.word = w.word
+              GROUP BY w.source)
+            SELECT source, n_tokens, n_chars, sum_nll,
+                   ${Num.qroundSql(
+                     "sum_nll / CAST(n_chars AS DOUBLE)", 6)}
+                     AS xent_per_char,
+                   ${Num.qroundSql(
+                     "sum_nll / CAST(n_tokens AS DOUBLE)", 6)}
+                     AS xent_per_token
+            FROM xs ORDER BY source"""
+    },
+    (s, d) => {
+      import graft.ops.UnigramLm
+      val docs = Tables.documents(s, d)
+      val words = UnigramLm.wordTable(docs).persist()
+      try {
+        val seed = UnigramLm.seedVocab(words)
+        var probs = UnigramLm.initProbs(seed).toMap
+        for (_ <- 1 to 2) probs = UnigramLm.emRound(words, probs).toMap
+        val snll = UnigramLm.forward(words.select("word"), probs)
+          .select(col("word"), (-log(col("alpha_n"))).as("nll"))
+        val wsrc = docs.select(col("source"),
+            explode(Text.tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]+$") &&
+            length(col("word")) <= UnigramLm.MaxWordLen)
+          .groupBy("source", "word").agg(count(lit(1)).as("f"))
+        wsrc.join(snll, "word")
+          .groupBy("source")
+          .agg(sum("f").as("n_tokens"),
+            sum(col("f") * length(col("word"))).as("n_chars"),
+            Num.qround(sum(col("f").cast("double") * col("nll")), 4)
+              .as("sum_nll"))
+          .select(col("source"), col("n_tokens"), col("n_chars"),
+            col("sum_nll"),
+            Num.qround(col("sum_nll") / col("n_chars").cast("double"), 6)
+              .as("xent_per_char"),
+            Num.qround(col("sum_nll") / col("n_tokens").cast("double"), 6)
+              .as("xent_per_token"))
+          .orderBy("source")
       } finally words.unpersist()
     })
 
@@ -3151,5 +3252,5 @@ v$r AS MATERIALIZED (
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
-    tokenizerFertility, goodTuring, unigramLm)
+    tokenizerFertility, goodTuring, unigramLm, unigramScore)
 }
