@@ -256,5 +256,100 @@ object RetrievalQueries {
         .toDF("n_customers", "mean_ndcg", "ci_lo", "ci_hi")
     })
 
-  val all: Seq[QueryDef] = Seq(phraseSearch, ndcgEval, ndcgCi)
+  /** MRR + MAP@10 ranking evaluation (X266 — the BINARY-relevance
+    * metric pair next to X227's graded NDCG, on the same fixture:
+    * ranker = global part-popularity top-10, truth = the parts each
+    * customer actually bought. RR = 1/pos of the first relevant hit;
+    * AP@10 = Σ_{hits} P@pos / min(R, 10) with P@pos = hit_rank/pos —
+    * every P@pos is an exact small-int rational (element-wise,
+    * bit-identical), only the ≤10-term AP sum is an aggregated lane
+    * (qround(6), the dcg discipline). Shape: the per-customer hit
+    * table is a broadcast join against the 10-row ranking — fan-out
+    * ≤ 10 rows per customer, one keyed aggregate; customers missing
+    * the top-10 entirely keep rr = ap = 0 via the left join. */
+  val mrrEval = QueryDef(
+    "q_mrr",
+    Some(s"""WITH rel AS (
+             SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+                    CAST(COUNT(*) AS BIGINT) AS rel
+             FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+             GROUP BY 1, 2),
+           pop AS (
+             SELECT partkey, CAST(SUM(rel) AS BIGINT) AS tot
+             FROM rel GROUP BY partkey),
+           top10 AS (
+             SELECT partkey,
+                    CAST(ROW_NUMBER() OVER
+                      (ORDER BY tot DESC, partkey ASC) AS BIGINT) AS pos
+             FROM pop ORDER BY tot DESC, partkey ASC LIMIT 10),
+           nrel AS (
+             SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_relevant
+             FROM rel GROUP BY custkey),
+           hits AS (
+             SELECT r.custkey, t.pos,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY r.custkey
+                      ORDER BY t.pos) AS BIGINT) AS hit_rank
+             FROM rel r JOIN top10 t ON t.partkey = r.partkey),
+           ha AS (
+             SELECT custkey,
+                    MIN(pos) AS first_pos,
+                    CAST(COUNT(*) AS BIGINT) AS n_hits,
+                    ${Num.qroundSql(
+                      "SUM(CAST(hit_rank AS DOUBLE) / " +
+                        "CAST(pos AS DOUBLE))", 6)} AS sum_prec
+             FROM hits GROUP BY custkey)
+           SELECT n.custkey, n.n_relevant,
+                  h.first_pos,
+                  COALESCE(h.n_hits, 0) AS n_hits,
+                  CASE WHEN h.first_pos IS NULL THEN 0.0
+                       ELSE 1.0 / CAST(h.first_pos AS DOUBLE) END AS rr,
+                  CASE WHEN h.sum_prec IS NULL THEN 0.0
+                       ELSE h.sum_prec /
+                         CAST(LEAST(n.n_relevant, 10) AS DOUBLE) END
+                    AS ap10
+           FROM nrel n LEFT JOIN ha h ON h.custkey = n.custkey
+           ORDER BY n.custkey"""),
+    (s, d) => {
+      val rel = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"),
+          col("l_partkey").as("partkey"))
+        .agg(count(lit(1)).as("rel"))
+        .localCheckpoint(true) // popularity fit + hits + nrel lanes
+      val top10 = rel.groupBy("partkey").agg(sum("rel").as("tot"))
+        .orderBy(col("tot").desc, col("partkey").asc).limit(10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), (i + 1).toLong) }
+      import s.implicits._
+      val topDf = broadcast(top10.toSeq.toDF("partkey", "pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("custkey").orderBy("pos")
+      val ha = rel.join(topDf, Seq("partkey"))
+        .withColumn("hit_rank", row_number().over(w).cast("long"))
+        .groupBy("custkey")
+        .agg(min("pos").as("first_pos"),
+          count(lit(1)).as("n_hits"),
+          Num.qround(sum(col("hit_rank").cast("double") /
+            col("pos").cast("double")), 6).as("sum_prec"))
+        .select(col("custkey").as("hck"), col("first_pos"),
+          col("n_hits"), col("sum_prec"))
+      val nrel = rel.groupBy("custkey")
+        .agg(count(lit(1)).as("n_relevant"))
+      nrel.join(ha, col("hck") === col("custkey"), "left")
+        .select(col("custkey"), col("n_relevant"),
+          col("first_pos"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("first_pos").isNull, 0.0)
+            .otherwise(lit(1.0) / col("first_pos").cast("double"))
+            .as("rr"),
+          when(col("sum_prec").isNull, 0.0)
+            .otherwise(col("sum_prec") /
+              least(col("n_relevant"), lit(10L)).cast("double"))
+            .as("ap10"))
+        .orderBy("custkey")
+    })
+
+  val all: Seq[QueryDef] = Seq(phraseSearch, ndcgEval, ndcgCi, mrrEval)
 }

@@ -1171,6 +1171,134 @@ object WarehouseQueries {
         .orderBy("cutoff", "user_id")
     })
 
+  /** HLL-sketch incremental view maintenance (X267 — the composition
+    * of X251's IVM identity with X211's register sketch: an EXACT
+    * distinct-count view cannot be incrementally maintained (deletes
+    * aside, arriving keys may or may not be new), but the HLL
+    * register view CAN — merge ≡ element-wise register MAX, so
+    * view(base ∪ Δ) ≡ max-merge(view(base), view(Δ)) and the refresh
+    * never rescans base. This query RUNS both lanes on a 90/10
+    * event_id split and pins them register-for-register: n_reg_diff
+    * counts (type, idx) cells where merged ≠ recomputed — an
+    * exact-integer lane that must be 0 — alongside both estimate
+    * tails. Shape: ONE hashed scan (localCheckpoint) feeds base/Δ/
+    * full register tables; merge is a 256-row-per-type union re-max;
+    * at 100 TB the maintained lane touches only Δ plus two
+    * 256-row-per-group sketches. */
+  val ivmHll = QueryDef(
+    "q_ivm_hll", {
+      val h = "CAST('0x' || substring(md5('graft-hll:' || " +
+        "CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)"
+      val alpha = "(0.7213 / (1.0 + 1.079 / 256.0))"
+      def estSql(src: String, tag: String) = s"""
+            agg_$tag AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS registers_hit,
+                     SUM(1.0 / CAST((1::BIGINT << mj) AS DOUBLE)) AS sp
+              FROM $src GROUP BY 1),
+            fin_$tag AS (
+              SELECT event_type, registers_hit,
+                     ${Num.qroundSql(
+                       s"""CASE WHEN $alpha * 65536.0 /
+                             (sp + CAST(256 - registers_hit AS DOUBLE))
+                               <= 640.0
+                             AND 256 - registers_hit > 0
+                           THEN 256.0 * ln(256.0 /
+                             CAST(256 - registers_hit AS DOUBLE))
+                           ELSE $alpha * 65536.0 /
+                             (sp + CAST(256 - registers_hit AS DOUBLE))
+                           END""", 6)} AS est
+              FROM agg_$tag)"""
+      Some(s"""WITH k AS (
+              SELECT event_id, event_type, $h AS h FROM events),
+            rho AS (
+              SELECT event_id, event_type, h >> 40 AS idx,
+                     CASE WHEN h & ((1::BIGINT << 40) - 1) = 0 THEN 41
+                          ELSE 41 - length(bin(h & ((1::BIGINT << 40) - 1)))
+                          END AS rho
+              FROM k),
+            rb AS (SELECT event_type, idx, MAX(rho) AS mj FROM rho
+                   WHERE event_id % 10 <> 0 GROUP BY 1, 2),
+            rd AS (SELECT event_type, idx, MAX(rho) AS mj FROM rho
+                   WHERE event_id % 10 = 0 GROUP BY 1, 2),
+            rm AS (SELECT event_type, idx, MAX(mj) AS mj FROM
+                     (SELECT * FROM rb UNION ALL SELECT * FROM rd)
+                   GROUP BY 1, 2),
+            rf AS (SELECT event_type, idx, MAX(rho) AS mj FROM rho
+                   GROUP BY 1, 2),
+            ${estSql("rm", "m")},
+            ${estSql("rf", "f")},
+            dif AS (
+              SELECT COALESCE(m.event_type, f.event_type) AS event_type,
+                     CAST(SUM(CASE WHEN m.mj IS DISTINCT FROM f.mj
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_reg_diff
+              FROM rm m FULL JOIN rf f
+                ON f.event_type = m.event_type AND f.idx = m.idx
+              GROUP BY 1)
+            SELECT m.event_type,
+                   m.registers_hit AS hit_merged,
+                   f.registers_hit AS hit_full,
+                   m.est AS est_merged, f.est AS est_full,
+                   d.n_reg_diff
+            FROM fin_m m
+            JOIN fin_f f USING (event_type)
+            JOIN dif d USING (event_type)
+            ORDER BY m.event_type""")
+    },
+    (s, d) => {
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val h = conv(substring(md5(concat(lit("graft-hll:"),
+        col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val rho = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          shiftright(h, 40).as("idx"),
+          h.bitwiseAND(lit((1L << 40) - 1)).as("rem"))
+        .select(col("event_id"), col("event_type"), col("idx"),
+          when(col("rem") === 0, 41)
+            .otherwise(lit(41) - length(bin(col("rem")))).as("rho"))
+        .localCheckpoint(true) // base/delta/full share the hash scan
+      def regs(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type", "idx").agg(max("rho").as("mj"))
+      val rb = regs(rho.filter(pmod(col("event_id"), lit(10)) =!= 0))
+      val rd = regs(rho.filter(pmod(col("event_id"), lit(10)) === 0))
+      val rm = rb.unionAll(rd).groupBy("event_type", "idx")
+        .agg(max("mj").as("mj"))
+      val rf = regs(rho)
+      def estimate(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("registers_hit"),
+          sum(lit(1.0) / expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)"))
+            .as("sp"))
+        .withColumn("zeros", lit(256) - col("registers_hit"))
+        .withColumn("raw", lit(alpha) * 65536.0 /
+          (col("sp") + col("zeros").cast("double")))
+        .select(col("event_type"), col("registers_hit"),
+          Num.qround(
+            when(col("raw") <= 640.0 && col("zeros") > 0,
+              lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+              .otherwise(col("raw")), 6).as("est"))
+      val em = estimate(rm).select(col("event_type"),
+        col("registers_hit").as("hit_merged"),
+        col("est").as("est_merged"))
+      val ef = estimate(rf).select(col("event_type").as("etf"),
+        col("registers_hit").as("hit_full"), col("est").as("est_full"))
+      val dif = rm.select(col("event_type").as("mt"), col("idx").as("mi"),
+          col("mj").as("mmj"))
+        .join(rf.select(col("event_type").as("ft"), col("idx").as("fi"),
+          col("mj").as("fmj")),
+          col("ft") === col("mt") && col("fi") === col("mi"), "full")
+        .groupBy(coalesce(col("mt"), col("ft")).as("event_type"))
+        .agg(sum(when(!(col("mmj") <=> col("fmj")), 1L).otherwise(0L))
+          .as("n_reg_diff"))
+      em.join(ef, col("etf") === col("event_type"))
+        .join(dif.select(col("event_type").as("etd"), col("n_reg_diff")),
+          col("etd") === col("event_type"))
+        .select(col("event_type"), col("hit_merged"), col("hit_full"),
+          col("est_merged"), col("est_full"), col("n_reg_diff"))
+        .orderBy("event_type")
+    })
+
   // ------------------------------- incremental view maintenance
 
   /** Incremental materialized-view maintenance (X251 — the IVM
@@ -1358,5 +1486,5 @@ object WarehouseQueries {
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
     rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
     dataContract, ivmAgg, streamHllWindow, ivmJoin, streamScd2,
-    timeTravel)
+    timeTravel, ivmHll)
 }
