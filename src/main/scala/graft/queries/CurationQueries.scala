@@ -906,6 +906,77 @@ object CurationQueries {
         .orderBy("source")
     })
 
+  private val DpClip = 4000L
+
+  /** Differentially-private MEAN release (X270 — the Laplace
+    * mechanism on a CLIPPED sum, the other standard release next to
+    * X104's counts: mean doc length per source with values clipped to
+    * [0, C] so the sum's sensitivity is C, budget split ε/2 between
+    * the sum (scale C/(ε/2)) and the count (sensitivity 1, scale
+    * 2/ε). Same deterministic noise device as X104 — per-(source,
+    * lane) md5 uniforms through the inverse Laplace CDF, so both
+    * engines draw the SAME noise; the ln is the one quantized lane
+    * (q6). Clipped sums and true counts are exact integers; released
+    * lanes are element-wise off those. ONE keyed aggregate. */
+  val dpMean = QueryDef(
+    "q_dp_mean",
+    Some {
+      val b1 = (DpClip.toDouble / (DpEpsilon / 2)).toString
+      val b2 = (1.0 / (DpEpsilon / 2)).toString
+      def lap(salt: String, b: String) =
+        s"""((0.0 - CAST('$b' AS DOUBLE)) *
+            (CASE WHEN (CAST(CAST('0x' || substring(md5('$salt' || source),
+                1, 13) AS BIGINT) * 2 + 1 AS DOUBLE)
+                / 9007199254740992.0) - 0.5 < 0.0
+              THEN -1.0 ELSE 1.0 END) *
+            (${Num.qroundSql(
+              s"""LN(1.0 - 2.0 * ABS((CAST(CAST('0x' ||
+                  substring(md5('$salt' || source), 1, 13) AS BIGINT)
+                  * 2 + 1 AS DOUBLE) / 9007199254740992.0) - 0.5))""",
+              6)}))"""
+      s"""WITH c AS (
+              SELECT source,
+                     CAST(SUM(LEAST(n_chars, $DpClip)) AS BIGINT)
+                       AS clip_sum,
+                     CAST(COUNT(*) AS BIGINT) AS n_true
+              FROM documents GROUP BY source),
+            r AS (
+              SELECT source, clip_sum, n_true,
+                     CAST(clip_sum AS DOUBLE) + ${lap("dpm:s:", b1)}
+                       AS sum_released,
+                     CAST(n_true AS DOUBLE) + ${lap("dpm:n:", b2)}
+                       AS n_released
+              FROM c)
+            SELECT source, clip_sum, n_true, sum_released, n_released,
+                   sum_released / n_released AS mean_released,
+                   CAST('$DpEpsilon' AS DOUBLE) AS epsilon
+            FROM r ORDER BY source"""
+    },
+    (s, d) => {
+      val b1 = DpClip.toDouble / (DpEpsilon / 2)
+      val b2 = 1.0 / (DpEpsilon / 2)
+      def lap(salt: String, b: Double) = {
+        val v = graft.ops.Dsir.hashUniform(col("source"), salt) - lit(0.5)
+        (lit(0.0) - lit(b)) *
+          when(v < 0.0, lit(-1.0)).otherwise(lit(1.0)) *
+          Num.qround(log(lit(1.0) - lit(2.0) * abs(v)), 6)
+      }
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(least(col("n_chars"), lit(DpClip))).as("clip_sum"),
+          count(lit(1)).as("n_true"))
+        .select(col("source"), col("clip_sum"), col("n_true"),
+          (col("clip_sum").cast("double") + lap("dpm:s:", b1))
+            .as("sum_released"),
+          (col("n_true").cast("double") + lap("dpm:n:", b2))
+            .as("n_released"))
+        .select(col("source"), col("clip_sum"), col("n_true"),
+          col("sum_released"), col("n_released"),
+          (col("sum_released") / col("n_released")).as("mean_released"),
+          lit(DpEpsilon).as("epsilon"))
+        .orderBy("source")
+    })
+
   // --------------------------------- X101 chi-square drift partition
 
   /** Per-source chi-square partition (X101 — Pearson 1900; the
@@ -1809,13 +1880,45 @@ object CurationQueries {
         .orderBy("source")
     })
 
+  /** k-anonymity / l-diversity audit (X268 — Sweeney 2002 / Machanavajjhala
+    * et al. 2006, the release-readiness check before any
+    * quasi-identifier projection ships, completing the privacy family
+    * next to X26's PII scrub, X104's DP counts and X230's RTBF
+    * cascade): every (nation, segment) equivalence class with its
+    * size, the distinct-value count of the sensitive attribute
+    * (in-debt flag), and the k≥5 / l≥2 verdicts — the rows a
+    * suppression pass would act on. ONE keyed aggregate over the
+    * quasi-identifier key; all lanes exact integers/booleans. */
+  val kAnon = QueryDef(
+    "q_k_anon",
+    Some("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS l_sensitive,
+                   COUNT(*) >= 5 AS meets_k5,
+                   COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                     THEN 1 ELSE 0 END) >= 2 AS meets_l2
+            FROM customer
+            GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(when(col("c_acctbal") < 0, 1).otherwise(0))
+          .as("l_sensitive"))
+      .select(col("nation"), col("segment"), col("class_size"),
+        col("l_sensitive"),
+        (col("class_size") >= 5).as("meets_k5"),
+        (col("l_sensitive") >= 2).as("meets_l2"))
+      .orderBy("nation", "segment"))
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
-      weightedMedian,
+      weightedMedian, kAnon,
       dedupWeightedStats,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
-      bootstrapCi, chisqDrift, dpCounts, tokenBudget,
+      bootstrapCi, chisqDrift, dpCounts, dpMean, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
 }

@@ -1120,8 +1120,74 @@ object GraphQueries {
         .orderBy("node")
     })
 
+  /** Degree assortativity (X269 — Newman 2002's mixing coefficient:
+    * do high-degree domains link to other hubs (r > 0, social-style)
+    * or to the periphery (r < 0, web/biology-style)? The one-number
+    * mixing diagnostic missing from X133's shape summary). r =
+    * Pearson over the EDGE multiset of (total-degree(src),
+    * total-degree(dst)). Every moment (n, Σx, Σy, Σxy, Σx², Σy²) is
+    * an EXACT INTEGER aggregate — degrees are counts — so the only
+    * float lanes are the final covariance/variance divides and one
+    * sqrt, computed element-wise from identical exact-int-fed doubles
+    * on both engines (qround(6), the single quantized value). Shape:
+    * one degree aggregate + two broadcast-able joins back to edges +
+    * one 1-row moment aggregate. */
+  val assortativity = QueryDef(
+    "q_assortativity",
+    Some(s"""WITH e AS ($edgeSql),
+            degs AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT src AS v FROM e
+                UNION ALL SELECT dst FROM e) u
+              GROUP BY v),
+            p AS (
+              SELECT ds.deg AS xd, dd.deg AS yd
+              FROM e
+              JOIN degs ds ON ds.v = e.src
+              JOIN degs dd ON dd.v = e.dst),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(xd) AS BIGINT) AS sx,
+                     CAST(SUM(yd) AS BIGINT) AS sy,
+                     CAST(SUM(xd * yd) AS BIGINT) AS sxy,
+                     CAST(SUM(xd * xd) AS BIGINT) AS sxx,
+                     CAST(SUM(yd * yd) AS BIGINT) AS syy
+              FROM p)
+            SELECT n AS n_edges, sx, sy,
+                   ${Num.qroundSql(
+                     """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
+                     6)} AS assortativity
+            FROM m"""),
+    (s, d) => {
+      val e = domainEdges(s, d).localCheckpoint(true) // degs + pairs
+      val degs = e.select(col("src").as("v"))
+        .unionAll(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val ds = degs.select(col("v").as("sv"), col("deg").as("xd"))
+      val dd = degs.select(col("v").as("dv"), col("deg").as("yd"))
+      val m = e.join(ds, col("src") === col("sv"))
+        .join(dd, col("dst") === col("dv"))
+        .agg(count(lit(1)).as("n"),
+          sum("xd").as("sx"), sum("yd").as("sy"),
+          sum(col("xd") * col("yd")).as("sxy"),
+          sum(col("xd") * col("xd")).as("sxx"),
+          sum(col("yd") * col("yd")).as("syy"))
+      def D(c: String) = col(c).cast("double")
+      m.select(col("n").as("n_edges"), col("sx"), col("sy"),
+        Num.qround(
+          (D("n") * D("sxy") - D("sx") * D("sy")) /
+            sqrt((D("n") * D("sxx") - D("sx") * D("sx")) *
+              (D("n") * D("syy") - D("sy") * D("sy"))), 6)
+          .as("assortativity"))
+    })
+
   val all: Seq[QueryDef] =
-    Seq(pagerankSeeded, domainCommunities, domainTriangles,
+    Seq(pagerankSeeded, domainCommunities, domainTriangles, assortativity,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
       rankAgreement, graphShape, linkPredict, pagerankDelta,
       rankFusion, rankRbo, domainScc)
