@@ -906,6 +906,90 @@ object CurationQueries {
         .orderBy("source")
     })
 
+  /** Bloom-filter false-positive-rate evaluation (X271 — the X74
+    * recall-rigor discipline applied to X36's pruning filter: a bloom
+    * prune is only safe if it NEVER drops members, and only useful if
+    * its FPR matches the design point — this row measures both
+    * instead of assuming them). Build side = BUILDING-segment
+    * customers into an m = 2048, j = 3 filter (the X36 portable-md5
+    * device, so the oracle replays every bit); probe = ALL customers.
+    * n_missed is an exact-integer lane that MUST be 0 (no false
+    * negatives — the bloom contract); observed FPR is an
+    * exact-integer-fed divide (hash raw); the sharp theory lane uses
+    * the KNOWN bits-set count: fpr = (bits_set/m)³, element-wise as
+    * (p·p)·p. Probe is join-free — the bitset rides as a literal into
+    * the scan (the X36 scale shape). */
+  val bloomFpr = QueryDef(
+    "q_bloom_fpr",
+    Some {
+      val m = 2048
+      val hs = (0 until 3).map(i =>
+        Bloom.hashModSql(s"bloom$i:", "c_custkey", m))
+      s"""WITH build AS (
+              SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+            bits AS MATERIALIZED (
+              SELECT DISTINCT pos FROM (
+                SELECT unnest([${hs.mkString(", ")}]) AS pos
+                FROM build) u),
+            probe AS (
+              SELECT c_custkey,
+                     c_mktsegment = 'BUILDING' AS member,
+                     ${hs.zipWithIndex.map { case (h, i) =>
+                       s"($h) IN (SELECT pos FROM bits) AS hit$i"
+                     }.mkString(",\n                     ")}
+              FROM customer),
+            agg AS (
+              SELECT
+                CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_build,
+                CAST(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nonmembers,
+                CAST(SUM(CASE WHEN hit0 AND hit1 AND hit2
+                    AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_false_pos,
+                CAST(SUM(CASE WHEN NOT (hit0 AND hit1 AND hit2)
+                    AND member THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_missed,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+              FROM probe)
+            SELECT CAST($m AS BIGINT) AS m, CAST(3 AS INT) AS j,
+                   n_build, bits_set, n_nonmembers, n_false_pos,
+                   n_missed,
+                   CAST(n_false_pos AS DOUBLE) /
+                     CAST(n_nonmembers AS DOUBLE) AS fpr_observed,
+                   ((CAST(bits_set AS DOUBLE) / $m.0) *
+                    (CAST(bits_set AS DOUBLE) / $m.0)) *
+                    (CAST(bits_set AS DOUBLE) / $m.0) AS fpr_theory
+            FROM agg"""
+    },
+    (s, d) => {
+      val m = 2048
+      val cust = Tables.customer(s, d).localCheckpoint(true)
+      val build = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val words = Bloom.buildBits(build, col("k"), m, 3)
+      val bitsSet = words.map(java.lang.Long.bitCount).sum.toLong
+      val p = bitsSet.toDouble / m
+      cust.select(
+          (col("c_mktsegment") === "BUILDING").as("member"),
+          Bloom.mightContain(col("c_custkey"), words, m, 3).as("hit"))
+        .agg(
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_build"),
+          sum(when(!col("member"), 1L).otherwise(0L))
+            .as("n_nonmembers"),
+          sum(when(col("hit") && !col("member"), 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("hit") && col("member"), 1L).otherwise(0L))
+            .as("n_missed"))
+        .select(lit(m.toLong).as("m"), lit(3).as("j"),
+          col("n_build"), lit(bitsSet).as("bits_set"),
+          col("n_nonmembers"), col("n_false_pos"), col("n_missed"),
+          (col("n_false_pos").cast("double") /
+            col("n_nonmembers").cast("double")).as("fpr_observed"),
+          lit((p * p) * p).as("fpr_theory"))
+    })
+
   private val DpClip = 4000L
 
   /** Differentially-private MEAN release (X270 — the Laplace
@@ -1913,7 +1997,7 @@ object CurationQueries {
       .orderBy("nation", "segment"))
 
   val all: Seq[QueryDef] =
-    Seq(bloomPrune, heavyHitters, bm25, domainCap, profileOrders, domainMix,
+    Seq(bloomPrune, bloomFpr, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       weightedMedian, kAnon,
       dedupWeightedStats,
       temperatureMix, curationAudit, neymanAlloc,

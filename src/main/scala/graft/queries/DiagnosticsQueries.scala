@@ -2850,6 +2850,68 @@ object DiagnosticsQueries {
         .orderBy("event_type", "day")
     })
 
+  /** Classical seasonal decomposition (X272 — the STL-lite
+    * trend/seasonal/residual split behind every "is traffic actually
+    * down or is it just Sunday" readout; completes the seasonality
+    * family: X142 gives the dow baseline, X110/X179 chart residual
+    * anomalies, this row produces the decomposition they presuppose).
+    * Per event type over the daily count series: trend = centered
+    * ±3-day moving mean — an EXACT integer-sum/count divide over a
+    * ROWS frame (hash raw); seasonal = per-(type, isodow) mean of the
+    * detrended series (the one aggregated-double lane, qround(6));
+    * residual = x − trend − seasonal, element-wise off the quantized
+    * lanes. Shape: one groupBy to the bounded (type × day) domain
+    * table, then type-partitioned windows — the X109 device, window
+    * width bounded by the calendar, never by corpus size. */
+  val seasonalDecompose = QueryDef(
+    "q_seasonal_decompose",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(isodow(ts) AS INT) AS dow,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2, 3),
+            tr AS (
+              SELECT event_type, day, dow, x,
+                     CAST(SUM(x) OVER w AS DOUBLE) /
+                       CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            se AS (
+              SELECT event_type, dow,
+                     ${Num.qroundSql(
+                       "AVG(CAST(x AS DOUBLE) - trend)", 6)} AS seasonal
+              FROM tr GROUP BY 1, 2)
+            SELECT t.event_type, t.day, t.dow, t.x, t.trend,
+                   s.seasonal,
+                   CAST(t.x AS DOUBLE) - t.trend - s.seasonal
+                     AS residual
+            FROM tr t JOIN se s
+              ON s.event_type = t.event_type AND s.dow = t.dow
+            ORDER BY t.event_type, t.day"""),
+    (s, d) => {
+      val dowIso = (pmod(dayofweek(col("ts")) + lit(5), lit(7)) + 1)
+        .cast("int")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+          dowIso.as("dow"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val tr = daily.withColumn("trend",
+        sum("x").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      val se = tr.groupBy("event_type", "dow")
+        .agg(Num.qround(avg(col("x").cast("double") - col("trend")), 6)
+          .as("seasonal"))
+      tr.join(broadcast(se), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("dow"), col("x"),
+          col("trend"), col("seasonal"),
+          (col("x").cast("double") - col("trend") - col("seasonal"))
+            .as("residual"))
+        .orderBy("event_type", "day")
+    })
+
   // ----------------------------------------------- quantile normalize
 
   /** Cross-source quantile normalization (X143 — the ML-preprocessing
@@ -4297,8 +4359,73 @@ object DiagnosticsQueries {
         .orderBy("arm")
     })
 
+  /** Sample-ratio-mismatch guardrail (X273 — the FIRST check any
+    * experiment readout runs (Fabijan et al. 2019): if the 50/50
+    * assignment didn't land 50/50 over UNITS, every downstream metric
+    * (X124's z, X265's SPRT, X195's CUPED) is suspect. Units =
+    * distinct users (never events — exposure counts would double-count
+    * heavy users); arms = the same md5 bucket as X265 so the two rows
+    * audit the same experiment. χ² against the 1:1 split is
+    * element-wise off exact integer counts and the exact n/2
+    * expectation (hash raw); the flag uses the 1-df 95% critical
+    * value 3.841. One distinct-aggregate + a 2-row reduce. */
+  val abSrm = QueryDef(
+    "q_ab_srm",
+    Some("""WITH u AS (
+              SELECT DISTINCT user_id,
+                     CAST(CAST('0x' || substring(md5('sprt:'
+                         || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 2 AS INT) AS arm
+              FROM events),
+            c AS (
+              SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n0,
+                     CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1
+              FROM u)
+            SELECT n0 + n1 AS n_users, n0 AS n_arm0, n1 AS n_arm1,
+                   (CAST(n0 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     * (CAST(n0 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+                   + (CAST(n1 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     * (CAST(n1 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     / (CAST(n0 + n1 AS DOUBLE) / 2.0) AS chisq,
+                   (CAST(n0 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     * (CAST(n0 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+                   + (CAST(n1 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     * (CAST(n1 AS DOUBLE)
+                      - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                     / (CAST(n0 + n1 AS DOUBLE) / 2.0) > 3.841
+                     AS srm_flag
+            FROM c"""),
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"),
+          (graft.ops.Sampling.hashBucket(col("user_id"), "sprt:") % 2)
+            .cast("int").as("arm"))
+        .distinct()
+      val c = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val e = (col("n0") + col("n1")).cast("double") / 2.0
+      val chisq =
+        (col("n0").cast("double") - e) * (col("n0").cast("double") - e) / e +
+        (col("n1").cast("double") - e) * (col("n1").cast("double") - e) / e
+      c.select((col("n0") + col("n1")).as("n_users"),
+        col("n0").as("n_arm0"), col("n1").as("n_arm1"),
+        chisq.as("chisq"), (chisq > 3.841).as("srm_flag"))
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
-    sprt,
+    sprt, abSrm, seasonalDecompose,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,
