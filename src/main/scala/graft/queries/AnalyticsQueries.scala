@@ -1814,7 +1814,73 @@ $name AS (
         .orderBy("custkey")
     })
 
+  /** RFM customer segmentation (X274 — Hughes 1994's
+    * recency/frequency/monetary quintile scoring, the warehouse
+    * marketing-analytics staple): per customer R = last order's epoch
+    * micros (exact int), F = order count (exact int), M = qround(2)
+    * spend; each metric scored 1–5 against its own quintile fences.
+    * Fences are ONE bounded `percentile` aggregate (exact
+    * interpolating — ≡ DuckDB quantile_cont, the X201 device),
+    * qround(6), riding back as literals in a foldLeft bucket
+    * expression — no per-row rank window, no ntile, no global sort.
+    * Scores and the combined RFM cell are exact integer lanes. */
+  val rfm = QueryDef(
+    "q_rfm",
+    Some {
+      val probs = Seq(0.2, 0.4, 0.6, 0.8)
+      def fen(c: String) =
+        s"""list_transform(quantile_cont($c,
+              [${probs.mkString(", ")}]),
+              v -> FLOOR(v * 1000000 + 0.5) / 1000000) AS f_$c"""
+      def score(c: String) =
+        s"CAST(len(list_filter(fen.f_$c, v -> b.$c > v)) + 1 AS INT)"
+      s"""WITH b AS (
+              SELECT o_custkey AS custkey,
+                     CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS r_us,
+                     CAST(COUNT(*) AS BIGINT) AS f,
+                     ${Num.qroundSql("SUM(o_totalprice)", 2)} AS m
+              FROM orders GROUP BY 1),
+            fen AS MATERIALIZED (
+              SELECT ${fen("r_us")},
+                     ${fen("f")},
+                     ${fen("m")}
+              FROM b)
+            SELECT b.custkey, b.r_us, b.f, b.m,
+                   ${score("r_us")} AS r_score,
+                   ${score("f")} AS f_score,
+                   ${score("m")} AS m_score,
+                   ${score("r_us")} * 100 + ${score("f")} * 10 +
+                     ${score("m")} AS rfm_cell
+            FROM b CROSS JOIN fen
+            ORDER BY b.custkey"""
+    },
+    (s, d) => {
+      val probs = Seq(0.2, 0.4, 0.6, 0.8)
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("r_us"),
+          count(lit(1)).as("f"),
+          Num.qround(sum("o_totalprice"), 2).as("m"))
+        .localCheckpoint(true) // fence pass + scoring share the agg
+      val pArr = array(probs.map(lit(_)): _*)
+      val fRow = base.agg(percentile(col("r_us"), pArr),
+        percentile(col("f"), pArr), percentile(col("m"), pArr)).head()
+      val fences = (0 until 3).map(j => fRow.getSeq[Double](j).map(q6))
+      def score(c: org.apache.spark.sql.Column, fen: Seq[Double]) =
+        fen.foldLeft(lit(1)) { (acc, v) =>
+          acc + when(c > v, 1).otherwise(0)
+        }
+      val (rs, fs, ms) = (score(col("r_us"), fences(0)),
+        score(col("f"), fences(1)), score(col("m"), fences(2)))
+      base.select(col("custkey"), col("r_us"), col("f"), col("m"),
+        rs.as("r_score"), fs.as("f_score"), ms.as("m_score"),
+        (rs * 100 + fs * 10 + ms).as("rfm_cell"))
+        .orderBy("custkey")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
+    rfm,
     cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
     multimodalFeatures,

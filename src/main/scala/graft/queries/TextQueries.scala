@@ -44,19 +44,22 @@ object TextQueries {
         Text.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
       .orderBy("doc_id"))
 
-  val textQuality = QueryDef(
-    "q_text_quality",
-    Some {
-      val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (
-            SELECT doc_id, text, $sqlToks AS toks,
+  /** Shared oracle CTE chain deriving per-doc quality lanes (mirrors
+    * [[Text.qualityScore]]; used by q_text_quality and the X275
+    * threshold sweep — kept in one place so the two can't diverge).
+    * Produces CTEs qt/qr with (doc_id, lang, punct_ratio,
+    * stopword_ratio, n_tok, mtl). */
+  private val qualityChainSql: String = {
+    val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""qt AS (
+            SELECT doc_id, lang, text, $sqlToks AS toks,
                    CAST(len(text) -
                         len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
                         AS DOUBLE) /
                      NULLIF(CAST(len(text) AS DOUBLE), 0.0) AS punct_ratio
             FROM documents),
-          r AS (
-            SELECT doc_id, punct_ratio,
+          qr AS (
+            SELECT doc_id, lang, punct_ratio,
                    CAST(len(list_filter(toks, t -> lower(t) IN ($stop)))
                         AS DOUBLE) /
                      NULLIF(CAST(len(toks) AS DOUBLE), 0.0)
@@ -66,16 +69,26 @@ object TextQueries {
                         ELSE CAST(list_reduce(list_transform(toks,
                                t -> len(t)), (a, b) -> a + b) AS DOUBLE) /
                              CAST(len(toks) AS DOUBLE) END AS mtl
-            FROM t)
+            FROM qt)"""
+  }
+
+  /** The quality-score expression over the qr CTE's columns. */
+  private val qualityScoreSqlExpr: String =
+    """(LEAST(n_tok / 50.0, 1.0) * 0.3 +
+        GREATEST(0.0, COALESCE(1.0 - punct_ratio * 4.0, 0.0))
+          * 0.2 +
+        GREATEST(0.0, 1.0 - ABS(COALESCE(stopword_ratio, 0.0)
+          - 0.4) * 2.0) * 0.3 +
+        (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+          * 0.2)"""
+
+  val textQuality = QueryDef(
+    "q_text_quality",
+    Some {
+      s"""WITH $qualityChainSql
           SELECT doc_id, punct_ratio, stopword_ratio,
-                 (LEAST(n_tok / 50.0, 1.0) * 0.3 +
-                  GREATEST(0.0, COALESCE(1.0 - punct_ratio * 4.0, 0.0))
-                    * 0.2 +
-                  GREATEST(0.0, 1.0 - ABS(COALESCE(stopword_ratio, 0.0)
-                    - 0.4) * 2.0) * 0.3 +
-                  (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
-                    * 0.2) AS quality_score
-          FROM r ORDER BY doc_id"""
+                 $qualityScoreSqlExpr AS quality_score
+          FROM qr ORDER BY doc_id"""
     },
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
@@ -901,6 +914,77 @@ v$r AS MATERIALIZED (
               .as("xent_per_token"))
           .orderBy("source")
       } finally words.unpersist()
+    })
+
+  /** F1-optimal threshold selection (X275 — the operating-point sweep
+    * between X87's calibration curve and X75's fixed-threshold
+    * confusion matrix: given a score and a label, WHICH cutoff should
+    * the filter ship? Scores = the X8 quality heuristic, label =
+    * lang = 'en'). Every DISTINCT score is a candidate threshold
+    * (predict positive iff score ≥ t, ties included); TP/FP at each
+    * come from two cumulative passes over the distinct-score table
+    * through [[graft.ops.PrefixSum.runningTotalDesc]] — no
+    * partition-less window, no per-threshold rescans. Precision,
+    * recall and F1 = 2·tp/(tp+fp+P) are exact-integer-fed rationals
+    * (hash raw); the top-10 operating points by (F1 DESC, thr DESC)
+    * come off a TakeOrdered, and F1 values compare exactly
+    * cross-engine because every lane is exact. */
+  val f1Threshold = QueryDef(
+    "q_f1_threshold",
+    Some {
+      s"""WITH $qualityChainSql,
+            sc AS (
+              SELECT $qualityScoreSqlExpr AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM qr),
+            dist AS (
+              SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+                     CAST(SUM(1 - pos) AS BIGINT) AS nn
+              FROM sc GROUP BY score),
+            cum AS (
+              SELECT score,
+                     CAST(SUM(np) OVER w AS BIGINT) AS tp,
+                     CAST(SUM(nn) OVER w AS BIGINT) AS fp
+              FROM dist
+              WINDOW w AS (ORDER BY score DESC
+                           ROWS UNBOUNDED PRECEDING)),
+            tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tpos FROM sc),
+            m AS (
+              SELECT score AS thr, tp, fp, tot.tpos - tp AS fn,
+                     CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                       AS precision_,
+                     CAST(tp AS DOUBLE) / CAST(tot.tpos AS DOUBLE)
+                       AS recall_,
+                     2.0 * CAST(tp AS DOUBLE) /
+                       CAST(tp + fp + tot.tpos AS DOUBLE) AS f1
+              FROM cum CROSS JOIN tot)
+            SELECT * FROM
+              (SELECT thr, tp, fp, fn, precision_, recall_, f1
+               FROM m ORDER BY f1 DESC, thr DESC LIMIT 10) best
+            ORDER BY thr DESC"""
+    },
+    (s, d) => {
+      val sc = Tables.documents(s, d)
+        .select(Text.qualityScore(col("text")).as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val dist = sc.groupBy("score")
+        .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      val totPos = sc.agg(sum("pos")).head().getLong(0)
+      val cum1 = graft.ops.PrefixSum.runningTotalDesc(
+        dist, "np", "score", "score", "tp")
+      val cum = graft.ops.PrefixSum.runningTotalDesc(
+        cum1, "nn", "score", "score", "fp")
+      cum.select(col("score").as("thr"), col("tp"), col("fp"),
+          (lit(totPos) - col("tp")).as("fn"),
+          (col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")).as("precision_"),
+          (col("tp").cast("double") / lit(totPos.toDouble))
+            .as("recall_"),
+          (lit(2.0) * col("tp").cast("double") /
+            (col("tp") + col("fp") + lit(totPos)).cast("double"))
+            .as("f1"))
+        .orderBy(col("f1").desc, col("thr").desc).limit(10)
+        .orderBy(col("thr").desc)
     })
 
   // ----------------------------------------------------- model scoring
@@ -3252,5 +3336,5 @@ v$r AS MATERIALIZED (
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
-    tokenizerFertility, goodTuring, unigramLm, unigramScore)
+    tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold)
 }
