@@ -2912,6 +2912,84 @@ object DiagnosticsQueries {
         .orderBy("event_type", "day")
     })
 
+  /** Autocorrelation function, lags 1–7 (X277 — Box & Jenkins' ACF,
+    * the identification step before any ARIMA-class model and the
+    * quantitative "is there weekly structure" answer X272's
+    * decomposition assumes): per event type over the daily count
+    * series, acf_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)². μ is an
+    * exact-integer-fed divide; deviations are element-wise; the
+    * numerator/denominator sums are the aggregated lanes (qround(6)
+    * each, ratio raw). Lag pairing is an EQUI self-join on
+    * (type, day+k) — no window at all; the series is the bounded
+    * (type × day) domain table (X109 device). */
+  val acf = QueryDef(
+    "q_acf",
+    Some(s"""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            mu AS (
+              SELECT event_type,
+                     CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mu
+              FROM daily GROUP BY 1),
+            den AS (
+              SELECT d.event_type,
+                     ${Num.qroundSql(
+                       """SUM((CAST(d.x AS DOUBLE) - mu.mu)
+                          * (CAST(d.x AS DOUBLE) - mu.mu))""", 6)} AS den
+              FROM daily d JOIN mu ON mu.event_type = d.event_type
+              GROUP BY d.event_type),
+            pairs AS (
+              SELECT a.event_type, t.lag, a.x AS xa, b.x AS xb
+              FROM daily a
+              CROSS JOIN range(1, 8) t(lag)
+              JOIN daily b ON b.event_type = a.event_type
+                AND b.day = a.day + CAST(t.lag AS INT)),
+            num AS (
+              SELECT p.event_type, p.lag,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     ${Num.qroundSql(
+                       """SUM((CAST(p.xa AS DOUBLE) - mu.mu)
+                          * (CAST(p.xb AS DOUBLE) - mu.mu))""", 6)} AS num
+              FROM pairs p JOIN mu ON mu.event_type = p.event_type
+              GROUP BY p.event_type, p.lag)
+            SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.n_pairs,
+                   n.num, d.den, n.num / d.den AS acf
+            FROM num n JOIN den d ON d.event_type = n.event_type
+            ORDER BY n.event_type, n.lag"""),
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true) // mu/den/pairs lanes share
+      val mu = daily.groupBy("event_type")
+        .agg((sum("x").cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+      val dev = col("x").cast("double") - col("mu")
+      val den = daily.join(mu, "event_type")
+        .groupBy(col("event_type").as("etd"))
+        .agg(Num.qround(sum(dev * dev), 6).as("den"))
+      val lagged = daily
+        .select(col("event_type"), col("day"), col("x"),
+          explode(sequence(lit(1), lit(7))).as("lag"))
+        .withColumn("mday", expr("date_add(day, lag)"))
+      val pairs = lagged.join(
+        daily.select(col("event_type").as("etb"), col("day").as("dayb"),
+          col("x").as("xb")),
+        col("etb") === col("event_type") && col("dayb") === col("mday"))
+      val num = pairs.join(mu, "event_type")
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          Num.qround(sum((col("x").cast("double") - col("mu")) *
+            (col("xb").cast("double") - col("mu"))), 6).as("num"))
+      num.join(den, col("etd") === col("event_type"))
+        .select(col("event_type"), col("lag").cast("int").as("lag"),
+          col("n_pairs"), col("num"), col("den"),
+          (col("num") / col("den")).as("acf"))
+        .orderBy("event_type", "lag")
+    })
+
   // ----------------------------------------------- quantile normalize
 
   /** Cross-source quantile normalization (X143 — the ML-preprocessing
@@ -4425,7 +4503,7 @@ object DiagnosticsQueries {
     })
 
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
-    sprt, abSrm, seasonalDecompose,
+    sprt, abSrm, seasonalDecompose, acf,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,

@@ -1186,8 +1186,150 @@ object GraphQueries {
           .as("assortativity"))
     })
 
+  /** Directed modularity scoring of graph partitions (X276 — Newman
+    * & Girvan 2004 / Leicht & Newman 2008: Q = Σ_c [within_c/m −
+    * out_c·in_c/m²], THE number that says whether a partition found
+    * structure or noise — the eval the X73 row was missing, per the
+    * X74 measure-don't-assume discipline). TWO partitions score side
+    * by side: the exact X73 LPA fit (which collapses this dense
+    * multigraph to one community → Q = 0 exactly, itself a correct
+    * and informative readout) and a mod-5 baseline whose 5
+    * communities exercise every lane with nonzero contributions.
+    * Every lane is an exact-integer aggregate (edge counts, degree
+    * products) so contributions and the Q total rows (community =
+    * −1) are element-wise exact rationals — hash RAW. Shape: labels
+    * are ≤|nodes| rows broadcast back onto edges; two keyed
+    * aggregates per partition; no per-community rescans. */
+  val modularity = QueryDef(
+    "q_modularity",
+    Some {
+      def block(tag: String, lab: String) = s"""
+            le_$tag AS MATERIALIZED (
+              SELECT ls.community AS cs, ld.community AS cd
+              FROM e0
+              JOIN $lab ls ON ls.v = e0.src
+              JOIN $lab ld ON ld.v = e0.dst),
+            outd_$tag AS (
+              SELECT cs AS community,
+                     CAST(COUNT(*) AS BIGINT) AS out_deg,
+                     CAST(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END)
+                       AS BIGINT) AS within
+              FROM le_$tag GROUP BY cs),
+            ind_$tag AS (
+              SELECT cd AS community, CAST(COUNT(*) AS BIGINT) AS in_deg
+              FROM le_$tag GROUP BY cd),
+            cz_$tag AS (
+              SELECT community, CAST(COUNT(*) AS BIGINT) AS csize
+              FROM $lab GROUP BY community),
+            per_$tag AS MATERIALIZED (
+              SELECT cz.community, cz.csize,
+                     COALESCE(o.out_deg, 0) AS out_deg,
+                     COALESCE(i.in_deg, 0) AS in_deg,
+                     COALESCE(o.within, 0) AS within
+              FROM cz_$tag cz
+              LEFT JOIN outd_$tag o ON o.community = cz.community
+              LEFT JOIN ind_$tag i ON i.community = cz.community),
+            rows_$tag AS (
+              SELECT '$tag' AS part, p.community, p.csize, p.out_deg,
+                     p.in_deg, p.within,
+                     CAST(p.within AS DOUBLE) / CAST(mm.m AS DOUBLE)
+                       - (CAST(p.out_deg AS DOUBLE)
+                          * CAST(p.in_deg AS DOUBLE))
+                         / (CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+                       AS contribution
+              FROM per_$tag p CROSS JOIN mm),
+            tot_$tag AS (
+              SELECT '$tag' AS part, CAST(-1 AS BIGINT) AS community,
+                     CAST(SUM(p.csize) AS BIGINT) AS csize,
+                     CAST(SUM(p.out_deg) AS BIGINT) AS out_deg,
+                     CAST(SUM(p.in_deg) AS BIGINT) AS in_deg,
+                     CAST(SUM(p.within) AS BIGINT) AS within,
+                     CAST(SUM(p.within) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+                       - CAST(SUM(p.out_deg * p.in_deg) AS DOUBLE)
+                         / (CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+                       AS contribution
+              FROM per_$tag p CROSS JOIN mm GROUP BY mm.m)"""
+      s"""WITH e0 AS ($edgeSql),
+            nodes AS (
+              SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0
+                UNION ALL SELECT dst AS v FROM e0)),
+            nb AS (
+              SELECT DISTINCT v, u FROM (
+                SELECT src AS v, dst AS u FROM e0
+                UNION ALL SELECT dst AS v, src AS u FROM e0)
+              WHERE v <> u),
+            l0 AS (SELECT v, v AS lbl FROM nodes),
+            ${(1 to LpaRounds).map(lpaRoundSql)
+              .mkString(",\n            ")},
+            lab_lpa AS MATERIALIZED (
+              SELECT v, lbl AS community FROM l$LpaRounds),
+            lab_mod5 AS MATERIALIZED (
+              SELECT v, v % 5 AS community FROM nodes),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+            ${block("lpa", "lab_lpa")},
+            ${block("mod5", "lab_mod5")}
+            SELECT * FROM rows_lpa
+            UNION ALL SELECT * FROM tot_lpa
+            UNION ALL SELECT * FROM rows_mod5
+            UNION ALL SELECT * FROM tot_mod5
+            ORDER BY part, community"""
+    },
+    (s, d) => {
+      val edges = domainEdges(s, d).localCheckpoint(true)
+      val m = edges.count()
+      val md = lit(m.toDouble)
+      val labLpa = graft.ops.Communities
+        .labelPropagation(edges, "src", "dst", LpaRounds)
+      val labMod5 = edges.select(col("src").as("v"))
+        .unionAll(edges.select(col("dst").as("v")))
+        .distinct()
+        .select(col("v"), (col("v") % 5).as("community"))
+      def score(tag: String, lab: org.apache.spark.sql.DataFrame) = {
+        val le = edges
+          .join(broadcast(lab.select(col("v").as("sv"),
+            col("community").as("cs"))), col("src") === col("sv"))
+          .join(broadcast(lab.select(col("v").as("dv"),
+            col("community").as("cd"))), col("dst") === col("dv"))
+          .select("cs", "cd")
+          .localCheckpoint(true) // out-degree + in-degree lanes share
+        val outd = le.groupBy(col("cs").as("community"))
+          .agg(count(lit(1)).as("out_deg"),
+            sum(when(col("cs") === col("cd"), 1L).otherwise(0L))
+              .as("within"))
+        val ind = le.groupBy(col("cd").as("cin"))
+          .agg(count(lit(1)).as("in_deg"))
+        val cz = lab.groupBy("community").agg(count(lit(1)).as("csize"))
+        val per = cz.join(outd, Seq("community"), "left")
+          .join(ind, col("cin") === col("community"), "left")
+          .select(col("community"), col("csize"),
+            coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+            coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+            coalesce(col("within"), lit(0L)).as("within"))
+          .localCheckpoint(true) // per-community + total lanes share
+        val rows = per.select(lit(tag).as("part"), col("community"),
+          col("csize"), col("out_deg"), col("in_deg"), col("within"),
+          (col("within").cast("double") / md -
+            (col("out_deg").cast("double") *
+              col("in_deg").cast("double")) / (md * md))
+            .as("contribution"))
+        val tot = per.agg(sum("csize").as("csize"),
+            sum("out_deg").as("out_deg"), sum("in_deg").as("in_deg"),
+            sum("within").as("within"),
+            sum(col("out_deg") * col("in_deg")).as("oi"))
+          .select(lit(tag).as("part"), lit(-1L).as("community"),
+            col("csize"), col("out_deg"), col("in_deg"), col("within"),
+            (col("within").cast("double") / md -
+              col("oi").cast("double") / (md * md)).as("contribution"))
+        rows.unionAll(tot)
+      }
+      score("lpa", labLpa).unionAll(score("mod5", labMod5))
+        .orderBy("part", "community")
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles, assortativity,
+      modularity,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
       rankAgreement, graphShape, linkPredict, pagerankDelta,
       rankFusion, rankRbo, domainScc)
