@@ -967,9 +967,14 @@ v$r AS MATERIALIZED (
       val sc = Tables.documents(s, d)
         .select(Text.qualityScore(col("text")).as("score"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      // the distinct-score table is the ONLY thing every downstream
+      // pass needs — checkpoint it so the corpus is tokenized once
+      // (PrefixSum's quantile/totals probes and the totPos aggregate
+      // all re-read this small frame, not documents)
       val dist = sc.groupBy("score")
         .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
-      val totPos = sc.agg(sum("pos")).head().getLong(0)
+        .localCheckpoint(true)
+      val totPos = dist.agg(sum("np")).head().getLong(0)
       val cum1 = graft.ops.PrefixSum.runningTotalDesc(
         dist, "np", "score", "score", "tp")
       val cum = graft.ops.PrefixSum.runningTotalDesc(
