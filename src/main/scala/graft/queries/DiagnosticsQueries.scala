@@ -4502,8 +4502,96 @@ object DiagnosticsQueries {
         chisq.as("chisq"), (chisq > 3.841).as("srm_flag"))
     })
 
+  /** Inclusion-dependency discovery (X278 — the SINDY/Spider-style
+    * profiling pass behind schema inference: WHICH column pairs could
+    * be foreign keys? The discovery sibling of X120's riAudit, which
+    * checks keys you already know). A fixed candidate lattice of 7
+    * child→parent pairs — the four real FKs, the nation dimension
+    * key, and two decoys (a reversed pair and a small-int
+    * coincidence, so the operator demonstrably DISCRIMINATES) — each
+    * measured as containment = |distinct(child) ∩ parent| /
+    * |distinct(child)|. Per candidate: one distinct-project + one
+    * keyed anti-join count (bounded driver metadata, the X109
+    * device); containment is an exact-integer-fed rational (hash
+    * raw). */
+  val fkDiscovery = QueryDef(
+    "q_fk_discovery", {
+      val cands = Seq(
+        ("orders.o_custkey->customer.c_custkey",
+          "o_custkey", "orders", "c_custkey", "customer"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          "l_orderkey", "lineitem", "o_orderkey", "orders"),
+        ("lineitem.l_partkey->part.p_partkey",
+          "l_partkey", "lineitem", "p_partkey", "part"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          "l_suppkey", "lineitem", "s_suppkey", "supplier"),
+        ("customer.c_nationkey->nation.n_nationkey",
+          "c_nationkey", "customer", "n_nationkey", "nation"),
+        ("orders.o_orderkey->customer.c_custkey",
+          "o_orderkey", "orders", "c_custkey", "customer"),
+        ("lineitem.l_linenumber->nation.n_nationkey",
+          "l_linenumber", "lineitem", "n_nationkey", "nation"))
+      val lanes = cands.map { case (label, cc, ct, pc, pt) =>
+        s"""SELECT '$label' AS candidate,
+                  (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $ct)
+                    AS n_distinct_child,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                     (SELECT DISTINCT $cc AS v FROM $ct) c
+                   WHERE c.v IN (SELECT $pc FROM $pt)) AS n_contained"""
+      }.mkString("\n           UNION ALL ")
+      Some(s"""SELECT candidate, n_distinct_child, n_contained,
+                   CAST(n_contained AS DOUBLE) /
+                     CAST(n_distinct_child AS DOUBLE) AS containment,
+                   n_contained = n_distinct_child AS is_inclusion
+            FROM ($lanes) u
+            ORDER BY candidate""")
+    },
+    (s, d) => {
+      def t(name: String) = name match {
+        case "orders" => Tables.orders(s, d)
+        case "lineitem" => Tables.lineitem(s, d)
+        case "customer" => Tables.customer(s, d)
+        case "supplier" => Tables.supplier(s, d)
+        case "nation" => Tables.nation(s, d)
+        case "part" => Tables.part(s, d)
+      }
+      val cands = Seq(
+        ("orders.o_custkey->customer.c_custkey",
+          "o_custkey", "orders", "c_custkey", "customer"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          "l_orderkey", "lineitem", "o_orderkey", "orders"),
+        ("lineitem.l_partkey->part.p_partkey",
+          "l_partkey", "lineitem", "p_partkey", "part"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          "l_suppkey", "lineitem", "s_suppkey", "supplier"),
+        ("customer.c_nationkey->nation.n_nationkey",
+          "c_nationkey", "customer", "n_nationkey", "nation"),
+        ("orders.o_orderkey->customer.c_custkey",
+          "o_orderkey", "orders", "c_custkey", "customer"),
+        ("lineitem.l_linenumber->nation.n_nationkey",
+          "l_linenumber", "lineitem", "n_nationkey", "nation"))
+      val rows = cands.map { case (label, cc, ct, pc, pt) =>
+        val child = t(ct).select(col(cc).cast("long").as("v")).distinct()
+          .localCheckpoint(true) // distinct-count + anti-join share
+        val parent = t(pt).select(col(pc).cast("long").as("p"))
+        val nDistinct = child.count()
+        val nMissing = child
+          .join(parent, col("v") === col("p"), "left_anti").count()
+        (label, nDistinct, nDistinct - nMissing)
+      }
+      import s.implicits._
+      rows.toDF("candidate", "n_distinct_child", "n_contained")
+        .select(col("candidate"), col("n_distinct_child"),
+          col("n_contained"),
+          (col("n_contained").cast("double") /
+            col("n_distinct_child").cast("double")).as("containment"),
+          (col("n_contained") === col("n_distinct_child"))
+            .as("is_inclusion"))
+        .orderBy("candidate")
+    })
+
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
-    sprt, abSrm, seasonalDecompose, acf,
+    sprt, abSrm, seasonalDecompose, acf, fkDiscovery,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,
