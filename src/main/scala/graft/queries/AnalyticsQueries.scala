@@ -1067,6 +1067,62 @@ cents_${i + 1} AS (
     * all round-trip byte-exactly. Content-Length framing means the
     * parser never scans payloads for delimiters — a payload containing
     * `WARC/1.0` can't desync it (planted in WarcSpec). */
+  /** USTAR / WebDataset tar-shard round-trip (X279 — modern training
+    * data ships as tar shards of (sample.txt, sample.json, …) members
+    * BECAUSE tar's fixed 512-byte block framing streams members with
+    * zero seeks and splits shards across workers; the text-pipeline
+    * sibling of the X67 WARC boundary, see [[graft.ops.Tar]]). Each
+    * document becomes a 2-member archive (text + JSON sidecar, the
+    * WebDataset convention) built AND re-parsed by the JVM byte
+    * walkers (header checksum = raw byte sum — the accepted
+    * non-Catalyst boundary, as X67b's gzip); the oracle predicts
+    * every name, size, 512-block HEADER OFFSET and payload md5 from
+    * first principles — only a byte-exact build → walk → extract
+    * round trip matches it. chksum_ok pins the checksum lane. */
+  val tarParse = QueryDef(
+    "q_tar_parse",
+    Some("""WITH m AS (
+              SELECT doc_id, text,
+                     '{"lang":"' || lang || '","source":"' || source
+                       || '"}' AS meta
+              FROM documents)
+            SELECT doc_id, CAST(0 AS INT) AS member_no,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                   CAST(strlen(text) AS BIGINT) AS size,
+                   CAST(0 AS BIGINT) AS header_offset,
+                   TRUE AS chksum_ok,
+                   md5(text) AS payload_md5
+            FROM m
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT),
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.json',
+                   CAST(strlen(meta) AS BIGINT),
+                   512 + CAST(FLOOR((strlen(text) + 511) / 512) * 512
+                     AS BIGINT),
+                   TRUE, md5(meta)
+            FROM m
+            ORDER BY doc_id, member_no"""),
+    (s, d) => {
+      import s.implicits._
+      import graft.ops.{Tar, Warc}
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, text, lang, source) =>
+          val meta = s"""{"lang":"$lang","source":"$source"}"""
+          val tarb = Tar.buildArchive(Seq(
+            (s"docs/$id.txt", text.getBytes("UTF-8")),
+            (s"docs/$id.json", meta.getBytes("UTF-8"))))
+          Tar.parse(tarb).zipWithIndex.map { case (e, i) =>
+            (id, i, e.name, e.size, e.headerOffset, e.chksumOk,
+              Warc.md5Hex(e.payload))
+          }
+        }
+        .toDF("doc_id", "member_no", "name", "size", "header_offset",
+          "chksum_ok", "payload_md5")
+        .orderBy("doc_id", "member_no")
+    })
+
   val warcParse = QueryDef(
     "q_warc_parse",
     Some("""WITH m AS (
@@ -1887,6 +1943,6 @@ $name AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
-    approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz,
+    approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
 }
