@@ -1123,6 +1123,71 @@ cents_${i + 1} AS (
         .orderBy("doc_id", "member_no")
     })
 
+  /** Composed WebDataset build chain (X280 — the tar sibling of X71's
+    * crawl chain, run AS ONE PIPELINE the way a shard-prep job
+    * executes: per-doc tar shard build → byte re-parse (X279) →
+    * sidecar-JSON language extract (X9's json device, applied to the
+    * PARSED payload string, not the source column) → quality gate
+    * (en + ≥200 bytes) → content-keyed shard assignment (X47) → shard
+    * manifest). The Spark side genuinely round-trips every byte
+    * through the container boundary; the oracle is the stages' SQL
+    * composition over first-principles predictions — any drift at any
+    * stage breaks the hash. Manifest lanes are exact integers. */
+  val webdataset = QueryDef(
+    "q_webdataset",
+    Some("""WITH m AS (
+              SELECT doc_id, text,
+                     '{"lang":"' || lang || '","source":"' || source
+                       || '"}' AS sidecar
+              FROM documents),
+            p AS (
+              SELECT doc_id, CAST(strlen(text) AS BIGINT) AS txt_size,
+                     sidecar
+              FROM m),
+            f AS (
+              SELECT doc_id, txt_size
+              FROM p
+              WHERE json_extract_string(sidecar, '$.lang') = 'en'
+                AND txt_size >= 200),
+            s AS (
+              SELECT doc_id, txt_size,
+                     CAST('0x' || substring(md5('wds:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 8 AS shard
+              FROM f)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(txt_size) AS BIGINT) AS sum_bytes,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM s GROUP BY shard ORDER BY shard"""),
+    (s, d) => {
+      import s.implicits._
+      import graft.ops.{Shard, Tar}
+      val parsed = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, text, lang, source) =>
+          val sidecar = s"""{"lang":"$lang","source":"$source"}"""
+          val tarb = Tar.buildArchive(Seq(
+            (s"docs/$id.txt", text.getBytes("UTF-8")),
+            (s"docs/$id.json", sidecar.getBytes("UTF-8"))))
+          val es = Tar.parse(tarb)
+          // stage outputs come from the PARSED bytes, not the inputs
+          (id, es(0).size, new String(es(1).payload, "UTF-8"))
+        }
+        .toDF("doc_id", "txt_size", "sidecar")
+      parsed
+        .filter(get_json_object(col("sidecar"), "$.lang") === "en" &&
+          col("txt_size") >= 200)
+        .withColumn("shard", Shard.shardId(col("doc_id"), 8, "wds:"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("txt_size").as("sum_bytes"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    })
+
   val warcParse = QueryDef(
     "q_warc_parse",
     Some("""WITH m AS (
@@ -1943,6 +2008,6 @@ $name AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
-    approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse,
+    approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
 }
