@@ -978,6 +978,103 @@ cents_${i + 1} AS (
         .orderBy("q")
     })
 
+  /** Sample-sketch quantile ERROR evaluation (X281 — the X74
+    * measure-don't-assume discipline applied to X77: how far are the
+    * bottom-k-sample estimates from the EXACT order statistics?).
+    * The estimate lane replays X77's portable bottom-256 hash sample
+    * verbatim; the exact lane computes min v with cumcount ≥ ⌈q·N⌉
+    * over the DISTINCT-value table via
+    * [[graft.ops.PrefixSum.runningTotalsAsc]] — a two-pass exact
+    * quantile with NO partition-less window and no global sort of row
+    * data (the oracle, single-node, uses the plain window form).
+    * Ranks ⌈q·N⌉ are driver-computed literals from exact ints; est,
+    * exact and the error lanes are element-wise off identical values
+    * — hash RAW. */
+  val quantileSketchEval = QueryDef(
+    "q_quantile_sketch_eval",
+    Some("""WITH h AS (
+              SELECT l_extendedprice AS v,
+                     CAST('0x' || substring(md5('qq:'
+                       || CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+              FROM lineitem),
+            thr AS (
+              SELECT COALESCE(
+                (SELECT h FROM (SELECT DISTINCT h FROM h)
+                 ORDER BY h LIMIT 1 OFFSET 255),
+                9223372036854775807) AS h),
+            samp AS (SELECT v FROM h, thr t WHERE h.h <= t.h),
+            arr AS (
+              SELECT list(v ORDER BY v) AS a,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM samp),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+            dist AS (
+              SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM h GROUP BY v),
+            cum AS (
+              SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+              FROM dist),
+            qv AS (
+              SELECT CAST(t.q AS DOUBLE) AS q,
+                     arr.a[CAST(ceil(CAST(t.q AS DOUBLE) * arr.n)
+                       AS INT)] AS est,
+                     (SELECT MIN(v) FROM cum
+                      WHERE cc >= CAST(ceil(CAST(t.q AS DOUBLE) * nn.n)
+                        AS BIGINT)) AS exact
+              FROM arr, nn, (VALUES (0.25), (0.5), (0.75),
+                             (0.9), (0.99)) t(q))
+            SELECT q, est, exact,
+                   ABS(est - exact) AS abs_err,
+                   ABS(est - exact) / exact AS rel_err
+            FROM qv ORDER BY q"""),
+    (s, d) => {
+      val K = 256
+      val h = Tables.lineitem(s, d).select(
+        col("l_extendedprice").as("v"),
+        conv(substring(md5(concat(lit("qq:"),
+            col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .localCheckpoint(true) // sample lane + exact lane share
+      val thrRow = h.agg(graft.functions.SketchFunctions
+          .bottomK(col("h"), K).as("bk"))
+        .select(element_at(col("bk"), K).as("t"))
+        .head()
+      val thr = if (thrRow.isNullAt(0)) Long.MaxValue
+        else thrRow.getLong(0)
+      val n = h.count()
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val est = h.filter(col("h") <= lit(thr))
+        .agg(sort_array(collect_list(col("v"))).as("a"),
+          count(lit(1)).as("ns"))
+        .select(explode(array(qs.map { q =>
+          struct(lit(q).as("q"),
+            element_at(col("a"),
+              ceil(lit(q) * col("ns")).cast("int")).as("est"))
+        }: _*)).as("r"))
+        .select(col("r.q").as("q"), col("r.est").as("est"))
+      val dist = h.groupBy("v").agg(count(lit(1)).as("c"))
+      val cum = graft.ops.PrefixSum.runningTotalsAsc(
+        dist, Seq("c"), "v", Seq("cc"))
+      val exactCols = qs.zipWithIndex.map { case (q, i) =>
+        val rank = math.ceil(q * n).toLong
+        min(when(col("cc") >= rank, col("v"))).as(s"e$i")
+      }
+      val exact = cum.agg(exactCols.head, exactCols.tail: _*)
+        .select(explode(array(qs.zipWithIndex.map { case (q, i) =>
+          struct(lit(q).as("q"), col(s"e$i").as("exact"))
+        }: _*)).as("r"))
+        .select(col("r.q").as("qe"), col("r.exact").as("exact"))
+      est.join(exact, col("qe") === col("q"))
+        .select(col("q"), col("est"), col("exact"),
+          abs(col("est") - col("exact")).as("abs_err"),
+          (abs(col("est") - col("exact")) / col("exact")).as("rel_err"))
+        .orderBy("q")
+    })
+
   /** HLL approximate distinct counts — the 100 TB cardinality tool.
     * The raw sketch estimate is engine-specific, so what the oracle
     * pins is the sketch's CONTRACT: |estimate − exact| / exact ≤ 5%
@@ -2007,7 +2104,7 @@ $name AS (
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
-    multimodalResize, statsAgg, pivot_, percentiles, quantileSketch,
+    multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
     approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
 }

@@ -458,7 +458,59 @@ object TrainPrepQueries {
       .select("doc_id", "skey", "shard", "pos_in_shard", "global_pos")
       .orderBy("doc_id"))
 
+  /** Length-bucketing batch-efficiency report (X282 — the dynamic-
+    * batching planner's view: pad-to-bucket wastes Σ(cap − len)
+    * tokens per bucket, and THIS table is what decides the bucket
+    * boundaries every dataloader ships; the padding complement of
+    * X18's packing, which eliminates waste by concatenation instead).
+    * Caps 16…96 (sized to the synthetic corpus; production uses 128…8192); docs past the top cap truncate
+    * (waste 0, truncated tokens counted separately). Bucket
+    * assignment is a foldLeft when-chain per row (element-wise); ONE
+    * keyed aggregate; every lane exact-integer except the efficiency
+    * divide (exact-int-fed, hash raw). */
+  val lengthBuckets = QueryDef(
+    "q_length_buckets", {
+      val caps = Seq(16L, 32L, 48L, 64L, 80L, 96L)
+      val capSql = caps.init.reverse.foldLeft(s"${caps.last}") {
+        (acc, c) => s"CASE WHEN n_tok <= $c THEN $c ELSE $acc END"
+      }
+      Some(s"""WITH t AS (
+              SELECT doc_id,
+                     CAST(len($sqlToks) AS BIGINT) AS n_tok
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_tok, $capSql AS cap,
+                     LEAST(n_tok, ${caps.last}) AS kept
+              FROM t)
+            SELECT cap,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(kept) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(cap - kept) AS BIGINT) AS padding_waste,
+                   CAST(SUM(n_tok - kept) AS BIGINT) AS truncated_tokens,
+                   CAST(SUM(kept) AS DOUBLE) /
+                     CAST(SUM(cap) AS BIGINT) AS efficiency
+            FROM b GROUP BY cap ORDER BY cap""")
+    },
+    (s, d) => {
+      val caps = Seq(16L, 32L, 48L, 64L, 80L, 96L)
+      val nTok = size(Text.tokens(col("text"))).cast("long")
+      val cap = caps.init.reverse.foldLeft(lit(caps.last)) { (acc, c) =>
+        when(col("n_tok") <= c, lit(c)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"))
+        .withColumn("cap", cap)
+        .withColumn("kept", least(col("n_tok"), lit(caps.last)))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("kept").as("sum_tokens"),
+          sum(col("cap") - col("kept")).as("padding_waste"),
+          sum(col("n_tok") - col("kept")).as("truncated_tokens"),
+          (sum("kept").cast("double") / sum("cap")).as("efficiency"))
+        .orderBy("cap")
+    })
+
   val all: Seq[QueryDef] =
     Seq(sampleWeighted, fimTransform, packSegments, negativeSample,
-      targetEncode, gbdtStumps, epochShuffle)
+      targetEncode, gbdtStumps, epochShuffle, lengthBuckets)
 }
