@@ -214,6 +214,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sign-bit binary quantization (X283 — the 1-bit tier below X24's
+    * int8 and X236's PQ: a 64-dim float vector becomes ONE 64-bit
+    * code, bit i set iff v[i] > 0, and similarity becomes
+    * popcount(xor) — 32× fewer bytes than float and the distance is
+    * pure integer ALU). Static unrolled shifts, i = 0..63 left-fold —
+    * the i = 63 term is Long.MinValue and the fold order keeps every
+    * intermediate in range on both engines (no BIGINT overflow). */
+  def signPack64(v: Column): Column =
+    (0 until 64).map { i =>
+      when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  /** Binary-code approximate top-k: Hamming ranking over the packed
+    * codes (ASC, neighbor-id tie-break — Hamming ties are COMMON at
+    * 64 bits, so the tie-break is load-bearing for determinism).
+    * Same broadcast-query full-scan contract as [[int8TopK]] —
+    * declared BNLJ-by-design in PlanSpec; the scale path buckets by
+    * code prefix exactly like LSH. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      signPack64(col(queryVec)).as("qcode")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      signPack64(col(corpusVec)).as("ccode"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        call_function("bit_count",
+          col("qcode").bitwiseXOR(col("ccode"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+  }
+
   /** The multiprobe mask set: every XOR mask over `planes` sign bits
     * with popcount ≤ maxFlips, ascending. maxFlips=0 → Seq(0L)
     * (classic single-probe). */

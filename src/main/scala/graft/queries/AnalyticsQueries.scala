@@ -384,6 +384,79 @@ cents_${i + 1} AS (
         .orderBy("query_id")
     })
 
+  /** Binary-quantization recall (X283 — the X74 eval discipline
+    * applied to the 1-bit tier: [[Similarity.signPack64]] codes are
+    * 32× smaller than float vectors and Hamming ranking is pure
+    * integer ALU; THIS row is the price tag — recall@10 against the
+    * float brute-force ground truth, next to X159's int8 and X236's
+    * PQ numbers, completing the quantization-tier ladder). The oracle
+    * replays the sign packing (same i = 0..63 shift fold), the
+    * popcount(xor) distances, the (hamming ASC, id ASC) tie-breaks —
+    * ties are COMMON at 64 bits, so the tie-break lane is genuinely
+    * exercised — and the recall join. */
+  val annRecallBinary = QueryDef(
+    "q_ann_recall_binary",
+    Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
+             codes AS (
+               SELECT vec_id,
+                      list_reduce(list_transform(range(1, 65),
+                        i -> CASE WHEN embedding[i] > 0
+                             THEN (CASE WHEN i = 64
+                                   THEN (-9223372036854775807::BIGINT - 1::BIGINT)
+                                   ELSE (1::BIGINT << CAST(i - 1 AS INT))
+                                   END)
+                             ELSE 0::BIGINT END),
+                        (a, b) -> a + b) AS code
+               FROM embeddings),
+             qs0 AS (SELECT vec_id AS query_id, code AS qcode
+                     FROM codes WHERE vec_id < 5),
+             sc AS (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                      bit_count(xor(q.qcode, c.code)) AS hamming
+               FROM codes c JOIN qs0 q ON c.vec_id <> q.query_id),
+             bin AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY hamming, neighbor_id) AS rn
+                 FROM sc) r
+               WHERE rn <= 10),
+             tc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM bf GROUP BY query_id),
+             hq AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN bin a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id)
+             SELECT 'binary' AS method, tc.query_id,
+                    COALESCE(hq.n, 0) AS n_hits,
+                    CAST(COALESCE(hq.n, 0) AS DOUBLE)
+                      / CAST(tc.d AS DOUBLE) AS recall
+             FROM tc LEFT JOIN hq USING (query_id)
+             ORDER BY query_id"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, q,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(true) // denominator + hit join share
+      val bin = Similarity.binaryTopK(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val truthCounts = truth.groupBy("query_id")
+        .agg(count(lit(1)).as("d"))
+      val hits = truth.join(bin, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      truthCounts
+        .join(hits, Seq("query_id"), "left")
+        .select(lit("binary").as("method"), col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          (coalesce(col("n"), lit(0L)).cast("double") /
+            col("d").cast("double")).as("recall"))
+        .orderBy("query_id")
+    })
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
     * cluster the embedding space with the SAME deterministic IVF fit
     * as q_ann_ivf, then drop any row with a lower-id duplicate
@@ -2105,6 +2178,6 @@ $name AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
-    approxDistinct, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
+    approxDistinct, annRecallBinary, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
 }

@@ -234,6 +234,9 @@ class PlanSpec extends SparkSuite {
       // brute-force scan (the X74 discipline); the PQ path itself is
       // code-table equi-joins
       "q_pq_recall",
+      // X283 binary-quantization eval: ground-truth brute force + the
+      // declared binary full scan it grades (the X74/X159 contract)
+      "q_ann_recall_binary",
       // X247 Matryoshka eval: all four lanes are declared exact
       // brute-force scans by contract (truncation-recall ground truth)
       "q_matryoshka")
