@@ -990,6 +990,106 @@ object CurationQueries {
           lit((p * p) * p).as("fpr_theory"))
     })
 
+  /** md5-hex head as a 60-bit long, driver-side — the Scala twin of
+    * the repo's portable in-plan hash ('0x'||substring(md5(k),1,15)),
+    * for constants computed ONCE and interpolated into both engines
+    * (the PoissonCum device applied to hash-derived ring positions). */
+  private def md5Head60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Consistent-hashing rebalance audit (X284 — Karger et al. 1997:
+    * when the shard count changes 16 → 20, WHAT FRACTION of keys
+    * move? mod-hashing reassigns ~80% (kp%16 = kp%20 only when
+    * kp%80 < 16); a vnode ring moves ~the 4/20 the new shards must
+    * absorb — the number that decides whether a resharding is a blip
+    * or a full cache/locality flush). Rings = 8 vnodes/shard at
+    * driver-computed md5 positions interpolated into BOTH engines as
+    * sorted literal struct arrays; per-key assignment is a pure
+    * filter-first expression over that array (clockwise successor,
+    * wraparound to ring[0]) — NO join, NO shuffle beyond the final
+    * 2-row aggregate. All lanes exact integers / exact rationals. */
+  val hashRebalance = QueryDef(
+    "q_hash_rebalance", {
+      // vnode positions depend ONLY on (shard, replica) — adding
+      // shards must not move existing vnodes, or nothing is
+      // "consistent" about the scheme
+      def ring(n: Int): Seq[(Long, Int)] =
+        (0 until n).flatMap(sh => (0 until 8).map(r =>
+          (md5Head60(s"ring:$sh:$r"), sh))).sortBy(_._1)
+      def ringSql(n: Int): String =
+        ring(n).map { case (p, sh) => s"{'pos': ${p}::BIGINT, " +
+          s"'shard': $sh}" }.mkString("[", ", ", "]")
+      def asgSql(n: Int): String =
+        s"""COALESCE(
+            (list_filter(${ringSql(n)}, r -> r.pos >= kp))[1].shard,
+            ${ring(n).head._2})"""
+      Some(s"""WITH k AS (
+              SELECT c_custkey,
+                     CAST('0x' || substring(md5('key:'
+                         || CAST(c_custkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS kp
+              FROM customer),
+            a AS (
+              SELECT c_custkey,
+                     kp % 16 AS mod16, kp % 20 AS mod20,
+                     ${asgSql(16)} AS ring16,
+                     ${asgSql(20)} AS ring20
+              FROM k)
+            SELECT 'mod' AS scheme,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN mod16 <> mod20 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_moved,
+                   CAST(SUM(CASE WHEN mod16 <> mod20 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_moved
+            FROM a
+            UNION ALL
+            SELECT 'ring',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN ring16 <> ring20 THEN 1 ELSE 0 END)
+                     AS BIGINT),
+                   CAST(SUM(CASE WHEN ring16 <> ring20 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            FROM a
+            ORDER BY scheme""")
+    },
+    (s, d) => {
+      def ring(n: Int): Seq[(Long, Int)] =
+        (0 until n).flatMap(sh => (0 until 8).map(r =>
+          (md5Head60(s"ring:$sh:$r"), sh))).sortBy(_._1)
+      def asg(n: Int): org.apache.spark.sql.Column = {
+        val rg = ring(n)
+        val ringLit = array(rg.map { case (p, sh) =>
+          struct(lit(p).as("pos"), lit(sh).as("shard"))
+        }: _*)
+        val cand = filter(ringLit, r => r("pos") >= col("kp"))
+        when(size(cand) > 0, element_at(cand, 1)("shard"))
+          .otherwise(lit(rg.head._2))
+      }
+      val kp = conv(substring(md5(concat(lit("key:"),
+        col("c_custkey").cast("string"))), 1, 15), 16, 10).cast("long")
+      val a = Tables.customer(s, d)
+        .select(col("c_custkey"), kp.as("kp"))
+        .select(col("c_custkey"),
+          pmod(col("kp"), lit(16L)).as("mod16"),
+          pmod(col("kp"), lit(20L)).as("mod20"),
+          asg(16).as("ring16"), asg(20).as("ring20"))
+        .localCheckpoint(true) // both scheme lanes share the scan
+      def lane(scheme: String, moved: org.apache.spark.sql.Column) =
+        a.agg(count(lit(1)).as("n_keys"),
+          sum(when(moved, 1L).otherwise(0L)).as("n_moved"))
+          .select(lit(scheme).as("scheme"), col("n_keys"),
+            col("n_moved"),
+            (col("n_moved").cast("double") /
+              col("n_keys").cast("double")).as("frac_moved"))
+      lane("mod", col("mod16") =!= col("mod20"))
+        .unionAll(lane("ring", col("ring16") =!= col("ring20")))
+        .orderBy("scheme")
+    })
+
   private val DpClip = 4000L
 
   /** Differentially-private MEAN release (X270 — the Laplace
@@ -2002,7 +2102,7 @@ object CurationQueries {
       dedupWeightedStats,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
-      bootstrapCi, chisqDrift, dpCounts, dpMean, tokenBudget,
+      bootstrapCi, chisqDrift, dpCounts, dpMean, hashRebalance, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
 }
