@@ -4502,6 +4502,67 @@ object DiagnosticsQueries {
         chisq.as("chisq"), (chisq > 3.841).as("srm_flag"))
     })
 
+  /** Shuffle-skew planner readout (X285 — the question every
+    * `spark.sql.shuffle.partitions` choice answers blind: given THIS
+    * key distribution, how unbalanced is the worst hash partition at
+    * H partitions? The planning complement to X17/X22's salting fix:
+    * this row tells you whether you need it). For the o_custkey join
+    * key: per-key frequencies → portable md5 partition assignment at
+    * H ∈ {32, 256} → per-partition loads → max-load share and the
+    * skew ratio (max_share·H; 1.0 = perfectly balanced, the number a
+    * task-time histogram would show). One keyed aggregate + one
+    * H-bounded aggregate per config; all lanes exact integers /
+    * exact-int-fed rationals (hash raw). */
+  val skewPlanner = QueryDef(
+    "q_skew_planner", {
+      def lane(h: Int) = s"""
+            SELECT $h AS n_partitions,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM freq) AS n_keys,
+                   (SELECT CAST(SUM(f) AS BIGINT) FROM freq) AS n_rows,
+                   CAST(MAX(load) AS BIGINT) AS max_partition_rows,
+                   CAST(MAX(load) AS DOUBLE) /
+                     CAST((SELECT SUM(f) FROM freq) AS DOUBLE)
+                     AS max_share,
+                   CAST(MAX(load) AS DOUBLE) * $h /
+                     CAST((SELECT SUM(f) FROM freq) AS DOUBLE)
+                     AS skew_ratio
+            FROM (
+              SELECT CAST('0x' || substring(md5('part:'
+                       || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % $h
+                       AS p,
+                     CAST(SUM(f) AS BIGINT) AS load
+              FROM freq GROUP BY 1) pl"""
+      Some(s"""WITH freq AS MATERIALIZED (
+              SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+              FROM orders GROUP BY 1)
+            ${lane(32)}
+            UNION ALL ${lane(256)}
+            ORDER BY n_partitions""")
+    },
+    (s, d) => {
+      val freq = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("f"))
+        .localCheckpoint(true) // both H lanes + totals share
+      val totals = freq.agg(count(lit(1)).as("nk"),
+        sum("f").as("nr")).head()
+      val (nKeys, nRows) = (totals.getLong(0), totals.getLong(1))
+      def lane(h: Int) = freq
+        .withColumn("p", pmod(conv(substring(md5(concat(lit("part:"),
+          col("k").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(h.toLong)))
+        .groupBy("p").agg(sum("f").as("load"))
+        .agg(max("load").as("maxl"))
+        .select(lit(h).as("n_partitions"), lit(nKeys).as("n_keys"),
+          lit(nRows).as("n_rows"),
+          col("maxl").as("max_partition_rows"),
+          (col("maxl").cast("double") / lit(nRows.toDouble))
+            .as("max_share"),
+          (col("maxl").cast("double") * h / lit(nRows.toDouble))
+            .as("skew_ratio"))
+      lane(32).unionAll(lane(256)).orderBy("n_partitions")
+    })
+
   /** Inclusion-dependency discovery (X278 — the SINDY/Spider-style
     * profiling pass behind schema inference: WHICH column pairs could
     * be foreign keys? The discovery sibling of X120's riAudit, which
@@ -4591,7 +4652,7 @@ object DiagnosticsQueries {
     })
 
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
-    sprt, abSrm, seasonalDecompose, acf, fkDiscovery,
+    sprt, abSrm, seasonalDecompose, acf, fkDiscovery, skewPlanner,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,
