@@ -4563,6 +4563,60 @@ object DiagnosticsQueries {
       lane(32).unionAll(lane(256)).orderBy("n_partitions")
     })
 
+  /** Hash-uniformity QA of the repo's md5 randomness substitute (X286
+    * — every deterministic sampler/splitter/noise draw here (X12,
+    * X47, X100, X104, X265's arms…) leans on "md5 buckets are
+    * uniform"; THIS row tests that premise instead of assuming it:
+    * Pearson χ² of the 64-bucket histogram of the X12-salted doc
+    * hash against uniform, plus the 95%/99% verdicts at df = 63
+    * (critical values 82.53 / 92.01). Counts are exact integers; e =
+    * n/64 is exact; χ² is the one aggregated lane (qround(6)).
+    * ONE keyed aggregate over a bounded 64-row histogram. */
+  val hashUniformity = QueryDef(
+    "q_hash_uniformity",
+    Some(s"""WITH b AS (
+              SELECT CAST('0x' || substring(md5('sample:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 64 AS bucket
+              FROM documents),
+            h AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS o
+              FROM b GROUP BY bucket),
+            nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM h),
+            x AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                     MAX(nn.n) AS n_docs,
+                     ${Num.qroundSql(
+                       """SUM((CAST(o AS DOUBLE) -
+                             CAST(nn.n AS DOUBLE) / 64.0)
+                           * (CAST(o AS DOUBLE) -
+                             CAST(nn.n AS DOUBLE) / 64.0)
+                           / (CAST(nn.n AS DOUBLE) / 64.0))""", 6)}
+                       AS chisq
+              FROM h CROSS JOIN nn)
+            SELECT n_buckets, n_docs, chisq,
+                   chisq <= 82.53 AS uniform_at_95,
+                   chisq <= 92.01 AS uniform_at_99
+            FROM x"""),
+    (s, d) => {
+      val h = Tables.documents(s, d)
+        .select(pmod(conv(substring(md5(concat(lit("sample:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(64L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // total + chisq lanes share
+      val n = h.agg(sum("o")).head().getLong(0)
+      val e = lit(n.toDouble) / 64.0
+      h.agg(count(lit(1)).as("n_buckets"),
+          Num.qround(sum((col("o").cast("double") - e) *
+            (col("o").cast("double") - e) / e), 6).as("chisq"))
+        .select(col("n_buckets"), lit(n).as("n_docs"), col("chisq"),
+          (col("chisq") <= 82.53).as("uniform_at_95"),
+          (col("chisq") <= 92.01).as("uniform_at_99"))
+        .select("n_buckets", "n_docs", "chisq", "uniform_at_95",
+          "uniform_at_99")
+    })
+
   /** Inclusion-dependency discovery (X278 — the SINDY/Spider-style
     * profiling pass behind schema inference: WHICH column pairs could
     * be foreign keys? The discovery sibling of X120's riAudit, which
@@ -4652,7 +4706,7 @@ object DiagnosticsQueries {
     })
 
   val all: Seq[QueryDef] = Seq(madOutliers, trimmedMean, benford,
-    sprt, abSrm, seasonalDecompose, acf, fkDiscovery, skewPlanner,
+    sprt, abSrm, seasonalDecompose, acf, fkDiscovery, skewPlanner, hashUniformity,
     annotatorKappa, ewmaChart, engagementGini, heapsLaw,
     ksTest, psiDrift, markovTransitions, streamTransitions, burstiness,
     oooDepth, topPaths, silhouette,

@@ -2177,7 +2177,69 @@ ORDER BY id_a, id_b"""
         .orderBy("cluster_id", "name")
     })
 
+  /** Near-dup transitivity audit (X287 — the number that decides
+    * between X1-style PAIRWISE dedup and X6-style CLUSTER dedup: the
+    * ≥0.4-Jaccard candidate relation is not transitive, and every
+    * open wedge a–b–c (b near-dups both, a–c below threshold) is a
+    * pair transitive closure WOULD merge that pairwise policy keeps —
+    * if the open-wedge count is high, connected-components dedup
+    * over-merges; if ~0, the policies agree and the cheap one wins).
+    * Pairs = the X2 md5-portable MinHash candidates verbatim; wedges
+    * = one self-join of the undirected pair list keyed by the shared
+    * endpoint (fan-out bounded by the banded candidate degree — the
+    * X2 bucketCap keeps that bounded at scale); closure = one keyed
+    * left join back to the pair set. All lanes exact integers; the
+    * transitivity ratio is an exact-rational (NULL when wedge-free,
+    * pinned identically on both engines). */
+  val dedupTransitivity = QueryDef(
+    "q_dedup_transitivity",
+    Some(s"""WITH p0 AS (${dedupMinhashMd5.oracle.get}),
+            p AS MATERIALIZED (SELECT id_a, id_b FROM p0),
+            u AS (SELECT id_a AS b, id_b AS x FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            w AS (
+              SELECT u1.x AS a, u1.b AS b, u2.x AS c
+              FROM u u1 JOIN u u2 ON u2.b = u1.b AND u1.x < u2.x),
+            cl AS (
+              SELECT w.a, w.c, (p2.id_a IS NOT NULL) AS closed
+              FROM w LEFT JOIN p p2
+                ON p2.id_a = w.a AND p2.id_b = w.c)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_wedges,
+                   CAST(SUM(CASE WHEN closed THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_closed,
+                   CASE WHEN COUNT(*) = 0 THEN NULL
+                        ELSE CAST(SUM(CASE WHEN closed THEN 1 ELSE 0
+                               END) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) END AS transitivity
+            FROM cl"""),
+    (s, d) => {
+      val p = Dedup.minhashPairs(Tables.documents(s, d), "doc_id",
+          "text", shingleK = 3, numHashes = 128, bands = 32,
+          threshold = 0.4, portableKeys = true)
+        .select("id_a", "id_b")
+        .localCheckpoint(true) // undirect, wedge join, closure share
+      val nPairs = p.count()
+      val u = p.select(col("id_a").as("b"), col("id_b").as("x"))
+        .unionAll(p.select(col("id_b").as("b"), col("id_a").as("x")))
+      val w = u.select(col("b"), col("x").as("a"))
+        .join(u.select(col("b").as("b2"), col("x").as("c")),
+          col("b2") === col("b") && col("a") < col("c"))
+      val cl = w.join(
+        p.select(col("id_a").as("pa"), col("id_b").as("pc"))
+          .withColumn("closed0", lit(true)),
+        col("pa") === col("a") && col("pc") === col("c"), "left")
+      cl.agg(count(lit(1)).as("n_wedges"),
+          sum(when(col("closed0"), 1L).otherwise(0L)).as("n_closed"))
+        .select(lit(nPairs).as("n_pairs"), col("n_wedges"),
+          col("n_closed"),
+          when(col("n_wedges") === 0, lit(null).cast("double"))
+            .otherwise(col("n_closed").cast("double") /
+              col("n_wedges").cast("double")).as("transitivity"))
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact, ppmiSvd,
+    dedupTransitivity,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
     dedupSimhashMd5, ngramJaccard, dedupContainment,
     dupEmbeddingExact, dupEmbeddingLsh,
