@@ -1646,7 +1646,104 @@ object StatsQueries {
         .orderBy("event_type")
     })
 
+  /** Multivariate two-sample energy-distance drift on EMBEDDINGS
+    * (X288 — Székely & Rizzo 2004: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|,
+    * zero iff the distributions match; every other drift monitor here
+    * (X113 KS, X114 PSI, X229 Wasserstein) is 1-D — this is the one
+    * that sees a shift in 64-dim vector space). Two comparisons run
+    * side by side: the null id-split (expected ≈ 0) and a planted
+    * +0.25 shift on dim 1 of the B side (expected > 0) — the operator
+    * demonstrates sensitivity AND calibration on one fixture. Scale
+    * shape: the DISTRIBUTED work is the deterministic md5 bottom-64
+    * sample per side (one bounded aggregate each — the X77 device);
+    * the 64×64 distance matrices are then driver math over bounded
+    * samples (the X109 device — ≤ 4096 sqrt folds, each replicating
+    * the oracle's 0.0-init zip-fold exactly); the three means are the
+    * aggregated lanes, qround(6). The oracle cross-joins the same
+    * 64-row CTEs. */
+  val energyDrift = QueryDef(
+    "q_energy_drift",
+    Some {
+      val dist =
+        """sqrt(list_reduce(list_transform(range(1, 65),
+             i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+             (x, y) -> x + y))"""
+      def lanes(aT: String, bT: String) = s"""
+              SELECT ${Num.qroundSql(
+                s"AVG($dist)", 6)} AS e_ab
+              FROM $aT a CROSS JOIN $bT b"""
+      s"""WITH ev AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v,
+                     CAST('0x' || substring(md5('energy:'
+                         || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS h
+              FROM embeddings),
+            sa AS MATERIALIZED (
+              SELECT v FROM ev WHERE vec_id % 2 = 0
+              ORDER BY h, vec_id LIMIT 64),
+            sb0 AS MATERIALIZED (
+              SELECT v FROM ev WHERE vec_id % 2 = 1
+              ORDER BY h, vec_id LIMIT 64),
+            sbs AS MATERIALIZED (
+              SELECT list_transform(range(1, 65),
+                i -> CASE WHEN i = 1 THEN v[i] + 0.25 ELSE v[i] END)
+                AS v
+              FROM sb0),
+            xy0 AS (${lanes("sa", "sb0")}),
+            xx AS (${lanes("sa", "sa")}),
+            yy0 AS (${lanes("sb0", "sb0")}),
+            xys AS (${lanes("sa", "sbs")}),
+            yys AS (${lanes("sbs", "sbs")})
+            SELECT 'null_split' AS comparison,
+                   xy0.e_ab AS e_xy, xx.e_ab AS e_xx, yy0.e_ab AS e_yy,
+                   2.0 * xy0.e_ab - xx.e_ab - yy0.e_ab AS energy_dist
+            FROM xy0, xx, yy0
+            UNION ALL
+            SELECT 'planted_shift',
+                   xys.e_ab, xx.e_ab, yys.e_ab,
+                   2.0 * xys.e_ab - xx.e_ab - yys.e_ab
+            FROM xys, xx, yys
+            ORDER BY comparison"""
+    },
+    (s, d) => {
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val ev = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        conv(substring(md5(concat(lit("energy:"),
+          col("vec_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      def sample(side: Int): Array[Array[Double]] = ev
+        .filter(pmod(col("vec_id"), lit(2)) === side)
+        .orderBy(col("h"), col("vec_id")).limit(64)
+        .select("v").collect() // 64 rows: bounded driver metadata
+        .map(_.getSeq[Double](0).toArray)
+      val sa = sample(0)
+      val sb0 = sample(1)
+      val sbs = sb0.map(v => v.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + 0.25 else x
+      })
+      // the oracle's 0.0-init zip-fold, replicated exactly
+      def dist(a: Array[Double], b: Array[Double]): Double =
+        math.sqrt(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y)
+        })
+      def eab(a: Array[Array[Double]], b: Array[Array[Double]]) =
+        q6(a.flatMap(x => b.map(y => dist(x, y))).sum /
+          (a.length.toDouble * b.length))
+      val (exy0, exx, eyy0) = (eab(sa, sb0), eab(sa, sa), eab(sb0, sb0))
+      val (exys, eyys) = (eab(sa, sbs), eab(sbs, sbs))
+      import s.implicits._
+      Seq(
+        ("null_split", exy0, exx, eyy0, 2.0 * exy0 - exx - eyy0),
+        ("planted_shift", exys, exx, eyys, 2.0 * exys - exx - eyys))
+        .toDF("comparison", "e_xy", "e_xx", "e_yy", "energy_dist")
+        .orderBy("comparison")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
+    energyDrift,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
     conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg,
     wassersteinDrift, emMixture, anova, partialCorr, simpsonScreen)
