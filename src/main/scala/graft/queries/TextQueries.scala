@@ -687,10 +687,14 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * (i, j) occurrence expansion with the identical
     * ((alpha·p)·beta)/alpha_n association, qround(4) expected counts,
     * qround(6) renormalization. */
-  private def unigramRoundSql(r: Int): String = {
+  private def unigramRoundSql(r: Int): String = unigramRoundSqlS(r, "")
+
+  /** Suffix-parameterized variant (X289 runs THREE chains in one
+    * oracle; `x` prefixes every CTE name so they can't collide). */
+  private def unigramRoundSqlS(r: Int, x: String): String = {
     val L = graft.ops.UnigramLm.MaxWordLen
     val P = graft.ops.UnigramLm.MaxPiece
-    val vPrev = s"v${r - 1}"
+    val vPrev = s"v$x${r - 1}"
     val pivots = (for { i <- 0 until L; j <- 1 to P } yield
       s"""COALESCE((SELECT p FROM $vPrev
          |        WHERE piece = substring(word, ${i + 1}, $j)), 0.0)
@@ -712,36 +716,36 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
       .mkString("[", ", ", "]")
     val aList = (0 to L).map(k => s"a$k").mkString("[", ", ", "]")
     val bList = (0 to L).map(k => s"b$k").mkString("[", ", ", "]")
-    s"""pv$r AS (
+    s"""pv$x$r AS (
   SELECT word, freq, CAST(len(word) AS INT) AS n,
     $pivots,
     $rpivots
-  FROM words),
-dp$r AS (
+  FROM words$x),
+dp$x$r AS (
   SELECT word, freq, n, $pL AS pl,
     1.0 AS a0,
     $alphas,
     1.0 AS b0,
     $betas
-  FROM pv$r),
-lx$r AS (
-  SELECT word, freq, n, pl, $aList AS al, $bList AS bl FROM dp$r),
-oc$r AS (
+  FROM pv$x$r),
+lx$x$r AS (
+  SELECT word, freq, n, pl, $aList AS al, $bList AS bl FROM dp$x$r),
+oc$x$r AS (
   SELECT substring(word, i + 1, j) AS piece,
          CAST(freq AS DOUBLE) *
            (((al[i + 1] * pl[i + 1][j]) * bl[n - i - j + 1])
              / al[n + 1]) AS w
-  FROM lx$r
+  FROM lx$x$r
   CROSS JOIN range(0, $L) t1(i)
   CROSS JOIN range(1, ${P + 1}) t2(j)
   WHERE i + j <= n AND pl[i + 1][j] > 0),
-ec$r AS (
+ec$x$r AS (
   SELECT piece, ${Num.qroundSql("SUM(w)", 4)} AS ec
-  FROM oc$r GROUP BY piece),
-v$r AS MATERIALIZED (
+  FROM oc$x$r GROUP BY piece),
+v$x$r AS MATERIALIZED (
   SELECT piece,
-         ${Num.qroundSql(s"ec / (SELECT SUM(ec) FROM ec$r)", 6)} AS p
-  FROM ec$r)"""
+         ${Num.qroundSql(s"ec / (SELECT SUM(ec) FROM ec$x$r)", 6)} AS p
+  FROM ec$x$r)"""
   }
 
   /** Unigram-LM (SentencePiece-style) tokenizer trainer (X258 — Kudo
@@ -754,38 +758,43 @@ v$r AS MATERIALIZED (
     * both EM rounds as unrolled CTEs. */
   /** Shared oracle chain for X258/X264: word table → substring seed →
     * v0 → two unrolled EM rounds (v2 = the fitted vocabulary). */
-  private def unigramChainSql: String = {
+  private def unigramChainSql: String = unigramChainSqlS("", "TRUE")
+
+  /** Suffix- and filter-parameterized chain: fit the unigram LM on
+    * `documents WHERE $docFilter`, all CTE names prefixed with `x`. */
+  private def unigramChainSqlS(x: String, docFilter: String): String = {
     val L = graft.ops.UnigramLm.MaxWordLen
     val P = graft.ops.UnigramLm.MaxPiece
     val M = graft.ops.UnigramLm.TopMulti
-    s"""wtok AS (SELECT unnest($sqlToks) AS word FROM documents),
-            words AS MATERIALIZED (
+    s"""wtok$x AS (SELECT unnest($sqlToks) AS word FROM documents
+              WHERE $docFilter),
+            words$x AS MATERIALIZED (
               SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-              FROM wtok
+              FROM wtok$x
               WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) <= $L
               GROUP BY word),
-            subs AS (
+            subs$x AS (
               SELECT substring(word, i + 1, j) AS piece, freq
-              FROM words
+              FROM words$x
               CROSS JOIN range(0, $L) t1(i)
               CROSS JOIN range(1, ${P + 1}) t2(j)
               WHERE i + j <= len(word)),
-            cnts AS (
+            cnts$x AS (
               SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
-              FROM subs GROUP BY piece),
-            seed AS (
-              SELECT piece, cnt FROM cnts WHERE len(piece) = 1
+              FROM subs$x GROUP BY piece),
+            seed$x AS (
+              SELECT piece, cnt FROM cnts$x WHERE len(piece) = 1
               UNION ALL
               SELECT piece, cnt FROM
-                (SELECT piece, cnt FROM cnts WHERE len(piece) >= 2
+                (SELECT piece, cnt FROM cnts$x WHERE len(piece) >= 2
                  ORDER BY cnt DESC, piece LIMIT $M)),
-            v0 AS MATERIALIZED (
+            v${x}0 AS MATERIALIZED (
               SELECT piece, ${Num.qroundSql(
                 "CAST(cnt AS DOUBLE) / " +
-                  "CAST((SELECT SUM(cnt) FROM seed) AS DOUBLE)", 6)} AS p
-              FROM seed),
-            ${unigramRoundSql(1)},
-            ${unigramRoundSql(2)}"""
+                  s"CAST((SELECT SUM(cnt) FROM seed$x) AS DOUBLE)", 6)} AS p
+              FROM seed$x),
+            ${unigramRoundSqlS(1, x)},
+            ${unigramRoundSqlS(2, x)}"""
   }
 
   val unigramLm = QueryDef(
@@ -990,6 +999,151 @@ v$r AS MATERIALIZED (
             .as("f1"))
         .orderBy(col("f1").desc, col("thr").desc).limit(10)
         .orderBy(col("thr").desc)
+    })
+
+  /** Held-out scaling-law probe (X289 — the data-scaling readout
+    * behind every "do we need more data?" decision, Kaplan/Hoffmann
+    * style run at corpus-curation scale: fit the SAME model family on
+    * nested training fractions, evaluate each on a FIXED disjoint
+    * holdout, and read the log–log slope of loss vs training size;
+    * a slope near 0 says more data stopped helping THIS model).
+    * Model = the X258 unigram LM (2 pinned soft-EM rounds); training
+    * pools = md5 buckets < {1, 3, 6} of 8 (nested 12.5/37.5/75%);
+    * holdout = buckets ≥ 6, never trained on. Holdout words whose
+    * marginal likelihood is 0 under a fit (characters the small
+    * fraction never saw) are excluded deterministically on BOTH
+    * engines and counted as OOV tokens — the coverage caveat made
+    * visible instead of an -inf. Per config: exact token counts,
+    * qround(4) summed nll, q6 xent, and the q6 log–log slope vs the
+    * previous fraction (NULL on the first row). The three fits reuse
+    * the X258 machinery verbatim; the oracle runs THREE full chains
+    * (suffix-parameterized CTEs) plus three forward-scoring blocks. */
+  val scalingProbe = QueryDef(
+    "q_scaling_probe",
+    Some {
+      val L = graft.ops.UnigramLm.MaxWordLen
+      val P = graft.ops.UnigramLm.MaxPiece
+      def bucketSql = "CAST('0x' || substring(md5('scale:' " +
+        "|| CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8"
+      def scoreBlock(x: String): String = {
+        val pivots = (for { i <- 0 until L; j <- 1 to P } yield
+          s"""COALESCE((SELECT p FROM v${x}2
+             |        WHERE piece = substring(word, ${i + 1}, $j)), 0.0)
+             |      AS p_${i}_$j""".stripMargin).mkString(",\n    ")
+        val alphas = (1 to L).map { k =>
+          (1 to math.min(P, k)).map(j => s"a${k - j} * p_${k - j}_$j")
+            .mkString("", " + ", s" AS a$k")
+        }.mkString(",\n    ")
+        val aList = (0 to L).map(k => s"a$k").mkString("[", ", ", "]")
+        s"""sp$x AS (
+  SELECT word, CAST(len(word) AS INT) AS n,
+    $pivots
+  FROM hww),
+sd$x AS (
+  SELECT word, n, 1.0 AS a0,
+    $alphas
+  FROM sp$x),
+sn$x AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN list_extract($aList, n + 1) > 0
+              THEN -ln(list_extract($aList, n + 1)) END AS nll
+  FROM sd$x),
+ag$x AS (
+  SELECT CAST(SUM(CASE WHEN s.nll IS NOT NULL THEN w.f END)
+           AS BIGINT) AS n_cov,
+         CAST(COALESCE(SUM(CASE WHEN s.nll IS NULL THEN w.f END), 0)
+           AS BIGINT) AS n_oov,
+         ${Num.qroundSql(
+           "SUM(CASE WHEN s.nll IS NOT NULL " +
+             "THEN CAST(w.f AS DOUBLE) * s.nll END)", 4)} AS sum_nll
+  FROM hw w JOIN sn$x s ON s.word = w.word),
+tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
+      }
+      def xent(x: String) =
+        Num.qroundSql(s"ag$x.sum_nll / CAST(ag$x.n_cov AS DOUBLE)", 6)
+      def slope(x: String, xp: String) = Num.qroundSql(
+        s"""(ln(${xent(x)}) - ln(${xent(xp)}))
+            / (ln(CAST(tt$x.t AS DOUBLE)) - ln(CAST(tt$xp.t AS DOUBLE)))""",
+        6)
+      s"""WITH ${unigramChainSqlS("a", s"$bucketSql < 1")},
+            ${unigramChainSqlS("b", s"$bucketSql < 3")},
+            ${unigramChainSqlS("c", s"$bucketSql < 6")},
+            hw AS MATERIALIZED (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+              FROM (SELECT unnest($sqlToks) AS word FROM documents
+                    WHERE $bucketSql >= 6) u
+              WHERE regexp_matches(word, '^[a-z]+$$')
+                AND len(word) <= $L
+              GROUP BY word),
+            hww AS MATERIALIZED (SELECT word FROM hw),
+            ${scoreBlock("a")},
+            ${scoreBlock("b")},
+            ${scoreBlock("c")}
+            SELECT 'f1_train12' AS cfg, tta.t AS n_train_tokens,
+                   aga.n_cov AS n_holdout_tokens, aga.n_oov AS n_oov_tokens,
+                   aga.sum_nll, ${xent("a")} AS xent_per_token,
+                   CAST(NULL AS DOUBLE) AS loglog_slope
+            FROM aga, tta
+            UNION ALL
+            SELECT 'f2_train37', ttb.t, agb.n_cov, agb.n_oov,
+                   agb.sum_nll, ${xent("b")},
+                   ${slope("b", "a")}
+            FROM agb, ttb, aga, tta
+            UNION ALL
+            SELECT 'f3_train75', ttc.t, agc.n_cov, agc.n_oov,
+                   agc.sum_nll, ${xent("c")},
+                   ${slope("c", "b")}
+            FROM agc, ttc, agb, ttb
+            ORDER BY cfg"""
+    },
+    (s, d) => {
+      import graft.ops.UnigramLm
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val bucket = pmod(conv(substring(md5(concat(lit("scale:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(8L))
+      val docs = Tables.documents(s, d).withColumn("__b", bucket)
+      val hw = UnigramLm.wordTable(docs.filter(col("__b") >= 6))
+        .withColumnRenamed("freq", "f")
+        .localCheckpoint(true) // scored by all three fits
+      val rows = Seq(("f1_train12", 1L), ("f2_train37", 3L),
+        ("f3_train75", 6L)).map { case (cfg, k) =>
+        val words = UnigramLm.wordTable(docs.filter(col("__b") < k))
+          .persist()
+        try {
+          val nTrain = words.agg(sum("freq")).head().getLong(0)
+          var probs = UnigramLm.initProbs(
+            UnigramLm.seedVocab(words)).toMap
+          for (_ <- 1 to 2) probs = UnigramLm.emRound(words, probs).toMap
+          val scored = UnigramLm.forward(hw.select("word"), probs)
+            .select(col("word"),
+              when(col("alpha_n") > 0, -log(col("alpha_n"))).as("nll"))
+          val agg = hw.join(scored, "word")
+            .agg(
+              sum(when(col("nll").isNotNull, col("f"))).as("ncov"),
+              coalesce(sum(when(col("nll").isNull, col("f"))), lit(0L))
+                .as("noov"),
+              Num.qround(sum(when(col("nll").isNotNull,
+                col("f").cast("double") * col("nll"))), 4).as("snll"))
+            .head() // 1 row: bounded driver metadata
+          (cfg, nTrain, agg.getLong(0), agg.getLong(1),
+            agg.getDouble(2))
+        } finally words.unpersist()
+      }
+      val out = rows.zipWithIndex.map { case ((cfg, t, cov, oov, snll), i) =>
+        val xent = q6(snll / cov.toDouble)
+        val slope = if (i == 0) None else {
+          val (_, tp, covp, _, snllp) = rows(i - 1)
+          val xp = q6(snllp / covp.toDouble)
+          Some(q6((math.log(xent) - math.log(xp)) /
+            (math.log(t.toDouble) - math.log(tp.toDouble))))
+        }
+        (cfg, t, cov, oov, snll, xent, slope)
+      }
+      import s.implicits._
+      out.toDF("cfg", "n_train_tokens", "n_holdout_tokens",
+        "n_oov_tokens", "sum_nll", "xent_per_token", "loglog_slope")
+        .orderBy("cfg")
     })
 
   // ----------------------------------------------------- model scoring
@@ -3341,5 +3495,6 @@ v$r AS MATERIALIZED (
     ccnetBuckets, streamCurate, charEntropy, pmiBigrams, tfidfKeywords,
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
-    tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold)
+    tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
+    scalingProbe)
 }
