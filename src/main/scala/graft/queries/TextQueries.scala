@@ -1103,13 +1103,26 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
         lit(8L))
       val docs = Tables.documents(s, d).withColumn("__b", bucket)
-      val hw = UnigramLm.wordTable(docs.filter(col("__b") >= 6))
+      // tokenize the corpus ONCE into a (word, bucket, freq) table —
+      // every train fraction and the holdout derive from this small
+      // checkpointed frame with a keyed re-aggregate, so the 3 fits
+      // cost 3 corpus scans less than the naive form (measured 9.1 s
+      // -> the corpus scan was the bill, not the EM)
+      val wb = docs.filter(col("__b") >= 0)
+        .select(col("__b"),
+          explode(graft.functions.Text.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") &&
+          length(col("word")) <= graft.ops.UnigramLm.MaxWordLen)
+        .groupBy("word", "__b").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true)
+      def wordsOf(pred: org.apache.spark.sql.Column) =
+        wb.filter(pred).groupBy("word").agg(sum("freq").as("freq"))
+      val hw = wordsOf(col("__b") >= 6)
         .withColumnRenamed("freq", "f")
         .localCheckpoint(true) // scored by all three fits
       val rows = Seq(("f1_train12", 1L), ("f2_train37", 3L),
         ("f3_train75", 6L)).map { case (cfg, k) =>
-        val words = UnigramLm.wordTable(docs.filter(col("__b") < k))
-          .persist()
+        val words = wordsOf(col("__b") < k).persist()
         try {
           val nTrain = words.agg(sum("freq")).head().getLong(0)
           var probs = UnigramLm.initProbs(
