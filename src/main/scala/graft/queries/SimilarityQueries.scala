@@ -459,6 +459,68 @@ ORDER BY id_a, id_b"""
         .orderBy("id_a", "id_b")
     })
 
+  /** SimHash-dedup precision/recall evaluation (X290 — the X138
+    * discipline applied to the OTHER near-dup sketch: X138 measured
+    * MinHash-LSH against the exact ≥0.4 3-gram-Jaccard truth; this
+    * row measures the hamming ≤ 3 portable-SimHash candidate set
+    * against the SAME truth, so the two sketches' operating points
+    * are directly comparable on one fixture. SimHash targets cosine
+    * of token multisets, not set Jaccard — a LOW recall here is the
+    * honest readout of that mismatch, which is exactly why the eval
+    * row exists. Composition only: both pair sets are the existing
+    * oracle-checked queries (X3-md5 + the X135 prefix join); three
+    * bounded pair-count actions → one literal row (X109). */
+  val simhashDedupEval = QueryDef(
+    "q_simhash_dedup_eval", {
+      val exact =
+        s"""${sqlShingleCte(3).replace("WITH ", "")},
+           exactp AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.4)"""
+      Some(s"""WITH sh0 AS (${dedupSimhashMd5.oracle.get}),
+              shp AS (SELECT id_a, id_b FROM sh0),
+              $exact,
+              ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash
+                     FROM shp),
+              ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+                     FROM exactp),
+              nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+                     FROM shp JOIN exactp USING (id_a, id_b))
+              SELECT ns.n_simhash, ne.n_exact, nh.n_hit,
+                     CAST(nh.n_hit AS DOUBLE) /
+                       NULLIF(CAST(ns.n_simhash AS DOUBLE), 0)
+                       AS precision,
+                     CAST(nh.n_hit AS DOUBLE) /
+                       NULLIF(CAST(ne.n_exact AS DOUBLE), 0) AS recall
+              FROM ns CROSS JOIN ne CROSS JOIN nh""")
+    },
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = Dedup.simhashMd5Sig(docs, "doc_id", "text")
+      val sh = Dedup.simhashPairsFromSig(sig, maxHamming = 3, bits = 60)
+        .select("id_a", "id_b")
+        .localCheckpoint(true) // count + hit join share
+      val shingles = docs.select(col("doc_id").as("id"),
+        graft.functions.ShingleFunctions
+          .shingleHashes(col("text"), 3).as("sh"))
+      val exact = graft.ops.SetJoin.prefixJaccardPairsFromSets(
+          shingles, tauNum = 2, tauDen = 5).select("id_a", "id_b")
+        .localCheckpoint(true) // count + hit join share
+      val nS = sh.count()
+      val nE = exact.count()
+      val nH = sh.join(exact, Seq("id_a", "id_b")).count()
+      import s.implicits._
+      Seq((nS, nE, nH)).toDF("n_simhash", "n_exact", "n_hit")
+        .select(col("n_simhash"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") /
+            nullif(col("n_simhash").cast("double"), lit(0.0)))
+            .as("precision"),
+          (col("n_hit").cast("double") /
+            nullif(col("n_exact").cast("double"), lit(0.0)))
+            .as("recall"))
+    })
+
   /** Exact n-gram Jaccard all-pairs within `source` blocks — the
     * oracle recomputes the same shingle sets and set sizes in DuckDB. */
   val ngramJaccard = QueryDef(
@@ -2241,7 +2303,7 @@ ORDER BY id_a, id_b"""
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact, ppmiSvd,
     dedupTransitivity,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
-    dedupSimhashMd5, ngramJaccard, dedupContainment,
+    dedupSimhashMd5, simhashDedupEval, ngramJaccard, dedupContainment,
     dupEmbeddingExact, dupEmbeddingLsh,
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
