@@ -335,6 +335,70 @@ cents_${i + 1} AS (
         .orderBy("method", "query_id")
     })
 
+  /** ANN recall@k CURVE (X291 — the tuning view X74's single @10
+    * point hides: IVF quality at k = 1/5/10 on one fixture, the
+    * operating curve an nprobe choice is actually made against; a
+    * method can hold @10 while losing the top-1, and only the curve
+    * shows it). Both rankings are the existing oracle-checked queries
+    * WITH their rank columns; hits at each k are rank-windowed joins
+    * on the same (query, neighbor) keys; recall lanes are
+    * exact-integer-fed rationals (hash raw). Truth depth ≥ 10 ≥ k on
+    * this corpus, so k is the denominator. */
+  val annRecallCurve = QueryDef(
+    "q_ann_recall_curve",
+    Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
+             iv AS (${annIvf.oracle.get}),
+             ks AS (SELECT CAST(k AS INT) AS k
+                    FROM (VALUES (1), (5), (10)) t(k)),
+             j AS (
+               SELECT b.query_id, b.rank AS trank, a.rank AS arank
+               FROM bf b JOIN iv a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id),
+             hits AS (
+               SELECT j.query_id, ks.k,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM j CROSS JOIN ks
+               WHERE j.trank <= ks.k AND j.arank <= ks.k
+               GROUP BY j.query_id, ks.k),
+             base AS (SELECT DISTINCT query_id FROM bf),
+             grid AS (SELECT query_id, k FROM base CROSS JOIN ks)
+             SELECT g.query_id, g.k, COALESCE(h.n, 0) AS n_hits,
+                    CAST(COALESCE(h.n, 0) AS DOUBLE) /
+                      CAST(g.k AS DOUBLE) AS recall_at_k
+             FROM grid g LEFT JOIN hits h
+               ON h.query_id = g.query_id AND h.k = g.k
+             ORDER BY g.query_id, g.k"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, q,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("trank"))
+      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10, index, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("arank"))
+      val ks = Seq(1, 5, 10)
+      val hits = truth.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(ks.map(k => sum(when(col("trank") <= k &&
+          col("arank") <= k, 1L).otherwise(0L)).as(s"h$k")).head,
+          ks.tail.map(k => sum(when(col("trank") <= k &&
+            col("arank") <= k, 1L).otherwise(0L)).as(s"h$k")): _*)
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          explode(array(ks.map(k => struct(lit(k).as("k"),
+            coalesce(col(s"h$k"), lit(0L)).as("n"))): _*)).as("r"))
+        .select(col("query_id"), col("r.k").as("k"),
+          col("r.n").as("n_hits"),
+          (col("r.n").cast("double") / col("r.k").cast("double"))
+            .as("recall_at_k"))
+        .orderBy("query_id", "k")
+    })
+
   /** Quantization-loss recall (X159 — the X74 eval discipline applied
     * to the int8 scan path: int8TopK reads 4× fewer vector bytes, and
     * THIS row is the price tag — recall@10 of the quantized ranking
@@ -2178,6 +2242,6 @@ $name AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
-    approxDistinct, annRecallBinary, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
+    approxDistinct, annRecallBinary, annRecallCurve, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
 }

@@ -237,6 +237,8 @@ class PlanSpec extends SparkSuite {
       // X283 binary-quantization eval: ground-truth brute force + the
       // declared binary full scan it grades (the X74/X159 contract)
       "q_ann_recall_binary",
+      // X291 recall@k curve inherits the brute-force ground truth
+      "q_ann_recall_curve",
       // X247 Matryoshka eval: all four lanes are declared exact
       // brute-force scans by contract (truncation-recall ground truth)
       "q_matryoshka")
