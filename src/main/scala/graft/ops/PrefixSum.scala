@@ -172,15 +172,6 @@ object PrefixSum {
     out.drop("__psb")
   }
 
-  /** Ascending running MAX of an integral column over the total order
-    * (`orderCol` ASC, unique) — the out-of-order-depth building block
-    * (X117: lateness = running max of event time over arrival order,
-    * minus own event time). Same two-pass device; max is
-    * order-insensitive, so the bucketed form is trivially identical
-    * to the one-window form. Per-bucket maxima ride back as an
-    * exclusive prefix-max literal map; buckets before the first row
-    * fall back to Long.MinValue (no prior row → the row's own value
-    * wins, exactly like the single-window form's first row). */
   /** EXCLUSIVE running MAX of an integral column over the total order
     * (`orderCol` DESC, unique) — `out` = max of `valueCol` over all
     * rows whose order key is STRICTLY GREATER; Long.MinValue at the
@@ -237,6 +228,15 @@ object PrefixSum {
       .drop("__psb")
   }
 
+  /** Ascending running MAX of an integral column over the total order
+    * (`orderCol` ASC, unique) — the out-of-order-depth building block
+    * (X117: lateness = running max of event time over arrival order,
+    * minus own event time). Same two-pass device; max is
+    * order-insensitive, so the bucketed form is trivially identical
+    * to the one-window form. Per-bucket maxima ride back as an
+    * exclusive prefix-max literal map; buckets before the first row
+    * fall back to Long.MinValue (no prior row → the row's own value
+    * wins, exactly like the single-window form's first row). */
   def runningMaxAsc(df: DataFrame, valueCol: String, orderCol: String,
       out: String, buckets: Int = 32): DataFrame = {
     val vt = df.schema(valueCol).dataType

@@ -87,7 +87,7 @@ object AnalyticsQueries {
 
   // DuckDB twins of Similarity.dot / normalize — double math, strict
   // left-to-right folds (0.0-init fold ≡ list_reduce: 0.0+e1 == e1).
-  private def sqlDotD(a: String, b: String) =
+  private[queries] def sqlDotD(a: String, b: String) =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
         (x, y) -> x + y)"""
@@ -137,7 +137,7 @@ cents_${i + 1} AS (
     * AND q_kmeans_report's per-cluster diagnostics, so the index the
     * ANN path probes and the clustering the report audits can never
     * drift apart. */
-  private val sqlIvfCorpusCtes = s"""samp AS (
+  private[queries] val sqlIvfCorpusCtes = s"""samp AS (
                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS idx,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM (SELECT vec_id, embedding FROM embeddings
@@ -335,39 +335,122 @@ cents_${i + 1} AS (
         .orderBy("method", "query_id")
     })
 
+  /** IVF+PQ composed ANN (X292 — Jegou et al. 2011 §IVFADC, the
+    * FAISS billion-vector layout: a coarse IVF quantizer prunes the
+    * corpus to the query's nprobe nearest cells, and candidates inside
+    * those cells are scored by PQ asymmetric distance — 4 table
+    * lookups + 3 adds per candidate — so neither full vectors nor
+    * exhaustive scans touch the hot path; this variant quantizes raw
+    * vectors, not residuals, keeping the codebooks byte-identical to
+    * the standalone X236 eval). BOTH trainings are unrolled in the
+    * oracle: the X7 five-round Lloyd IVF fit (shared
+    * [[sqlIvfCorpusCtes]] prefix — the same index
+    * q_ann_ivf probes) and the X236 two-round-per-subspace PQ fit
+    * (shared pq*Sql fragments — the same codebooks q_pq_recall
+    * audits). Candidate volume is exactly the probed cells' occupancy
+    * (IvfPqSpec pins candidates = Σ |probed cell| − self-hits); at
+    * 100 TB the scan cost is nprobe/nlist of the corpus × 4 bytes per
+    * vector. adist ties are COMMON (equal codes ⇒ equal adist), so
+    * the neighbor-id tie-break is load-bearing — and deterministic on
+    * both engines. */
+  val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    Some(s"""WITH ${sqlIvfCorpusCtes},
+             corpusv AS (
+               SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS v
+               FROM embeddings),
+             ${ClusterQueries.pqSlicesSql},
+             ${ClusterQueries.pqInitsSql},
+             ${ClusterQueries.pqRoundsSql},
+             ${ClusterQueries.pqCodesSql},
+             ${ClusterQueries.pqQdsSql},
+             codesw AS (
+               SELECT c0.vec_id, c0.c AS k0, c1.c AS k1, c2.c AS k2,
+                      c3.c AS k3, cp.list_id
+               FROM codes_0 c0
+               JOIN codes_1 c1 USING (vec_id)
+               JOIN codes_2 c2 USING (vec_id)
+               JOIN codes_3 c3 USING (vec_id)
+               JOIN corpus cp USING (vec_id)),
+             probed AS (
+               SELECT q.vec_id AS pqid, c.c AS list_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${sqlDotD("c.cv",
+                          "q.embedding")} DESC, c.c ASC) AS rn
+               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q,
+                    cents_5 c),
+             probes AS (SELECT pqid, list_id FROM probed WHERE rn <= 4),
+             est AS (
+               SELECT p.pqid, w.vec_id,
+                      ((q0.d + q1.d) + q2.d) + q3.d AS adist
+               FROM codesw w
+               JOIN probes p ON p.list_id = w.list_id
+               JOIN qd_0 q0 ON q0.c = w.k0 AND q0.qid = p.pqid
+               JOIN qd_1 q1 ON q1.c = w.k1 AND q1.qid = p.pqid
+               JOIN qd_2 q2 ON q2.c = w.k2 AND q2.qid = p.pqid
+               JOIN qd_3 q3 ON q3.c = w.k3 AND q3.qid = p.pqid
+               WHERE w.vec_id <> p.pqid),
+             ranked AS (
+               SELECT pqid AS query_id, vec_id AS neighbor_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY pqid
+                        ORDER BY adist ASC, vec_id ASC) AS BIGINT)
+                        AS rank,
+                      adist
+               FROM est)
+             SELECT query_id, neighbor_id, rank, adist FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) => ClusterQueries.ivfPqTopK(s, d).orderBy("query_id", "rank"))
+
+
   /** ANN recall@k CURVE (X291 — the tuning view X74's single @10
-    * point hides: IVF quality at k = 1/5/10 on one fixture, the
-    * operating curve an nprobe choice is actually made against; a
-    * method can hold @10 while losing the top-1, and only the curve
-    * shows it). Both rankings are the existing oracle-checked queries
-    * WITH their rank columns; hits at each k are rank-windowed joins
-    * on the same (query, neighbor) keys; recall lanes are
-    * exact-integer-fed rationals (hash raw). Truth depth ≥ 10 ≥ k on
-    * this corpus, so k is the denominator. */
+    * point hides: approximate-ranking quality at k = 1/5/10 on one
+    * fixture, the operating curve an nprobe choice is actually made
+    * against; a method can hold @10 while losing the top-1, and only
+    * the curve shows it). Two method lanes: the IVF probe path and
+    * the IVF+PQ composed path (VERDICT r14 #3 — the PQ lane prices
+    * the 16x byte compression in recall on the SAME curve, so the
+    * IVF→IVFPQ decision reads off one result). All rankings are the
+    * existing oracle-checked queries WITH their rank columns; hits at
+    * each k are rank-windowed joins on the same (query, neighbor)
+    * keys; recall lanes are exact-integer-fed rationals (hash raw).
+    * Truth depth ≥ 10 ≥ k on this corpus, so k is the denominator. */
   val annRecallCurve = QueryDef(
     "q_ann_recall_curve",
     Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
              iv AS (${annIvf.oracle.get}),
+             ipq AS (${annIvfPq.oracle.get}),
              ks AS (SELECT CAST(k AS INT) AS k
                     FROM (VALUES (1), (5), (10)) t(k)),
+             ap AS (
+               SELECT 'ivf' AS method, query_id, neighbor_id, rank
+               FROM iv
+               UNION ALL
+               SELECT 'ivfpq', query_id, neighbor_id, rank FROM ipq),
              j AS (
-               SELECT b.query_id, b.rank AS trank, a.rank AS arank
-               FROM bf b JOIN iv a ON a.query_id = b.query_id
+               SELECT a.method, b.query_id, b.rank AS trank,
+                      a.rank AS arank
+               FROM bf b JOIN ap a ON a.query_id = b.query_id
                  AND a.neighbor_id = b.neighbor_id),
              hits AS (
-               SELECT j.query_id, ks.k,
+               SELECT j.method, j.query_id, ks.k,
                       CAST(COUNT(*) AS BIGINT) AS n
                FROM j CROSS JOIN ks
                WHERE j.trank <= ks.k AND j.arank <= ks.k
-               GROUP BY j.query_id, ks.k),
+               GROUP BY j.method, j.query_id, ks.k),
              base AS (SELECT DISTINCT query_id FROM bf),
-             grid AS (SELECT query_id, k FROM base CROSS JOIN ks)
-             SELECT g.query_id, g.k, COALESCE(h.n, 0) AS n_hits,
+             ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfpq')) t(method)),
+             grid AS (SELECT method, query_id, k
+                      FROM base CROSS JOIN ks CROSS JOIN ms)
+             SELECT g.method, g.query_id, g.k,
+                    COALESCE(h.n, 0) AS n_hits,
                     CAST(COALESCE(h.n, 0) AS DOUBLE) /
                       CAST(g.k AS DOUBLE) AS recall_at_k
              FROM grid g LEFT JOIN hits h
-               ON h.query_id = g.query_id AND h.k = g.k
-             ORDER BY g.query_id, g.k"""),
+               ON h.method = g.method AND h.query_id = g.query_id
+                 AND h.k = g.k
+             ORDER BY g.method, g.query_id, g.k"""),
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -380,23 +463,31 @@ cents_${i + 1} AS (
           "vec_id", "embedding", k = 10, index, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("arank"))
+      val ipq = ClusterQueries.ivfPqTopK(s, d, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("arank"))
       val ks = Seq(1, 5, 10)
-      val hits = truth.join(ivf, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id")
-        .agg(ks.map(k => sum(when(col("trank") <= k &&
-          col("arank") <= k, 1L).otherwise(0L)).as(s"h$k")).head,
-          ks.tail.map(k => sum(when(col("trank") <= k &&
-            col("arank") <= k, 1L).otherwise(0L)).as(s"h$k")): _*)
-      q.select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          explode(array(ks.map(k => struct(lit(k).as("k"),
-            coalesce(col(s"h$k"), lit(0L)).as("n"))): _*)).as("r"))
-        .select(col("query_id"), col("r.k").as("k"),
-          col("r.n").as("n_hits"),
-          (col("r.n").cast("double") / col("r.k").cast("double"))
-            .as("recall_at_k"))
-        .orderBy("query_id", "k")
+      def curveOf(method: String,
+          approx: org.apache.spark.sql.DataFrame) = {
+        val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id")
+          .agg(ks.map(k => sum(when(col("trank") <= k &&
+            col("arank") <= k, 1L).otherwise(0L)).as(s"h$k")).head,
+            ks.tail.map(k => sum(when(col("trank") <= k &&
+              col("arank") <= k, 1L).otherwise(0L)).as(s"h$k")): _*)
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            explode(array(ks.map(k => struct(lit(k).as("k"),
+              coalesce(col(s"h$k"), lit(0L)).as("n"))): _*)).as("r"))
+          .select(lit(method).as("method"), col("query_id"),
+            col("r.k").as("k"),
+            col("r.n").as("n_hits"),
+            (col("r.n").cast("double") / col("r.k").cast("double"))
+              .as("recall_at_k"))
+      }
+      curveOf("ivf", ivf).unionAll(curveOf("ivfpq", ipq))
+        .orderBy("method", "query_id", "k")
     })
 
   /** Quantization-loss recall (X159 — the X74 eval discipline applied
@@ -2236,7 +2327,8 @@ $name AS (
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     rfm,
-    cube_, groupingSets, rangeFrame, annIvf, annRecall, annRecallInt8, kmeansReport,
+    cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annRecall,
+    annRecallInt8, kmeansReport,
     semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,

@@ -238,35 +238,104 @@ pc_${s}_${i + 1} AS (
     * is pinned); the one declared-BNLJ lane is the exact ground truth
     * (PlanSpec bnljByDesign, the X74 eval discipline). recall@10
     * exact-integer ratio. */
-  val pqRecall = QueryDef(
-    "q_pq_recall", {
-      val subs = (0 until 4)
-      val slices = subs.map(s =>
-        s"""sv_$s AS (SELECT vec_id,
+  // PQ training/encode/ADC-table SQL fragments, shared verbatim by
+  // q_pq_recall and q_ann_ivfpq (the composed index must quantize with
+  // the SAME codebooks the standalone eval audits).
+  private[queries] val pqSubs = 0 until 4
+  private[queries] val pqSlicesSql = pqSubs.map(s =>
+    s"""sv_$s AS (SELECT vec_id,
               v[${16 * s + 1}:${16 * s + 16}] AS v FROM corpusv)""")
-        .mkString(",\n")
-      val inits = subs.map(s =>
-        s"""pc_${s}_0 AS (
+    .mkString(",\n")
+  private[queries] val pqInitsSql = pqSubs.map(s =>
+    s"""pc_${s}_0 AS (
              SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
                       AS INTEGER) AS c, v AS cv
              FROM (SELECT vec_id, v FROM sv_$s
                    ORDER BY vec_id LIMIT 4) i$s)""").mkString(",\n")
-      val rounds = subs.flatMap(s => (0 until 2).map(i =>
-        pqIterSql(s, i))).mkString(",")
-      val codes = subs.map(s =>
-        s"""codes_$s AS (
+  private[queries] val pqRoundsSql = pqSubs.flatMap(s => (0 until 2).map(i =>
+    pqIterSql(s, i))).mkString(",")
+  private[queries] val pqCodesSql = pqSubs.map(s =>
+    s"""codes_$s AS (
              SELECT vec_id, c FROM (
                SELECT e.vec_id, c.c,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                         ORDER BY ${dist16("c.cv", "e.v")} ASC, c.c ASC)
                         AS rn
                FROM sv_$s e, pc_${s}_2 c) z$s WHERE rn = 1)""")
-        .mkString(",\n")
-      val qds = subs.map(s =>
-        s"""qd_$s AS (
+    .mkString(",\n")
+  private[queries] val pqQdsSql = pqSubs.map(s =>
+    s"""qd_$s AS (
              SELECT q.vec_id AS qid, c.c, ${dist16("c.cv", "q.v")} AS d
              FROM (SELECT vec_id, v FROM sv_$s WHERE vec_id < 5) q,
                   pc_${s}_2 c)""").mkString(",\n")
+
+  /** embeddings as (vec_id, v: array<double>), checkpointed — the
+    * frame every PQ stage (4 subspace fits, codes, exact lane) reads. */
+  private def pqFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v"))
+      .localCheckpoint(true)
+
+  /** Fit the M=4 x 16-dim PQ codebooks (k=4, 2 pinned L2 Lloyd
+    * rounds each) — [[Lloyd.fitL2]] per subspace slice. */
+  private def pqFit(frame: org.apache.spark.sql.DataFrame)
+      : IndexedSeq[Array[Array[Double]]] =
+    pqSubs.map { sub =>
+      Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16),
+        "vec_id", k = 4, dim = 16, iters = 2)
+    }
+
+  /** Encode every row as its 4 code bytes k0..k3 (+ passthrough
+    * columns) — ONE projection over broadcast codebook literals. */
+  private def pqCodesW(frame: org.apache.spark.sql.DataFrame,
+      cents: IndexedSeq[Array[Array[Double]]],
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    frame.select((col("vec_id") +: passthrough.map(col)) ++
+      pqSubs.map(sub => Lloyd.assignL2(
+        slice(col("v"), 16 * sub + 1, 16), cents(sub))
+        .as(s"k$sub")): _*)
+
+  /** The query vectors (vec_id < 5) as driver rows. */
+  private def pqQueryRows(frame: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Array[Double])] =
+    frame.filter(col("vec_id") < 5)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** [[Lloyd.sqDist]]'s pinned 0.0-init accumulation over one 16-dim
+    * subspace — the driver-side twin of the SQL dist16 lane. */
+  private def pqD16(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < 16) {
+      val t = a(i) - b(i); acc = acc + t * t; i += 1
+    }
+    acc
+  }
+
+  /** Per-query 4x4 ADC tables (qid, c$sub, d$sub), broadcast — same
+    * 0.0-init fold as the SQL lane. */
+  private def pqQdTables(s: org.apache.spark.sql.SparkSession,
+      qRows: Seq[(Long, Array[Double])],
+      cents: IndexedSeq[Array[Array[Double]]])
+      : IndexedSeq[org.apache.spark.sql.DataFrame] = {
+    import s.implicits._
+    pqSubs.map { sub =>
+      val rows = for {
+        (qid, qv) <- qRows
+        c <- 0 until 4
+      } yield (qid, c,
+        pqD16(qv.slice(16 * sub, 16 * sub + 16), cents(sub)(c)))
+      broadcast(rows.toDF("qid", s"c$sub", s"d$sub"))
+    }
+  }
+
+  val pqRecall = QueryDef(
+    "q_pq_recall", {
+      val (slices, inits, rounds, codes, qds) =
+        (pqSlicesSql, pqInitsSql, pqRoundsSql, pqCodesSql, pqQdsSql)
       Some(s"""WITH corpusv AS (
                SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -326,41 +395,11 @@ pc_${s}_${i + 1} AS (
              ORDER BY query_id""")
     },
     (s, d) => {
-      import graft.ops.Lloyd
-      val frame = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("v"))
-        .localCheckpoint(true) // 4 subspace fits + codes + exact lane
-      val subs = (0 until 4)
-      val cents = subs.map { sub =>
-        Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16),
-          "vec_id", k = 4, dim = 16, iters = 2)
-      }
-      val codesw = frame.select((col("vec_id") +:
-        subs.map(sub => Lloyd.assignL2(
-          slice(col("v"), 16 * sub + 1, 16), cents(sub))
-          .as(s"k$sub"))): _*)
-      // per-query 4x4 ADC tables: same 0.0-init fold as the SQL lane
-      val qRows = frame.filter(col("vec_id") < 5)
-        .select("vec_id", "v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      def d16(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0
-        var i = 0
-        while (i < 16) {
-          val t = a(i) - b(i); acc = acc + t * t; i += 1
-        }
-        acc
-      }
-      import s.implicits._
-      val qd = subs.map { sub =>
-        val rows = for {
-          (qid, qv) <- qRows.toSeq
-          c <- 0 until 4
-        } yield (qid, c,
-          d16(qv.slice(16 * sub, 16 * sub + 16), cents(sub)(c)))
-        broadcast(rows.toDF("qid", s"c$sub", s"d$sub"))
-      }
+      val frame = pqFrame(s, d)
+      val cents = pqFit(frame)
+      val codesw = pqCodesW(frame, cents)
+      val qRows = pqQueryRows(frame)
+      val qd = pqQdTables(s, qRows, cents)
       val est = codesw
         .join(qd(0), col("c0") === col("k0"))
         .join(qd(1), col("c1") === col("k1") && qd(1)("qid") === qd(0)("qid"))
@@ -395,6 +434,48 @@ pc_${s}_${i + 1} AS (
             .as("recall10"))
         .orderBy("query_id")
     })
+
+  /** The Spark lane of [[annIvfPq]], reusable at any k (the recall
+    * curve reads it at k = 10): IVF assignment rides the PQ frame as a
+    * passthrough column, probes/ADC tables are driver-built broadcast
+    * literals, candidate generation is the probe equi-join, scoring is
+    * 4 code-table equi-joins. */
+  private[queries] def ivfPqTopK(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int = 10, nprobe: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val index = graft.ops.Similarity.fitIvf(e, "embedding", "vec_id",
+      nlist = 16)
+    val frame = e
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        index.assignExpr(col("embedding")).as("list_id"))
+      .localCheckpoint(true)
+    val cents = pqFit(frame)
+    val codesw = pqCodesW(frame, cents, passthrough = Seq("list_id"))
+    val qRows = pqQueryRows(frame)
+    val qd = pqQdTables(s, qRows, cents)
+    import s.implicits._
+    val probes = broadcast(qRows.flatMap { case (qid, qv) =>
+      index.probeLists(qv, nprobe).map(l => (qid, l))
+    }.toDF("pqid", "list_id"))
+    val est = codesw
+      .join(probes, Seq("list_id"))
+      .join(qd(0), col("c0") === col("k0") && qd(0)("qid") === col("pqid"))
+      .join(qd(1), col("c1") === col("k1") && qd(1)("qid") === col("pqid"))
+      .join(qd(2), col("c2") === col("k2") && qd(2)("qid") === col("pqid"))
+      .join(qd(3), col("c3") === col("k3") && qd(3)("qid") === col("pqid"))
+      .where(col("vec_id") =!= col("pqid"))
+      .select(col("pqid").as("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    est.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
 
   /** DuckDB twin of [[Lloyd.sqDist]]'s 0.0-init zip-fold (the
     * recorded fold-equivalence: list_reduce's first-element seed ≡

@@ -1273,6 +1273,49 @@ object CurationQueries {
         .orderBy("shard")
     })
 
+  /** Manifest-committed sharded write round-trip (X293 — VERDICT r14
+    * #5, the atomic-commit completion of X47b: `writeShardedAtomic`
+    * writes shard files under a commit prefix, fsyncs ONE manifest
+    * naming them, and swaps it into place with an atomic rename;
+    * `readViaManifest` resolves files exclusively through that
+    * manifest, so torn writes and abandoned commits are invisible —
+    * ShardSpec simulates both). The returned rows are computed from
+    * the files READ BACK THROUGH THE MANIFEST, so a file missing from
+    * (or extra in) the manifest breaks the hash; the oracle replays
+    * the content-keyed assignment from `documents` directly — the
+    * manifest stats replayed from first principles. Output lands
+    * under java.io.tmpdir at a fixed path (mode overwrite: bounded
+    * disk across bench's best-of-2 reruns). */
+  val shardManifest = QueryDef(
+    "q_shard_manifest",
+    Some("""WITH s AS (
+              SELECT doc_id, n_chars,
+                     CAST('0x' || substring(md5('manifest:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 8 AS shard
+              FROM documents)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM s GROUP BY shard ORDER BY shard"""),
+    (s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_shard_manifest")
+        .getPath
+      graft.ops.Shard.writeShardedAtomic(
+        Tables.documents(s, d), "doc_id", 8, dir, commitId = "c0",
+        salt = "manifest:")
+      graft.ops.Shard.readViaManifest(s, dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          min("doc_id").cast("long").as("min_doc"),
+          max("doc_id").cast("long").as("max_doc"))
+        .orderBy("shard")
+    })
+
   /** Token-budget corpus selection (X52a): rank the corpus by quality
     * and keep the best documents until a token budget is exhausted —
     * "the best 10B tokens", the curation decision every budgeted
@@ -2102,6 +2145,7 @@ object CurationQueries {
       dedupWeightedStats,
       temperatureMix, curationAudit, neymanAlloc,
       snapshotDiff, incrementalDedup, banlist, shardStats, shardWrite,
+      shardManifest,
       bootstrapCi, chisqDrift, dpCounts, dpMean, hashRebalance, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
       domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)

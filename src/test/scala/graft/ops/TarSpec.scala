@@ -26,6 +26,7 @@ class TarSpec extends AnyFunSuite {
     assert(es.map(_.name) === members.map(_._1))
     assert(es.map(_.size) === members.map(_._2.length.toLong))
     assert(es.forall(_.chksumOk))
+    assert(es.forall(_.magicOk))
     assert(es.forall(_.typeflag === '0'))
     es.zip(members).foreach { case (e, (_, p)) =>
       assert(e.payload.toSeq === p.toSeq)
@@ -57,6 +58,28 @@ class TarSpec extends AnyFunSuite {
     assert(es.size === 1)
     assert(es.head.name === "x.txt")
     assert(es.head.payload.length === 8) // only the bytes present
+  }
+
+  test("non-USTAR 512-blocks are flagged via magicOk=false") {
+    // plausible-looking garbage: nonzero block with valid octal digits
+    // where size/chksum live, but no 'ustar' magic at offset 257
+    val fake = new Array[Byte](1024)
+    java.util.Arrays.fill(fake, 0, 512, '0'.toByte)
+    val es = Tar.parse(fake)
+    assert(es.size === 1)
+    assert(!es.head.magicOk)
+    // a real archive's members all carry the magic
+    assert(Tar.parse(Tar.buildArchive(Seq("a" -> bytes("x"))))
+      .forall(_.magicOk))
+  }
+
+  test("octal field overflow is rejected, boundary value accepted") {
+    // 12-byte size field holds 11 octal digits: max 8^11 - 1 (~8.6 GB,
+    // USTAR's per-member limit). One past it must throw, not smear
+    // digits into the adjacent mtime/chksum fields.
+    val max11 = (1L << 33) - 1 // 8^11 - 1 = 2^33 - 1
+    assert(Tar.octal(max11, 12).length === 12)
+    intercept[IllegalArgumentException] { Tar.octal(max11 + 1, 12) }
   }
 
   test("100-byte names are accepted, 101 rejected at build") {
