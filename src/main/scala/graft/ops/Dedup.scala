@@ -185,6 +185,87 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** DELTA-sided MinHash-LSH pairs (X295 candidate stage): verified
+    * near-dup pairs where at least one side is in `deltaIds` — the
+    * probe a corpus refresh runs when NEW documents join an EXISTING
+    * LSH index instead of re-banding the world. The banded (id, band,
+    * bucket) index covers the full corpus (in production the old
+    * rows' bands are the persisted index and only delta rows band
+    * fresh — band keys are per-row, so appending is exact); the
+    * candidate join is delta-bands × all-bands, so its cost is
+    * O(|Δ| × bucket occupancy), never corpus². Covers delta-vs-old
+    * AND delta-vs-delta pairs; verification is the same exact-Jaccard
+    * gate as [[minhashPairs]], so the returned set equals the full
+    * recompute's pairs restricted to pairs touching the delta
+    * (identical banding ⇒ identical candidates per pair). */
+  def minhashPairsDelta(df: DataFrame, idCol: String, textCol: String,
+      deltaIds: DataFrame, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 0, threshold: Double = 0.7,
+      bucketCap: Int = 1000): DataFrame = {
+    val (nBands, rows) =
+      if (bands == 0) optimalBanding(numHashes, threshold)
+      else { require(numHashes % bands == 0, "bands must divide numHashes")
+        (bands, numHashes / bands) }
+    val sh = df.select(col(idCol).as("id"),
+      ShingleFunctions.shingleHashes(col(textCol), shingleK)
+        .as("shingles"))
+      .localCheckpoint(true)
+    val banded = sh.select(col("id"),
+      HashFunctions.minhashBandBuckets(col("shingles"), nBands, rows)
+        .as("buckets"))
+      .select(col("id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
+    val capped = capBuckets(banded, Seq("band", "bucket"), bucketCap)
+    val delta = capped.join(
+      broadcast(deltaIds.select(col(deltaIds.columns.head).as("id"))),
+      Seq("id"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("id_d"))
+    val allSide = capped.select(col("band"), col("bucket"),
+      col("id").as("id_o"))
+    val candidates = delta.join(allSide, Seq("band", "bucket"))
+      .filter(col("id_d") =!= col("id_o"))
+      .select(least(col("id_d"), col("id_o")).as("id_a"),
+        greatest(col("id_d"), col("id_o")).as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Incrementally maintain a canonical-min clustering under document
+    * INSERTIONS (X295 merge stage — the dedup sibling of X176's
+    * warm-started PageRank and X256's join-view delta rule): old
+    * components contract to SUPERNODES (their canonical ids — already
+    * the component minimum, so min over merged supernodes IS the
+    * global minimum), delta pairs map endpoints through the old
+    * mapping, and connected components re-close ONLY over that
+    * contracted delta graph — O(|Δ pairs|), never the full corpus's
+    * edge set. Docs whose supernode touches no delta edge keep their
+    * old canonical untouched. Maintained ≡ recomputed exactly
+    * (q_incremental_clusters carries the side-by-side proof), because
+    * contraction preserves connectivity and the min-label is
+    * associative across merges. */
+  def maintainClusters(oldClusters: DataFrame, idCol: String,
+      newIds: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val superMap = oldClusters
+      .select(col(idCol).as("id"), col("canonical_id").as("super"))
+      .unionAll(newIds.select(col(newIds.columns.head).as("id"),
+        col(newIds.columns.head).as("super")))
+      .localCheckpoint(true) // read by edges, closure ids and the join-back
+    val edges = deltaPairs
+      .join(superMap.select(col("id").as("id_a"), col("super").as("sa")),
+        Seq("id_a"))
+      .join(superMap.select(col("id").as("id_b"), col("super").as("sb")),
+        Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa").as("id_a"), col("sb").as("id_b"))
+    val supers = superMap.select(col("super").as("id")).distinct()
+    val merged = clusterKeepMin(supers, "id", edges)
+      .select(col("id").as("super"), col("canonical_id").as("m"))
+    superMap.join(merged, Seq("super"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("m"), col("super")).as("canonical_id"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, candidates via
     * 16-bit chunk blocking (pigeonhole: hamming ≤ 3 guarantees an
     * equal chunk), verified by exact hamming distance. */

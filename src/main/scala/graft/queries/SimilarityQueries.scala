@@ -972,6 +972,116 @@ ORDER BY id_a, id_b"""
         .orderBy("doc_id")
     })
 
+  /** Incremental near-dup cluster maintenance (X295 — VERDICT r14 #7,
+    * composing X32's snapshot carve with X6's clusters the way X176
+    * warm-starts PageRank: the old corpus (doc_id % 10 <> 7) carries a
+    * PERSISTED clustering; the refresh's new docs (doc_id % 10 = 7)
+    * probe the existing LSH index ([[Dedup.minhashPairsDelta]] — only
+    * delta-sided candidates, never a re-banded world), old components
+    * contract to their canonical supernodes, and ONLY components
+    * touched by a delta pair re-close ([[Dedup.maintainClusters]] —
+    * the contracted graph is O(|Δ pairs|)). The query runs BOTH lanes
+    * and emits them side by side with an equality verdict — the
+    * q_ivm_join discipline: maintained ≡ recomputed, hash-checked row
+    * by row, because contraction preserves connectivity and min-label
+    * is associative across merges. The oracle re-derives old pairs,
+    * delta pairs, both closures (old + contracted) and the
+    * full-recompute closure from exact Jaccard at τ = 0.9 (the
+    * recall≈1 banding argument of q_dedup_clusters). At 100 TB the
+    * refresh cost is the delta probe + a tiny contracted closure —
+    * the full pipeline never re-runs. */
+  val incrementalClusters = QueryDef(
+    "q_incremental_clusters",
+    Some(s"""${sqlShingleCte(3).replaceFirst("WITH ", "WITH RECURSIVE ")},
+          pairs_full AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              AND len(a.shingles) * 10 >= len(b.shingles) * 9
+              AND len(b.shingles) * 10 >= len(a.shingles) * 9
+            WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.9),
+          pairs_old AS (
+            SELECT * FROM pairs_full
+            WHERE id_a % 10 <> 7 AND id_b % 10 <> 7),
+          delta_pairs AS (
+            SELECT * FROM pairs_full
+            WHERE id_a % 10 = 7 OR id_b % 10 = 7),
+          undo AS (SELECT id_a AS a, id_b AS b FROM pairs_old
+                   UNION SELECT id_b, id_a FROM pairs_old),
+          reacho(src, dst) AS (
+            SELECT a, b FROM undo
+            UNION
+            SELECT r.src, u.b FROM reacho r JOIN undo u ON r.dst = u.a),
+          canono AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+            FROM reacho GROUP BY src),
+          superm AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 10 = 7 THEN d.doc_id
+                        ELSE COALESCE(c.canonical_id, d.doc_id)
+                   END AS super
+            FROM documents d LEFT JOIN canono c USING (doc_id)),
+          cedges AS (
+            SELECT sa.super AS a, sb.super AS b
+            FROM delta_pairs p
+            JOIN superm sa ON sa.doc_id = p.id_a
+            JOIN superm sb ON sb.doc_id = p.id_b
+            WHERE sa.super <> sb.super),
+          undc AS (SELECT a, b FROM cedges
+                   UNION SELECT b, a FROM cedges),
+          reachc(src, dst) AS (
+            SELECT a, b FROM undc
+            UNION
+            SELECT r.src, u.b FROM reachc r JOIN undc u ON r.dst = u.a),
+          canonc AS (
+            SELECT src, LEAST(src, MIN(dst)) AS m
+            FROM reachc GROUP BY src),
+          undf AS (SELECT id_a AS a, id_b AS b FROM pairs_full
+                   UNION SELECT id_b, id_a FROM pairs_full),
+          reachf(src, dst) AS (
+            SELECT a, b FROM undf
+            UNION
+            SELECT r.src, u.b FROM reachf r JOIN undf u ON r.dst = u.a),
+          canonf AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+            FROM reachf GROUP BY src)
+          SELECT s.doc_id,
+                 COALESCE(c.m, s.super) AS canon_inc,
+                 COALESCE(f.canonical_id, s.doc_id) AS canon_full,
+                 COALESCE(c.m, s.super) =
+                   COALESCE(f.canonical_id, s.doc_id) AS consistent
+          FROM superm s
+          LEFT JOIN canonc c ON c.src = s.super
+          LEFT JOIN canonf f ON f.doc_id = s.doc_id
+          ORDER BY s.doc_id"""),
+    (s, d) => {
+      val docs = Tables.documents(s, d).localCheckpoint(true)
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
+      val newDocs = docs.filter(col("doc_id") % 10 === 7)
+      // the clustering a previous build persisted
+      val oldPairs = Dedup.minhashPairs(oldDocs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      val oldClusters = Dedup.clusterKeepMin(oldDocs.select("doc_id"),
+        "doc_id", oldPairs)
+      // refresh: new docs probe the existing index; affected
+      // components re-close over the contracted delta graph
+      val deltaPairs = Dedup.minhashPairsDelta(docs, "doc_id", "text",
+        newDocs.select("doc_id"), shingleK = 3, numHashes = 128,
+        bands = 32, threshold = 0.9)
+      val maintained = Dedup.maintainClusters(oldClusters, "doc_id",
+        newDocs.select("doc_id"), deltaPairs)
+      // the from-scratch lane the maintained one must equal
+      val fullPairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      val recomputed = Dedup.clusterKeepMin(docs.select("doc_id"),
+        "doc_id", fullPairs)
+      maintained.select(col("doc_id"),
+          col("canonical_id").as("canon_inc"))
+        .join(recomputed.select(col("doc_id"),
+          col("canonical_id").as("canon_full")), Seq("doc_id"))
+        .withColumn("consistent", col("canon_inc") === col("canon_full"))
+        .orderBy("doc_id")
+    })
+
   /** The composed dedup pipeline end to end: LSH pairs → connected
     * components → keepCanonical → the SURVIVING corpus (one
     * representative per near-dup cluster, everything else untouched).
@@ -2306,7 +2416,8 @@ ORDER BY id_a, id_b"""
     dedupSimhashMd5, simhashDedupEval, ngramJaccard, dedupContainment,
     dupEmbeddingExact, dupEmbeddingLsh,
     bitextMine,
-    annBruteForce, annInt8, annLsh, dedupClusters, dedupKeep,
+    annBruteForce, annInt8, annLsh, dedupClusters,
+    incrementalClusters, dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,

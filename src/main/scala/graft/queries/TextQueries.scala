@@ -533,17 +533,22 @@ object TextQueries {
     * symbol pairs weighted by word frequency, pick the (count DESC,
     * pair ASC) winner, apply it with non-overlapping left-to-right
     * string replace over the '|sym|'-wrapped sequence encoding. */
-  private def bpeRoundSql(k: Int): String = s"""
-p$k AS (
+  private def bpeRoundSql(k: Int): String = bpeRoundSqlX(k, "")
+
+  /** Prefix-parameterized variant (the byte-level chain runs the SAME
+    * round device under `b`-prefixed CTE names so both tokenizers can
+    * coexist in one oracle namespace). */
+  private def bpeRoundSqlX(k: Int, x: String): String = s"""
+${x}p$k AS (
   SELECT pr.l AS l, pr.r AS r, SUM(freq) AS cnt FROM (
     SELECT freq, unnest(list_transform(range(1, len(syms)),
              i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
     FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS syms
-          FROM w${k - 1})) GROUP BY pr.l, pr.r),
-m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
+          FROM ${x}w${k - 1})) GROUP BY pr.l, pr.r),
+${x}m$k AS (SELECT l, r, cnt FROM ${x}p$k ORDER BY cnt DESC, l, r LIMIT 1),
+${x}w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                              '|' || m.l || m.r || '|') AS seq
-        FROM w${k - 1} CROSS JOIN m$k m)"""
+        FROM ${x}w${k - 1} CROSS JOIN ${x}m$k m)"""
 
   /** Shared oracle CTE chain: word-frequency table → '|sym|'-encoded
     * sequences → 3 unrolled merge rounds (w3 = the trained encoding). */
@@ -586,6 +591,18 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
           c => concat(lit("|"), c, lit("|")))))
       .select("word", "freq", "seq")
       .persist()
+    bpeMergeLoop(base, rounds)
+  }
+
+  /** The greedy merge loop over any '|sym|'-encoded (freq, seq, ...)
+    * frame — shared by the char-level ([[bpeTrain]]) and byte-level
+    * ([[bpeTrainBytes]]) chains. Each round is ONE distributed
+    * pair-count aggregation; only the (count DESC, pair ASC) argmax
+    * returns to the driver, folding into the next round's plan as a
+    * literal. */
+  private[queries] def bpeMergeLoop(base: org.apache.spark.sql.DataFrame,
+      rounds: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
     var cur = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to rounds) {
@@ -674,6 +691,115 @@ w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .groupBy("token")
         .agg(sum("freq").cast("long").as("n_occurrences"),
           count_distinct(col("word")).as("n_words"))
+        .orderBy("token")
+    })
+
+  // -------------------------------------------------- byte-level bpe
+
+  /** The multibyte fixture the byte-level chain trains over alongside
+    * the corpus words: CJK, emoji (a 4-byte astral codepoint) and a
+    * Latin-1 accent — every UTF-8 sequence length 1-4 is exercised
+    * through the hex-chunking lane on both engines. */
+  private[queries] val bpeByteFixture: Seq[(String, Long)] = Seq(
+    ("日本語", 900L), ("日本", 800L), ("🙂🙂", 700L), ("naïve", 600L))
+
+  private val bpeByteFixtureSqlVals = bpeByteFixture
+    .map { case (w, f) => s"('$w', CAST($f AS BIGINT))" }.mkString(", ")
+
+  /** UTF-8 bytes of a word as a '|sym|'-encoded sequence of lowercase
+    * 2-hex-digit byte symbols ("日" → "|e6||97||a5|") — the byte-level
+    * twin of the char chain's w0 encoding. hex(encode(...)) is the one
+    * portable byte-extraction lane both engines share; the regex chunk
+    * into pairs is exact because hex output length is always even. */
+  private def hexByteSeq(word: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat_ws("", transform(
+      regexp_extract_all(lower(hex(encode(word, "UTF-8"))),
+        lit(".."), lit(0)),
+      c => concat(lit("|"), c, lit("|"))))
+
+  /** Corpus word-frequency table + the multibyte fixture — the
+    * persisted base every byte-level merge round reads (the X31
+    * word-table discipline: the corpus is tokenized ONCE; per-round
+    * work is bounded by the vocabulary). */
+  private[queries] def bpeByteWordTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .unionAll(bpeByteFixture.toDF("word", "freq"))
+  }
+
+  /** Byte-level BPE training: hex-byte w0 encoding + the shared
+    * [[bpeMergeLoop]]. Returns the encoded (word, freq, seq) frame and
+    * the chosen merges. */
+  private[queries] def bpeTrainBytes(words: org.apache.spark.sql.DataFrame,
+      rounds: Int = 4)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
+    val base = words
+      .withColumn("seq", hexByteSeq(col("word")))
+      .select("word", "freq", "seq")
+      .persist()
+    bpeMergeLoop(base, rounds)
+  }
+
+  /** Byte-level BPE (X294 — the GPT-2 reality next to X31's char
+    * merges, Radford et al. 2019 §2.2: the base alphabet is the 256
+    * BYTES, so every string — any script, any emoji, any mojibake —
+    * segments with zero <unk>: symbols that never merge stay raw
+    * single bytes, which IS the UTF-8 fallback). Words become
+    * sequences of 2-hex-digit byte symbols (one portable
+    * hex(encode(word)) lane — both engines derive identical byte
+    * streams, exercised 1-4 bytes/char by the CJK/emoji/accent
+    * fixture), then 4 unrolled rounds of the SAME merge device as
+    * q_bpe_merges. Emits the resulting subword vocabulary: token hex
+    * string, byte width, occurrence total, distinct word types
+    * (COUNT(DISTINCT seq) ≡ distinct words — UTF-8 encoding is
+    * injective). Token boundaries are byte-exact by construction —
+    * BpeBytesSpec proves per-word segmentation losslessness and, on a
+    * single-char-word fixture where intra-character merges run to
+    * completion, that every trained token decodes to valid UTF-8 (no
+    * invalid token boundaries). */
+  val bpeBytes = QueryDef(
+    "q_bpe_bytes",
+    Some(s"""WITH bwc AS (
+               SELECT word, freq FROM (
+                 SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest($sqlToks) AS word FROM documents) bt
+                 WHERE regexp_matches(word, '^[a-z]+$$')
+                 GROUP BY word
+                 UNION ALL
+                 SELECT * FROM (VALUES $bpeByteFixtureSqlVals)
+                   f(word, freq))),
+             bw0 AS (
+               SELECT freq,
+                      array_to_string(list_transform(
+                        regexp_extract_all(lower(hex(encode(word))), '..'),
+                        c -> '|' || c || '|'), '') AS seq
+               FROM bwc),
+             ${(1 to 4).map(bpeRoundSqlX(_, "b")).mkString(",")},
+             benc AS (
+               SELECT freq, seq,
+                      unnest(string_split(trim(seq, '|'), '||')) AS token
+               FROM bw4)
+             SELECT token,
+                    CAST(len(token) // 2 AS INT) AS n_bytes,
+                    CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+                    CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_words
+             FROM benc GROUP BY token ORDER BY token"""),
+    (s, d) => {
+      val (encoded, _) = bpeTrainBytes(bpeByteWordTable(s, d), rounds = 4)
+      encoded
+        .select(col("freq"), col("word"),
+          explode(split(trim(col("seq"), "|"), "\\|\\|")).as("token"))
+        .groupBy("token")
+        .agg(sum("freq").cast("long").as("n_occurrences"),
+          count_distinct(col("word")).as("n_words"))
+        .select(col("token"),
+          (length(col("token")) / 2).cast("int").as("n_bytes"),
+          col("n_occurrences"), col("n_words"))
         .orderBy("token")
     })
 
@@ -3501,7 +3627,7 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
-    bpeMerges, bpeEncode, lmScore, lmBigram, hashClassifier,
+    bpeMerges, bpeEncode, bpeBytes, lmScore, lmBigram, hashClassifier,
     classifierEval, classifierCalibration, langidEval, scriptId,
     lineClean,
     boilerplateLines, unicodeNfc, dedupSpans, stripHtml, paragraphDedup,

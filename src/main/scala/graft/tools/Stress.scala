@@ -582,29 +582,36 @@ object Stress {
       rounds
     }
 
-    // X81: containment dedup at 1M docs (~58 tokens each, ~56M
-    // (shingle, doc) index rows) with 2% planted quote docs (prefix
-    // halves of their base doc — containment exactly 1.0). Tokens are
-    // hash-derived (no arithmetic aliasing between doc ids), so the
-    // planted quotes are the ONLY ≥τ pairs. Only (60-bit key, id)
-    // longs shuffle; the doc-frequency prune bounds hot-key blowup.
-    // Returned value = pairs found at τ=0.8 — must be EXACTLY the
-    // 20,000 planted quote→base pairs.
-    timeShuffle("containment dedup 1M docs, 2% quotes") {
-      def tok(i: Int) = concat(lit("ct"),
-        pmod(xxhash64(col("id") * 64 + i), lit(100000000L))
-          .cast("string"))
-      val base = spark.range(0, 1000000L, 1, 64).select(col("id"),
-        concat_ws(" ", (0 until 58).map(tok): _*).as("text"))
-      val quotes = spark.range(0, 1000000L, 50, 64).select(
-        (col("id") + 10000000L).as("qid"), col("id"))
-        .select(col("qid"),
-          concat_ws(" ", (0 until 29).map(tok): _*).as("text"))
-        .select(col("qid").as("id"), col("text"))
-      graft.ops.Dedup.containmentPairs(base.unionAll(quotes),
-          "id", "text", shingleK = 3, threshold = 0.8,
-          maxDocFreq = 100L)
-        .count()
+    // X81: containment dedup SCALE CURVE at 1M and 10M docs (~58
+    // tokens each; 1M ≈ 56M (shingle, doc) index rows, 10M ≈ 560M)
+    // with 2% planted quote docs (prefix halves of their base doc —
+    // containment exactly 1.0). Tokens are hash-derived over a space
+    // ∝ docs (real corpora grow vocabulary with size — a FIXED space
+    // would inflate per-shingle doc frequency 10x and square the
+    // index join on pure hash aliasing, measuring collisions, not the
+    // operator), so the planted quotes are the ONLY ≥τ pairs. Only
+    // (60-bit key, id) longs shuffle; the doc-frequency prune bounds
+    // hot-key blowup. Returned value = pairs found at τ=0.8 — must be
+    // EXACTLY the n/50 planted quote→base pairs; the 10M/1M wall
+    // ratio must sit near 10, not 100 (VERDICT r14 #4 — this operator
+    // is new to the bench top-5, the winnow-pairs probe discipline).
+    Seq(1000000L, 10000000L).foreach { n =>
+      timeShuffle(s"containment dedup ${n / 1000000}M docs, 2% quotes") {
+        def tok(i: Int) = concat(lit("ct"),
+          pmod(xxhash64(col("id") * 64 + i), lit(n * 100L))
+            .cast("string"))
+        val base = spark.range(0, n, 1, 64).select(col("id"),
+          concat_ws(" ", (0 until 58).map(tok): _*).as("text"))
+        val quotes = spark.range(0, n, 50, 64).select(
+          (col("id") + 10L * n).as("qid"), col("id"))
+          .select(col("qid"),
+            concat_ws(" ", (0 until 29).map(tok): _*).as("text"))
+          .select(col("qid").as("id"), col("text"))
+        graft.ops.Dedup.containmentPairs(base.unionAll(quotes),
+            "id", "text", shingleK = 3, threshold = 0.8,
+            maxDocFreq = 100L)
+          .count()
+      }
     }
 
     // X83: bitext mining at 1M × 64-dim — the plane count is the

@@ -239,4 +239,46 @@ class DedupSpec extends SparkSuite {
       assert(v <= unpruned.getOrElse(k, 1.0) + 1e-12, k)
     }
   }
+
+  test("maintainClusters: bridging insert merges two old components, " +
+      "untouched components keep their canonical") {
+    import spark.implicits._
+    // persisted clustering: {1,2} canon 1, {5,6} canon 5, 9 singleton
+    val oldClusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("doc_id", "canonical_id")
+    val newIds = Seq(17L, 23L).toDF("doc_id")
+    // new doc 17 is near-dup of a member of EACH old component — the
+    // bridge case: both components and the newcomer must merge under
+    // the global minimum; new doc 23 matches nothing
+    val deltaPairs = Seq((2L, 17L), (6L, 17L)).toDF("id_a", "id_b")
+    val got = Dedup.maintainClusters(oldClusters, "doc_id", newIds,
+      deltaPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      9L -> 9L, 17L -> 1L, 23L -> 23L))
+    // maintained ≡ recomputed from scratch over old + delta pairs
+    val allIds = Seq(1L, 2L, 5L, 6L, 9L, 17L, 23L).toDF("doc_id")
+    val allPairs = Seq((1L, 2L), (5L, 6L), (2L, 17L), (6L, 17L))
+      .toDF("id_a", "id_b")
+    val recomputed = Dedup.clusterKeepMin(allIds, "doc_id", allPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === recomputed)
+  }
+
+  test("minhashPairsDelta returns exactly the full pairs touching the delta") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val newIds = docs.filter(org.apache.spark.sql.functions.col("doc_id")
+      % 10 === 7).select("doc_id")
+    val delta = Dedup.minhashPairsDelta(docs, "doc_id", "text", newIds,
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", shingleK = 3,
+        numHashes = 128, bands = 32, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 10 == 7 || b % 10 == 7 }
+    assert(delta === expected)
+    assert(delta.nonEmpty, "fixture has no delta-touching pairs")
+  }
 }
