@@ -116,7 +116,7 @@ dimsum_$i AS (
            / COUNT(*) AS m
   FROM best_$i b, range(1, 65) t(d) GROUP BY b.c, t.d),
 cmean_$i AS (SELECT c, list(m ORDER BY d) AS mv FROM dimsum_$i GROUP BY c),
-cents_${i + 1} AS (
+cents_${i + 1} AS MATERIALIZED (
   SELECT o.c,
          CASE WHEN n.mv IS NULL THEN o.cv
               ELSE ${sqlNormalize("n.mv")} END AS cv
@@ -137,7 +137,7 @@ cents_${i + 1} AS (
     * AND q_kmeans_report's per-cluster diagnostics, so the index the
     * ANN path probes and the clustering the report audits can never
     * drift apart. */
-  private[queries] val sqlIvfCorpusCtes = s"""samp AS (
+  private[queries] val sqlIvfCorpusCtes = s"""samp AS MATERIALIZED (
                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS idx,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM (SELECT vec_id, embedding FROM embeddings
@@ -152,7 +152,7 @@ cents_${i + 1} AS (
                         ORDER BY ${sqlDotD("c.cv", "e.embedding")} DESC,
                                  c.c ASC) AS rn
                FROM embeddings e, cents_5 c),
-             corpus AS (
+             corpus AS MATERIALIZED (
                SELECT vec_id, embedding, list_id FROM assigned WHERE rn = 1)"""
 
   val annIvf = QueryDef(
@@ -404,6 +404,108 @@ cents_${i + 1} AS (
     (s, d) => ClusterQueries.ivfPqTopK(s, d).orderBy("query_id", "rank"))
 
 
+  /** TRUE IVFADC — residual-encoded IVF+PQ (X296, Jegou et al. 2011
+    * §III.C: the PQ codebooks quantize RESIDUALS v − centroid[cell],
+    * not raw vectors; residuals concentrate around the origin, so the
+    * same 4-bit-per-subspace budget spends its codewords on the part
+    * of the vector the coarse quantizer has not already explained —
+    * the layout FAISS's IndexIVFPQ actually ships). Compared to X292:
+    * the corpus residual is one exact element-wise zip lane off the
+    * broadcast centroid map; the ADC tables become per (query, PROBED
+    * CELL) — the query's residual changes with the cell — so qd rows
+    * carry list_id and the scoring join matches on it (nprobe × 4
+    * codes × 4 subspaces = 64 driver-literal rows per query). BOTH
+    * trainings unrolled in the oracle as before, with the PQ chain
+    * running under r-prefixed CTE names over residual slices. */
+  val annIvfAdc = QueryDef(
+    "q_ann_ivfadc",
+    Some(s"""WITH ${sqlIvfCorpusCtes},
+             corpusv AS (
+               SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS v
+               FROM embeddings),
+             corpusr AS MATERIALIZED (
+               SELECT b.vec_id,
+                      list_transform(range(1, 65),
+                        i -> b.v[i] - ce.cv[i]) AS v,
+                      cp.list_id
+               FROM corpusv b
+               JOIN corpus cp USING (vec_id)
+               JOIN cents_5 ce ON ce.c = cp.list_id),
+             ${ClusterQueries.pqSlicesSqlFor("corpusr", "r")},
+             ${ClusterQueries.pqInitsSqlFor("r")},
+             ${ClusterQueries.pqRoundsSqlFor("r")},
+             ${ClusterQueries.pqCodesSqlFor("r")},
+             rcodesw AS (
+               SELECT c0.vec_id, c0.c AS k0, c1.c AS k1, c2.c AS k2,
+                      c3.c AS k3, cp.list_id
+               FROM rcodes_0 c0
+               JOIN rcodes_1 c1 USING (vec_id)
+               JOIN rcodes_2 c2 USING (vec_id)
+               JOIN rcodes_3 c3 USING (vec_id)
+               JOIN corpus cp USING (vec_id)),
+             probed AS (
+               SELECT q.vec_id AS pqid, c.c AS list_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${sqlDotD("c.cv",
+                          "q.embedding")} DESC, c.c ASC) AS rn
+               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q,
+                    cents_5 c),
+             probes AS (SELECT pqid, list_id FROM probed WHERE rn <= 4),
+             rq AS (
+               SELECT q.vec_id AS qid, p.list_id,
+                      list_transform(range(1, 65),
+                        i -> q.v[i] - ce.cv[i]) AS rv
+               FROM corpusv q
+               JOIN probes p ON p.pqid = q.vec_id
+               JOIN cents_5 ce ON ce.c = p.list_id),
+             rqs AS MATERIALIZED (
+               SELECT qid, list_id, rv[1:16] AS rv0, rv[17:32] AS rv1,
+                      rv[33:48] AS rv2, rv[49:64] AS rv3
+               FROM rq),
+             rqd_0 AS (
+               SELECT qid, list_id, pc.c,
+                      ${ClusterQueries.dist16("pc.cv", "rv0")} AS d
+               FROM rqs, rpc_0_2 pc),
+             rqd_1 AS (
+               SELECT qid, list_id, pc.c,
+                      ${ClusterQueries.dist16("pc.cv", "rv1")} AS d
+               FROM rqs, rpc_1_2 pc),
+             rqd_2 AS (
+               SELECT qid, list_id, pc.c,
+                      ${ClusterQueries.dist16("pc.cv", "rv2")} AS d
+               FROM rqs, rpc_2_2 pc),
+             rqd_3 AS (
+               SELECT qid, list_id, pc.c,
+                      ${ClusterQueries.dist16("pc.cv", "rv3")} AS d
+               FROM rqs, rpc_3_2 pc),
+             rest AS (
+               SELECT p.pqid, w.vec_id,
+                      ((q0.d + q1.d) + q2.d) + q3.d AS adist
+               FROM rcodesw w
+               JOIN probes p ON p.list_id = w.list_id
+               JOIN rqd_0 q0 ON q0.c = w.k0 AND q0.qid = p.pqid
+                 AND q0.list_id = p.list_id
+               JOIN rqd_1 q1 ON q1.c = w.k1 AND q1.qid = p.pqid
+                 AND q1.list_id = p.list_id
+               JOIN rqd_2 q2 ON q2.c = w.k2 AND q2.qid = p.pqid
+                 AND q2.list_id = p.list_id
+               JOIN rqd_3 q3 ON q3.c = w.k3 AND q3.qid = p.pqid
+                 AND q3.list_id = p.list_id
+               WHERE w.vec_id <> p.pqid),
+             ranked AS (
+               SELECT pqid AS query_id, vec_id AS neighbor_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY pqid
+                        ORDER BY adist ASC, vec_id ASC) AS BIGINT)
+                        AS rank,
+                      adist
+               FROM rest)
+             SELECT query_id, neighbor_id, rank, adist FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""),
+    (s, d) =>
+      ClusterQueries.ivfPqResidualTopK(s, d).orderBy("query_id", "rank"))
+
   /** ANN recall@k CURVE (X291 — the tuning view X74's single @10
     * point hides: approximate-ranking quality at k = 1/5/10 on one
     * fixture, the operating curve an nprobe choice is actually made
@@ -411,7 +513,9 @@ cents_${i + 1} AS (
     * the curve shows it). Two method lanes: the IVF probe path and
     * the IVF+PQ composed path (VERDICT r14 #3 — the PQ lane prices
     * the 16x byte compression in recall on the SAME curve, so the
-    * IVF→IVFPQ decision reads off one result). All rankings are the
+    * IVF→IVFPQ decision reads off one result) and the residual IVFADC
+    * path (X296 — raw-PQ vs residual-PQ quantization loss, separable
+    * at a glance). All rankings are the
     * existing oracle-checked queries WITH their rank columns; hits at
     * each k are rank-windowed joins on the same (query, neighbor)
     * keys; recall lanes are exact-integer-fed rationals (hash raw).
@@ -421,13 +525,16 @@ cents_${i + 1} AS (
     Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
              iv AS (${annIvf.oracle.get}),
              ipq AS (${annIvfPq.oracle.get}),
+             iad AS (${annIvfAdc.oracle.get}),
              ks AS (SELECT CAST(k AS INT) AS k
                     FROM (VALUES (1), (5), (10)) t(k)),
              ap AS (
                SELECT 'ivf' AS method, query_id, neighbor_id, rank
                FROM iv
                UNION ALL
-               SELECT 'ivfpq', query_id, neighbor_id, rank FROM ipq),
+               SELECT 'ivfpq', query_id, neighbor_id, rank FROM ipq
+               UNION ALL
+               SELECT 'ivfadc', query_id, neighbor_id, rank FROM iad),
              j AS (
                SELECT a.method, b.query_id, b.rank AS trank,
                       a.rank AS arank
@@ -440,7 +547,8 @@ cents_${i + 1} AS (
                WHERE j.trank <= ks.k AND j.arank <= ks.k
                GROUP BY j.method, j.query_id, ks.k),
              base AS (SELECT DISTINCT query_id FROM bf),
-             ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfpq')) t(method)),
+             ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfadc'),
+                    ('ivfpq')) t(method)),
              grid AS (SELECT method, query_id, k
                       FROM base CROSS JOIN ks CROSS JOIN ms)
              SELECT g.method, g.query_id, g.k,
@@ -466,6 +574,9 @@ cents_${i + 1} AS (
       val ipq = ClusterQueries.ivfPqTopK(s, d, k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("arank"))
+      val iad = ClusterQueries.ivfPqResidualTopK(s, d, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("arank"))
       val ks = Seq(1, 5, 10)
       def curveOf(method: String,
           approx: org.apache.spark.sql.DataFrame) = {
@@ -486,7 +597,8 @@ cents_${i + 1} AS (
             (col("r.n").cast("double") / col("r.k").cast("double"))
               .as("recall_at_k"))
       }
-      curveOf("ivf", ivf).unionAll(curveOf("ivfpq", ipq))
+      curveOf("ivf", ivf).unionAll(curveOf("ivfadc", iad))
+        .unionAll(curveOf("ivfpq", ipq))
         .orderBy("method", "query_id", "k")
     })
 
@@ -2327,8 +2439,8 @@ $name AS (
 
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     rfm,
-    cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annRecall,
-    annRecallInt8, kmeansReport,
+    cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annIvfAdc,
+    annRecall, annRecallInt8, kmeansReport,
     semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,

@@ -196,7 +196,7 @@ cents_${i + 1} AS (
 
   // 16-dim L2 distance as the 0.0-init fold (bit-identical to the
   // Scala zip-fold; see Lloyd.sqDist)
-  private def dist16(a: String, b: String) =
+  private[queries] def dist16(a: String, b: String) =
     s"""list_reduce(list_transform(range(1, 17),
           i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
   private def dist64(a: String, b: String) =
@@ -207,22 +207,26 @@ cents_${i + 1} AS (
     * [[Lloyd.fitL2]]: first-min assignment (dist ASC, c ASC),
     * qround(6) per-dim means, NO normalization, empty codes keep
     * their centroid. */
-  private def pqIterSql(s: Int, i: Int): String = s"""
-pasg_${s}_$i AS (
+  private def pqIterSql(s: Int, i: Int): String = pqIterSqlX(s, i, "")
+
+  /** Prefix-parameterized variant — the residual (IVFADC) chain runs
+    * the SAME rounds under `r`-prefixed names over residual slices. */
+  private def pqIterSqlX(s: Int, i: Int, x: String): String = s"""
+${x}pasg_${s}_$i AS (
   SELECT e.vec_id, e.v, c.c,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
            ORDER BY ${dist16("c.cv", "e.v")} ASC, c.c ASC) AS rn
-  FROM sv_$s e, pc_${s}_$i c),
-pbest_${s}_$i AS (SELECT vec_id, v, c FROM pasg_${s}_$i WHERE rn = 1),
-pm_${s}_$i AS (
+  FROM ${x}sv_$s e, ${x}pc_${s}_$i c),
+${x}pbest_${s}_$i AS (SELECT vec_id, v, c FROM ${x}pasg_${s}_$i WHERE rn = 1),
+${x}pm_${s}_$i AS (
   SELECT c, t.d,
          FLOOR(SUM(v[t.d]) / COUNT(*) * 1000000 + 0.5) / 1000000 AS m
-  FROM pbest_${s}_$i, range(1, 17) t(d) GROUP BY c, t.d),
-pcm_${s}_$i AS (
-  SELECT c, list(m ORDER BY d) AS mv FROM pm_${s}_$i GROUP BY c),
-pc_${s}_${i + 1} AS (
+  FROM ${x}pbest_${s}_$i, range(1, 17) t(d) GROUP BY c, t.d),
+${x}pcm_${s}_$i AS (
+  SELECT c, list(m ORDER BY d) AS mv FROM ${x}pm_${s}_$i GROUP BY c),
+${x}pc_${s}_${i + 1} AS MATERIALIZED (
   SELECT o.c, COALESCE(n.mv, o.cv) AS cv
-  FROM pc_${s}_$i o LEFT JOIN pcm_${s}_$i n ON n.c = o.c)"""
+  FROM ${x}pc_${s}_$i o LEFT JOIN ${x}pcm_${s}_$i n ON n.c = o.c)"""
 
   /** Product-quantization ANN with asymmetric-distance recall eval
     * (X236 — Jégou et al. 2011: split the 64-dim space into M = 4
@@ -242,27 +246,33 @@ pc_${s}_${i + 1} AS (
   // q_pq_recall and q_ann_ivfpq (the composed index must quantize with
   // the SAME codebooks the standalone eval audits).
   private[queries] val pqSubs = 0 until 4
-  private[queries] val pqSlicesSql = pqSubs.map(s =>
-    s"""sv_$s AS (SELECT vec_id,
-              v[${16 * s + 1}:${16 * s + 16}] AS v FROM corpusv)""")
-    .mkString(",\n")
-  private[queries] val pqInitsSql = pqSubs.map(s =>
-    s"""pc_${s}_0 AS (
+  private[queries] def pqSlicesSqlFor(src: String, x: String): String =
+    pqSubs.map(s =>
+      s"""${x}sv_$s AS MATERIALIZED (SELECT vec_id,
+              v[${16 * s + 1}:${16 * s + 16}] AS v FROM $src)""")
+      .mkString(",\n")
+  private[queries] def pqInitsSqlFor(x: String): String = pqSubs.map(s =>
+    s"""${x}pc_${s}_0 AS MATERIALIZED (
              SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
                       AS INTEGER) AS c, v AS cv
-             FROM (SELECT vec_id, v FROM sv_$s
-                   ORDER BY vec_id LIMIT 4) i$s)""").mkString(",\n")
-  private[queries] val pqRoundsSql = pqSubs.flatMap(s => (0 until 2).map(i =>
-    pqIterSql(s, i))).mkString(",")
-  private[queries] val pqCodesSql = pqSubs.map(s =>
-    s"""codes_$s AS (
+             FROM (SELECT vec_id, v FROM ${x}sv_$s
+                   ORDER BY vec_id LIMIT 4) i$x$s)""").mkString(",\n")
+  private[queries] def pqRoundsSqlFor(x: String): String =
+    pqSubs.flatMap(s => (0 until 2).map(i =>
+      pqIterSqlX(s, i, x))).mkString(",")
+  private[queries] def pqCodesSqlFor(x: String): String = pqSubs.map(s =>
+    s"""${x}codes_$s AS MATERIALIZED (
              SELECT vec_id, c FROM (
                SELECT e.vec_id, c.c,
                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
                         ORDER BY ${dist16("c.cv", "e.v")} ASC, c.c ASC)
                         AS rn
-               FROM sv_$s e, pc_${s}_2 c) z$s WHERE rn = 1)""")
+               FROM ${x}sv_$s e, ${x}pc_${s}_2 c) z$x$s WHERE rn = 1)""")
     .mkString(",\n")
+  private[queries] val pqSlicesSql = pqSlicesSqlFor("corpusv", "")
+  private[queries] val pqInitsSql = pqInitsSqlFor("")
+  private[queries] val pqRoundsSql = pqRoundsSqlFor("")
+  private[queries] val pqCodesSql = pqCodesSqlFor("")
   private[queries] val pqQdsSql = pqSubs.map(s =>
     s"""qd_$s AS (
              SELECT q.vec_id AS qid, c.c, ${dist16("c.cv", "q.v")} AS d
@@ -465,6 +475,75 @@ pc_${s}_${i + 1} AS (
       .join(qd(1), col("c1") === col("k1") && qd(1)("qid") === col("pqid"))
       .join(qd(2), col("c2") === col("k2") && qd(2)("qid") === col("pqid"))
       .join(qd(3), col("c3") === col("k3") && qd(3)("qid") === col("pqid"))
+      .where(col("vec_id") =!= col("pqid"))
+      .select(col("pqid").as("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    est.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
+  /** The Spark lane of q_ann_ivfadc (X296 — TRUE IVFADC: PQ codebooks
+    * fit on RESIDUALS v − centroid[cell], Jegou et al. 2011 §III.C;
+    * residuals concentrate around the origin so the same 4-bit budget
+    * quantizes finer than raw vectors). Differences from [[ivfPqTopK]]:
+    * the PQ frame's v column is the exact element-wise residual
+    * (centroid literals ride in as a map, one zip_with), and the ADC
+    * tables are per (query, PROBED CELL) — the query's residual
+    * changes with the cell it probes, so qd rows carry list_id and the
+    * est join matches on it. */
+  private[queries] def ivfPqResidualTopK(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 10,
+      nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val index = graft.ops.Similarity.fitIvf(e, "embedding", "vec_id",
+      nlist = 16)
+    val centMap: Map[Int, Seq[Double]] = index.centroids.zipWithIndex
+      .map { case (c, i) => i -> c.toSeq }.toMap
+    val frame = e
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        index.assignExpr(col("embedding")).as("list_id"))
+      .withColumn("v", zip_with(col("v"),
+        element_at(typedLit(centMap), col("list_id")), (a, b) => a - b))
+      .localCheckpoint(true)
+    val cents = pqFit(frame) // codebooks on residuals
+    val codesw = pqCodesW(frame, cents, passthrough = Seq("list_id"))
+    val qVecs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    import s.implicits._
+    val probePairs = qVecs.flatMap { case (qid, qv) =>
+      index.probeLists(qv, nprobe).map(l => (qid, l))
+    }
+    val probes = broadcast(probePairs.toSeq.toDF("pqid", "list_id"))
+    // per-(query, probed cell) residual ADC tables: rv = qv − cell
+    // centroid, same element-wise subtraction as the corpus lane
+    val qd = pqSubs.map { sub =>
+      val rows = for {
+        (qid, l) <- probePairs.toSeq
+        rv = qVecs.collectFirst { case (q, v) if q == qid => v }.get
+          .zip(index.centroids(l)).map { case (a, b) => a - b }
+        c <- 0 until 4
+      } yield (qid, l, c,
+        pqD16(rv.slice(16 * sub, 16 * sub + 16), cents(sub)(c)))
+      broadcast(rows.toDF("qid", s"ld$sub", s"c$sub", s"d$sub"))
+    }
+    val est = codesw
+      .join(probes, Seq("list_id"))
+      .join(qd(0), col("c0") === col("k0") &&
+        qd(0)("qid") === col("pqid") && col("ld0") === col("list_id"))
+      .join(qd(1), col("c1") === col("k1") &&
+        qd(1)("qid") === col("pqid") && col("ld1") === col("list_id"))
+      .join(qd(2), col("c2") === col("k2") &&
+        qd(2)("qid") === col("pqid") && col("ld2") === col("list_id"))
+      .join(qd(3), col("c3") === col("k3") &&
+        qd(3)("qid") === col("pqid") && col("ld3") === col("list_id"))
       .where(col("vec_id") =!= col("pqid"))
       .select(col("pqid").as("query_id"),
         col("vec_id").as("neighbor_id"),

@@ -1742,9 +1742,76 @@ object StatsQueries {
         .orderBy("comparison")
     })
 
+  /** AMS F2 sketch — the second frequency moment Σf² by random ±1
+    * signs (X297, Alon–Matias–Szegedy 1996: E[(Σ_k sign(k)·f_k)²] =
+    * F2, the self-join-size / skew estimator that costs ONE counter
+    * per estimator instead of one per key; the moment sibling of
+    * X148's count-min point estimates and X75's HLL F0). Sixteen
+    * estimators, signs from the portable salted-md5 parity (the X286-
+    * audited uniformity device), each S_j an exact integer fold over
+    * the DISTINCT-KEY table — frequencies aggregate once, the 16-way
+    * fan-out touches users, never events. Emits per-estimator rows
+    * (the spread IS the method's variance story) next to the exact F2
+    * and the mean-of-16 estimate; every lane is exact integers until
+    * two IEEE divides (÷16.0 exact, one rel-err divide). At 100 TB:
+    * one keyed aggregate + a 16-row reduce — sketch state is 16 longs
+    * regardless of stream size. */
+  val amsF2 = QueryDef(
+    "q_ams_f2",
+    Some("""WITH f AS (
+              SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS f
+              FROM events GROUP BY user_id),
+            js AS (SELECT CAST(j.range AS INT) AS j FROM range(0, 16) j),
+            sg AS (
+              SELECT j, f,
+                     (CAST('0x' || substring(md5('ams' ||
+                        CAST(j AS VARCHAR) || ':' ||
+                        CAST(u AS VARCHAR)), 1, 8) AS BIGINT) % 2)
+                       * 2 - 1 AS sgn
+              FROM f CROSS JOIN js),
+            sj AS (
+              SELECT j, CAST(SUM(sgn * f) AS BIGINT) AS s_j
+              FROM sg GROUP BY j),
+            ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2 FROM f),
+            mn AS (
+              SELECT CAST(SUM(s_j * s_j) AS DOUBLE) / 16.0 AS m FROM sj)
+            SELECT sj.j, sj.s_j,
+                   CAST(sj.s_j * sj.s_j AS BIGINT) AS est_j,
+                   ex.f2 AS f2_exact,
+                   mn.m AS f2_est_mean,
+                   CAST(sj.s_j * sj.s_j - ex.f2 AS DOUBLE) /
+                     CAST(ex.f2 AS DOUBLE) AS rel_err_j
+            FROM sj, ex, mn ORDER BY sj.j"""),
+    (s, d) => {
+      val f = Tables.events(s, d)
+        .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("f"))
+      def sgn(j: Int): Column =
+        (conv(substring(md5(concat(lit(s"ams$j:"),
+          col("u").cast("string"))), 1, 8), 16, 10).cast("long") % 2) *
+          lit(2L) - lit(1L)
+      val sums = (0 until 16).map(j =>
+        sum(sgn(j) * col("f")).as(s"s$j"))
+      val agg = f.agg(sums.head,
+        (sums.tail :+ sum(col("f") * col("f")).as("f2")): _*)
+      val meanExpr = (0 until 16).map(j => col(s"s$j") * col(s"s$j"))
+        .reduce(_ + _).cast("double") / 16.0
+      agg.select(
+          explode(array((0 until 16).map(j => struct(lit(j).as("j"),
+            col(s"s$j").as("s_j"))): _*)).as("r"),
+          col("f2"), meanExpr.as("m"))
+        .select(col("r.j").as("j"), col("r.s_j").as("s_j"),
+          (col("r.s_j") * col("r.s_j")).as("est_j"),
+          col("f2").as("f2_exact"),
+          col("m").as("f2_est_mean"),
+          ((col("r.s_j") * col("r.s_j") - col("f2")).cast("double") /
+            col("f2").cast("double")).as("rel_err_j"))
+        .orderBy("j")
+    })
+
   val all: Seq[QueryDef] = Seq(jsDivergence, cramersV, olsTrend,
     energyDrift,
     lexicalDiversity, cusumChange, maseEval, theilSen, sourceOverlap,
     conformal, jackknife, ipfRake, ebShrink, woeIv, quantileReg,
-    wassersteinDrift, emMixture, anova, partialCorr, simpsonScreen)
+    wassersteinDrift, emMixture, anova, partialCorr, simpsonScreen,
+    amsF2)
 }

@@ -81,4 +81,27 @@ class IvfPqSpec extends SparkSuite {
       assert(ad.zip(ad.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("residual IVFADC: same candidate geometry as raw-PQ, " +
+      "different (residual) scores") {
+    // the coarse quantizer alone decides candidates — PQ variant only
+    // changes SCORING, so at k = corpus size both rankings cover the
+    // identical (query, neighbor) candidate set
+    val raw = ClusterQueries.ivfPqTopK(spark, Sf0001, k = 1000000)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = ClusterQueries.ivfPqResidualTopK(spark, Sf0001,
+        k = 1000000)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw === res)
+    // and the scores genuinely differ (residual codebooks re-center
+    // each cell): the two top-10 rankings must not be identical
+    val rawTop = ClusterQueries.ivfPqTopK(spark, Sf0001, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val resTop = ClusterQueries.ivfPqResidualTopK(spark, Sf0001, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    assert(rawTop.toSet !== resTop.toSet,
+      "residual encoding produced the identical ranking — suspicious")
+  }
 }
