@@ -602,6 +602,164 @@ cents_${i + 1} AS MATERIALIZED (
         .orderBy("method", "query_id", "k")
     })
 
+  /** IVF nprobe OPERATING CURVE (X298 — the knob the X291 k-curve
+    * holds fixed: recall@10 at nprobe = 1/2/4/8 on one fixture; the
+    * cost axis is exact — candidate volume ∝ probed-cell occupancy
+    * (IvfPqSpec's pinned identity), so this table IS the
+    * recall-vs-scan-fraction tradeoff an index deployment tunes, read
+    * off one result set the way datasketch tunes banding off the X74
+    * s-curve). ONE shared training + ONE probe ranking (rn over all
+    * 16 cells); each lane filters rn ≤ n, rescores exactly within its
+    * cells and ranks — composition of the oracle-checked q_ann_ivf
+    * device at four cutoffs, denominator = per-query truth depth (the
+    * X74 honest-denominator discipline). */
+  val annNprobeCurve = QueryDef(
+    "q_ann_nprobe_curve",
+    Some(s"""WITH bf AS (${SimilarityQueries.annBruteForce.oracle.get}),
+             $sqlIvfCorpusCtes,
+             proben AS (
+               SELECT q.vec_id AS query_id, c.c AS list_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${sqlDotD("c.cv",
+                          "q.embedding")} DESC, c.c ASC) AS rn
+               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q,
+                    cents_5 c),
+             scored_1 AS (
+               SELECT p.query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosineD("q.embedding", "c.embedding")} AS cosine
+               FROM (SELECT query_id, list_id FROM proben
+                     WHERE rn <= 1) p
+               JOIN corpus c ON c.list_id = p.list_id
+               JOIN embeddings q ON q.vec_id = p.query_id
+               WHERE c.vec_id <> p.query_id),
+             top_1 AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                 FROM scored_1) z1 WHERE rnk <= 10),
+             h_1 AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN top_1 a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id),
+             scored_2 AS (
+               SELECT p.query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosineD("q.embedding", "c.embedding")} AS cosine
+               FROM (SELECT query_id, list_id FROM proben
+                     WHERE rn <= 2) p
+               JOIN corpus c ON c.list_id = p.list_id
+               JOIN embeddings q ON q.vec_id = p.query_id
+               WHERE c.vec_id <> p.query_id),
+             top_2 AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                 FROM scored_2) z2 WHERE rnk <= 10),
+             h_2 AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN top_2 a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id),
+             scored_4 AS (
+               SELECT p.query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosineD("q.embedding", "c.embedding")} AS cosine
+               FROM (SELECT query_id, list_id FROM proben
+                     WHERE rn <= 4) p
+               JOIN corpus c ON c.list_id = p.list_id
+               JOIN embeddings q ON q.vec_id = p.query_id
+               WHERE c.vec_id <> p.query_id),
+             top_4 AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                 FROM scored_4) z4 WHERE rnk <= 10),
+             h_4 AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN top_4 a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id),
+             scored_8 AS (
+               SELECT p.query_id, c.vec_id AS neighbor_id,
+                      ${sqlCosineD("q.embedding", "c.embedding")} AS cosine
+               FROM (SELECT query_id, list_id FROM proben
+                     WHERE rn <= 8) p
+               JOIN corpus c ON c.list_id = p.list_id
+               JOIN embeddings q ON q.vec_id = p.query_id
+               WHERE c.vec_id <> p.query_id),
+             top_8 AS (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                 FROM scored_8) z8 WHERE rnk <= 10),
+             h_8 AS (
+               SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM bf b JOIN top_8 a ON a.query_id = b.query_id
+                 AND a.neighbor_id = b.neighbor_id
+               GROUP BY b.query_id),
+             qs AS (SELECT vec_id AS query_id FROM embeddings
+                    WHERE vec_id < 5),
+             tc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM bf GROUP BY query_id)
+             SELECT * FROM (
+             SELECT CAST(1 AS INT) AS nprobe, qs.query_id,
+                    COALESCE(h_1.n, 0) AS n_hits,
+                    CAST(COALESCE(h_1.n, 0) AS DOUBLE)
+                      / CAST(tc.d AS DOUBLE) AS recall
+             FROM qs JOIN tc USING (query_id)
+             LEFT JOIN h_1 USING (query_id)
+             UNION ALL
+             SELECT CAST(2 AS INT) AS nprobe, qs.query_id,
+                    COALESCE(h_2.n, 0) AS n_hits,
+                    CAST(COALESCE(h_2.n, 0) AS DOUBLE)
+                      / CAST(tc.d AS DOUBLE) AS recall
+             FROM qs JOIN tc USING (query_id)
+             LEFT JOIN h_2 USING (query_id)
+             UNION ALL
+             SELECT CAST(4 AS INT) AS nprobe, qs.query_id,
+                    COALESCE(h_4.n, 0) AS n_hits,
+                    CAST(COALESCE(h_4.n, 0) AS DOUBLE)
+                      / CAST(tc.d AS DOUBLE) AS recall
+             FROM qs JOIN tc USING (query_id)
+             LEFT JOIN h_4 USING (query_id)
+             UNION ALL
+             SELECT CAST(8 AS INT) AS nprobe, qs.query_id,
+                    COALESCE(h_8.n, 0) AS n_hits,
+                    CAST(COALESCE(h_8.n, 0) AS DOUBLE)
+                      / CAST(tc.d AS DOUBLE) AS recall
+             FROM qs JOIN tc USING (query_id)
+             LEFT JOIN h_8 USING (query_id)) u
+             ORDER BY nprobe, query_id"""),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, q,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val truthCounts = truth.groupBy("query_id")
+        .agg(count(lit(1)).as("d"))
+      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      def laneOf(n: Int) = {
+        val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+            "vec_id", "embedding", k = 10, index, nprobe = n)
+          .select("query_id", "neighbor_id")
+        val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+        q.select(col("vec_id").as("query_id"))
+          .join(truthCounts, Seq("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(n).as("nprobe"), col("query_id"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            (coalesce(col("n"), lit(0L)).cast("double") /
+              col("d").cast("double")).as("recall"))
+      }
+      Seq(1, 2, 4, 8).map(laneOf).reduce(_.unionAll(_))
+        .orderBy("nprobe", "query_id")
+    })
+
   /** Quantization-loss recall (X159 — the X74 eval discipline applied
     * to the int8 scan path: int8TopK reads 4× fewer vector bytes, and
     * THIS row is the price tag — recall@10 of the quantized ranking
@@ -2440,7 +2598,7 @@ $name AS (
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     rfm,
     cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annIvfAdc,
-    annRecall, annRecallInt8, kmeansReport,
+    annRecall, annNprobeCurve, annRecallInt8, kmeansReport,
     semanticDedup,
     multimodalFeatures,
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,

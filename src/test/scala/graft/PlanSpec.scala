@@ -239,6 +239,9 @@ class PlanSpec extends SparkSuite {
       "q_ann_recall_binary",
       // X291 recall@k curve inherits the brute-force ground truth
       "q_ann_recall_curve",
+      // X298 nprobe curve: same inherited brute-force ground truth;
+      // the four IVF lanes it grades stay hash-join-only
+      "q_ann_nprobe_curve",
       // X247 Matryoshka eval: all four lanes are declared exact
       // brute-force scans by contract (truncation-recall ground truth)
       "q_matryoshka")
