@@ -82,10 +82,15 @@ object Bench {
     // and only redundant confirmations of already-stable rows are
     // dropped.
     val fastMs = 300L
+    // Per-query measurement record. `single` is an EXPLICIT flag set
+    // only by the fast-path exemption (ADVICE r15: inferring it from
+    // best == other conflated genuine single runs with best-of-2 rows
+    // whose two attempts tied to the millisecond).
+    case class R(name: String, best: Long, other: Long, ok: Boolean,
+        single: Boolean)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        prevBest: Option[Long] = None):
-        (String, Long, Long, Boolean) = {
+        prevBest: Option[Long] = None): R = {
       def timed(): (Long, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case e: Throwable =>
@@ -95,13 +100,14 @@ object Bench {
         ((System.nanoTime() - t0) / 1000000L, ok)
       }
       val (ms1, ok1) = timed()
-      if (!ok1) (name, ms1, ms1, false)
+      if (!ok1) R(name, ms1, ms1, ok = false, single = true)
       else prevBest match {
         case Some(pb) if pb < fastMs && ms1 <= 2L * pb =>
-          (name, ms1, ms1, true) // fast + stable: single run suffices
+          R(name, ms1, ms1, ok = true, single = true) // fast + stable
         case _ =>
           val (ms2, ok2) = timed()
-          (name, math.min(ms1, ms2), math.max(ms1, ms2), ok2)
+          R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
+            single = false)
       }
     }
     // Noise index (VERDICT r11 #6): the same fixed reference query
@@ -111,7 +117,7 @@ object Bench {
     // round-over-round comparator divides it out instead of re-timing
     // by hand. Emitted as the three times plus max/min ratio.
     val refFn = SparkEntry.queries("q1_agg")
-    def refTime(): Long = timeOne("q1_agg(ref)", refFn)._2
+    def refTime(): Long = timeOne("q1_agg(ref)", refFn).best
     // Previous committed per-query bests (same-sf only) — read BEFORE
     // this run overwrites bench_full.json. Feeds both the fast-query
     // single-run exemption (timeOne) and the self-healing re-time.
@@ -140,7 +146,7 @@ object Bench {
     val resultsB = secondHalf.map { case (n, f) =>
       timeOne(n, f, prevBestMs.get(n)) }
     val noiseEnd = refTime()
-    val resultsRaw: Seq[(String, Long, Long, Boolean)] = resultsA ++ resultsB
+    val resultsRaw: Seq[R] = resultsA ++ resultsB
     // Self-healing re-time (VERDICT r13 "what's wrong"): best-of-2 on a
     // noisy box still manufactured five phantom >2x "regressions" in
     // r13 (all disproved by judge re-timing). Any query whose best-of-2
@@ -153,25 +159,31 @@ object Bench {
     // before the extra attempts.
     val retimed = scala.collection.mutable.ArrayBuffer[String]()
     val retimedPre = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val results: Seq[(String, Long, Long, Boolean)] = resultsRaw.map {
-      case r @ (n, best, other, ok) =>
-        prevBestMs.get(n) match {
-          case Some(pb) if ok && pb > 0 && best > 2L * pb =>
-            retimed += n
-            retimedPre(n) = best
-            val (_, b2, o2, ok2) = timeOne(n, SparkEntry.queries(n))
-            if (ok2 && b2 < best) (n, b2, math.min(best, o2), ok) else r
+    val results: Seq[R] = resultsRaw.map { r =>
+        prevBestMs.get(r.name) match {
+          case Some(pb) if r.ok && pb > 0 && r.best > 2L * pb =>
+            retimed += r.name
+            retimedPre(r.name) = r.best
+            val r2 = timeOne(r.name, SparkEntry.queries(r.name))
+            if (r2.ok && r2.best < r.best)
+              r.copy(best = r2.best, other = math.min(r.best, r2.other),
+                single = false)
+            else r
           case _ => r
         }
     }
     // Post-retime noise probe (ADVICE r14): the retime pass runs after
     // noiseEnd, so without this fourth probe the noise index would not
-    // bracket the retimed measurements.
-    val noiseFinal = if (retimed.nonEmpty) refTime() else noiseEnd
-    val noise = Seq(noiseStart, noiseMid, noiseEnd, noiseFinal)
+    // bracket the retimed measurements. When nothing was retimed the
+    // fourth probe is OMITTED (ADVICE r15: duplicating noiseEnd made a
+    // copied third probe indistinguishable from a real fourth one) —
+    // noise_ref carries 3 entries on a retime-free run, 4 otherwise.
+    val noise =
+      if (retimed.nonEmpty) Seq(noiseStart, noiseMid, noiseEnd, refTime())
+      else Seq(noiseStart, noiseMid, noiseEnd)
     val noiseIndex =
       noise.max.toDouble / math.max(1L, noise.min).toDouble
-    val failed = results.collect { case (n, _, _, false) => n }
+    val failed = results.collect { case r if !r.ok => r.name }
     // Times are kept as integral milliseconds so per-query values,
     // omitted_sec, and the total agree EXACTLY in decimal (no
     // round-the-parts-vs-round-the-sum drift), and formatting is
@@ -179,7 +191,7 @@ object Bench {
     // break the driver's JSON parse).
     def fmt(ms: Long): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(ms / 1000.0))
-    val totalMs = results.map(_._2).sum
+    val totalMs = results.map(_.best).sum
     def jsonLine(entries: Seq[(String, Long)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -191,9 +203,9 @@ object Bench {
     // parsed:null, as in rounds 1-3). The path is resolved against an
     // explicit dir (env override) and logged absolute, so a changed JVM
     // CWD can't orphan the file the stdout line points at.
-    val byTime = results.map(t => (t._1, t._2)).sortBy(-_._2)
-    val spread = results.sortBy(t => -t._3).map { case (n, best, other, _) =>
-      "\"" + n + "\":[" + fmt(best) + "," + fmt(other) + "]"
+    val byTime = results.map(r => (r.name, r.best)).sortBy(-_._2)
+    val spread = results.sortBy(r => -r.other).map { r =>
+      "\"" + r.name + "\":[" + fmt(r.best) + "," + fmt(r.other) + "]"
     }.mkString(""","spread":{""", ",", "}")
     // IO-bound queries (VERDICT r11 #5): these pay a real disk write
     // per run BY DESIGN (the write path must stay on the bench) and
@@ -201,16 +213,17 @@ object Bench {
     // separates compute-plan time from disk noise.
     val ioQueries =
       Seq("q_bucketed_join", "q_shard_write", "q_shard_manifest",
-        "q_schema_evolution")
-        .filter(n => results.exists(_._1 == n))
-    val ioMs = results.filter(r => ioQueries.contains(r._1)).map(_._2).sum
+        "q_schema_evolution", "q_txn_commit", "q_ann_index_build",
+        "q_ann_index_query")
+        .filter(n => results.exists(_.name == n))
+    val ioMs = results.filter(r => ioQueries.contains(r.name)).map(_.best).sum
     val meta =
       s""","io_queries":${ioQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","io_sec":${fmt(ioMs)},"compute_sec":${fmt(totalMs - ioMs)}""" +
       s""","retimed":${retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","retimed_pre":${retimedPre.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}""" +
-      s""","single_run":${results.count { case (_, b, o, _) => b == o }}""" +
+      s""","single_run":${results.count(_.single)}""" +
       s""","noise_ref":[${noise.map(fmt).mkString(",")}]""" +
       s""","noise_index":${String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(noiseIndex))}"""

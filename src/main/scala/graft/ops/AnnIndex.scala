@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index artifacts behind the atomic manifest commit
+  * (X300 — VERDICT r15 #1: production ANN serves from a BUILT index;
+  * training happens once, at build time, and the query path reads
+  * ONLY committed artifacts). Composes the X292 IVF-PQ layout with
+  * the X299 multi-table transaction: one commit atomically publishes
+  *
+  *  - `centroids`  — the 16 IVF coarse centroids (c, cv),
+  *  - `codebooks`  — the 4×4 PQ subspace codebooks (sub, c, cv),
+  *  - `codes`      — the coded corpus (vec_id, list_id, k0..k3),
+  *
+  * so a reader can never score codes against codebooks from a
+  * different build (the torn-index hazard a file-level layout has).
+  *
+  * Training is byte-identical to the inline X292 path: the SAME
+  * [[Similarity.fitIvf]] (deterministic 2048-row sample, 5 spherical
+  * Lloyd rounds) and the SAME per-subspace [[Lloyd.fitL2]] (k = 4,
+  * 2 rounds) — AnnIndexSpec pins build-once rankings ≡ train-inline
+  * rankings, and the q_ann_index_* oracles replay both trainings in
+  * SQL (predicting the committed artifacts from first principles).
+  *
+  * Scale shape: `codes` is the only corpus-sized artifact — 4 code
+  * bytes + a list id per vector (the FAISS billion-vector budget);
+  * centroids/codebooks are driver-metadata-sized. Serving scans
+  * nprobe/nlist of `codes` via a broadcast probe join and never
+  * touches raw vectors. At 100 TB the build is one assignment scan +
+  * one coded write; incremental corpus growth appends coded rows
+  * under a fresh commit of the same transaction. */
+object AnnIndex {
+
+  /** The table set one index commit publishes. */
+  val tableNames: Seq[String] = Seq("centroids", "codebooks", "codes")
+
+  final val Nlist = 16
+  final val Subs = 4 // M subspaces × 16 dims; k = 4 codes each
+
+  /** Train IVF + PQ on `emb` (vec_id, embedding) and atomically
+    * commit the three artifact tables under `dir`. Superseded commits
+    * are GC'd (single-use commit ids, the X293 ADVICE discipline). */
+  def build(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    val index = Similarity.fitIvf(emb, "embedding", "vec_id",
+      nlist = Nlist)
+    val frame = emb
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        index.assignExpr(col("embedding")).as("list_id"))
+      .localCheckpoint(true) // read by 4 subspace fits + the encode
+    val books = (0 until Subs).map { sub =>
+      Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16), "vec_id",
+        k = 4, dim = 16, iters = 2)
+    }
+    val codes = frame.select(
+      col("vec_id") +: col("list_id") +:
+        (0 until Subs).map(sub => Lloyd.assignL2(
+          slice(col("v"), 16 * sub + 1, 16), books(sub))
+          .as(s"k$sub")): _*)
+    import s.implicits._
+    val centroidsDf = index.centroids.zipWithIndex
+      .map { case (cv, c) => (c, cv.toSeq) }.toSeq.toDF("c", "cv")
+    val codebooksDf = (for {
+      sub <- 0 until Subs
+      c <- 0 until 4
+    } yield (sub, c, books(sub)(c).toSeq)).toDF("sub", "c", "cv")
+    Shard.writeTablesAtomic(
+      Seq("centroids" -> centroidsDf, "codebooks" -> codebooksDf,
+        "codes" -> codes), dir, Shard.newCommitId())
+    Shard.gcOldCommits(s, dir)
+  }
+
+  /** Build only if `dir` has no committed index (the serve path's
+    * build-once guard — a second call is a no-op, AnnIndexSpec pins
+    * it). */
+  def ensureBuilt(emb: DataFrame, dir: String): Unit = {
+    if (!Shard.hasCommittedTables(emb.sparkSession, dir, tableNames))
+      build(emb, dir)
+  }
+
+  /** The committed driver-side artifacts: centroids ordered by c,
+    * codebooks ordered by (sub, c) — both bounded metadata (16 + 16
+    * rows); `codes` stays a DataFrame (corpus-sized). */
+  final case class Loaded(centroids: Array[Array[Double]],
+      codebooks: IndexedSeq[Array[Array[Double]]], codes: DataFrame)
+
+  def load(s: SparkSession, dir: String): Loaded = {
+    val cents = Shard.readTableViaManifest(s, dir, "centroids")
+      .orderBy("c").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(cents.length == Nlist, s"index at $dir: ${cents.length} centroids")
+    val books = Shard.readTableViaManifest(s, dir, "codebooks")
+      .orderBy("sub", "c").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray)
+    require(books.length == Subs && books.forall(_.length == 4),
+      s"index at $dir: malformed codebooks")
+    Loaded(cents, books,
+      Shard.readTableViaManifest(s, dir, "codes"))
+  }
+
+  /** [[Lloyd.sqDist]]'s pinned 0.0-init accumulation over one 16-dim
+    * subspace slice (the ADC table lane). */
+  private def d16(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < 16) {
+      val t = a(off + i) - b(i); acc = acc + t * t; i += 1
+    }
+    acc
+  }
+
+  /** Serve top-k for driver-side query vectors FROM THE COMMITTED
+    * ARTIFACTS ONLY — zero training: probes and ADC tables are
+    * computed from the loaded centroids/codebooks, candidates come
+    * from the probe equi-join on `codes`, scoring is 4 code-table
+    * equi-joins (the X292 plan, with the frame swapped for the
+    * manifest-read table). */
+  def topK(loaded: Loaded, queries: Seq[(Long, Array[Double])],
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val s = loaded.codes.sparkSession
+    import s.implicits._
+    val ivf = Similarity.IvfIndex(loaded.centroids)
+    val probes = broadcast(queries.flatMap { case (qid, qv) =>
+      ivf.probeLists(qv, nprobe).map(l => (qid, l))
+    }.toDF("pqid", "list_id"))
+    val qd = (0 until Subs).map { sub =>
+      val rows = for {
+        (qid, qv) <- queries
+        c <- 0 until 4
+      } yield (qid, c, d16(qv, 16 * sub, loaded.codebooks(sub)(c)))
+      broadcast(rows.toDF("qid", s"c$sub", s"d$sub"))
+    }
+    val est = loaded.codes
+      .join(probes, Seq("list_id"))
+      .join(qd(0), col("c0") === col("k0") && qd(0)("qid") === col("pqid"))
+      .join(qd(1), col("c1") === col("k1") && qd(1)("qid") === col("pqid"))
+      .join(qd(2), col("c2") === col("k2") && qd(2)("qid") === col("pqid"))
+      .join(qd(3), col("c3") === col("k3") && qd(3)("qid") === col("pqid"))
+      .where(col("vec_id") =!= col("pqid"))
+      .select(col("pqid").as("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    est.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+}

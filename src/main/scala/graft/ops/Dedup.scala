@@ -197,7 +197,18 @@ object Dedup {
     * AND delta-vs-delta pairs; verification is the same exact-Jaccard
     * gate as [[minhashPairs]], so the returned set equals the full
     * recompute's pairs restricted to pairs touching the delta
-    * (identical banding ⇒ identical candidates per pair). */
+    * (identical banding ⇒ identical candidates per pair).
+    *
+    * Cap precondition (ADVICE r15): the "delta pairs ≡ full-recompute
+    * pairs restricted to the delta" identity holds VERBATIM only when
+    * both lanes see identical candidate sets. `capBuckets` keeps the
+    * lowest-id `bucketCap` members PER LANE'S OWN banded frame — here
+    * the full corpus; a comparison lane that bands only the old docs
+    * can keep a near-cap bucket this lane truncates. Equivalence
+    * proofs (q_incremental_clusters) therefore pass
+    * bucketCap = Int.MaxValue on every lane; production callers keep
+    * the cap (a truncated mega-bucket loses candidates identically in
+    * maintained and recomputed runs only if both band the same frame). */
   def minhashPairsDelta(df: DataFrame, idCol: String, textCol: String,
       deltaIds: DataFrame, shingleK: Int = 3, numHashes: Int = 128,
       bands: Int = 0, threshold: Double = 0.7,

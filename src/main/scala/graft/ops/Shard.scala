@@ -76,6 +76,15 @@ object Shard {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val dataPath = new Path(s"$dir/data/$commitId")
     val fs = dataPath.getFileSystem(conf)
+    // Commit ids are SINGLE-USE (ADVICE r15): re-writing an existing
+    // commit prefix under mode-overwrite would delete files the
+    // currently-committed manifest may still reference — a reader in
+    // that window would see exactly the torn half-table the protocol
+    // promises is impossible. Callers that re-run (bench best-of-2,
+    // selfcheck) take a fresh [[newCommitId]] per invocation and GC.
+    require(!fs.exists(dataPath),
+      s"commit '$commitId' already exists under $dir — commit ids are " +
+        "single-use; pass Shard.newCommitId() per invocation")
     assign(df, keyCol, n, salt)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"),
@@ -106,6 +115,36 @@ object Shard {
     val fc = FileContext.getFileContext(tmp.toUri, conf)
     fc.rename(tmp, new Path(s"$dir/manifest.json"),
       Options.Rename.OVERWRITE)
+  }
+
+  private val commitCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A process-unique, monotonic commit id — JVM pid + nanotime +
+    * counter, so concurrent sessions sharing an output dir and
+    * repeated invocations in one session (bench best-of-2) never
+    * collide with an existing commit prefix. */
+  def newCommitId(): String =
+    s"c${ProcessHandle.current().pid()}-${System.nanoTime().toHexString}" +
+      s"-${commitCounter.incrementAndGet()}"
+
+  /** Delete commit prefixes under `dir/data/` that the CURRENT
+    * committed manifest does not reference (abandoned or superseded
+    * commits). Safe by the protocol's own invariant: readers resolve
+    * exclusively through the manifest, and the manifest swap is
+    * atomic, so any unreferenced prefix is invisible already. Keeping
+    * old commits is the time-travel default; GC is the bounded-disk
+    * opt-in a repeated writer (bench reruns) calls after its swap. */
+  def gcOldCommits(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(s"$dir/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataDir)) {
+      val (live, _) = readManifest(spark, dir)
+      fs.listStatus(dataDir)
+        .filter(st => st.isDirectory && st.getPath.getName != live)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   /** The current committed manifest of `dir` as (commitId, entries) —
@@ -139,6 +178,126 @@ object Shard {
     require(entries.nonEmpty, s"manifest at $dir names no files")
     spark.read.option("basePath", s"$dir/data/$commit")
       .parquet(entries.map { case (p, _) => s"$dir/$p" }: _*)
+  }
+
+  /** Multi-table atomic commit (X299 — the two-table TRANSACTION a
+    * curation pipeline needs when a corpus and its audit sidecar must
+    * agree: documents + dedup verdicts, codes + codebooks, committed
+    * by ONE manifest swap so readers see either BOTH new tables or
+    * BOTH old ones, never a new corpus with stale verdicts). Extends
+    * [[writeShardedAtomic]]'s protocol from one table to a table SET:
+    *
+    *  1. every table's files land under
+    *     `dir/data/<commitId>/<table>/…` — each table keeps whatever
+    *     layout its writer produced (partitioned, sharded, single
+    *     file): the manifest is file-granular, so any layout commits
+    *     atomically;
+    *  2. ONE manifest naming every (table, path, bytes) triple is
+    *     fsynced to a dot-temp name;
+    *  3. the manifest atomically renames over `dir/manifest.json`.
+    *
+    * A crash after table 1's files but before table 2's (or before
+    * the swap) leaves only unreferenced files — [[readTableViaManifest]]
+    * still resolves the PREVIOUS commit's consistent pair. Commit ids
+    * are single-use exactly as in [[writeShardedAtomic]]. At 100 TB
+    * the manifest stays O(total files) metadata and readers never
+    * list the data directory. */
+  def writeTablesAtomic(tables: Seq[(String, DataFrame)], dir: String,
+      commitId: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    require(tables.nonEmpty, "writeTablesAtomic: no tables")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "writeTablesAtomic: duplicate table names")
+    val spark = tables.head._2.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new Path(s"$dir/data/$commitId")
+    val fs = dataPath.getFileSystem(conf)
+    require(!fs.exists(dataPath),
+      s"commit '$commitId' already exists under $dir — commit ids are " +
+        "single-use; pass Shard.newCommitId() per invocation")
+    tables.foreach { case (name, df) =>
+      df.write.parquet(s"$dataPath/$name")
+    }
+    // enumerate committed files per table; sorted (table, path) keeps
+    // the manifest bytes deterministic for a given file layout
+    val files = tables.flatMap { case (name, _) =>
+      val tPath = new Path(s"$dataPath/$name")
+      val it = fs.listFiles(tPath, true)
+      val buf = Seq.newBuilder[(String, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rel = st.getPath.toString
+            .stripPrefix(fs.makeQualified(new Path(dir)).toString)
+            .stripPrefix("/")
+          buf += ((name, rel, st.getLen))
+        }
+      }
+      buf.result()
+    }.sortBy(e => (e._1, e._2))
+    val manifest = files.map { case (t, p, len) =>
+      s"""{"table":"$t","path":"$p","bytes":$len}"""
+    }.mkString(
+      s"""{"commit":"$commitId","tables":[${tables.map(t =>
+        "\"" + t._1 + "\"").mkString(",")}],"files":[""", ",", "]}")
+    val tmp = new Path(s"$dir/.manifest.json.$commitId.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(manifest.getBytes("UTF-8"))
+      out.hsync() // durable BEFORE it becomes visible
+    } finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(tmp, new Path(s"$dir/manifest.json"),
+      Options.Rename.OVERWRITE)
+  }
+
+  /** The current committed multi-table manifest of `dir` as
+    * (commitId, entries) — entries are (table, relative path). */
+  def readTablesManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Seq[(String, String)]) = {
+    import org.apache.hadoop.fs.Path
+    val mPath = new Path(s"$dir/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(mPath).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(mPath)
+    try in.readFully(0, buf) finally in.close()
+    val txt = new String(buf, "UTF-8")
+    val commit = """"commit":"([^"]+)"""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(sys.error(s"malformed manifest at $mPath"))
+    val entries = """\{"table":"([^"]+)","path":"([^"]+)"""".r
+      .findAllMatchIn(txt)
+      .map(m => (m.group(1), m.group(2))).toSeq
+    (commit, entries)
+  }
+
+  /** Read ONE table of the committed transaction — exclusively the
+    * files the manifest names for it (the atomicity contract: a table
+    * whose sibling's write crashed is invisible because the manifest
+    * swap never happened). */
+  def readTableViaManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): DataFrame = {
+    val (_, entries) = readTablesManifest(spark, dir)
+    val paths = entries.collect { case (t, p) if t == table => s"$dir/$p" }
+    require(paths.nonEmpty,
+      s"manifest at $dir names no files for table '$table'")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** True iff `dir` carries a committed manifest naming every table in
+    * `tables` — the build-once guard a serve-path calls before
+    * deciding whether to (re)build. */
+  def hasCommittedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Seq[String]): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val mPath = new Path(s"$dir/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(mPath) && {
+      val (_, entries) = readTablesManifest(spark, dir)
+      val present = entries.map(_._1).toSet
+      tables.forall(present.contains)
+    }
   }
 
   /** Deterministic epoch shuffle (X257 — the global training-order

@@ -2595,6 +2595,104 @@ $name AS (
         .orderBy("custkey")
     })
 
+  // -------------------------------------- X300 persisted ANN index
+
+  /** One index directory per (JVM, sf dir): concurrent sessions never
+    * collide, and build/query queries in one run share the artifacts. */
+  private def annIndexDir(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_index_${ProcessHandle.current().pid()}_$key").getPath
+  }
+
+  /** ANN index BUILD as a committed artifact set (X300 — VERDICT r15
+    * #1: [[graft.ops.AnnIndex.build]] trains the X292 IVF+PQ layout
+    * and publishes centroids + codebooks + coded corpus through ONE
+    * X299 manifest swap). The result is the index's occupancy audit
+    * computed ONLY from artifacts READ BACK THROUGH THE MANIFEST —
+    * per IVF list: member count, code-byte checksum (Σ k0..k3 over
+    * members, tying every committed code to the predicted PQ fit),
+    * and the committed centroid's first component (tying the
+    * centroids table to the predicted IVF fit). The oracle replays
+    * BOTH trainings from first principles (shared sqlIvfCorpusCtes +
+    * pq*Sql fragments — the same index q_ann_ivf probes and the same
+    * codebooks q_pq_recall audits) and predicts the artifact stats;
+    * a file missing from the manifest, a code from a stale build, or
+    * a drifted centroid all break the hash. Empty lists emit n = 0
+    * (full list universe). */
+  val annIndexBuild = QueryDef(
+    "q_ann_index_build",
+    Some(s"""WITH ${sqlIvfCorpusCtes},
+             corpusv AS (
+               SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS v
+               FROM embeddings),
+             ${ClusterQueries.pqSlicesSql},
+             ${ClusterQueries.pqInitsSql},
+             ${ClusterQueries.pqRoundsSql},
+             ${ClusterQueries.pqCodesSql},
+             occ AS (
+               SELECT cp.list_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                      CAST(SUM(j0.c + j1.c + j2.c + j3.c) AS BIGINT)
+                        AS sum_codes
+               FROM codes_0 j0
+               JOIN codes_1 j1 USING (vec_id)
+               JOIN codes_2 j2 USING (vec_id)
+               JOIN codes_3 j3 USING (vec_id)
+               JOIN corpus cp USING (vec_id)
+               GROUP BY cp.list_id)
+             SELECT ct.c AS list_id,
+                    COALESCE(o.n_vecs, 0) AS n_vecs,
+                    COALESCE(o.sum_codes, 0) AS sum_codes,
+                    ct.cv[1] AS c1
+             FROM cents_5 ct LEFT JOIN occ o ON o.list_id = ct.c
+             ORDER BY list_id"""),
+    (s, d) => {
+      val dir = annIndexDir(d)
+      graft.ops.AnnIndex.build(Tables.embeddings(s, d), dir)
+      val codes = graft.ops.Shard.readTableViaManifest(s, dir, "codes")
+      val cents = graft.ops.Shard.readTableViaManifest(s, dir, "centroids")
+      val occ = codes.groupBy("list_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("k0") + col("k1") + col("k2") + col("k3"))
+            .cast("long").as("sum_codes"))
+      cents.select(col("c").as("list_id"),
+          element_at(col("cv"), 1).as("c1"))
+        .join(occ, Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          coalesce(col("sum_codes"), lit(0L)).as("sum_codes"),
+          col("c1"))
+        .orderBy("list_id")
+    })
+
+  /** ANN index QUERY — serve-only top-k (X300's second half: training
+    * happens ZERO times here; [[graft.ops.AnnIndex.topK]] answers
+    * from the committed centroids/codebooks/codes exclusively, via
+    * the manifest — the build-once/serve-many contract, with
+    * build-once ≡ train-inline rankings pinned by AnnIndexSpec and a
+    * torn index write proven invisible there). ensureBuilt is the
+    * serve path's only build trigger (absent manifest → one build);
+    * the oracle is VERBATIM q_ann_ivfpq's — the served ranking must
+    * equal the inline-trained ranking bit for bit, adist included. */
+  val annIndexQuery = QueryDef(
+    "q_ann_index_query",
+    annIvfPq.oracle,
+    (s, d) => {
+      val dir = annIndexDir(d)
+      val emb = Tables.embeddings(s, d)
+      graft.ops.AnnIndex.ensureBuilt(emb, dir)
+      val loaded = graft.ops.AnnIndex.load(s, dir)
+      val qRows = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.ops.AnnIndex.topK(loaded, qRows, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     rfm,
     cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annIvfAdc,
@@ -2605,5 +2703,6 @@ $name AS (
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
     approxDistinct, annRecallBinary, annRecallCurve, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
-    imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline)
+    imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline,
+    annIndexBuild, annIndexQuery)
 }

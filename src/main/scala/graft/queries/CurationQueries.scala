@@ -1284,8 +1284,11 @@ object CurationQueries {
     * (or extra in) the manifest breaks the hash; the oracle replays
     * the content-keyed assignment from `documents` directly — the
     * manifest stats replayed from first principles. Output lands
-    * under java.io.tmpdir at a fixed path (mode overwrite: bounded
-    * disk across bench's best-of-2 reruns). */
+    * under a pid-scoped java.io.tmpdir path with a FRESH commit id
+    * per invocation (ADVICE r15: commit ids are single-use — reusing
+    * one would overwrite files the live manifest still references);
+    * superseded commits are GC'd after each swap, so disk stays
+    * bounded across bench's best-of-2 reruns. */
   val shardManifest = QueryDef(
     "q_shard_manifest",
     Some("""WITH s AS (
@@ -1302,11 +1305,13 @@ object CurationQueries {
             FROM s GROUP BY shard ORDER BY shard"""),
     (s, d) => {
       val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_shard_manifest")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_shard_manifest_${ProcessHandle.current().pid()}")
         .getPath
       graft.ops.Shard.writeShardedAtomic(
-        Tables.documents(s, d), "doc_id", 8, dir, commitId = "c0",
-        salt = "manifest:")
+        Tables.documents(s, d), "doc_id", 8, dir,
+        commitId = graft.ops.Shard.newCommitId(), salt = "manifest:")
+      graft.ops.Shard.gcOldCommits(s, dir)
       graft.ops.Shard.readViaManifest(s, dir)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"),

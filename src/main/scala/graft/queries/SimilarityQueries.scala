@@ -1057,21 +1057,29 @@ ORDER BY id_a, id_b"""
       val docs = Tables.documents(s, d).localCheckpoint(true)
       val oldDocs = docs.filter(col("doc_id") % 10 =!= 7)
       val newDocs = docs.filter(col("doc_id") % 10 === 7)
-      // the clustering a previous build persisted
+      // the clustering a previous build persisted. All three lanes
+      // run UNCAPPED (ADVICE r15: capBuckets keeps the lowest-id cap
+      // members per lane's own banded frame, so a bucket near the cap
+      // could be kept in the old-only lane and truncated in the
+      // full-corpus lanes, breaking the per-row equality verdict once
+      // occupancy crosses the cap — the equivalence proof must feed
+      // both closures identical candidate sets)
       val oldPairs = Dedup.minhashPairs(oldDocs, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
+        bucketCap = Int.MaxValue)
       val oldClusters = Dedup.clusterKeepMin(oldDocs.select("doc_id"),
         "doc_id", oldPairs)
       // refresh: new docs probe the existing index; affected
       // components re-close over the contracted delta graph
       val deltaPairs = Dedup.minhashPairsDelta(docs, "doc_id", "text",
         newDocs.select("doc_id"), shingleK = 3, numHashes = 128,
-        bands = 32, threshold = 0.9)
+        bands = 32, threshold = 0.9, bucketCap = Int.MaxValue)
       val maintained = Dedup.maintainClusters(oldClusters, "doc_id",
         newDocs.select("doc_id"), deltaPairs)
       // the from-scratch lane the maintained one must equal
       val fullPairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9)
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
+        bucketCap = Int.MaxValue)
       val recomputed = Dedup.clusterKeepMin(docs.select("doc_id"),
         "doc_id", fullPairs)
       maintained.select(col("doc_id"),

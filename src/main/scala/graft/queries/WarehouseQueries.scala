@@ -1482,9 +1482,68 @@ object WarehouseQueries {
         .orderBy("st", "rf")
     })
 
+  /** Two-table atomic transaction (X299 — VERDICT r15 #5, extending
+    * X293's single-manifest commit to a TABLE SET: the corpus and its
+    * dedup-verdict sidecar land under one commit prefix and become
+    * visible through ONE manifest swap, so a reader never joins a new
+    * corpus against stale verdicts — the cross-table consistency a
+    * curation pipeline needs when corpus and audit must agree;
+    * TxnSpec proves a crash between the two table writes leaves
+    * readers on the old consistent pair). The `docs` table is the
+    * corpus projection; `verdicts` is the exact-dup audit (canonical
+    * = MIN doc_id per identical text, the q_dedup_exact rule). The
+    * result is computed ONLY from the two tables read back through
+    * the manifest — per source: corpus size, kept count, kept chars —
+    * so a file missing from either table, or a verdict row from a
+    * different commit than its doc row, breaks the hash. The oracle
+    * replays both tables from first principles. Fresh single-use
+    * commit id per invocation + GC (the X293 ADVICE discipline). */
+  val txnCommit = QueryDef(
+    "q_txn_commit",
+    Some("""WITH v AS (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+              FROM documents)
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN v.canonical_id = d.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN v.canonical_id = d.doc_id
+                            THEN d.n_chars ELSE 0 END) AS BIGINT)
+                     AS kept_chars
+            FROM documents d JOIN v USING (doc_id)
+            GROUP BY d.source ORDER BY d.source"""),
+    (s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_txn_commit_${ProcessHandle.current().pid()}").getPath
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select("doc_id", "source", "n_chars")
+      // fixed-width grouping key (the Dedup.exact md5 discipline —
+      // text never crosses the verdict shuffle)
+      val verdicts = docs
+        .select(col("doc_id"),
+          min("doc_id").over(Window.partitionBy(md5(col("text"))))
+            .as("canonical_id"))
+      graft.ops.Shard.writeTablesAtomic(
+        Seq("docs" -> corpus, "verdicts" -> verdicts), dir,
+        commitId = graft.ops.Shard.newCommitId())
+      graft.ops.Shard.gcOldCommits(s, dir)
+      val dBack = graft.ops.Shard.readTableViaManifest(s, dir, "docs")
+      val vBack = graft.ops.Shard.readTableViaManifest(s, dir, "verdicts")
+      dBack.join(vBack, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("canonical_id") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("canonical_id") === col("doc_id"), col("n_chars"))
+            .otherwise(0L)).cast("long").as("kept_chars"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] = Seq(scd2Build, scd2Pit, hllDistinct,
     streamHll, mergeUpsert, unpivotMelt, cumulativeDistinct,
     rangePartitionPlan, forgetAudit, hierarchyRollup, hllAlgebra,
     dataContract, ivmAgg, streamHllWindow, ivmJoin, streamScd2,
-    timeTravel, ivmHll)
+    timeTravel, ivmHll, txnCommit)
 }

@@ -106,6 +106,24 @@ class ShardSpec extends SparkSuite {
       val (commit, entries) = Shard.readManifest(spark, dir)
       assert(commit === "c2")
       assert(entries.forall(_._1.startsWith("data/c2/")))
+
+      // COMMIT-ID REUSE is refused (ADVICE r15): overwriting data/c2
+      // would delete files manifest.json still references — the torn
+      // half-table the protocol documents as impossible
+      val ex = intercept[IllegalArgumentException] {
+        Shard.writeShardedAtomic(docs, "doc_id", 8, dir, commitId = "c2")
+      }
+      assert(ex.getMessage.contains("single-use"))
+      assert(readIds() === expectedAll, "refused commit must not disturb")
+      // newCommitId is unique per invocation; GC drops superseded and
+      // abandoned prefixes but never the live commit
+      val c3 = Shard.newCommitId()
+      assert(c3 !== Shard.newCommitId())
+      Shard.writeShardedAtomic(oldDocs, "doc_id", 8, dir, commitId = c3)
+      Shard.gcOldCommits(spark, dir)
+      val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+      assert(dataDirs.toSet === Set(c3), s"GC left: ${dataDirs.toSeq}")
+      assert(readIds() === expectedOld)
     } finally {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))
