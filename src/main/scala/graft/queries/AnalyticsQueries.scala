@@ -513,9 +513,14 @@ cents_${i + 1} AS MATERIALIZED (
     * the curve shows it). Two method lanes: the IVF probe path and
     * the IVF+PQ composed path (VERDICT r14 #3 — the PQ lane prices
     * the 16x byte compression in recall on the SAME curve, so the
-    * IVF→IVFPQ decision reads off one result) and the residual IVFADC
+    * IVF→IVFPQ decision reads off one result), the residual IVFADC
     * path (X296 — raw-PQ vs residual-PQ quantization loss, separable
-    * at a glance). All rankings are the
+    * at a glance), and the full-scan raw-PQ and OPQ lanes (X301 —
+    * VERDICT r15 #3: the variance-balanced allocation's measured
+    * effect at the same byte budget; on this measured-isotropic
+    * corpus the honest expected delta is ≈ 0, see
+    * [[ClusterQueries.opqOrder]] — the curve REPORTS it rather than
+    * assuming a gain). All rankings are the
     * existing oracle-checked queries WITH their rank columns; hits at
     * each k are rank-windowed joins on the same (query, neighbor)
     * keys; recall lanes are exact-integer-fed rationals (hash raw).
@@ -526,6 +531,8 @@ cents_${i + 1} AS MATERIALIZED (
              iv AS (${annIvf.oracle.get}),
              ipq AS (${annIvfPq.oracle.get}),
              iad AS (${annIvfAdc.oracle.get}),
+             pqx AS (${ClusterQueries.pqRankSql}),
+             opqx AS (${ClusterQueries.opqRankSql}),
              ks AS (SELECT CAST(k AS INT) AS k
                     FROM (VALUES (1), (5), (10)) t(k)),
              ap AS (
@@ -534,7 +541,11 @@ cents_${i + 1} AS MATERIALIZED (
                UNION ALL
                SELECT 'ivfpq', query_id, neighbor_id, rank FROM ipq
                UNION ALL
-               SELECT 'ivfadc', query_id, neighbor_id, rank FROM iad),
+               SELECT 'ivfadc', query_id, neighbor_id, rank FROM iad
+               UNION ALL
+               SELECT 'pq', query_id, neighbor_id, rank FROM pqx
+               UNION ALL
+               SELECT 'opq', query_id, neighbor_id, rank FROM opqx),
              j AS (
                SELECT a.method, b.query_id, b.rank AS trank,
                       a.rank AS arank
@@ -548,7 +559,7 @@ cents_${i + 1} AS MATERIALIZED (
                GROUP BY j.method, j.query_id, ks.k),
              base AS (SELECT DISTINCT query_id FROM bf),
              ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfadc'),
-                    ('ivfpq')) t(method)),
+                    ('ivfpq'), ('opq'), ('pq')) t(method)),
              grid AS (SELECT method, query_id, k
                       FROM base CROSS JOIN ks CROSS JOIN ms)
              SELECT g.method, g.query_id, g.k,
@@ -577,6 +588,12 @@ cents_${i + 1} AS MATERIALIZED (
       val iad = ClusterQueries.ivfPqResidualTopK(s, d, k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("arank"))
+      val pqx = ClusterQueries.pqTopK(s, d, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("arank"))
+      val opqx = ClusterQueries.opqTopK(s, d, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("arank"))
       val ks = Seq(1, 5, 10)
       def curveOf(method: String,
           approx: org.apache.spark.sql.DataFrame) = {
@@ -599,6 +616,8 @@ cents_${i + 1} AS MATERIALIZED (
       }
       curveOf("ivf", ivf).unionAll(curveOf("ivfadc", iad))
         .unionAll(curveOf("ivfpq", ipq))
+        .unionAll(curveOf("pq", pqx))
+        .unionAll(curveOf("opq", opqx))
         .orderBy("method", "query_id", "k")
     })
 

@@ -922,5 +922,5 @@ cents_$r AS MATERIALIZED (
     })
 
   val all: Seq[QueryDef] = Seq(kmeansLloyd, coverageSelect, pqRecall,
-    kcenter)
+    kcenter, annOpq)
 }
