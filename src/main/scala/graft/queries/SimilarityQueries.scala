@@ -1090,6 +1090,107 @@ ORDER BY id_a, id_b"""
         .orderBy("doc_id")
     })
 
+  /** STREAMING incremental near-dup cluster maintenance (X302 —
+    * VERDICT r15 #6, the streaming twin of X295 in the X15/X43
+    * discipline: the corpus ARRIVES — the old 90% in microbatch 0,
+    * the refresh's docs in microbatch 1 (two AvailableNow runs over a
+    * drop-folder sharing one checkpoint, the scheduled-catch-up
+    * pattern — the checkpoint guarantees batch 0's file is never
+    * reprocessed) — and EVERY batch runs the X295 maintenance inside
+    * `foreachBatch`: new docs probe the LSH index over the
+    * accumulated corpus ([[Dedup.minhashPairsDelta]], delta-sided
+    * candidates only), old components contract to supernodes, and
+    * only delta-touched components re-close
+    * ([[Dedup.maintainClusters]]). Batch 0 is the same code path
+    * against EMPTY state (identity supernodes — maintenance IS the
+    * initial build, no special case). State across batches is the
+    * fixed-width (doc_id, canonical_id) mapping plus the seen corpus,
+    * localCheckpoint'ed per batch — at production scale both persist
+    * to storage and per-batch cost is the delta probe + a contracted
+    * closure, never a re-banded world. The query emits the
+    * stream-maintained canonicals next to a from-scratch batch
+    * recompute with a per-row equality verdict; the oracle is the
+    * X295 contracted-closure chain VERBATIM (same split, same
+    * algebra — the stream replay must land on the identical
+    * clustering), with the equivalence lanes uncapped as in X295. */
+  val streamIncrementalDedup = QueryDef(
+    "q_stream_incremental_dedup",
+    incrementalClusters.oracle.map(_
+      .replace("canon_inc", "canon_stream")
+      .replace("canon_full", "canon_batch")),
+    (s, d) => {
+      val docs = Tables.documents(s, d).localCheckpoint(true)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-incdedup")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      // stage a batch as ONE flat parquet file in the drop-folder
+      // (the file stream source lists one level)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val part = tmp.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(part.toString)
+        val f = java.nio.file.Files.list(part).iterator()
+        var staged = false
+        while (f.hasNext) {
+          val p = f.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.createSymbolicLink(
+              srcDir.resolve(s"$name.parquet"), p)
+            staged = true
+          }
+        }
+        require(staged, s"stage: no parquet part for $name")
+      }
+      var seen: Option[org.apache.spark.sql.DataFrame] = None
+      var clusters: org.apache.spark.sql.DataFrame = docs
+        .select(col("doc_id"), col("doc_id").as("canonical_id")).limit(0)
+        .localCheckpoint(true)
+      def maintain(batch: org.apache.spark.sql.DataFrame,
+          batchId: Long): Unit = {
+        val b = batch.select("doc_id", "text").localCheckpoint(true)
+        if (b.head(1).nonEmpty) {
+          val all = seen.map(_.unionAll(b)).getOrElse(b)
+            .localCheckpoint(true)
+          val newIds = b.select("doc_id")
+          val deltaPairs = Dedup.minhashPairsDelta(all, "doc_id",
+            "text", newIds, shingleK = 3, numHashes = 128, bands = 32,
+            threshold = 0.9, bucketCap = Int.MaxValue)
+          clusters = Dedup.maintainClusters(clusters, "doc_id",
+            newIds, deltaPairs).localCheckpoint(true)
+          seen = Some(all)
+        }
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema(graft.streaming.EventStream.documentSchema)
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch(maintain _)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // arrival 1: the old corpus; arrival 2: the refresh
+      stage(docs.filter(col("doc_id") % 10 =!= 7), "b0")
+      runOnce()
+      stage(docs.filter(col("doc_id") % 10 === 7), "b1")
+      runOnce()
+      // from-scratch lane the stream-maintained one must equal
+      val fullPairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
+        bucketCap = Int.MaxValue)
+      val recomputed = Dedup.clusterKeepMin(docs.select("doc_id"),
+        "doc_id", fullPairs)
+      clusters.select(col("doc_id"),
+          col("canonical_id").as("canon_stream"))
+        .join(recomputed.select(col("doc_id"),
+          col("canonical_id").as("canon_batch")), Seq("doc_id"))
+        .withColumn("consistent",
+          col("canon_stream") === col("canon_batch"))
+        .orderBy("doc_id")
+    })
+
   /** The composed dedup pipeline end to end: LSH pairs → connected
     * components → keepCanonical → the SURVIVING corpus (one
     * representative per near-dup cluster, everything else untouched).
@@ -2425,7 +2526,7 @@ ORDER BY id_a, id_b"""
     dupEmbeddingExact, dupEmbeddingLsh,
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters,
-    incrementalClusters, dedupKeep,
+    incrementalClusters, streamIncrementalDedup, dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
