@@ -852,8 +852,10 @@ object Stress {
     // time ratio. The 100× question the brief asks, answered one
     // decade at a time: a ≲12× ratio at 10× data is the linear-ish
     // scaling the plans claim; anything super-linear gets a plan note.
-    if (enabled("sf1-scale-probe")) {
-      val sf01 = "/root/testdata/sf0.1"
+    val sf01 = "/root/testdata/sf0.1"
+    // synthesize (once) and return the 10×-sf0.1 directory — shared by
+    // the full probe below and the focused als-retime probe
+    def ensureSf1(): String = {
       val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       val copies = 10
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sf1))) {
@@ -918,6 +920,11 @@ object Stress {
           shiftUnit(spark.read.parquet(s"$sf01/embeddings.parquet"),
             "vec_id")))
       }
+      sf1
+    }
+
+    if (enabled("sf1-scale-probe")) {
+      val sf1 = ensureSf1()
       // the CURRENT top-10 heaviest from bench_full.json (VERDICT r14
       // #2 — the probe set must track the FINAL committed bench:
       // r14's late entrants q_scaling_probe / q_dedup_containment /
@@ -951,6 +958,31 @@ object Stress {
         val b = best2(q, sf1)
         println(f"$q%-22s $a%8.2f $b%8.2f ${b / a}%7.2f")
       }
+    }
+
+    // ---- focused q_als 10× retime (VERDICT r15 #2) ----
+    // `sbt "runMain graft.tools.Stress als-retime"`: the r15 sf1 table
+    // read q_als at 8.99× on a contended lane (sf0.1 ran 1.6× faster
+    // and sf1 1.5× slower than r13's probe of identical code). This
+    // probe times ONLY the q_als pair, solo on the box, best-of-3 per
+    // lane, and prints all raw attempts so lane luck is visible.
+    if (enabled("als-retime")) {
+      val sf1 = ensureSf1()
+      def runs(name: String, dir: String, n: Int): Seq[Double] =
+        (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+      graft.SparkEntry.queries("q1_agg")(spark, sf01)
+        .write.format("noop").mode("overwrite").save() // warmup
+      val a = runs("q_als", sf01, 3)
+      val b = runs("q_als", sf1, 3)
+      println(f"[als-retime] sf0.1 attempts: ${a.map(x => f"$x%.2f").mkString(", ")}")
+      println(f"[als-retime] sf1   attempts: ${b.map(x => f"$x%.2f").mkString(", ")}")
+      println(f"[als-retime] best ratio: ${b.min / a.min}%.2f " +
+        f"(${a.min}%.2f s -> ${b.min}%.2f s)")
     }
 
     spark.stop()
