@@ -8,12 +8,35 @@ import org.apache.spark.sql.SparkSession
   * showed the naive version lied on this container):
   *  - sorted-name execution order + noop-sink full evaluation;
   *  - two warmup runs before the first timed query;
-  *  - best-of-2 per query, EXCEPT fast+stable rows: a query whose
-  *    committed best is under 0.3 s and whose first attempt lands
-  *    within 2x of it records that single run — the confirmation run
-  *    is only evidence against noise, and these rows have already
-  *    proven stable, so dropping it buys back ~45% of the wall clock
-  *    at equal query coverage (VERDICT r14 #8);
+  *  - best-of-2 per query, EXCEPT fast+stable rows, in two tiers
+  *    (VERDICT r14 #8, widened per r15 #7's ≤20-min wall target):
+  *    a query whose committed figure is under 0.3 s and whose first
+  *    attempt lands within 2x of it records that single run; a query
+  *    whose committed figure is under 1.5 s and whose first attempt
+  *    lands within 1.5x of it likewise runs once (the tighter band
+  *    is the evidence trade: a bigger row gets the exemption only
+  *    when the single run already CONFIRMS the committed figure).
+  *    The confirmation run is only evidence against noise; with
+  *    median-of-3 committed figures (below) a first attempt at
+  *    ≤1.5x the committed MEDIAN is stronger evidence of stability
+  *    than a second sample. Wall math on the r15 baseline: rows
+  *    under 1.5 s carry ~287 s of second-run time, vs ~14 s under
+  *    the 0.3 s tier alone — the delta is what moves the gate from
+  *    23.3 min toward the ≤20 min target as the surface grows. A
+  *    genuine regression on an exempted row still gets confirmed:
+  *    >1.5x lands outside the band (best-of-2 resumes), >2x also
+  *    triggers the end-of-session re-time pair;
+  *  - baseline-commit mode (SPARK_GRAFT_BENCH_PROTOCOL=median3,
+  *    VERDICT r15 #4): rows whose first attempt lands under 3 s run
+  *    THREE attempts and commit the MEDIAN (not the best) — the
+  *    committed figure is then a typical-run value, so a later
+  *    driver best-of-2 rarely beats it by luck and never trails it
+  *    2x by luck, ending the committed-best-of-one-lucky-run phantom
+  *    regressions r14/r15 chased. Rows ≥3 s keep best-of-2 (their
+  *    relative noise is small; a third run costs real wall). In this
+  *    mode the fast-path exemption and the re-time pass are OFF
+  *    (this run IS the new reference; no prior figure applies), and
+  *    the JSON carries "protocol":"median3" vs "gate";
   *  - self-healing re-time: any row at >2x its committed best gets a
   *    third-attempt pair at session end, disclosed via "retimed" +
   *    "retimed_pre" (the pre-retime figure);
@@ -82,6 +105,13 @@ object Bench {
     // and only redundant confirmations of already-stable rows are
     // dropped.
     val fastMs = 300L
+    val stableMs = 1500L
+    val median3Ms = 3000L
+    // median3: baseline-commit protocol — see the scaladoc. Gate runs
+    // (the driver) never set this; it is used only when recommitting
+    // bench_full.json as the round's reference figures.
+    val median3 = sys.env.get("SPARK_GRAFT_BENCH_PROTOCOL")
+      .contains("median3")
     // Per-query measurement record. `single` is an EXPLICIT flag set
     // only by the fast-path exemption (ADVICE r15: inferring it from
     // best == other conflated genuine single runs with best-of-2 rows
@@ -101,9 +131,22 @@ object Bench {
       }
       val (ms1, ok1) = timed()
       if (!ok1) R(name, ms1, ms1, ok = false, single = true)
+      else if (median3 && ms1 < median3Ms) {
+        // baseline mode, sub-3s row: commit the MEDIAN of 3 attempts
+        val (ms2, ok2) = timed()
+        val (ms3, ok3) = timed()
+        val sorted = Seq(ms1, ms2, ms3).sorted
+        R(name, sorted(1), sorted(2), ok2 && ok3, single = false)
+      }
       else prevBest match {
+        case _ if median3 => // baseline mode, ≥3s row: best-of-2
+          val (ms2, ok2) = timed()
+          R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
+            single = false)
         case Some(pb) if pb < fastMs && ms1 <= 2L * pb =>
           R(name, ms1, ms1, ok = true, single = true) // fast + stable
+        case Some(pb) if pb < stableMs && 2L * ms1 <= 3L * pb =>
+          R(name, ms1, ms1, ok = true, single = true) // ≤1.5x confirm
         case _ =>
           val (ms2, ok2) = timed()
           R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
@@ -161,7 +204,7 @@ object Bench {
     val retimedPre = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results: Seq[R] = resultsRaw.map { r =>
         prevBestMs.get(r.name) match {
-          case Some(pb) if r.ok && pb > 0 && r.best > 2L * pb =>
+          case Some(pb) if !median3 && r.ok && pb > 0 && r.best > 2L * pb =>
             retimed += r.name
             retimedPre(r.name) = r.best
             val r2 = timeOne(r.name, SparkEntry.queries(r.name))
@@ -224,6 +267,7 @@ object Bench {
       s""","retimed_pre":${retimedPre.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}""" +
       s""","single_run":${results.count(_.single)}""" +
+      s""","protocol":"${if (median3) "median3" else "gate"}"""" +
       s""","noise_ref":[${noise.map(fmt).mkString(",")}]""" +
       s""","noise_index":${String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(noiseIndex))}"""

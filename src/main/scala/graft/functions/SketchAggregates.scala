@@ -250,6 +250,123 @@ case class HllRegisters(child: Expression,
     copy(child = c)
 }
 
+/** `bottom_k_pairs(struct(h, v), k)`: the (h, v) pairs with the k
+  * smallest DISTINCT int64 hashes per group, ascending by h — the
+  * VALUE-CARRYING form of [[BottomK]]: where KMV keeps only the hash
+  * frontier (enough for distinct counts), this keeps each sampled
+  * key's payload, turning the bottom-k frontier into a uniform
+  * without-replacement SAMPLE of the distinct-key population
+  * (bottom-k sampling, Cohen & Kaplan 2007) from which order
+  * statistics — quantiles — can be read off directly.
+  *
+  * Determinism contract: the sketch is a pure function of the input
+  * SET. Rows sharing a hash (the same key seen twice, possibly with
+  * different payloads across retries) collapse to the MINIMUM v, so
+  * update/merge order cannot leak into the result and a SQL oracle
+  * replays the sample exactly (GROUP BY h, MIN(v), rank by h ≤ k).
+  *
+  * Scale design: state is a bounded TreeMap (≤ k (long, double)
+  * entries ≈ 16k bytes); partial aggregation runs map-side, and merge
+  * is the same keep-min/trim fold — one mergeable operator serves
+  * batch rollups AND streaming complete-mode aggregation. */
+case class BottomKPairs(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  private val pairType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b))
+        if a.dataType == LongType && b.dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bottom_k_pairs needs STRUCT<BIGINT, DOUBLE>, got ${t.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(pairType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_pairs"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+  private def trim(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Unit =
+    while (buf.size > k) buf.pollLastEntry()
+
+  private def offer(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      h: Long, v: Double): Unit = {
+    if (buf.size < k || h <= buf.lastKey()) {
+      val prev = buf.get(h)
+      if (prev == null || v < prev) buf.put(h, v)
+      trim(buf)
+    }
+  }
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val s = child.eval(input)
+    if (s != null) {
+      val row = s.asInstanceOf[InternalRow]
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        offer(buf, row.getLong(0), row.getDouble(1))
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      b2: java.util.TreeMap[java.lang.Long, java.lang.Double]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      offer(b1, e.getKey, e.getValue)
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.getKey.longValue(), e.getValue.doubleValue())
+      i += 1
+    }
+    new GenericArrayData(out) // TreeMap iterates ascending by h
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size * 16)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey)
+      bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.put(bb.getLong, bb.getDouble)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): BottomKPairs =
+    copy(child = c)
+}
+
 object SketchFunctions {
 
   /** HLL register vector (length 256, ints) of a 48-bit hash column. */
@@ -261,6 +378,12 @@ object SketchFunctions {
   def bottomK(e: Column, k: Int): Column =
     ColumnBridge.column(
       BottomK(ColumnBridge.expression(e), k).toAggregateExpression())
+
+  /** Bottom-k-by-hash (h, v) sample pairs of a struct<h:long, v:double>
+    * column, ascending by h; hash collisions keep the minimum v. */
+  def bottomKPairs(e: Column, k: Int): Column =
+    ColumnBridge.column(
+      BottomKPairs(ColumnBridge.expression(e), k).toAggregateExpression())
 
   /** Count-Min sketch from per-row cell indices (length-`depth`
     * array<long>, each in [0, width)); returns the flat d·w counter

@@ -2055,6 +2055,97 @@ cents_${i + 1} AS MATERIALIZED (
         .orderBy(col("n_exact").desc, col("user_id"))
     })
 
+  /** Count-Sketch frequency estimation (X304 — Charikar, Chen &
+    * Farach-Colton 2002, the SIGNED linear sketch completing the
+    * frequency-sketch trio next to count-min's one-sided minimum
+    * (X148) and AMS F2's moment estimate (X297): each of d=5 rows
+    * hashes the key to one of w cells AND to a ±1 sign, the cell
+    * accumulates sign-weighted counts, and the point estimate is the
+    * MEDIAN over rows of sign·cell — unbiased per row (colliding keys
+    * cancel in expectation instead of stacking), so the error is
+    * two-sided, unlike CMS's deterministic overestimate. Being linear,
+    * the sketch merges by element-wise ADD across corpora, streams,
+    * and even deletions (turnstile model) — the property CMS shares
+    * but AMS-style inner-product estimation additionally needs.
+    * Spark-first shape: the d×w signed-counter matrix IS a relational
+    * table — one keyed (row, cell) aggregate over a fixed d-way
+    * fan-out of 8-byte pairs, map-side combined; the probe is a d-way
+    * cell join + an exact odd-count median (sorted-array middle
+    * element — integer, no interpolation, replayed verbatim in SQL).
+    * Hash rows and signs are md5-derived, so the whole matrix and
+    * every estimate replay cross-engine bit-for-bit; `err` keeps its
+    * SIGN to exhibit the two-sided contract the spec asserts against
+    * CMS's one-sided one. */
+  val countSketch = QueryDef(
+    "q_count_sketch", {
+      val width = 128
+      def hSql(j: Int, u: String) =
+        s"CAST('0x' || substring(md5('cs$j:' || CAST($u AS VARCHAR)), " +
+          s"1, 8) AS BIGINT) % $width"
+      def sSql(j: Int, u: String) =
+        s"(1 - 2 * (CAST('0x' || substring(md5('css$j:' " +
+          s"|| CAST($u AS VARCHAR)), 1, 1) AS BIGINT) % 2))"
+      val rows = (0 until 5)
+      Some(s"""WITH ev AS (SELECT user_id AS u FROM events),
+              cells AS (
+                ${rows.map(j =>
+                  s"""SELECT $j AS j, ${hSql(j, "u")} AS cell,
+                         CAST(SUM(${sSql(j, "u")}) AS BIGINT) AS c
+                     FROM ev GROUP BY 2""").mkString("\n UNION ALL\n")}),
+              exact AS (
+                SELECT u, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM ev GROUP BY u),
+              top20 AS (
+                SELECT u, n_exact FROM exact
+                ORDER BY n_exact DESC, u LIMIT 20),
+              probes AS (
+                ${rows.map(j =>
+                  s"SELECT u, n_exact, $j AS j, ${hSql(j, "u")} AS cell, " +
+                    s"CAST(${sSql(j, "u")} AS BIGINT) AS sgn FROM top20")
+                  .mkString("\n UNION ALL\n")}),
+              est AS (
+                SELECT p.u, p.n_exact,
+                       (list_sort(list(p.sgn * cells.c)))[3] AS n_est
+                FROM probes p
+                JOIN cells ON cells.j = p.j AND cells.cell = p.cell
+                GROUP BY 1, 2)
+              SELECT u AS user_id, n_exact,
+                     CAST(n_est AS BIGINT) AS n_est,
+                     CAST(n_est AS BIGINT) - n_exact AS err
+              FROM est ORDER BY n_exact DESC, user_id""")
+    },
+    (s, d) => {
+      val width = 128
+      def h(j: Int, u: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"cs$j:"), u.cast("string"))),
+          1, 8), 16, 10).cast("long") % width
+      def sgn(j: Int, u: org.apache.spark.sql.Column) =
+        lit(1L) - lit(2L) * (conv(substring(md5(concat(lit(s"css$j:"),
+          u.cast("string"))), 1, 1), 16, 10).cast("long") % 2)
+      val ev = Tables.events(s, d).select(col("user_id").as("u"))
+      val cells = ev.select(explode(array((0 until 5).map(j =>
+          struct(lit(j).as("j"), h(j, col("u")).as("cell"),
+            sgn(j, col("u")).as("sgn"))): _*)).as("x"))
+        .groupBy(col("x.j").as("j"), col("x.cell").as("cell"))
+        .agg(sum(col("x.sgn")).as("c"))
+      val top20 = ev.groupBy("u").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("u")).limit(20)
+      val probes = top20.select(col("u"), col("n_exact"),
+          explode(array((0 until 5).map(j =>
+            struct(lit(j).as("j"), h(j, col("u")).as("cell"),
+              sgn(j, col("u")).as("sgn"))): _*)).as("x"))
+        .select(col("u"), col("n_exact"), col("x.j").as("j"),
+          col("x.cell").as("cell"), col("x.sgn").as("sgn"))
+      probes.join(cells, Seq("j", "cell"))
+        .groupBy("u", "n_exact")
+        .agg(element_at(sort_array(collect_list(col("sgn") * col("c"))), 3)
+          .as("n_est"))
+        .select(col("u").as("user_id"), col("n_exact"),
+          col("n_est").cast("long").as("n_est"),
+          (col("n_est").cast("long") - col("n_exact")).as("err"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    })
+
   /** Frequent item-pair association rules (X157 — Agrawal & Srikant
     * 1994's Apriori at level 2, the market-basket support/confidence/
     * lift readout): baskets = orders, items = parts. The Apriori
@@ -2721,7 +2812,7 @@ $name AS (
     multimodalFeaturesLossy, multimodalVideo, videoFrameSample,
     multimodalStats, multimodalAudio, multimodalPng, multimodalJpeg,
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
-    approxDistinct, annRecallBinary, annRecallCurve, kmvDistinct, countminFreq, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
+    approxDistinct, annRecallBinary, annRecallCurve, kmvDistinct, countminFreq, countSketch, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline,
     annIndexBuild, annIndexQuery)
 }

@@ -2144,6 +2144,103 @@ object CurationQueries {
         (col("l_sensitive") >= 2).as("meets_l2"))
       .orderBy("nation", "segment"))
 
+  /** Online data mixing by multiplicative weights (X306 — Hedge:
+    * Freund & Schapire 1997 / Littlestone & Warmuth 1994's weighted
+    * majority, the full-information core that EXP3 importance-weights
+    * for the bandit case, framed as Albalak et al. 2023's online data
+    * mixing: re-weight training domains ROUND BY ROUND from observed
+    * batch quality instead of fixing the X96/X171 static mixture up
+    * front). Arms = document sources; rounds = T=8 md5-bucketed
+    * corpus batches standing in for arrival order; reward r(a,t) =
+    * the arm's mean quality in that batch (length-saturating score,
+    * qrounded so the order-dependent AVG can't drift cross-engine);
+    * w(a) = Π_t (1 + η·r(a,t)) with η=0.5 — the polynomial-weights
+    * update, chosen over exp(η·r) because a product of exact IEEE
+    * factors replays bit-for-bit where transcendental exp does not.
+    * Every fold (per-arm weight product, per-arm reward sum, the
+    * across-arms normalizer) runs LEFT-TO-RIGHT over a pinned sort
+    * order, so final_weight and p_final hash-match raw. At 100 TB:
+    * ONE fixed-width groupBy(source, round) pass over the corpus;
+    * everything downstream is alphabet-bounded list arithmetic — the
+    * whole weight trajectory costs no more than the reward table.
+    * Missing (arm, round) cells read as reward 0 via a dense
+    * explode-built grid (no cross join on the Spark side). */
+  val onlineMix = QueryDef(
+    "q_online_mix", {
+      val T = 8
+      Some(s"""WITH dd AS (
+                SELECT source,
+                       CAST('0x' || substring(md5('mix:'
+                         || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                         % $T AS t,
+                       LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS sc
+                FROM documents),
+              r AS (
+                SELECT source, t, ${Num.qroundSql("AVG(sc)", 6)} AS r
+                FROM dd GROUP BY 1, 2),
+              grid AS (
+                SELECT a.source, tt.t
+                FROM (SELECT DISTINCT source FROM documents) a
+                CROSS JOIN (SELECT unnest(range(0, $T)) AS t) tt),
+              cells AS (
+                SELECT g.source, g.t, COALESCE(r.r, 0.0) AS r
+                FROM grid g
+                LEFT JOIN r ON r.source = g.source AND r.t = g.t),
+              w AS (
+                SELECT source,
+                       list_reduce(list_prepend(0.0, list_transform(
+                         list(struct_pack(t := t, r := r) ORDER BY t),
+                         x -> x.r)), (a, b) -> a + b) AS total_reward,
+                       list_reduce(list_prepend(1.0, list_transform(
+                         list(struct_pack(t := t, r := r) ORDER BY t),
+                         x -> 1.0 + 0.5 * x.r)), (a, b) -> a * b)
+                         AS final_weight
+                FROM cells GROUP BY source),
+              norm AS (
+                SELECT list_reduce(list_prepend(0.0, list_transform(
+                         list(struct_pack(s := source, w := final_weight)
+                           ORDER BY source), x -> x.w)), (a, b) -> a + b) AS z
+                FROM w)
+              SELECT w.source, w.total_reward, w.final_weight,
+                     w.final_weight / norm.z AS p_final
+              FROM w CROSS JOIN norm ORDER BY source""")
+    },
+    (s, d) => {
+      val T = 8
+      val docs = Tables.documents(s, d)
+      val t = conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % T
+      val rewards = docs.select(col("source"), t.as("t"),
+          least(lit(1.0), col("n_chars").cast("double") / 2000.0).as("sc"))
+        .groupBy("source", "t").agg(Num.qround(avg("sc"), 6).as("r"))
+      val grid = docs.select("source").distinct()
+        .select(col("source"), explode(array((0 until T).map(j =>
+          lit(j.toLong)): _*)).as("t"))
+      val w = grid.join(rewards, Seq("source", "t"), "left")
+        .select(col("source"), col("t"),
+          coalesce(col("r"), lit(0.0)).as("r"))
+        .groupBy("source")
+        .agg(sort_array(collect_list(struct(col("t"), col("r"))))
+          .as("trs"))
+        .select(col("source"),
+          aggregate(col("trs"), lit(0.0),
+            (acc, x) => acc + x.getField("r")).as("total_reward"),
+          aggregate(col("trs"), lit(1.0),
+            (acc, x) => acc * (lit(1.0) + lit(0.5) * x.getField("r")))
+            .as("final_weight"))
+        .localCheckpoint(true) // alphabet-bounded; reused for normalizer
+      // across-arms normalizer: left fold in source order (bounded
+      // driver action — one double over the source alphabet)
+      val z = w
+        .agg(aggregate(sort_array(collect_list(struct(col("source"),
+            col("final_weight")))), lit(0.0),
+          (acc, x) => acc + x.getField("final_weight")))
+        .head().getDouble(0)
+      w.select(col("source"), col("total_reward"), col("final_weight"),
+          (col("final_weight") / lit(z)).as("p_final"))
+        .orderBy("source")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bloomPrune, bloomFpr, heavyHitters, bm25, domainCap, profileOrders, domainMix,
       weightedMedian, kAnon,
@@ -2153,5 +2250,6 @@ object CurationQueries {
       shardManifest,
       bootstrapCi, chisqDrift, dpCounts, dpMean, hashRebalance, tokenBudget,
       interleaveMix, dsirResample, domainCalibrate, corpusDrift,
-      domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb)
+      domainDrift, domainPagerank, domainHarmonic, domainHarmonicHb,
+      onlineMix)
 }

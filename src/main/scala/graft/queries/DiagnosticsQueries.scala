@@ -2803,6 +2803,100 @@ object DiagnosticsQueries {
         .orderBy("event_type")
     })
 
+  // ------------------------------------------------ stream quantile
+
+  /** STREAMING quantile estimation from a bottom-k-by-hash sample
+    * (X305 — the value-carrying sibling of X141's streaming KMV: the
+    * same bottom-k frontier, but keeping each sampled key's payload
+    * turns the sketch into a uniform without-replacement sample of
+    * the distinct-key population (Cohen & Kaplan 2007's bottom-k
+    * sampling), and quantiles fall out as order statistics of the
+    * sample). The mergeable BottomKPairs TypedImperativeAggregate
+    * runs inside a streaming groupBy in complete mode — a green row
+    * proves the partial/merge machinery the incremental runtime uses
+    * yields the IDENTICAL sample a batch pass yields, because the
+    * sketch is a pure function of the input set (hash collisions
+    * deterministically keep MIN v). Estimates are exact order-stat
+    * picks (ceil(q·n), no interpolation) so every output double is a
+    * picked element and hash-matches raw — the approximate PATH is
+    * exact-replayable even though the estimate is approximate. The
+    * exact_p* lanes are the eval oracle, not the scale path: at
+    * 100 TB only the K-row sample ever leaves the aggregate. */
+  val streamQuantile = QueryDef(
+    "q_stream_quantile", {
+      val K = 128
+      val hash = """CAST('0x' || substring(md5('qss:'
+        || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"""
+      def pick(vs: String, q: String, n: String) =
+        s"$vs[GREATEST(CAST(1 AS BIGINT), CAST(CEIL($q * $n) AS BIGINT))]"
+      Some(s"""WITH h AS (
+                SELECT event_type, $hash AS h, value AS v
+                FROM events WHERE value IS NOT NULL),
+              d AS (
+                SELECT event_type, h, MIN(v) AS v
+                FROM h GROUP BY 1, 2),
+              ranked AS (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY h) AS rn
+                FROM d),
+              samp AS (
+                SELECT event_type, list(v ORDER BY v) AS vs,
+                       CAST(COUNT(*) AS BIGINT) AS ns
+                FROM ranked WHERE rn <= $K GROUP BY 1),
+              pop AS (
+                SELECT event_type, list(v ORDER BY v) AS pvs,
+                       CAST(COUNT(*) AS BIGINT) AS np
+                FROM d GROUP BY 1)
+              SELECT s.event_type, p.np AS n_pop, s.ns AS sample_n,
+                     ${pick("s.vs", "0.5", "s.ns")} AS est_p50,
+                     ${pick("s.vs", "0.9", "s.ns")} AS est_p90,
+                     ${pick("p.pvs", "0.5", "p.np")} AS exact_p50,
+                     ${pick("p.pvs", "0.9", "p.np")} AS exact_p90
+              FROM samp s JOIN pop p USING (event_type)
+              ORDER BY s.event_type""")
+    },
+    (s, d) => {
+      import graft.functions.SketchFunctions
+      import graft.streaming.EventStream
+      val K = 128
+      val src = EventStream.stageDir(s"$d/events.parquet")
+      val h = conv(substring(md5(concat(lit("qss:"),
+        col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val plan = EventStream.readEvents(s, src)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          struct(h.as("h"), col("value").as("v")).as("hv"))
+        .groupBy("event_type")
+        .agg(SketchFunctions.bottomKPairs(col("hv"), K).as("sample"))
+      val sk = EventStream.runAvailableNow(s, plan,
+        "q_stream_quantile_sink", outputMode = "complete",
+        statePartitions = 4)
+      val samp = s.createDataFrame(sk.rdd, sk.schema)
+        .select(col("event_type"),
+          sort_array(transform(col("sample"), x => x.getField("v")))
+            .as("vs"),
+          size(col("sample")).cast("long").as("ns"))
+      val pop = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), h.as("h"), col("value").as("v"))
+        .groupBy("event_type", "h").agg(min("v").as("v"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list("v")).as("pvs"),
+          count(lit(1)).as("np"))
+      def pick(vs: org.apache.spark.sql.Column, q: Double,
+          n: org.apache.spark.sql.Column) =
+        element_at(vs, greatest(lit(1),
+          ceil(lit(q) * n.cast("double")).cast("int")))
+      samp.join(pop, "event_type")
+        .select(col("event_type"), col("np").as("n_pop"),
+          col("ns").as("sample_n"),
+          pick(col("vs"), 0.5, col("ns")).as("est_p50"),
+          pick(col("vs"), 0.9, col("ns")).as("est_p90"),
+          pick(col("pvs"), 0.5, col("np")).as("exact_p50"),
+          pick(col("pvs"), 0.9, col("np")).as("exact_p90"))
+        .orderBy("event_type")
+    })
+
   // ----------------------------------------------------- seasonal dow
 
   /** Day-of-week seasonal baseline (X142 — the de-seasonalization
@@ -4714,7 +4808,8 @@ object DiagnosticsQueries {
     abTest, followedBy, corrMatrix, paretoCoverage,
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
-    lshDedupEval, kaplanMeier, mutualInfo, streamKmv, seasonalDow,
+    lshDedupEval, kaplanMeier, mutualInfo, streamKmv, streamQuantile,
+    seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
     logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat,
     markovAbsorption, entropyRate, kendallTau, krippendorff)

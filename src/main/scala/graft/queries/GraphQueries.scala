@@ -1327,10 +1327,345 @@ object GraphQueries {
         .orderBy("part", "community")
     })
 
+  /** DeepWalk-style random-walk co-occurrence statistics (X308 —
+    * Perozzi, Al-Rfou & Skiena KDD 2014: treat truncated random walks
+    * over the graph as sentences and learn skip-gram embeddings from
+    * them; by Levy & Goldberg NeurIPS 2014, skip-gram-with-negative-
+    * sampling factorizes the walk corpus's shifted PPMI matrix — so
+    * the PPMI co-occurrence table this query emits IS the embedding
+    * input, and the factorization step is X188's pinned power
+    * iteration, already shipped). Walks are hash-seeded, hence fully
+    * deterministic and SQL-replayable: at step t, walk (w, start)
+    * standing at node u takes out-edge rank md5(w, start, u, t) mod
+    * outdeg(u) over the DISTINCT-neighbor list sorted by dst — the
+    * uniform choice a seeded RNG would make, portable cross-engine.
+    * 2 walks × 50 starts × 4 steps over the shared X66 domain carve;
+    * window-2 skip-gram pairs; PPMI = ln(c_ab·total/(c_a·c_b)),
+    * marginals = pair-slot counts. At 100 TB: each step is ONE
+    * fixed-width (walk, cur) equi-join against the ranked adjacency
+    * list (W·n rows shuffle per step, never edges²); co-occurrence is
+    * one groupBy over walk-local pairs. */
+  val deepwalk = QueryDef(
+    "q_deepwalk", {
+      val steps = 4
+      val walks = 2
+      def pickSql(t: Int) =
+        s"""(CAST('0x' || substring(md5('dw:' || CAST(w AS VARCHAR)
+             || ':' || CAST(start AS VARCHAR) || ':'
+             || CAST(cur AS VARCHAR) || ':' || '$t'), 1, 8) AS BIGINT)
+             % odeg) + 1"""
+      val stepCtes = (1 to steps).map { t =>
+        val p = t - 1
+        s""",
+            s$t AS (
+              SELECT v.w, v.start, n.dst AS cur, $t AS pos
+              FROM (SELECT w, start, cur, ${pickSql(t)} AS pick
+                    FROM s$p
+                    JOIN od ON od.src = s$p.cur) v
+              JOIN nbrs n ON n.src = v.cur AND n.rn = v.pick)"""
+      }.mkString
+      Some(s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeSql) ee),
+              nbrs AS MATERIALIZED (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY dst) AS rn
+                FROM edges),
+              od AS MATERIALIZED (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+                FROM edges GROUP BY src),
+              starts AS (SELECT DISTINCT src AS node FROM edges),
+              s0 AS (
+                SELECT ww.w, node AS start, node AS cur, 0 AS pos
+                FROM starts
+                CROSS JOIN (SELECT unnest(range(0, $walks)) AS w) ww)
+              $stepCtes,
+              walkrows AS MATERIALIZED (
+                ${(0 to steps).map(t => s"SELECT * FROM s$t")
+                  .mkString("\n UNION ALL\n")}),
+              pairs AS (
+                SELECT LEAST(x.cur, y.cur) AS a,
+                       GREATEST(x.cur, y.cur) AS b
+                FROM walkrows x JOIN walkrows y
+                  ON x.w = y.w AND x.start = y.start
+                  AND y.pos > x.pos AND y.pos <= x.pos + 2
+                WHERE x.cur <> y.cur),
+              pc AS MATERIALIZED (
+                SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM pairs GROUP BY 1, 2),
+              tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS total FROM pc),
+              marg AS MATERIALIZED (
+                SELECT node, CAST(SUM(c) AS BIGINT) AS c_n FROM (
+                  SELECT a AS node, c_ab AS c FROM pc
+                  UNION ALL SELECT b, c_ab FROM pc) m GROUP BY 1)
+              SELECT pc.a, pc.b, pc.c_ab, ma.c_n AS c_a, mb.c_n AS c_b,
+                     ${Num.qroundSql(
+                       """LN(CAST(pc.c_ab AS DOUBLE)
+                          * CAST(tot.total AS DOUBLE)
+                          / (CAST(ma.c_n AS DOUBLE)
+                             * CAST(mb.c_n AS DOUBLE)))""", 6)} AS pmi
+              FROM pc
+              JOIN marg ma ON ma.node = pc.a
+              JOIN marg mb ON mb.node = pc.b
+              CROSS JOIN tot
+              ORDER BY pc.c_ab DESC, pc.a, pc.b LIMIT 50""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val steps = 4
+      val walks = 2
+      val edges = domainEdges(s, d).distinct().localCheckpoint(true)
+      val nbrs = edges.withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy("dst")))
+      val od = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      val starts = edges.select(col("src").as("node")).distinct()
+      var cur = starts.select(
+        explode(array((0 until walks).map(w => lit(w.toLong)): _*)).as("w"),
+        col("node").as("start"), col("node").as("cur"),
+        lit(0).as("pos"))
+      val rows = scala.collection.mutable.ArrayBuffer(cur)
+      for (t <- 1 to steps) {
+        val pick = (conv(substring(md5(concat(lit("dw:"),
+            col("w").cast("string"), lit(":"),
+            col("start").cast("string"), lit(":"),
+            col("cur").cast("string"), lit(":"), lit(t.toString))),
+          1, 8), 16, 10).cast("long") % col("odeg")) + 1
+        cur = cur.join(od.withColumnRenamed("src", "cur"), "cur")
+          .select(col("w"), col("start"), col("cur"), pick.as("pick"))
+          .join(nbrs.select(col("src").as("cur"), col("dst"),
+            col("rn").as("pick")), Seq("cur", "pick"))
+          .select(col("w"), col("start"), col("dst").as("cur"),
+            lit(t).as("pos"))
+        rows += cur
+      }
+      val walkrows = rows.reduce(_ unionByName _).localCheckpoint(true)
+      val x = walkrows.select(col("w"), col("start"),
+        col("cur").as("na"), col("pos").as("pa"))
+      val y = walkrows.select(col("w"), col("start"),
+        col("cur").as("nb"), col("pos").as("pb"))
+      val pairs = x.join(y, Seq("w", "start"))
+        .filter(col("pb") > col("pa") && col("pb") <= col("pa") + 2 &&
+          col("na") =!= col("nb"))
+        .select(least(col("na"), col("nb")).as("a"),
+          greatest(col("na"), col("nb")).as("b"))
+      val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(true) // ≤ n² alphabet-bounded pair table
+      val total = pc.agg(sum("c_ab")).head().getLong(0) // bounded action
+      val marg = pc.select(col("a").as("node"), col("c_ab").as("c"))
+        .unionByName(pc.select(col("b").as("node"), col("c_ab").as("c")))
+        .groupBy("node").agg(sum("c").as("c_n"))
+      pc.join(marg.select(col("node").as("a"), col("c_n").as("c_a")), "a")
+        .join(marg.select(col("node").as("b"), col("c_n").as("c_b")), "b")
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          Num.qround(log(col("c_ab").cast("double") *
+            lit(total).cast("double") /
+            (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
+    })
+
+  /** node2vec biased second-order walks (X309 — Grover & Leskovec KDD
+    * 2016, completing X308's first-order DeepWalk: the transition out
+    * of (prev → cur) reweights cur's neighbors by return/stay/explore
+    * — weight 1/p to step BACK to prev, 1 to a common neighbor of
+    * prev (BFS-ish), 1/q to a two-hops-out node (DFS-ish); p=2,
+    * q=0.5 here, the explore-biased corner). The weighted choice is
+    * made EXACTLY replayable by construction: weights {0.5, 1, 2}
+    * are dyadic rationals, so every cumulative-sum partial is exactly
+    * representable and the running total is order-proof; the sampled
+    * point r = (md5 24-bit fraction)·total is one exact product; the
+    * chosen edge is the first rank whose cumulative weight exceeds r
+    * — a seeded weighted sampler with ZERO float-drift risk, where a
+    * transcendental softmax would not replay. First step is uniform
+    * (no prev yet — the standard implementation's behavior). The
+    * distance-1-vs-2 test is one LEFT JOIN against the edge set per
+    * step; windows partition by walk id. Same window-2 PPMI readout
+    * as X308, so the two parameterizations are directly comparable. */
+  val node2vec = QueryDef(
+    "q_node2vec", {
+      val steps = 4
+      val walks = 2
+      def hash24(t: Int) =
+        s"""(CAST('0x' || substring(md5('n2v:' || CAST(w AS VARCHAR)
+             || ':' || CAST(start AS VARCHAR) || ':'
+             || CAST(cur AS VARCHAR) || ':' || '$t'), 1, 6) AS BIGINT)
+             / 16777216.0)"""
+      def pickSql(t: Int) =
+        s"""(CAST('0x' || substring(md5('dw:' || CAST(w AS VARCHAR)
+             || ':' || CAST(start AS VARCHAR) || ':'
+             || CAST(cur AS VARCHAR) || ':' || '$t'), 1, 8) AS BIGINT)
+             % odeg) + 1"""
+      val biasedCtes = (2 to steps).map { t =>
+        val p = t - 1
+        s""",
+            cand$t AS (
+              SELECT s.w, s.start, s.cur, n.dst, n.rn,
+                     CASE WHEN n.dst = s.prev THEN 0.5
+                          WHEN pe.src IS NOT NULL THEN 1.0
+                          ELSE 2.0 END AS wt
+              FROM s$p s
+              JOIN nbrs n ON n.src = s.cur
+              LEFT JOIN edges pe
+                ON pe.src = s.prev AND pe.dst = n.dst),
+            cum$t AS (
+              SELECT w, start, cur, dst, rn,
+                     SUM(wt) OVER (PARTITION BY w, start ORDER BY rn
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                     SUM(wt) OVER (PARTITION BY w, start) AS tw
+              FROM cand$t),
+            s$t AS (
+              SELECT w, start, prev, cur, pos FROM (
+                SELECT c.w, c.start, c.cur AS prev, c.dst AS cur,
+                       $t AS pos,
+                       ROW_NUMBER() OVER (PARTITION BY c.w, c.start
+                         ORDER BY c.rn) AS rs
+                FROM cum$t c
+                WHERE c.cw > ${hash24(t)} * c.tw) z$t
+              WHERE rs = 1)"""
+      }.mkString
+      Some(s"""WITH edges AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ($edgeSql) ee),
+              nbrs AS MATERIALIZED (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY dst) AS rn
+                FROM edges),
+              od AS MATERIALIZED (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+                FROM edges GROUP BY src),
+              starts AS (SELECT DISTINCT src AS node FROM edges),
+              s0 AS (
+                SELECT ww.w, node AS start, node AS prev, node AS cur,
+                       0 AS pos
+                FROM starts
+                CROSS JOIN (SELECT unnest(range(0, $walks)) AS w) ww),
+              s1 AS (
+                SELECT v.w, v.start, v.cur AS prev, n.dst AS cur,
+                       1 AS pos
+                FROM (SELECT w, start, cur, ${pickSql(1)} AS pick
+                      FROM s0
+                      JOIN od ON od.src = s0.cur) v
+                JOIN nbrs n ON n.src = v.cur AND n.rn = v.pick)
+              $biasedCtes,
+              walkrows AS MATERIALIZED (
+                ${(0 to steps).map(t =>
+                  s"SELECT w, start, cur, pos FROM s$t")
+                  .mkString("\n UNION ALL\n")}),
+              pairs AS (
+                SELECT LEAST(x.cur, y.cur) AS a,
+                       GREATEST(x.cur, y.cur) AS b
+                FROM walkrows x JOIN walkrows y
+                  ON x.w = y.w AND x.start = y.start
+                  AND y.pos > x.pos AND y.pos <= x.pos + 2
+                WHERE x.cur <> y.cur),
+              pc AS MATERIALIZED (
+                SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM pairs GROUP BY 1, 2),
+              tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS total FROM pc),
+              marg AS MATERIALIZED (
+                SELECT node, CAST(SUM(c) AS BIGINT) AS c_n FROM (
+                  SELECT a AS node, c_ab AS c FROM pc
+                  UNION ALL SELECT b, c_ab FROM pc) m GROUP BY 1)
+              SELECT pc.a, pc.b, pc.c_ab, ma.c_n AS c_a, mb.c_n AS c_b,
+                     ${Num.qroundSql(
+                       """LN(CAST(pc.c_ab AS DOUBLE)
+                          * CAST(tot.total AS DOUBLE)
+                          / (CAST(ma.c_n AS DOUBLE)
+                             * CAST(mb.c_n AS DOUBLE)))""", 6)} AS pmi
+              FROM pc
+              JOIN marg ma ON ma.node = pc.a
+              JOIN marg mb ON mb.node = pc.b
+              CROSS JOIN tot
+              ORDER BY pc.c_ab DESC, pc.a, pc.b LIMIT 50""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val steps = 4
+      val walks = 2
+      val edges = domainEdges(s, d).distinct().localCheckpoint(true)
+      val nbrs = edges.withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy("dst")))
+      val od = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      val starts = edges.select(col("src").as("node")).distinct()
+      val s0 = starts.select(
+        explode(array((0 until walks).map(w => lit(w.toLong)): _*)).as("w"),
+        col("node").as("start"), col("node").as("prev"),
+        col("node").as("cur"), lit(0).as("pos"))
+      // step 1: uniform (the X308 pick device)
+      val pick1 = (conv(substring(md5(concat(lit("dw:"),
+          col("w").cast("string"), lit(":"),
+          col("start").cast("string"), lit(":"),
+          col("cur").cast("string"), lit(":"), lit("1"))),
+        1, 8), 16, 10).cast("long") % col("odeg")) + 1
+      var walk = s0.join(od.withColumnRenamed("src", "cur"), "cur")
+        .select(col("w"), col("start"), col("cur"), pick1.as("pick"))
+        .join(nbrs.select(col("src").as("cur"), col("dst"),
+          col("rn").as("pick")), Seq("cur", "pick"))
+        .select(col("w"), col("start"), col("cur").as("prev"),
+          col("dst").as("cur"), lit(1).as("pos"))
+      val rows = scala.collection.mutable.ArrayBuffer(
+        s0.select("w", "start", "cur", "pos"),
+        walk.select("w", "start", "cur", "pos"))
+      val wWalk = Window.partitionBy("w", "start")
+      for (t <- 2 to steps) {
+        val h24 = conv(substring(md5(concat(lit("n2v:"),
+            col("w").cast("string"), lit(":"),
+            col("start").cast("string"), lit(":"),
+            col("cur").cast("string"), lit(":"), lit(t.toString))),
+          1, 6), 16, 10).cast("double") / lit(16777216.0)
+        val cand = walk.select("w", "start", "prev", "cur")
+          .join(nbrs.select(col("src").as("cur"), col("dst"), col("rn")),
+            "cur")
+          .join(edges.select(col("src").as("prev"),
+              col("dst").as("dst"), lit(true).as("linked")),
+            Seq("prev", "dst"), "left")
+          .select(col("w"), col("start"), col("prev"), col("cur"),
+            col("dst"), col("rn"),
+            when(col("dst") === col("prev"), lit(0.5))
+              .when(col("linked"), lit(1.0))
+              .otherwise(lit(2.0)).as("wt"))
+        val cum = cand.select(col("w"), col("start"), col("cur"),
+          col("dst"), col("rn"),
+          sum("wt").over(wWalk.orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cw"),
+          sum("wt").over(wWalk).as("tw"))
+        walk = cum.filter(col("cw") > h24 * col("tw"))
+          .withColumn("rs", row_number().over(wWalk.orderBy("rn")))
+          .filter(col("rs") === 1)
+          .select(col("w"), col("start"), col("cur").as("prev"),
+            col("dst").as("cur"), lit(t).as("pos"))
+        rows += walk.select("w", "start", "cur", "pos")
+      }
+      val walkrows = rows.reduce(_ unionByName _).localCheckpoint(true)
+      val x = walkrows.select(col("w"), col("start"),
+        col("cur").as("na"), col("pos").as("pa"))
+      val y = walkrows.select(col("w"), col("start"),
+        col("cur").as("nb"), col("pos").as("pb"))
+      val pairs = x.join(y, Seq("w", "start"))
+        .filter(col("pb") > col("pa") && col("pb") <= col("pa") + 2 &&
+          col("na") =!= col("nb"))
+        .select(least(col("na"), col("nb")).as("a"),
+          greatest(col("na"), col("nb")).as("b"))
+      val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(true)
+      val total = pc.agg(sum("c_ab")).head().getLong(0) // bounded action
+      val marg = pc.select(col("a").as("node"), col("c_ab").as("c"))
+        .unionByName(pc.select(col("b").as("node"), col("c_ab").as("c")))
+        .groupBy("node").agg(sum("c").as("c_n"))
+      pc.join(marg.select(col("node").as("a"), col("c_n").as("c_a")), "a")
+        .join(marg.select(col("node").as("b"), col("c_n").as("c_b")), "b")
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          Num.qround(log(col("c_ab").cast("double") *
+            lit(total).cast("double") /
+            (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
+    })
+
   val all: Seq[QueryDef] =
     Seq(pagerankSeeded, domainCommunities, domainTriangles, assortativity,
       modularity,
       domainHits, domainHitsSeeded, domainCocitation, domainBfs, domainKcore,
       rankAgreement, graphShape, linkPredict, pagerankDelta,
-      rankFusion, rankRbo, domainScc)
+      rankFusion, rankRbo, domainScc, deepwalk, node2vec)
 }

@@ -2519,6 +2519,337 @@ ORDER BY id_a, id_b"""
               col("n_wedges").cast("double")).as("transitivity"))
     })
 
+  /** NN-descent k-NN graph construction (X303 — Dong, Moses & Li,
+    * WWW 2011: the generic kNN-graph builder behind SemDeDup-scale
+    * embedding pipelines, UMAP, and HNSW bootstrapping). The insight:
+    * "a neighbor of a neighbor is likely a neighbor" — start from an
+    * arbitrary k-regular graph and iterate LOCAL joins only: each
+    * round, every node offers its (forward ∪ reverse-capped)
+    * neighborhood B(v) as candidate pairs, new pairs are scored, and
+    * each node keeps its k best — candidate volume is n·|B|² per
+    * round (|B| ≤ 2k), NEVER an n² cross product, which is why this
+    * is the 100 TB path where the exact kNN graph cannot run. All
+    * shuffles are fixed-width (id, id, cos) rows; each round is
+    * localCheckpointed (the X176 iterative discipline — lineage cut
+    * per superstep). Paper extras this pinned-5-round form drops:
+    * ρ-sampling and new/old incremental flags reduce RESCORING, not
+    * results — at fixture scale full rescoring keeps both engines
+    * trivially aligned. Init is a deterministic stride lattice
+    * (neighbor j = (id + 37·j) mod n — the "arbitrary" start the
+    * paper requires, recall ≈ k/n by construction), so the measured
+    * recall_init → recall_final lift per eval node IS the descent
+    * (0.028 → 0.684 mean recall@16 at n=500; synthetic near-random
+    * vectors are the paper's worst case — no local structure to
+    * exploit — and rounds-to-converge grows with n, hence the
+    * documented ~log n iteration count on real corpora).
+    * Everything (init, per-round top-k by bit-identical cosine,
+    * ground-truth brute force over the 50 eval nodes) replays in SQL:
+    * the oracle unrolls all 5 rounds as MATERIALIZED CTE chains
+    * (materialization is load-bearing: each round references its
+    * predecessor twice, so inlined CTEs re-evaluate 2^rounds times). */
+  val knnDescent = QueryDef(
+    "q_knn_descent", {
+      val k = 16
+      val rounds = 5
+      val stride = 37
+      val evalN = 50
+      val cosAB = sqlCosine("a.v", "b.v")
+      val roundCtes = (1 to rounds).map { r =>
+        val p = r - 1
+        s"""rev$r AS (
+              SELECT node, nbr FROM (
+                SELECT dst AS node, src AS nbr,
+                       ROW_NUMBER() OVER (PARTITION BY dst
+                         ORDER BY cos DESC, src) AS rn
+                FROM g$p) rr$r WHERE rn <= $k),
+            b$r AS MATERIALIZED (
+              SELECT src AS node, dst AS nbr FROM g$p
+              UNION
+              SELECT node, nbr FROM rev$r),
+            cand$r AS (
+              SELECT DISTINCT x.nbr AS src, y.nbr AS dst
+              FROM b$r x JOIN b$r y
+                ON x.node = y.node AND x.nbr <> y.nbr),
+            sc$r AS (
+              SELECT c.src, c.dst, $cosAB AS cos
+              FROM cand$r c
+              JOIN e a ON a.id = c.src
+              JOIN e b ON b.id = c.dst),
+            g$r AS MATERIALIZED (
+              SELECT src, dst, cos FROM (
+                SELECT src, dst, cos,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY cos DESC, dst) AS rn
+                FROM (SELECT * FROM g$p
+                      UNION SELECT * FROM sc$r) u$r) ru$r
+              WHERE rn <= $k)"""
+      }.mkString(",\n")
+      Some(s"""WITH e AS MATERIALIZED (
+                SELECT vec_id AS id, embedding AS v FROM embeddings),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+              init AS (
+                SELECT a.id AS src,
+                       CAST((a.id + j.j * $stride) % nn.n AS BIGINT) AS dst
+                FROM e a CROSS JOIN nn
+                CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) j),
+              g0 AS MATERIALIZED (
+                SELECT i.src, i.dst, $cosAB AS cos
+                FROM init i
+                JOIN e a ON a.id = i.src
+                JOIN e b ON b.id = i.dst),
+              $roundCtes,
+              truth AS (
+                SELECT src, dst FROM (
+                  SELECT a.id AS src, b.id AS dst,
+                         ROW_NUMBER() OVER (PARTITION BY a.id
+                           ORDER BY $cosAB DESC, b.id) AS rn
+                  FROM e a JOIN e b ON b.id <> a.id
+                  WHERE a.id < $evalN) tr WHERE rn <= $k),
+              h0 AS (
+                SELECT g.src, CAST(COUNT(*) AS BIGINT) AS h
+                FROM g0 g JOIN truth t
+                  ON t.src = g.src AND t.dst = g.dst GROUP BY 1),
+              hf AS (
+                SELECT g.src, CAST(COUNT(*) AS BIGINT) AS h
+                FROM g$rounds g JOIN truth t
+                  ON t.src = g.src AND t.dst = g.dst GROUP BY 1),
+              q AS (SELECT DISTINCT src FROM truth)
+              SELECT q.src AS query_id,
+                     COALESCE(h0.h, CAST(0 AS BIGINT)) AS hits_init,
+                     COALESCE(hf.h, CAST(0 AS BIGINT)) AS hits_final,
+                     CAST(COALESCE(h0.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                       / $k.0 AS recall_init,
+                     CAST(COALESCE(hf.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                       / $k.0 AS recall_final
+              FROM q
+              LEFT JOIN h0 ON h0.src = q.src
+              LEFT JOIN hf ON hf.src = q.src
+              ORDER BY query_id""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 16
+      val rounds = 5
+      val stride = 37L
+      val evalN = 50
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .localCheckpoint(true) // n×(64 floats): reused by every round
+      val n = e.count() // bounded action: table cardinality for the lattice
+      val ea = e.select(col("id").as("src"), col("v").as("va"),
+        col("nrm").as("na"))
+      val eb = e.select(col("id").as("dst"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      def score(pairs: org.apache.spark.sql.DataFrame) =
+        pairs.join(ea, "src").join(eb, "dst")
+          .select(col("src"), col("dst"),
+            Similarity.cosineWithNorms(col("va"), col("vb"),
+              col("na"), col("nb")).as("cos"))
+      val init = e.select(col("id").as("src"),
+        explode(array((1 to k).map(j =>
+          ((col("id") + lit(j * stride)) % lit(n)).cast("long")): _*))
+          .as("dst"))
+      val g0 = score(init).localCheckpoint(true)
+      val wRev = Window.partitionBy("dst").orderBy(col("cos").desc, col("src"))
+      val wFwd = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      var g = g0
+      for (_ <- 1 to rounds) {
+        val rev = g.withColumn("rn", row_number().over(wRev))
+          .filter(col("rn") <= k)
+          .select(col("dst").as("node"), col("src").as("nbr"))
+        val fwd = g.select(col("src").as("node"), col("dst").as("nbr"))
+        val b = fwd.union(rev).distinct()
+        val cand = b.select(col("node"), col("nbr").as("src"))
+          .join(b.select(col("node"), col("nbr").as("dst")), "node")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        g = g.unionByName(score(cand)).distinct()
+          .withColumn("rn", row_number().over(wFwd))
+          .filter(col("rn") <= k).drop("rn")
+          .localCheckpoint(true) // lineage cut per descent round
+      }
+      val truth = Similarity.bruteForceTopK(e.select(col("id").as("vec_id"),
+            col("v").as("embedding")),
+          e.filter(col("id") < evalN).select(col("id").as("vec_id"),
+            col("v").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = k)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      def hits(gr: org.apache.spark.sql.DataFrame) =
+        gr.join(truth, Seq("src", "dst")).groupBy("src")
+          .agg(count(lit(1)).as("h"))
+      val q = truth.select("src").distinct()
+      q.join(hits(g0).withColumnRenamed("h", "h0"), Seq("src"), "left")
+        .join(hits(g).withColumnRenamed("h", "hf"), Seq("src"), "left")
+        .select(col("src").as("query_id"),
+          coalesce(col("h0"), lit(0L)).as("hits_init"),
+          coalesce(col("hf"), lit(0L)).as("hits_final"),
+          (coalesce(col("h0"), lit(0L)).cast("double") / lit(k.toDouble))
+            .as("recall_init"),
+          (coalesce(col("hf"), lit(0L)).cast("double") / lit(k.toDouble))
+            .as("recall_final"))
+        .orderBy("query_id")
+    })
+
+  /** Greedy beam search over a k-NN graph (X307 — the SERVE half of
+    * graph-based ANN: HNSW's layer-0 search loop (Malkov & Yashunin
+    * 2018, `ef`=beam) / NSG's routing (Fu et al. VLDB 2019), run on a
+    * flat kNN graph: keep a beam of the best-so-far nodes, expand
+    * their graph neighbors, score only UNSEEN candidates, repeat —
+    * the query never scans the corpus, it walks toward the target.
+    * Measured here on the EXACT kNN graph as scaffold (declared
+    * brute-force lane — it isolates ROUTING quality from build
+    * quality; at scale the graph comes from X303's NN-descent, whose
+    * recall price is measured separately). The efficiency readout is
+    * n_scored: ~1 + beam·kg·hops candidates regardless of corpus
+    * size (measured 243 of 500 at this fixture; the fraction is what
+    * shrinks as n grows — that is the serving story). All hops are
+    * fixed-width (qid, node) equi-joins + partitioned windows; the
+    * anti-join against `seen` is what keeps rescoring zero, mirroring
+    * HNSW's visited set. Fully deterministic: entry node pinned,
+    * ties break on node id, so the oracle unrolls all 5 hops as
+    * MATERIALIZED CTEs and the walk replays bit-for-bit. */
+  val knnGraphSearch = QueryDef(
+    "q_knn_graph_search", {
+      val kg = 16
+      val beam = 8
+      val hops = 5
+      val k = 10
+      val (q0, q1) = (100, 120)
+      val cosAB = sqlCosine("a.v", "b.v")
+      val cosQN = sqlCosine("q.v", "c.v")
+      val hopCtes = (1 to hops).map { t =>
+        val p = t - 1
+        s""",
+            cand$t AS (
+              SELECT DISTINCT f.qid, ug.nbr AS node
+              FROM f$p f JOIN ug ON ug.node = f.node
+              WHERE ug.nbr <> f.qid),
+            new$t AS (
+              SELECT c.qid, c.node FROM cand$t c
+              LEFT JOIN seen$p s ON s.qid = c.qid AND s.node = c.node
+              WHERE s.node IS NULL),
+            sc$t AS (
+              SELECT n.qid, n.node, $cosQN AS cos
+              FROM new$t n
+              JOIN qs q ON q.qid = n.qid
+              JOIN e c ON c.id = n.node),
+            seen$t AS MATERIALIZED (
+              SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t),
+            f$t AS (
+              SELECT qid, node FROM (
+                SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, node) AS rn
+                FROM seen$t) r$t WHERE rn <= $beam)"""
+      }.mkString
+      Some(s"""WITH e AS MATERIALIZED (
+                SELECT vec_id AS id, embedding AS v FROM embeddings),
+              gk AS MATERIALIZED (
+                SELECT src, dst FROM (
+                  SELECT a.id AS src, b.id AS dst,
+                         ROW_NUMBER() OVER (PARTITION BY a.id
+                           ORDER BY $cosAB DESC, b.id) AS rn
+                  FROM e a JOIN e b ON b.id <> a.id) rg
+                WHERE rn <= $kg),
+              ug AS MATERIALIZED (
+                SELECT src AS node, dst AS nbr FROM gk
+                UNION SELECT dst, src FROM gk),
+              qs AS MATERIALIZED (
+                SELECT id AS qid, v FROM e
+                WHERE id >= $q0 AND id < $q1),
+              seen0 AS MATERIALIZED (
+                SELECT q.qid, c.id AS node, $cosQN AS cos
+                FROM qs q JOIN e c ON c.id = 0 AND c.id <> q.qid),
+              f0 AS (SELECT qid, node FROM seen0)
+              $hopCtes,
+              res AS (
+                SELECT qid, node FROM (
+                  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, node) AS rn
+                  FROM seen$hops) rr WHERE rn <= $k),
+              truth AS (
+                SELECT qid, node FROM (
+                  SELECT q.qid, c.id AS node,
+                         ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY $cosQN DESC, c.id) AS rn
+                  FROM qs q JOIN e c ON c.id <> q.qid) rt
+                WHERE rn <= $k),
+              ns AS (
+                SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+                FROM seen$hops GROUP BY 1),
+              hits AS (
+                SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS h
+                FROM res r JOIN truth t
+                  ON t.qid = r.qid AND t.node = r.node GROUP BY 1)
+              SELECT ns.qid AS query_id, ns.n_scored,
+                     COALESCE(hits.h, CAST(0 AS BIGINT)) AS hits,
+                     CAST(COALESCE(hits.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                       / $k.0 AS recall
+              FROM ns LEFT JOIN hits ON hits.qid = ns.qid
+              ORDER BY query_id""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val kg = 16
+      val beam = 8
+      val hops = 5
+      val k = 10
+      val (q0, q1) = (100L, 120L)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .localCheckpoint(true) // reused by scaffold, scoring, truth
+      val eIdVec = e.select(col("id").as("vec_id"), col("v").as("embedding"))
+      val gk = Similarity.bruteForceTopK(eIdVec, eIdVec,
+          "vec_id", "embedding", "vec_id", "embedding", k = kg)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val ug = gk.select(col("src").as("node"), col("dst").as("nbr"))
+        .union(gk.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct().localCheckpoint(true)
+      val qs = e.filter(col("id") >= q0 && col("id") < q1)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val corpus = e.select(col("id").as("node"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      def scoreQ(df: org.apache.spark.sql.DataFrame) =
+        df.join(qs.select("qid", "qv", "qn"), "qid").join(corpus, "node")
+          .select(col("qid"), col("node"),
+            Similarity.cosineWithNorms(col("qv"), col("cv"),
+              col("qn"), col("cn")).as("cos"))
+      var seen = scoreQ(qs.select(col("qid"))
+          .withColumn("node", lit(0L))
+          .filter(col("node") =!= col("qid")))
+        .localCheckpoint(true)
+      var frontier = seen.select("qid", "node")
+      val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+      for (_ <- 1 to hops) {
+        val cand = frontier.join(ug, "node")
+          .select(col("qid"), col("nbr").as("node"))
+          .filter(col("node") =!= col("qid")).distinct()
+        val fresh = cand.join(seen.select("qid", "node"),
+          Seq("qid", "node"), "left_anti")
+        seen = seen.unionByName(scoreQ(fresh)).localCheckpoint(true)
+        frontier = seen.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= beam).select("qid", "node")
+      }
+      val res = seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= k).select("qid", "node")
+      val truth = Similarity.bruteForceTopK(eIdVec,
+          e.filter(col("id") >= q0 && col("id") < q1)
+            .select(col("id").as("vec_id"), col("v").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = k)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
+      val ns = seen.groupBy("qid").agg(count(lit(1)).as("n_scored"))
+      val hits = res.join(truth, Seq("qid", "node")).groupBy("qid")
+        .agg(count(lit(1)).as("h"))
+      ns.join(hits, Seq("qid"), "left")
+        .select(col("qid").as("query_id"), col("n_scored"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
+            .as("recall"))
+        .orderBy("query_id")
+    })
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact, ppmiSvd,
     dedupTransitivity,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
@@ -2530,5 +2861,6 @@ ORDER BY id_a, id_b"""
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
-    fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl)
+    fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl, knnDescent,
+    knnGraphSearch)
 }

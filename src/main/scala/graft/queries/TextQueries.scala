@@ -3624,6 +3624,161 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
         .orderBy("source")
     })
 
+  /** k-fold cross-validated classifier evaluation (X310 — the
+    * model-selection measurement a quality-filter rollout actually
+    * rests on, vs X75's single-split eval: 5 md5-keyed folds, each
+    * held out once against a Naive-Bayes fit on the other four — the
+    * canonical Stone 1974 / Geisser 1975 rotation estimate of
+    * generalization accuracy. Reuses the X-classifier device whole
+    * (hashed unigram+bigram buckets, add-1 smoothing over occupied
+    * buckets, prior over featured train docs, fused inline scoring);
+    * fold membership is content-hash-derived so both engines hold
+    * out IDENTICAL documents. At 100 TB the cost shape is the
+    * X-classifier's ×k: each fit is one keyed aggregate over hashed
+    * counts (the corpus is tokenized ONCE into the shared feature
+    * table), each eval a per-row scan. Emits per-fold accuracy plus
+    * the micro-average row (fold = -1); pred gates on the qround(4)
+    * margin grid (the X-classifier boundary discipline), counts and
+    * the accuracy divide are exact. The HONEST finding this corpus
+    * yields: held-out accuracy ≈ 0.50 while the same fit scores
+    * ~0.86 in-sample — the synthetic lang label is content-
+    * independent (stopword rates are equal across labels), so the
+    * model can only memorize, and CV is the measurement that says so
+    * where X75's half-in-sample split reads ~fine. Round16Spec pins
+    * the gap. */
+  val kfoldCv = QueryDef(
+    "q_kfold_cv", {
+      val folds = 5
+      val foldSql = """CAST('0x' || substring(md5('cv:'
+        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5"""
+      def foldCtes(f: Int) =
+        s""",
+            cc$f AS (
+              SELECT ft.bucket,
+                     CAST(SUM(CASE WHEN b.y = 1.0 THEN ft.x ELSE 0 END)
+                          AS BIGINT) AS cp,
+                     CAST(SUM(CASE WHEN b.y = 0.0 THEN ft.x ELSE 0 END)
+                          AS BIGINT) AS cn
+              FROM ft JOIN base b USING (doc_id)
+              WHERE b.fold <> $f GROUP BY ft.bucket),
+            tot$f AS (
+              SELECT CAST(SUM(cp) AS BIGINT) AS np,
+                     CAST(SUM(cn) AS BIGINT) AS nn,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM cc$f),
+            w$f AS (
+              SELECT cc$f.bucket,
+                     ln((cc$f.cp + 1.0) / (tot$f.np + tot$f.nb)) -
+                     ln((cc$f.cn + 1.0) / (tot$f.nn + tot$f.nb)) AS w
+              FROM cc$f, tot$f),
+            pri$f AS (
+              SELECT ln(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                             AS DOUBLE) /
+                        CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)
+                             AS DOUBLE)) AS bias
+              FROM base
+              WHERE fold <> $f
+                AND doc_id IN (SELECT DISTINCT doc_id FROM ft)),
+            fin$f AS (
+              SELECT b.doc_id, b.y,
+                     COALESCE(SUM(COALESCE(w$f.w, 0.0) * ft.x), 0.0) AS s
+              FROM base b
+              LEFT JOIN ft ON ft.doc_id = b.doc_id
+              LEFT JOIN w$f ON w$f.bucket = ft.bucket
+              WHERE b.fold = $f
+              GROUP BY b.doc_id, b.y),
+            res$f AS (
+              SELECT CAST($f AS BIGINT) AS fold,
+                     CAST(COUNT(*) AS BIGINT) AS n_test,
+                     CAST(SUM(CASE WHEN
+                       (${Num.qroundSql(s"fin$f.s + p.bias", 4)} > 0)
+                         = (fin$f.y = 1.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+              FROM fin$f CROSS JOIN pri$f p)"""
+      val body = (0 until folds).map(foldCtes).mkString
+      Some(s"""WITH base AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                       $foldSql AS fold
+                FROM documents),
+              tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> len(t) > 0) AS toks
+                FROM documents),
+              fl AS (
+                SELECT doc_id, unnest(toks) AS f FROM tk
+                UNION ALL
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 2 THEN
+                         list_transform(range(1, CAST(len(toks) AS INT)),
+                           i -> toks[i] || ' ' || toks[i+1])
+                         ELSE CAST([] AS VARCHAR[]) END) AS f
+                FROM tk),
+              ft AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5('qc:' || f), 1, 8)
+                            AS BIGINT) % 1024 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM fl GROUP BY 1, 2)
+              $body,
+              allf AS (
+                ${(0 until folds).map(f => s"SELECT * FROM res$f")
+                  .mkString("\n UNION ALL\n")}),
+              micro AS (
+                SELECT CAST(-1 AS BIGINT) AS fold,
+                       CAST(SUM(n_test) AS BIGINT) AS n_test,
+                       CAST(SUM(n_correct) AS BIGINT) AS n_correct
+                FROM allf)
+              SELECT fold, n_test, n_correct,
+                     CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)
+                       AS acc
+              FROM (SELECT * FROM allf UNION ALL SELECT * FROM micro) u
+              ORDER BY fold""")
+    },
+    (s, d) => {
+      val folds = 5
+      val docs = Tables.documents(s, d)
+      val foldCol = conv(substring(md5(concat(lit("cv:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % folds
+      val base = docs.select(col("doc_id"), col("text"), col("lang"),
+        foldCol.as("fold"))
+      def labelsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val perFold = (0 until folds).map { f =>
+        val train = base.filter(col("fold") =!= f)
+        val feats = graft.ops.Scoring
+          .featureCounts(train, "doc_id", col("text"), 1024)
+          .persist()
+        val m = graft.ops.Scoring
+          .trainNaiveBayes(feats, labelsOf(train), "doc_id")
+        feats.unpersist()
+        val rawMargin =
+          element_at(col("__st"), 1) + lit(m.bias)
+        base.filter(col("fold") === f)
+          .select(col("lang"),
+            graft.ops.Scoring.inlineStats(col("text"), 1024, m.w)
+              .as("__st"))
+          .select(((Num.qround(rawMargin, 4) > 0) ===
+            (col("lang") === "en")).as("correct"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+          .select(lit(f.toLong).as("fold"), col("n_test"),
+            col("n_correct"))
+      }
+      val allf = perFold.reduce(_ unionByName _).localCheckpoint(true)
+      val micro = allf.agg(sum("n_test").as("n_test"),
+          sum("n_correct").as("n_correct"))
+        .select(lit(-1L).as("fold"), col("n_test"), col("n_correct"))
+      allf.unionByName(micro)
+        .select(col("fold"), col("n_test"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_test").cast("double"))
+            .as("acc"))
+        .orderBy("fold")
+    })
+
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,
     textRepetition, piiScrub, vocabCoverage, docChunks, dupLines,
@@ -3635,5 +3790,5 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
     tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
-    scalingProbe)
+    scalingProbe, kfoldCv)
 }

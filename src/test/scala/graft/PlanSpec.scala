@@ -234,6 +234,11 @@ class PlanSpec extends SparkSuite {
       // brute-force scan (the X74 discipline); the PQ path itself is
       // code-table equi-joins
       "q_pq_recall",
+      // X301 OPQ eval: same contract as q_pq_recall — the pq/opq
+      // comparison lanes are declared FULL-SCAN ADC rankings (the
+      // rotation changes scoring, not candidate geometry), graded
+      // against the inherited brute-force ground truth
+      "q_ann_opq",
       // X283 binary-quantization eval: ground-truth brute force + the
       // declared binary full scan it grades (the X74/X159 contract)
       "q_ann_recall_binary",
@@ -244,7 +249,15 @@ class PlanSpec extends SparkSuite {
       "q_ann_nprobe_curve",
       // X247 Matryoshka eval: all four lanes are declared exact
       // brute-force scans by contract (truncation-recall ground truth)
-      "q_matryoshka")
+      "q_matryoshka",
+      // X303 NN-descent eval: the DESCENT is local joins only
+      // (neighbor-of-neighbor equi-joins); the inherited brute-force
+      // scan is the 50-query ground-truth recall lane
+      "q_knn_descent",
+      // X307 graph search: the SEARCH is equi-join hops with an
+      // anti-join visited set; the exact-graph scaffold and the
+      // 20-query ground truth are the declared brute-force lanes
+      "q_knn_graph_search")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(
