@@ -40,8 +40,12 @@ object AnnIndex {
 
   /** Train IVF + PQ on `emb` (vec_id, embedding) and atomically
     * commit the three artifact tables under `dir`. Superseded commits
-    * are GC'd (single-use commit ids, the X293 ADVICE discipline). */
-  def build(emb: DataFrame, dir: String): Unit = {
+    * are GC'd (single-use commit ids, the X293 ADVICE discipline).
+    * `codeEmb` (default: the training corpus) is the vector set the
+    * committed `codes` table covers — the X311 delta path builds with
+    * a SUBSET coded and ingests the rest later without retraining. */
+  def build(emb: DataFrame, dir: String,
+      codeEmb: DataFrame = null): Unit = {
     val s = emb.sparkSession
     val index = Similarity.fitIvf(emb, "embedding", "vec_id",
       nlist = Nlist)
@@ -54,11 +58,8 @@ object AnnIndex {
       Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16), "vec_id",
         k = 4, dim = 16, iters = 2)
     }
-    val codes = frame.select(
-      col("vec_id") +: col("list_id") +:
-        (0 until Subs).map(sub => Lloyd.assignL2(
-          slice(col("v"), 16 * sub + 1, 16), books(sub))
-          .as(s"k$sub")): _*)
+    val loaded0 = Loaded(index.centroids, books.toIndexedSeq, null)
+    val codes = encode(loaded0, Option(codeEmb).getOrElse(emb))
     import s.implicits._
     val centroidsDf = index.centroids.zipWithIndex
       .map { case (cv, c) => (c, cv.toSeq) }.toSeq.toDF("c", "cv")
@@ -69,6 +70,50 @@ object AnnIndex {
     Shard.writeTablesAtomic(
       Seq("centroids" -> centroidsDf, "codebooks" -> codebooksDf,
         "codes" -> codes), dir, Shard.newCommitId())
+    Shard.gcOldCommits(s, dir)
+  }
+
+  /** Encode vectors against FROZEN artifacts — assignment + PQ coding
+    * only, zero training (the FAISS add-after-train path). Pure
+    * per-row expressions off broadcast centroid/codebook literals. */
+  def encode(loaded: Loaded, emb: DataFrame): DataFrame = {
+    val ivf = Similarity.IvfIndex(loaded.centroids)
+    val frame = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      ivf.assignExpr(col("embedding")).as("list_id"))
+    frame.select(
+      col("vec_id") +: col("list_id") +:
+        (0 until Subs).map(sub => Lloyd.assignL2(
+          slice(col("v"), 16 * sub + 1, 16),
+          loaded.codebooks(sub)).as(s"k$sub")): _*)
+  }
+
+  /** Delta-ingest `emb` into the committed index at `dir` WITHOUT
+    * retraining (X311): new vectors are encoded against the frozen
+    * committed artifacts, and ONE new transaction republishes the
+    * table set with codes = old ∪ new — readers atomically flip from
+    * the pre-ingest corpus to the post-ingest corpus, never seeing a
+    * half-ingested state. At 100 TB the union is an appended coded
+    * segment under the same manifest swap; training cost is ZERO
+    * either way, which is the property this path exists for. */
+  def ingest(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    val loaded = load(s, dir)
+    val newCodes = encode(loaded, emb)
+    // materialize the union BEFORE the swap: the new commit must not
+    // read `codes` files the GC of its own publish step could retire
+    val merged = loaded.codes.unionByName(newCodes).localCheckpoint(true)
+    import s.implicits._
+    val centroidsDf = loaded.centroids.zipWithIndex
+      .map { case (cv, c) => (c, cv.toSeq) }.toSeq.toDF("c", "cv")
+    val codebooksDf = (for {
+      sub <- 0 until Subs
+      c <- 0 until 4
+    } yield (sub, c, loaded.codebooks(sub)(c).toSeq))
+      .toDF("sub", "c", "cv")
+    Shard.writeTablesAtomic(
+      Seq("centroids" -> centroidsDf, "codebooks" -> codebooksDf,
+        "codes" -> merged), dir, Shard.newCommitId())
     Shard.gcOldCommits(s, dir)
   }
 

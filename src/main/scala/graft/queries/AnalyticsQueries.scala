@@ -2803,6 +2803,43 @@ $name AS (
         .orderBy("query_id", "rank")
     })
 
+  /** ANN index DELTA-INGEST (X311 — the corpus-growth path X300's
+    * build-once contract implies: new vectors are encoded against the
+    * FROZEN committed artifacts — assignment + PQ coding, ZERO
+    * training, the FAISS add-after-train shape — and one X299
+    * transaction republishes the table set with codes = old ∪ new, so
+    * readers atomically flip from the pre-ingest to the post-ingest
+    * corpus and can never see a half-ingested index). This run
+    * exercises the full lifecycle: build with only the even half
+    * coded, delta-ingest the odd half, serve top-k from the final
+    * manifest. The oracle is VERBATIM q_ann_ivfpq's inline-trained
+    * ranking — hash-green means encode-then-append-then-swap is
+    * EXACTLY equivalent to having coded everything at build time
+    * (per-vector encoding is training-independent, the invariance
+    * the delta path rests on); Round16Spec additionally pins that a
+    * crash between the two commits leaves readers on the consistent
+    * half-coded index. */
+  val annIndexDelta = QueryDef(
+    "q_ann_index_delta",
+    annIvfPq.oracle,
+    (s, d) => {
+      val dir = annIndexDir(d) + "_delta"
+      val emb = Tables.embeddings(s, d)
+      // phase 1: train on the corpus, commit with only the even half coded
+      graft.ops.AnnIndex.build(emb, dir,
+        codeEmb = emb.filter(col("vec_id") % 2 === 0))
+      // phase 2: the odd half arrives — encode against frozen
+      // artifacts, republish atomically
+      graft.ops.AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
+      val loaded = graft.ops.AnnIndex.load(s, dir)
+      val qRows = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.ops.AnnIndex.topK(loaded, qRows, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     rfm,
     cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annIvfAdc,
@@ -2814,5 +2851,5 @@ $name AS (
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
     approxDistinct, annRecallBinary, annRecallCurve, kmvDistinct, countminFreq, countSketch, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline,
-    annIndexBuild, annIndexQuery)
+    annIndexBuild, annIndexQuery, annIndexDelta)
 }

@@ -694,6 +694,125 @@ ${x}w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
         .orderBy("token")
     })
 
+  /** WordPiece tokenizer training (X312 — Schuster & Nakajima ICASSP
+    * 2012, the BERT tokenizer: completes the subword-merge family
+    * next to frequency-greedy BPE (X31), byte-level BPE (X294) and
+    * the unigram-LM (X-SentencePiece) by changing ONE thing — the
+    * merge criterion. BPE merges the most FREQUENT pair; WordPiece
+    * merges the pair maximizing the unigram-likelihood gain
+    * score = count(l,r) / (count(l)·count(r)) — a pointwise-mutual-
+    * information argmax that prefers pairs occurring TOGETHER
+    * disproportionately over pairs that are merely common. Same
+    * X31 round device otherwise: one distributed pair count + one
+    * symbol count per round (fixed-width (sym, freq) shuffles), only
+    * the argmax row returns to the driver. The score is one IEEE
+    * divide of exact integer casts, so the argmax — and therefore
+    * the whole merge chain — replays bit-for-bit; ties break on
+    * (l, r). Oracle unrolls all 3 rounds; wpw CTEs are MATERIALIZED
+    * (each is read by the symbol count, the pair count AND the next
+    * re-encode — 3 refs/round go exponential inlined). */
+  val wordpiece = QueryDef(
+    "q_wordpiece", {
+      def roundSql(k: Int): String = s"""
+wpu$k AS (
+  SELECT sym, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(string_split(trim(seq, '|'), '||')) AS sym
+    FROM wpw${k - 1}) us$k GROUP BY sym),
+wpp$k AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+             i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+    FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS syms
+          FROM wpw${k - 1}) ws$k) ps$k GROUP BY pr.l, pr.r),
+wpm$k AS (
+  SELECT l, r, cnt,
+         CAST(cnt AS DOUBLE)
+           / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE)) AS score
+  FROM wpp$k
+  JOIN wpu$k ul ON ul.sym = l
+  JOIN wpu$k ur ON ur.sym = r
+  ORDER BY score DESC, l, r LIMIT 1),
+wpw$k AS MATERIALIZED (
+  SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
+                       '|' || m.l || m.r || '|') AS seq
+  FROM wpw${k - 1} CROSS JOIN wpm$k m)"""
+      Some(s"""WITH wptok AS (SELECT unnest($sqlToks) AS word
+                              FROM documents),
+             wpwc AS (
+               SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM wptok WHERE regexp_matches(word, '^[a-z]+$$')
+               GROUP BY word),
+             wpw0 AS MATERIALIZED (
+               SELECT freq,
+                      array_to_string(list_transform(
+                        regexp_extract_all(word, '.'),
+                        c -> '|' || c || '|'), '') AS seq
+               FROM wpwc),
+             ${(1 to 3).map(roundSql).mkString(",")}
+             SELECT * FROM (
+               SELECT CAST(1 AS INT) AS merge_rank, l AS left_sym,
+                      r AS right_sym, cnt AS pair_count,
+                      ${Num.qroundSql("score", 6)} AS score
+               FROM wpm1
+               UNION ALL SELECT 2, l, r, cnt,
+                 ${Num.qroundSql("score", 6)} FROM wpm2
+               UNION ALL SELECT 3, l, r, cnt,
+                 ${Num.qroundSql("score", 6)} FROM wpm3) mm
+             ORDER BY merge_rank""")
+    },
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("seq", concat_ws("",
+          transform(regexp_extract_all(col("word"), lit("."), lit(0)),
+            c => concat(lit("|"), c, lit("|")))))
+        .select("freq", "seq")
+        .persist()
+      var cur = base
+      val merges = Seq.newBuilder[(Int, String, String, Long, Double)]
+      for (k <- 1 to 3) {
+        val syms = split(trim(col("seq"), "|"), "\\|\\|")
+        val symCounts = cur
+          .select(col("freq"), explode(syms).as("sym"))
+          .groupBy("sym").agg(sum("freq").as("c"))
+        val pairs = cur
+          .filter(size(syms) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("l"),
+                element_at(syms, i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+        val top = pairs
+          .join(symCounts.select(col("sym").as("l"), col("c").as("cl")),
+            "l")
+          .join(symCounts.select(col("sym").as("r"), col("c").as("cr")),
+            "r")
+          .select(col("l"), col("r"), col("cnt"),
+            (col("cnt").cast("double") /
+              (col("cl").cast("double") * col("cr").cast("double")))
+              .as("score"))
+          .orderBy(col("score").desc, col("l"), col("r"))
+          .limit(1).collect()
+        top.headOption.foreach { t =>
+          val (l, r) = (t.getString(0), t.getString(1))
+          merges += ((k, l, r, t.getLong(2), t.getDouble(3)))
+          cur = cur.withColumn("seq",
+            expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+        }
+      }
+      base.unpersist()
+      import s.implicits._
+      merges.result()
+        .map { case (k, l, r, cnt, sc) =>
+          (k, l, r, cnt, math.floor(sc * 1e6 + 0.5) / 1e6) }
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count",
+          "score")
+        .orderBy("merge_rank")
+    })
+
   // -------------------------------------------------- byte-level bpe
 
   /** The multibyte fixture the byte-level chain trains over alongside
@@ -3790,5 +3909,5 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
     tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
-    scalingProbe, kfoldCv)
+    scalingProbe, kfoldCv, wordpiece)
 }

@@ -201,6 +201,58 @@ class Round16Spec extends SparkSuite {
       s"expected a memorization gap: in-sample $inAcc vs CV $cvAcc")
   }
 
+  // ------------------------------------------ X311 ANN delta-ingest
+
+  /** The atomicity + freeze contracts the oracle can't express: a
+    * crash between the build commit and the ingest commit leaves
+    * readers on the CONSISTENT half-coded index (never a torn state),
+    * ingest adds exactly the delta, and the trained artifacts are
+    * byte-frozen across it. */
+  test("ann index delta: consistent between commits, artifacts frozen") {
+    import org.apache.spark.sql.functions.col
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_delta_spec_${ProcessHandle.current().pid()}").getPath
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val n = emb.count()
+    graft.ops.AnnIndex.build(emb, dir,
+      codeEmb = emb.filter(col("vec_id") % 2 === 0))
+    // "crash" here: the committed state must be the complete half
+    val half = graft.ops.AnnIndex.load(spark, dir)
+    assert(half.codes.count() == (n + 1) / 2)
+    graft.ops.AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
+    val full = graft.ops.AnnIndex.load(spark, dir)
+    assert(full.codes.count() == n)
+    assert(full.codes.select("vec_id").distinct().count() == n)
+    assert(half.centroids.map(_.toSeq).toSeq ==
+      full.centroids.map(_.toSeq).toSeq, "ingest must not move centroids")
+    assert(half.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      full.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "ingest must not refit codebooks")
+  }
+
+  // ------------------------------------------------ X312 WordPiece
+
+  /** The criterion bites: WordPiece's PMI argmax must pick a
+    * different merge chain than BPE's frequency argmax on the same
+    * corpus (here it finds 'qu' — q is almost always followed by u —
+    * where BPE takes the merely-frequent 'er'), and each reported
+    * score must be consistent with its own pair count. */
+  test("q_wordpiece: PMI merges differ from BPE's frequency merges") {
+    val wp = SparkEntry.queries("q_wordpiece")(spark, Sf0001).collect()
+    val bpe = SparkEntry.queries("q_bpe_merges")(spark, Sf0001).collect()
+    assert(wp.length == 3 && bpe.length == 3)
+    wp.foreach { r =>
+      assert(r.getAs[Long]("pair_count") >= 1L)
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    val wpPairs = wp.map(r =>
+      (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))).toSeq
+    val bpePairs = bpe.map(r =>
+      (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))).toSeq
+    assert(wpPairs != bpePairs,
+      "PMI and frequency criteria picked identical merges")
+  }
+
   // ------------------------------------- X306 multiplicative weights
 
   test("q_online_mix: a proper mixture that actually moved") {
