@@ -2897,6 +2897,111 @@ object DiagnosticsQueries {
         .orderBy("event_type")
     })
 
+  // ------------------------------------------------ rolling backtest
+
+  /** Rolling-origin forecast backtest (X314 — Tashman IJF 2000's
+    * out-of-sample evaluation discipline, the TEMPORAL sibling of
+    * X310's k-fold rotation: folds cannot be random when data is a
+    * time series — each evaluation trains strictly BEFORE its test
+    * window, and the origin rolls forward so every regime is tested.
+    * The forecaster under test is seasonal-naive-7 (next week =
+    * last week), scored by MASE (Hyndman & Koehler 2006): test MAE
+    * scaled by the TRAIN-side naive-1 MAE, the scale-free metric
+    * q_mase_eval introduced — MASE < 1 beats the naive drift).
+    * Counts ride a DENSE (type, day) grid (explode-built; missing
+    * days are real zeros, not absent rows). Every input is an exact
+    * integer count, each MAE is one integer-sum divide, MASE is one
+    * further IEEE divide — qround(6) for discipline. 4 origins
+    * unrolled on both engines; at 100 TB the cost is ONE groupBy to
+    * daily counts, everything after is alphabet×days bounded. */
+  val backtest = QueryDef(
+    "q_backtest", {
+      val origins = Seq(14, 17, 20, 22)
+      val horizon = 7
+      def originCtes(o: Int) =
+        s""",
+            tr$o AS (
+              SELECT a.event_type, AVG(ABS(a.n - b.n)) AS naive_mae
+              FROM dc a JOIN dc b ON b.event_type = a.event_type
+                AND b.day = a.day - 1
+              WHERE a.day <= $o AND a.day >= 1 GROUP BY 1),
+            te$o AS (
+              SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+                     AVG(ABS(f.n - p.n)) AS mae
+              FROM dc f JOIN dc p ON p.event_type = f.event_type
+                AND p.day = f.day - 7
+              WHERE f.day > $o AND f.day <= $o + $horizon GROUP BY 1),
+            r$o AS (
+              SELECT CAST($o AS BIGINT) AS origin_day, te.event_type,
+                     te.n_test,
+                     ${Num.qroundSql("te.mae", 6)} AS mae_snaive,
+                     ${Num.qroundSql(
+                       "te.mae / NULLIF(tr.naive_mae, 0)", 6)} AS mase
+              FROM te$o te JOIN tr$o tr USING (event_type))"""
+      Some(s"""WITH ev AS (
+                SELECT event_type,
+                       CAST(date_diff('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) AS BIGINT) AS day
+                FROM events),
+              types AS (SELECT DISTINCT event_type FROM ev),
+              grid AS (
+                SELECT t.event_type, d.day FROM types t
+                CROSS JOIN (SELECT unnest(range(0, 30)) AS day) d),
+              dc AS MATERIALIZED (
+                SELECT g.event_type, g.day,
+                       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                FROM grid g
+                LEFT JOIN (SELECT event_type, day,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                           FROM ev GROUP BY 1, 2) c
+                  ON c.event_type = g.event_type AND c.day = g.day)
+              ${origins.map(originCtes).mkString}
+              SELECT * FROM (
+                ${origins.map(o => s"SELECT * FROM r$o")
+                  .mkString("\n UNION ALL\n")}) rr
+              ORDER BY origin_day, event_type""")
+    },
+    (s, d) => {
+      val origins = Seq(14, 17, 20, 22)
+      val horizon = 7
+      val ev = Tables.events(s, d).select(col("event_type"),
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+      val counts = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+      val dc = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(29L))).as("day"))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(true) // alphabet×30 grid, reused 4×2 times
+      val lag1 = dc.select(col("event_type"),
+        (col("day") + 1).as("day"), col("n").as("n_prev"))
+      val lag7 = dc.select(col("event_type"),
+        (col("day") + 7).as("day"), col("n").as("n_snaive"))
+      val perOrigin = origins.map { o =>
+        val tr = dc.join(lag1, Seq("event_type", "day"))
+          .filter(col("day") >= 1 && col("day") <= o)
+          .groupBy("event_type")
+          .agg(avg(abs(col("n") - col("n_prev"))).as("naive_mae"))
+        val te = dc.join(lag7, Seq("event_type", "day"))
+          .filter(col("day") > o && col("day") <= o + horizon)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_test"),
+            avg(abs(col("n") - col("n_snaive"))).as("mae"))
+        te.join(tr, "event_type")
+          .select(lit(o.toLong).as("origin_day"), col("event_type"),
+            col("n_test"),
+            Num.qround(col("mae"), 6).as("mae_snaive"),
+            Num.qround(col("mae") /
+              when(col("naive_mae") =!= 0.0, col("naive_mae")), 6)
+              .as("mase"))
+      }
+      perOrigin.reduce(_ unionByName _)
+        .orderBy("origin_day", "event_type")
+    })
+
   // ----------------------------------------------------- seasonal dow
 
   /** Day-of-week seasonal baseline (X142 — the de-seasonalization
@@ -4809,7 +4914,7 @@ object DiagnosticsQueries {
     windowRanks, cdcCompact, kmvUnion, htmlExtract, vocabCoverage,
     intervalUnion, setjoinPrefix, welchTtest, itemCosine,
     lshDedupEval, kaplanMeier, mutualInfo, streamKmv, streamQuantile,
-    seasonalDow,
+    backtest, seasonalDow,
     quantileNormalize, balancedSample, boxplot, mannWhitney, streamEwma,
     logRank, bhFdr, cuped, permTest, did, nelsonAalen, propensityStrat,
     markovAbsorption, entropyRate, kendallTau, krippendorff)

