@@ -13,18 +13,20 @@ import org.apache.spark.sql.SparkSession
   *    a query whose committed figure is under 0.3 s and whose first
   *    attempt lands within 2x of it records that single run; a query
   *    whose committed figure is under 1.5 s and whose first attempt
-  *    lands within 1.5x of it likewise runs once (the tighter band
-  *    is the evidence trade: a bigger row gets the exemption only
-  *    when the single run already CONFIRMS the committed figure).
-  *    The confirmation run is only evidence against noise; with
-  *    median-of-3 committed figures (below) a first attempt at
-  *    ≤1.5x the committed MEDIAN is stronger evidence of stability
-  *    than a second sample. Wall math on the r15 baseline: rows
-  *    under 1.5 s carry ~287 s of second-run time, vs ~14 s under
-  *    the 0.3 s tier alone — the delta is what moves the gate from
-  *    23.3 min toward the ≤20 min target as the surface grows. A
-  *    genuine regression on an exempted row still gets confirmed:
-  *    >1.5x lands outside the band (best-of-2 resumes), >2x also
+  *    lands AT OR UNDER it likewise runs once (ADVICE r16 tightened
+  *    this tier from a ≤1.5x band to ms1 ≤ committed: the old band
+  *    recorded persistent (1.0x, 1.5x] drifts on mid-weight rows
+  *    from one unconfirmed sample — now ANY over-committed first
+  *    attempt on this tier buys the confirmation run). The 0.3 s
+  *    tier keeps its 2x band by design: at sub-300 ms the
+  *    tens-of-ms container jitter swamps anything a second sample
+  *    could certify, and a real 2x regression still exits the band.
+  *    Wall math: median3 committed figures put a typical first
+  *    attempt under the committed value about half the time, so
+  *    roughly half the mid-tier rows keep the exemption; the rest
+  *    pay one confirmation run — the honesty cost of closing the
+  *    in-band drift hole. A genuine regression on an exempted row
+  *    still gets confirmed (best-of-2 resumes), and >2x also
   *    triggers the end-of-session re-time pair;
   *  - baseline-commit mode (SPARK_GRAFT_BENCH_PROTOCOL=median3,
   *    VERDICT r15 #4): rows whose first attempt lands under 3 s run
@@ -145,8 +147,8 @@ object Bench {
             single = false)
         case Some(pb) if pb < fastMs && ms1 <= 2L * pb =>
           R(name, ms1, ms1, ok = true, single = true) // fast + stable
-        case Some(pb) if pb < stableMs && 2L * ms1 <= 3L * pb =>
-          R(name, ms1, ms1, ok = true, single = true) // ≤1.5x confirm
+        case Some(pb) if pb < stableMs && ms1 <= pb =>
+          R(name, ms1, ms1, ok = true, single = true) // at-or-under confirm
         case _ =>
           val (ms2, ok2) = timed()
           R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
@@ -257,7 +259,8 @@ object Bench {
     val ioQueries =
       Seq("q_bucketed_join", "q_shard_write", "q_shard_manifest",
         "q_schema_evolution", "q_txn_commit", "q_ann_index_build",
-        "q_ann_index_query")
+        "q_ann_index_query", "q_ann_graph_index_build",
+        "q_ann_graph_index_query")
         .filter(n => results.exists(_.name == n))
     val ioMs = results.filter(r => ioQueries.contains(r.name)).map(_.best).sum
     val meta =

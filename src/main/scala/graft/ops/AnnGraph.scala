@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted navigable-graph ANN index (X315 — VERDICT r16 #1: the
+  * HNSW/NSG production shape assembled from the pieces X303/X307/X313
+  * measured separately). Build = NN-descent kNN-graph construction
+  * (Dong, Moses & Li WWW 2011 — near-linear: per-round candidate
+  * volume n·(2k)², never n²) followed by RNG-rule edge
+  * diversification (NSG's MRNG rule, Fu et al. VLDB 2019 — n·k² local
+  * pairs), committed as ONE X299 multi-table transaction:
+  *
+  *  - `edges` — the pruned directed kNN edges (src, dst, cos, rn),
+  *  - `entry` — the single search entry node,
+  *
+  * so a reader can never pair a new edge set with a stale entry point
+  * (the torn-index hazard). Serving (greedy beam search, HNSW's
+  * layer-0 loop) reads ONLY committed artifacts — this removes the
+  * n² exact-graph scaffold from the serving path that the standalone
+  * X307 eval row deliberately carried.
+  *
+  * Entry selection: the max-out-degree node of the pruned graph
+  * (ties → min id). NSG navigates from the medoid-nearest node; the
+  * hub form is chosen here because it is an EXACT INTEGER argmax —
+  * a centroid argmax compares engine-order-dependent float averages,
+  * which the bit-replay oracle discipline cannot admit. Every node
+  * keeps ≥ 1 edge (the rn = 1 edge has no closer-ranked neighbor, so
+  * the RNG rule can never drop it), hence the argmax is total.
+  *
+  * Scale shape: descent shuffles only fixed-width (id, id, cos) rows
+  * with a localCheckpoint per round; the prune is quadratic only
+  * WITHIN one node's k-list; `edges` is the lone corpus-sized
+  * artifact at k rows/vector (the HNSW memory budget); serving cost
+  * is ~1 + beam·k·hops scored candidates regardless of corpus size.
+  * Incremental corpus growth re-runs descent seeded from the
+  * committed graph (the same warm-start the paper's online variant
+  * uses) under a fresh commit of the same transaction. */
+object AnnGraph {
+
+  /** The table set one index commit publishes. */
+  val tableNames: Seq[String] = Seq("edges", "entry")
+
+  final val K = 16
+  final val Rounds = 5
+  final val Stride = 37L
+
+  /** Score (src, dst) pairs against `e` = (id, v, nrm): one
+    * fixed-width equi-join per side, bit-identical elementwise
+    * cosine (the oracle replays it exactly). */
+  def score(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val ea = e.select(col("id").as("src"), col("v").as("va"),
+      col("nrm").as("na"))
+    val eb = e.select(col("id").as("dst"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    pairs.join(ea, "src").join(eb, "dst")
+      .select(col("src"), col("dst"),
+        Similarity.cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")).as("cos"))
+  }
+
+  /** Deterministic stride-lattice init (neighbor j = (id + stride·j)
+    * mod n) — the "arbitrary" k-regular start NN-descent requires.
+    * Self-loops filtered (ADVICE r16: any n with stride·j ≡ 0 mod n
+    * would seed dst = src edges whose cos = 1.0 squats a top-k slot
+    * through every round). */
+  def latticeEdges(e: DataFrame, n: Long, k: Int,
+      stride: Long): DataFrame =
+    e.select(col("id").as("src"),
+      explode(array((1 to k).map(j =>
+        ((col("id") + lit(j * stride)) % lit(n)).cast("long")): _*))
+        .as("dst"))
+      .filter(col("dst") =!= col("src"))
+
+  /** NN-descent: from the lattice, `rounds` rounds of LOCAL
+    * neighbor-of-neighbor joins — each node offers its (forward ∪
+    * reverse-capped) neighborhood as candidates, new pairs are
+    * scored, each node keeps its k best by (cos desc, dst).
+    * Returns (g0, gFinal) — the init graph rides along because the
+    * X303 eval reads the recall LIFT. Lineage cut per round. */
+  def nnDescent(e: DataFrame, n: Long, k: Int = K,
+      rounds: Int = Rounds, stride: Long = Stride)
+      : (DataFrame, DataFrame) = {
+    val g0 = score(e, latticeEdges(e, n, k, stride)).localCheckpoint(true)
+    val wRev = Window.partitionBy("dst")
+      .orderBy(col("cos").desc, col("src"))
+    val wFwd = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst"))
+    var g = g0
+    for (_ <- 1 to rounds) {
+      val rev = g.withColumn("rn", row_number().over(wRev))
+        .filter(col("rn") <= k)
+        .select(col("dst").as("node"), col("src").as("nbr"))
+      val fwd = g.select(col("src").as("node"), col("dst").as("nbr"))
+      val b = fwd.union(rev).distinct()
+      val cand = b.select(col("node"), col("nbr").as("src"))
+        .join(b.select(col("node"), col("nbr").as("dst")), "node")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      g = g.unionByName(score(e, cand)).distinct()
+        .withColumn("rn", row_number().over(wFwd))
+        .filter(col("rn") <= k).drop("rn")
+        .localCheckpoint(true) // lineage cut per descent round
+    }
+    (g0, g)
+  }
+
+  /** Per-source neighbor rank (cos desc, dst) over a scored edge
+    * frame — the (src, dst, cos, rn) shape the prune consumes. */
+  def rankEdges(g: DataFrame): DataFrame =
+    g.withColumn("rn", row_number().over(
+      Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+
+  /** MRNG/RNG-rule edge diversification over (src, dst, cos, rn)
+    * edges: drop (q, b) when some closer-ranked neighbor a has
+    * cos(a, b) > cos(q, b) — b is better reached THROUGH a. Pair
+    * generation is quadratic only within one node's k-list. */
+  def rngPrune(gk: DataFrame, e: DataFrame): DataFrame = {
+    val cand = gk.as("g1").join(gk.as("g2"),
+        col("g1.src") === col("g2.src") && col("g2.rn") < col("g1.rn"))
+      .select(col("g1.src").as("src"), col("g1.dst").as("b"),
+        col("g1.cos").as("cos_qb"), col("g2.dst").as("a"))
+    val viol = cand
+      .join(e.select(col("id").as("a"), col("v").as("va"),
+        col("nrm").as("na")), "a")
+      .join(e.select(col("id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), "b")
+      .filter(Similarity.cosineWithNorms(col("va"), col("vb"),
+        col("na"), col("nb")) > col("cos_qb"))
+      .select(col("src"), col("b")).distinct()
+    gk.join(viol.withColumnRenamed("b", "dst"),
+      Seq("src", "dst"), "left_anti")
+  }
+
+  /** Build the navigable graph over `e` = (id, v, nrm) and atomically
+    * commit `edges` + `entry` under `dir`. Superseded commits are
+    * GC'd (single-use commit ids). */
+  def build(e: DataFrame, dir: String, k: Int = K, rounds: Int = Rounds,
+      stride: Long = Stride): Unit = {
+    val s = e.sparkSession
+    val n = e.count() // bounded action: corpus cardinality for the lattice
+    val (_, g) = nnDescent(e, n, k, rounds, stride)
+    val gk = rankEdges(g).localCheckpoint(true) // pair gen + kept filter
+    val kept = rngPrune(gk, e).localCheckpoint(true) // entry + commit
+    val entry = kept.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc)
+      .select("src").limit(1).head().getLong(0) // ONE scalar
+    import s.implicits._
+    Shard.writeTablesAtomic(
+      Seq("edges" -> kept, "entry" -> Seq(entry).toDF("node")),
+      dir, Shard.newCommitId())
+    Shard.gcOldCommits(s, dir)
+  }
+
+  /** Build only if `dir` has no committed index (the serve path's
+    * build-once guard). */
+  def ensureBuilt(e: DataFrame, dir: String): Unit = {
+    if (!Shard.hasCommittedTables(e.sparkSession, dir, tableNames))
+      build(e, dir)
+  }
+
+  /** The committed artifacts: the pruned edge frame (corpus-sized,
+    * stays distributed) and the entry node (one scalar). */
+  def load(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val edges = Shard.readTableViaManifest(s, dir, "edges")
+    val entry = Shard.readTableViaManifest(s, dir, "entry")
+      .head().getLong(0)
+    (edges, entry)
+  }
+}

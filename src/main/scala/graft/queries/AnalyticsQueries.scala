@@ -520,7 +520,12 @@ cents_${i + 1} AS MATERIALIZED (
     * effect at the same byte budget; on this measured-isotropic
     * corpus the honest expected delta is ≈ 0, see
     * [[ClusterQueries.opqOrder]] — the curve REPORTS it rather than
-    * assuming a gain). All rankings are the
+    * assuming a gain), and the X315 graph lane (VERDICT r16 #4 —
+    * beam search served from the committed NN-descent-built,
+    * RNG-pruned index, so the graph family's serving trade is
+    * measured in the same frame as the quantization family; the
+    * index is built once per JVM and shared with the
+    * q_ann_graph_index_* rows). All rankings are the
     * existing oracle-checked queries WITH their rank columns; hits at
     * each k are rank-windowed joins on the same (query, neighbor)
     * keys; recall lanes are exact-integer-fed rationals (hash raw).
@@ -533,6 +538,7 @@ cents_${i + 1} AS MATERIALIZED (
              iad AS (${annIvfAdc.oracle.get}),
              pqx AS (${ClusterQueries.pqRankSql}),
              opqx AS (${ClusterQueries.opqRankSql}),
+             gph AS (${SimilarityQueries.graphLaneRankSql}),
              ks AS (SELECT CAST(k AS INT) AS k
                     FROM (VALUES (1), (5), (10)) t(k)),
              ap AS (
@@ -545,7 +551,9 @@ cents_${i + 1} AS MATERIALIZED (
                UNION ALL
                SELECT 'pq', query_id, neighbor_id, rank FROM pqx
                UNION ALL
-               SELECT 'opq', query_id, neighbor_id, rank FROM opqx),
+               SELECT 'opq', query_id, neighbor_id, rank FROM opqx
+               UNION ALL
+               SELECT 'graph', query_id, neighbor_id, rank FROM gph),
              j AS (
                SELECT a.method, b.query_id, b.rank AS trank,
                       a.rank AS arank
@@ -558,8 +566,8 @@ cents_${i + 1} AS MATERIALIZED (
                WHERE j.trank <= ks.k AND j.arank <= ks.k
                GROUP BY j.method, j.query_id, ks.k),
              base AS (SELECT DISTINCT query_id FROM bf),
-             ms AS (SELECT * FROM (VALUES ('ivf'), ('ivfadc'),
-                    ('ivfpq'), ('opq'), ('pq')) t(method)),
+             ms AS (SELECT * FROM (VALUES ('graph'), ('ivf'),
+                    ('ivfadc'), ('ivfpq'), ('opq'), ('pq')) t(method)),
              grid AS (SELECT method, query_id, k
                       FROM base CROSS JOIN ks CROSS JOIN ms)
              SELECT g.method, g.query_id, g.k,
@@ -594,6 +602,12 @@ cents_${i + 1} AS MATERIALIZED (
       val opqx = ClusterQueries.opqTopK(s, d, k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("arank"))
+      // X315 graph lane (VERDICT r16 #4): served from the committed
+      // navigable-graph index — build-once via ensureBuilt, shared
+      // with the q_ann_graph_index_* rows in this JVM
+      val gph = SimilarityQueries.graphLaneRanks(s, d, qMax = 5L, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("arank"))
       val ks = Seq(1, 5, 10)
       def curveOf(method: String,
           approx: org.apache.spark.sql.DataFrame) = {
@@ -618,6 +632,7 @@ cents_${i + 1} AS MATERIALIZED (
         .unionAll(curveOf("ivfpq", ipq))
         .unionAll(curveOf("pq", pqx))
         .unionAll(curveOf("opq", opqx))
+        .unionAll(curveOf("graph", gph))
         .orderBy("method", "query_id", "k")
     })
 

@@ -1021,9 +1021,12 @@ object GraphQueries {
     * is bounded by the 50-node carve (≤2500) — the declared
     * bounded-domain-graph tier every X66-family row shares; at web
     * scale the same rounds run on the contracted DOMAIN graph, not
-    * pages. Core/IN/OUT sets are bounded driver metadata (≤50 ids)
-    * re-entering as literals. All-integer lanes; full 0..49 node
-    * universe (graph-op node-semantics discipline). */
+    * pages. Core membership and the IN/OUT sets are semi-joins
+    * against the sccid/reach frames (VERDICT r16 #3 — no driver-side
+    * member lists, so the classification holds at a millions-of-nodes
+    * CORE; the only scalar on the driver is the core's scc_id).
+    * All-integer lanes; full 0..49 node universe (graph-op
+    * node-semantics discipline). */
   val domainScc = QueryDef(
     "q_domain_scc",
     Some("""WITH RECURSIVE se AS (
@@ -1103,19 +1106,33 @@ object GraphQueries {
       val sizes = sccid.groupBy("scc_id")
         .agg(count(lit(1)).as("scc_size"))
       val coreId = sizes.orderBy(col("scc_size").desc,
-        col("scc_id").asc).limit(1).head().getLong(0)
-      // bounded driver metadata: core members, IN set, OUT set (<=50)
+        col("scc_id").asc).limit(1).head().getLong(0) // ONE scalar
+      // CORE membership and the IN/OUT reach sets stay DISTRIBUTED
+      // (VERDICT r16 #3): the former collect() + isin literal lists
+      // were bounded only by this fixture's 50-node carve — a
+      // web-scale CORE is millions of nodes, so membership is now two
+      // semi-joins against the sccid frame and two left joins back,
+      // and the query holds at any component size (the scc_id frame
+      // itself is the only state, never a driver-side list).
       val coreMembers = sccid.filter(col("scc_id") === coreId)
-        .select("node").collect().map(_.getLong(0)).toSet
-      val inSet = reach.filter(col("t").isin(coreMembers.toSeq: _*))
-        .select("s").distinct().collect().map(_.getLong(0)).toSet
-      val outSet = reach.filter(col("s").isin(coreMembers.toSeq: _*))
-        .select("t").distinct().collect().map(_.getLong(0)).toSet
+        .select("node")
+      val inNodes = reach
+        .join(coreMembers.withColumnRenamed("node", "t"), Seq("t"),
+          "left_semi")
+        .select(col("s").as("node")).distinct()
+        .withColumn("is_in", lit(true))
+      val outNodes = reach
+        .join(coreMembers.withColumnRenamed("node", "s"), Seq("s"),
+          "left_semi")
+        .select(col("t").as("node")).distinct()
+        .withColumn("is_out", lit(true))
       sccid.join(sizes, Seq("scc_id"))
+        .join(inNodes, Seq("node"), "left")
+        .join(outNodes, Seq("node"), "left")
         .select(col("node"), col("scc_id"), col("scc_size"),
           when(col("scc_id") === coreId, "CORE")
-            .when(col("node").isin(inSet.toSeq: _*), "IN")
-            .when(col("node").isin(outSet.toSeq: _*), "OUT")
+            .when(col("is_in"), "IN")
+            .when(col("is_out"), "OUT")
             .otherwise("OTHER").as("btclass"))
         .orderBy("node")
     })

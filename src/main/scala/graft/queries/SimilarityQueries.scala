@@ -2536,7 +2536,10 @@ ORDER BY id_a, id_b"""
     * results — at fixture scale full rescoring keeps both engines
     * trivially aligned. Init is a deterministic stride lattice
     * (neighbor j = (id + 37·j) mod n — the "arbitrary" start the
-    * paper requires, recall ≈ k/n by construction), so the measured
+    * paper requires, recall ≈ k/n by construction; self-loops are
+    * filtered in both lanes — a corpus size divisible by 37 would
+    * otherwise seed dst = src edges whose cos = 1.0 squats a top-k
+    * slot through every round, ADVICE r16), so the measured
     * recall_init → recall_final lift per eval node IS the descent
     * (0.028 → 0.684 mean recall@16 at n=500; synthetic near-random
     * vectors are the paper's worst case — no local structure to
@@ -2547,6 +2550,95 @@ ORDER BY id_a, id_b"""
     * the oracle unrolls all 5 rounds as MATERIALIZED CTE chains
     * (materialization is load-bearing: each round references its
     * predecessor twice, so inlined CTEs re-evaluate 2^rounds times). */
+  /** The X303 NN-descent replay as a CTE chain `e … g$rounds` —
+    * shared by q_knn_descent's oracle and the X315 persisted-index
+    * oracles (build, query, recall-curve graph lane), which must
+    * predict the SAME graph the Spark builder commits. Every
+    * multiply-referenced CTE is MATERIALIZED (inlined CTEs re-evaluate
+    * 2^rounds times). */
+  private[queries] def descentChainSql(k: Int, rounds: Int,
+      stride: Int): String = {
+    val cosAB = sqlCosine("a.v", "b.v")
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""rev$r AS (
+            SELECT node, nbr FROM (
+              SELECT dst AS node, src AS nbr,
+                     ROW_NUMBER() OVER (PARTITION BY dst
+                       ORDER BY cos DESC, src) AS rn
+              FROM g$p) rr$r WHERE rn <= $k),
+          b$r AS MATERIALIZED (
+            SELECT src AS node, dst AS nbr FROM g$p
+            UNION
+            SELECT node, nbr FROM rev$r),
+          cand$r AS (
+            SELECT DISTINCT x.nbr AS src, y.nbr AS dst
+            FROM b$r x JOIN b$r y
+              ON x.node = y.node AND x.nbr <> y.nbr),
+          sc$r AS (
+            SELECT c.src, c.dst, $cosAB AS cos
+            FROM cand$r c
+            JOIN e a ON a.id = c.src
+            JOIN e b ON b.id = c.dst),
+          g$r AS MATERIALIZED (
+            SELECT src, dst, cos FROM (
+              SELECT src, dst, cos,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY cos DESC, dst) AS rn
+              FROM (SELECT * FROM g$p
+                    UNION SELECT * FROM sc$r) u$r) ru$r
+            WHERE rn <= $k)"""
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+          SELECT vec_id AS id, embedding AS v FROM embeddings),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        init AS (
+          SELECT src, dst FROM (
+            SELECT a.id AS src,
+                   CAST((a.id + j.j * $stride) % nn.n AS BIGINT) AS dst
+            FROM e a CROSS JOIN nn
+            CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) j) i0
+          WHERE dst <> src),
+        g0 AS MATERIALIZED (
+          SELECT i.src, i.dst, $cosAB AS cos
+          FROM init i
+          JOIN e a ON a.id = i.src
+          JOIN e b ON b.id = i.dst),
+        $roundCtes"""
+  }
+
+  /** The X313 RNG prune + X315 entry selection over the descent's
+    * final graph `g$rounds` — CTEs `gkd / candp / violp / kept /
+    * entryn` predicting exactly what [[graft.ops.AnnGraph.build]]
+    * commits: ranked edges, the MRNG keep-set, and the max-out-degree
+    * entry node (ties → min id; an exact INTEGER argmax — a centroid
+    * entry would compare engine-order-dependent float averages). */
+  private[queries] def descentPruneSql(rounds: Int): String = {
+    val cosAB = sqlCosine("a.v", "b.v")
+    s"""gkd AS MATERIALIZED (
+          SELECT src, dst, cos,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY cos DESC, dst) AS rn
+          FROM g$rounds),
+        candp AS (
+          SELECT g1.src, g1.dst AS b, g1.cos AS cos_qb, g2.dst AS a
+          FROM gkd g1 JOIN gkd g2
+            ON g1.src = g2.src AND g2.rn < g1.rn),
+        violp AS (
+          SELECT DISTINCT c.src, c.b
+          FROM candp c
+          JOIN e a ON a.id = c.a
+          JOIN e b ON b.id = c.b
+          WHERE $cosAB > c.cos_qb),
+        kept AS MATERIALIZED (
+          SELECT g.src, g.dst, g.cos, g.rn FROM gkd g
+          LEFT JOIN violp v ON v.src = g.src AND v.b = g.dst
+          WHERE v.b IS NULL),
+        entryn AS (
+          SELECT src AS node FROM kept GROUP BY src
+          ORDER BY COUNT(*) DESC, src ASC LIMIT 1)"""
+  }
+
   val knnDescent = QueryDef(
     "q_knn_descent", {
       val k = 16
@@ -2554,50 +2646,7 @@ ORDER BY id_a, id_b"""
       val stride = 37
       val evalN = 50
       val cosAB = sqlCosine("a.v", "b.v")
-      val roundCtes = (1 to rounds).map { r =>
-        val p = r - 1
-        s"""rev$r AS (
-              SELECT node, nbr FROM (
-                SELECT dst AS node, src AS nbr,
-                       ROW_NUMBER() OVER (PARTITION BY dst
-                         ORDER BY cos DESC, src) AS rn
-                FROM g$p) rr$r WHERE rn <= $k),
-            b$r AS MATERIALIZED (
-              SELECT src AS node, dst AS nbr FROM g$p
-              UNION
-              SELECT node, nbr FROM rev$r),
-            cand$r AS (
-              SELECT DISTINCT x.nbr AS src, y.nbr AS dst
-              FROM b$r x JOIN b$r y
-                ON x.node = y.node AND x.nbr <> y.nbr),
-            sc$r AS (
-              SELECT c.src, c.dst, $cosAB AS cos
-              FROM cand$r c
-              JOIN e a ON a.id = c.src
-              JOIN e b ON b.id = c.dst),
-            g$r AS MATERIALIZED (
-              SELECT src, dst, cos FROM (
-                SELECT src, dst, cos,
-                       ROW_NUMBER() OVER (PARTITION BY src
-                         ORDER BY cos DESC, dst) AS rn
-                FROM (SELECT * FROM g$p
-                      UNION SELECT * FROM sc$r) u$r) ru$r
-              WHERE rn <= $k)"""
-      }.mkString(",\n")
-      Some(s"""WITH e AS MATERIALIZED (
-                SELECT vec_id AS id, embedding AS v FROM embeddings),
-              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
-              init AS (
-                SELECT a.id AS src,
-                       CAST((a.id + j.j * $stride) % nn.n AS BIGINT) AS dst
-                FROM e a CROSS JOIN nn
-                CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) j),
-              g0 AS MATERIALIZED (
-                SELECT i.src, i.dst, $cosAB AS cos
-                FROM init i
-                JOIN e a ON a.id = i.src
-                JOIN e b ON b.id = i.dst),
-              $roundCtes,
+      Some(s"""WITH ${descentChainSql(k, rounds, stride)},
               truth AS (
                 SELECT src, dst FROM (
                   SELECT a.id AS src, b.id AS dst,
@@ -2627,48 +2676,15 @@ ORDER BY id_a, id_b"""
               ORDER BY query_id""")
     },
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 16
       val rounds = 5
       val stride = 37L
       val evalN = 50
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("v"),
-          Similarity.norm(col("embedding")).as("nrm"))
-        .localCheckpoint(true) // n×(64 floats): reused by every round
+      val e = simEmbFrame(s, d) // n×(64 floats): reused by every round
       val n = e.count() // bounded action: table cardinality for the lattice
-      val ea = e.select(col("id").as("src"), col("v").as("va"),
-        col("nrm").as("na"))
-      val eb = e.select(col("id").as("dst"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      def score(pairs: org.apache.spark.sql.DataFrame) =
-        pairs.join(ea, "src").join(eb, "dst")
-          .select(col("src"), col("dst"),
-            Similarity.cosineWithNorms(col("va"), col("vb"),
-              col("na"), col("nb")).as("cos"))
-      val init = e.select(col("id").as("src"),
-        explode(array((1 to k).map(j =>
-          ((col("id") + lit(j * stride)) % lit(n)).cast("long")): _*))
-          .as("dst"))
-      val g0 = score(init).localCheckpoint(true)
-      val wRev = Window.partitionBy("dst").orderBy(col("cos").desc, col("src"))
-      val wFwd = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-      var g = g0
-      for (_ <- 1 to rounds) {
-        val rev = g.withColumn("rn", row_number().over(wRev))
-          .filter(col("rn") <= k)
-          .select(col("dst").as("node"), col("src").as("nbr"))
-        val fwd = g.select(col("src").as("node"), col("dst").as("nbr"))
-        val b = fwd.union(rev).distinct()
-        val cand = b.select(col("node"), col("nbr").as("src"))
-          .join(b.select(col("node"), col("nbr").as("dst")), "node")
-          .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
-        g = g.unionByName(score(cand)).distinct()
-          .withColumn("rn", row_number().over(wFwd))
-          .filter(col("rn") <= k).drop("rn")
-          .localCheckpoint(true) // lineage cut per descent round
-      }
+      // the shared X315 builder — self-loop lattice guard included
+      // (ADVICE r16); g0 rides along for the recall-lift readout
+      val (g0, g) = graft.ops.AnnGraph.nnDescent(e, n, k, rounds, stride)
       val truth = Similarity.bruteForceTopK(e.select(col("id").as("vec_id"),
             col("v").as("embedding")),
           e.filter(col("id") < evalN).select(col("id").as("vec_id"),
@@ -2712,36 +2728,7 @@ ORDER BY id_a, id_b"""
   val knnGraphSearch = QueryDef(
     "q_knn_graph_search", {
       val kg = 16
-      val beam = 8
-      val hops = 5
-      val k = 10
-      val (q0, q1) = (100, 120)
       val cosAB = sqlCosine("a.v", "b.v")
-      val cosQN = sqlCosine("q.v", "c.v")
-      val hopCtes = (1 to hops).map { t =>
-        val p = t - 1
-        s""",
-            cand$t AS (
-              SELECT DISTINCT f.qid, ug.nbr AS node
-              FROM f$p f JOIN ug ON ug.node = f.node
-              WHERE ug.nbr <> f.qid),
-            new$t AS (
-              SELECT c.qid, c.node FROM cand$t c
-              LEFT JOIN seen$p s ON s.qid = c.qid AND s.node = c.node
-              WHERE s.node IS NULL),
-            sc$t AS (
-              SELECT n.qid, n.node, $cosQN AS cos
-              FROM new$t n
-              JOIN qs q ON q.qid = n.qid
-              JOIN e c ON c.id = n.node),
-            seen$t AS MATERIALIZED (
-              SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t),
-            f$t AS (
-              SELECT qid, node FROM (
-                SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
-                  ORDER BY cos DESC, node) AS rn
-                FROM seen$t) r$t WHERE rn <= $beam)"""
-      }.mkString
       Some(s"""WITH e AS MATERIALIZED (
                 SELECT vec_id AS id, embedding AS v FROM embeddings),
               gk AS MATERIALIZED (
@@ -2754,39 +2741,9 @@ ORDER BY id_a, id_b"""
               ug AS MATERIALIZED (
                 SELECT src AS node, dst AS nbr FROM gk
                 UNION SELECT dst, src FROM gk),
-              qs AS MATERIALIZED (
-                SELECT id AS qid, v FROM e
-                WHERE id >= $q0 AND id < $q1),
-              seen0 AS MATERIALIZED (
-                SELECT q.qid, c.id AS node, $cosQN AS cos
-                FROM qs q JOIN e c ON c.id = 0 AND c.id <> q.qid),
-              f0 AS (SELECT qid, node FROM seen0)
-              $hopCtes,
-              res AS (
-                SELECT qid, node FROM (
-                  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
-                    ORDER BY cos DESC, node) AS rn
-                  FROM seen$hops) rr WHERE rn <= $k),
-              truth AS (
-                SELECT qid, node FROM (
-                  SELECT q.qid, c.id AS node,
-                         ROW_NUMBER() OVER (PARTITION BY q.qid
-                           ORDER BY $cosQN DESC, c.id) AS rn
-                  FROM qs q JOIN e c ON c.id <> q.qid) rt
-                WHERE rn <= $k),
-              ns AS (
-                SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
-                FROM seen$hops GROUP BY 1),
-              hits AS (
-                SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS h
-                FROM res r JOIN truth t
-                  ON t.qid = r.qid AND t.node = r.node GROUP BY 1)
-              SELECT ns.qid AS query_id, ns.n_scored,
-                     COALESCE(hits.h, CAST(0 AS BIGINT)) AS hits,
-                     CAST(COALESCE(hits.h, CAST(0 AS BIGINT)) AS DOUBLE)
-                       / $k.0 AS recall
-              FROM ns LEFT JOIN hits ON hits.qid = ns.qid
-              ORDER BY query_id""")
+              ${beamWalkSql(q0 = 100, q1 = 120, entrySql = "0",
+                beam = 8, hops = 5)},
+              ${beamReadoutSql(hops = 5, k = 10)}""")
     },
     (s, d) => {
       val kg = 16
@@ -2825,17 +2782,93 @@ ORDER BY id_a, id_b"""
       .union(gk.select(col("dst").as("node"), col("src").as("nbr")))
       .distinct().localCheckpoint(true)
 
-  /** The X307 greedy beam search device over adjacency `ug`, with the
-    * brute-force recall readout — (query_id, n_scored, hits, recall)
-    * for query nodes id ∈ [q0, q1). */
-  private[queries] def beamSearchEval(e: org.apache.spark.sql.DataFrame,
-      ug: org.apache.spark.sql.DataFrame, q0: Long, q1: Long,
-      beam: Int, hops: Int, k: Int): org.apache.spark.sql.DataFrame = {
+  /** SQL twin of [[beamSearchSeen]]: the `qs / seen0 / f0 / hop`
+    * CTE chain — assumes CTEs `e` (id, v) and `ug` (node, nbr) are
+    * already defined; `entrySql` is the entry-node expression (a
+    * literal for the pinned-scaffold query, `(SELECT node FROM
+    * entryn)` for the X315 committed index). Ends WITHOUT a trailing
+    * comma (the hop CTEs each lead with one). Hop CTE names are
+    * w-prefixed (wc/wn/ws) so the chain can share one WITH clause
+    * with [[descentChainSql]]'s cand/sc rounds. */
+  private[queries] def beamWalkSql(q0: Int, q1: Int, entrySql: String,
+      beam: Int, hops: Int): String = {
+    val cosQN = sqlCosine("q.v", "c.v")
+    val hopCtes = (1 to hops).map { t =>
+      val p = t - 1
+      s""",
+          wc$t AS (
+            SELECT DISTINCT f.qid, ug.nbr AS node
+            FROM f$p f JOIN ug ON ug.node = f.node
+            WHERE ug.nbr <> f.qid),
+          wn$t AS (
+            SELECT c.qid, c.node FROM wc$t c
+            LEFT JOIN seen$p s ON s.qid = c.qid AND s.node = c.node
+            WHERE s.node IS NULL),
+          ws$t AS (
+            SELECT n.qid, n.node, $cosQN AS cos
+            FROM wn$t n
+            JOIN qs q ON q.qid = n.qid
+            JOIN e c ON c.id = n.node),
+          seen$t AS MATERIALIZED (
+            SELECT * FROM seen$p UNION ALL SELECT * FROM ws$t),
+          f$t AS (
+            SELECT qid, node FROM (
+              SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cos DESC, node) AS rn
+              FROM seen$t) r$t WHERE rn <= $beam)"""
+    }.mkString
+    s"""qs AS MATERIALIZED (
+          SELECT id AS qid, v FROM e
+          WHERE id >= $q0 AND id < $q1),
+        seen0 AS MATERIALIZED (
+          SELECT q.qid, c.id AS node, $cosQN AS cos
+          FROM qs q JOIN e c ON c.id = $entrySql AND c.id <> q.qid),
+        f0 AS (SELECT qid, node FROM seen0)
+        $hopCtes"""
+  }
+
+  /** SQL readout of a beam walk: top-k result set, brute-force truth,
+    * n_scored and recall — the q_knn_graph_search /
+    * q_ann_graph_index_query output shape. Starts at `res AS` (the
+    * caller supplies the comma after [[beamWalkSql]]). */
+  private[queries] def beamReadoutSql(hops: Int, k: Int): String = {
+    val cosQN = sqlCosine("q.v", "c.v")
+    s"""res AS (
+          SELECT qid, node FROM (
+            SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, node) AS rn
+            FROM seen$hops) rr WHERE rn <= $k),
+        truth AS (
+          SELECT qid, node FROM (
+            SELECT q.qid, c.id AS node,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                     ORDER BY $cosQN DESC, c.id) AS rn
+            FROM qs q JOIN e c ON c.id <> q.qid) rt
+          WHERE rn <= $k),
+        ns AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+          FROM seen$hops GROUP BY 1),
+        hits AS (
+          SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS h
+          FROM res r JOIN truth t
+            ON t.qid = r.qid AND t.node = r.node GROUP BY 1)
+        SELECT ns.qid AS query_id, ns.n_scored,
+               COALESCE(hits.h, CAST(0 AS BIGINT)) AS hits,
+               CAST(COALESCE(hits.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                 / $k.0 AS recall
+        FROM ns LEFT JOIN hits ON hits.qid = ns.qid
+        ORDER BY query_id"""
+  }
+
+  /** The X307 greedy walk itself: beam-expand `qs` = (qid, qv, qn)
+    * over adjacency `ug` from `entry`, returning the scored visited
+    * set (qid, node, cos) — shared by the scaffold eval, the X315
+    * served-index eval and the recall-curve graph lane. */
+  private[queries] def beamSearchSeen(e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame, entry: Long,
+      beam: Int, hops: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val eIdVec = e.select(col("id").as("vec_id"), col("v").as("embedding"))
-    val qs = e.filter(col("id") >= q0 && col("id") < q1)
-      .select(col("id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"))
     val corpus = e.select(col("id").as("node"), col("v").as("cv"),
       col("nrm").as("cn"))
     def scoreQ(df: org.apache.spark.sql.DataFrame) =
@@ -2844,7 +2877,7 @@ ORDER BY id_a, id_b"""
           Similarity.cosineWithNorms(col("qv"), col("cv"),
             col("qn"), col("cn")).as("cos"))
     var seen = scoreQ(qs.select(col("qid"))
-        .withColumn("node", lit(0L))
+        .withColumn("node", lit(entry))
         .filter(col("node") =!= col("qid")))
       .localCheckpoint(true)
     var frontier = seen.select("qid", "node")
@@ -2859,6 +2892,38 @@ ORDER BY id_a, id_b"""
       frontier = seen.withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= beam).select("qid", "node")
     }
+    seen
+  }
+
+  /** Top-k ranking readout of a beam search — (query_id, neighbor_id,
+    * rank), the lane shape the X291 recall curve consumes. */
+  private[queries] def beamSearchRanks(e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame, entry: Long,
+      beam: Int, hops: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+    beamSearchSeen(e, ug, qs, entry, beam, hops)
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("rank"))
+  }
+
+  /** The X307 greedy beam search device over adjacency `ug`, with the
+    * brute-force recall readout — (query_id, n_scored, hits, recall)
+    * for query nodes id ∈ [q0, q1). */
+  private[queries] def beamSearchEval(e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame, q0: Long, q1: Long,
+      beam: Int, hops: Int, k: Int, entry: Long = 0L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eIdVec = e.select(col("id").as("vec_id"), col("v").as("embedding"))
+    val qs = e.filter(col("id") >= q0 && col("id") < q1)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seen = beamSearchSeen(e, ug, qs, entry, beam, hops)
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
     val res = seen.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k).select("qid", "node")
     val truth = Similarity.bruteForceTopK(eIdVec,
@@ -2877,24 +2942,12 @@ ORDER BY id_a, id_b"""
       .orderBy("query_id")
   }
 
-  /** The X313 MRNG keep-set over an exact-graph edge frame. */
+  /** The X313 MRNG keep-set over an exact-graph edge frame (body
+    * lives in [[graft.ops.AnnGraph.rngPrune]] — shared with the X315
+    * persisted-index build). */
   private[queries] def rngKeptEdges(gk: org.apache.spark.sql.DataFrame,
-      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cand = gk.as("g1").join(gk.as("g2"),
-        col("g1.src") === col("g2.src") && col("g2.rn") < col("g1.rn"))
-      .select(col("g1.src").as("src"), col("g1.dst").as("b"),
-        col("g1.cos").as("cos_qb"), col("g2.dst").as("a"))
-    val viol = cand
-      .join(e.select(col("id").as("a"), col("v").as("va"),
-        col("nrm").as("na")), "a")
-      .join(e.select(col("id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb")), "b")
-      .filter(Similarity.cosineWithNorms(col("va"), col("vb"),
-        col("na"), col("nb")) > col("cos_qb"))
-      .select(col("src"), col("b")).distinct()
-    gk.join(viol.withColumnRenamed("b", "dst"),
-      Seq("src", "dst"), "left_anti")
-  }
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.AnnGraph.rngPrune(gk, e)
 
   /** RNG-rule k-NN graph pruning (X313 — the edge-diversification
     * step that turns a raw kNN graph into a NAVIGABLE one: NSG's
@@ -2968,6 +3021,118 @@ ORDER BY id_a, id_b"""
         .orderBy("node")
     })
 
+  /** One graph-index directory per (JVM, sf dir) — the q_ann_index_*
+    * discipline: concurrent sessions never collide; the build/query/
+    * curve rows in one run share the committed artifacts. */
+  private[queries] def annGraphDir(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_graph_${ProcessHandle.current().pid()}_$key").getPath
+  }
+
+  /** Navigable-graph ANN index BUILD as a committed artifact set
+    * (X315 — VERDICT r16 #1: NN-descent construction (X303) + RNG
+    * pruning (X313) + entry selection, published through ONE X299
+    * manifest swap by [[graft.ops.AnnGraph.build]]; see its scaladoc
+    * for the HNSW/NSG correspondence and the integer-argmax entry
+    * rationale). The result is the graph's audit computed ONLY from
+    * artifacts READ BACK THROUGH THE MANIFEST — per node: post-prune
+    * out-degree, kept-rank checksum (Σ rn over kept edges, tying
+    * every committed edge to the predicted descent ranking), and the
+    * entry flag. The oracle replays the whole build from first
+    * principles (descent chain + prune + entry CTEs); a missing
+    * manifest file, an edge from a stale build, or a drifted entry
+    * all break the hash. All-integer output. */
+  val annGraphIndexBuild = QueryDef(
+    "q_ann_graph_index_build",
+    Some(s"""WITH ${descentChainSql(16, 5, 37)},
+            ${descentPruneSql(5)}
+            SELECT k.src AS node,
+                   CAST(COUNT(*) AS BIGINT) AS deg_after,
+                   CAST(SUM(k.rn) AS BIGINT) AS kept_rank_sum,
+                   k.src = (SELECT node FROM entryn) AS is_entry
+            FROM kept k GROUP BY k.src
+            ORDER BY node"""),
+    (s, d) => {
+      val dir = annGraphDir(d)
+      val e = simEmbFrame(s, d)
+      graft.ops.AnnGraph.build(e, dir)
+      val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg_after"),
+          sum("rn").cast("long").as("kept_rank_sum"))
+        .select(col("node"), col("deg_after"), col("kept_rank_sum"),
+          (col("node") === entry).as("is_entry"))
+        .orderBy("node")
+    })
+
+  /** Navigable-graph ANN index QUERY — serve-only beam search (X315's
+    * second half, closing VERDICT r16 #1: the X307 walk answered FROM
+    * THE COMMITTED ARTIFACTS ONLY — no n² exact-graph scaffold, no
+    * descent, no prune on the serving path; ensureBuilt is the only
+    * build trigger). Adjacency is the committed pruned edge set
+    * symmetrized; the entry node comes from the committed `entry`
+    * table. Readout = the X307 eval (n_scored / hits / recall over
+    * the 20-query slice), so the scan-fraction-vs-recall trade of the
+    * SERVED graph reads next to q_knn_graph_search's exact-scaffold
+    * row. The oracle replays build + walk end to end; the truth lane
+    * is the declared 20-query brute force (PlanSpec bnljByDesign).
+    * Serving cost is ~1 + beam·k·hops scored candidates regardless
+    * of corpus size — the sf1 probe reads this row's ratio. */
+  val annGraphIndexQuery = QueryDef(
+    "q_ann_graph_index_query",
+    Some(s"""WITH ${descentChainSql(16, 5, 37)},
+            ${descentPruneSql(5)},
+            ug AS MATERIALIZED (
+              SELECT src AS node, dst AS nbr FROM kept
+              UNION SELECT dst, src FROM kept),
+            ${beamWalkSql(q0 = 100, q1 = 120,
+              entrySql = "(SELECT node FROM entryn)",
+              beam = 8, hops = 5)},
+            ${beamReadoutSql(hops = 5, k = 10)}"""),
+    (s, d) => {
+      val dir = annGraphDir(d)
+      val e = simEmbFrame(s, d)
+      graft.ops.AnnGraph.ensureBuilt(e, dir)
+      val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
+      beamSearchEval(e, symmetrized(edges), q0 = 100L, q1 = 120L,
+        beam = 8, hops = 5, k = 10, entry = entry)
+    })
+
+  /** Standalone (query_id, neighbor_id, rank) SQL of the X315
+    * served-graph walk for query ids < 5 — the recall-curve graph
+    * lane (VERDICT r16 #4) embeds this whole statement as a CTE. */
+  private[queries] def graphLaneRankSql: String =
+    s"""WITH ${descentChainSql(16, 5, 37)},
+        ${descentPruneSql(5)},
+        ug AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM kept
+          UNION SELECT dst, src FROM kept),
+        ${beamWalkSql(q0 = 0, q1 = 5,
+          entrySql = "(SELECT node FROM entryn)", beam = 8, hops = 5)}
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT qid AS query_id, node AS neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS BIGINT) AS rank
+          FROM seen5) zg WHERE rank <= 10"""
+
+  /** Spark twin of [[graphLaneRankSql]]: serve ranks for query ids
+    * < `qMax` from the committed graph index (building it once per
+    * (JVM, sf) if absent). */
+  private[queries] def graphLaneRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, qMax: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val dir = annGraphDir(d)
+    val e = simEmbFrame(s, d)
+    graft.ops.AnnGraph.ensureBuilt(e, dir)
+    val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
+    val qs = e.filter(col("id") < qMax)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    beamSearchRanks(e, symmetrized(edges), qs, entry, beam = 8,
+      hops = 5, k = k)
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupExactStrict, dedupNearExact, ppmiSvd,
     dedupTransitivity,
     dedupMinhash, dedupMinhashHt, dedupMinhashMd5, dedupSimhash,
@@ -2980,5 +3145,5 @@ ORDER BY id_a, id_b"""
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
     fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl, knnDescent,
-    knnGraphSearch, graphPrune)
+    knnGraphSearch, graphPrune, annGraphIndexBuild, annGraphIndexQuery)
 }

@@ -260,7 +260,11 @@ class PlanSpec extends SparkSuite {
       "q_knn_graph_search",
       // X313 RNG pruning: the PRUNE is n·k² local pairs (equi-joins);
       // the raw-graph scaffold is the declared brute-force lane
-      "q_graph_prune")
+      "q_graph_prune",
+      // X315 served-graph query: the SERVE path is committed-edge
+      // equi-join hops (no scaffold); the 20-query ground-truth
+      // recall lane is the inherited brute force (X74 discipline)
+      "q_ann_graph_index_query")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(
