@@ -90,19 +90,52 @@ object AnnIndex {
 
   /** Delta-ingest `emb` into the committed index at `dir` WITHOUT
     * retraining (X311): new vectors are encoded against the frozen
-    * committed artifacts, and ONE new transaction republishes the
-    * table set with codes = old ∪ new — readers atomically flip from
-    * the pre-ingest corpus to the post-ingest corpus, never seeing a
-    * half-ingested state. At 100 TB the union is an appended coded
-    * segment under the same manifest swap; training cost is ZERO
-    * either way, which is the property this path exists for. */
+    * committed artifacts, and ONE append-commit publishes them as a
+    * NEW CODES SEGMENT — the existing codes files are carried forward
+    * by reference in the swapped manifest, never rewritten (X317:
+    * what makes a 100 TB delta O(delta), not O(corpus) — the r16
+    * full-rewrite form paid a corpus rewrite per delta). Readers
+    * atomically flip from the pre-ingest corpus to old ∪ new and can
+    * never see a half-ingested state; repeated deltas accumulate
+    * segments until [[compact]] folds them.
+    *
+    * Idempotence guard (ADVICE r16): the delta's vec_ids must be
+    * DISJOINT from the committed corpus — a retried job that already
+    * committed would otherwise silently duplicate coded rows and
+    * skew topK candidate multiplicity. One anti-join count decides;
+    * the caller of a retryable pipeline checks-then-skips. */
   def ingest(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     val loaded = load(s, dir)
-    val newCodes = encode(loaded, emb)
-    // materialize the union BEFORE the swap: the new commit must not
-    // read `codes` files the GC of its own publish step could retire
-    val merged = loaded.codes.unionByName(newCodes).localCheckpoint(true)
+    val dup = emb.select("vec_id")
+      .join(loaded.codes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .count()
+    require(dup == 0L,
+      s"ingest into $dir: $dup vec_ids already committed — deltas " +
+        "must be disjoint (a retry of a committed delta re-ingests)")
+    // materialize the segment BEFORE the swap: encode reads manifest
+    // files the append itself re-references
+    val newCodes = encode(loaded, emb).localCheckpoint(true)
+    Shard.appendTablesAtomic(Seq("codes" -> newCodes), dir,
+      Shard.newCommitId())
+    Shard.gcOldCommits(s, dir)
+  }
+
+  /** Compact the index (X317 — VERDICT r16 #5): fold the base codes
+    * segment and every delta segment into ONE fresh codes table,
+    * republished with the (unchanged) centroids/codebooks under a
+    * single manifest swap — readers never see a half state: before
+    * the swap they read the fragmented chain, after it the single
+    * segment, and a crash mid-compaction leaves only unreferenced
+    * files. [[Shard.gcOldCommits]] then retires every superseded
+    * segment prefix, bounding disk. At 100 TB this is the table
+    * format's background compaction: one scan + one write of the
+    * codes table, amortized over many O(delta) ingests. */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val loaded = load(s, dir)
+    // materialize BEFORE the swap: the rewrite must not read codes
+    // files its own publish step's GC retires
+    val merged = loaded.codes.localCheckpoint(true)
     import s.implicits._
     val centroidsDf = loaded.centroids.zipWithIndex
       .map { case (cv, c) => (c, cv.toSeq) }.toSeq.toDF("c", "cv")

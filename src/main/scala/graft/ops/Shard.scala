@@ -133,18 +133,45 @@ object Shard {
     * exclusively through the manifest, and the manifest swap is
     * atomic, so any unreferenced prefix is invisible already. Keeping
     * old commits is the time-travel default; GC is the bounded-disk
-    * opt-in a repeated writer (bench reruns) calls after its swap. */
+    * opt-in a repeated writer (bench reruns) calls after its swap.
+    *
+    * Liveness is FILE-derived, not commit-field-derived: an
+    * append-style manifest ([[appendTablesAtomic]]) references files
+    * under SEVERAL commit prefixes (base + each delta segment), and
+    * every one of them must survive GC — only prefixes no manifest
+    * path points into are deleted. */
   def gcOldCommits(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dataDir = new Path(s"$dir/data")
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dataDir)) {
-      val (live, _) = readManifest(spark, dir)
+      val live = livePrefixes(spark, dir)
       fs.listStatus(dataDir)
-        .filter(st => st.isDirectory && st.getPath.getName != live)
+        .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     }
+  }
+
+  /** Every `data/<prefix>/` the current committed manifest's file
+    * paths point into — the GC keep-set (≥ 1 for a plain commit,
+    * one per segment for an append chain). */
+  def livePrefixes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Set[String] =
+    """"path":"data/([^/"]+)/""".r
+      .findAllMatchIn(readManifestText(spark, dir))
+      .map(_.group(1)).toSet
+
+  private def readManifestText(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val mPath = new Path(s"$dir/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(mPath).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(mPath)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8")
   }
 
   /** The current committed manifest of `dir` as (commitId, entries) —
@@ -235,12 +262,25 @@ object Shard {
       }
       buf.result()
     }.sortBy(e => (e._1, e._2))
+    swapTablesManifest(spark, dir, commitId, tables.map(_._1), files)
+  }
+
+  /** Build + fsync + atomically swap a multi-table manifest naming
+    * `files` = (table, relative path, bytes) — the shared tail of
+    * [[writeTablesAtomic]] and [[appendTablesAtomic]]. */
+  private def swapTablesManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      commitId: String, tableNames: Seq[String],
+      files: Seq[(String, String, Long)]): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
     val manifest = files.map { case (t, p, len) =>
       s"""{"table":"$t","path":"$p","bytes":$len}"""
     }.mkString(
-      s"""{"commit":"$commitId","tables":[${tables.map(t =>
-        "\"" + t._1 + "\"").mkString(",")}],"files":[""", ",", "]}")
+      s"""{"commit":"$commitId","tables":[${tableNames.map(t =>
+        "\"" + t + "\"").mkString(",")}],"files":[""", ",", "]}")
     val tmp = new Path(s"$dir/.manifest.json.$commitId.tmp")
+    val fs = tmp.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try {
       out.write(manifest.getBytes("UTF-8"))
@@ -249,6 +289,56 @@ object Shard {
     val fc = FileContext.getFileContext(tmp.toUri, conf)
     fc.rename(tmp, new Path(s"$dir/manifest.json"),
       Options.Rename.OVERWRITE)
+  }
+
+  /** APPEND-commit (X317 — the segment discipline the table formats
+    * use for ingest): write ONLY `newTables`' rows as fresh files
+    * under `dir/data/<commitId>/`, then swap ONE manifest naming the
+    * new files PLUS every file of the current commit. Readers flip
+    * atomically from the old table set to old ∪ appended; the
+    * existing data — however large — is never rewritten, which is
+    * the property that makes a 100 TB delta-ingest O(delta), not
+    * O(corpus). Repeated appends accumulate segment prefixes (all
+    * kept live by [[gcOldCommits]]'s file-derived keep-set) until a
+    * compaction rewrites the table under a single prefix. */
+  def appendTablesAtomic(newTables: Seq[(String, DataFrame)],
+      dir: String, commitId: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(newTables.nonEmpty, "appendTablesAtomic: no tables")
+    val spark = newTables.head._2.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new Path(s"$dir/data/$commitId")
+    val fs = dataPath.getFileSystem(conf)
+    require(!fs.exists(dataPath),
+      s"commit '$commitId' already exists under $dir — commit ids are " +
+        "single-use; pass Shard.newCommitId() per invocation")
+    // carried files: everything the CURRENT manifest names (with
+    // bytes — the manifest is the only listing the protocol trusts)
+    val carried =
+      """\{"table":"([^"]+)","path":"([^"]+)","bytes":(\d+)\}""".r
+        .findAllMatchIn(readManifestText(spark, dir))
+        .map(m => (m.group(1), m.group(2), m.group(3).toLong)).toSeq
+    require(carried.nonEmpty, s"append against $dir: no committed base")
+    newTables.foreach { case (name, df) =>
+      df.write.parquet(s"$dataPath/$name")
+    }
+    val fresh = newTables.flatMap { case (name, _) =>
+      val it = fs.listFiles(new Path(s"$dataPath/$name"), true)
+      val buf = Seq.newBuilder[(String, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rel = st.getPath.toString
+            .stripPrefix(fs.makeQualified(new Path(dir)).toString)
+            .stripPrefix("/")
+          buf += ((name, rel, st.getLen))
+        }
+      }
+      buf.result()
+    }
+    val names = (carried.map(_._1) ++ newTables.map(_._1)).distinct
+    swapTablesManifest(spark, dir, commitId, names,
+      (carried ++ fresh).sortBy(e => (e._1, e._2)))
   }
 
   /** The current committed multi-table manifest of `dir` as

@@ -2821,10 +2821,13 @@ $name AS (
   /** ANN index DELTA-INGEST (X311 — the corpus-growth path X300's
     * build-once contract implies: new vectors are encoded against the
     * FROZEN committed artifacts — assignment + PQ coding, ZERO
-    * training, the FAISS add-after-train shape — and one X299
-    * transaction republishes the table set with codes = old ∪ new, so
-    * readers atomically flip from the pre-ingest to the post-ingest
-    * corpus and can never see a half-ingested index). This run
+    * training, the FAISS add-after-train shape — and one APPEND
+    * commit publishes them as a new codes SEGMENT (X317: existing
+    * codes files are carried by manifest reference, never rewritten
+    * — O(delta) at 100 TB), so readers atomically flip from the
+    * pre-ingest to the post-ingest corpus and can never see a
+    * half-ingested index; deltas must be vec_id-disjoint, enforced
+    * by one anti-join — ADVICE r16). This run
     * exercises the full lifecycle: build with only the even half
     * coded, delta-ingest the odd half, serve top-k from the final
     * manifest. The oracle is VERBATIM q_ann_ivfpq's inline-trained
@@ -2855,6 +2858,121 @@ $name AS (
         .orderBy("query_id", "rank")
     })
 
+  /** ANN index COMPACTION (X317 — VERDICT r16 #5: X311's delta path
+    * now appends SEGMENTS (the existing codes files are carried by
+    * manifest reference, never rewritten — O(delta) at 100 TB), so
+    * repeated deltas fragment the codes table into one prefix per
+    * ingest; [[graft.ops.AnnIndex.compact]] folds base + deltas into
+    * ONE codes table under a single manifest swap — readers see the
+    * fragmented chain before the swap and the single segment after,
+    * never a half state — and GC retires every superseded segment,
+    * bounding disk). This run exercises the full lifecycle: build
+    * with the even half coded, delta-ingest the odd half (asserting
+    * the chain really fragmented), compact (asserting exactly one
+    * live segment remains), serve top-k from the compacted manifest.
+    * The oracle is VERBATIM q_ann_ivfpq's inline-trained ranking —
+    * hash-green proves compaction is invisible to serving
+    * (compacted ≡ union ≡ code-everything-at-build); Round17Spec
+    * additionally pins that a crash mid-compaction leaves readers on
+    * the fragmented-but-consistent chain, and that a re-ingested
+    * (already-committed) delta is REFUSED (ADVICE r16 idempotence). */
+  val annIndexCompact = QueryDef(
+    "q_ann_index_compact",
+    annIvfPq.oracle,
+    (s, d) => {
+      val dir = annIndexDir(d) + "_compact"
+      val emb = Tables.embeddings(s, d)
+      graft.ops.AnnIndex.build(emb, dir,
+        codeEmb = emb.filter(col("vec_id") % 2 === 0))
+      graft.ops.AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
+      require(graft.ops.Shard.livePrefixes(s, dir).size > 1,
+        "delta-ingest should leave a fragmented segment chain")
+      graft.ops.AnnIndex.compact(s, dir)
+      require(graft.ops.Shard.livePrefixes(s, dir).size == 1,
+        "compaction should leave exactly one live segment")
+      val loaded = graft.ops.AnnIndex.load(s, dir)
+      val qRows = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.ops.AnnIndex.topK(loaded, qRows, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    })
+
+  /** STREAMING vector ingest (X318 — VERDICT r16 #6: X302's
+    * streaming discipline applied to the ANN index — new vectors
+    * ARRIVE as a stream (two AvailableNow microbatches over a
+    * drop-folder sharing one checkpoint, the scheduled-catch-up
+    * pattern; the checkpoint guarantees batch 0's file is never
+    * reprocessed), and EVERY microbatch runs the X311 delta path
+    * inside `foreachBatch`: encode against the FROZEN committed
+    * artifacts, append one codes segment, swap one manifest. State
+    * between batches lives entirely in the committed index — the
+    * stream job itself is stateless, so a crashed executor or a
+    * restarted query resumes from the checkpoint against the last
+    * consistent manifest (exactly the production shape: ingestion
+    * workers are disposable, the manifest is the truth). The oracle
+    * is VERBATIM q_ann_ivfpq's inline-trained ranking — hash-green
+    * proves stream-ingested ≡ batch-delta ≡ code-everything-at-build
+    * on the identical artifacts. */
+  val annStreamIngest = QueryDef(
+    "q_stream_ann_ingest",
+    annIvfPq.oracle,
+    (s, d) => {
+      val dir = annIndexDir(d) + "_stream"
+      val emb = Tables.embeddings(s, d).localCheckpoint(true)
+      graft.ops.AnnIndex.build(emb, dir,
+        codeEmb = emb.filter(col("vec_id") % 2 === 0))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-annstream")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      // stage a microbatch as ONE flat parquet file in the drop-folder
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val part = tmp.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(part.toString)
+        val f = java.nio.file.Files.list(part).iterator()
+        var staged = false
+        while (f.hasNext) {
+          val p = f.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.createSymbolicLink(
+              srcDir.resolve(s"$name.parquet"), p)
+            staged = true
+          }
+        }
+        require(staged, s"stage: no parquet part for $name")
+      }
+      def ingestBatch(batch: org.apache.spark.sql.DataFrame,
+          batchId: Long): Unit = {
+        val b = batch.select("vec_id", "embedding").localCheckpoint(true)
+        if (b.head(1).nonEmpty) graft.ops.AnnIndex.ingest(b, dir)
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema(emb.schema)
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch(ingestBatch _)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // arrival 1: half the odd vectors; arrival 2: the rest
+      stage(emb.filter(col("vec_id") % 4 === 1), "b0")
+      runOnce()
+      stage(emb.filter(col("vec_id") % 4 === 3), "b1")
+      runOnce()
+      val loaded = graft.ops.AnnIndex.load(s, dir)
+      val qRows = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.ops.AnnIndex.topK(loaded, qRows, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    })
+
   val all: Seq[QueryDef] = Seq(windowAnalytics, countDistinct_, rollup_,
     rfm,
     cube_, groupingSets, rangeFrame, annIvf, annIvfPq, annIvfAdc,
@@ -2866,5 +2984,6 @@ $name AS (
     multimodalResize, statsAgg, pivot_, percentiles, quantileSketch, quantileSketchEval,
     approxDistinct, annRecallBinary, annRecallCurve, kmvDistinct, countminFreq, countSketch, itemsetPairs, warcParse, warcParseGz, tarParse, webdataset,
     imageDedup, als, itemsetTriples, joinSizeCm, matryoshka, skyline,
-    annIndexBuild, annIndexQuery, annIndexDelta)
+    annIndexBuild, annIndexQuery, annIndexDelta, annIndexCompact,
+    annStreamIngest)
 }

@@ -59,6 +59,92 @@ class Round17Spec extends SparkSuite {
     assert(edges1 == edges2)
   }
 
+  // ---------------------- X317 segment ingest + compaction (+ ADVICE)
+
+  /** The append path's core property: a delta-ingest carries the
+    * BASE commit's files forward by reference — the manifest after
+    * ingest names files under BOTH the build prefix and the delta
+    * prefix (O(delta) ingest; nothing rewritten), GC keeps every
+    * referenced prefix, and compaction folds the chain back to ONE
+    * prefix with the superseded segments retired from disk. */
+  test("ANN ingest appends a segment; compact folds the chain and GCs") {
+    import graft.ops.{AnnIndex, Shard}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annseg").toString
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    AnnIndex.build(emb, dir,
+      codeEmb = emb.filter(col("vec_id") % 2 === 0))
+    val basePrefixes = Shard.livePrefixes(spark, dir)
+    assert(basePrefixes.size == 1)
+    AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
+    val fragged = Shard.livePrefixes(spark, dir)
+    assert(fragged.size == 2, s"expected base+delta, got $fragged")
+    assert(fragged.intersect(basePrefixes) == basePrefixes,
+      "ingest rewrote the base segment instead of referencing it")
+    AnnIndex.compact(spark, dir)
+    val compacted = Shard.livePrefixes(spark, dir)
+    assert(compacted.size == 1 &&
+      compacted.intersect(fragged).isEmpty,
+      "compaction must publish one FRESH segment")
+    // GC retired the superseded prefixes from disk
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dataDirs == compacted,
+      s"stale segment prefixes survive GC: ${dataDirs -- compacted}")
+    assert(AnnIndex.load(spark, dir).codes.count() == emb.count())
+  }
+
+  /** Crash MID-COMPACTION: files of the would-be compacted commit
+    * land on disk but the manifest swap never happens — readers must
+    * still resolve the fragmented-but-consistent chain (the X299
+    * torn-write argument applied to compaction). */
+  test("ANN compact: crash before the manifest swap is invisible") {
+    import graft.ops.{AnnIndex, Shard}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anncrash").toString
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    AnnIndex.build(emb, dir,
+      codeEmb = emb.filter(col("vec_id") % 2 === 0))
+    AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
+    val before = Shard.livePrefixes(spark, dir)
+    val codesBefore = AnnIndex.load(spark, dir).codes.count()
+    // a compaction that dies after writing its files, before the swap
+    val orphan = Shard.newCommitId()
+    AnnIndex.load(spark, dir).codes.write
+      .parquet(s"$dir/data/$orphan/codes")
+    assert(Shard.livePrefixes(spark, dir) == before,
+      "unswapped compaction files leaked into the live manifest")
+    assert(AnnIndex.load(spark, dir).codes.count() == codesBefore)
+    // the real compaction afterwards still succeeds and GC sweeps
+    // the orphan prefix with the superseded segments
+    AnnIndex.compact(spark, dir)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dataDirs.contains(orphan), "orphan prefix survived GC")
+    assert(AnnIndex.load(spark, dir).codes.count() == codesBefore)
+  }
+
+  /** Idempotence guard (ADVICE r16): re-ingesting vec_ids the index
+    * already committed — the retried-job shape — is REFUSED instead
+    * of silently duplicating coded rows. */
+  test("ANN ingest: a re-ingested (already-committed) delta is refused") {
+    import graft.ops.AnnIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annidem").toString
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    AnnIndex.build(emb, dir,
+      codeEmb = emb.filter(col("vec_id") % 2 === 0))
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.ingest(delta, dir)
+    val n = AnnIndex.load(spark, dir).codes.count()
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.ingest(delta, dir) // the retry of a committed delta
+    }
+    assert(ex.getMessage.contains("disjoint"))
+    assert(AnnIndex.load(spark, dir).codes.count() == n,
+      "refused ingest must leave the index untouched")
+  }
+
   /** Structural invariants of the committed graph: every corpus node
     * keeps ≥ 1 out-edge (the rn = 1 edge has no closer-ranked
     * neighbor, so the RNG rule can never drop it — which is what
