@@ -711,9 +711,12 @@ ${x}w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
     * (l, r). Oracle unrolls all 3 rounds; wpw CTEs are MATERIALIZED
     * (each is read by the symbol count, the pair count AND the next
     * re-encode — 3 refs/round go exponential inlined). */
-  val wordpiece = QueryDef(
-    "q_wordpiece", {
-      def roundSql(k: Int): String = s"""
+  /** The X312 WordPiece training replay as a CTE chain
+    * `wptok / wpwc / wpw0 … wpw$rounds` (+ per-round wpu/wpp/wpm) —
+    * shared by q_wordpiece's oracle and q_wordpiece_encode's (which
+    * must derive its vocabulary from the SAME trained symbols). */
+  private[queries] def wordpieceChainSql(rounds: Int): String = {
+    def roundSql(k: Int): String = s"""
 wpu$k AS (
   SELECT sym, CAST(SUM(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(string_split(trim(seq, '|'), '||')) AS sym
@@ -736,19 +739,79 @@ wpw$k AS MATERIALIZED (
   SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
                        '|' || m.l || m.r || '|') AS seq
   FROM wpw${k - 1} CROSS JOIN wpm$k m)"""
-      Some(s"""WITH wptok AS (SELECT unnest($sqlToks) AS word
-                              FROM documents),
-             wpwc AS (
-               SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-               FROM wptok WHERE regexp_matches(word, '^[a-z]+$$')
-               GROUP BY word),
-             wpw0 AS MATERIALIZED (
-               SELECT freq,
-                      array_to_string(list_transform(
-                        regexp_extract_all(word, '.'),
-                        c -> '|' || c || '|'), '') AS seq
-               FROM wpwc),
-             ${(1 to 3).map(roundSql).mkString(",")}
+    s"""wptok AS (SELECT unnest($sqlToks) AS word
+                  FROM documents),
+       wpwc AS MATERIALIZED (
+         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM wptok WHERE regexp_matches(word, '^[a-z]+$$')
+         GROUP BY word),
+       wpw0 AS MATERIALIZED (
+         SELECT freq,
+                array_to_string(list_transform(
+                  regexp_extract_all(word, '.'),
+                  c -> '|' || c || '|'), '') AS seq
+         FROM wpwc),
+       ${(1 to rounds).map(roundSql).mkString(",")}"""
+  }
+
+  /** Shared X312 Spark-side training: word-frequency table with
+    * '|sym|' sequences, `rounds` PMI-argmax merges applied. Returns
+    * the encoded (word, freq, seq) frame — the Spark twin of the
+    * oracle's wpw$rounds, word retained for the X316 encode pass —
+    * plus the chosen merges. One pair count + one symbol count per
+    * round; only the argmax row returns to the driver. */
+  private[queries] def wordpieceTrain(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int = 3)
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Int, String, String, Long, Double)]) = {
+    val base = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat_ws("",
+        transform(regexp_extract_all(col("word"), lit("."), lit(0)),
+          c => concat(lit("|"), c, lit("|")))))
+      .select("word", "freq", "seq")
+      .persist()
+    var cur = base
+    val merges = Seq.newBuilder[(Int, String, String, Long, Double)]
+    for (k <- 1 to rounds) {
+      val syms = split(trim(col("seq"), "|"), "\\|\\|")
+      val symCounts = cur
+        .select(col("freq"), explode(syms).as("sym"))
+        .groupBy("sym").agg(sum("freq").as("c"))
+      val pairs = cur
+        .filter(size(syms) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("l"),
+              element_at(syms, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs
+        .join(symCounts.select(col("sym").as("l"), col("c").as("cl")),
+          "l")
+        .join(symCounts.select(col("sym").as("r"), col("c").as("cr")),
+          "r")
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      top.headOption.foreach { t =>
+        val (l, r) = (t.getString(0), t.getString(1))
+        merges += ((k, l, r, t.getLong(2), t.getDouble(3)))
+        cur = cur.withColumn("seq",
+          expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+      }
+    }
+    (cur, merges.result())
+  }
+
+  val wordpiece = QueryDef(
+    "q_wordpiece", {
+      Some(s"""WITH ${wordpieceChainSql(3)}
              SELECT * FROM (
                SELECT CAST(1 AS INT) AS merge_rank, l AS left_sym,
                       r AS right_sym, cnt AS pair_count,
@@ -761,56 +824,91 @@ wpw$k AS MATERIALIZED (
              ORDER BY merge_rank""")
     },
     (s, d) => {
-      val base = Tables.documents(s, d)
-        .select(explode(Text.tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("seq", concat_ws("",
-          transform(regexp_extract_all(col("word"), lit("."), lit(0)),
-            c => concat(lit("|"), c, lit("|")))))
-        .select("freq", "seq")
-        .persist()
-      var cur = base
-      val merges = Seq.newBuilder[(Int, String, String, Long, Double)]
-      for (k <- 1 to 3) {
-        val syms = split(trim(col("seq"), "|"), "\\|\\|")
-        val symCounts = cur
-          .select(col("freq"), explode(syms).as("sym"))
-          .groupBy("sym").agg(sum("freq").as("c"))
-        val pairs = cur
-          .filter(size(syms) >= 2)
-          .select(col("freq"),
-            explode(transform(sequence(lit(1), size(syms) - 1),
-              i => struct(element_at(syms, i).as("l"),
-                element_at(syms, i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("freq").as("cnt"))
-        val top = pairs
-          .join(symCounts.select(col("sym").as("l"), col("c").as("cl")),
-            "l")
-          .join(symCounts.select(col("sym").as("r"), col("c").as("cr")),
-            "r")
-          .select(col("l"), col("r"), col("cnt"),
-            (col("cnt").cast("double") /
-              (col("cl").cast("double") * col("cr").cast("double")))
-              .as("score"))
-          .orderBy(col("score").desc, col("l"), col("r"))
-          .limit(1).collect()
-        top.headOption.foreach { t =>
-          val (l, r) = (t.getString(0), t.getString(1))
-          merges += ((k, l, r, t.getLong(2), t.getDouble(3)))
-          cur = cur.withColumn("seq",
-            expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
-        }
-      }
-      base.unpersist()
+      val (_, merges) = wordpieceTrain(s, d)
       import s.implicits._
-      merges.result()
+      merges
         .map { case (k, l, r, cnt, sc) =>
           (k, l, r, cnt, math.floor(sc * 1e6 + 0.5) / 1e6) }
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count",
           "score")
         .orderBy("merge_rank")
+    })
+
+  /** WordPiece ENCODE — greedy longest-prefix-match tokenization of
+    * the corpus against the X312-trained vocabulary, with `##`
+    * continuation marks (X316 — VERDICT r16 #2: BERT's runtime
+    * tokenizer; X312 trains merges but nothing applied them
+    * corpus-wide, and WordPiece serving is NOT a merge replay — it
+    * re-segments each word by longest match from scratch, which is
+    * why encoded segmentations can differ from the training-time
+    * sequences). The vocabulary = the distinct trained symbols
+    * (driver-bounded), riding into the plan as ONE
+    * [[graft.functions.WordPieceEncode]] kernel — plan depth constant
+    * in vocab size, per-word cost O(len·maxTokenLen), zero extra
+    * shuffles beyond the final token aggregation (the X31 BpeEncode
+    * discipline). OOV totality: a position no vocab entry matches
+    * emits its single character and advances — every word
+    * round-trips, no [UNK] black hole (Round17Spec pins both the
+    * kernel ≡ naive-replay equivalence and the round-trip on OOV
+    * input). The oracle replays training (shared chain), derives the
+    * SAME vocabulary, and re-segments every word with a recursive
+    * longest-match CTE (matching over vocab ∪ single characters —
+    * identical to the kernel's fallback rule because a length-1
+    * vocab hit and the fallback emit the same token). */
+  val wordpieceEncode = QueryDef(
+    "q_wordpiece_encode",
+    Some(s"""WITH RECURSIVE ${wordpieceChainSql(3)},
+           vocab AS MATERIALIZED (
+             SELECT DISTINCT unnest(string_split(trim(seq, '|'), '||'))
+               AS sym
+             FROM wpw3),
+           vocabx AS MATERIALIZED (
+             -- UNION ALL + outer DISTINCT, NOT a bare UNION: under
+             -- WITH RECURSIVE, DuckDB 1.0.0 gives ANY unioned CTE the
+             -- recursive base/step semantics and skips cross-branch
+             -- dedup, which duplicated vocab rows and double-counted
+             -- every token downstream
+             SELECT DISTINCT sym FROM (
+               SELECT sym FROM vocab
+               UNION ALL
+               SELECT c AS sym FROM (
+                 SELECT DISTINCT unnest(regexp_extract_all(word, '.'))
+                   AS c
+                 FROM wpwc) cc) vu),
+           seg(word, freq, pos, tok) AS (
+             SELECT w.word, w.freq, 1 + len(s.sym), s.sym
+             FROM wpwc w JOIN vocabx s
+               ON substr(w.word, 1, len(s.sym)) = s.sym
+             WHERE NOT EXISTS (SELECT 1 FROM vocabx s2
+                               WHERE len(s2.sym) > len(s.sym)
+                                 AND substr(w.word, 1, len(s2.sym))
+                                       = s2.sym)
+             UNION ALL
+             SELECT g.word, g.freq, g.pos + len(s.sym), '##' || s.sym
+             FROM seg g JOIN vocabx s
+               ON substr(g.word, g.pos, len(s.sym)) = s.sym
+             WHERE g.pos <= len(g.word)
+               AND NOT EXISTS (SELECT 1 FROM vocabx s2
+                               WHERE len(s2.sym) > len(s.sym)
+                                 AND substr(g.word, g.pos, len(s2.sym))
+                                       = s2.sym))
+           SELECT tok AS token,
+                  CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+                  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+           FROM seg GROUP BY tok ORDER BY token"""),
+    (s, d) => {
+      val (encoded, _) = wordpieceTrain(s, d)
+      val enc = encoded.localCheckpoint(true) // vocab collect + encode
+      val vocab = enc
+        .select(explode(split(trim(col("seq"), "|"), "\\|\\|")).as("sym"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      enc.select(col("freq"), col("word"),
+          explode(graft.functions.WordPieceFunctions.wordpieceEncode(
+            col("word"), vocab)).as("token"))
+        .groupBy("token")
+        .agg(sum("freq").cast("long").as("n_occurrences"),
+          count_distinct(col("word")).as("n_words"))
+        .orderBy("token")
     })
 
   // -------------------------------------------------- byte-level bpe
@@ -3909,5 +4007,5 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
     tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
-    scalingProbe, kfoldCv, wordpiece)
+    scalingProbe, kfoldCv, wordpiece, wordpieceEncode)
 }

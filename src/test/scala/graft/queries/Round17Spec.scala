@@ -59,6 +59,74 @@ class Round17Spec extends SparkSuite {
     assert(edges1 == edges2)
   }
 
+  // ------------------------------------- X316 WordPiece encode kernel
+
+  /** Reference implementation the kernel must equal: per-position
+    * greedy longest vocab match with single-code-point fallback —
+    * the "per-round replay" the oracle runs relationally. */
+  private def naiveWordPiece(word: String, vocab: Set[String]): Seq[String] = {
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      val hit = (math.min(maxLen, word.length - pos) to 1 by -1)
+        .find(l => vocab.contains(word.substring(pos, pos + l)))
+      val len = hit.getOrElse(Character.charCount(word.codePointAt(pos)))
+      val raw = word.substring(pos, pos + len)
+      out += (if (pos == 0) raw else "##" + raw)
+      pos += len
+    }
+    out.result()
+  }
+
+  /** Kernel ≡ naive replay over randomized vocab/word draws (seeded —
+    * reproducible), exercising longest-vs-shorter overlaps, merged
+    * multi-char symbols, and OOV fallback chars. */
+  test("WordPieceEncode kernel ≡ naive longest-match replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcde"
+    for (trial <- 1 to 5) {
+      val syms = (Seq("a", "b", "c") ++ (1 to 6).map(_ =>
+        (1 to (2 + rnd.nextInt(3))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)).distinct
+      val words = (1 to 40).map(_ => (1 to (1 + rnd.nextInt(12))).map(_ =>
+        // 'z' never in vocab -> fallback path exercised
+        if (rnd.nextInt(8) == 0) 'z'
+        else alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+      val got = words.toDF("word")
+        .select(col("word"),
+          graft.functions.WordPieceFunctions.wordpieceEncode(
+            col("word"), syms).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        assert(got(w) == naiveWordPiece(w, syms.toSet),
+          s"trial $trial word '$w' vocab $syms")
+      }
+    }
+  }
+
+  /** OOV totality: strip the ## marks, concatenate, recover the word
+    * — for EVERY input, including characters no vocabulary has
+    * (astral code points exercise the surrogate-pair fallback). */
+  test("WordPieceEncode: round-trips all input, no [UNK] black hole") {
+    import spark.implicits._
+    val vocab = Seq("ab", "cd", "a", "naï")
+    val words = Seq("abcd", "qxz", "naïve", "日本語", "a🙂b", "zzz")
+    val rows = words.toDF("word")
+      .select(col("word"),
+        graft.functions.WordPieceFunctions.wordpieceEncode(
+          col("word"), vocab).as("toks"))
+      .collect()
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.head.take(2) != "##" || w.startsWith("##"))
+      val rebuilt = toks.head + toks.tail.map(_.stripPrefix("##")).mkString
+      assert(rebuilt == w, s"'$w' round-tripped to '$rebuilt' via $toks")
+    }
+  }
+
   // ---------------------- X317 segment ingest + compaction (+ ADVICE)
 
   /** The append path's core property: a delta-ingest carries the
