@@ -911,6 +911,175 @@ wpw$k AS MATERIALIZED (
         .orderBy("token")
     })
 
+  /** Unigram-LM (SentencePiece) tokenizer — one hard-EM round + one
+    * likelihood prune (X319 — Kudo ACL 2018: the fourth public
+    * subword family, completing BPE (X31) / byte-BPE (X294) /
+    * WordPiece (X312+X316); the defining difference is DIRECTION —
+    * the merge families grow a vocabulary bottom-up, unigram-LM
+    * starts BIG (every corpus substring ≤ 4 chars: all single
+    * characters + the top-24 multi-character seeds by weighted count)
+    * and PRUNES by usefulness under the model). The round:
+    *
+    *  - E-step: Viterbi-segment every word — the min-total-nll
+    *    segmentation under the seed unigram probabilities, via ONE
+    *    [[graft.functions.UnigramViterbi]] kernel (suffix DP +
+    *    forward walk, the X31/X316 codegen discipline — zero extra
+    *    shuffles, plan depth constant in vocab size);
+    *  - M-step: re-count token usage over the Viterbi segmentations
+    *    (one aggregate, freq-weighted);
+    *  - prune: keep every single character (coverage totality —
+    *    Kudo's invariant) + the top-12 multi-character tokens by
+    *    (em_count DESC, token ASC) — exact INTEGER ordering, so the
+    *    prune order replays bit-for-bit (Round17Spec pins it).
+    *
+    * Float discipline: nll values are integer-quantized ONCE per
+    * vocab entry (FLOOR(-ln(count/total)·10⁶ + 0.5) — one ln of an
+    * exact rational), so every DP comparison and the whole chain
+    * downstream is exact-integer; no float-order hazard can flip a
+    * segmentation between engines. The oracle replays everything
+    * relationally: seed counts, the SAME quantized nll table, the
+    * suffix DP as 12 unrolled rounds (a declared len ≤ 12 fixture
+    * bound, vacuous on this corpus — max word length 8; the kernel
+    * itself is unbounded), the forward walk as a recursive
+    * longest-of-the-cheapest CTE, and the prune ranking. At 100 TB:
+    * seed counting is one substring-explode aggregate, the vocab is
+    * a bounded driver artifact, the E-step is a per-row kernel scan,
+    * the M-step one keyed aggregate — the ×rounds cost shape EM
+    * training actually has. */
+  val unigramTokenizer = QueryDef(
+    "q_unigram_tokenizer", {
+      val L = 12
+      val rounds = (1 to L).map { r =>
+        val p = r - 1
+        s"""
+bs$r AS MATERIALIZED (
+  SELECT word, i, cost FROM bs$p
+  UNION ALL
+  SELECT word, i, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT b.word, CAST(len(b.word) + 1 - $r AS BIGINT) AS i,
+           v.nll + p.cost AS cost
+    FROM uwc b
+    JOIN unll v
+      ON len(b.word) + 1 - $r >= 1
+      AND substr(b.word, len(b.word) + 1 - $r, len(v.tok)) = v.tok
+    JOIN bs$p p ON p.word = b.word
+      AND p.i = len(b.word) + 1 - $r + len(v.tok)) c$r
+  GROUP BY word, i)"""
+      }.mkString(",")
+      Some(s"""WITH RECURSIVE
+utok AS (SELECT unnest($sqlToks) AS word FROM documents),
+uwc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM utok WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) <= $L
+  GROUP BY word),
+usub AS MATERIALIZED (
+  SELECT tok, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(flatten(list_transform(range(1, 5), l ->
+      list_transform(range(1, len(word) - l + 2),
+        i -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS tok
+    FROM uwc) su
+  GROUP BY tok),
+uv0 AS MATERIALIZED (
+  SELECT tok, cnt FROM (
+    SELECT tok, cnt, ROW_NUMBER() OVER (PARTITION BY (len(tok) = 1)
+      ORDER BY cnt DESC, tok) AS rn
+    FROM usub) ru
+  WHERE len(tok) = 1 OR rn <= 24),
+utot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uv0),
+unll AS MATERIALIZED (
+  SELECT tok, cnt,
+         CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM uv0 CROSS JOIN utot t),
+bs0 AS MATERIALIZED (
+  SELECT word, CAST(len(word) + 1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost
+  FROM uwc),$rounds,
+useg(word, freq, pos, tok) AS (
+  SELECT w.word, w.freq, 1 + len(v.tok), v.tok
+  FROM uwc w
+  JOIN unll v ON substr(w.word, 1, len(v.tok)) = v.tok
+  JOIN bs$L nx ON nx.word = w.word AND nx.i = 1 + len(v.tok)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM unll v2
+    JOIN bs$L n2 ON n2.word = w.word AND n2.i = 1 + len(v2.tok)
+    WHERE substr(w.word, 1, len(v2.tok)) = v2.tok
+      AND (v2.nll + n2.cost < v.nll + nx.cost
+           OR (v2.nll + n2.cost = v.nll + nx.cost
+               AND len(v2.tok) > len(v.tok))))
+  UNION ALL
+  SELECT g.word, g.freq, g.pos + len(v.tok), v.tok
+  FROM useg g
+  JOIN unll v ON substr(g.word, g.pos, len(v.tok)) = v.tok
+  JOIN bs$L nx ON nx.word = g.word AND nx.i = g.pos + len(v.tok)
+  WHERE g.pos <= len(g.word)
+    AND NOT EXISTS (
+      SELECT 1 FROM unll v2
+      JOIN bs$L n2 ON n2.word = g.word AND n2.i = g.pos + len(v2.tok)
+      WHERE substr(g.word, g.pos, len(v2.tok)) = v2.tok
+        AND (v2.nll + n2.cost < v.nll + nx.cost
+             OR (v2.nll + n2.cost = v.nll + nx.cost
+                 AND len(v2.tok) > len(v.tok))))),
+uem AS MATERIALIZED (
+  SELECT tok, CAST(SUM(freq) AS BIGINT) AS emc FROM useg GROUP BY tok)
+SELECT tok AS token, cnt AS seed_count, nll AS nll_q, emc AS em_count,
+       (len(tok) = 1 OR rk <= 12) AS kept
+FROM (
+  SELECT v0.tok, v0.cnt, v0.nll,
+         COALESCE(m0.emc, CAST(0 AS BIGINT)) AS emc,
+         ROW_NUMBER() OVER (PARTITION BY (len(v0.tok) = 1)
+           ORDER BY COALESCE(m0.emc, CAST(0 AS BIGINT)) DESC, v0.tok) AS rk
+  FROM unll v0 LEFT JOIN uem m0 ON m0.tok = v0.tok) fin
+ORDER BY token""")
+    },
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") &&
+          length(col("word")) <= 12)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true) // substring seed + E-step scan share it
+      val subs = (1 to 4).map { l =>
+        words.filter(length(col("word")) >= l)
+          .select(col("freq"), explode(expr(
+            s"transform(sequence(1, length(word) - $l + 1), " +
+              s"i -> substring(word, i, $l))")).as("tok"))
+      }.reduce(_ unionAll _)
+      val counts = subs.groupBy("tok")
+        .agg(sum("freq").cast("long").as("cnt"))
+        .localCheckpoint(true) // singles scan + top-M scan
+      // the seed vocabulary is a bounded driver artifact: every
+      // single char + the top-24 multi-char substrings
+      val singles = counts.filter(length(col("tok")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multis = counts.filter(length(col("tok")) >= 2)
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(24).collect().map(r => (r.getString(0), r.getLong(1)))
+      val seed = (singles ++ multis).sortBy(_._1).toSeq
+      val total = seed.map(_._2).sum
+      val nllq = seed.map { case (t, c) =>
+        (t, c, math.floor(-math.log(c.toDouble / total.toDouble) * 1e6
+          + 0.5).toLong)
+      }
+      val vocab = nllq.map { case (t, _, q) => (t, q) }
+      val em = words.select(col("freq"),
+          explode(graft.functions.UnigramFunctions.unigramViterbi(
+            col("word"), vocab)).as("token"))
+        .groupBy("token").agg(sum("freq").cast("long").as("emc"))
+      val w = Window.partitionBy(length(col("token")) === 1)
+        .orderBy(col("em_count").desc, col("token"))
+      nllq.toDF("token", "seed_count", "nll_q")
+        .join(em, Seq("token"), "left")
+        .select(col("token"), col("seed_count"), col("nll_q"),
+          coalesce(col("emc"), lit(0L)).as("em_count"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("token"), col("seed_count"), col("nll_q"),
+          col("em_count"),
+          (length(col("token")) === 1 || col("rk") <= 12).as("kept"))
+        .orderBy("token")
+    })
+
   // -------------------------------------------------- byte-level bpe
 
   /** The multibyte fixture the byte-level chain trains over alongside
@@ -4007,5 +4176,5 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
     tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
-    scalingProbe, kfoldCv, wordpiece, wordpieceEncode)
+    scalingProbe, kfoldCv, wordpiece, wordpieceEncode, unigramTokenizer)
 }

@@ -127,6 +127,87 @@ class Round17Spec extends SparkSuite {
     }
   }
 
+  // ------------------------------- X319 unigram-LM (SentencePiece)
+
+  /** Brute-force reference: enumerate EVERY segmentation, keep the
+    * min total nll; among cost-ties prefer the longer token at the
+    * earliest position (lexicographically-descending length
+    * sequence) — exactly the kernel's forward-walk rule. */
+  private def allSegs(word: String,
+      nll: Map[String, Long]): Seq[(Seq[String], Long)] = {
+    if (word.isEmpty) Seq((Seq.empty, 0L))
+    else (1 to math.min(4, word.length)).flatMap { l =>
+      val tok = word.take(l)
+      nll.get(tok).toSeq.flatMap { c =>
+        allSegs(word.drop(l), nll).map { case (rest, rc) =>
+          (tok +: rest, c + rc)
+        }
+      }
+    }
+  }
+
+  test("UnigramViterbi kernel = brute-force min-cost segmentation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abc"
+    for (trial <- 1 to 5) {
+      val toks = (alphabet.map(_.toString) ++ (1 to 5).map(_ =>
+        (1 to (2 + rnd.nextInt(3))).map(_ =>
+          alphabet(rnd.nextInt(3))).mkString)).distinct
+      // deliberately tie-prone nll values (small integer range)
+      val vocab = toks.map(t => (t, 1L + rnd.nextInt(4))).toSeq
+      val nll = vocab.toMap
+      val words = (1 to 30).map(_ => (1 to (1 + rnd.nextInt(8))).map(_ =>
+        alphabet(rnd.nextInt(3))).mkString).distinct
+      val got = words.toDF("word")
+        .select(col("word"),
+          graft.functions.UnigramFunctions.unigramViterbi(
+            col("word"), vocab).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        val want = allSegs(w, nll).reduceLeft { (a, b) =>
+          if (b._2 < a._2) b
+          else if (b._2 > a._2) a
+          else { // equal cost: length sequence lexicographically DESC
+            val cmp = a._1.map(_.length).zip(b._1.map(_.length))
+              .find { case (x, y) => x != y }
+              .map { case (x, y) => x - y }.getOrElse(0)
+            if (cmp >= 0) a else b
+          }
+        }._1
+        assert(got(w) == want,
+          s"trial $trial '$w': kernel ${got(w)} vs brute $want " +
+            s"(vocab $vocab)")
+      }
+    }
+  }
+
+  /** Prune-order determinism (VERDICT r16 #7): the kept set is a
+    * pure function of exact-integer (em_count, token) ordering —
+    * re-running the query yields the identical vocabulary decision,
+    * every single character survives (coverage totality), and
+    * exactly 12 multi-char tokens are kept. */
+  test("q_unigram_tokenizer: deterministic prune, total char coverage") {
+    val run1 = SparkEntry.queries("q_unigram_tokenizer")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val run2 = SparkEntry.queries("q_unigram_tokenizer")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(run1 == run2, "prune order not deterministic across runs")
+    val rows = SparkEntry.queries("q_unigram_tokenizer")(spark, Sf0001)
+      .collect()
+    val singles = rows.filter(_.getAs[String]("token").length == 1)
+    assert(singles.nonEmpty && singles.forall(_.getAs[Boolean]("kept")),
+      "a single character was pruned — coverage totality broken")
+    val multisKept = rows.count(r =>
+      r.getAs[String]("token").length > 1 && r.getAs[Boolean]("kept"))
+    assert(multisKept == math.min(12,
+      rows.count(_.getAs[String]("token").length > 1)))
+    // the EM actually moved mass: some seed token must lose all its
+    // occurrences to overlapping cheaper segmentations
+    assert(rows.exists(r => r.getAs[Long]("em_count") == 0L &&
+      r.getAs[Long]("seed_count") > 0L))
+  }
+
   // ---------------------- X317 segment ingest + compaction (+ ADVICE)
 
   /** The append path's core property: a delta-ingest carries the
