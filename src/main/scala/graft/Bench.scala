@@ -44,7 +44,14 @@ import org.apache.spark.sql.SparkSession
   *    "retimed_pre" (the pre-retime figure);
   *  - a fixed reference query timed at start/mid/end (+ once more
   *    after the retime pass) → "noise_index", the box's throughput
-  *    swing during this run.
+  *    swing during this run;
+  *  - per-family shared training (VERDICT r16 #8): the deterministic
+  *    ANN fits (IVF centroids, raw/permuted/residual PQ codebooks,
+  *    OPQ permutation) are FitCache-warmed once before the loop,
+  *    timed, disclosed as "ann_family_fit_sec" and INCLUDED in the
+  *    headline total — per-query ANN figures then measure serving,
+  *    not a re-paid training tax (caching is observationally
+  *    invisible: the fits are pure functions of (sf, params)).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -182,6 +189,19 @@ object Bench {
               math.round(m.group(2).toDouble * 1000.0)).toMap
         }
       } catch { case _: Throwable => Map.empty[String, Long] }
+    // Per-family shared training (VERDICT r16 #8): the ANN eval rows
+    // all consume the same deterministic IVF/PQ/OPQ fits; warm the
+    // FitCache ONCE here, timed, so the per-query figures measure
+    // SERVING and the family's training cost is a single disclosed
+    // number ("ann_family_fit_sec", included in the headline total).
+    val famFitMs: Long = try {
+      val t0 = System.nanoTime()
+      graft.queries.ClusterQueries.warmAnnFits(spark, sfDir)
+      (System.nanoTime() - t0) / 1000000L
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann family warm FAILED: ${e.getMessage}")
+      0L
+    }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val noiseStart = refTime()
     val (firstHalf, secondHalf) = sorted.splitAt(sorted.size / 2)
@@ -236,7 +256,7 @@ object Bench {
     // break the driver's JSON parse).
     def fmt(ms: Long): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(ms / 1000.0))
-    val totalMs = results.map(_.best).sum
+    val totalMs = results.map(_.best).sum + famFitMs
     def jsonLine(entries: Seq[(String, Long)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -269,6 +289,7 @@ object Bench {
       s""","retimed":${retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","retimed_pre":${retimedPre.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}""" +
+      s""","ann_family_fit_sec":${fmt(famFitMs)}""" +
       s""","single_run":${results.count(_.single)}""" +
       s""","protocol":"${if (median3) "median3" else "gate"}"""" +
       s""","noise_ref":[${noise.map(fmt).mkString(",")}]""" +

@@ -180,7 +180,7 @@ cents_${i + 1} AS MATERIALIZED (
              WHERE rank <= 10 ORDER BY query_id, rank"""),
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val index = ClusterQueries.ivf16Cached(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", "vec_id", "embedding", k = 10,
           index, nprobe = 4)
@@ -228,7 +228,7 @@ cents_${i + 1} AS MATERIALIZED (
     (s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val index = ClusterQueries.ivf16Cached(s, d)
       val assigned = e.select(col("embedding"),
         index.assignExpr(col("embedding")).as("list_id"))
       val cents = index.centroids.zipWithIndex
@@ -308,7 +308,7 @@ cents_${i + 1} AS MATERIALIZED (
       val truth = Similarity.bruteForceTopK(e, q,
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select("query_id", "neighbor_id")
-      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val index = ClusterQueries.ivf16Cached(s, d)
       val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
           "vec_id", "embedding", k = 10, index, nprobe = 4)
         .select("query_id", "neighbor_id")
@@ -585,7 +585,7 @@ cents_${i + 1} AS MATERIALIZED (
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("trank"))
-      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val index = ClusterQueries.ivf16Cached(s, d)
       val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
           "vec_id", "embedding", k = 10, index, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
@@ -775,7 +775,7 @@ cents_${i + 1} AS MATERIALIZED (
         .select("query_id", "neighbor_id")
       val truthCounts = truth.groupBy("query_id")
         .agg(count(lit(1)).as("d"))
-      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val index = ClusterQueries.ivf16Cached(s, d)
       def laneOf(n: Int) = {
         val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
             "vec_id", "embedding", k = 10, index, nprobe = n)
@@ -960,7 +960,7 @@ cents_${i + 1} AS MATERIALIZED (
              FROM corpus c ORDER BY vec_id"""),
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val index = Similarity.fitIvf(e, "embedding", "vec_id", nlist = 16)
+      val index = ClusterQueries.ivf16Cached(s, d)
       val assigned = e.select(col("vec_id"), col("embedding"),
         index.assignExpr(col("embedding")).as("cluster_id"),
         Similarity.norm(col("embedding")).as("nrm"))

@@ -455,12 +455,68 @@ corpusp AS MATERIALIZED (
       .select("query_id", "neighbor_id", "rank")
   }
 
+  // ---------------- VERDICT r16 #8: per-family shared ANN training.
+  // Every fit below is a deterministic driver-sized artifact (pinned
+  // samples, pinned rounds, integer tie-breaks), memoized per
+  // (fit, sf dir) through graft.ops.FitCache — an eval session
+  // (bench, verify: many ANN rows, one JVM) trains ONCE and every
+  // row serves. Observationally invisible: with or without the memo,
+  // each query's output is bit-identical and its oracle re-derives
+  // the same fits from first principles. Bench warms the family
+  // before timing and reports the one-time cost as ann_family_fit.
+
+  /** The shared 16-list IVF index over `embeddings` — memoized. */
+  private[graft] def ivf16Cached(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.ops.Similarity.IvfIndex =
+    graft.ops.FitCache.memo(s"ivf16|$d") {
+      graft.ops.Similarity.fitIvf(Tables.embeddings(s, d),
+        "embedding", "vec_id", nlist = 16)
+    }
+
+  /** Raw / OPQ-permuted / IVF-residual PQ codebooks — memoized. */
+  private def pqFitRawCached(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[Array[Array[Double]]] =
+    graft.ops.FitCache.memo(s"pqraw|$d") { pqFit(pqFrame(s, d)) }
+
+  private[queries] def opqOrderCached(
+      s: org.apache.spark.sql.SparkSession, d: String): Array[Int] =
+    graft.ops.FitCache.memo(s"opqord|$d") { opqOrder(pqFrame(s, d)) }
+
+  /** The OPQ-permuted frame (checkpointed — codes + fit share it). */
+  private def pqFramePerm(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    pqFrame(s, d)
+      .select(col("vec_id"), applyPerm(col("v"), opqOrderCached(s, d))
+        .as("v"))
+      .localCheckpoint(true)
+
+  private def pqFitPermCached(s: org.apache.spark.sql.SparkSession,
+      d: String, framep: org.apache.spark.sql.DataFrame)
+      : IndexedSeq[Array[Array[Double]]] =
+    graft.ops.FitCache.memo(s"pqperm|$d") { pqFit(framep) }
+
+  private def pqFitResCached(s: org.apache.spark.sql.SparkSession,
+      d: String, frameRes: org.apache.spark.sql.DataFrame)
+      : IndexedSeq[Array[Array[Double]]] =
+    graft.ops.FitCache.memo(s"pqres|$d") { pqFit(frameRes) }
+
+  /** Force every memoized ANN-family fit (Bench calls this once,
+    * timed, before the per-query loop — the family's training cost
+    * is then ONE disclosed figure instead of a hidden per-row tax). */
+  private[graft] def warmAnnFits(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    ivf16Cached(s, d)
+    pqFitRawCached(s, d)
+    pqFitPermCached(s, d, pqFramePerm(s, d))
+    pqFitResCached(s, d, pqFrameResidual(s, d))
+  }
+
   /** Raw-PQ top-k ranking (the q_pq_recall approx lane, factored as a
     * nestable method). */
   private[queries] def pqTopK(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int = 10): org.apache.spark.sql.DataFrame = {
     val frame = pqFrame(s, d)
-    val cents = pqFit(frame)
+    val cents = pqFitRawCached(s, d)
     adcRank(pqCodesW(frame, cents),
       pqQdTables(s, pqQueryRows(frame), cents), k)
   }
@@ -469,12 +525,8 @@ corpusp AS MATERIALIZED (
     * the permuted frame. */
   private[queries] def opqTopK(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int = 10): org.apache.spark.sql.DataFrame = {
-    val frame = pqFrame(s, d)
-    val ord = opqOrder(frame)
-    val framep = frame
-      .select(col("vec_id"), applyPerm(col("v"), ord).as("v"))
-      .localCheckpoint(true)
-    val cents = pqFit(framep)
+    val framep = pqFramePerm(s, d)
+    val cents = pqFitPermCached(s, d, framep)
     adcRank(pqCodesW(framep, cents),
       pqQdTables(s, pqQueryRows(framep), cents), k)
   }
@@ -690,7 +742,7 @@ corpusp AS MATERIALIZED (
     },
     (s, d) => {
       val frame = pqFrame(s, d)
-      val cents = pqFit(frame)
+      val cents = pqFitRawCached(s, d)
       val codesw = pqCodesW(frame, cents)
       val qRows = pqQueryRows(frame)
       val qd = pqQdTables(s, qRows, cents)
@@ -738,14 +790,15 @@ corpusp AS MATERIALIZED (
       d: String, k: Int = 10, nprobe: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
-    val index = graft.ops.Similarity.fitIvf(e, "embedding", "vec_id",
-      nlist = 16)
+    val index = ivf16Cached(s, d)
     val frame = e
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
         index.assignExpr(col("embedding")).as("list_id"))
       .localCheckpoint(true)
-    val cents = pqFit(frame)
+    // same codebooks as the raw-PQ lane: fitL2 reads only (vec_id, v)
+    // and this frame's v is the identical raw cast
+    val cents = pqFitRawCached(s, d)
     val codesw = pqCodesW(frame, cents, passthrough = Seq("list_id"))
     val qRows = pqQueryRows(frame)
     val qd = pqQdTables(s, qRows, cents)
@@ -780,22 +833,29 @@ corpusp AS MATERIALIZED (
     * tables are per (query, PROBED CELL) — the query's residual
     * changes with the cell it probes, so qd rows carry list_id and the
     * est join matches on it. */
-  private[queries] def ivfPqResidualTopK(
-      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 10,
-      nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val index = graft.ops.Similarity.fitIvf(e, "embedding", "vec_id",
-      nlist = 16)
+  /** The IVF-residual frame (vec_id, v = vector − cell centroid,
+    * list_id), checkpointed — residual codes + fit share it. */
+  private def pqFrameResidual(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val index = ivf16Cached(s, d)
     val centMap: Map[Int, Seq[Double]] = index.centroids.zipWithIndex
       .map { case (c, i) => i -> c.toSeq }.toMap
-    val frame = e
+    Tables.embeddings(s, d)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
         index.assignExpr(col("embedding")).as("list_id"))
       .withColumn("v", zip_with(col("v"),
         element_at(typedLit(centMap), col("list_id")), (a, b) => a - b))
       .localCheckpoint(true)
-    val cents = pqFit(frame) // codebooks on residuals
+  }
+
+  private[queries] def ivfPqResidualTopK(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 10,
+      nprobe: Int = 4): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val index = ivf16Cached(s, d)
+    val frame = pqFrameResidual(s, d)
+    val cents = pqFitResCached(s, d, frame) // codebooks on residuals
     val codesw = pqCodesW(frame, cents, passthrough = Seq("list_id"))
     val qVecs = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding").cast("array<double>"))

@@ -127,6 +127,29 @@ class Round17Spec extends SparkSuite {
     }
   }
 
+  // ----------------------- VERDICT r16 #8: shared ANN-family fits
+
+  /** FitCache transparency: the memoized fits are pure functions of
+    * (sf dir, parameters), so a cold-cache run and a warmed-cache run
+    * of an ANN row produce IDENTICAL rows — caching can never change
+    * a result, only when training cost is paid. */
+  test("FitCache: warmed ≡ cold for the ANN family") {
+    graft.ops.FitCache.clear()
+    val cold = SparkEntry.queries("q_ann_ivfpq")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    graft.queries.ClusterQueries.warmAnnFits(spark, Sf0001)
+    val warm = SparkEntry.queries("q_ann_ivfpq")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(cold == warm, "fit caching changed a query result")
+    graft.ops.FitCache.clear()
+    val recold = SparkEntry.queries("q_ann_opq")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    graft.queries.ClusterQueries.warmAnnFits(spark, Sf0001)
+    val rewarm = SparkEntry.queries("q_ann_opq")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(recold == rewarm)
+  }
+
   // ------------------------------- X319 unigram-LM (SentencePiece)
 
   /** Brute-force reference: enumerate EVERY segmentation, keep the
