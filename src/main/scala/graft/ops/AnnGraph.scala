@@ -83,6 +83,14 @@ object AnnGraph {
       rounds: Int = Rounds, stride: Long = Stride)
       : (DataFrame, DataFrame) = {
     val g0 = score(e, latticeEdges(e, n, k, stride)).localCheckpoint(true)
+    (g0, descendFrom(e, g0, k, rounds))
+  }
+
+  /** The full-rescoring descent loop from an arbitrary scored start
+    * (src, dst, cos) — factored so Round17Spec can pin
+    * [[descendFlagged]] ≡ this on an identical init. */
+  def descendFrom(e: DataFrame, g0: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     val wRev = Window.partitionBy("dst")
       .orderBy(col("cos").desc, col("src"))
     val wFwd = Window.partitionBy("src")
@@ -103,7 +111,100 @@ object AnnGraph {
         .filter(col("rn") <= k).drop("rn")
         .localCheckpoint(true) // lineage cut per descent round
     }
-    (g0, g)
+    g
+  }
+
+  /** FLAGGED NN-descent rounds (X321 — the new/old incremental rule
+    * of Dong et al. §2.3 that the pinned X303 form deliberately
+    * drops: a candidate pair in B(v) whose members BOTH entered v's
+    * list in earlier rounds was already generated and scored then, so
+    * only pairs with ≥ 1 FRESH side need scoring — per-round work
+    * shrinks to delta-touched neighborhoods without changing any
+    * result, Round17Spec pins flagged ≡ full-rescore). `init` is
+    * (src, dst, cos, fresh); fresh propagates: an edge is fresh in
+    * round r iff it was absent from round r−1's graph. This is the
+    * warm-start engine of [[ingest]]: committed edges enter stale,
+    * the new nodes' lattice edges enter fresh, and the rounds touch
+    * only what the delta perturbs. */
+  def descendFlagged(e: DataFrame, init: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val wRev = Window.partitionBy("dst")
+      .orderBy(col("cos").desc, col("src"))
+    val wFwd = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst"))
+    var g = init.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val rev = g.withColumn("rn", row_number().over(wRev))
+        .filter(col("rn") <= k)
+        .select(col("dst").as("node"), col("src").as("nbr"),
+          col("fresh"))
+      val fwd = g.select(col("src").as("node"), col("dst").as("nbr"),
+        col("fresh"))
+      val b = fwd.unionByName(rev)
+        .groupBy("node", "nbr")
+        .agg(max(when(col("fresh"), 1).otherwise(0)).as("fr"))
+      val cand = b.select(col("node"), col("nbr").as("src"),
+          col("fr").as("fa"))
+        .join(b.select(col("node"), col("nbr").as("dst"),
+          col("fr").as("fb")), "node")
+        .filter(col("src") =!= col("dst") &&
+          (col("fa") === 1 || col("fb") === 1))
+        .select("src", "dst").distinct()
+      val prev = g.select("src", "dst", "cos")
+      val merged = prev.unionByName(score(e, cand)).distinct()
+        .withColumn("rn", row_number().over(wFwd))
+        .filter(col("rn") <= k).drop("rn")
+      g = merged
+        .join(prev.select(col("src"), col("dst"))
+          .withColumn("old", lit(true)), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), col("cos"),
+          col("old").isNull.as("fresh"))
+        .localCheckpoint(true) // lineage cut per warm round
+    }
+    g.select("src", "dst", "cos")
+  }
+
+  /** Delta-ingest `newPred`-selected vectors of `eAll` into the
+    * committed graph at `dir` (X321 — the HNSW insert shape done as
+    * batch maintenance: warm-start [[descendFlagged]] from the
+    * COMMITTED pruned lists (stale) plus the new nodes' lattice
+    * edges (fresh), run `warmRounds` flagged rounds so new nodes wire
+    * in and perturbed old lists repair, re-prune, re-select the
+    * entry, republish the table set in ONE swap). Per-delta scored
+    * work is bounded by delta-touched neighborhoods (the flag rule),
+    * NOT a from-scratch n·(2k)²·rounds rebuild; the edge-table
+    * rewrite is n·k fixed-width rows (at production scale the edge
+    * table is src-range-partitioned and only touched partitions
+    * rewrite — same manifest protocol, file-granular). New ids must
+    * be disjoint from committed sources (the X311 retry guard). */
+  def ingest(eAll: DataFrame, newPred: org.apache.spark.sql.Column,
+      dir: String, k: Int = K, warmRounds: Int = 2,
+      stride: Long = Stride): Unit = {
+    val s = eAll.sparkSession
+    val (edges, _) = load(s, dir)
+    val n = eAll.count() // bounded action: full-corpus lattice modulus
+    val newE = eAll.filter(newPred)
+    val dup = newE.select("id")
+      .join(edges.select(col("src").as("id")).distinct(), Seq("id"),
+        "left_semi").count()
+    require(dup == 0L,
+      s"graph ingest into $dir: $dup ids already committed — deltas " +
+        "must be disjoint (a retry of a committed delta re-ingests)")
+    val init = edges.select("src", "dst", "cos")
+      .withColumn("fresh", lit(false))
+      .unionByName(score(eAll, latticeEdges(newE, n, k, stride))
+        .withColumn("fresh", lit(true)))
+    val g = descendFlagged(eAll, init, k, warmRounds)
+    val gk = rankEdges(g).localCheckpoint(true)
+    val kept = rngPrune(gk, eAll).localCheckpoint(true)
+    val entry = kept.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc)
+      .select("src").limit(1).head().getLong(0)
+    import s.implicits._
+    Shard.writeTablesAtomic(
+      Seq("edges" -> kept, "entry" -> Seq(entry).toDF("node")),
+      dir, Shard.newCommitId())
+    Shard.gcOldCommits(s, dir)
   }
 
   /** Per-source neighbor rank (cos desc, dst) over a scored edge

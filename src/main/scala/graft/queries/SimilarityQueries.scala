@@ -2557,53 +2557,54 @@ ORDER BY id_a, id_b"""
     * multiply-referenced CTE is MATERIALIZED (inlined CTEs re-evaluate
     * 2^rounds times). */
   private[queries] def descentChainSql(k: Int, rounds: Int,
-      stride: Int): String = {
+      stride: Int, pfx: String = "", where: String = ""): String = {
     val cosAB = sqlCosine("a.v", "b.v")
+    val wh = if (where.isEmpty) "" else s" WHERE $where"
     val roundCtes = (1 to rounds).map { r =>
       val p = r - 1
-      s"""rev$r AS (
+      s"""${pfx}rev$r AS (
             SELECT node, nbr FROM (
               SELECT dst AS node, src AS nbr,
                      ROW_NUMBER() OVER (PARTITION BY dst
                        ORDER BY cos DESC, src) AS rn
-              FROM g$p) rr$r WHERE rn <= $k),
-          b$r AS MATERIALIZED (
-            SELECT src AS node, dst AS nbr FROM g$p
+              FROM ${pfx}g$p) ${pfx}rr$r WHERE rn <= $k),
+          ${pfx}b$r AS MATERIALIZED (
+            SELECT src AS node, dst AS nbr FROM ${pfx}g$p
             UNION
-            SELECT node, nbr FROM rev$r),
-          cand$r AS (
+            SELECT node, nbr FROM ${pfx}rev$r),
+          ${pfx}cand$r AS (
             SELECT DISTINCT x.nbr AS src, y.nbr AS dst
-            FROM b$r x JOIN b$r y
+            FROM ${pfx}b$r x JOIN ${pfx}b$r y
               ON x.node = y.node AND x.nbr <> y.nbr),
-          sc$r AS (
+          ${pfx}sc$r AS (
             SELECT c.src, c.dst, $cosAB AS cos
-            FROM cand$r c
-            JOIN e a ON a.id = c.src
-            JOIN e b ON b.id = c.dst),
-          g$r AS MATERIALIZED (
+            FROM ${pfx}cand$r c
+            JOIN ${pfx}e a ON a.id = c.src
+            JOIN ${pfx}e b ON b.id = c.dst),
+          ${pfx}g$r AS MATERIALIZED (
             SELECT src, dst, cos FROM (
               SELECT src, dst, cos,
                      ROW_NUMBER() OVER (PARTITION BY src
                        ORDER BY cos DESC, dst) AS rn
-              FROM (SELECT * FROM g$p
-                    UNION SELECT * FROM sc$r) u$r) ru$r
+              FROM (SELECT * FROM ${pfx}g$p
+                    UNION SELECT * FROM ${pfx}sc$r) u$r) ${pfx}ru$r
             WHERE rn <= $k)"""
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
-          SELECT vec_id AS id, embedding AS v FROM embeddings),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
-        init AS (
+    s"""${pfx}e AS MATERIALIZED (
+          SELECT vec_id AS id, embedding AS v FROM embeddings$wh),
+        ${pfx}nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ${pfx}e),
+        ${pfx}init AS (
           SELECT src, dst FROM (
             SELECT a.id AS src,
                    CAST((a.id + j.j * $stride) % nn.n AS BIGINT) AS dst
-            FROM e a CROSS JOIN nn
+            FROM ${pfx}e a CROSS JOIN ${pfx}nn nn
             CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) j) i0
           WHERE dst <> src),
-        g0 AS MATERIALIZED (
+        ${pfx}g0 AS MATERIALIZED (
           SELECT i.src, i.dst, $cosAB AS cos
-          FROM init i
-          JOIN e a ON a.id = i.src
-          JOIN e b ON b.id = i.dst),
+          FROM ${pfx}init i
+          JOIN ${pfx}e a ON a.id = i.src
+          JOIN ${pfx}e b ON b.id = i.dst),
         $roundCtes"""
   }
 
@@ -2613,29 +2614,31 @@ ORDER BY id_a, id_b"""
     * commits: ranked edges, the MRNG keep-set, and the max-out-degree
     * entry node (ties → min id; an exact INTEGER argmax — a centroid
     * entry would compare engine-order-dependent float averages). */
-  private[queries] def descentPruneSql(rounds: Int): String = {
+  private[queries] def descentPruneSql(rounds: Int, pfx: String = "",
+      srcCte: String = "", eCte: String = "e"): String = {
     val cosAB = sqlCosine("a.v", "b.v")
-    s"""gkd AS MATERIALIZED (
+    val src = if (srcCte.isEmpty) s"g$rounds" else srcCte
+    s"""${pfx}gkd AS MATERIALIZED (
           SELECT src, dst, cos,
                  ROW_NUMBER() OVER (PARTITION BY src
                    ORDER BY cos DESC, dst) AS rn
-          FROM g$rounds),
-        candp AS (
+          FROM $src),
+        ${pfx}candp AS (
           SELECT g1.src, g1.dst AS b, g1.cos AS cos_qb, g2.dst AS a
-          FROM gkd g1 JOIN gkd g2
+          FROM ${pfx}gkd g1 JOIN ${pfx}gkd g2
             ON g1.src = g2.src AND g2.rn < g1.rn),
-        violp AS (
+        ${pfx}violp AS (
           SELECT DISTINCT c.src, c.b
-          FROM candp c
-          JOIN e a ON a.id = c.a
-          JOIN e b ON b.id = c.b
+          FROM ${pfx}candp c
+          JOIN $eCte a ON a.id = c.a
+          JOIN $eCte b ON b.id = c.b
           WHERE $cosAB > c.cos_qb),
-        kept AS MATERIALIZED (
-          SELECT g.src, g.dst, g.cos, g.rn FROM gkd g
-          LEFT JOIN violp v ON v.src = g.src AND v.b = g.dst
+        ${pfx}kept AS MATERIALIZED (
+          SELECT g.src, g.dst, g.cos, g.rn FROM ${pfx}gkd g
+          LEFT JOIN ${pfx}violp v ON v.src = g.src AND v.b = g.dst
           WHERE v.b IS NULL),
-        entryn AS (
-          SELECT src AS node FROM kept GROUP BY src
+        ${pfx}entryn AS (
+          SELECT src AS node FROM ${pfx}kept GROUP BY src
           ORDER BY COUNT(*) DESC, src ASC LIMIT 1)"""
   }
 
@@ -2791,39 +2794,39 @@ ORDER BY id_a, id_b"""
     * w-prefixed (wc/wn/ws) so the chain can share one WITH clause
     * with [[descentChainSql]]'s cand/sc rounds. */
   private[queries] def beamWalkSql(q0: Int, q1: Int, entrySql: String,
-      beam: Int, hops: Int): String = {
+      beam: Int, hops: Int, pfx: String = ""): String = {
     val cosQN = sqlCosine("q.v", "c.v")
     val hopCtes = (1 to hops).map { t =>
       val p = t - 1
       s""",
-          wc$t AS (
+          ${pfx}wc$t AS (
             SELECT DISTINCT f.qid, ug.nbr AS node
-            FROM f$p f JOIN ug ON ug.node = f.node
+            FROM ${pfx}f$p f JOIN ug ON ug.node = f.node
             WHERE ug.nbr <> f.qid),
-          wn$t AS (
-            SELECT c.qid, c.node FROM wc$t c
-            LEFT JOIN seen$p s ON s.qid = c.qid AND s.node = c.node
+          ${pfx}wn$t AS (
+            SELECT c.qid, c.node FROM ${pfx}wc$t c
+            LEFT JOIN ${pfx}seen$p s ON s.qid = c.qid AND s.node = c.node
             WHERE s.node IS NULL),
-          ws$t AS (
+          ${pfx}ws$t AS (
             SELECT n.qid, n.node, $cosQN AS cos
-            FROM wn$t n
-            JOIN qs q ON q.qid = n.qid
+            FROM ${pfx}wn$t n
+            JOIN ${pfx}qs q ON q.qid = n.qid
             JOIN e c ON c.id = n.node),
-          seen$t AS MATERIALIZED (
-            SELECT * FROM seen$p UNION ALL SELECT * FROM ws$t),
-          f$t AS (
+          ${pfx}seen$t AS MATERIALIZED (
+            SELECT * FROM ${pfx}seen$p UNION ALL SELECT * FROM ${pfx}ws$t),
+          ${pfx}f$t AS (
             SELECT qid, node FROM (
               SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
                 ORDER BY cos DESC, node) AS rn
-              FROM seen$t) r$t WHERE rn <= $beam)"""
+              FROM ${pfx}seen$t) ${pfx}r$t WHERE rn <= $beam)"""
     }.mkString
-    s"""qs AS MATERIALIZED (
+    s"""${pfx}qs AS MATERIALIZED (
           SELECT id AS qid, v FROM e
           WHERE id >= $q0 AND id < $q1),
-        seen0 AS MATERIALIZED (
+        ${pfx}seen0 AS MATERIALIZED (
           SELECT q.qid, c.id AS node, $cosQN AS cos
-          FROM qs q JOIN e c ON c.id = $entrySql AND c.id <> q.qid),
-        f0 AS (SELECT qid, node FROM seen0)
+          FROM ${pfx}qs q JOIN e c ON c.id = $entrySql AND c.id <> q.qid),
+        ${pfx}f0 AS (SELECT qid, node FROM ${pfx}seen0)
         $hopCtes"""
   }
 
@@ -3100,6 +3103,202 @@ ORDER BY id_a, id_b"""
         beam = 8, hops = 5, k = 10, entry = entry)
     })
 
+  /** Graph-ANN BEAM operating curve (X320 — the X298 discipline
+    * applied to the graph family: nprobe is the IVF knob, beam (ef)
+    * is the graph knob, and a deployment tunes it off exactly this
+    * table — recall and SCANNED CANDIDATE VOLUME at beam = 2/4/8/16
+    * over the SAME committed index, read off one result set). All
+    * four walks serve from the X315 manifest artifacts (ensureBuilt
+    * — one build per JVM, shared with the other graph rows); n_scored
+    * is the exact per-query visited-set size, so the cost axis is
+    * exact (the IvfPqSpec occupancy identity's graph twin). The
+    * oracle replays build + all four walks in ONE statement
+    * (prefixed CTE chains); truth is the shared 20-query brute-force
+    * lane (declared, PlanSpec bnljByDesign). Round17Spec pins the
+    * measured trade: widening the beam buys recall with scan, and
+    * the curve's endpoints bracket the q_ann_graph_index_query
+    * operating point. */
+  val annBeamCurve = QueryDef(
+    "q_ann_beam_curve", {
+      val beams = Seq(2, 4, 8, 16)
+      val walks = beams.map { b =>
+        beamWalkSql(q0 = 100, q1 = 120,
+          entrySql = "(SELECT node FROM entryn)", beam = b, hops = 5,
+          pfx = s"b${b}_")
+      }.mkString(",\n")
+      val readouts = beams.map { b =>
+        val p = s"b${b}_"
+        s"""${p}res AS (
+              SELECT qid, node FROM (
+                SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, node) AS rn
+                FROM ${p}seen5) ${p}rr WHERE rn <= 10),
+            ${p}ns AS (
+              SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+              FROM ${p}seen5 GROUP BY 1),
+            ${p}hits AS (
+              SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS h
+              FROM ${p}res r JOIN btruth t
+                ON t.qid = r.qid AND t.node = r.node GROUP BY 1)"""
+      }.mkString(",\n")
+      val lanes = beams.map { b =>
+        val p = s"b${b}_"
+        s"""SELECT CAST($b AS INT) AS beam, ns.qid AS query_id,
+                   ns.n_scored,
+                   COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+                   CAST(COALESCE(h.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                     / 10.0 AS recall
+            FROM ${p}ns ns LEFT JOIN ${p}hits h ON h.qid = ns.qid"""
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH ${descentChainSql(16, 5, 37)},
+              ${descentPruneSql(5)},
+              ug AS MATERIALIZED (
+                SELECT src AS node, dst AS nbr FROM kept
+                UNION SELECT dst, src FROM kept),
+              $walks,
+              btruth AS MATERIALIZED (
+                SELECT qid, node FROM (
+                  SELECT q.qid, c.id AS node,
+                         ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY ${sqlCosine("q.v", "c.v")} DESC,
+                             c.id) AS rn
+                  FROM b2_qs q JOIN e c ON c.id <> q.qid) bt
+                WHERE rn <= 10),
+              $readouts
+              SELECT * FROM ($lanes) u
+              ORDER BY beam, query_id""")
+    },
+    (s, d) => {
+      val dir = annGraphDir(d)
+      val e = simEmbFrame(s, d)
+      graft.ops.AnnGraph.ensureBuilt(e, dir)
+      val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
+      val ug = symmetrized(edges)
+      Seq(2, 4, 8, 16).map { b =>
+        beamSearchEval(e, ug, q0 = 100L, q1 = 120L, beam = b,
+            hops = 5, k = 10, entry = entry)
+          .select(lit(b).as("beam"), col("query_id"), col("n_scored"),
+            col("hits"), col("recall"))
+      }.reduce(_ unionAll _)
+        .orderBy("beam", "query_id")
+    })
+
+  /** Navigable-graph index DELTA-INGEST (X321 — the corpus-growth
+    * path for the X315 graph index, completing the lifecycle symmetry
+    * with the IVF index's X311/X317: build on the first half, then
+    * the second half ARRIVES and [[graft.ops.AnnGraph.ingest]]
+    * warm-starts flagged NN-descent from the COMMITTED pruned lists
+    * (stale) + the new nodes' lattice edges (fresh). The flag rule is
+    * Dong et al. §2.3's new/old optimization — the one the pinned
+    * X303 form documents dropping: a B(v) pair whose sides both
+    * predate this round was already scored, so per-round work is
+    * bounded by delta-touched neighborhoods, and Round17Spec proves
+    * the rule changes NOTHING (flagged ≡ full-rescore on an all-fresh
+    * init). After 2 warm rounds: re-prune (RNG), re-select the entry,
+    * republish edges + entry in ONE swap — readers flip atomically
+    * from the half-corpus graph to the grown graph. The oracle
+    * replays the whole lifecycle: the base build (prefixed descent
+    * chain over ids < n/2 + prune), the warm flagged rounds
+    * (fresh-propagation as a left-join derived column), the final
+    * prune and entry — and audits the committed artifacts per node
+    * exactly as q_ann_graph_index_build does. All-integer output. */
+  val annGraphIndexDelta = QueryDef(
+    "q_ann_graph_index_delta", {
+      val k = 16
+      val warm = 2
+      val cosAB = sqlCosine("a.v", "b.v")
+      val basePred =
+        "vec_id < (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) FROM embeddings)"
+      val warmCtes = (1 to warm).map { r =>
+        val p = r - 1
+        s"""wrev$r AS (
+              SELECT node, nbr, fresh FROM (
+                SELECT dst AS node, src AS nbr, fresh,
+                       ROW_NUMBER() OVER (PARTITION BY dst
+                         ORDER BY cos DESC, src) AS rn
+                FROM w$p) wr$r WHERE rn <= $k),
+            wbb$r AS MATERIALIZED (
+              SELECT node, nbr, MAX(fr) AS fr FROM (
+                SELECT src AS node, dst AS nbr,
+                       CASE WHEN fresh THEN 1 ELSE 0 END AS fr FROM w$p
+                UNION ALL
+                SELECT node, nbr, CASE WHEN fresh THEN 1 ELSE 0 END
+                FROM wrev$r) wu$r
+              GROUP BY node, nbr),
+            wcand$r AS (
+              SELECT DISTINCT x.nbr AS src, y.nbr AS dst
+              FROM wbb$r x JOIN wbb$r y
+                ON x.node = y.node AND x.nbr <> y.nbr
+              WHERE x.fr = 1 OR y.fr = 1),
+            wsc$r AS (
+              SELECT c.src, c.dst, $cosAB AS cos
+              FROM wcand$r c
+              JOIN e a ON a.id = c.src
+              JOIN e b ON b.id = c.dst),
+            wm$r AS MATERIALIZED (
+              SELECT src, dst, cos FROM (
+                SELECT src, dst, cos,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY cos DESC, dst) AS rn
+                FROM (SELECT src, dst, cos FROM w$p
+                      UNION SELECT * FROM wsc$r) wz$r) wq$r
+              WHERE rn <= $k),
+            w$r AS MATERIALIZED (
+              SELECT m.src, m.dst, m.cos, p.dst IS NULL AS fresh
+              FROM wm$r m LEFT JOIN w$p p
+                ON p.src = m.src AND p.dst = m.dst)"""
+      }.mkString(",\n")
+      Some(s"""WITH e AS MATERIALIZED (
+                SELECT vec_id AS id, embedding AS v FROM embeddings),
+              nfull AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+              nb AS (SELECT CAST(FLOOR(n / 2) AS BIGINT) AS n
+                     FROM nfull),
+              ${descentChainSql(k, 5, 37, pfx = "b",
+                where = basePred)},
+              ${descentPruneSql(5, pfx = "b", srcCte = "bg5",
+                eCte = "be")},
+              dinit AS (
+                SELECT src, dst FROM (
+                  SELECT a.id AS src,
+                         CAST((a.id + j.j * 37) % nfull.n AS BIGINT)
+                           AS dst
+                  FROM e a CROSS JOIN nfull nfull
+                  CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) j
+                  WHERE a.id >= (SELECT n FROM nb)) di
+                WHERE dst <> src),
+              w0 AS MATERIALIZED (
+                SELECT src, dst, cos, FALSE AS fresh FROM bkept
+                UNION ALL
+                SELECT i.src, i.dst, $cosAB AS cos, TRUE
+                FROM dinit i
+                JOIN e a ON a.id = i.src
+                JOIN e b ON b.id = i.dst),
+              $warmCtes,
+              ${descentPruneSql(5, pfx = "d", srcCte = s"w$warm",
+                eCte = "e")}
+              SELECT k.src AS node,
+                     CAST(COUNT(*) AS BIGINT) AS deg_after,
+                     CAST(SUM(k.rn) AS BIGINT) AS kept_rank_sum,
+                     k.src = (SELECT node FROM dentryn) AS is_entry
+              FROM dkept k GROUP BY k.src
+              ORDER BY node""")
+    },
+    (s, d) => {
+      val dir = annGraphDir(d) + "_delta"
+      val e = simEmbFrame(s, d)
+      val nBase = e.count() / 2
+      // lifecycle: build on the first half, ingest the second
+      graft.ops.AnnGraph.build(e.filter(col("id") < nBase), dir)
+      graft.ops.AnnGraph.ingest(e, col("id") >= nBase, dir)
+      val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg_after"),
+          sum("rn").cast("long").as("kept_rank_sum"))
+        .select(col("node"), col("deg_after"), col("kept_rank_sum"),
+          (col("node") === entry).as("is_entry"))
+        .orderBy("node")
+    })
+
   /** Standalone (query_id, neighbor_id, rank) SQL of the X315
     * served-graph walk for query ids < 5 — the recall-curve graph
     * lane (VERDICT r16 #4) embeds this whole statement as a CTE. */
@@ -3145,5 +3344,6 @@ ORDER BY id_a, id_b"""
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
     fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl, knnDescent,
-    knnGraphSearch, graphPrune, annGraphIndexBuild, annGraphIndexQuery)
+    knnGraphSearch, graphPrune, annGraphIndexBuild, annGraphIndexQuery,
+    annBeamCurve, annGraphIndexDelta)
 }

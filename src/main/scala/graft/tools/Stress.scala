@@ -940,11 +940,22 @@ object Stress {
       // lane (the scale path builds the graph with X303); its ratio
       // reads the scaffold, not the search — the search's own cost is
       // the corpus-size-independent candidate set.
+      // r17 entrants: the persisted-graph rows (the BUILD pays the
+      // near-linear descent+prune; the QUERY must read corpus-size-
+      // independent — the verdict gate is query ratio < 2), the two
+      // new tokenizers (one kernel scan + bounded aggregates each),
+      // compaction and streaming ingest (one codes rewrite / two
+      // delta encodes). Probe order puts the graph BUILD before the
+      // graph QUERY so the query lane reads committed artifacts, the
+      // same order bench and verify see.
       val heavy = Seq("q_ann_recall_curve", "q_knn_graph_search",
         "q_kfold_cv", "q_knn_descent", "q_learning_curve",
         "q_stream_incremental_dedup", "q_setjoin_prefix",
         "q_scaling_probe", "q_ann_index_delta", "q_rank_rbo",
-        "q_als", "q_rank_fusion", "q_coverage_select")
+        "q_als", "q_rank_fusion", "q_coverage_select",
+        "q_ann_graph_index_build", "q_ann_graph_index_query",
+        "q_wordpiece_encode", "q_unigram_tokenizer",
+        "q_ann_index_compact", "q_stream_ann_ingest")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()

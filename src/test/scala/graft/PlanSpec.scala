@@ -264,7 +264,10 @@ class PlanSpec extends SparkSuite {
       // X315 served-graph query: the SERVE path is committed-edge
       // equi-join hops (no scaffold); the 20-query ground-truth
       // recall lane is the inherited brute force (X74 discipline)
-      "q_ann_graph_index_query")
+      "q_ann_graph_index_query",
+      // X320 beam operating curve: four served walks (equi-join hops)
+      // graded against the same inherited 20-query brute-force truth
+      "q_ann_beam_curve")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(

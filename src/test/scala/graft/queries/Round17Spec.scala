@@ -317,6 +317,73 @@ class Round17Spec extends SparkSuite {
       "refused ingest must leave the index untouched")
   }
 
+  // ----------------------- X320 beam curve + X321 graph delta-ingest
+
+  /** The beam (ef) knob's measured trade on the committed graph:
+    * widening the beam scans strictly more and ends at least as good
+    * — the endpoints bracket the q_ann_graph_index_query operating
+    * point (beam = 8). */
+  test("q_ann_beam_curve: wider beam scans more, recall holds or rises") {
+    val rows = SparkEntry.queries("q_ann_beam_curve")(spark, Sf0001)
+      .collect()
+    val byBeam = rows.groupBy(_.getAs[Int]("beam")).map { case (b, rs) =>
+      b -> (rs.map(_.getAs[Long]("n_scored").toDouble).sum / rs.length,
+        rs.map(_.getAs[Double]("recall")).sum / rs.length)
+    }
+    val beams = Seq(2, 4, 8, 16)
+    assert(byBeam.keySet == beams.toSet)
+    beams.sliding(2).foreach { case Seq(a, b) =>
+      assert(byBeam(b)._1 > byBeam(a)._1,
+        s"beam $b scanned no more than beam $a")
+    }
+    assert(byBeam(16)._2 >= byBeam(2)._2,
+      "widest beam lost recall vs narrowest")
+  }
+
+  /** Dong et al. §2.3's claim, proven mechanically: the new/old flag
+    * rule skips only pairs ALREADY generated in an earlier round, so
+    * flagged descent from an all-fresh init equals full-rescoring
+    * descent from the same init — edge for edge, cosine for cosine.
+    * This is what licenses the X321 warm start to touch only
+    * delta-perturbed neighborhoods. */
+  test("descendFlagged ≡ full-rescore descent on an identical init") {
+    import graft.ops.AnnGraph
+    val e = SimilarityQueries.simEmbFrame(spark, Sf0001)
+    val n = e.count()
+    val g0 = AnnGraph.score(e, AnnGraph.latticeEdges(e, n, 16, 37L))
+      .localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val full = canon(AnnGraph.descendFrom(e, g0, 16, 2))
+    val flagged = canon(AnnGraph.descendFlagged(e,
+      g0.withColumn("fresh", lit(true)), 16, 2))
+    assert(flagged.toSeq == full.toSeq,
+      "flag rule changed the descent result")
+  }
+
+  /** Graph delta-ingest contract: after build-half + ingest-rest the
+    * committed graph covers the WHOLE corpus (every node keeps ≥ 1
+    * edge, one entry), and re-ingesting already-committed ids is
+    * refused (the X311 retry guard). */
+  test("q_ann_graph_index_delta: full coverage; re-ingest refused") {
+    val rows = SparkEntry.queries("q_ann_graph_index_delta")(
+      spark, Sf0001).collect()
+    val n = SimilarityQueries.simEmbFrame(spark, Sf0001).count()
+    assert(rows.length == n)
+    assert(rows.forall(_.getAs[Long]("deg_after") >= 1L))
+    assert(rows.count(_.getAs[Boolean]("is_entry")) == 1)
+    // the query left a committed index behind; a retried delta must
+    // be refused, not silently re-wired
+    val dir = SimilarityQueries.annGraphDir(Sf0001) + "_delta"
+    val e = SimilarityQueries.simEmbFrame(spark, Sf0001)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.AnnGraph.ingest(e, col("id") >= n / 2, dir)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   /** Structural invariants of the committed graph: every corpus node
     * keeps ≥ 1 out-edge (the rn = 1 edge has no closer-ranked
     * neighbor, so the RNG rule can never drop it — which is what
