@@ -855,13 +855,14 @@ wpw$k AS MATERIALIZED (
     * longest-match CTE (matching over vocab ∪ single characters —
     * identical to the kernel's fallback rule because a length-1
     * vocab hit and the fallback emit the same token). */
-  val wordpieceEncode = QueryDef(
-    "q_wordpiece_encode",
-    Some(s"""WITH RECURSIVE ${wordpieceChainSql(3)},
-           vocab AS MATERIALIZED (
+  /** The X316 vocab-derivation + recursive longest-match segmentation
+    * CTEs (`vocab / vocabx / seg` over `wpwc`/`wpw$rounds`) — shared
+    * by q_wordpiece_encode and the X322 fertility comparison. */
+  private[queries] def wordpieceEncodeSegSql(rounds: Int): String =
+    s"""vocab AS MATERIALIZED (
              SELECT DISTINCT unnest(string_split(trim(seq, '|'), '||'))
                AS sym
-             FROM wpw3),
+             FROM wpw$rounds),
            vocabx AS MATERIALIZED (
              -- UNION ALL + outer DISTINCT, NOT a bare UNION: under
              -- WITH RECURSIVE, DuckDB 1.0.0 gives ANY unioned CTE the
@@ -891,7 +892,12 @@ wpw$k AS MATERIALIZED (
                AND NOT EXISTS (SELECT 1 FROM vocabx s2
                                WHERE len(s2.sym) > len(s.sym)
                                  AND substr(g.word, g.pos, len(s2.sym))
-                                       = s2.sym))
+                                       = s2.sym))"""
+
+  val wordpieceEncode = QueryDef(
+    "q_wordpiece_encode",
+    Some(s"""WITH RECURSIVE ${wordpieceChainSql(3)},
+           ${wordpieceEncodeSegSql(3)}
            SELECT tok AS token,
                   CAST(SUM(freq) AS BIGINT) AS n_occurrences,
                   CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
@@ -946,8 +952,13 @@ wpw$k AS MATERIALIZED (
     * a bounded driver artifact, the E-step is a per-row kernel scan,
     * the M-step one keyed aggregate — the ×rounds cost shape EM
     * training actually has. */
-  val unigramTokenizer = QueryDef(
-    "q_unigram_tokenizer", {
+  /** The X319 oracle chain `utok … useg` (seed counts, quantized nll
+    * table, the 12 unrolled suffix-DP rounds, the recursive
+    * cheapest-then-longest forward walk) — shared by
+    * q_unigram_tokenizer and the X322 fertility comparison. Must be
+    * placed under WITH RECURSIVE; ends at `useg` without a trailing
+    * comma. */
+  private[queries] def unigramViterbiChainSql(): String = {
       val L = 12
       val rounds = (1 to L).map { r =>
         val p = r - 1
@@ -966,8 +977,7 @@ bs$r AS MATERIALIZED (
       AND p.i = len(b.word) + 1 - $r + len(v.tok)) c$r
   GROUP BY word, i)"""
       }.mkString(",")
-      Some(s"""WITH RECURSIVE
-utok AS (SELECT unnest($sqlToks) AS word FROM documents),
+      s"""utok AS (SELECT unnest($sqlToks) AS word FROM documents),
 uwc AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM utok WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) <= $L
@@ -1018,22 +1028,16 @@ useg(word, freq, pos, tok) AS (
       WHERE substr(g.word, g.pos, len(v2.tok)) = v2.tok
         AND (v2.nll + n2.cost < v.nll + nx.cost
              OR (v2.nll + n2.cost = v.nll + nx.cost
-                 AND len(v2.tok) > len(v.tok))))),
-uem AS MATERIALIZED (
-  SELECT tok, CAST(SUM(freq) AS BIGINT) AS emc FROM useg GROUP BY tok)
-SELECT tok AS token, cnt AS seed_count, nll AS nll_q, emc AS em_count,
-       (len(tok) = 1 OR rk <= 12) AS kept
-FROM (
-  SELECT v0.tok, v0.cnt, v0.nll,
-         COALESCE(m0.emc, CAST(0 AS BIGINT)) AS emc,
-         ROW_NUMBER() OVER (PARTITION BY (len(v0.tok) = 1)
-           ORDER BY COALESCE(m0.emc, CAST(0 AS BIGINT)) DESC, v0.tok) AS rk
-  FROM unll v0 LEFT JOIN uem m0 ON m0.tok = v0.tok) fin
-ORDER BY token""")
-    },
-    (s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
+                 AND len(v2.tok) > len(v.tok)))))"""
+  }
+
+  /** Spark twin of [[unigramChainSql]]'s seed stage: the (word, freq)
+    * table and the quantized-nll seed vocabulary as driver triples
+    * (token, seed count, nll) — shared by q_unigram_tokenizer and the
+    * X322 fertility comparison. */
+  private[queries] def unigramSeed(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        Seq[(String, Long, Long)]) = {
       val words = Tables.documents(s, d)
         .select(explode(Text.tokens(col("text"))).as("word"))
         .filter(col("word").rlike("^[a-z]+$") &&
@@ -1058,10 +1062,31 @@ ORDER BY token""")
         .limit(24).collect().map(r => (r.getString(0), r.getLong(1)))
       val seed = (singles ++ multis).sortBy(_._1).toSeq
       val total = seed.map(_._2).sum
-      val nllq = seed.map { case (t, c) =>
+      (words, seed.map { case (t, c) =>
         (t, c, math.floor(-math.log(c.toDouble / total.toDouble) * 1e6
           + 0.5).toLong)
-      }
+      })
+  }
+
+  val unigramTokenizer = QueryDef(
+    "q_unigram_tokenizer",
+    Some(s"""WITH RECURSIVE
+${unigramViterbiChainSql()},
+uem AS MATERIALIZED (
+  SELECT tok, CAST(SUM(freq) AS BIGINT) AS emc FROM useg GROUP BY tok)
+SELECT tok AS token, cnt AS seed_count, nll AS nll_q, emc AS em_count,
+       (len(tok) = 1 OR rk <= 12) AS kept
+FROM (
+  SELECT v0.tok, v0.cnt, v0.nll,
+         COALESCE(m0.emc, CAST(0 AS BIGINT)) AS emc,
+         ROW_NUMBER() OVER (PARTITION BY (len(v0.tok) = 1)
+           ORDER BY COALESCE(m0.emc, CAST(0 AS BIGINT)) DESC, v0.tok) AS rk
+  FROM unll v0 LEFT JOIN uem m0 ON m0.tok = v0.tok) fin
+ORDER BY token"""),
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (words, nllq) = unigramSeed(s, d)
       val vocab = nllq.map { case (t, _, q) => (t, q) }
       val em = words.select(col("freq"),
           explode(graft.functions.UnigramFunctions.unigramViterbi(
@@ -1078,6 +1103,126 @@ ORDER BY token""")
           col("em_count"),
           (length(col("token")) === 1 || col("rk") <= 12).as("kept"))
         .orderBy("token")
+    })
+
+  /** Cross-TOKENIZER comparison (X322 — the comparative frame the
+    * four-family tokenizer suite was missing, in the X291 one-table
+    * discipline: fertility (tokens per word, Ács 2019 / Rust et al.
+    * 2021) and mean token length for char-baseline / BPE / WordPiece /
+    * unigram-LM. X246's q_tokenizer_fertility compares LANGUAGES
+    * under one fixed splitter; this row compares TOKENIZERS on one
+    * corpus.) Measured on the SAME ^[a-z]+$ word-occurrence universe
+    * so the numbers are directly comparable — the
+    * table a pipeline reads before committing to a tokenizer, since
+    * fertility IS the sequence-length (= training-cost) multiplier).
+    * Segmentation per family is each family's own serving rule: BPE =
+    * the trained merge encoding (X31's w3), WordPiece = greedy
+    * longest-match over the trained vocab (X316's recursive seg),
+    * unigram = min-nll Viterbi under the seed model (X319's walk),
+    * char = one token per character (the no-tokenizer floor,
+    * chars_per_token ≡ 1). Totals are exact freq-weighted integers;
+    * the two ratios are single divides of exact ints (element-wise
+    * deterministic, hash raw). The oracle composes the three training
+    * chains + both recursive segmentations in ONE statement — every
+    * fragment already oracle-checked standalone. Unigram's declared
+    * len ≤ 12 bound is vacuous on this corpus (max word length 8), so
+    * the universes coincide. */
+  val tokenizerCompare = QueryDef(
+    "q_tokenizer_compare",
+    Some(s"""WITH RECURSIVE
+             $bpeChainSql,
+             ${wordpieceChainSql(3)},
+             ${wordpieceEncodeSegSql(3)},
+             ${unigramViterbiChainSql()},
+             charl AS (
+               SELECT CAST(SUM(freq) AS BIGINT) AS no,
+                      CAST(SUM(freq * len(word)) AS BIGINT) AS nt,
+                      CAST(SUM(freq * len(word)) AS BIGINT) AS nc
+               FROM wc),
+             bpel AS (
+               SELECT CAST(SUM(freq) AS BIGINT) AS no,
+                      CAST(SUM(freq * len(string_split(trim(seq, '|'),
+                        '||'))) AS BIGINT) AS nt,
+                      CAST(SUM(freq * len(replace(seq, '|', '')))
+                        AS BIGINT) AS nc
+               FROM w3),
+             wpbase AS (
+               SELECT CAST(SUM(freq) AS BIGINT) AS no,
+                      CAST(SUM(freq * len(word)) AS BIGINT) AS nc
+               FROM wpwc),
+             wpl AS (
+               SELECT b.no, t.nt, b.nc
+               FROM wpbase b CROSS JOIN
+                 (SELECT CAST(SUM(freq) AS BIGINT) AS nt FROM seg) t),
+             ugbase AS (
+               SELECT CAST(SUM(freq) AS BIGINT) AS no,
+                      CAST(SUM(freq * len(word)) AS BIGINT) AS nc
+               FROM uwc),
+             ugl AS (
+               SELECT b.no, t.nt, b.nc
+               FROM ugbase b CROSS JOIN
+                 (SELECT CAST(SUM(freq) AS BIGINT) AS nt FROM useg) t)
+             SELECT * FROM (
+               SELECT 'bpe' AS tokenizer, no AS n_word_occurrences,
+                      nt AS n_tokens,
+                      CAST(nt AS DOUBLE) / CAST(no AS DOUBLE)
+                        AS tokens_per_word,
+                      CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)
+                        AS chars_per_token
+               FROM bpel
+               UNION ALL
+               SELECT 'char', no, nt,
+                      CAST(nt AS DOUBLE) / CAST(no AS DOUBLE),
+                      CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) FROM charl
+               UNION ALL
+               SELECT 'unigram', no, nt,
+                      CAST(nt AS DOUBLE) / CAST(no AS DOUBLE),
+                      CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) FROM ugl
+               UNION ALL
+               SELECT 'wordpiece', no, nt,
+                      CAST(nt AS DOUBLE) / CAST(no AS DOUBLE),
+                      CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) FROM wpl) u
+             ORDER BY tokenizer"""),
+    (s, d) => {
+      import s.implicits._
+      def laneOf(name: String,
+          perWord: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        // perWord: (word, freq, k) — k tokens for one occurrence
+        perWord.agg(
+          sum("freq").cast("long").as("n_word_occurrences"),
+          sum(col("freq") * col("k")).cast("long").as("n_tokens"),
+          sum(col("freq") * length(col("word"))).cast("long").as("nc"))
+          .select(lit(name).as("tokenizer"), col("n_word_occurrences"),
+            col("n_tokens"),
+            (col("n_tokens").cast("double") /
+              col("n_word_occurrences").cast("double"))
+              .as("tokens_per_word"),
+            (col("nc").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"))
+      // char baseline + BPE: the trained w3 segmentation
+      val (bpeEnc, _) = bpeTrain(s, d)
+      val bpeLane = laneOf("bpe", bpeEnc.select(col("word"), col("freq"),
+        size(split(trim(col("seq"), "|"), "\\|\\|")).as("k")))
+      val charLane = laneOf("char", bpeEnc.select(col("word"),
+        col("freq"), length(col("word")).as("k")))
+      // WordPiece: longest-match serving over the trained vocab
+      val (wpEnc, _) = wordpieceTrain(s, d)
+      val wpFrame = wpEnc.localCheckpoint(true)
+      val wpVocab = wpFrame
+        .select(explode(split(trim(col("seq"), "|"), "\\|\\|")).as("sym"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      val wpLane = laneOf("wordpiece", wpFrame.select(col("word"),
+        col("freq"),
+        size(graft.functions.WordPieceFunctions.wordpieceEncode(
+          col("word"), wpVocab)).as("k")))
+      // unigram: Viterbi under the seed model
+      val (ugWords, nllq) = unigramSeed(s, d)
+      val ugLane = laneOf("unigram", ugWords.select(col("word"),
+        col("freq"),
+        size(graft.functions.UnigramFunctions.unigramViterbi(
+          col("word"), nllq.map { case (t, _, q) => (t, q) })).as("k")))
+      bpeLane.unionAll(charLane).unionAll(ugLane).unionAll(wpLane)
+        .orderBy("tokenizer")
     })
 
   // -------------------------------------------------- byte-level bpe
@@ -4176,5 +4321,6 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     readability, zipfFit, cdcChunks, brierEce, logreg, isotonic,
     learningCurve, gainsChart, lmKneserNey, plattScaling,
     tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
-    scalingProbe, kfoldCv, wordpiece, wordpieceEncode, unigramTokenizer)
+    scalingProbe, kfoldCv, wordpiece, wordpieceEncode, unigramTokenizer,
+    tokenizerCompare)
 }

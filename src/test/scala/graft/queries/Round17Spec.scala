@@ -317,6 +317,29 @@ class Round17Spec extends SparkSuite {
       "refused ingest must leave the index untouched")
   }
 
+  // ------------------------------- X322 cross-tokenizer comparison
+
+  /** The comparison is only meaningful on ONE universe: every lane
+    * must count the identical word occurrences. And the family
+    * contrast must show: the unigram seed (3-4-char substrings)
+    * compresses hardest, 3 BPE merges beat the char floor, WordPiece's
+    * PMI merges (rare-but-correlated pairs) buy less compression per
+    * merge than BPE's frequency merges — the canonical criterion
+    * contrast, now measured in one frame. */
+  test("q_tokenizer_compare: shared universe, family compression order") {
+    val rows = SparkEntry.queries("q_tokenizer_compare")(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("tokenizer") -> r).toMap
+    assert(rows.keySet == Set("char", "bpe", "wordpiece", "unigram"))
+    val occs = rows.values.map(_.getAs[Long]("n_word_occurrences")).toSet
+    assert(occs.size == 1, s"lanes diverged on the word universe: $occs")
+    def f(t: String) = rows(t).getAs[Double]("tokens_per_word")
+    assert(rows("char").getAs[Double]("chars_per_token") == 1.0)
+    assert(f("unigram") < f("bpe"), "unigram seed should compress hardest")
+    assert(f("bpe") < f("wordpiece"),
+      "BPE's frequency merges should out-compress WordPiece's PMI merges")
+    assert(f("wordpiece") < f("char"), "any tokenizer beats the char floor")
+  }
+
   // ----------------------- X320 beam curve + X321 graph delta-ingest
 
   /** The beam (ef) knob's measured trade on the committed graph:
