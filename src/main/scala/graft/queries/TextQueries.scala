@@ -960,23 +960,6 @@ wpw$k AS MATERIALIZED (
     * comma. */
   private[queries] def unigramViterbiChainSql(): String = {
       val L = 12
-      val rounds = (1 to L).map { r =>
-        val p = r - 1
-        s"""
-bs$r AS MATERIALIZED (
-  SELECT word, i, cost FROM bs$p
-  UNION ALL
-  SELECT word, i, CAST(MIN(cost) AS BIGINT) AS cost FROM (
-    SELECT b.word, CAST(len(b.word) + 1 - $r AS BIGINT) AS i,
-           v.nll + p.cost AS cost
-    FROM uwc b
-    JOIN unll v
-      ON len(b.word) + 1 - $r >= 1
-      AND substr(b.word, len(b.word) + 1 - $r, len(v.tok)) = v.tok
-    JOIN bs$p p ON p.word = b.word
-      AND p.i = len(b.word) + 1 - $r + len(v.tok)) c$r
-  GROUP BY word, i)"""
-      }.mkString(",")
       s"""utok AS (SELECT unnest($sqlToks) AS word FROM documents),
 uwc AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1001,30 +984,57 @@ unll AS MATERIALIZED (
          CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
                     * 1000000 + 0.5) AS BIGINT) AS nll
   FROM uv0 CROSS JOIN utot t),
-bs0 AS MATERIALIZED (
+${unigramDpWalkSql("", "unll")}"""
+  }
+
+  /** The X319 suffix-DP + forward-walk CTEs parameterized by CTE
+    * prefix and nll-table name (`${pfx}bs0..12`, `${pfx}useg`) over
+    * the shared `uwc` word table — so the seed-model E-step and the
+    * X323 pruned-vocab serving pass replay through ONE generator. */
+  private[queries] def unigramDpWalkSql(pfx: String,
+      nllCte: String): String = {
+      val L = 12
+      val rounds = (1 to L).map { r =>
+        val p = r - 1
+        s"""
+${pfx}bs$r AS MATERIALIZED (
+  SELECT word, i, cost FROM ${pfx}bs$p
+  UNION ALL
+  SELECT word, i, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT b.word, CAST(len(b.word) + 1 - $r AS BIGINT) AS i,
+           v.nll + p.cost AS cost
+    FROM uwc b
+    JOIN $nllCte v
+      ON len(b.word) + 1 - $r >= 1
+      AND substr(b.word, len(b.word) + 1 - $r, len(v.tok)) = v.tok
+    JOIN ${pfx}bs$p p ON p.word = b.word
+      AND p.i = len(b.word) + 1 - $r + len(v.tok)) ${pfx}c$r
+  GROUP BY word, i)"""
+      }.mkString(",")
+      s"""${pfx}bs0 AS MATERIALIZED (
   SELECT word, CAST(len(word) + 1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost
   FROM uwc),$rounds,
-useg(word, freq, pos, tok) AS (
+${pfx}useg(word, freq, pos, tok) AS (
   SELECT w.word, w.freq, 1 + len(v.tok), v.tok
   FROM uwc w
-  JOIN unll v ON substr(w.word, 1, len(v.tok)) = v.tok
-  JOIN bs$L nx ON nx.word = w.word AND nx.i = 1 + len(v.tok)
+  JOIN $nllCte v ON substr(w.word, 1, len(v.tok)) = v.tok
+  JOIN ${pfx}bs$L nx ON nx.word = w.word AND nx.i = 1 + len(v.tok)
   WHERE NOT EXISTS (
-    SELECT 1 FROM unll v2
-    JOIN bs$L n2 ON n2.word = w.word AND n2.i = 1 + len(v2.tok)
+    SELECT 1 FROM $nllCte v2
+    JOIN ${pfx}bs$L n2 ON n2.word = w.word AND n2.i = 1 + len(v2.tok)
     WHERE substr(w.word, 1, len(v2.tok)) = v2.tok
       AND (v2.nll + n2.cost < v.nll + nx.cost
            OR (v2.nll + n2.cost = v.nll + nx.cost
                AND len(v2.tok) > len(v.tok))))
   UNION ALL
   SELECT g.word, g.freq, g.pos + len(v.tok), v.tok
-  FROM useg g
-  JOIN unll v ON substr(g.word, g.pos, len(v.tok)) = v.tok
-  JOIN bs$L nx ON nx.word = g.word AND nx.i = g.pos + len(v.tok)
+  FROM ${pfx}useg g
+  JOIN $nllCte v ON substr(g.word, g.pos, len(v.tok)) = v.tok
+  JOIN ${pfx}bs$L nx ON nx.word = g.word AND nx.i = g.pos + len(v.tok)
   WHERE g.pos <= len(g.word)
     AND NOT EXISTS (
-      SELECT 1 FROM unll v2
-      JOIN bs$L n2 ON n2.word = g.word AND n2.i = g.pos + len(v2.tok)
+      SELECT 1 FROM $nllCte v2
+      JOIN ${pfx}bs$L n2 ON n2.word = g.word AND n2.i = g.pos + len(v2.tok)
       WHERE substr(g.word, g.pos, len(v2.tok)) = v2.tok
         AND (v2.nll + n2.cost < v.nll + nx.cost
              OR (v2.nll + n2.cost = v.nll + nx.cost
@@ -1102,6 +1112,78 @@ ORDER BY token"""),
         .select(col("token"), col("seed_count"), col("nll_q"),
           col("em_count"),
           (length(col("token")) === 1 || col("rk") <= 12).as("kept"))
+        .orderBy("token")
+    })
+
+  /** Unigram-LM ENCODE under the PRUNED vocabulary (X323 — the serve
+    * half of X319, completing the train→serve symmetry the other
+    * families have (X31→BpeEncode, X312→X316): after the EM round
+    * prunes the seed to singles + top-12 multi, SentencePiece
+    * re-normalizes the survivors' probabilities and serves Viterbi
+    * segmentation under the pruned model (Kudo 2018 §3.2's
+    * final-vocab tokenizer). Renormalization here is over the kept
+    * tokens' SEED counts (exact integers), re-quantized through the
+    * same FLOOR(-ln·10⁶) lane, so the serving DP is again pure
+    * exact-int comparison. The encode is one
+    * [[graft.functions.UnigramViterbi]] kernel scan; the oracle
+    * replays the full lifecycle — seed, E-step walk, em counts,
+    * prune ranking, renormalized nll table, and a SECOND prefixed
+    * DP + recursive walk under the pruned model — in one statement.
+    * Round17Spec pins cross-query consistency (every emitted token
+    * is q_unigram_tokenizer's kept set) and character conservation
+    * (freq-weighted token chars ≡ freq-weighted word chars). */
+  val unigramEncode = QueryDef(
+    "q_unigram_encode",
+    Some(s"""WITH RECURSIVE
+${unigramViterbiChainSql()},
+uem AS MATERIALIZED (
+  SELECT tok, CAST(SUM(freq) AS BIGINT) AS emc FROM useg GROUP BY tok),
+ukept AS MATERIALIZED (
+  SELECT tok, cnt FROM (
+    SELECT v0.tok, v0.cnt,
+           ROW_NUMBER() OVER (PARTITION BY (len(v0.tok) = 1)
+             ORDER BY COALESCE(m0.emc, CAST(0 AS BIGINT)) DESC,
+               v0.tok) AS rk
+    FROM unll v0 LEFT JOIN uem m0 ON m0.tok = v0.tok) kz
+  WHERE len(tok) = 1 OR rk <= 12),
+vtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ukept),
+vnll AS MATERIALIZED (
+  SELECT tok, cnt,
+         CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM ukept CROSS JOIN vtot t),
+${unigramDpWalkSql("v", "vnll")}
+SELECT tok AS token,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+FROM vuseg GROUP BY tok ORDER BY token"""),
+    (s, d) => {
+      import s.implicits._
+      val (words, nllq) = unigramSeed(s, d)
+      val seedVocab = nllq.map { case (t, _, q) => (t, q) }
+      // E-step under the seed model -> em counts (vocab-bounded)
+      val em = words.select(col("freq"),
+          explode(graft.functions.UnigramFunctions.unigramViterbi(
+            col("word"), seedVocab)).as("tok"))
+        .groupBy("tok").agg(sum("freq").cast("long").as("emc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // prune by the SAME exact-integer ordering as the kept flag
+      val singles = nllq.filter(_._1.length == 1)
+      val multisKept = nllq.filter(_._1.length > 1)
+        .sortBy { case (t, _, _) => (-em.getOrElse(t, 0L), t) }
+        .take(12)
+      val kept = (singles ++ multisKept).sortBy(_._1)
+      val total = kept.map(_._2).sum
+      val vocab2 = kept.map { case (t, c, _) =>
+        (t, math.floor(-math.log(c.toDouble / total.toDouble) * 1e6
+          + 0.5).toLong)
+      }
+      words.select(col("freq"), col("word"),
+          explode(graft.functions.UnigramFunctions.unigramViterbi(
+            col("word"), vocab2)).as("token"))
+        .groupBy("token")
+        .agg(sum("freq").cast("long").as("n_occurrences"),
+          count_distinct(col("word")).as("n_words"))
         .orderBy("token")
     })
 
@@ -4322,5 +4404,5 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     learningCurve, gainsChart, lmKneserNey, plattScaling,
     tokenizerFertility, goodTuring, unigramLm, unigramScore, f1Threshold,
     scalingProbe, kfoldCv, wordpiece, wordpieceEncode, unigramTokenizer,
-    tokenizerCompare)
+    tokenizerCompare, unigramEncode)
 }

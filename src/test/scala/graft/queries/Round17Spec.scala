@@ -317,6 +317,34 @@ class Round17Spec extends SparkSuite {
       "refused ingest must leave the index untouched")
   }
 
+  // ------------------------------- X323 unigram pruned-vocab encode
+
+  /** Cross-query consistency + conservation: the serving pass may
+    * emit ONLY tokens q_unigram_tokenizer's prune kept, and the
+    * freq-weighted character mass of the emitted tokens must equal
+    * the corpus's word-character mass exactly (segmentation loses
+    * nothing, duplicates nothing). */
+  test("q_unigram_encode: kept-set consistency and char conservation") {
+    val kept = SparkEntry.queries("q_unigram_tokenizer")(spark, Sf0001)
+      .collect().filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[String]("token")).toSet
+    val enc = SparkEntry.queries("q_unigram_encode")(spark, Sf0001)
+      .collect()
+    assert(enc.nonEmpty)
+    val emitted = enc.map(_.getAs[String]("token")).toSet
+    assert(emitted.subsetOf(kept),
+      s"serving emitted pruned tokens: ${emitted -- kept}")
+    val tokenChars = enc.map(r =>
+      r.getAs[Long]("n_occurrences") *
+        r.getAs[String]("token").length).sum
+    val words = graft.Tables.documents(spark, Sf0001)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 12)
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(tokenChars == words,
+      s"character mass not conserved: tokens $tokenChars vs corpus $words")
+  }
+
   // ------------------------------- X322 cross-tokenizer comparison
 
   /** The comparison is only meaningful on ONE universe: every lane
