@@ -78,9 +78,21 @@ case class UnigramViterbi(child: Expression, vocab: Seq[(String, Long)])
 
 object UnigramViterbi {
   /** OOV single-char penalty — far above any real vocab nll (ln of a
-    * 10⁻⁶-quantized probability caps near 2³⁵ here), far below
-    * overflow when summed along a word. */
+    * 10⁻⁶-quantized probability caps near 2³⁵ here). */
   final val FallbackNll: Long = Long.MaxValue >> 20
+
+  /** Path-cost ceiling (ADVICE r17): all DP sums saturate here
+    * instead of wrapping, so an all-OOV input of ANY length (the
+    * naive sum overflows Long past ~2²⁰ code points) keeps every
+    * comparison ordered — saturated paths tie at the cap and the
+    * deterministic longest-token tie-break still picks one
+    * segmentation. Below Long.MaxValue, which stays the exclusive
+    * "no path" sentinel. */
+  final val CostCap: Long = Long.MaxValue >> 1
+
+  /** a + b clamped to [[CostCap]] (a, b ≥ 0 by construction). */
+  @inline private def satAdd(a: Long, b: Long): Long =
+    if (a >= CostCap - b) CostCap else a + b
 
   /** Static kernel called from generated code. */
   def compute(s: UTF8String, v: UnigramVocab): GenericArrayData = {
@@ -96,13 +108,14 @@ object UnigramViterbi {
       while (l >= 1) {
         val c = nll.get(word.substring(i, i + l))
         if (c != null) {
-          val t = c.longValue() + best(i + l)
+          val t = satAdd(c.longValue(), best(i + l))
           if (t < b) b = t
         }
         l -= 1
       }
       if (b == Long.MaxValue) // OOV fallback: one code point
-        b = FallbackNll + best(i + Character.charCount(word.codePointAt(i)))
+        b = satAdd(FallbackNll,
+          best(i + Character.charCount(word.codePointAt(i))))
       best(i) = b
       i -= 1
     }
@@ -116,7 +129,7 @@ object UnigramViterbi {
       while (l >= 1) {
         val c = nll.get(word.substring(pos, pos + l))
         if (c != null) {
-          val t = c.longValue() + best(pos + l)
+          val t = satAdd(c.longValue(), best(pos + l))
           // scanning l downward: strict < keeps the LONGEST on ties
           if (t < chosenCost) { chosenCost = t; chosenLen = l }
         }

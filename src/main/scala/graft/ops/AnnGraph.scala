@@ -46,6 +46,21 @@ object AnnGraph {
   final val Rounds = 5
   final val Stride = 37L
 
+  /** Src-range partition width of the committed edge table (VERDICT
+    * r17 #2): edges live under `edges/pt=⌊src/W⌋/` partition dirs so
+    * [[ingest]] can republish ONLY the partitions whose lists the
+    * delta actually changed (new ids arrive at the top of the id
+    * range, so they land in fresh partitions; far-away old lists
+    * stay byte-identical and their files are carried by manifest
+    * reference). At corpus scale W is tuned so one partition is a
+    * few hundred MB; the fixture default keeps several partitions
+    * alive at test sizes. */
+  final val PartWidth = 64L
+
+  /** The partition column the committed edge layout uses. */
+  private def ptOf(width: Long) =
+    (col("src") / lit(width)).cast("long").as("pt")
+
   /** Score (src, dst) pairs against `e` = (id, v, nrm): one
     * fixed-width equi-join per side, bit-identical elementwise
     * cosine (the oracle replays it exactly). */
@@ -179,7 +194,7 @@ object AnnGraph {
     * be disjoint from committed sources (the X311 retry guard). */
   def ingest(eAll: DataFrame, newPred: org.apache.spark.sql.Column,
       dir: String, k: Int = K, warmRounds: Int = 2,
-      stride: Long = Stride): Unit = {
+      stride: Long = Stride, partWidth: Long = PartWidth): Unit = {
     val s = eAll.sparkSession
     val (edges, _) = load(s, dir)
     val n = eAll.count() // bounded action: full-corpus lattice modulus
@@ -190,7 +205,9 @@ object AnnGraph {
     require(dup == 0L,
       s"graph ingest into $dir: $dup ids already committed — deltas " +
         "must be disjoint (a retry of a committed delta re-ingests)")
-    val init = edges.select("src", "dst", "cos")
+    val old = edges.select("src", "dst", "cos", "rn")
+      .localCheckpoint(true) // descent init + the touched-set diff
+    val init = old.select("src", "dst", "cos")
       .withColumn("fresh", lit(false))
       .unionByName(score(eAll, latticeEdges(newE, n, k, stride))
         .withColumn("fresh", lit(true)))
@@ -201,9 +218,26 @@ object AnnGraph {
       .orderBy(col("deg").desc, col("src").asc)
       .select("src").limit(1).head().getLong(0)
     import s.implicits._
-    Shard.writeTablesAtomic(
-      Seq("edges" -> kept, "entry" -> Seq(entry).toDF("node")),
-      dir, Shard.newCommitId())
+    // O(delta) PUBLISH (VERDICT r17 #2, the IVF index's X317 twin):
+    // republish ONLY the src-range partitions whose pruned lists
+    // changed. Changed srcs fall out of one symmetric exceptAll over
+    // fixed-width rows — exact, because an untouched list carries its
+    // COMMITTED cos values through the warm rounds (stale edges are
+    // never rescored) and rank/prune are per-src-deterministic from
+    // them. Untouched partitions' files enter the new manifest BY
+    // REFERENCE; at 100 TB the delta's write I/O is bounded by
+    // delta-touched neighborhoods, never the corpus.
+    val keptCols = kept.select("src", "dst", "cos", "rn")
+    val touched = keptCols.exceptAll(old)
+      .select("src")
+      .union(old.exceptAll(keptCols).select("src"))
+      .select((col("src") / lit(partWidth)).cast("long").as("pt"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val newRows = kept.withColumn("pt", ptOf(partWidth))
+      .filter(col("pt").isin(touched.toSeq: _*))
+    Shard.replaceTablePartitionsAtomic(dir, Shard.newCommitId(),
+      "edges", newRows, "pt", touched.map(v => s"pt=$v"),
+      rewriteTables = Seq("entry" -> Seq(entry).toDF("node")))
     Shard.gcOldCommits(s, dir)
   }
 
@@ -238,7 +272,7 @@ object AnnGraph {
     * commit `edges` + `entry` under `dir`. Superseded commits are
     * GC'd (single-use commit ids). */
   def build(e: DataFrame, dir: String, k: Int = K, rounds: Int = Rounds,
-      stride: Long = Stride): Unit = {
+      stride: Long = Stride, partWidth: Long = PartWidth): Unit = {
     val s = e.sparkSession
     val n = e.count() // bounded action: corpus cardinality for the lattice
     val (_, g) = nnDescent(e, n, k, rounds, stride)
@@ -248,9 +282,14 @@ object AnnGraph {
       .orderBy(col("deg").desc, col("src").asc)
       .select("src").limit(1).head().getLong(0) // ONE scalar
     import s.implicits._
+    // edges land src-range-partitioned (pt = ⌊src/W⌋ dirs) so a later
+    // [[ingest]] can swap ONLY delta-touched partitions; the pt column
+    // is directory-only (derivable from src), readers see the same
+    // (src, dst, cos, rn) schema as before
     Shard.writeTablesAtomic(
-      Seq("edges" -> kept, "entry" -> Seq(entry).toDF("node")),
-      dir, Shard.newCommitId())
+      Seq("edges" -> kept.withColumn("pt", ptOf(partWidth)),
+        "entry" -> Seq(entry).toDF("node")),
+      dir, Shard.newCommitId(), partitionBy = Map("edges" -> "pt"))
     Shard.gcOldCommits(s, dir)
   }
 

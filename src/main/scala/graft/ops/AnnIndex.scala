@@ -45,23 +45,13 @@ object AnnIndex {
     * committed `codes` table covers — the X311 delta path builds with
     * a SUBSET coded and ingests the rest later without retraining. */
   def build(emb: DataFrame, dir: String,
-      codeEmb: DataFrame = null): Unit = {
+      codeEmb: DataFrame = null, fitKey: String = null): Unit = {
     val s = emb.sparkSession
-    val index = Similarity.fitIvf(emb, "embedding", "vec_id",
-      nlist = Nlist)
-    val frame = emb
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"),
-        index.assignExpr(col("embedding")).as("list_id"))
-      .localCheckpoint(true) // read by 4 subspace fits + the encode
-    val books = (0 until Subs).map { sub =>
-      Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16), "vec_id",
-        k = 4, dim = 16, iters = 2)
-    }
-    val loaded0 = Loaded(index.centroids, books.toIndexedSeq, null)
+    val (centroids, books) = trainFits(emb, fitKey)
+    val loaded0 = Loaded(centroids, books, null)
     val codes = encode(loaded0, Option(codeEmb).getOrElse(emb))
     import s.implicits._
-    val centroidsDf = index.centroids.zipWithIndex
+    val centroidsDf = centroids.zipWithIndex
       .map { case (cv, c) => (c, cv.toSeq) }.toSeq.toDF("c", "cv")
     val codebooksDf = (for {
       sub <- 0 until Subs
@@ -71,6 +61,35 @@ object AnnIndex {
       Seq("centroids" -> centroidsDf, "codebooks" -> codebooksDf,
         "codes" -> codes), dir, Shard.newCommitId())
     Shard.gcOldCommits(s, dir)
+  }
+
+  /** The build-time training artifacts — IVF centroids + the 4
+    * subspace PQ codebooks — as one fit of the training corpus.
+    * With `fitKey` (VERDICT r17 #7 — the streaming/delta/compact
+    * lifecycle rows each re-built and so each re-paid the SAME
+    * deterministic training): memoized through [[FitCache]] under
+    * the caller's key, the per-family shared-training pattern —
+    * pinned 2048-row sample, pinned iteration counts, so caching is
+    * observationally invisible and an eval session trains once.
+    * Specs that want a cold fit pass no key. */
+  def trainFits(emb: DataFrame, fitKey: String = null)
+      : (Array[Array[Double]], IndexedSeq[Array[Array[Double]]]) = {
+    def compute(): (Array[Array[Double]], IndexedSeq[Array[Array[Double]]]) = {
+      val index = Similarity.fitIvf(emb, "embedding", "vec_id",
+        nlist = Nlist)
+      val frame = emb
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          index.assignExpr(col("embedding")).as("list_id"))
+        .localCheckpoint(true) // read by all 4 subspace fits
+      val books = (0 until Subs).map { sub =>
+        Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16), "vec_id",
+          k = 4, dim = 16, iters = 2)
+      }
+      (index.centroids, books.toIndexedSeq)
+    }
+    if (fitKey == null) compute()
+    else FitCache.memo(fitKey)(compute())
   }
 
   /** Encode vectors against FROZEN artifacts — assignment + PQ coding
@@ -153,9 +172,10 @@ object AnnIndex {
   /** Build only if `dir` has no committed index (the serve path's
     * build-once guard — a second call is a no-op, AnnIndexSpec pins
     * it). */
-  def ensureBuilt(emb: DataFrame, dir: String): Unit = {
+  def ensureBuilt(emb: DataFrame, dir: String,
+      fitKey: String = null): Unit = {
     if (!Shard.hasCommittedTables(emb.sparkSession, dir, tableNames))
-      build(emb, dir)
+      build(emb, dir, fitKey = fitKey)
   }
 
   /** The committed driver-side artifacts: centroids ordered by c,

@@ -26,12 +26,37 @@ package graft.ops
 object FitCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Compute-once by key. `f` may run Spark jobs; the result must be
-    * a deterministic driver-sized value. */
-  def memo[T <: AnyRef](key: String)(f: => T): T =
-    cache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+    * a deterministic driver-sized value.
+    *
+    * Concurrency (r18 — Verify runs queries in parallel): the
+    * compute runs OUTSIDE the map's bin locks, under a per-key
+    * monitor. `computeIfAbsent` with a Spark-job-running lambda would
+    * hold a hash-bin lock for seconds (stalling unrelated keys that
+    * share the bin) and is outright forbidden to re-enter the map —
+    * some fits build their inputs from OTHER memoized fits (the OPQ
+    * permutation feeds the permuted-PQ frame), which under bin
+    * collision is ConcurrentHashMap's "recursive update" error. Two
+    * threads racing the same key serialize on its lock and compute
+    * once; different keys never block each other. */
+  def memo[T <: AnyRef](key: String)(f: => T): T = {
+    val hit = cache.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = cache.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val v = f
+        cache.put(key, v)
+        v
+      }
+    }
+  }
 
   /** Test hook: drop everything (determinism specs re-fit). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); locks.clear() }
 }

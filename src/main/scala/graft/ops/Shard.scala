@@ -230,7 +230,8 @@ object Shard {
     * the manifest stays O(total files) metadata and readers never
     * list the data directory. */
   def writeTablesAtomic(tables: Seq[(String, DataFrame)], dir: String,
-      commitId: String): Unit = {
+      commitId: String, partitionBy: Map[String, String] = Map.empty)
+      : Unit = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     require(tables.nonEmpty, "writeTablesAtomic: no tables")
     require(tables.map(_._1).distinct.size == tables.size,
@@ -243,7 +244,16 @@ object Shard {
       s"commit '$commitId' already exists under $dir — commit ids are " +
         "single-use; pass Shard.newCommitId() per invocation")
     tables.foreach { case (name, df) =>
-      df.write.parquet(s"$dataPath/$name")
+      // optional layout: `<table>/<col>=<v>/…` Hive-style partition
+      // dirs, the granularity [[replaceTablePartitionsAtomic]] swaps
+      // at. The manifest stays file-granular either way; readers
+      // resolve leaf files whose parent dir is their base path, so
+      // the partition column is NOT re-inferred on read (it is
+      // derivable from the data by the writer's contract).
+      partitionBy.get(name) match {
+        case Some(c) => df.write.partitionBy(c).parquet(s"$dataPath/$name")
+        case None => df.write.parquet(s"$dataPath/$name")
+      }
     }
     // enumerate committed files per table; sorted (table, path) keeps
     // the manifest bytes deterministic for a given file layout
@@ -339,6 +349,87 @@ object Shard {
     val names = (carried.map(_._1) ++ newTables.map(_._1)).distinct
     swapTablesManifest(spark, dir, commitId, names,
       (carried ++ fresh).sortBy(e => (e._1, e._2)))
+  }
+
+  /** PARTITION-REPLACE commit (X324 — the delta-publish discipline a
+    * partitioned corpus-sized table needs when an update touches a
+    * BOUNDED set of its partitions: write fresh files ONLY for the
+    * replaced partitions under `dir/data/<commitId>/<table>/<part>/`,
+    * carry every untouched partition's files from the current
+    * manifest BY REFERENCE, fully rewrite the (small) `rewriteTables`,
+    * and swap ONE manifest. Readers flip atomically from the old
+    * table to (untouched-old ∪ replaced-new); untouched data —
+    * however large — is never rewritten, which is what makes a
+    * 100 TB index delta O(touched), not O(corpus), in publish I/O
+    * (the X317 append twin, for in-place list repair instead of
+    * pure append). The table must have been committed with
+    * `partitionBy` so its manifest paths carry `<col>=<v>/`
+    * components; `replacedParts` are those dir names (e.g. "pt=3").
+    *
+    * Contract: `newRows` must contain exactly the rows of the
+    * replaced partitions (it is written `partitionBy(partCol)`, and
+    * a row outside `replacedParts` would silently commit a partition
+    * dir the carry-filter also kept — so the writer enumerates the
+    * written dirs and REFUSES a commit whose fresh partition set is
+    * not exactly `replacedParts`). Old commits stay on disk for
+    * time-travel; [[gcOldCommits]]' file-derived keep-set keeps every
+    * carried prefix live. */
+  def replaceTablePartitionsAtomic(dir: String, commitId: String,
+      table: String, newRows: DataFrame, partCol: String,
+      replacedParts: Set[String],
+      rewriteTables: Seq[(String, DataFrame)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = newRows.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new Path(s"$dir/data/$commitId")
+    val fs = dataPath.getFileSystem(conf)
+    require(!fs.exists(dataPath),
+      s"commit '$commitId' already exists under $dir — commit ids are " +
+        "single-use; pass Shard.newCommitId() per invocation")
+    val carried =
+      """\{"table":"([^"]+)","path":"([^"]+)","bytes":(\d+)\}""".r
+        .findAllMatchIn(readManifestText(spark, dir))
+        .map(m => (m.group(1), m.group(2), m.group(3).toLong)).toSeq
+    require(carried.nonEmpty, s"replace against $dir: no committed base")
+    def partOf(rel: String): Option[String] =
+      s"/($partCol=[^/]+)/".r.findFirstMatchIn(rel).map(_.group(1))
+    val keptOld = carried.filter {
+      case (t, p, _) if t == table =>
+        val pt = partOf(p)
+        require(pt.nonEmpty,
+          s"replace: committed $table file '$p' has no $partCol= dir — " +
+            "the table was not committed partitionBy'd")
+        !replacedParts.contains(pt.get)
+      case (t, _, _) => !rewriteTables.exists(_._1 == t)
+    }
+    newRows.write.partitionBy(partCol).parquet(s"$dataPath/$table")
+    rewriteTables.foreach { case (name, df) =>
+      df.write.parquet(s"$dataPath/$name")
+    }
+    val fresh = (Seq(table) ++ rewriteTables.map(_._1)).flatMap { name =>
+      val it = fs.listFiles(new Path(s"$dataPath/$name"), true)
+      val buf = Seq.newBuilder[(String, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rel = st.getPath.toString
+            .stripPrefix(fs.makeQualified(new Path(dir)).toString)
+            .stripPrefix("/")
+          buf += ((name, rel, st.getLen))
+        }
+      }
+      buf.result()
+    }
+    val freshParts = fresh.collect {
+      case (t, p, _) if t == table => partOf(p) }.flatten.toSet
+    require(freshParts == replacedParts,
+      s"replace: written partitions $freshParts != declared " +
+        s"$replacedParts — newRows must hold exactly the replaced " +
+        "partitions' rows")
+    val names = (keptOld.map(_._1) ++ Seq(table) ++
+      rewriteTables.map(_._1)).distinct
+    swapTablesManifest(spark, dir, commitId, names,
+      (keptOld ++ fresh).sortBy(e => (e._1, e._2)))
   }
 
   /** The current committed multi-table manifest of `dir` as

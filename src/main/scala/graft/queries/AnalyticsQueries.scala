@@ -2776,7 +2776,8 @@ $name AS (
              ORDER BY list_id"""),
     (s, d) => {
       val dir = annIndexDir(d)
-      graft.ops.AnnIndex.build(Tables.embeddings(s, d), dir)
+      graft.ops.AnnIndex.build(Tables.embeddings(s, d), dir,
+        fitKey = s"annidxfits|$d")
       val codes = graft.ops.Shard.readTableViaManifest(s, dir, "codes")
       val cents = graft.ops.Shard.readTableViaManifest(s, dir, "centroids")
       val occ = codes.groupBy("list_id")
@@ -2808,7 +2809,8 @@ $name AS (
     (s, d) => {
       val dir = annIndexDir(d)
       val emb = Tables.embeddings(s, d)
-      graft.ops.AnnIndex.ensureBuilt(emb, dir)
+      graft.ops.AnnIndex.ensureBuilt(emb, dir,
+        fitKey = s"annidxfits|$d")
       val loaded = graft.ops.AnnIndex.load(s, dir)
       val qRows = emb.filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -2845,7 +2847,8 @@ $name AS (
       val emb = Tables.embeddings(s, d)
       // phase 1: train on the corpus, commit with only the even half coded
       graft.ops.AnnIndex.build(emb, dir,
-        codeEmb = emb.filter(col("vec_id") % 2 === 0))
+        codeEmb = emb.filter(col("vec_id") % 2 === 0),
+        fitKey = s"annidxfits|$d")
       // phase 2: the odd half arrives — encode against frozen
       // artifacts, republish atomically
       graft.ops.AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
@@ -2883,7 +2886,8 @@ $name AS (
       val dir = annIndexDir(d) + "_compact"
       val emb = Tables.embeddings(s, d)
       graft.ops.AnnIndex.build(emb, dir,
-        codeEmb = emb.filter(col("vec_id") % 2 === 0))
+        codeEmb = emb.filter(col("vec_id") % 2 === 0),
+        fitKey = s"annidxfits|$d")
       graft.ops.AnnIndex.ingest(emb.filter(col("vec_id") % 2 === 1), dir)
       require(graft.ops.Shard.livePrefixes(s, dir).size > 1,
         "delta-ingest should leave a fragmented segment chain")
@@ -2920,9 +2924,11 @@ $name AS (
     annIvfPq.oracle,
     (s, d) => {
       val dir = annIndexDir(d) + "_stream"
+      graft.streaming.StreamWarm.ensure(s) // one-time engine warm (r18)
       val emb = Tables.embeddings(s, d).localCheckpoint(true)
       graft.ops.AnnIndex.build(emb, dir,
-        codeEmb = emb.filter(col("vec_id") % 2 === 0))
+        codeEmb = emb.filter(col("vec_id") % 2 === 0),
+        fitKey = s"annidxfits|$d")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-annstream")
       val srcDir = tmp.resolve("src")

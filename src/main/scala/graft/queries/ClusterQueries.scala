@@ -509,6 +509,11 @@ corpusp AS MATERIALIZED (
     pqFitRawCached(s, d)
     pqFitPermCached(s, d, pqFramePerm(s, d))
     pqFitResCached(s, d, pqFrameResidual(s, d))
+    // the persisted-index lifecycle rows' shared build fit (r18 —
+    // build/delta/compact/stream each re-trained the same IVF+PQ)
+    graft.ops.AnnIndex.trainFits(graft.Tables.embeddings(s, d),
+      fitKey = s"annidxfits|$d")
+    ()
   }
 
   /** Raw-PQ top-k ranking (the q_pq_recall approx lane, factored as a

@@ -1808,7 +1808,9 @@ object CurationQueries {
                 s"COALESCE((SELECT SUM(r.pr) FROM r$p r LEFT JOIN deg " +
                   "ON r.v = deg.src WHERE deg.src IS NULL), 0.0)", 6)}
                 AS dm),
-            r$t AS (
+            r$t AS MATERIALIZED (
+              -- r$p has two readers (contribution join + dangling
+              -- mass); inlined CTEs re-run 2^rounds times
               SELECT nodes.v,
                      ${Num.qroundSql(
                        s"$PrTeleport / nn.n + $PrDamping * " +
@@ -1832,22 +1834,23 @@ object CurationQueries {
     * doubles on both engines. */
   val domainPagerank = QueryDef(
     "q_domain_pagerank",
-    Some(s"""WITH e0 AS (
+    Some(s"""WITH e0 AS MATERIALIZED (
               SELECT doc_id % 50 AS src,
                      CAST('0x' || substring(md5('pr:'
                          || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                        % 50 AS dst
               FROM documents),
-            nodes AS (
+            nodes AS MATERIALIZED (
               SELECT DISTINCT v FROM (
                 SELECT src AS v FROM e0
                 UNION ALL SELECT dst AS v FROM e0)),
             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-            deg AS (
+            deg AS MATERIALIZED (
               SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
               FROM e0 GROUP BY src),
-            e AS (SELECT e0.src, e0.dst, deg.deg
-                  FROM e0 JOIN deg USING (src)),
+            e AS MATERIALIZED (
+              SELECT e0.src, e0.dst, deg.deg
+              FROM e0 JOIN deg USING (src)),
             r0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
             ${(1 to PrIters).map(prRoundSql).mkString(",\n            ")}
             SELECT nodes.v AS node,

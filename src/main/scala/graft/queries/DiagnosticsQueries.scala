@@ -2363,13 +2363,12 @@ object DiagnosticsQueries {
     "q_lsh_dedup_eval", {
       val exact =
         s"""${SimilarityQueries.sqlShingleCte(3).replace("WITH ", "")},
-           exactp AS (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             WHERE ${SimilarityQueries.sqlJaccard(
-               "a.shingles", "b.shingles")} >= 0.4)"""
+           ${SimilarityQueries.sqlExactJaccardPairs(0.4)}"""
+      // lshp/exactp each feed two readers (count + hit join):
+      // MATERIALIZED, or each reference re-runs the ENTIRE embedded
+      // minhash / all-pairs pipeline (r18 selfcheck-wall fix)
       Some(s"""WITH lsh0 AS (${SimilarityQueries.dedupMinhash.oracle.get}),
-              lshp AS (SELECT id_a, id_b FROM lsh0),
+              lshp AS MATERIALIZED (SELECT id_a, id_b FROM lsh0),
               $exact,
               nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lshp),
               ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact

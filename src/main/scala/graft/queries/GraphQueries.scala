@@ -241,11 +241,13 @@ object GraphQueries {
     s"""${out}r AS (
               SELECT e.$ok AS v, ${Num.qroundSql("SUM(p.s)", 6)} AS raw
               FROM e JOIN $prev p ON e.$jk = p.v GROUP BY e.$ok),
-            ${out}z AS (
+            ${out}z AS MATERIALIZED (
+              -- two readers (L1 total + normalize): inlined, each
+              -- half-round re-runs and the chain goes 2^(2·rounds)
               SELECT nodes.v, COALESCE(${out}r.raw, 0.0) AS raw
               FROM nodes LEFT JOIN ${out}r ON nodes.v = ${out}r.v),
             ${out}t AS (SELECT SUM(raw) AS tot FROM ${out}z),
-            $out AS (
+            $out AS MATERIALIZED (
               -- NULLIF: an all-zero half-step (possible only on a
               -- degenerate edgeless carve) degrades to NULL on both
               -- engines (Spark divide-by-zero is NULL under non-ANSI)
@@ -268,9 +270,10 @@ object GraphQueries {
     * half-round trees (the X66 device). */
   val domainHits = QueryDef(
     "q_domain_hits",
-    Some(s"""WITH e0 AS ($edgeSql),
-            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-            nodes AS (
+    Some(s"""WITH e0 AS MATERIALIZED ($edgeSql),
+            e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            nodes AS MATERIALIZED (
               -- full INPUT universe: self-loop-only nodes stay (score
               -- 0), matching Hits.run / Triangles.perNode semantics
               SELECT DISTINCT v FROM (
@@ -306,10 +309,10 @@ object GraphQueries {
     * base universe. */
   val domainHitsSeeded = QueryDef(
     "q_domain_hits_seeded",
-    Some(s"""WITH e0 AS ($edgeSql),
+    Some(s"""WITH e0 AS MATERIALIZED ($edgeSql),
             seeds AS (SELECT CAST(0 AS BIGINT) AS v
                       UNION ALL SELECT CAST(25 AS BIGINT)),
-            nodes AS (
+            nodes AS MATERIALIZED (
               -- the Kleinberg base set: seeds + one-hop in/out nbrs
               SELECT DISTINCT v FROM (
                 SELECT v FROM seeds
@@ -319,7 +322,7 @@ object GraphQueries {
                 UNION ALL
                 SELECT e0.dst AS v FROM e0
                   JOIN seeds s ON e0.src = s.v)),
-            e AS (
+            e AS MATERIALIZED (
               SELECT DISTINCT src, dst FROM e0
               WHERE src <> dst
                 AND src IN (SELECT v FROM nodes)
@@ -659,11 +662,11 @@ object GraphQueries {
       val P = 0.9
       Some(s"""WITH pr_q AS (${CurationQueries.domainPagerank.oracle.get}),
               ht_q AS (${domainHits.oracle.get}),
-              rp AS (
+              rp AS MATERIALIZED (
                 SELECT node, CAST(ROW_NUMBER() OVER (
                   ORDER BY pr DESC, node) AS BIGINT) AS r_pr
                 FROM pr_q),
-              ra AS (
+              ra AS MATERIALIZED (
                 SELECT node, CAST(ROW_NUMBER() OVER (
                   ORDER BY auth DESC, node) AS BIGINT) AS r_auth
                 FROM ht_q),
@@ -687,7 +690,7 @@ object GraphQueries {
                 SELECT rp.node, rp.r_pr, ra.r_auth,
                        GREATEST(rp.r_pr, ra.r_auth) AS m
                 FROM rp JOIN ra USING (node)),
-              k AS (
+              k AS MATERIALIZED (
                 SELECT j.node, j.r_pr, j.r_auth, j.m,
                        tt.total - (ct.cum - ct.t) AS t_int
                 FROM j JOIN ct ON j.m = ct.d CROSS JOIN tt),
@@ -916,7 +919,9 @@ object GraphQueries {
                 s"COALESCE((SELECT SUM(r.pr) FROM r$g$p r LEFT JOIN " +
                   s"deg$g ON r.v = deg$g.src WHERE deg$g.src IS NULL), " +
                   "0.0)", 6)} AS dm),
-            r$g$t AS (
+            r$g$t AS MATERIALIZED (
+              -- each round reads r$p twice (contribution join +
+              -- dangling mass); inlined CTEs re-run 2^rounds times
               SELECT nodes$g.v,
                      ${Num.qroundSql(
                        s"${CurationQueries.PrTeleport} / nn$g.n + " +
@@ -929,22 +934,23 @@ object GraphQueries {
 
   /** The graph-family CTEs for one snapshot's carve, suffixed `g`. */
   private def graphCtes(g: String, docFilter: String): String =
-    s"""e${g}0 AS (
+    s"""e${g}0 AS MATERIALIZED (
               SELECT doc_id % 50 AS src,
                      CAST('0x' || substring(md5('pr:'
                          || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                        % 50 AS dst
               FROM documents WHERE $docFilter),
-            nodes$g AS (
+            nodes$g AS MATERIALIZED (
               SELECT DISTINCT v FROM (
                 SELECT src AS v FROM e${g}0
                 UNION ALL SELECT dst AS v FROM e${g}0)),
             nn$g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes$g),
-            deg$g AS (
+            deg$g AS MATERIALIZED (
               SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
               FROM e${g}0 GROUP BY src),
-            e$g AS (SELECT e${g}0.src, e${g}0.dst, deg$g.deg
-                  FROM e${g}0 JOIN deg$g USING (src))"""
+            e$g AS MATERIALIZED (
+              SELECT e${g}0.src, e${g}0.dst, deg$g.deg
+              FROM e${g}0 JOIN deg$g USING (src))"""
 
   /** Incremental (delta) PageRank over a corpus refresh (X176 — the
     * r12 verdict's suggested graph-family completion: compose X32's

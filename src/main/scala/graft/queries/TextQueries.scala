@@ -591,8 +591,26 @@ ${x}w$k AS (SELECT freq, replace(seq, '|' || m.l || '||' || m.r || '|',
           c => concat(lit("|"), c, lit("|")))))
       .select("word", "freq", "seq")
       .persist()
-    bpeMergeLoop(base, rounds)
+    // tokenizer-family shared fit (VERDICT r17 #4): the chosen merges
+    // are a deterministic driver-sized artifact of (sf dir, rounds) —
+    // pinned argmax tie-breaks, exact-integer counts — so an eval
+    // session trains ONCE per family (FitCache's exact contract) and
+    // every caller (q_bpe_merges / q_bpe_encode / q_tokenizer_compare)
+    // re-applies them as cheap narrow string replaces.
+    val merges = graft.ops.FitCache.memo(s"bpemerges|$d|$rounds") {
+      bpeMergeLoop(base, rounds)._2
+    }
+    (applyMerges(base, merges), merges)
   }
+
+  /** Fold already-chosen merges into a '|sym|' frame — the cheap
+    * (argmax-free) half of [[bpeMergeLoop]]. */
+  private[queries] def applyMerges(base: org.apache.spark.sql.DataFrame,
+      merges: Seq[(Int, String, String, Long)])
+      : org.apache.spark.sql.DataFrame =
+    merges.foldLeft(base) { case (cur, (_, l, r, _)) =>
+      cur.withColumn("seq", expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+    }
 
   /** The greedy merge loop over any '|sym|'-encoded (freq, seq, ...)
     * frame — shared by the char-level ([[bpeTrain]]) and byte-level
@@ -773,40 +791,46 @@ wpw$k AS MATERIALIZED (
           c => concat(lit("|"), c, lit("|")))))
       .select("word", "freq", "seq")
       .persist()
-    var cur = base
-    val merges = Seq.newBuilder[(Int, String, String, Long, Double)]
-    for (k <- 1 to rounds) {
-      val syms = split(trim(col("seq"), "|"), "\\|\\|")
-      val symCounts = cur
-        .select(col("freq"), explode(syms).as("sym"))
-        .groupBy("sym").agg(sum("freq").as("c"))
-      val pairs = cur
-        .filter(size(syms) >= 2)
-        .select(col("freq"),
-          explode(transform(sequence(lit(1), size(syms) - 1),
-            i => struct(element_at(syms, i).as("l"),
-              element_at(syms, i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-      val top = pairs
-        .join(symCounts.select(col("sym").as("l"), col("c").as("cl")),
-          "l")
-        .join(symCounts.select(col("sym").as("r"), col("c").as("cr")),
-          "r")
-        .select(col("l"), col("r"), col("cnt"),
-          (col("cnt").cast("double") /
-            (col("cl").cast("double") * col("cr").cast("double")))
-            .as("score"))
-        .orderBy(col("score").desc, col("l"), col("r"))
-        .limit(1).collect()
-      top.headOption.foreach { t =>
-        val (l, r) = (t.getString(0), t.getString(1))
-        merges += ((k, l, r, t.getLong(2), t.getDouble(3)))
-        cur = cur.withColumn("seq",
-          expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+    // shared fit (VERDICT r17 #4): deterministic driver-sized merges,
+    // trained once per (sf dir, rounds) — see bpeTrain
+    val merges = graft.ops.FitCache.memo(s"wpmerges|$d|$rounds") {
+      var cur = base
+      val out = Seq.newBuilder[(Int, String, String, Long, Double)]
+      for (k <- 1 to rounds) {
+        val syms = split(trim(col("seq"), "|"), "\\|\\|")
+        val symCounts = cur
+          .select(col("freq"), explode(syms).as("sym"))
+          .groupBy("sym").agg(sum("freq").as("c"))
+        val pairs = cur
+          .filter(size(syms) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("l"),
+                element_at(syms, i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+        val top = pairs
+          .join(symCounts.select(col("sym").as("l"), col("c").as("cl")),
+            "l")
+          .join(symCounts.select(col("sym").as("r"), col("c").as("cr")),
+            "r")
+          .select(col("l"), col("r"), col("cnt"),
+            (col("cnt").cast("double") /
+              (col("cl").cast("double") * col("cr").cast("double")))
+              .as("score"))
+          .orderBy(col("score").desc, col("l"), col("r"))
+          .limit(1).collect()
+        top.headOption.foreach { t =>
+          val (l, r) = (t.getString(0), t.getString(1))
+          out += ((k, l, r, t.getLong(2), t.getDouble(3)))
+          cur = cur.withColumn("seq",
+            expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+        }
       }
+      out.result()
     }
-    (cur, merges.result())
+    (applyMerges(base,
+      merges.map { case (k, l, r, c, _) => (k, l, r, c) }), merges)
   }
 
   val wordpiece = QueryDef(
@@ -942,7 +966,18 @@ wpw$k AS MATERIALIZED (
     * vocab entry (FLOOR(-ln(count/total)·10⁶ + 0.5) — one ln of an
     * exact rational), so every DP comparison and the whole chain
     * downstream is exact-integer; no float-order hazard can flip a
-    * segmentation between engines. The oracle replays everything
+    * segmentation between engines. Declared boundary assumption
+    * (ADVICE r17): the one ln is Java Math.log Spark-side and libm
+    * ln in DuckDB — each within 1 ulp of the correctly-rounded
+    * result — so the quantization agrees unless
+    * -ln(cnt/total)·10⁶ + 0.5 lands within ~1 ulp of an exact
+    * integer, i.e. unless a vocab probability is within ~2⁻⁴⁰
+    * relative of e^-(k±0.5)/10⁶ for integer k. No corpus the suite
+    * runs has produced such a boundary count, and a hit would
+    * surface loudly as a whole-segmentation hash mismatch, not a
+    * silent drift; the literal-injection alternative is unavailable
+    * because oracle SQL is fixed per query, independent of the data
+    * directory. The oracle replays everything
     * relationally: seed counts, the SAME quantized nll table, the
     * suffix DP as 12 unrolled rounds (a declared len ≤ 12 fixture
     * bound, vacuous on this corpus — max word length 8; the kernel
@@ -1054,28 +1089,35 @@ ${pfx}useg(word, freq, pos, tok) AS (
           length(col("word")) <= 12)
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .localCheckpoint(true) // substring seed + E-step scan share it
-      val subs = (1 to 4).map { l =>
-        words.filter(length(col("word")) >= l)
-          .select(col("freq"), explode(expr(
-            s"transform(sequence(1, length(word) - $l + 1), " +
-              s"i -> substring(word, i, $l))")).as("tok"))
-      }.reduce(_ unionAll _)
-      val counts = subs.groupBy("tok")
-        .agg(sum("freq").cast("long").as("cnt"))
-        .localCheckpoint(true) // singles scan + top-M scan
-      // the seed vocabulary is a bounded driver artifact: every
-      // single char + the top-24 multi-char substrings
-      val singles = counts.filter(length(col("tok")) === 1)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val multis = counts.filter(length(col("tok")) >= 2)
-        .orderBy(col("cnt").desc, col("tok"))
-        .limit(24).collect().map(r => (r.getString(0), r.getLong(1)))
-      val seed = (singles ++ multis).sortBy(_._1).toSeq
-      val total = seed.map(_._2).sum
-      (words, seed.map { case (t, c) =>
-        (t, c, math.floor(-math.log(c.toDouble / total.toDouble) * 1e6
-          + 0.5).toLong)
-      })
+      // shared fit (VERDICT r17 #4): the quantized seed vocabulary is
+      // a deterministic driver-sized artifact of the sf dir — trained
+      // once per eval session (q_unigram_tokenizer / q_unigram_encode
+      // / q_tokenizer_compare all consume it)
+      val nllq = graft.ops.FitCache.memo(s"ugseed|$d") {
+        val subs = (1 to 4).map { l =>
+          words.filter(length(col("word")) >= l)
+            .select(col("freq"), explode(expr(
+              s"transform(sequence(1, length(word) - $l + 1), " +
+                s"i -> substring(word, i, $l))")).as("tok"))
+        }.reduce(_ unionAll _)
+        val counts = subs.groupBy("tok")
+          .agg(sum("freq").cast("long").as("cnt"))
+          .localCheckpoint(true) // singles scan + top-M scan
+        // the seed vocabulary is a bounded driver artifact: every
+        // single char + the top-24 multi-char substrings
+        val singles = counts.filter(length(col("tok")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val multis = counts.filter(length(col("tok")) >= 2)
+          .orderBy(col("cnt").desc, col("tok"))
+          .limit(24).collect().map(r => (r.getString(0), r.getLong(1)))
+        val seed = (singles ++ multis).sortBy(_._1).toSeq
+        val total = seed.map(_._2).sum
+        seed.map { case (t, c) =>
+          (t, c, math.floor(-math.log(c.toDouble / total.toDouble) * 1e6
+            + 0.5).toLong)
+        }
+      }
+      (words, nllq)
   }
 
   val unigramTokenizer = QueryDef(
@@ -1160,13 +1202,10 @@ FROM vuseg GROUP BY tok ORDER BY token"""),
     (s, d) => {
       import s.implicits._
       val (words, nllq) = unigramSeed(s, d)
-      val seedVocab = nllq.map { case (t, _, q) => (t, q) }
-      // E-step under the seed model -> em counts (vocab-bounded)
-      val em = words.select(col("freq"),
-          explode(graft.functions.UnigramFunctions.unigramViterbi(
-            col("word"), seedVocab)).as("tok"))
-        .groupBy("tok").agg(sum("freq").cast("long").as("emc"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // E-step under the seed model -> em counts (vocab-bounded,
+      // deterministic: exact-integer DP over the memoized seed) —
+      // shared with the warm pass via FitCache
+      val em = ugEmCounts(s, d, words, nllq)
       // prune by the SAME exact-integer ordering as the kept flag
       val singles = nllq.filter(_._1.length == 1)
       val multisKept = nllq.filter(_._1.length > 1)
@@ -1206,9 +1245,15 @@ FROM vuseg GROUP BY tok ORDER BY token"""),
     * the two ratios are single divides of exact ints (element-wise
     * deterministic, hash raw). The oracle composes the three training
     * chains + both recursive segmentations in ONE statement — every
-    * fragment already oracle-checked standalone. Unigram's declared
-    * len ≤ 12 bound is vacuous on this corpus (max word length 8), so
-    * the universes coincide. */
+    * fragment already oracle-checked standalone. The shared universe
+    * holds BY CONSTRUCTION (ADVICE r17): unigram's len ≤ 12 training
+    * bound is applied to every lane's occurrence aggregate (char/BPE/
+    * WordPiece included — BPE via the lossless seq encoding, since w3
+    * carries no word column), not left to fixture luck (this corpus's
+    * max word length is 8, so the cap is vacuous today; a 13+-char
+    * word would now drop from all four lanes identically). Training
+    * itself stays per-family-unfiltered — the cap defines the
+    * COMPARISON universe, not the tokenizers. */
   val tokenizerCompare = QueryDef(
     "q_tokenizer_compare",
     Some(s"""WITH RECURSIVE
@@ -1220,22 +1265,25 @@ FROM vuseg GROUP BY tok ORDER BY token"""),
                SELECT CAST(SUM(freq) AS BIGINT) AS no,
                       CAST(SUM(freq * len(word)) AS BIGINT) AS nt,
                       CAST(SUM(freq * len(word)) AS BIGINT) AS nc
-               FROM wc),
+               FROM wc WHERE len(word) <= 12),
              bpel AS (
+               -- len(word) ≤ 12 via the lossless seq encoding (w3
+               -- carries no word column; merges conserve chars)
                SELECT CAST(SUM(freq) AS BIGINT) AS no,
                       CAST(SUM(freq * len(string_split(trim(seq, '|'),
                         '||'))) AS BIGINT) AS nt,
                       CAST(SUM(freq * len(replace(seq, '|', '')))
                         AS BIGINT) AS nc
-               FROM w3),
+               FROM w3 WHERE len(replace(seq, '|', '')) <= 12),
              wpbase AS (
                SELECT CAST(SUM(freq) AS BIGINT) AS no,
                       CAST(SUM(freq * len(word)) AS BIGINT) AS nc
-               FROM wpwc),
+               FROM wpwc WHERE len(word) <= 12),
              wpl AS (
                SELECT b.no, t.nt, b.nc
                FROM wpbase b CROSS JOIN
-                 (SELECT CAST(SUM(freq) AS BIGINT) AS nt FROM seg) t),
+                 (SELECT CAST(SUM(freq) AS BIGINT) AS nt FROM seg
+                  WHERE len(word) <= 12) t),
              ugbase AS (
                SELECT CAST(SUM(freq) AS BIGINT) AS no,
                       CAST(SUM(freq * len(word)) AS BIGINT) AS nc
@@ -1281,19 +1329,24 @@ FROM vuseg GROUP BY tok ORDER BY token"""),
               .as("tokens_per_word"),
             (col("nc").cast("double") / col("n_tokens").cast("double"))
               .as("chars_per_token"))
-      // char baseline + BPE: the trained w3 segmentation
+      // char baseline + BPE: the trained w3 segmentation. Lanes read
+      // the SHARED len ≤ 12 comparison universe (ADVICE r17);
+      // training stays unfiltered.
       val (bpeEnc, _) = bpeTrain(s, d)
-      val bpeLane = laneOf("bpe", bpeEnc.select(col("word"), col("freq"),
+      val bpeUni = bpeEnc.filter(length(col("word")) <= 12)
+      val bpeLane = laneOf("bpe", bpeUni.select(col("word"), col("freq"),
         size(split(trim(col("seq"), "|"), "\\|\\|")).as("k")))
-      val charLane = laneOf("char", bpeEnc.select(col("word"),
+      val charLane = laneOf("char", bpeUni.select(col("word"),
         col("freq"), length(col("word")).as("k")))
       // WordPiece: longest-match serving over the trained vocab
+      // (derived from the FULL trained frame, pre-cap)
       val (wpEnc, _) = wordpieceTrain(s, d)
       val wpFrame = wpEnc.localCheckpoint(true)
       val wpVocab = wpFrame
         .select(explode(split(trim(col("seq"), "|"), "\\|\\|")).as("sym"))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
-      val wpLane = laneOf("wordpiece", wpFrame.select(col("word"),
+      val wpLane = laneOf("wordpiece",
+        wpFrame.filter(length(col("word")) <= 12).select(col("word"),
         col("freq"),
         size(graft.functions.WordPieceFunctions.wordpieceEncode(
           col("word"), wpVocab)).as("k")))
@@ -4391,6 +4444,37 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
             .as("acc"))
         .orderBy("fold")
     })
+
+  /** Force every memoized tokenizer-family fit (VERDICT r17 #4 —
+    * Bench calls this once, timed, before the per-query loop, so the
+    * BPE/WordPiece/unigram rows measure ENCODING and the family's
+    * training cost is one disclosed figure, the warmAnnFits twin):
+    * BPE merges, WordPiece merges, the quantized unigram seed vocab,
+    * and the seed-model EM counts. All deterministic driver-sized
+    * values (exact-integer counts, pinned argmax tie-breaks). */
+  private[graft] def warmTokFits(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    bpeTrain(s, d)
+    wordpieceTrain(s, d)
+    val (words, nllq) = unigramSeed(s, d)
+    ugEmCounts(s, d, words, nllq)
+    ()
+  }
+
+  /** Seed-model E-step counts (token → freq-weighted emission count)
+    * — deterministic exact-integer Viterbi over the memoized seed
+    * vocab, memoized per sf dir. */
+  private def ugEmCounts(s: org.apache.spark.sql.SparkSession,
+      d: String, words: org.apache.spark.sql.DataFrame,
+      nllq: Seq[(String, Long, Long)]): Map[String, Long] =
+    graft.ops.FitCache.memo(s"ugem|$d") {
+      val seedVocab = nllq.map { case (t, _, q) => (t, q) }
+      words.select(col("freq"),
+          explode(graft.functions.UnigramFunctions.unigramViterbi(
+            col("word"), seedVocab)).as("tok"))
+        .groupBy("tok").agg(sum("freq").cast("long").as("emc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
 
   val all: Seq[QueryDef] = Seq(textStats, textQuality, langId, fingerprint,
     sampleHash, contamination, sampleStratified, packBins, qualityFilter,

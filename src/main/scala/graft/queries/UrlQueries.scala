@@ -107,7 +107,9 @@ object UrlQueries {
                      string_split(regexp_replace(host, ':[0-9]+$$', ''), '.')
                        AS labels
               FROM u_c),
-            urlc AS (
+            urlc AS MATERIALIZED (
+              -- q_url_domain_graph self-joins urlc; inlined, each
+              -- side re-runs the whole regex canonicalization chain
               SELECT $keyCols, url,
                      scheme || '://' || host || path ||
                        CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END
@@ -316,20 +318,21 @@ object UrlQueries {
               UNION ALL
               SELECT doc_id, 'd' AS side, dst_url AS url FROM links),
             ${urlChainSql("sides", "doc_id, side")},
-            e0 AS (
+            e0 AS MATERIALIZED (
               SELECT s.domain AS src, d.domain AS dst
               FROM urlc s JOIN urlc d ON s.doc_id = d.doc_id
               WHERE s.side = 's' AND d.side = 'd'),
-            nodes AS (
+            nodes AS MATERIALIZED (
               SELECT DISTINCT v FROM (
                 SELECT src AS v FROM e0
                 UNION ALL SELECT dst AS v FROM e0)),
             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-            deg AS (
+            deg AS MATERIALIZED (
               SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
               FROM e0 GROUP BY src),
-            e AS (SELECT e0.src, e0.dst, deg.deg
-                  FROM e0 JOIN deg USING (src)),
+            e AS MATERIALIZED (
+              SELECT e0.src, e0.dst, deg.deg
+              FROM e0 JOIN deg USING (src)),
             r0 AS (SELECT v, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
             ${(1 to CurationQueries.PrIters)
               .map(CurationQueries.prRoundSql).mkString(",\n            ")}

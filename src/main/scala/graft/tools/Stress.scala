@@ -948,13 +948,20 @@ object Stress {
       // delta encodes). Probe order puts the graph BUILD before the
       // graph QUERY so the query lane reads committed artifacts, the
       // same order bench and verify see.
+      // r17-late entrants (ADVICE r17): the beam operating curve and
+      // the graph delta-ingest — the two HEAVIEST committed bench
+      // rows — plus the four-family comparison and the pruned-vocab
+      // unigram encode; build stays ahead of query/curve so serve
+      // lanes read committed artifacts, delta owns its own dir.
       val heavy = Seq("q_ann_recall_curve", "q_knn_graph_search",
         "q_kfold_cv", "q_knn_descent", "q_learning_curve",
         "q_stream_incremental_dedup", "q_setjoin_prefix",
         "q_scaling_probe", "q_ann_index_delta", "q_rank_rbo",
         "q_als", "q_rank_fusion", "q_coverage_select",
         "q_ann_graph_index_build", "q_ann_graph_index_query",
+        "q_ann_beam_curve", "q_ann_graph_index_delta",
         "q_wordpiece_encode", "q_unigram_tokenizer",
+        "q_tokenizer_compare", "q_unigram_encode",
         "q_ann_index_compact", "q_stream_ann_ingest")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {

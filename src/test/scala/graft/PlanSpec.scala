@@ -267,7 +267,10 @@ class PlanSpec extends SparkSuite {
       "q_ann_graph_index_query",
       // X320 beam operating curve: four served walks (equi-join hops)
       // graded against the same inherited 20-query brute-force truth
-      "q_ann_beam_curve")
+      "q_ann_beam_curve",
+      // X325 multi-entry beam: two served walks (s = 1 / s = 4 entry
+      // sets, equi-join hops) against the same inherited brute force
+      "q_ann_graph_multi_entry")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(

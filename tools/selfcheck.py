@@ -44,7 +44,10 @@ def main():
     n_pass = n_fail = 0
     produced = [d for d in os.listdir(out_dir)
                 if os.path.isdir(os.path.join(out_dir, d))]
+    import time
+    t_all = time.time()
     for name in sorted(produced):
+        t_q = time.time()
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
             sres = con.execute(
@@ -98,9 +101,11 @@ def main():
             print(f"FAIL {name}: row {bad[0]}:\n  spark  {bad[1]}\n  oracle {bad[2]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"PASS {name} ({len(sr)} rows, "
+                  f"{int((time.time() - t_q) * 1000)} ms)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(produced)} produced")
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(produced)} produced, "
+          f"{int(time.time() - t_all)} s")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
