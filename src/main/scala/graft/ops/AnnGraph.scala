@@ -53,9 +53,10 @@ object AnnGraph {
     * range, so they land in fresh partitions; far-away old lists
     * stay byte-identical and their files are carried by manifest
     * reference). At corpus scale W is tuned so one partition is a
-    * few hundred MB; the fixture default keeps several partitions
-    * alive at test sizes. */
-  final val PartWidth = 64L
+    * few hundred MB; the default keeps partitions from degenerating
+    * into per-file crumbs at eval sizes (Round18Spec passes its own
+    * narrow width to exercise multi-partition carry). */
+  final val PartWidth = 256L
 
   /** The partition column the committed edge layout uses. */
   private def ptOf(width: Long) =
@@ -149,12 +150,35 @@ object AnnGraph {
       .orderBy(col("cos").desc, col("dst"))
     var g = init.localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val rev = g.withColumn("rn", row_number().over(wRev))
+      // FRESH-ADJACENT restriction (r18 — the O(delta) completion of
+      // the flag rule): every per-round pass below runs only over
+      // nodes that can possibly be affected, with BIT-IDENTICAL
+      // results to the full-table form, because each device is
+      // per-node local:
+      //  - candidate pairs need ≥ 1 fresh side, so a node whose
+      //    adjacency (fwd or rev) holds no fresh edge contributes
+      //    NO pair — its rev-cap window and b-entries are dead work;
+      //  - row_number windows partition by node, so restricting to a
+      //    node subset cannot change any other node's ranking;
+      //  - a src no scored candidate touches keeps its list
+      //    unchanged (and all-stale), so the merge re-ranks only
+      //    candidate-touched srcs and passes the rest through.
+      // At 100 TB a warm round's shuffled volume is then bounded by
+      // delta-touched neighborhoods, not the corpus edge table.
+      val freshNodes = g.filter(col("fresh"))
+        .select(col("src").as("node"))
+        .union(g.filter(col("fresh")).select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
+      val gAdj = g.join(freshNodes.withColumnRenamed("node", "dst"),
+        Seq("dst"), "left_semi")
+      val rev = gAdj.withColumn("rn", row_number().over(wRev))
         .filter(col("rn") <= k)
         .select(col("dst").as("node"), col("src").as("nbr"),
           col("fresh"))
-      val fwd = g.select(col("src").as("node"), col("dst").as("nbr"),
-        col("fresh"))
+      val fwd = g.join(freshNodes.withColumnRenamed("node", "src"),
+          Seq("src"), "left_semi")
+        .select(col("src").as("node"), col("dst").as("nbr"),
+          col("fresh"))
       val b = fwd.unionByName(rev)
         .groupBy("node", "nbr")
         .agg(max(when(col("fresh"), 1).otherwise(0)).as("fr"))
@@ -164,16 +188,23 @@ object AnnGraph {
           col("fr").as("fb")), "node")
         .filter(col("src") =!= col("dst") &&
           (col("fa") === 1 || col("fb") === 1))
-        .select("src", "dst").distinct()
+        .select("src", "dst").distinct().localCheckpoint(true)
+      val touchedSrcs = cand.select("src").distinct()
       val prev = g.select("src", "dst", "cos")
-      val merged = prev.unionByName(score(e, cand)).distinct()
+      val prevTouched = prev.join(touchedSrcs, Seq("src"), "left_semi")
+      val prevRest = prev.join(touchedSrcs, Seq("src"), "left_anti")
+      val mergedTouched = prevTouched
+        .unionByName(score(e, cand)).distinct()
         .withColumn("rn", row_number().over(wFwd))
         .filter(col("rn") <= k).drop("rn")
-      g = merged
+      val freshTouched = mergedTouched
         .join(prev.select(col("src"), col("dst"))
           .withColumn("old", lit(true)), Seq("src", "dst"), "left")
         .select(col("src"), col("dst"), col("cos"),
           col("old").isNull.as("fresh"))
+      // untouched srcs: list unchanged, nothing fresh by construction
+      g = prevRest.withColumn("fresh", lit(false))
+        .unionByName(freshTouched)
         .localCheckpoint(true) // lineage cut per warm round
     }
     g.select("src", "dst", "cos")
@@ -185,12 +216,18 @@ object AnnGraph {
     * COMMITTED pruned lists (stale) plus the new nodes' lattice
     * edges (fresh), run `warmRounds` flagged rounds so new nodes wire
     * in and perturbed old lists repair, re-prune, re-select the
-    * entry, republish the table set in ONE swap). Per-delta scored
-    * work is bounded by delta-touched neighborhoods (the flag rule),
-    * NOT a from-scratch n·(2k)²·rounds rebuild; the edge-table
-    * rewrite is n·k fixed-width rows (at production scale the edge
-    * table is src-range-partitioned and only touched partitions
-    * rewrite — same manifest protocol, file-granular). New ids must
+    * entry, republish the table set in ONE swap). O(delta) holds on
+    * every axis (r18): scored pairs are bounded by delta-touched
+    * neighborhoods (the flag rule), the per-round window passes run
+    * only over fresh-adjacent nodes (the [[descendFlagged]]
+    * restriction, spec-proven invisible), and the publish rewrites
+    * ONLY src-range partitions whose pruned lists changed
+    * ([[Shard.replaceTablePartitionsAtomic]] — untouched partitions'
+    * files carried by manifest reference). The one remaining
+    * corpus-proportional pass is the exceptAll diff that LOCATES
+    * changed lists — a read-only fixed-width scan, no rewrite (and
+    * itself removable at production scale by deriving the touched
+    * set from the warm rounds' touched-src lineage). New ids must
     * be disjoint from committed sources (the X311 retry guard). */
   def ingest(eAll: DataFrame, newPred: org.apache.spark.sql.Column,
       dir: String, k: Int = K, warmRounds: Int = 2,

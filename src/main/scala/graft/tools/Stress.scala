@@ -959,7 +959,8 @@ object Stress {
         "q_scaling_probe", "q_ann_index_delta", "q_rank_rbo",
         "q_als", "q_rank_fusion", "q_coverage_select",
         "q_ann_graph_index_build", "q_ann_graph_index_query",
-        "q_ann_beam_curve", "q_ann_graph_index_delta",
+        "q_ann_beam_curve", "q_ann_graph_multi_entry",
+        "q_ann_graph_index_delta",
         "q_wordpiece_encode", "q_unigram_tokenizer",
         "q_tokenizer_compare", "q_unigram_encode",
         "q_ann_index_compact", "q_stream_ann_ingest")

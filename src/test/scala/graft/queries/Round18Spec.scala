@@ -113,6 +113,73 @@ class Round18Spec extends SparkSuite {
       "partition-replace published different rows than a full republish")
   }
 
+  /** The r18 fresh-adjacent restriction inside
+    * [[graft.ops.AnnGraph.descendFlagged]] must be INVISIBLE: this
+    * reference re-implements the round loop with NO restriction
+    * (every node's rev cap, every node's b-entries, a full-table
+    * merge window — the exact pre-r18 form the oracle also replays)
+    * and the two must agree edge-for-edge, cosine-for-cosine on a
+    * mixed stale/fresh init. The restriction's legitimacy argument —
+    * pairs need a fresh side, windows are per-node local, untouched
+    * srcs pass through — is thereby machine-checked, not just
+    * argued. */
+  test("descendFlagged: fresh-adjacent restriction ≡ unrestricted form") {
+    import org.apache.spark.sql.expressions.Window
+    val e = clusteredEmb()
+    val base = e.filter(col("id") < 24)
+    val nAll = e.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anngraph-flageq").toString
+    graft.ops.AnnGraph.build(base, dir, k = 4, rounds = 3, partWidth = 8)
+    val (oldEdges, _) = graft.ops.AnnGraph.load(spark, dir)
+    val init = oldEdges.select("src", "dst", "cos")
+      .withColumn("fresh", lit(false))
+      .unionByName(graft.ops.AnnGraph.score(e,
+        graft.ops.AnnGraph.latticeEdges(e.filter(col("id") >= 24),
+          nAll, 4, graft.ops.AnnGraph.Stride))
+        .withColumn("fresh", lit(true)))
+      .localCheckpoint(true)
+    // unrestricted reference loop (pre-r18 descendFlagged, verbatim)
+    val k = 4
+    val wRev = Window.partitionBy("dst").orderBy(col("cos").desc, col("src"))
+    val wFwd = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    var g = init
+    for (_ <- 1 to 2) {
+      val rev = g.withColumn("rn", row_number().over(wRev))
+        .filter(col("rn") <= k)
+        .select(col("dst").as("node"), col("src").as("nbr"), col("fresh"))
+      val fwd = g.select(col("src").as("node"), col("dst").as("nbr"),
+        col("fresh"))
+      val b = fwd.unionByName(rev)
+        .groupBy("node", "nbr")
+        .agg(max(when(col("fresh"), 1).otherwise(0)).as("fr"))
+      val cand = b.select(col("node"), col("nbr").as("src"),
+          col("fr").as("fa"))
+        .join(b.select(col("node"), col("nbr").as("dst"),
+          col("fr").as("fb")), "node")
+        .filter(col("src") =!= col("dst") &&
+          (col("fa") === 1 || col("fb") === 1))
+        .select("src", "dst").distinct()
+      val prev = g.select("src", "dst", "cos")
+      val merged = prev
+        .unionByName(graft.ops.AnnGraph.score(e, cand)).distinct()
+        .withColumn("rn", row_number().over(wFwd))
+        .filter(col("rn") <= k).drop("rn")
+      g = merged
+        .join(prev.select(col("src"), col("dst"))
+          .withColumn("old", lit(true)), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), col("cos"),
+          col("old").isNull.as("fresh"))
+        .localCheckpoint(true)
+    }
+    val reference = g.select("src", "dst", "cos")
+      .collect().map(_.toSeq).toSet
+    val restricted = graft.ops.AnnGraph.descendFlagged(e, init, k, 2)
+      .collect().map(_.toSeq).toSet
+    assert(restricted == reference,
+      "fresh-adjacent restriction changed the flagged descent result")
+  }
+
   // --------------------- VERDICT r17 #5: multi-entry beam serving
 
   /** The X325 contract: at equal beam/hops, seeding from the top-4
