@@ -45,6 +45,16 @@ import org.apache.spark.sql.SparkSession
   *  - a fixed reference query timed at start/mid/end (+ once more
   *    after the retime pass) → "noise_index", the box's throughput
   *    swing during this run;
+  *  - wall governance (VERDICT r17 #6): measured r18 gate wall on
+  *    this box = 17:42 sbt-to-sbt at 403 queries (r17: 18:45 at
+  *    402), with 106 single-run exemptions, zero retimes and zero
+  *    >2x rows against the committed median3 baseline. The levers
+  *    that hold the wall as the surface grows: the 3 s at-or-under
+  *    exemption tier (above), per-family fit warms (below — heavy
+  *    training is paid once, so per-row attempts are short), and
+  *    the median3 baseline itself (typical-run committed figures
+  *    make first attempts land at-or-under about half the time,
+  *    which is what feeds the exemption);
   *  - per-family shared training (VERDICT r16 #8): the deterministic
   *    ANN fits (IVF centroids, raw/permuted/residual PQ codebooks,
   *    OPQ permutation) are FitCache-warmed once before the loop,
