@@ -149,6 +149,21 @@ object Bench {
     // whose two attempts tied to the millisecond).
     case class R(name: String, best: Long, other: Long, ok: Boolean,
         single: Boolean)
+    // Exemption AUDIT sample (ADVICE r18: the at-or-under tier trusts
+    // the committed median3 baseline; if that baseline goes stale, a
+    // lucky low first attempt on a mildly-regressed heavy-tailed row
+    // can keep landing at-or-under it and never buy a confirmation).
+    // A per-run ~1-in-8 sample of would-be-exempted rows is forced
+    // through best-of-2 anyway; the seed is per-run (nanoTime) so the
+    // audited subset ROTATES across rounds instead of pinning the
+    // same rows forever. Audited rows are disclosed ("audited") and
+    // counted out of "single_run".
+    val auditSeed: Long = System.nanoTime()
+    val audited = scala.collection.mutable.ArrayBuffer[String]()
+    def auditPick(name: String): Boolean =
+      java.lang.Long.remainderUnsigned(
+        scala.util.hashing.MurmurHash3.stringHash(name).toLong ^ auditSeed,
+        8L) == 0L
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         prevBest: Option[Long] = None): R = {
@@ -174,10 +189,16 @@ object Bench {
           val (ms2, ok2) = timed()
           R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
             single = false)
-        case Some(pb) if pb < fastMs && ms1 <= 2L * pb =>
+        case Some(pb) if pb < fastMs && ms1 <= 2L * pb && !auditPick(name) =>
           R(name, ms1, ms1, ok = true, single = true) // fast + stable
-        case Some(pb) if pb < stableMs && ms1 <= pb =>
+        case Some(pb) if pb < stableMs && ms1 <= pb && !auditPick(name) =>
           R(name, ms1, ms1, ok = true, single = true) // at-or-under confirm
+        case Some(pb) if (pb < fastMs && ms1 <= 2L * pb) ||
+            (pb < stableMs && ms1 <= pb) => // exempt but audit-sampled
+          audited += name
+          val (ms2, ok2) = timed()
+          R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
+            single = false)
         case _ =>
           val (ms2, ok2) = timed()
           R(name, math.min(ms1, ms2), math.max(ms1, ms2), ok2,
@@ -341,6 +362,7 @@ object Bench {
       s""","tok_family_fit_sec":${fmt(tokFitMs)}""" +
       s""","stream_warm_sec":${fmt(streamWarmMs)}""" +
       s""","single_run":${results.count(_.single)}""" +
+      s""","audited":${audited.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","protocol":"${if (median3) "median3" else "gate"}"""" +
       s""","noise_ref":[${noise.map(fmt).mkString(",")}]""" +
       s""","noise_index":${String.format(java.util.Locale.ROOT, "%.3f",

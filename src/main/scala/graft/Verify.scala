@@ -74,16 +74,27 @@ object Verify {
     val todo = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
     val groupLocks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    // ADVICE r18 (medium): the pool swallowed per-query failures into
+    // stderr only, so a racing query could silently DISAPPEAR from the
+    // round's correctness artifact (the r17 empty-artifact shape).
+    // Failures are now (a) collected, (b) retried ONCE serially after
+    // the pool drains — a loss to a nondeterministic pool race is
+    // deterministic when re-run alone — and (c) written to
+    // `outDir/failed.json`, which tools/selfcheck.py reads and counts
+    // as hard FAILs next to its own produced-vs-expected sweep.
+    val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val tq = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        failures.remove(name) // a retry that succeeds clears the mark
         System.err.println(
           s"[verify-ms] $name ${(System.nanoTime() - tq) / 1000000L}")
       }
       catch { case e: Throwable =>
+        failures.add(name)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -106,9 +117,32 @@ object Verify {
         futures.foreach(_.get()) // propagate nothing: runOne catches
       } finally pool.shutdown()
     }
+    // serial second chance for pool-time failures (no concurrency, so
+    // a shared-dir race cannot recur); whatever still fails is recorded
+    if (!failures.isEmpty) {
+      val retry = failures.toArray(Array.empty[String]).sorted
+      System.err.println(
+        s"[verify] retrying ${retry.length} failed serially: " +
+          retry.mkString(", "))
+      retry.foreach(n => todo.find(_._1 == n)
+        .foreach { case (nm, f) => runOne(nm, f) })
+    }
+    val stillFailed = failures.toArray(Array.empty[String]).sorted
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      stillFailed.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    // the names this run INTENDED to dump — selfcheck sweeps produced
+    // dirs against this list (not just what appeared on disk), so a
+    // query that vanishes under the pool fails the gate loudly
+    Files.writeString(Paths.get(s"$outDir/expected.json"),
+      todo.map(t => "\"" + t._1 + "\"").sorted.mkString("[", ",", "]"))
+    if (stillFailed.nonEmpty)
+      System.err.println(
+        s"[verify] ${stillFailed.length} queries FAILED after retry: " +
+          stillFailed.mkString(", "))
     System.err.println(
       s"[verify] dump wall ${(System.nanoTime() - t0) / 1000000000L} s " +
-        s"(${todo.size} queries, local[$cpus], par=$par)")
+        s"(${todo.size} queries, local[$cpus], par=$par, " +
+        s"failed=${stillFailed.length})")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

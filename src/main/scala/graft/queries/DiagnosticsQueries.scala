@@ -11,8 +11,9 @@ import graft.{QueryDef, Tables}
 /** Distribution diagnostics and robust statistics — the measurement
   * layer a 100 TB corpus build runs over its own outputs before
   * trusting them (ref: the capstone's profiling/QA passes, e.g.
-  * reference/sql/capstone_etl.sql's sanity SELECTs; re-expressed here
-  * as first-class operators over the synthetic tables).
+  * reference/shareOurStrengthSQLCodev4.sql's INTERSECT QA harness and
+  * sanity SELECTs; re-expressed here as first-class operators over
+  * the synthetic tables).
   *
   * House float discipline throughout (see [[graft.QueryDef]]):
   * integer counts stay exact and hash raw; per-group percentile

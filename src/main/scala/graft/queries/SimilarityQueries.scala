@@ -60,8 +60,30 @@ object SimilarityQueries {
     * pairs |A∩B| = c and |A∪B| = |A| + |B| − c over the
     * already-list_distinct shingle lists — the SAME integers the
     * list form divides, so the τ comparison is bit-identical. Emits
-    * `exactp(id_a, id_b)`; helper CTEs are jd/jsz/jix. */
-  private[queries] def sqlExactJaccardPairs(threshold: Double): String =
+    * `exactp(id_a, id_b)`; helper CTEs are jd/jsz/jix.
+    *
+    * Preconditions (ADVICE r18 — the equivalence to the all-pairs
+    * [[sqlJaccard]] scan rests on BOTH, asserted here and pinned by
+    * Round19Spec's empty-doc case):
+    *  1. `sh.shingles` lists are DISTINCT (sqlShingleCte emits
+    *     list_distinct), so len(shingles) = |set| and the shared-key
+    *     COUNT is the exact intersection size;
+    *  2. `threshold` > 0, so zero-overlap pairs (dropped by the sparse
+    *     join) could never qualify anyway. This includes the
+    *     two-empty-docs pair: the all-pairs form evaluates 0/0 = NaN,
+    *     which DuckDB orders above any τ (NaN >= τ is TRUE there),
+    *     while this form excludes the pair — by POLICY two contentless
+    *     docs are not near-duplicate evidence. The Spark side
+    *     (verifyJaccard) agrees: its length prefilter admits the
+    *     (0, 0) pair but [[graft.functions.JaccardSim]] maps the
+    *     empty-union 0/0 to NULL, and `NULL >= τ` filters false — so
+    *     no engine emits the pair. Round19Spec pins exactly this so a
+    *     future sqlShingleCte change can't silently break the
+    *     equivalence. */
+  private[queries] def sqlExactJaccardPairs(threshold: Double): String = {
+    require(threshold > 0,
+      "sqlExactJaccardPairs: threshold must be > 0 (zero-overlap " +
+        "pairs are structurally excluded by the sparse join)")
     s"""jd AS MATERIALIZED (
              SELECT doc_id, unnest(shingles) AS k FROM sh),
            jsz AS MATERIALIZED (
@@ -78,6 +100,7 @@ object SimilarityQueries {
              WHERE CAST(jix.c AS DOUBLE)
                      / CAST(na.n + nb.n - jix.c AS DOUBLE)
                    >= $threshold)"""
+  }
 
   /** Staged-CTE splitmix64 finalizer over a `mix_dom($keys, z)` CTE:
     * xor-shift 30, ·C1, xor-shift 27, ·C2, xor-shift 31, all mod 2^64

@@ -16,10 +16,17 @@ import org.apache.spark.sql.SparkSession
   * then measure the pipelines). Results are unaffected: the warm
   * touches only its own temp dir and checkpoint. */
 object StreamWarm {
-  private val warmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // ADVICE r18: a compareAndSet flag flipped BEFORE the warm batch
+  // finished let a concurrent second caller (the two streaming rows
+  // under Verify's pool) proceed unwarmed, and a throwing warm was
+  // never retried for the JVM's lifetime. ensure() now holds the
+  // monitor until the warm query TERMINATES (so "ensure" ensures) and
+  // only latches `warmed` on success — a failed warm is retried by
+  // the next caller.
+  @volatile private var warmed = false
 
-  def ensure(s: SparkSession): Unit =
-    if (warmed.compareAndSet(false, true)) {
+  def ensure(s: SparkSession): Unit = synchronized {
+    if (!warmed) {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-streamwarm")
       val src = tmp.resolve("src") // the parquet write creates it
@@ -33,5 +40,7 @@ object StreamWarm {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      warmed = true // only after a SUCCESSFUL warm
     }
+  }
 }

@@ -44,6 +44,26 @@ def main():
     n_pass = n_fail = 0
     produced = [d for d in os.listdir(out_dir)
                 if os.path.isdir(os.path.join(out_dir, d))]
+    # ADVICE r18 (medium): compare produced dirs against the FULL
+    # expected list (every oracle key), not just what appeared on disk
+    # — a query that crashed under Verify's pool must fail the gate
+    # loudly, not vanish from it. Verify also writes failed.json with
+    # queries that failed even after its serial retry.
+    fj = os.path.join(out_dir, "failed.json")
+    if os.path.exists(fj):
+        with open(fj) as f:
+            for name in json.load(f):
+                print(f"FAIL {name}: Verify reported failure (failed.json)")
+                n_fail += 1
+    ej = os.path.join(out_dir, "expected.json")
+    if os.path.exists(ej):
+        with open(ej) as f:
+            expected = set(json.load(f))
+    else:  # older dumps: every oracle key is expected
+        expected = set(oracles)
+    for name in sorted(expected - set(produced)):
+        print(f"FAIL {name}: expected but no output dir produced")
+        n_fail += 1
     import time
     t_all = time.time()
     for name in sorted(produced):
