@@ -28,7 +28,7 @@ object Dedup {
 
   /** Drop bucket groups larger than `cap` before a quadratic self-join
     * (degenerate-bucket protection; trades recall for bounded cost). */
-  private def capBuckets(df: DataFrame, keys: Seq[String],
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String],
       cap: Int): DataFrame =
     df.join(
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))

@@ -312,9 +312,19 @@ object Shard {
     * kept live by [[gcOldCommits]]'s file-derived keep-set) until a
     * compaction rewrites the table under a single prefix. */
   def appendTablesAtomic(newTables: Seq[(String, DataFrame)],
-      dir: String, commitId: String): Unit = {
+      dir: String, commitId: String,
+      rewriteTables: Seq[(String, DataFrame)] = Seq.empty): Unit = {
+    // `rewriteTables` (X326 — the dedup index's mixed commit): small
+    // state tables REWRITTEN in the same swap — their fresh files
+    // replace every file the current manifest names for them, while
+    // `newTables`' files APPEND next to their carried segments. One
+    // manifest publishes both, so readers can never pair an appended
+    // segment with a stale state table (clusters must agree with the
+    // band segments that produced them).
     import org.apache.hadoop.fs.Path
     require(newTables.nonEmpty, "appendTablesAtomic: no tables")
+    require(newTables.map(_._1).intersect(rewriteTables.map(_._1)).isEmpty,
+      "appendTablesAtomic: a table cannot both append and rewrite")
     val spark = newTables.head._2.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val dataPath = new Path(s"$dir/data/$commitId")
@@ -328,11 +338,12 @@ object Shard {
       """\{"table":"([^"]+)","path":"([^"]+)","bytes":(\d+)\}""".r
         .findAllMatchIn(readManifestText(spark, dir))
         .map(m => (m.group(1), m.group(2), m.group(3).toLong)).toSeq
+        .filterNot { case (t, _, _) => rewriteTables.exists(_._1 == t) }
     require(carried.nonEmpty, s"append against $dir: no committed base")
-    newTables.foreach { case (name, df) =>
+    (newTables ++ rewriteTables).foreach { case (name, df) =>
       df.write.parquet(s"$dataPath/$name")
     }
-    val fresh = newTables.flatMap { case (name, _) =>
+    val fresh = (newTables ++ rewriteTables).flatMap { case (name, _) =>
       val it = fs.listFiles(new Path(s"$dataPath/$name"), true)
       val buf = Seq.newBuilder[(String, String, Long)]
       while (it.hasNext) {
@@ -346,7 +357,8 @@ object Shard {
       }
       buf.result()
     }
-    val names = (carried.map(_._1) ++ newTables.map(_._1)).distinct
+    val names = (carried.map(_._1) ++ newTables.map(_._1) ++
+      rewriteTables.map(_._1)).distinct
     swapTablesManifest(spark, dir, commitId, names,
       (carried ++ fresh).sortBy(e => (e._1, e._2)))
   }

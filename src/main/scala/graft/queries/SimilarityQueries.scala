@@ -1042,6 +1042,46 @@ ORDER BY id_a, id_b"""
         .orderBy("doc_id")
     })
 
+  /** The from-scratch dedup clustering COMPARISON LANE shared by the
+    * three maintenance-equivalence rows (q_incremental_clusters,
+    * q_stream_incremental_dedup, q_dedup_index_compact — each proves
+    * maintained ≡ recomputed, so each needs the identical full
+    * recompute next to its maintained lane). The verified pair set at
+    * (k=3, 128 hashes, 32 bands, τ=0.9, uncapped) is a deterministic
+    * function of the corpus and DRIVER-SIZED (the near-dup pair count
+    * is the duplicate mass, hundreds of rows at bench sf) — memoized
+    * through [[graft.ops.FitCache]] per sf dir, the ann/tok-family
+    * shared-lane pattern; Bench warms it once, disclosed as
+    * `dedup_family_fit_sec`. The MEASURED machinery of each row (the
+    * delta probes, the index lifecycle, the contracted closures)
+    * stays real and uncached — only the redundant cross-check lane
+    * shares. */
+  private[queries] def recomputedClusters(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = graft.ops.FitCache.memo(s"dedup_full_pairs|$d") {
+      Dedup.minhashPairs(docs, "doc_id", "text", shingleK = 3,
+        numHashes = 128, bands = 32, threshold = 0.9,
+        bucketCap = Int.MaxValue)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    Dedup.clusterKeepMin(docs.select("doc_id"), "doc_id",
+      pairs.toSeq.toDF("id_a", "id_b"))
+  }
+
+  /** Bench family warm (the warmAnnFits / warmTokFits pattern):
+    * compute the shared from-scratch pair lane once, timed and
+    * disclosed, so the three equivalence rows measure maintenance,
+    * not three re-paid LSH recomputes of the identical cross-check. */
+  def warmDedupFits(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    recomputedClusters(s, d)
+    ()
+  }
+
   /** Incremental near-dup cluster maintenance (X295 — VERDICT r14 #7,
     * composing X32's snapshot carve with X6's clusters the way X176
     * warm-starts PageRank: the old corpus (doc_id % 10 <> 7) carries a
@@ -1149,12 +1189,9 @@ ORDER BY id_a, id_b"""
         bands = 32, threshold = 0.9, bucketCap = Int.MaxValue)
       val maintained = Dedup.maintainClusters(oldClusters, "doc_id",
         newDocs.select("doc_id"), deltaPairs)
-      // the from-scratch lane the maintained one must equal
-      val fullPairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
-        bucketCap = Int.MaxValue)
-      val recomputed = Dedup.clusterKeepMin(docs.select("doc_id"),
-        "doc_id", fullPairs)
+      // the from-scratch lane the maintained one must equal (shared
+      // with the streaming/index-lifecycle twins via recomputedClusters)
+      val recomputed = recomputedClusters(s, d)
       maintained.select(col("doc_id"),
           col("canonical_id").as("canon_inc"))
         .join(recomputed.select(col("doc_id"),
@@ -1176,16 +1213,23 @@ ORDER BY id_a, id_b"""
     * only delta-touched components re-close
     * ([[Dedup.maintainClusters]]). Batch 0 is the same code path
     * against EMPTY state (identity supernodes — maintenance IS the
-    * initial build, no special case). State across batches is the
-    * fixed-width (doc_id, canonical_id) mapping plus the seen corpus,
-    * localCheckpoint'ed per batch — at production scale both persist
-    * to storage and per-batch cost is the delta probe + a contracted
-    * closure, never a re-banded world. The query emits the
-    * stream-maintained canonicals next to a from-scratch batch
-    * recompute with a per-row equality verdict; the oracle is the
-    * X295 contracted-closure chain VERBATIM (same split, same
-    * algebra — the stream replay must land on the identical
-    * clustering), with the equivalence lanes uncapped as in X295. */
+    * initial build, no special case).
+    *
+    * r19 (VERDICT r18 #1): state across batches now lives in the
+    * COMMITTED [[graft.ops.DedupIndex]] — append-only band/shingle
+    * segments + the sparse clusters mapping behind one manifest, the
+    * X318 discipline: the stream job itself is stateless, a crashed
+    * worker resumes from the checkpoint against the last consistent
+    * manifest. Each microbatch shingles and bands ONLY its delta and
+    * probes the committed index (broadcast delta-bucket semi-join) —
+    * the pre-r19 form re-shingled the whole accumulated corpus per
+    * batch, the probe-growth term that made this the slowest
+    * streaming row. The query emits the stream-maintained canonicals
+    * next to a from-scratch batch recompute with a per-row equality
+    * verdict; the oracle is the X295 contracted-closure chain
+    * VERBATIM (same split, same algebra — the stream replay must
+    * land on the identical clustering), with the equivalence lanes
+    * uncapped as in X295. */
   val streamIncrementalDedup = QueryDef(
     "q_stream_incremental_dedup",
     incrementalClusters.oracle.map(_
@@ -1198,6 +1242,8 @@ ORDER BY id_a, id_b"""
         .createTempDirectory("graft-incdedup")
       val srcDir = tmp.resolve("src")
       java.nio.file.Files.createDirectories(srcDir)
+      val idxDir = tmp.resolve("index").toString
+      graft.ops.DedupIndex.init(s, idxDir)
       // stage a batch as ONE flat parquet file in the drop-folder
       // (the file stream source lists one level)
       def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -1215,24 +1261,16 @@ ORDER BY id_a, id_b"""
         }
         require(staged, s"stage: no parquet part for $name")
       }
-      var seen: Option[org.apache.spark.sql.DataFrame] = None
-      var clusters: org.apache.spark.sql.DataFrame = docs
-        .select(col("doc_id"), col("doc_id").as("canonical_id")).limit(0)
-        .localCheckpoint(true)
+      // every batch is ONE index delta-ingest: delta-only shingling,
+      // committed-index probe, contracted-closure maintenance, one
+      // manifest swap (uncapped — the equivalence-lane precondition)
       def maintain(batch: org.apache.spark.sql.DataFrame,
           batchId: Long): Unit = {
         val b = batch.select("doc_id", "text").localCheckpoint(true)
-        if (b.head(1).nonEmpty) {
-          val all = seen.map(_.unionAll(b)).getOrElse(b)
-            .localCheckpoint(true)
-          val newIds = b.select("doc_id")
-          val deltaPairs = Dedup.minhashPairsDelta(all, "doc_id",
-            "text", newIds, shingleK = 3, numHashes = 128, bands = 32,
-            threshold = 0.9, bucketCap = Int.MaxValue)
-          clusters = Dedup.maintainClusters(clusters, "doc_id",
-            newIds, deltaPairs).localCheckpoint(true)
-          seen = Some(all)
-        }
+        if (b.head(1).nonEmpty)
+          graft.ops.DedupIndex.ingest(b, "doc_id", "text", idxDir,
+            shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
+            bucketCap = Int.MaxValue)
       }
       def runOnce(): Unit = {
         val q = s.readStream
@@ -1251,17 +1289,68 @@ ORDER BY id_a, id_b"""
       stage(docs.filter(col("doc_id") % 10 === 7), "b1")
       runOnce()
       // from-scratch lane the stream-maintained one must equal
-      val fullPairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.9,
-        bucketCap = Int.MaxValue)
-      val recomputed = Dedup.clusterKeepMin(docs.select("doc_id"),
-        "doc_id", fullPairs)
-      clusters.select(col("doc_id"),
+      val recomputed = recomputedClusters(s, d)
+      graft.ops.DedupIndex.clusters(s, idxDir)
+        .select(col("id").as("doc_id"),
           col("canonical_id").as("canon_stream"))
         .join(recomputed.select(col("doc_id"),
           col("canonical_id").as("canon_batch")), Seq("doc_id"))
         .withColumn("consistent",
           col("canon_stream") === col("canon_batch"))
+        .orderBy("doc_id")
+    })
+
+  /** Persisted dedup-index COMPACTION lifecycle (X326 — VERDICT r18
+    * #1: the LSH dedup index gets the ANN index's X317 discipline.
+    * [[graft.ops.DedupIndex]] commits append-only band/shingle
+    * segments + a sparse clusters state behind ONE manifest; this row
+    * exercises the full lifecycle: init an empty index, ingest the
+    * old corpus (doc_id % 10 ≠ 7) as batch 0 — maintenance against
+    * empty state IS the build, no special case — then ingest the
+    * refresh (doc_id % 10 = 7) as a delta (asserting the segment
+    * chain really fragmented), COMPACT (asserting exactly one live
+    * prefix remains), and read the clustering back through the
+    * compacted manifest. Each ingest shingles/bands only its delta
+    * and probes the committed index restricted to delta-occupied
+    * buckets — at 100 TB the refresh pays O(Δ·occupancy) probe work
+    * plus O(delta) append I/O, and compaction is the amortized
+    * background fold that bounds segment fan-in. The result is the
+    * index clustering next to the from-scratch recompute with a
+    * per-row equality verdict — hash-green proves
+    * ingest∘ingest∘compact ≡ one batch recompute (banding is per-row,
+    * so the accumulated index is bit-identical to re-banding the
+    * world; contraction preserves connectivity; compaction moves
+    * files, not rows). The oracle is the X295 contracted-closure
+    * chain verbatim (same split, same algebra); Round19Spec
+    * additionally pins compaction invisibility and the
+    * fragmented-chain states. */
+  val dedupIndexCompact = QueryDef(
+    "q_dedup_index_compact",
+    incrementalClusters.oracle.map(_
+      .replace("canon_inc", "canon_idx")),
+    (s, d) => {
+      val docs = Tables.documents(s, d).localCheckpoint(true)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dedupidx").resolve("index").toString
+      graft.ops.DedupIndex.init(s, idxDir)
+      graft.ops.DedupIndex.ingest(docs.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text", idxDir, shingleK = 3, numHashes = 128,
+        bands = 32, threshold = 0.9, bucketCap = Int.MaxValue)
+      graft.ops.DedupIndex.ingest(docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", idxDir, shingleK = 3, numHashes = 128,
+        bands = 32, threshold = 0.9, bucketCap = Int.MaxValue)
+      require(graft.ops.Shard.livePrefixes(s, idxDir).size > 1,
+        "delta ingests should leave a fragmented segment chain")
+      graft.ops.DedupIndex.compact(s, idxDir)
+      require(graft.ops.Shard.livePrefixes(s, idxDir).size == 1,
+        "compaction should leave exactly one live segment")
+      val recomputed = recomputedClusters(s, d)
+      graft.ops.DedupIndex.clusters(s, idxDir)
+        .select(col("id").as("doc_id"),
+          col("canonical_id").as("canon_idx"))
+        .join(recomputed.select(col("doc_id"),
+          col("canonical_id").as("canon_full")), Seq("doc_id"))
+        .withColumn("consistent", col("canon_idx") === col("canon_full"))
         .orderBy("doc_id")
     })
 
@@ -3533,7 +3622,8 @@ ORDER BY id_a, id_b"""
     dupEmbeddingExact, dupEmbeddingLsh,
     bitextMine,
     annBruteForce, annInt8, annLsh, dedupClusters,
-    incrementalClusters, streamIncrementalDedup, dedupKeep,
+    incrementalClusters, streamIncrementalDedup, dedupIndexCompact,
+    dedupKeep,
     dedupYield, leakageSplit,
     embedRp, embedOutlier, dedupSubstring, fuzzyJoin, fuzzyJoinJw,
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
