@@ -3080,6 +3080,50 @@ ORDER BY id_a, id_b"""
     seen
   }
 
+  /** Passing-frontier beam EXTENSION (X327 — the filtered-serving
+    * device): from an already-scored visited set `seen0`, run `hops`
+    * further expansion rounds whose frontier is the top-`beam`
+    * PASSING nodes of the accumulated set — the walk keeps routing
+    * through failing nodes (they stay in `seen` and their neighbors
+    * stay reachable: the connectivity ACORN preserves by
+    * predicate-agnostic traversal) while the extension beam spends
+    * its slots only on nodes that can actually be RETURNED. The
+    * result set is seen0 ∪ extension — a SUPERSET of the unfiltered
+    * walk's visited set, which is what makes the filtered lane's
+    * recall structurally ≥ the post-filtered baseline (top-k over a
+    * candidate superset can only gain true-top-k members; Round19Spec
+    * pins it). Cost is bounded: ≤ beam·k extra scored candidates per
+    * hop, corpus-independent like the base walk. */
+  private[queries] def filteredBeamExtend(e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame,
+      seen0: org.apache.spark.sql.DataFrame, beam: Int, hops: Int,
+      passIds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = e.select(col("id").as("node"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    def scoreQ(df: org.apache.spark.sql.DataFrame) =
+      df.join(qs.select("qid", "qv", "qn"), "qid").join(corpus, "node")
+        .select(col("qid"), col("node"),
+          Similarity.cosineWithNorms(col("qv"), col("cv"),
+            col("qn"), col("cn")).as("cos"))
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+    var seen = seen0.localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val frontier = seen.join(passIds, Seq("node"), "left_semi")
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam).select("qid", "node")
+      val cand = frontier.join(ug, "node")
+        .select(col("qid"), col("nbr").as("node"))
+        .filter(col("node") =!= col("qid")).distinct()
+      val fresh = cand.join(seen.select("qid", "node"),
+        Seq("qid", "node"), "left_anti")
+      seen = seen.unionByName(scoreQ(fresh)).localCheckpoint(true)
+    }
+    seen
+  }
+
   /** Top-k ranking readout of a beam search — (query_id, neighbor_id,
     * rank), the lane shape the X291 recall curve consumes. */
   private[queries] def beamSearchRanks(e: org.apache.spark.sql.DataFrame,
@@ -3466,6 +3510,163 @@ ORDER BY id_a, id_b"""
         .orderBy("n_entries", "query_id")
     })
 
+  /** FILTERED ANN serving over the committed graph index (X327 —
+    * VERDICT r18 #2: the production retrieval shape none of the ANN
+    * rows covered — top-k under a metadata predicate (`label < 3`,
+    * ~30% selectivity), the "filtered vector search" every retrieval
+    * stack runs. Two lanes at EQUAL beam/hops from the SAME committed
+    * X315 artifacts:
+    *
+    *  - `post` — the naive baseline: the standard unfiltered walk,
+    *    visited set post-filtered to passing nodes, top-k;
+    *  - `dual` — filter-aware serving: the SAME unfiltered walk
+    *    (predicate-agnostic traversal keeps routing through failing
+    *    nodes — the connectivity argument of ACORN, Patel et al.
+    *    SIGMOD 2024) PLUS a passing-frontier extension
+    *    ([[filteredBeamExtend]]): `hops` further rounds whose beam
+    *    spends slots only on RETURNABLE nodes, ≤ beam·k extra scores
+    *    per hop.
+    *
+    * The dual lane's visited set is a SUPERSET of post's by
+    * construction, so its recall vs the filtered ground truth is ≥
+    * post's PER QUERY (top-k over a candidate superset: hits =
+    * min(k, |truth ∩ visited|), monotone in the visited set —
+    * Round19Spec pins both the superset and the recall dominance).
+    * Truth is the exact top-k over the PASSING corpus for the
+    * 20-query slice (declared brute force, PlanSpec bnljByDesign —
+    * the X74 discipline). n_scored is the exact per-lane visited
+    * volume, so the recall-vs-scan price of filter-awareness reads
+    * directly off the result. Serving cost stays ~beam·k·hops scored
+    * candidates per lane, corpus-independent; at 100 TB the
+    * predicate column rides the fixed-width id stream (a semi-join
+    * against the metadata table, broadcast at eval scale,
+    * co-partitioned at corpus scale). The oracle replays build +
+    * walk + extension + filtered truth end to end. */
+  val annFiltered = QueryDef(
+    "q_ann_filtered", {
+      val beam = 8
+      val hops = 5
+      val cosQN = sqlCosine("q.v", "c.v")
+      val extCtes = (1 to hops).map { t =>
+        val p = t - 1
+        s""",
+            e_f$p AS (
+              SELECT qid, node FROM (
+                SELECT s.qid, s.node,
+                       ROW_NUMBER() OVER (PARTITION BY s.qid
+                         ORDER BY s.cos DESC, s.node) AS rn
+                FROM e_seen$p s JOIN pass pp ON pp.node = s.node) ef$p
+              WHERE rn <= $beam),
+            e_wc$t AS (
+              SELECT DISTINCT f.qid, ug.nbr AS node
+              FROM e_f$p f JOIN ug ON ug.node = f.node
+              WHERE ug.nbr <> f.qid),
+            e_wn$t AS (
+              SELECT c.qid, c.node FROM e_wc$t c
+              LEFT JOIN e_seen$p s ON s.qid = c.qid AND s.node = c.node
+              WHERE s.node IS NULL),
+            e_ws$t AS (
+              SELECT n.qid, n.node, $cosQN AS cos
+              FROM e_wn$t n
+              JOIN qs q ON q.qid = n.qid
+              JOIN e c ON c.id = n.node),
+            e_seen$t AS MATERIALIZED (
+              SELECT * FROM e_seen$p UNION ALL SELECT * FROM e_ws$t)"""
+      }.mkString
+      def readout(p: String, seenCte: String) =
+        s"""${p}res AS (
+              SELECT qid, node FROM (
+                SELECT s.qid, s.node,
+                       ROW_NUMBER() OVER (PARTITION BY s.qid
+                         ORDER BY s.cos DESC, s.node) AS rn
+                FROM $seenCte s JOIN pass pp ON pp.node = s.node) ${p}rr
+              WHERE rn <= 10),
+            ${p}ns AS (
+              SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+              FROM $seenCte GROUP BY 1),
+            ${p}hits AS (
+              SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS h
+              FROM ${p}res r JOIN ptruth t
+                ON t.qid = r.qid AND t.node = r.node GROUP BY 1)"""
+      def laneSel(p: String, name: String) =
+        s"""SELECT '$name' AS variant, ns.qid AS query_id, ns.n_scored,
+                   COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+                   CAST(COALESCE(h.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                     / 10.0 AS recall
+            FROM ${p}ns ns LEFT JOIN ${p}hits h ON h.qid = ns.qid"""
+      Some(s"""WITH ${descentChainSql(16, 5, 37)},
+              ${descentPruneSql(5)},
+              ug AS MATERIALIZED (
+                SELECT src AS node, dst AS nbr FROM kept
+                UNION SELECT dst, src FROM kept),
+              pass AS MATERIALIZED (
+                SELECT vec_id AS node FROM embeddings WHERE label < 3),
+              ${beamWalkSql(q0 = 100, q1 = 120,
+                entrySql = "(SELECT node FROM entryn)",
+                beam = beam, hops = hops)},
+              e_seen0 AS MATERIALIZED (
+                SELECT qid, node, cos FROM seen$hops)
+              $extCtes,
+              ptruth AS MATERIALIZED (
+                SELECT qid, node FROM (
+                  SELECT q.qid, c.id AS node,
+                         ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY $cosQN DESC, c.id) AS rn
+                  FROM qs q JOIN e c ON c.id <> q.qid
+                  JOIN pass pp ON pp.node = c.id) pt
+                WHERE rn <= 10),
+              ${readout("p_", s"seen$hops")},
+              ${readout("d_", s"e_seen$hops")}
+              SELECT * FROM (${laneSel("p_", "post")}
+                UNION ALL ${laneSel("d_", "dual")}) u
+              ORDER BY variant, query_id""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = annGraphDir(d)
+      val e = simEmbFrame(s, d)
+      graft.ops.AnnGraph.ensureBuilt(e, dir)
+      val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
+      val ug = symmetrized(edges)
+      val qs = e.filter(col("id") >= 100 && col("id") < 120)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val pass = Tables.embeddings(s, d).filter(col("label") < 3)
+        .select(col("vec_id").as("node")).localCheckpoint(true)
+      val seenW = beamSearchSeen(e, ug, qs, entry, beam = 8, hops = 5)
+        .localCheckpoint(true) // shared by both lanes + the extension
+      val seenD = filteredBeamExtend(e, ug, qs, seenW, beam = 8,
+        hops = 5, pass)
+      // exact top-10 over the PASSING corpus (declared BNLJ truth)
+      val truth = Similarity.bruteForceTopK(
+          e.join(pass.withColumnRenamed("node", "id"), Seq("id"),
+              "left_semi")
+            .select(col("id").as("vec_id"), col("v").as("embedding")),
+          e.filter(col("id") >= 100 && col("id") < 120)
+            .select(col("id").as("vec_id"), col("v").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
+        .localCheckpoint(true)
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("node"))
+      def lane(seen: org.apache.spark.sql.DataFrame, name: String) = {
+        val res = seen.join(pass, Seq("node"), "left_semi")
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 10).select("qid", "node")
+        val ns = seen.groupBy("qid").agg(count(lit(1)).as("n_scored"))
+        val hits = res.join(truth, Seq("qid", "node")).groupBy("qid")
+          .agg(count(lit(1)).as("h"))
+        ns.join(hits, Seq("qid"), "left")
+          .select(lit(name).as("variant"), col("qid").as("query_id"),
+            col("n_scored"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+              .as("recall"))
+      }
+      lane(seenW, "post").unionAll(lane(seenD, "dual"))
+        .orderBy("variant", "query_id")
+    })
+
   /** Navigable-graph index DELTA-INGEST (X321 — the corpus-growth
     * path for the X315 graph index, completing the lifecycle symmetry
     * with the IVF index's X311/X317: build on the first half, then
@@ -3629,5 +3830,5 @@ ORDER BY id_a, id_b"""
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
     fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl, knnDescent,
     knnGraphSearch, graphPrune, annGraphIndexBuild, annGraphIndexQuery,
-    annBeamCurve, annGraphMultiEntry, annGraphIndexDelta)
+    annBeamCurve, annGraphMultiEntry, annFiltered, annGraphIndexDelta)
 }

@@ -270,7 +270,11 @@ class PlanSpec extends SparkSuite {
       "q_ann_beam_curve",
       // X325 multi-entry beam: two served walks (s = 1 / s = 4 entry
       // sets, equi-join hops) against the same inherited brute force
-      "q_ann_graph_multi_entry")
+      "q_ann_graph_multi_entry",
+      // X327 filtered serving: both lanes are served walks (equi-join
+      // hops + a passing-frontier extension); the declared brute
+      // force is the 20-query ground truth over the PASSING corpus
+      "q_ann_filtered")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(

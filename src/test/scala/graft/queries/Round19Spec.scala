@@ -143,6 +143,29 @@ class Round19Spec extends SparkSuite {
     assert(e.getMessage.contains("already committed"))
   }
 
+  test("q_ann_filtered: dual lane dominates post-filter per query") {
+    // the structural contract (X327): the dual lane's visited set is
+    // a SUPERSET of the unfiltered walk's, so vs the filtered ground
+    // truth hits = min(k, |truth ∩ visited|) is monotone — recall ≥
+    // post-filter PER QUERY, not just in aggregate, at a bounded
+    // extra scan (≤ beam·k per extension hop)
+    val rows = graft.SparkEntry.queries("q_ann_filtered")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    val byQ = rows.groupBy(_._2)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, lanes) =>
+      val post = lanes.find(_._1 == "post").get
+      val dual = lanes.find(_._1 == "dual").get
+      assert(dual._4 >= post._4,
+        s"query $qid: dual recall ${dual._4} < post ${post._4}")
+      assert(dual._3 >= post._3,
+        s"query $qid: dual visited ${dual._3} < post ${post._3} — " +
+          "the superset invariant broke")
+    }
+  }
+
   test("empty-document pair policy (ADVICE r18): no engine emits it") {
     import spark.implicits._
     // two contentless docs: 0/0 Jaccard — by policy NOT near-dup
