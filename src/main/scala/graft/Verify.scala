@@ -37,6 +37,7 @@ object Verify {
     "q_ann_beam_curve" -> "graph-index-dir",
     "q_ann_graph_multi_entry" -> "graph-index-dir",
     "q_ann_filtered" -> "graph-index-dir",
+    "q_ann_graph_layered" -> "graph-index-dir",
     "q_ann_recall_curve" -> "graph-index-dir", // graph lane serves it
     "q_ann_index_build" -> "ivf-index-dir",
     "q_ann_index_query" -> "ivf-index-dir")

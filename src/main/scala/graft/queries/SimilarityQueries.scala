@@ -2720,7 +2720,12 @@ ORDER BY id_a, id_b"""
     * multiply-referenced CTE is MATERIALIZED (inlined CTEs re-evaluate
     * 2^rounds times). */
   private[queries] def descentChainSql(k: Int, rounds: Int,
-      stride: Int, pfx: String = "", where: String = ""): String = {
+      stride: Int, pfx: String = "", where: String = "",
+      eSql: String = ""): String = {
+    // `eSql` (X328): override the corpus CTE body entirely — the
+    // coarse layer builds over a RANK-REMAPPED mod-s sample
+    // (id = vec_id / s over vec_id % s = 0), which keeps ids
+    // contiguous so the stride-lattice modulus stays valid
     val cosAB = sqlCosine("a.v", "b.v")
     val wh = if (where.isEmpty) "" else s" WHERE $where"
     val roundCtes = (1 to rounds).map { r =>
@@ -2753,8 +2758,10 @@ ORDER BY id_a, id_b"""
                     UNION SELECT * FROM ${pfx}sc$r) u$r) ${pfx}ru$r
             WHERE rn <= $k)"""
     }.mkString(",\n")
-    s"""${pfx}e AS MATERIALIZED (
-          SELECT vec_id AS id, embedding AS v FROM embeddings$wh),
+    val eBody =
+      if (eSql.isEmpty) s"SELECT vec_id AS id, embedding AS v FROM embeddings$wh"
+      else eSql
+    s"""${pfx}e AS MATERIALIZED ($eBody),
         ${pfx}nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ${pfx}e),
         ${pfx}init AS (
           SELECT src, dst FROM (
@@ -2958,10 +2965,15 @@ ORDER BY id_a, id_b"""
     * with [[descentChainSql]]'s cand/sc rounds. */
   private[queries] def beamWalkSql(q0: Int, q1: Int, entrySql: String,
       beam: Int, hops: Int, pfx: String = "",
-      entrySetSql: String = ""): String = {
+      entrySetSql: String = "", ugCte: String = "ug",
+      seedsCte: String = ""): String = {
     val cosQN = sqlCosine("q.v", "c.v")
-    // single entry (`c.id = expr`) or an entry SET (`c.id IN (…)`,
-    // the X325 multi-entry lane) — the hop chain is identical
+    // single entry (`c.id = expr`), an entry SET (`c.id IN (…)`,
+    // the X325 multi-entry lane), or PER-QUERY seeds (`seedsCte`
+    // rows (qid, node) — the X328 layered lane, where the coarse
+    // walk's exit seeds each query's own layer-0 beam) — the hop
+    // chain is identical; `ugCte` names the adjacency (the coarse
+    // layer walks its own edge set)
     val entryJoin =
       if (entrySetSql.isEmpty) s"c.id = $entrySql"
       else s"c.id IN $entrySetSql"
@@ -2969,9 +2981,9 @@ ORDER BY id_a, id_b"""
       val p = t - 1
       s""",
           ${pfx}wc$t AS (
-            SELECT DISTINCT f.qid, ug.nbr AS node
-            FROM ${pfx}f$p f JOIN ug ON ug.node = f.node
-            WHERE ug.nbr <> f.qid),
+            SELECT DISTINCT f.qid, $ugCte.nbr AS node
+            FROM ${pfx}f$p f JOIN $ugCte ON $ugCte.node = f.node
+            WHERE $ugCte.nbr <> f.qid),
           ${pfx}wn$t AS (
             SELECT c.qid, c.node FROM ${pfx}wc$t c
             LEFT JOIN ${pfx}seen$p s ON s.qid = c.qid AND s.node = c.node
@@ -2989,12 +3001,21 @@ ORDER BY id_a, id_b"""
                 ORDER BY cos DESC, node) AS rn
               FROM ${pfx}seen$t) ${pfx}r$t WHERE rn <= $beam)"""
     }.mkString
+    val seen0 =
+      if (seedsCte.isEmpty)
+        s"""${pfx}seen0 AS MATERIALIZED (
+          SELECT q.qid, c.id AS node, $cosQN AS cos
+          FROM ${pfx}qs q JOIN e c ON $entryJoin AND c.id <> q.qid)"""
+      else
+        s"""${pfx}seen0 AS MATERIALIZED (
+          SELECT q.qid, c.id AS node, $cosQN AS cos
+          FROM ${pfx}qs q
+          JOIN $seedsCte sd ON sd.qid = q.qid
+          JOIN e c ON c.id = sd.node AND c.id <> q.qid)"""
     s"""${pfx}qs AS MATERIALIZED (
           SELECT id AS qid, v FROM e
           WHERE id >= $q0 AND id < $q1),
-        ${pfx}seen0 AS MATERIALIZED (
-          SELECT q.qid, c.id AS node, $cosQN AS cos
-          FROM ${pfx}qs q JOIN e c ON $entryJoin AND c.id <> q.qid),
+        $seen0,
         ${pfx}f0 AS (SELECT qid, node FROM ${pfx}seen0)
         $hopCtes"""
   }
@@ -3052,6 +3073,22 @@ ORDER BY id_a, id_b"""
       e: org.apache.spark.sql.DataFrame,
       ug: org.apache.spark.sql.DataFrame,
       qs: org.apache.spark.sql.DataFrame, entries: Seq[Long],
+      beam: Int, hops: Int): org.apache.spark.sql.DataFrame =
+    beamSearchSeenSeeds(e, ug, qs,
+      qs.select(col("qid"),
+        explode(array(entries.map(lit(_)): _*)).as("node")),
+      beam, hops)
+
+  /** [[beamSearchSeenEntries]] generalized to PER-QUERY seeds (X328 —
+    * the layered lane: each query's coarse-walk exit seeds its OWN
+    * layer-0 beam, so the seed set is a (qid, node) frame, not one
+    * shared entry list). Self-seeds are filtered exactly as entry
+    * scoring always did. */
+  private[queries] def beamSearchSeenSeeds(
+      e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame,
       beam: Int, hops: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = e.select(col("id").as("node"), col("v").as("cv"),
@@ -3061,12 +3098,50 @@ ORDER BY id_a, id_b"""
         .select(col("qid"), col("node"),
           Similarity.cosineWithNorms(col("qv"), col("cv"),
             col("qn"), col("cn")).as("cos"))
-    var seen = scoreQ(qs.select(col("qid"),
-          explode(array(entries.map(lit(_)): _*)).as("node"))
+    var seen = scoreQ(seeds.select("qid", "node")
         .filter(col("node") =!= col("qid")))
       .localCheckpoint(true)
     var frontier = seen.select("qid", "node")
     val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+    for (_ <- 1 to hops) {
+      val cand = frontier.join(ug, "node")
+        .select(col("qid"), col("nbr").as("node"))
+        .filter(col("node") =!= col("qid")).distinct()
+      val fresh = cand.join(seen.select("qid", "node"),
+        Seq("qid", "node"), "left_anti")
+      seen = seen.unionByName(scoreQ(fresh)).localCheckpoint(true)
+      frontier = seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam).select("qid", "node")
+    }
+    seen
+  }
+
+  /** CONTINUE a beam walk from an already-scored visited set (X328):
+    * `frontier0` seeds the first expansion (the layered lane passes
+    * the coarse walk's per-query exits; the control lane passes the
+    * prior walk's own top beam), every later frontier is the
+    * top-`beam` of the accumulated set — exactly the standard hop
+    * loop, so continuing with frontier0 = top-beam(seen0) IS the
+    * same walk run for more hops. `seen` only grows, which is the
+    * superset property the layered lane's per-query recall dominance
+    * rests on. */
+  private[queries] def beamContinue(e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame,
+      seen0: org.apache.spark.sql.DataFrame,
+      frontier0: org.apache.spark.sql.DataFrame,
+      beam: Int, hops: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = e.select(col("id").as("node"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    def scoreQ(df: org.apache.spark.sql.DataFrame) =
+      df.join(qs.select("qid", "qv", "qn"), "qid").join(corpus, "node")
+        .select(col("qid"), col("node"),
+          Similarity.cosineWithNorms(col("qv"), col("cv"),
+            col("qn"), col("cn")).as("cos"))
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+    var seen = seen0.localCheckpoint(true)
+    var frontier = frontier0
     for (_ <- 1 to hops) {
       val cand = frontier.join(ug, "node")
         .select(col("qid"), col("nbr").as("node"))
@@ -3667,6 +3742,221 @@ ORDER BY id_a, id_b"""
         .orderBy("variant", "query_id")
     })
 
+  /** LAYERED coarse-entry graph serving (X328 — VERDICT r18 #3:
+    * q_ann_graph_index_query straddled 2× at sf1 and X325's flat
+    * multi-entry is only the cheap approximation; at 100× corpus the
+    * graph DIAMETER grows while hops stay fixed, and the HNSW answer
+    * is a coarse upper layer routed first). Construction: the coarse
+    * layer is the mod-8 node sample RANK-REMAPPED to contiguous ids
+    * (id = vec_id/8 over vec_id % 8 = 0 — rank space keeps the
+    * stride-lattice modulus valid, and with content-keyed ids a
+    * residue class IS a uniform sample), built by the SAME
+    * [[graft.ops.AnnGraph.build]] machinery (NN-descent k=8, 3
+    * rounds, RNG prune, hub entry) and committed to its OWN manifest
+    * dir — an independent routing accelerator, no cross-manifest
+    * coupling with layer 0. Serving composes three lanes at equal
+    * layer-0 beam, all from committed artifacts:
+    *
+    *  - `multi4` — the X325 s=4 hub walk (the flat baseline);
+    *  - `multi4ext` — the SAME walk continued 3 more hops
+    *    ([[beamContinue]] from its own top beam): the control that
+    *    prices what plain extra exploration buys;
+    *  - `layered` — the multi4 walk UNION the coarse walk (beam 4,
+    *    3 hops over the coarse graph — cost bounded by the COARSE
+    *    k·beam·hops, corpus-independent), continued 3 hops with the
+    *    first frontier = each query's top-4 COARSE EXITS: the
+    *    query-adaptive entries the coarse layer exists to provide.
+    *
+    * layered's visited set ⊇ multi4's by construction (the X327
+    * superset device), so its recall dominates the flat baseline PER
+    * QUERY — Round19Spec pins dominance and that adaptivity beats
+    * the control per scanned candidate in aggregate; n_scored is the
+    * exact per-lane scored volume so the trade reads off the table.
+    * At 100× the coarse walk's cost is corpus-independent while its
+    * exits track the query into the grown graph — the diameter
+    * answer the flat hubs cannot give. The oracle replays BOTH
+    * builds (the coarse chain over the rank-remapped corpus CTE),
+    * all three serve paths and the inherited 20-query brute-force
+    * truth end to end. */
+  val annGraphLayered = QueryDef(
+    "q_ann_graph_layered", {
+      val cosQN = sqlCosine("q.v", "c.v")
+      // generic continuation chain: from ${p}seen0/${p}f0, `hops`
+      // rounds of expand → minus-seen → score → top-beam refrontier
+      def extChain(p: String, beam: Int, hops: Int) =
+        (1 to hops).map { t =>
+          val pr = t - 1
+          s""",
+              ${p}wc$t AS (
+                SELECT DISTINCT f.qid, ug.nbr AS node
+                FROM ${p}f$pr f JOIN ug ON ug.node = f.node
+                WHERE ug.nbr <> f.qid),
+              ${p}wn$t AS (
+                SELECT c.qid, c.node FROM ${p}wc$t c
+                LEFT JOIN ${p}seen$pr s
+                  ON s.qid = c.qid AND s.node = c.node
+                WHERE s.node IS NULL),
+              ${p}ws$t AS (
+                SELECT n.qid, n.node, $cosQN AS cos
+                FROM ${p}wn$t n
+                JOIN m4_qs q ON q.qid = n.qid
+                JOIN e c ON c.id = n.node),
+              ${p}seen$t AS MATERIALIZED (
+                SELECT * FROM ${p}seen$pr UNION ALL
+                SELECT * FROM ${p}ws$t),
+              ${p}f$t AS (
+                SELECT qid, node FROM (
+                  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, node) AS rn
+                  FROM ${p}seen$t) ${p}r$t WHERE rn <= $beam)"""
+        }.mkString
+      def readout(p: String, seenCte: String) =
+        s"""${p}res AS (
+              SELECT qid, node FROM (
+                SELECT qid, node,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, node) AS rn
+                FROM $seenCte) ${p}rr WHERE rn <= 10),
+            ${p}ns AS (
+              SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+              FROM $seenCte GROUP BY 1),
+            ${p}hits AS (
+              SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS h
+              FROM ${p}res r JOIN ltruth t
+                ON t.qid = r.qid AND t.node = r.node GROUP BY 1)"""
+      def laneSel(p: String, name: String) =
+        s"""SELECT '$name' AS variant, ns.qid AS query_id, ns.n_scored,
+                   COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+                   CAST(COALESCE(h.h, CAST(0 AS BIGINT)) AS DOUBLE)
+                     / 10.0 AS recall
+            FROM ${p}ns ns LEFT JOIN ${p}hits h ON h.qid = ns.qid"""
+      Some(s"""WITH ${descentChainSql(16, 5, 37)},
+              ${descentPruneSql(5)},
+              ug AS MATERIALIZED (
+                SELECT src AS node, dst AS nbr FROM kept
+                UNION SELECT dst, src FROM kept),
+              ${descentChainSql(8, 3, 37, pfx = "c",
+                eSql = "SELECT vec_id // 8 AS id, embedding AS v " +
+                  "FROM embeddings WHERE vec_id % 8 = 0")},
+              ${descentPruneSql(3, pfx = "c", srcCte = "cg3",
+                eCte = "ce")},
+              cug AS MATERIALIZED (
+                SELECT src * 8 AS node, dst * 8 AS nbr FROM ckept
+                UNION SELECT dst * 8, src * 8 FROM ckept),
+              ${beamWalkSql(q0 = 100, q1 = 120,
+                entrySql = "(SELECT node * 8 FROM centryn)",
+                beam = 4, hops = 3, pfx = "cw_", ugCte = "cug")},
+              seeds AS (
+                SELECT qid, node FROM (
+                  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, node) AS rn
+                  FROM cw_seen3) sx WHERE rn <= 4),
+              es4 AS (
+                SELECT node FROM (
+                  SELECT src AS node,
+                         ROW_NUMBER() OVER (ORDER BY cnt DESC, src ASC)
+                           AS rk
+                  FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM kept GROUP BY src) h4) r4
+                WHERE rk <= 4),
+              ${beamWalkSql(q0 = 100, q1 = 120, entrySql = "",
+                beam = 8, hops = 5, pfx = "m4_",
+                entrySetSql = "(SELECT node FROM es4)")},
+              xc_seen0 AS MATERIALIZED (
+                SELECT qid, node, cos FROM m4_seen5),
+              xc_f0 AS (
+                SELECT qid, node FROM (
+                  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, node) AS rn
+                  FROM xc_seen0) xcf WHERE rn <= 8)
+              ${extChain("xc_", beam = 8, hops = 3)},
+              xl_seen0 AS MATERIALIZED (
+                SELECT qid, node, cos FROM m4_seen5
+                UNION
+                SELECT qid, node, cos FROM cw_seen3),
+              xl_f0 AS (SELECT qid, node FROM seeds)
+              ${extChain("xl_", beam = 8, hops = 3)},
+              ltruth AS MATERIALIZED (
+                SELECT qid, node FROM (
+                  SELECT q.qid, c.id AS node,
+                         ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY $cosQN DESC, c.id) AS rn
+                  FROM m4_qs q JOIN e c ON c.id <> q.qid) lt
+                WHERE rn <= 10),
+              ${readout("m4r_", "m4_seen5")},
+              ${readout("xcr_", "xc_seen3")},
+              ${readout("xlr_", "xl_seen3")}
+              SELECT * FROM (${laneSel("xlr_", "layered")}
+                UNION ALL ${laneSel("m4r_", "multi4")}
+                UNION ALL ${laneSel("xcr_", "multi4ext")}) u
+              ORDER BY variant, query_id""")
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = annGraphDir(d)
+      val e = simEmbFrame(s, d)
+      graft.ops.AnnGraph.ensureBuilt(e, dir)
+      val (edges, _) = graft.ops.AnnGraph.load(s, dir)
+      val ug = symmetrized(edges)
+      // coarse layer: rank-remapped mod-8 sample, own committed dir
+      val dirC = annGraphDir(d) + "_coarse"
+      val eC = Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") / lit(8)).cast("long").as("id"),
+          col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .localCheckpoint(true)
+      if (!graft.ops.Shard.hasCommittedTables(s, dirC,
+          graft.ops.AnnGraph.tableNames))
+        graft.ops.AnnGraph.build(eC, dirC, k = 8, rounds = 3)
+      val (cEdges, cEntryRank) = graft.ops.AnnGraph.load(s, dirC)
+      val cug = symmetrized(cEdges.select((col("src") * 8).as("src"),
+        (col("dst") * 8).as("dst")))
+      val qs = e.filter(col("id") >= 100 && col("id") < 120)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("node"))
+      val cSeen = beamSearchSeen(e, cug, qs, cEntryRank * 8,
+        beam = 4, hops = 3).localCheckpoint(true)
+      val seeds = cSeen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 4).select("qid", "node")
+      val hubs = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("src").asc)
+        .select("src").limit(4).collect().map(_.getLong(0)).toSeq
+      val m4Seen = beamSearchSeenEntries(e, ug, qs, hubs, beam = 8,
+        hops = 5).localCheckpoint(true) // shared by all three lanes
+      val m4Top = m4Seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 8).select("qid", "node")
+      val extSeen = beamContinue(e, ug, qs, m4Seen, m4Top, beam = 8,
+        hops = 3)
+      val laySeen = beamContinue(e, ug, qs,
+        m4Seen.unionByName(cSeen).distinct(), seeds, beam = 8,
+        hops = 3)
+      val truth = Similarity.bruteForceTopK(
+          e.select(col("id").as("vec_id"), col("v").as("embedding")),
+          e.filter(col("id") >= 100 && col("id") < 120)
+            .select(col("id").as("vec_id"), col("v").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
+        .localCheckpoint(true)
+      def lane(seen: org.apache.spark.sql.DataFrame, name: String) = {
+        val res = seen.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 10).select("qid", "node")
+        val ns = seen.groupBy("qid").agg(count(lit(1)).as("n_scored"))
+        val hits = res.join(truth, Seq("qid", "node")).groupBy("qid")
+          .agg(count(lit(1)).as("h"))
+        ns.join(hits, Seq("qid"), "left")
+          .select(lit(name).as("variant"), col("qid").as("query_id"),
+            col("n_scored"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+              .as("recall"))
+      }
+      lane(laySeen, "layered").unionAll(lane(m4Seen, "multi4"))
+        .unionAll(lane(extSeen, "multi4ext"))
+        .orderBy("variant", "query_id")
+    })
+
   /** Navigable-graph index DELTA-INGEST (X321 — the corpus-growth
     * path for the X315 graph index, completing the lifecycle symmetry
     * with the IVF index's X311/X317: build on the first half, then
@@ -3830,5 +4120,6 @@ ORDER BY id_a, id_b"""
     ngramNovelty, winnowFp, winnowPairs, soundexBlock, sortedNeighborhood,
     fellegiSunter, pcaProject, goldenRecord, fuzzyJoinDl, knnDescent,
     knnGraphSearch, graphPrune, annGraphIndexBuild, annGraphIndexQuery,
-    annBeamCurve, annGraphMultiEntry, annFiltered, annGraphIndexDelta)
+    annBeamCurve, annGraphMultiEntry, annFiltered, annGraphLayered,
+    annGraphIndexDelta)
 }

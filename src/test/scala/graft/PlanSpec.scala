@@ -274,7 +274,11 @@ class PlanSpec extends SparkSuite {
       // X327 filtered serving: both lanes are served walks (equi-join
       // hops + a passing-frontier extension); the declared brute
       // force is the 20-query ground truth over the PASSING corpus
-      "q_ann_filtered")
+      "q_ann_filtered",
+      // X328 layered serving: coarse + layer-0 walks are equi-join
+      // hops over committed edges; the inherited brute force is the
+      // 20-query full-corpus ground truth
+      "q_ann_graph_layered")
     val failures = SparkEntry.defs.flatMap { q =>
       val p = plan(q.name)
       val bad = Seq(

@@ -166,6 +166,34 @@ class Round19Spec extends SparkSuite {
     }
   }
 
+  test("q_ann_graph_layered: dominance + the adaptivity attribution") {
+    // X328 contracts: (1) layered's visited set ⊇ multi4's, so recall
+    // dominates the flat baseline PER QUERY; (2) the control lane
+    // (plain 3-hop continuation) separates "more hops" from "adaptive
+    // coarse entries" — layered must beat the control IN AGGREGATE,
+    // otherwise the coarse layer routes nothing
+    val rows = graft.SparkEntry.queries("q_ann_graph_layered")(
+        spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    val byQ = rows.groupBy(_._2)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, lanes) =>
+      val m4 = lanes.find(_._1 == "multi4").get
+      val lay = lanes.find(_._1 == "layered").get
+      assert(lay._4 >= m4._4,
+        s"query $qid: layered recall ${lay._4} < multi4 ${m4._4}")
+      assert(lay._3 >= m4._3,
+        s"query $qid: layered visited ${lay._3} < multi4 ${m4._3} — " +
+          "the superset invariant broke")
+    }
+    def agg(v: String) =
+      rows.filter(_._1 == v).map(_._4).sum / byQ.size
+    assert(agg("layered") >= agg("multi4ext"),
+      s"layered ${agg("layered")} < control ${agg("multi4ext")} — " +
+        "adaptive coarse seeding added nothing over plain continuation")
+  }
+
   test("empty-document pair policy (ADVICE r18): no engine emits it") {
     import spark.implicits._
     // two contentless docs: 0/0 Jaccard — by policy NOT near-dup
