@@ -249,25 +249,46 @@ object AnnGraph {
       .unionByName(score(eAll, latticeEdges(newE, n, k, stride))
         .withColumn("fresh", lit(true)))
     val g = descendFlagged(eAll, init, k, warmRounds)
-    val gk = rankEdges(g).localCheckpoint(true)
-    val kept = rngPrune(gk, eAll).localCheckpoint(true)
+    // O(touched) RE-PRUNE (r19 — the small-delta probe exposed the
+    // full-graph re-rank+re-prune as ingest's last corpus-
+    // proportional compute: n·k² candidate scorings per delta): only
+    // srcs whose RAW list the warm rounds changed need rank/prune —
+    // an untouched src's list is its committed PRUNED rows verbatim
+    // (stale edges carry committed cos), and the committed form is a
+    // rank→prune→rerank FIXPOINT ([[rerankKept]]: prune of an
+    // already-pruned list keeps every edge — a kept edge's violator
+    // set only shrinks when the list shrinks — and dense re-ranking
+    // over the same row set in the same (cos desc, dst) order
+    // reproduces the committed rn). So untouched lists are carried
+    // BY VALUE into `kept` without recomputation, bit-identical to
+    // the full re-prune (Round18Spec's full-republish twin now
+    // applies rerankKept and still matches row-for-row).
+    val gOut = g.localCheckpoint(true) // diff + restricted prune
+    val oldRaw = old.select("src", "dst", "cos")
+    val touchedSrcs = gOut.exceptAll(oldRaw).select("src")
+      .union(oldRaw.exceptAll(gOut).select("src"))
+      .distinct().localCheckpoint(true)
+    val gT = gOut.join(touchedSrcs, Seq("src"), "left_semi")
+    val keptT = rerankKept(rngPrune(rankEdges(gT), eAll))
+      .localCheckpoint(true)
+    val keptUntouched = old.join(touchedSrcs, Seq("src"), "left_anti")
+    val kept = keptUntouched.unionByName(keptT).localCheckpoint(true)
     val entry = kept.groupBy("src").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("src").asc)
       .select("src").limit(1).head().getLong(0)
     import s.implicits._
     // O(delta) PUBLISH (VERDICT r17 #2, the IVF index's X317 twin):
     // republish ONLY the src-range partitions whose pruned lists
-    // changed. Changed srcs fall out of one symmetric exceptAll over
-    // fixed-width rows — exact, because an untouched list carries its
-    // COMMITTED cos values through the warm rounds (stale edges are
-    // never rescored) and rank/prune are per-src-deterministic from
-    // them. Untouched partitions' files enter the new manifest BY
+    // changed. With the restricted prune above, the changed-list diff
+    // runs over DELTA-SIZED frames (keptT vs the committed rows of
+    // the same touched srcs) — the r18 corpus-wide exceptAll scan is
+    // gone. Untouched partitions' files enter the new manifest BY
     // REFERENCE; at 100 TB the delta's write I/O is bounded by
     // delta-touched neighborhoods, never the corpus.
-    val keptCols = kept.select("src", "dst", "cos", "rn")
-    val touched = keptCols.exceptAll(old)
+    val oldTouched = old.join(touchedSrcs, Seq("src"), "left_semi")
+    val touched = keptT.exceptAll(oldTouched)
       .select("src")
-      .union(old.exceptAll(keptCols).select("src"))
+      .union(oldTouched.exceptAll(keptT).select("src"))
       .select((col("src") / lit(partWidth)).cast("long").as("pt"))
       .distinct().collect().map(_.getLong(0)).toSet
     val newRows = kept.withColumn("pt", ptOf(partWidth))
@@ -282,6 +303,22 @@ object AnnGraph {
     * frame — the (src, dst, cos, rn) shape the prune consumes. */
   def rankEdges(g: DataFrame): DataFrame =
     g.withColumn("rn", row_number().over(
+      Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+
+  /** DENSE re-rank of a pruned edge set (r19 — the partition-carry
+    * enabler): [[rngPrune]] keeps each edge's rank within the RAW
+    * k-list, so a mid-list drop leaves gaps, and a later [[ingest]]
+    * recomputing an UNTOUCHED src's list from its committed (pruned)
+    * rows would produce different rn values — flagging every src as
+    * changed and defeating the O(touched) partition-replace publish
+    * on any fixture where the prune drops mid-list edges. Committing
+    * ranks DENSE over the kept rows (cos desc, dst — the same total
+    * order) makes the committed form a fixpoint: rank→prune→rerank
+    * of an already-committed list reproduces it bit-for-bit, which
+    * is what lets ingest carry untouched lists by reference AND skip
+    * their re-prune entirely. */
+  def rerankKept(kept: DataFrame): DataFrame =
+    kept.drop("rn").withColumn("rn", row_number().over(
       Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
 
   /** MRNG/RNG-rule edge diversification over (src, dst, cos, rn)
@@ -314,7 +351,9 @@ object AnnGraph {
     val n = e.count() // bounded action: corpus cardinality for the lattice
     val (_, g) = nnDescent(e, n, k, rounds, stride)
     val gk = rankEdges(g).localCheckpoint(true) // pair gen + kept filter
-    val kept = rngPrune(gk, e).localCheckpoint(true) // entry + commit
+    // dense committed ranks (r19): the prune-stable fixpoint form —
+    // see [[rerankKept]]
+    val kept = rerankKept(rngPrune(gk, e)).localCheckpoint(true)
     val entry = kept.groupBy("src").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("src").asc)
       .select("src").limit(1).head().getLong(0) // ONE scalar

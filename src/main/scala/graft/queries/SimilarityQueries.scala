@@ -2804,9 +2804,17 @@ ORDER BY id_a, id_b"""
           JOIN $eCte b ON b.id = c.b
           WHERE $cosAB > c.cos_qb),
         ${pfx}kept AS MATERIALIZED (
-          SELECT g.src, g.dst, g.cos, g.rn FROM ${pfx}gkd g
-          LEFT JOIN ${pfx}violp v ON v.src = g.src AND v.b = g.dst
-          WHERE v.b IS NULL),
+          -- DENSE kept ranks (r19): the committed form re-ranks the
+          -- pruned rows 1..m in the same (cos desc, dst) order — the
+          -- rank→prune→rerank fixpoint that lets ingest carry
+          -- untouched lists (AnnGraph.rerankKept)
+          SELECT src, dst, cos,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY cos DESC, dst) AS rn
+          FROM (SELECT g.src, g.dst, g.cos FROM ${pfx}gkd g
+                LEFT JOIN ${pfx}violp v
+                  ON v.src = g.src AND v.b = g.dst
+                WHERE v.b IS NULL) ${pfx}kf),
         ${pfx}entryn AS (
           SELECT src AS node FROM ${pfx}kept GROUP BY src
           ORDER BY COUNT(*) DESC, src ASC LIMIT 1)"""

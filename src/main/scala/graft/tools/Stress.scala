@@ -953,6 +953,12 @@ object Stress {
       // rows — plus the four-family comparison and the pruned-vocab
       // unigram encode; build stays ahead of query/curve so serve
       // lanes read committed artifacts, delta owns its own dir.
+      // r19 entrants: the rewired streaming dedup (its per-batch probe
+      // is now an index ingest — the verdict gate is sf1 ratio < 2),
+      // the dedup-index compaction lifecycle, filtered serving and
+      // the layered walk (both serve-only — must read corpus-size-
+      // independent); q_ann_filtered / q_ann_graph_layered sit after
+      // the graph build so their serve lanes read committed artifacts.
       val heavy = Seq("q_ann_recall_curve", "q_knn_graph_search",
         "q_kfold_cv", "q_knn_descent", "q_learning_curve",
         "q_stream_incremental_dedup", "q_setjoin_prefix",
@@ -960,10 +966,12 @@ object Stress {
         "q_als", "q_rank_fusion", "q_coverage_select",
         "q_ann_graph_index_build", "q_ann_graph_index_query",
         "q_ann_beam_curve", "q_ann_graph_multi_entry",
+        "q_ann_filtered", "q_ann_graph_layered",
         "q_ann_graph_index_delta",
         "q_wordpiece_encode", "q_unigram_tokenizer",
         "q_tokenizer_compare", "q_unigram_encode",
-        "q_ann_index_compact", "q_stream_ann_ingest")
+        "q_ann_index_compact", "q_stream_ann_ingest",
+        "q_dedup_index_compact")
       def best2(name: String, dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -982,6 +990,46 @@ object Stress {
         val b = best2(q, sf1)
         println(f"$q%-22s $a%8.2f $b%8.2f ${b / a}%7.2f")
       }
+    }
+
+    // ---- small-delta graph-index lane (VERDICT r18 #4) ----
+    // `sbt "runMain graft.tools.Stress small-delta"`: the committed
+    // sf1 table's only graph-delta lane ingests 50% of the corpus, so
+    // its ratio (3.16 in r18) is floored by the embedded build — the
+    // O(touched) machinery cannot shrink a half-corpus delta. This
+    // lane separates the claim: BUILD on the first 95% (timed, but
+    // not the claim), then INGEST the 5% tail — publish I/O and
+    // warm-round shuffles are bounded by delta-touched neighborhoods,
+    // so the ingest's sf0.1→sf1 ratio should sit near the serve rows
+    // (~1.5–2), not the build's. Run at both scales, solo.
+    if (enabled("small-delta")) {
+      val sf1 = ensureSf1()
+      def lane(d: String): (Long, Double, Double) = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-smalldelta").toString + "/idx"
+        val e = spark.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("v"),
+            graft.ops.Similarity.norm(col("embedding")).as("nrm"))
+          .localCheckpoint(true)
+        val n = e.count()
+        val cut = n - n / 20 // 95% base, 5% delta
+        val t0 = System.nanoTime()
+        graft.ops.AnnGraph.build(e.filter(col("id") < cut), dir)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.ops.AnnGraph.ingest(e, col("id") >= cut, dir)
+        val ingestS = (System.nanoTime() - t1) / 1e9
+        (n - cut, buildS, ingestS)
+      }
+      // warmup
+      graft.SparkEntry.queries("q1_agg")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+      val (d01, b01, i01) = lane(sf01)
+      val (d1, b1, i1) = lane(sf1)
+      println(f"${"lane"}%-12s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
+      println(f"${"build95"}%-12s $b01%8.2f $b1%8.2f ${b1 / b01}%7.2f")
+      println(f"${"ingest5"}%-12s $i01%8.2f $i1%8.2f ${i1 / i01}%7.2f")
+      println(s"[small-delta] delta rows: sf0.1=$d01 sf1=$d1")
     }
 
     // ---- focused q_als 10× retime (VERDICT r15 #2) ----

@@ -100,8 +100,11 @@ class Round18Spec extends SparkSuite {
           4, graft.ops.AnnGraph.Stride))
         .withColumn("fresh", lit(true)))
     val g = graft.ops.AnnGraph.descendFlagged(e, init, 4, 2)
-    val expected = graft.ops.AnnGraph.rngPrune(
-        graft.ops.AnnGraph.rankEdges(g), e)
+    // r19: the committed form carries DENSE kept ranks (rerankKept),
+    // so the full-republish twin applies the same re-rank
+    val expected = graft.ops.AnnGraph.rerankKept(
+        graft.ops.AnnGraph.rngPrune(
+          graft.ops.AnnGraph.rankEdges(g), e))
       .select("src", "dst", "cos", "rn")
       .collect().map(_.toSeq).toSet
     graft.ops.AnnGraph.ingest(e, col("id") >= 24, dir, k = 4,
