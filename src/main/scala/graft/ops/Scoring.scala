@@ -280,6 +280,62 @@ object Scoring {
     NbModel(w, math.log(nPos / nNeg))
   }
 
+  /** Per-fold NB models from ONE pooled counting pass (r19, guide
+    * §1.2 "don't compute things you throw away": the k-fold loop
+    * called [[trainNaiveBayes]] on the fold-filtered features, which
+    * re-ran the tokenize+hash scan once per fold — 5 passes over the
+    * corpus for 5 folds. Class-conditional bucket counts are ADDITIVE
+    * integers, so one (bucket, fold) count table contains every
+    * fold's train counts: fold f's count for bucket b is the Σ over
+    * the other folds' rows — exact long arithmetic, so each fold's
+    * weight map and bias are BIT-IDENTICAL to trainNaiveBayes on the
+    * fold-filtered features (ScoringSpec pins it). One corpus scan,
+    * two bounded collects (≤ buckets·folds rows + folds rows),
+    * instead of folds scans and 2·folds collects.
+    *
+    * `labels` must carry (idCol, y ∈ {0.0, 1.0}, fold ∈ [0, folds)). */
+  def trainNaiveBayesFolds(feats: DataFrame, labels: DataFrame,
+      idCol: String, folds: Int): Map[Int, NbModel] = {
+    val cc = feats.join(broadcast(labels), idCol)
+      .groupBy("bucket", "fold")
+      .agg(sum(when(col("y") === 1.0, col("x")).otherwise(0L))
+             .cast("long").as("cp"),
+           sum(when(col("y") === 0.0, col("x")).otherwise(0L))
+             .cast("long").as("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // labeled docs that contributed ≥1 feature, per (fold, class) —
+    // the prior population trainNaiveBayes counts (a zero-feature doc
+    // adds nothing to cc, so it must add nothing to the prior)
+    val pr = labels
+      .join(feats.select(idCol).distinct(), Seq(idCol), "left_semi")
+      .groupBy("fold")
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+           sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nn"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until folds).map { f =>
+      // train side of fold f = every OTHER fold's rows, re-aggregated
+      // per bucket (long sums — same integers trainNaiveBayes collects)
+      val train = cc.filter(_._2 != f.toLong)
+        .groupBy(_._1).view
+        .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+      val np = train.valuesIterator.map(_._1).sum.toDouble
+      val nn = train.valuesIterator.map(_._2).sum.toDouble
+      val nb = train.size.toDouble
+      val w = train.map { case (b, (cp, cn)) =>
+        b -> (math.log((cp + 1.0) / (np + nb)) -
+          math.log((cn + 1.0) / (nn + nb)))
+      }
+      val (nPos, nNeg) = pr.view.filterKeys(_ != f.toLong).values
+        .foldLeft((0L, 0L)) { case ((a, b), (p, n)) => (a + p, b + n) }
+      require(nPos > 0 && nNeg > 0,
+        s"trainNaiveBayesFolds: both classes must appear among fold-$f " +
+          s"train docs with features (n+=$nPos, n-=$nNeg)")
+      f -> NbModel(w, math.log(nPos.toDouble / nNeg.toDouble))
+    }.toMap
+  }
+
   /** Shuffle-free margin: because Σ_b w[b]·x[b] = Σ_f w[bucket(f)],
     * the margin folds directly over the document's feature sequence —
     * a pure per-row expression (model inlined as a literal map), no

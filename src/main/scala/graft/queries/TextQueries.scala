@@ -4410,31 +4410,41 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
         .cast("long") % folds
       val base = docs.select(col("doc_id"), col("text"), col("lang"),
         foldCol.as("fold"))
-      def labelsOf(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val perFold = (0 until folds).map { f =>
-        val train = base.filter(col("fold") =!= f)
-        val feats = graft.ops.Scoring
-          .featureCounts(train, "doc_id", col("text"), 1024)
-          .persist()
-        val m = graft.ops.Scoring
-          .trainNaiveBayes(feats, labelsOf(train), "doc_id")
-        feats.unpersist()
-        val rawMargin =
-          element_at(col("__st"), 1) + lit(m.bias)
-        base.filter(col("fold") === f)
-          .select(col("lang"),
-            graft.ops.Scoring.inlineStats(col("text"), 1024, m.w)
-              .as("__st"))
-          .select(((Num.qround(rawMargin, 4) > 0) ===
-            (col("lang") === "en")).as("correct"))
-          .agg(count(lit(1)).as("n_test"),
-            sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
-          .select(lit(f.toLong).as("fold"), col("n_test"),
-            col("n_correct"))
+      // r19 (guide §1.2): ONE tokenize+hash pass over the corpus feeds
+      // every fold's train counts (the old loop re-ran featureCounts —
+      // the dominant cost, ~156 task-seconds at sf0.1 — once per fold);
+      // per-fold models are bit-identical (additive long counts, see
+      // trainNaiveBayesFolds). Eval is likewise ONE scan: each test doc
+      // is scored under ITS fold's model via a fold-dispatched CASE.
+      val labels = base.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        col("fold"))
+      val feats = graft.ops.Scoring
+        .featureCounts(base, "doc_id", col("text"), 1024)
+        .localCheckpoint(true) // reused: class counts + prior population
+      val models = graft.ops.Scoring
+        .trainNaiveBayesFolds(feats, labels, "doc_id", folds)
+      val stCase = (0 until folds).map { f =>
+        (col("fold") === f,
+          graft.ops.Scoring.inlineStats(col("text"), 1024, models(f).w))
+      }.foldRight(lit(null).cast("array<double>"): org.apache.spark.sql.Column) {
+        case ((p, st), acc) => when(p, st).otherwise(acc)
       }
-      val allf = perFold.reduce(_ unionByName _).localCheckpoint(true)
+      val biasCase = (0 until folds).map { f =>
+        (col("fold") === f, lit(models(f).bias))
+      }.foldRight(lit(null).cast("double"): org.apache.spark.sql.Column) {
+        case ((p, b), acc) => when(p, b).otherwise(acc)
+      }
+      val rawMargin = element_at(col("__st"), 1) + col("__bias")
+      val allf = base
+        .select(col("fold"), col("lang"), stCase.as("__st"),
+          biasCase.as("__bias"))
+        .select(col("fold"), ((Num.qround(rawMargin, 4) > 0) ===
+          (col("lang") === "en")).as("correct"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+        .localCheckpoint(true)
       val micro = allf.agg(sum("n_test").as("n_test"),
           sum("n_correct").as("n_correct"))
         .select(lit(-1L).as("fold"), col("n_test"), col("n_correct"))

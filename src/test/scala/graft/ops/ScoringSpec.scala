@@ -126,6 +126,31 @@ class ScoringSpec extends SparkSuite {
     assert(a.w === b.w) // exact: weights derive from integer counts
   }
 
+  test("trainNaiveBayesFolds ≡ per-fold trainNaiveBayes (pooled pass)") {
+    val folds = 5
+    val docs = Tables.documents(spark, Sf0001)
+    val foldCol = (conv(substring(md5(concat(lit("cv:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % folds).as("fold")
+    val base = docs.select(col("doc_id"), col("text"), col("lang"), foldCol)
+    val labels = base.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"), col("fold"))
+    val feats = Scoring.featureCounts(base, "doc_id", col("text"), 1024)
+      .localCheckpoint(true)
+    val pooled = Scoring.trainNaiveBayesFolds(feats, labels, "doc_id", folds)
+    (0 until folds).foreach { f =>
+      val train = base.filter(col("fold") =!= f)
+      val tFeats = Scoring.featureCounts(train, "doc_id", col("text"), 1024)
+      val m = Scoring.trainNaiveBayes(tFeats,
+        train.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y")), "doc_id")
+      // bit-identical, not approximate: both paths derive the same
+      // doubles from the same integer counts
+      assert(pooled(f).bias === m.bias, s"fold $f bias")
+      assert(pooled(f).w === m.w, s"fold $f weights")
+    }
+  }
+
   test("inlineMargin ≡ counted margins (scoring-path equivalence)") {
     val docs = Tables.documents(spark, Sf0001)
     val labels = docs.select(col("doc_id"),
