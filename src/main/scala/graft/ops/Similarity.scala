@@ -80,8 +80,20 @@ object Similarity {
       queryId: String, queryVec: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryId).as("query_id"),
       col(queryVec).as("qvec"), norm(col(queryVec)).as("qnorm")))
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
+    // r19 (guide §2.5/§2.6 — stragglers): the |corpus|·|queries|
+    // cosine product is the ONE heavy compute stage of every declared
+    // brute-force lane, and at eval sizes the corpus side is a single
+    // tiny parquet split (or a 1-partition checkpoint), so the whole
+    // product ran as ONE task — serial on a 32-core box. Widen-ONLY
+    // round-robin repartition to the session parallelism before the
+    // BNLJ: a corpus-scale input already has ≥ parallelism splits
+    // (no-op, never a coalesce), and the per-pair cosine + the
+    // top-k window (total order: cosine DESC, neighbor_id) are
+    // partitioning-independent.
+    val c0 = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("cvec"), norm(col(corpusVec)).as("cnorm"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = if (c0.rdd.getNumPartitions < par) c0.repartition(par) else c0
     val scored = c
       .join(q, col("neighbor_id") =!= col("query_id")) // all pairs, no self
       .withColumn("cosine", cosineWithNorms(col("qvec"), col("cvec"),

@@ -3124,6 +3124,105 @@ ORDER BY id_a, id_b"""
     seen
   }
 
+  /** MULTI-LANE beam walk (r19 optimization — guide §2.4/§2.6: the
+    * curve/compare rows ran one hop LOOP per lane, so a 4-lane row
+    * paid 4×hops rounds of per-hop exchanges and an eager checkpoint
+    * job each — 224 driver jobs for q_ann_beam_curve at sf0.1, almost
+    * all orchestration. Lanes are independent per (lane, qid) by
+    * construction — every join, distinct, anti-join and window below
+    * is (lane, qid)-local — so advancing ALL lanes inside ONE hop
+    * loop computes bit-identical per-lane visited sets while paying
+    * each hop's fixed costs once. At cluster scale the same fusion
+    * turns L·hops barrier stages into hops stages over L× the rows —
+    * strictly fewer, larger exchanges, the §2.2 shape.)
+    *
+    * `seeds` = (lane, qid, node); per-lane beam from `beamOf`;
+    * per-lane hop count from `hopsOf` (a lane stops expanding after
+    * its own hop budget — its rows simply drop out of the frontier).
+    * If `ug` carries a `lane` column the expansion joins on
+    * (lane, node) — per-lane adjacency (the layered row's coarse vs
+    * fine graphs); otherwise all lanes share `ug` (node, nbr).
+    * Returns (lane, qid, node, cos). */
+  private[queries] def beamSearchSeenLanes(
+      e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame,
+      beamOf: Map[Int, Int],
+      hopsOf: Map[Int, Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = e.select(col("id").as("node"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    def scoreQ(df: org.apache.spark.sql.DataFrame) =
+      df.join(qs.select("qid", "qv", "qn"), "qid").join(corpus, "node")
+        .select(col("lane"), col("qid"), col("node"),
+          Similarity.cosineWithNorms(col("qv"), col("cv"),
+            col("qn"), col("cn")).as("cos"))
+    val lanedUg = ug.columns.contains("lane")
+    val ugKeys = if (lanedUg) Seq("lane", "node") else Seq("node")
+    val beamCol = beamOf.foldLeft(lit(0)) { case (acc, (l, b)) =>
+      when(col("lane") === l, lit(b)).otherwise(acc) }
+    val wq = Window.partitionBy("lane", "qid")
+      .orderBy(col("cos").desc, col("node"))
+    var seen = scoreQ(seeds.select("lane", "qid", "node")
+        .filter(col("node") =!= col("qid")))
+      .localCheckpoint(true)
+    var frontier = seen.select("lane", "qid", "node")
+    val maxHops = hopsOf.values.max
+    for (t <- 1 to maxHops) {
+      val active = hopsOf.collect { case (l, h) if h >= t => l }.toSeq
+      val fActive = frontier.filter(col("lane").isin(active: _*))
+      val cand = fActive.join(ug, ugKeys)
+        .select(col("lane"), col("qid"), col("nbr").as("node"))
+        .filter(col("node") =!= col("qid")).distinct()
+      val fresh = cand.join(seen.select("lane", "qid", "node"),
+        Seq("lane", "qid", "node"), "left_anti")
+      seen = seen.unionByName(scoreQ(fresh)).localCheckpoint(true)
+      frontier = seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beamCol).select("lane", "qid", "node")
+    }
+    seen
+  }
+
+  /** MULTI-LANE [[beamContinue]] (r19 — same fusion as
+    * [[beamSearchSeenLanes]] for walks CONTINUED from pre-scored
+    * visited sets: the layered row's two continuation lanes shared
+    * one base walk but each paid its own 3-hop loop). `seen0` =
+    * (lane, qid, node, cos), `frontier0` = (lane, qid, node);
+    * identical per-lane results to running [[beamContinue]] per
+    * lane. */
+  private[queries] def beamContinueLanes(
+      e: org.apache.spark.sql.DataFrame,
+      ug: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame,
+      seen0: org.apache.spark.sql.DataFrame,
+      frontier0: org.apache.spark.sql.DataFrame,
+      beam: Int, hops: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = e.select(col("id").as("node"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    def scoreQ(df: org.apache.spark.sql.DataFrame) =
+      df.join(qs.select("qid", "qv", "qn"), "qid").join(corpus, "node")
+        .select(col("lane"), col("qid"), col("node"),
+          Similarity.cosineWithNorms(col("qv"), col("cv"),
+            col("qn"), col("cn")).as("cos"))
+    val wq = Window.partitionBy("lane", "qid")
+      .orderBy(col("cos").desc, col("node"))
+    var seen = seen0.localCheckpoint(true)
+    var frontier = frontier0.select("lane", "qid", "node")
+    for (_ <- 1 to hops) {
+      val cand = frontier.join(ug, "node")
+        .select(col("lane"), col("qid"), col("nbr").as("node"))
+        .filter(col("node") =!= col("qid")).distinct()
+      val fresh = cand.join(seen.select("lane", "qid", "node"),
+        Seq("lane", "qid", "node"), "left_anti")
+      seen = seen.unionByName(scoreQ(fresh)).localCheckpoint(true)
+      frontier = seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam).select("lane", "qid", "node")
+    }
+    seen
+  }
+
   /** CONTINUE a beam walk from an already-scored visited set (X328):
     * `frontier0` seeds the first expansion (the layered lane passes
     * the coarse walk's per-query exits; the control lane passes the
@@ -3480,17 +3579,46 @@ ORDER BY id_a, id_b"""
               ORDER BY beam, query_id""")
     },
     (s, d) => {
+      // r19: ONE lane-batched hop loop for all four beams + ONE shared
+      // brute-force truth (each per-beam beamSearchEval re-ran the
+      // identical truth BNLJ) — per-lane rows bit-identical, 224
+      // driver jobs -> ~70 (see beamSearchSeenLanes).
+      import org.apache.spark.sql.expressions.Window
+      val beams = Seq(2, 4, 8, 16)
       val dir = annGraphDir(d)
       val e = simEmbFrame(s, d)
       graft.ops.AnnGraph.ensureBuilt(e, dir)
       val (edges, entry) = graft.ops.AnnGraph.load(s, dir)
       val ug = symmetrized(edges)
-      Seq(2, 4, 8, 16).map { b =>
-        beamSearchEval(e, ug, q0 = 100L, q1 = 120L, beam = b,
-            hops = 5, k = 10, entry = entry)
-          .select(lit(b).as("beam"), col("query_id"), col("n_scored"),
-            col("hits"), col("recall"))
-      }.reduce(_ unionAll _)
+      val qs = e.filter(col("id") >= 100L && col("id") < 120L)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val seedRows = qs.select(col("qid"),
+          explode(array(beams.map(b => lit(b)): _*)).as("lane"),
+          lit(entry).as("node"))
+        .select("lane", "qid", "node")
+      val seen = beamSearchSeenLanes(e, ug, qs, seedRows,
+        beamOf = beams.map(b => b -> b).toMap,
+        hopsOf = beams.map(b => b -> 5).toMap)
+      val wq = Window.partitionBy("lane", "qid")
+        .orderBy(col("cos").desc, col("node"))
+      val res = seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10).select("lane", "qid", "node")
+      val truth = Similarity.bruteForceTopK(
+          e.select(col("id").as("vec_id"), col("v").as("embedding")),
+          e.filter(col("id") >= 100L && col("id") < 120L)
+            .select(col("id").as("vec_id"), col("v").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
+      val ns = seen.groupBy("lane", "qid")
+        .agg(count(lit(1)).as("n_scored"))
+      val hits = res.join(truth, Seq("qid", "node"))
+        .groupBy("lane", "qid").agg(count(lit(1)).as("h"))
+      ns.join(hits, Seq("lane", "qid"), "left")
+        .select(col("lane").as("beam"), col("qid").as("query_id"),
+          col("n_scored"), coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall"))
         .orderBy("beam", "query_id")
     })
 
@@ -3584,12 +3712,41 @@ ORDER BY id_a, id_b"""
       val hubs = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("src").asc)
         .select("src").limit(4).collect().map(_.getLong(0)).toSeq
-      Seq(1, 4).map { sN =>
-        beamSearchEval(e, ug, q0 = 100L, q1 = 120L, beam = 8,
-            hops = 5, k = 10, entries = hubs.take(sN))
-          .select(lit(sN).as("n_entries"), col("query_id"),
-            col("n_scored"), col("hits"), col("recall"))
-      }.reduce(_ unionAll _)
+      // r19: both entry-set lanes advance in ONE hop loop and share
+      // ONE brute-force truth (bit-identical per lane — see
+      // beamSearchSeenLanes; the per-lane beamSearchEval form re-ran
+      // the identical truth BNLJ and its own 5-hop loop per lane).
+      val sizes = Seq(1, 4)
+      val qs = e.filter(col("id") >= 100L && col("id") < 120L)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val seedRows = sizes.map { sN =>
+        qs.select(lit(sN).as("lane"), col("qid"),
+          explode(array(hubs.take(sN).map(lit(_)): _*)).as("node"))
+      }.reduce(_ unionByName _)
+      val seen = beamSearchSeenLanes(e, ug, qs, seedRows,
+        beamOf = sizes.map(_ -> 8).toMap,
+        hopsOf = sizes.map(_ -> 5).toMap)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("lane", "qid")
+        .orderBy(col("cos").desc, col("node"))
+      val res = seen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10).select("lane", "qid", "node")
+      val truth = Similarity.bruteForceTopK(
+          e.select(col("id").as("vec_id"), col("v").as("embedding")),
+          e.filter(col("id") >= 100L && col("id") < 120L)
+            .select(col("id").as("vec_id"), col("v").as("embedding")),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
+      val ns = seen.groupBy("lane", "qid")
+        .agg(count(lit(1)).as("n_scored"))
+      val hits = res.join(truth, Seq("qid", "node"))
+        .groupBy("lane", "qid").agg(count(lit(1)).as("h"))
+      ns.join(hits, Seq("lane", "qid"), "left")
+        .select(col("lane").as("n_entries"), col("qid").as("query_id"),
+          col("n_scored"), coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall"))
         .orderBy("n_entries", "query_id")
     })
 
@@ -3730,23 +3887,27 @@ ORDER BY id_a, id_b"""
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
         .localCheckpoint(true)
-      val wq = Window.partitionBy("qid")
+      // r19: one window/agg pass over both variant-tagged lanes
+      // instead of a per-lane readout chain (rows bit-identical —
+      // the window partitions by (variant, qid)).
+      val tagged = seenW.select(lit("post").as("variant"), col("qid"),
+          col("node"), col("cos"))
+        .unionByName(seenD.select(lit("dual").as("variant"),
+          col("qid"), col("node"), col("cos")))
+      val wv = Window.partitionBy("variant", "qid")
         .orderBy(col("cos").desc, col("node"))
-      def lane(seen: org.apache.spark.sql.DataFrame, name: String) = {
-        val res = seen.join(pass, Seq("node"), "left_semi")
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= 10).select("qid", "node")
-        val ns = seen.groupBy("qid").agg(count(lit(1)).as("n_scored"))
-        val hits = res.join(truth, Seq("qid", "node")).groupBy("qid")
-          .agg(count(lit(1)).as("h"))
-        ns.join(hits, Seq("qid"), "left")
-          .select(lit(name).as("variant"), col("qid").as("query_id"),
-            col("n_scored"),
-            coalesce(col("h"), lit(0L)).as("hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
-              .as("recall"))
-      }
-      lane(seenW, "post").unionAll(lane(seenD, "dual"))
+      val res = tagged.join(pass, Seq("node"), "left_semi")
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") <= 10).select("variant", "qid", "node")
+      val ns = tagged.groupBy("variant", "qid")
+        .agg(count(lit(1)).as("n_scored"))
+      val hits = res.join(truth, Seq("qid", "node"))
+        .groupBy("variant", "qid").agg(count(lit(1)).as("h"))
+      ns.join(hits, Seq("variant", "qid"), "left")
+        .select(col("variant"), col("qid").as("query_id"),
+          col("n_scored"), coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall"))
         .orderBy("variant", "query_id")
     })
 
@@ -3924,22 +4085,47 @@ ORDER BY id_a, id_b"""
           col("nrm").as("qn"))
       val wq = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("node"))
-      val cSeen = beamSearchSeen(e, cug, qs, cEntryRank * 8,
-        beam = 4, hops = 3).localCheckpoint(true)
-      val seeds = cSeen.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= 4).select("qid", "node")
       val hubs = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("src").asc)
         .select("src").limit(4).collect().map(_.getLong(0)).toSeq
-      val m4Seen = beamSearchSeenEntries(e, ug, qs, hubs, beam = 8,
-        hops = 5).localCheckpoint(true) // shared by all three lanes
+      // r19: the coarse walk (lane 0: cug, beam 4, 3 hops) and the m4
+      // hub walk (lane 1: ug, beam 8, 5 hops) advance in ONE hop loop
+      // over lane-keyed adjacency; the two continuation lanes likewise
+      // share one loop; the three readouts share one window/agg pass.
+      // Per-lane rows bit-identical (beamSearchSeenLanes scaladoc);
+      // 167 driver jobs -> ~70 at sf0.1.
+      val ugLaned = cug.select(lit(0).as("lane"), col("node"), col("nbr"))
+        .unionByName(ug.select(lit(1).as("lane"), col("node"),
+          col("nbr")))
+      val seedRows =
+        qs.select(lit(0).as("lane"), col("qid"),
+            lit(cEntryRank * 8).as("node"))
+          .unionByName(qs.select(lit(1).as("lane"), col("qid"),
+            explode(array(hubs.map(lit(_)): _*)).as("node")))
+      val walk = beamSearchSeenLanes(e, ugLaned, qs, seedRows,
+        beamOf = Map(0 -> 4, 1 -> 8), hopsOf = Map(0 -> 3, 1 -> 5))
+      val cSeen = walk.filter(col("lane") === 0)
+        .select("qid", "node", "cos")
+      val m4Seen = walk.filter(col("lane") === 1)
+        .select("qid", "node", "cos")
+      val seeds = cSeen.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 4).select("qid", "node")
       val m4Top = m4Seen.withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= 8).select("qid", "node")
-      val extSeen = beamContinue(e, ug, qs, m4Seen, m4Top, beam = 8,
-        hops = 3)
-      val laySeen = beamContinue(e, ug, qs,
-        m4Seen.unionByName(cSeen).distinct(), seeds, beam = 8,
-        hops = 3)
+      val cont = beamContinueLanes(e, ug, qs,
+        m4Seen.select(lit(0).as("lane"), col("qid"), col("node"),
+            col("cos"))
+          .unionByName(m4Seen.unionByName(cSeen).distinct()
+            .select(lit(1).as("lane"), col("qid"), col("node"),
+              col("cos"))),
+        m4Top.select(lit(0).as("lane"), col("qid"), col("node"))
+          .unionByName(seeds.select(lit(1).as("lane"), col("qid"),
+            col("node"))),
+        beam = 8, hops = 3)
+      val extSeen = cont.filter(col("lane") === 0)
+        .select("qid", "node", "cos")
+      val laySeen = cont.filter(col("lane") === 1)
+        .select("qid", "node", "cos")
       val truth = Similarity.bruteForceTopK(
           e.select(col("id").as("vec_id"), col("v").as("embedding")),
           e.filter(col("id") >= 100 && col("id") < 120)
@@ -3947,21 +4133,25 @@ ORDER BY id_a, id_b"""
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
         .localCheckpoint(true)
-      def lane(seen: org.apache.spark.sql.DataFrame, name: String) = {
-        val res = seen.withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= 10).select("qid", "node")
-        val ns = seen.groupBy("qid").agg(count(lit(1)).as("n_scored"))
-        val hits = res.join(truth, Seq("qid", "node")).groupBy("qid")
-          .agg(count(lit(1)).as("h"))
-        ns.join(hits, Seq("qid"), "left")
-          .select(lit(name).as("variant"), col("qid").as("query_id"),
-            col("n_scored"),
-            coalesce(col("h"), lit(0L)).as("hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
-              .as("recall"))
-      }
-      lane(laySeen, "layered").unionAll(lane(m4Seen, "multi4"))
-        .unionAll(lane(extSeen, "multi4ext"))
+      val tagged = laySeen.select(lit("layered").as("variant"),
+          col("qid"), col("node"), col("cos"))
+        .unionByName(m4Seen.select(lit("multi4").as("variant"),
+          col("qid"), col("node"), col("cos")))
+        .unionByName(extSeen.select(lit("multi4ext").as("variant"),
+          col("qid"), col("node"), col("cos")))
+      val wv = Window.partitionBy("variant", "qid")
+        .orderBy(col("cos").desc, col("node"))
+      val res = tagged.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") <= 10).select("variant", "qid", "node")
+      val ns = tagged.groupBy("variant", "qid")
+        .agg(count(lit(1)).as("n_scored"))
+      val hits = res.join(truth, Seq("qid", "node"))
+        .groupBy("variant", "qid").agg(count(lit(1)).as("h"))
+      ns.join(hits, Seq("variant", "qid"), "left")
+        .select(col("variant"), col("qid").as("query_id"),
+          col("n_scored"), coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall"))
         .orderBy("variant", "query_id")
     })
 
