@@ -55,6 +55,15 @@ object Als {
   def run(ratings: DataFrame, userCol: String, itemCol: String,
       items: DataFrame, iters: Int, lambda: Double)
       : (DataFrame, DataFrame) = {
+    // r20 NEGATIVE RESULT (kept as documentation): hash-partitioning
+    // the projected ratings once per key side (byItem/byUser
+    // checkpoints, guide §2.4 "pay the partitioning once") was tried
+    // and REVERTED — at bench scale the factor tables broadcast, so
+    // the per-round joins never shuffled ratings to begin with, and
+    // the two upfront materializations ADDED 13 MiB of shuffle and
+    // ~0.5 s (profiled 2.9 → 3.5 s wall). The device only pays off
+    // where factors are too big to broadcast (SMJ per round); at that
+    // scale re-introduce the two pre-partitioned checkpoints.
     var vF = initFactors(items, itemCol).localCheckpoint(true)
     var uF: DataFrame = null
     var t = 0

@@ -99,6 +99,15 @@ object AnnGraph {
       rounds: Int = Rounds, stride: Long = Stride)
       : (DataFrame, DataFrame) = {
     val g0 = score(e, latticeEdges(e, n, k, stride)).localCheckpoint(true)
+    // r20 NEGATIVE RESULT (kept as documentation): running the build
+    // rounds through [[descendFlagged]] with an all-fresh init is
+    // result-identical (Round17Spec pins it at 2 and 5 rounds) and
+    // scores fewer pairs, but measured SLOWER at bench scale (build
+    // 7.9 → 10.5 s, knn_descent 7.3 → 9.5 s): the flag bookkeeping
+    // adds ~3 graph-wide passes per round (fresh-adjacency semi-joins,
+    // touched/rest splits) and on this slow-converging random fixture
+    // most pairs stay fresh-adjacent for several rounds, so the saved
+    // cosines never repay the extra exchanges. Full rescore stays.
     (g0, descendFrom(e, g0, k, rounds))
   }
 
@@ -117,12 +126,34 @@ object AnnGraph {
         .filter(col("rn") <= k)
         .select(col("dst").as("node"), col("src").as("nbr"))
       val fwd = g.select(col("src").as("node"), col("dst").as("nbr"))
-      val b = fwd.union(rev).distinct()
-      val cand = b.select(col("node"), col("nbr").as("src"))
+      // r20 (guide §2.4 — operations keyed the same way share one
+      // exchange): an explicit hash repartition on the key ahead of
+      // each keyed chain lets the B(v) distinct AND both sides of the
+      // pair self-join ride ONE (node)-keyed exchange (hash(node)
+      // satisfies the (node, nbr) clustering and co-partitions the
+      // self-join), the candidate distinct AND the first score join
+      // ride one (src)-keyed exchange, and the merge's distinct AND
+      // the top-k window ride another — the per-round exchange count
+      // drops from ~8 to ~5 with bit-identical rows (distinct /
+      // row_number over a total order are partitioning-independent).
+      val b = fwd.union(rev).repartition(col("node")).distinct()
+      // r20 (guide §2.3 — shuffle fewer bytes): the pair set is
+      // SYMMETRIC by construction (the self-join emits both orders of
+      // every x ≠ y in B(v)), so generate only the canonical src <
+      // dst half — half the distinct's shuffle — score it once, and
+      // MIRROR the scored rows (cos(x,y) = cos(y,x), the same
+      // deterministic expression both directions previously
+      // evaluated); the merge distinct then sees exactly the rows the
+      // both-orders form produced.
+      val canon = b.select(col("node"), col("nbr").as("src"))
         .join(b.select(col("node"), col("nbr").as("dst")), "node")
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
-      g = g.unionByName(score(e, cand)).distinct()
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").repartition(col("src")).distinct()
+      val scored = score(e, canon)
+      val mirrored = scored.unionByName(scored.select(
+        col("dst").as("src"), col("src").as("dst"), col("cos")))
+      g = g.unionByName(mirrored)
+        .repartition(col("src")).distinct()
         .withColumn("rn", row_number().over(wFwd))
         .filter(col("rn") <= k).drop("rn")
         .localCheckpoint(true) // lineage cut per descent round
@@ -143,12 +174,25 @@ object AnnGraph {
     * the new nodes' lattice edges enter fresh, and the rounds touch
     * only what the delta perturbs. */
   def descendFlagged(e: DataFrame, init: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    descendFlaggedTouched(e, init, k, rounds)._1
+
+  /** [[descendFlagged]] plus the accumulated candidate-touched src
+    * set (r20 — VERDICT r19 "derive the touched set from the warm
+    * rounds' touched-src lineage"): the union over rounds of the srcs
+    * that received scored candidates. Any src whose list the rounds
+    * CHANGED is in this set (an untouched src's list passes through
+    * `prevRest` verbatim every round), so it is a delta-bounded
+    * SUPERSET of the truly-changed srcs — what [[ingest]] needs to
+    * drop its corpus-proportional exceptAll locate-diff. */
+  def descendFlaggedTouched(e: DataFrame, init: DataFrame, k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     val wRev = Window.partitionBy("dst")
       .orderBy(col("cos").desc, col("src"))
     val wFwd = Window.partitionBy("src")
       .orderBy(col("cos").desc, col("dst"))
     var g = init.localCheckpoint(true)
+    var touchedAcc: DataFrame = null
     for (_ <- 1 to rounds) {
       // FRESH-ADJACENT restriction (r18 — the O(delta) completion of
       // the flag rule): every per-round pass below runs only over
@@ -165,49 +209,84 @@ object AnnGraph {
       //    candidate-touched srcs and passes the rest through.
       // At 100 TB a warm round's shuffled volume is then bounded by
       // delta-touched neighborhoods, not the corpus edge table.
+      // r20: no rename and no eager checkpoint on freshNodes — both
+      // semi-joins reference the SAME subtree through a join
+      // condition, so ReuseExchange dedups the broadcast/shuffle
+      // build (one compute instead of two, one job less per round);
+      // the distinct is dropped because left_semi dedups inherently.
       val freshNodes = g.filter(col("fresh"))
         .select(col("src").as("node"))
         .union(g.filter(col("fresh")).select(col("dst").as("node")))
-        .distinct().localCheckpoint(true)
-      val gAdj = g.join(freshNodes.withColumnRenamed("node", "dst"),
-        Seq("dst"), "left_semi")
+      val gAdj = g.join(freshNodes, g("dst") === freshNodes("node"),
+        "left_semi")
       val rev = gAdj.withColumn("rn", row_number().over(wRev))
         .filter(col("rn") <= k)
         .select(col("dst").as("node"), col("src").as("nbr"),
           col("fresh"))
-      val fwd = g.join(freshNodes.withColumnRenamed("node", "src"),
-          Seq("src"), "left_semi")
+      val fwd = g.join(freshNodes, g("src") === freshNodes("node"),
+          "left_semi")
         .select(col("src").as("node"), col("dst").as("nbr"),
           col("fresh"))
+      // r20 (guide §2.4, the descendFrom comment): one (node)-keyed
+      // exchange shared by the B(v) aggregate and the pair self-join;
+      // one (src)-keyed exchange shared by the candidate distinct and
+      // the first score join.
       val b = fwd.unionByName(rev)
+        .repartition(col("node"))
         .groupBy("node", "nbr")
         .agg(max(when(col("fresh"), 1).otherwise(0)).as("fr"))
+      // canonical src < dst half only (the pair set is symmetric and
+      // the freshness condition is symmetric — see the descendFrom
+      // comment); scored once, mirrored below
       val cand = b.select(col("node"), col("nbr").as("src"),
           col("fr").as("fa"))
         .join(b.select(col("node"), col("nbr").as("dst"),
           col("fr").as("fb")), "node")
-        .filter(col("src") =!= col("dst") &&
+        .filter(col("src") < col("dst") &&
           (col("fa") === 1 || col("fb") === 1))
-        .select("src", "dst").distinct().localCheckpoint(true)
-      val touchedSrcs = cand.select("src").distinct()
+        .select("src", "dst").repartition(col("src")).distinct()
+        .localCheckpoint(true)
+      // BOTH endpoints' lists receive the mirrored pair
+      val touchedSrcs = cand.select("src")
+        .union(cand.select(col("dst").as("src"))).distinct()
+      touchedAcc =
+        if (touchedAcc == null) touchedSrcs
+        else touchedAcc.union(touchedSrcs)
       val prev = g.select("src", "dst", "cos")
       val prevTouched = prev.join(touchedSrcs, Seq("src"), "left_semi")
       val prevRest = prev.join(touchedSrcs, Seq("src"), "left_anti")
-      val mergedTouched = prevTouched
-        .unionByName(score(e, cand)).distinct()
+      // r20 fused merge (guide §2.4): dedup, the old/fresh mark and
+      // the top-k window all ride ONE (src)-keyed exchange. The old
+      // form paid a (src,dst,cos) distinct exchange, a (src) window
+      // exchange AND a (src,dst) left join against prev; here the
+      // union carries an `old` tag, groupBy(src,dst) dedups (cos is a
+      // deterministic function of the pair, so max(cos) IS the value
+      // — the same bit-identity the distinct-based merge relied on),
+      // max(old) marks pairs present in prev, and fresh = !old —
+      // row-for-row what the join produced.
+      val scored = score(e, cand)
+      val mirrored = scored.unionByName(scored.select(
+        col("dst").as("src"), col("src").as("dst"), col("cos")))
+      val mergedTouched = prevTouched.withColumn("old", lit(true))
+        .unionByName(mirrored.withColumn("old", lit(false)))
+        .repartition(col("src"))
+        .groupBy("src", "dst")
+        .agg(max("cos").as("cos"), max("old").as("old"))
         .withColumn("rn", row_number().over(wFwd))
         .filter(col("rn") <= k).drop("rn")
       val freshTouched = mergedTouched
-        .join(prev.select(col("src"), col("dst"))
-          .withColumn("old", lit(true)), Seq("src", "dst"), "left")
         .select(col("src"), col("dst"), col("cos"),
-          col("old").isNull.as("fresh"))
+          (!col("old")).as("fresh"))
       // untouched srcs: list unchanged, nothing fresh by construction
       g = prevRest.withColumn("fresh", lit(false))
         .unionByName(freshTouched)
         .localCheckpoint(true) // lineage cut per warm round
     }
-    g.select("src", "dst", "cos")
+    val touched =
+      if (touchedAcc == null)
+        g.sparkSession.range(0).select(col("id").as("src"))
+      else touchedAcc.distinct()
+    (g.select("src", "dst", "cos"), touched)
   }
 
   /** Delta-ingest `newPred`-selected vectors of `eAll` into the
@@ -223,11 +302,17 @@ object AnnGraph {
     * restriction, spec-proven invisible), and the publish rewrites
     * ONLY src-range partitions whose pruned lists changed
     * ([[Shard.replaceTablePartitionsAtomic]] — untouched partitions'
-    * files carried by manifest reference). The one remaining
-    * corpus-proportional pass is the exceptAll diff that LOCATES
-    * changed lists — a read-only fixed-width scan, no rewrite (and
-    * itself removable at production scale by deriving the touched
-    * set from the warm rounds' touched-src lineage). New ids must
+    * files carried by manifest reference). r20: the touched set is
+    * DERIVED FROM THE WARM ROUNDS' LINEAGE
+    * ([[descendFlaggedTouched]] — candidate-touched srcs ∪ the new
+    * ids), which removed the last corpus-proportional pass (the r19
+    * exceptAll locate-diff scanned the full edge table twice). The
+    * lineage set is a delta-bounded SUPERSET of the truly-changed
+    * srcs; carrying the extra srcs through the restricted prune is
+    * invisible because the committed form is a rank→prune→rerank
+    * FIXPOINT (see [[rerankKept]]) — an unchanged list reproduces
+    * itself bit-for-bit, and the delta-sized publish diff below then
+    * cancels it out of the partition-rewrite set. New ids must
     * be disjoint from committed sources (the X311 retry guard). */
   def ingest(eAll: DataFrame, newPred: org.apache.spark.sql.Column,
       dir: String, k: Int = K, warmRounds: Int = 2,
@@ -243,12 +328,13 @@ object AnnGraph {
       s"graph ingest into $dir: $dup ids already committed — deltas " +
         "must be disjoint (a retry of a committed delta re-ingests)")
     val old = edges.select("src", "dst", "cos", "rn")
-      .localCheckpoint(true) // descent init + the touched-set diff
+      .localCheckpoint(true) // descent init + untouched-list carry
     val init = old.select("src", "dst", "cos")
       .withColumn("fresh", lit(false))
       .unionByName(score(eAll, latticeEdges(newE, n, k, stride))
         .withColumn("fresh", lit(true)))
-    val g = descendFlagged(eAll, init, k, warmRounds)
+    val (g, candTouched) =
+      descendFlaggedTouched(eAll, init, k, warmRounds)
     // O(touched) RE-PRUNE (r19 — the small-delta probe exposed the
     // full-graph re-rank+re-prune as ingest's last corpus-
     // proportional compute: n·k² candidate scorings per delta): only
@@ -263,12 +349,16 @@ object AnnGraph {
     // BY VALUE into `kept` without recomputation, bit-identical to
     // the full re-prune (Round18Spec's full-republish twin now
     // applies rerankKept and still matches row-for-row).
-    val gOut = g.localCheckpoint(true) // diff + restricted prune
-    val oldRaw = old.select("src", "dst", "cos")
-    val touchedSrcs = gOut.exceptAll(oldRaw).select("src")
-      .union(oldRaw.exceptAll(gOut).select("src"))
+    // r20: the touched set comes from the rounds' own lineage — no
+    // corpus scan. Candidate-touched srcs cover every OLD list the
+    // rounds could have changed; the new ids are added explicitly (a
+    // new node may never surface as another node's candidate, but its
+    // lattice-seeded list still needs its first rank+prune). `g` is a
+    // projection of the last round's checkpoint — no extra copy.
+    val touchedSrcs = candTouched
+      .union(newE.select(col("id").as("src")))
       .distinct().localCheckpoint(true)
-    val gT = gOut.join(touchedSrcs, Seq("src"), "left_semi")
+    val gT = g.join(touchedSrcs, Seq("src"), "left_semi")
     val keptT = rerankKept(rngPrune(rankEdges(gT), eAll))
       .localCheckpoint(true)
     val keptUntouched = old.join(touchedSrcs, Seq("src"), "left_anti")
@@ -286,9 +376,18 @@ object AnnGraph {
     // REFERENCE; at 100 TB the delta's write I/O is bounded by
     // delta-touched neighborhoods, never the corpus.
     val oldTouched = old.join(touchedSrcs, Seq("src"), "left_semi")
-    val touched = keptT.exceptAll(oldTouched)
-      .select("src")
-      .union(oldTouched.exceptAll(keptT).select("src"))
+    // r20 (guide §2.3/§2.4): the symmetric diff as ONE tagged
+    // aggregate instead of two exceptAll passes (each of which
+    // shuffled both delta-sized frames) — a row is in the diff iff
+    // its side-tagged multiset counts differ, and per-side lists are
+    // rank-unique so the general 2·na ≠ nt test reduces to "appears
+    // on exactly one side"; same value-equality semantics exceptAll
+    // used (Round18Spec's partition-carry tests pin the behavior).
+    val touched = keptT.withColumn("__a", lit(1))
+      .unionByName(oldTouched.withColumn("__a", lit(0)))
+      .groupBy("src", "dst", "cos", "rn")
+      .agg(sum("__a").as("na"), count(lit(1)).as("nt"))
+      .filter(col("na") * 2 =!= col("nt"))
       .select((col("src") / lit(partWidth)).cast("long").as("pt"))
       .distinct().collect().map(_.getLong(0)).toSet
     val newRows = kept.withColumn("pt", ptOf(partWidth))
@@ -337,7 +436,10 @@ object AnnGraph {
         col("nrm").as("nb")), "b")
       .filter(Similarity.cosineWithNorms(col("va"), col("vb"),
         col("na"), col("nb")) > col("cos_qb"))
-      .select(col("src"), col("b")).distinct()
+      // r20 (guide §2.4): hash(src) satisfies the (src, b) distinct
+      // AND co-partitions the anti-join below with gk's (src)-keyed
+      // layout — one exchange instead of two
+      .select(col("src"), col("b")).repartition(col("src")).distinct()
     gk.join(viol.withColumnRenamed("b", "dst"),
       Seq("src", "dst"), "left_anti")
   }

@@ -82,11 +82,13 @@ object AnnIndex {
           col("embedding").cast("array<double>").as("v"),
           index.assignExpr(col("embedding")).as("list_id"))
         .localCheckpoint(true) // read by all 4 subspace fits
-      val books = (0 until Subs).map { sub =>
-        Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16), "vec_id",
-          k = 4, dim = 16, iters = 2)
-      }
-      (index.centroids, books.toIndexedSeq)
+      // r20: all 4 subspace fits advance in lock-step — one exploded
+      // aggregate per round instead of a job per (subspace, round);
+      // codebooks bit-identical per subspace (LloydSpec)
+      val books = Lloyd.fitL2Multi(frame,
+        (0 until Subs).map(sub => slice(col("v"), 16 * sub + 1, 16)),
+        "vec_id", k = 4, dim = 16, iters = 2)
+      (index.centroids, books)
     }
     if (fitKey == null) compute()
     else FitCache.memo(fitKey)(compute())

@@ -116,8 +116,10 @@ object Dedup {
       portableKeys: Boolean = false): DataFrame = {
     // one-pass tokenize+shingle+hash: shingle sets live as array<long>
     // end to end (8-byte elements through the candidate shuffle, no
-    // string materialization)
-    val sh = df.select(col(idCol).as("id"),
+    // string materialization). r20: widen the input first — at eval
+    // scale the corpus is ONE parquet split and this heaviest
+    // projection ran serial (Skew.widen is a no-op at corpus scale)
+    val sh = Skew.widen(df).select(col(idCol).as("id"),
       (if (portableKeys) ShingleFunctions.md5ShingleKeys(col(textCol), shingleK)
        else ShingleFunctions.shingleHashes(col(textCol), shingleK))
         .as("shingles"))
@@ -301,7 +303,10 @@ object Dedup {
     * the exact signature. Docs with no tokens produce no signature. */
   def simhashMd5Sig(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame =
-    df.filter(size(graft.functions.Text.tokens(col(textCol))) > 0)
+    // r20: widen first — the per-doc md5 simhash kernel is the heavy
+    // projection and the eval corpus is one split (no-op at scale)
+    Skew.widen(df)
+      .filter(size(graft.functions.Text.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         graft.functions.ShingleFunctions.md5SimHash(col(textCol), bits)
           .as("sig"))
@@ -476,8 +481,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleK: Int = 2,
       threshold: Double = 0.1): DataFrame = {
-    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      ShingleFunctions.shingleHashes(col(textCol), shingleK).as("shingles"))
+    // r20 (guide §2.5/§2.6): the shingle projection AND the per-pair
+    // jaccard in the join's probe-side stage both hang off ONE parquet
+    // split at eval scale (serial on 32 cores) — widen the raw input
+    // BEFORE the projection so both run cluster-wide (no-op at corpus
+    // scale; widening raw rows, not computed arrays)
+    val sh = Skew.widen(df)
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        ShingleFunctions.shingleHashes(col(textCol), shingleK).as("shingles"))
     val a = sh.select(col("block"), col("id").as("id_a"),
       col("shingles").as("sh_a"))
     val b = sh.select(col("block"), col("id").as("id_b"),

@@ -106,7 +106,13 @@ object DedupIndex {
         require(numHashes % bands == 0, "bands must divide numHashes")
         (bands, numHashes / bands)
       }
-    // delta-only text work: one shingle pass, one banding kernel
+    // delta-only text work: one shingle pass, one banding kernel.
+    // r20 NEGATIVE RESULT: widening the delta before this projection
+    // was tried and REVERTED — a microbatch is small by definition,
+    // and the 32-partition checkpoint it produced multiplied every
+    // downstream per-batch stage's task count (profiled 240 → 1 500
+    // tasks, 6 → 91 task-seconds, wall 6 → 12 s across the two
+    // lifecycle rows). Serial shingling of a delta is the cheap part.
     val shD = docs.select(col(idCol).cast("long").as("id"),
       ShingleFunctions.shingleHashes(col(textCol), shingleK)
         .as("shingles"))

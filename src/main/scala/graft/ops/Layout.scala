@@ -108,13 +108,54 @@ object Layout {
     d
   }
 
+  /** [[hilbertKey]] as a STAGED projection chain (r20 — guide §7.3 /
+    * VERDICT r19 #5: the single-Column form substitutes x and y into
+    * themselves per level, so the expression tree grows ~4^levels —
+    * q_hilbert_stats carried a 149 KB Project and its 4 s wall was
+    * ~all driver planning/codegen, 0.1 s of task time. Here each
+    * level lands in its own projection: CollapseProject will not
+    * inline a non-cheap alias referenced more than once, so the plan
+    * stays linear in `bits`, and whole-stage codegen evaluates every
+    * level once into a local. Arithmetic is IDENTICAL per level —
+    * the Column form stays (HilbertSpec pins it on the 16×16 grid)
+    * and feeds the equivalence test against this one. */
+  def hilbertKeyed(df: DataFrame, xb: Column, yb: Column, bits: Int,
+      out: String): DataFrame = {
+    var cur = df.withColumn("__hx", xb).withColumn("__hy", yb)
+      .withColumn(out, lit(0L))
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out, col(out) +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__xf",
+          when(col("__ry") === 0 && col("__rx") === 1,
+            lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+        .withColumn("__yf",
+          when(col("__ry") === 0 && col("__rx") === 1,
+            lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+        .withColumn("__hx",
+          when(col("__ry") === 0, col("__yf")).otherwise(col("__xf")))
+        .withColumn("__hy",
+          when(col("__ry") === 0, col("__xf")).otherwise(col("__yf")))
+        .drop("__rx", "__ry", "__xf", "__yf")
+      s >>= 1
+    }
+    cur.drop("__hx", "__hy")
+  }
+
   /** [[zorderStats]]'s Hilbert twin: per-hilbert-bucket extents. */
   def hilbertStats(df: DataFrame, colA: String, colB: String,
       bits: Int): DataFrame = {
     val b = bounds(df, colA, colB)
     val ak = bin(col(colA), b.aLo, b.aHi, bits)
     val bk = bin(col(colB), b.bLo, b.bHi, bits)
-    df.groupBy(hilbertKey(ak, bk, bits).as("hbucket"))
+    hilbertKeyed(df, ak, bk, bits, "hbucket")
+      .groupBy("hbucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
         min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))

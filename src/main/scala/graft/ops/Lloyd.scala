@@ -119,4 +119,54 @@ object Lloyd {
     rounds(frame, col("__v"), k, dim, iters, init,
       cents => assignL2(col("__v"), cents), identity)
   }
+
+  /** [[fitL2]] over SEVERAL vector expressions in lock-step (r20 —
+    * VERDICT r19 #4: the M=4 PQ subspace fits each paid their own
+    * init collect plus one aggregate job per round; 4 × (1 + 2) jobs
+    * per codebook family). The subspaces are independent, but every
+    * round of every subspace scans the same rows — so ONE init
+    * collect serves all M, and each round is ONE exploded (sub,
+    * assign)-keyed aggregate collecting ≤ M·k bounded rows: iters+1
+    * jobs instead of M·(iters+1). Per (sub, c) group the count/vecSum
+    * buffers are fed the same values in the same partition-local
+    * order as a solo [[fitL2]] run, means are q6'd identically, and
+    * empty clusters keep their previous centroid — LloydSpec pins
+    * per-subspace equality with [[fitL2]]. */
+  def fitL2Multi(corpus: DataFrame, vecs: Seq[Column], idCol: String,
+      k: Int, dim: Int, iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    val m = vecs.length
+    require(m > 0, "fitL2Multi: no subspaces")
+    val frame = corpus.select(col(idCol).as("__id") +:
+      vecs.zipWithIndex.map { case (v, i) => v.as(s"__v$i") }: _*)
+    val initRows = frame.orderBy(col("__id")).limit(k).collect()
+    require(initRows.length == k, s"corpus has < $k vectors")
+    var cents: IndexedSeq[Array[Array[Double]]] = (0 until m).map { i =>
+      initRows.map(_.getSeq[Double](i + 1).toArray).toArray
+    }.toIndexedSeq
+    for (_ <- 0 until iters) {
+      val exploded = frame.select(explode(array((0 until m).map { i =>
+        struct(lit(i).as("sub"),
+          assignL2(col(s"__v$i"), cents(i)).as("c"),
+          col(s"__v$i").as("v"))
+      }: _*)).as("e"))
+      val rows = exploded
+        .groupBy(col("e.sub").as("sub"), col("e.c").as("c"))
+        .agg(count(lit(1)).as("n"),
+          VecAggregates.vecSum(col("e.v"), dim).as("s"))
+        .collect() // ≤ m·k rows: bounded driver metadata
+      val bySub = rows.groupBy(_.getInt(0))
+      cents = (0 until m).map { i =>
+        val byC = bySub.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+          .map(r => r.getInt(1) -> (r.getLong(2), r.getSeq[Double](3).toArray))
+          .toMap
+        Array.tabulate(k) { c =>
+          byC.get(c) match {
+            case Some((n, sum)) if n > 0 => sum.map(x => q6(x / n))
+            case _ => cents(i)(c)
+          }
+        }
+      }.toIndexedSeq
+    }
+    cents
+  }
 }

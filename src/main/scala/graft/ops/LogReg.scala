@@ -175,6 +175,50 @@ object LogReg {
     (w, losses.result())
   }
 
+  /** [[fitCurve]] over SEVERAL learning rates in lock-step (r20 —
+    * VERDICT r19 #3: the chains are independent, but each round of
+    * each chain was its own aggregate job, so 3 chains × 16 rounds
+    * = 48 sequential passes over the cached features). Round t of
+    * every chain reads the same rows, so ONE multi-aggregate pass
+    * computes all chains' gradient vectors and loss lanes together —
+    * iters passes instead of iters·|lrs|. Each chain's aggregate
+    * lanes are its own buffers fed the same per-row values in the
+    * same order as a solo run, and the driver-side update arithmetic
+    * is untouched, so weights and losses are bit-identical to
+    * [[fitCurve]] per rate (LogRegSpec pins the equality). */
+  def fitCurves(feats: DataFrame, xsCol: String, yCol: String,
+      dims: Int, iters: Int, lrs: Seq[Double])
+      : Seq[(Array[Double], Seq[Double])] = {
+    val n = feats.count()
+    require(n > 0, "LogReg.fitCurves: empty input")
+    val nD = n.toDouble
+    val m = lrs.length
+    val ws = Array.fill(m)(new Array[Double](dims))
+    val losses = Array.fill(m)(Seq.newBuilder[Double])
+    var t = 0
+    while (t < iters) {
+      val aggs = (0 until m).flatMap { i =>
+        val p = sigmoid(col(xsCol), ws(i))
+        val pc = least(greatest(p, lit(1e-12)), lit(1.0) - lit(1e-12))
+        val resid = p - col(yCol)
+        Seq(
+          graft.functions.VecAggregates.vecAxpy(col(xsCol), resid, dims),
+          Num.qround(-avg(col(yCol) * log(pc) +
+            (lit(1.0) - col(yCol)) * log(lit(1.0) - pc)), 6))
+      }
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      for (i <- 0 until m) {
+        val g = row.getSeq[Double](2 * i)
+        losses(i) += row.getDouble(2 * i + 1)
+        ws(i) = Array.tabulate(dims) { j =>
+          q6(ws(i)(j) - lrs(i) * q6(g(j) / nD))
+        }
+      }
+      t += 1
+    }
+    (0 until m).map(i => (ws(i), losses(i).result()))
+  }
+
   /** Score a corpus with the fitted weights: (idCol, yCol,
     * score=σ floored 1e-6, pred). */
   def score(feats: DataFrame, idCol: String, xsCol: String,

@@ -35,8 +35,11 @@ object SetJoin {
     * ⌈τ·n⌉ = (tauNum·n + tauDen − 1) / tauDen never touches a float. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, tauNum: Int = 3, tauDen: Int = 5): DataFrame =
+    // r20: widen the raw docs before the md5-shingle projection — the
+    // eval corpus is one parquet split and this heavy per-doc kernel
+    // ran serial (Skew.widen no-ops at corpus scale)
     prefixJaccardPairsFromSets(
-      docs.select(col(idCol).as("id"),
+      Skew.widen(docs).select(col(idCol).as("id"),
         ShingleFunctions.md5ShingleKeys(col(textCol), shingleK).as("sh")),
       tauNum, tauDen)
 
@@ -73,10 +76,14 @@ object SetJoin {
     val prefixes = ordered
       .filter(col("n") > 0)
       .select(col("id"), explode(slice(col("sh"), lit(1), plen)).as("t"))
-    val cands = prefixes.as("a").join(prefixes.as("b"),
+    // r20: the per-pair set-intersection verify below is the join's
+    // one compute-dense stage, and its INPUT bytes are tiny (id
+    // pairs), so AQE's byte-sized coalescing ran it as ~1 task —
+    // pin its width to the cluster's cores (Skew.widenExec)
+    val cands = Skew.widenExec(prefixes.as("a").join(prefixes.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct())
     // exact verification for candidates only: two id-keyed joins pull
     // the full sets; intersection is per-pair in-memory
     val withSets = cands

@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Widen-ONLY round-robin repartition to the session default
+    * parallelism (r20 — the r19 `Similarity.bruteForceTopK` device
+    * factored out; guide §2.5/§2.6 stragglers/idle capacity): a heavy
+    * per-row compute stage at eval scale often hangs off ONE tiny
+    * parquet split or a 1-partition checkpoint and runs serial on a
+    * 32-core box. At corpus scale the input already carries
+    * ≥ parallelism partitions, so this is a no-op — never a coalesce.
+    * Round-robin repartition is row-preserving; use only above
+    * partitioning-independent computations (per-row projections,
+    * total-order windows, keyed aggregations). */
+  def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Pin a COMPUTE-DENSE stage's parallelism to the session's core
+    * count (r20 — guide §2.6): AQE sizes post-shuffle partitions by
+    * BYTES, so a stage whose input is kilobytes but whose per-row
+    * work is heavy (set-intersection verification, cosine products)
+    * coalesces to one task and runs serial. An explicit
+    * `repartition(n)` survives AQE (user-specified counts are never
+    * re-coalesced), so the stage downstream of it runs cluster-wide.
+    * `defaultParallelism` is the cluster's core count — a
+    * scale-adaptive width for compute-bound work (the advisory-bytes
+    * knob is the right sizing only for byte-bound work). Row-
+    * preserving; use only above partitioning-independent compute. */
+  def widenExec(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Inner equi-join with the LEFT side's hot keys salted.
     *
     * Left rows get a deterministic salt in [0, salts) derived from a

@@ -581,10 +581,15 @@ cents_${i + 1} AS MATERIALIZED (
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 5)
+      // r20 (guide §2.4 — remove duplicate passes): the truth lane is
+      // joined by all SIX method curves below, and a BNLJ subtree has
+      // no exchange for ReuseExchange to dedup — uncheckpointed, the
+      // final action ran the brute-force product six times
       val truth = Similarity.bruteForceTopK(e, q,
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("trank"))
+        .localCheckpoint(true)
       val index = ClusterQueries.ivf16Cached(s, d)
       val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
           "vec_id", "embedding", k = 10, index, nprobe = 4)
@@ -2300,6 +2305,11 @@ cents_${i + 1} AS MATERIALIZED (
     (s, d) => {
       val minItem = 2
       val minTriple = 2
+      // r20 NEGATIVE RESULT: repartition(o) ahead of the distinct (to
+      // share one exchange with the three o-keyed self-join arms) was
+      // tried and REVERTED — the plain distinct's map-side partial
+      // dedup is what keeps this exchange small, and the repartition
+      // shipped every raw (o,i) row (shuffle 6 → 85 MiB, wall +0.7 s).
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
         .distinct()

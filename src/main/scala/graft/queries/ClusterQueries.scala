@@ -162,33 +162,52 @@ cents_${i + 1} AS (
              ORDER BY sel_round""")
     },
     (s, d) => {
-      val pairs = Tables.documents(s, d)
+      // r20: widen the single-split documents scan — the shingle
+      // explode is the row's one heavy compute stage (measured 4.9 s
+      // as ONE task; Skew.widen is a no-op at corpus scale)
+      val pairs = graft.ops.Skew.widen(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(graft.functions.Text.wordShingles(col("text"), 3))
             .as("sh"))
         .localCheckpoint() // 5 rounds re-scan the pair table
-      var covered = pairs.select("sh").limit(0).localCheckpoint()
+      // r20 (guide §1.2 — the greedy loop paid 3 actions per round:
+      // the pick, a covered distinct+checkpoint, and a covered count).
+      // The covered set is just the picked docs' shingles straight
+      // off the CACHED pair table (the anti-join is set-semantics, so
+      // no distinct needed), which leaves ONE action per round; the
+      // five covered_total values then come from ONE final pass that
+      // counts each covered shingle at its earliest pick round —
+      // cum(r) = |distinct sh covered by picks 1..r| exactly as the
+      // old distinct-union count measured.
       var pickedIds = Seq.empty[Long]
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Long, Long, Long)]
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long)]
       for (r <- 1 to 5) {
-        val gains = pairs
-          .filter(if (pickedIds.isEmpty) lit(true)
-            else !col("doc_id").isin(pickedIds: _*))
-          .join(covered, Seq("sh"), "left_anti")
+        val gains =
+          (if (pickedIds.isEmpty) pairs
+           else pairs.filter(!col("doc_id").isin(pickedIds: _*))
+             .join(pairs.filter(col("doc_id").isin(pickedIds: _*))
+               .select("sh"), Seq("sh"), "left_anti"))
           .groupBy("doc_id").agg(count(lit(1)).as("gain"))
         val win = gains.orderBy(col("gain").desc, col("doc_id"))
           .limit(1).head()
-        val (docId, gain) = (win.getLong(0), win.getLong(1))
-        pickedIds = pickedIds :+ docId
-        covered = covered
-          .union(pairs.filter(col("doc_id") === docId).select("sh"))
-          .distinct()
-          .localCheckpoint()
-        out += ((r, docId, gain, covered.count()))
+        pickedIds = pickedIds :+ win.getLong(0)
+        picks += ((r, win.getLong(0), win.getLong(1)))
       }
+      val roundOf = typedLit(pickedIds.zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap)
+      val perRound = pairs
+        .select(element_at(roundOf, col("doc_id")).as("pr"), col("sh"))
+        .filter(col("pr").isNotNull)
+        .groupBy("sh").agg(min("pr").as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("c"))
+        .collect().map(r2 => r2.getInt(0) -> r2.getLong(1)).toMap
+      var cum = 0L
       import s.implicits._
-      out.toSeq.toDF("sel_round", "doc_id", "gain", "covered_total")
+      picks.toSeq.map { case (r, id, g) =>
+        cum += perRound.getOrElse(r, 0L)
+        (r, id, g, cum)
+      }.toDF("sel_round", "doc_id", "gain", "covered_total")
         .orderBy("sel_round")
     })
 
@@ -633,10 +652,11 @@ corpusp AS MATERIALIZED (
     * rounds each) — [[Lloyd.fitL2]] per subspace slice. */
   private def pqFit(frame: org.apache.spark.sql.DataFrame)
       : IndexedSeq[Array[Array[Double]]] =
-    pqSubs.map { sub =>
-      Lloyd.fitL2(frame, slice(col("v"), 16 * sub + 1, 16),
-        "vec_id", k = 4, dim = 16, iters = 2)
-    }
+    // r20: one exploded aggregate per round across all 4 subspaces
+    // (Lloyd.fitL2Multi) — codebooks bit-identical per subspace
+    Lloyd.fitL2Multi(frame,
+      pqSubs.map(sub => slice(col("v"), 16 * sub + 1, 16)),
+      "vec_id", k = 4, dim = 16, iters = 2)
 
   /** Encode every row as its 4 code bytes k0..k3 (+ passthrough
     * columns) — ONE projection over broadcast codebook literals. */

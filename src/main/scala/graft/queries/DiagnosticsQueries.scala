@@ -2389,7 +2389,10 @@ object DiagnosticsQueries {
       // projection — tokenize + 3-shingle + hash — used to run twice,
       // once per side; the shared frame is materialized once and both
       // the banding and the prefix join read it from block storage)
-      val sh = docs.select(col("doc_id").as("id"),
+      // r20: widen the raw docs first — the one-split eval scan ran
+      // this heaviest projection serial (no-op at corpus scale)
+      val sh = graft.ops.Skew.widen(docs)
+        .select(col("doc_id").as("id"),
           graft.functions.ShingleFunctions
             .shingleHashes(col("text"), 3).as("shingles"))
         .localCheckpoint(true)

@@ -565,9 +565,12 @@ object GraphQueries {
             FROM dd"""),
     (s, d) => {
       val edges = domainEdges(s, d)
-      val pr = graft.ops.PageRank.run(edges, "src", "dst",
-        CurationQueries.PrIters, CurationQueries.PrDamping)
-      val ht = graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+      // r20 (guide §2.6): the two iterative kernels are independent —
+      // overlap their per-round driver actions on two threads
+      val (pr, ht) = graft.ops.Par.two(
+        graft.ops.PageRank.run(edges, "src", "dst",
+          CurationQueries.PrIters, CurationQueries.PrDamping),
+        graft.ops.Hits.run(edges, "src", "dst", HitsRounds))
       def rank(df: org.apache.spark.sql.DataFrame, score: String) =
         graft.ops.PrefixSum.runningTotalDesc(
             df.withColumn("__one", lit(1L)), "__one", score, "v", "r")
@@ -618,9 +621,11 @@ object GraphQueries {
             FROM f ORDER BY fused_rank"""),
     (s, d) => {
       val edges = domainEdges(s, d)
-      val pr = graft.ops.PageRank.run(edges, "src", "dst",
-        CurationQueries.PrIters, CurationQueries.PrDamping)
-      val ht = graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+      // r20 (guide §2.6): independent kernels overlap on two threads
+      val (pr, ht) = graft.ops.Par.two(
+        graft.ops.PageRank.run(edges, "src", "dst",
+          CurationQueries.PrIters, CurationQueries.PrDamping),
+        graft.ops.Hits.run(edges, "src", "dst", HitsRounds))
       def rank(df: org.apache.spark.sql.DataFrame, score: String,
           out: String) =
         graft.ops.PrefixSum.runningTotalDesc(
@@ -703,9 +708,11 @@ object GraphQueries {
     (s, d) => {
       val P = 0.9
       val edges = domainEdges(s, d)
-      val pr = graft.ops.PageRank.run(edges, "src", "dst",
-        CurationQueries.PrIters, CurationQueries.PrDamping)
-      val ht = graft.ops.Hits.run(edges, "src", "dst", HitsRounds)
+      // r20 (guide §2.6): independent kernels overlap on two threads
+      val (pr, ht) = graft.ops.Par.two(
+        graft.ops.PageRank.run(edges, "src", "dst",
+          CurationQueries.PrIters, CurationQueries.PrDamping),
+        graft.ops.Hits.run(edges, "src", "dst", HitsRounds))
       def rank(df: org.apache.spark.sql.DataFrame, score: String,
           out: String) =
         graft.ops.PrefixSum.runningTotalDesc(

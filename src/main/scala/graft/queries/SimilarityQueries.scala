@@ -571,9 +571,12 @@ ORDER BY id_a, id_b"""
       val sh = Dedup.simhashPairsFromSig(sig, maxHamming = 3, bits = 60)
         .select("id_a", "id_b")
         .localCheckpoint(true) // count + hit join share
-      val shingles = docs.select(col("doc_id").as("id"),
-        graft.functions.ShingleFunctions
-          .shingleHashes(col("text"), 3).as("sh"))
+      // r20: widen the raw docs before the shingle projection — the
+      // eval corpus is one split (Skew.widen no-ops at corpus scale)
+      val shingles = graft.ops.Skew.widen(docs)
+        .select(col("doc_id").as("id"),
+          graft.functions.ShingleFunctions
+            .shingleHashes(col("text"), 3).as("sh"))
       val exact = graft.ops.SetJoin.prefixJaccardPairsFromSets(
           shingles, tauNum = 2, tauDen = 5).select("id_a", "id_b")
         .localCheckpoint(true) // count + hit join share

@@ -3883,13 +3883,17 @@ tt$x AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM words$x)"""
     (s, d) => {
       val feats = graft.ops.LogReg
         .hashedStdFeatures(Tables.documents(s, d), LrK)
-        .localCheckpoint(true) // 3 chains x 16 rounds read it
-      val rows = CurveRates.flatMap { case (lr, _) =>
-        val (_, losses) = graft.ops.LogReg.fitCurve(
-          feats, "xs", "y", LrDims, LrIters, lr)
-        losses.zipWithIndex.map { case (l, i) =>
-          (lr, (i + 1).toLong, l)
-        }
+        .localCheckpoint(true) // 16 fused multi-chain rounds read it
+      // r20: the 3 chains advance in lock-step — ONE multi-aggregate
+      // pass per round instead of a pass per (chain, round); weights
+      // and losses bit-identical per chain (LogRegSpec)
+      val fitted = graft.ops.LogReg.fitCurves(
+        feats, "xs", "y", LrDims, LrIters, CurveRates.map(_._1))
+      val rows = CurveRates.zip(fitted).flatMap {
+        case ((lr, _), (_, losses)) =>
+          losses.zipWithIndex.map { case (l, i) =>
+            (lr, (i + 1).toLong, l)
+          }
       }
       import s.implicits._
       rows.toDF("lr", "round", "loss").orderBy("lr", "round")

@@ -17,13 +17,18 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only A/B hook: SPARK_GRAFT_CONF="k=v;k2=v2" extra confs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
@@ -31,11 +36,39 @@ object ProfileQuery {
     val taskMs = new AtomicLong(0L)
     val shufR = new AtomicLong(0L)
     val shufW = new AtomicLong(0L)
+    // optional per-callsite breakdown (SPARK_GRAFT_PROFILE_JOBS=1):
+    // sums job wall + task time by the job's short call site — the
+    // map from wall seconds back to the operator line that paid them
+    val byType = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val siteAgg = new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (byType) {
+          val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '+').trim)
+            .getOrElse("?")
+          jobStartNs.put(j.jobId, (site, System.nanoTime()))
+        }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (byType) {
+          val v = jobStartNs.remove(j.jobId)
+          if (v != null) {
+            val ms = (System.nanoTime() - v._2) / 1000000L
+            siteAgg.merge(v._1, (ms, 1),
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+        }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (byType) {
+          val info = s.stageInfo
+          val ms = info.taskMetrics.executorRunTime
+          siteAgg.merge("stage: " + info.name.takeWhile(_ != '+').trim,
+            (ms, 1), (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -56,12 +89,20 @@ object ProfileQuery {
       run(name)
       Seq(jobs, stages, tasks).foreach(_.set(0))
       Seq(taskMs, shufR, shufW).foreach(_.set(0L))
+      siteAgg.clear()
       val t0 = System.nanoTime()
       run(name)
       val wall = (System.nanoTime() - t0) / 1e9
       // listener bus is async; give it a beat to drain
       Thread.sleep(300)
       println(f"[profile] $name%-34s wall ${wall}%7.2f s  jobs ${jobs.get()}%4d  stages ${stages.get()}%5d  tasks ${tasks.get()}%6d  taskTime ${taskMs.get() / 1000.0}%8.1f s  shufR ${shufR.get() / 1048576.0}%8.1f MiB  shufW ${shufW.get() / 1048576.0}%8.1f MiB")
+      if (byType) {
+        import scala.jdk.CollectionConverters._
+        siteAgg.asScala.toSeq.sortBy(-_._2._1).take(20).foreach {
+          case (site, (ms, n)) =>
+            println(f"[profile-jobs]   ${ms / 1000.0}%7.2f s  x$n%-4d $site")
+        }
+      }
     }
     spark.stop()
   }

@@ -27,6 +27,21 @@ class HilbertSpec extends SparkSuite {
     }
   }
 
+  test("hilbertKeyed (staged projections) ≡ hilbertKey (single " +
+      "column) over the 16x16 grid") {
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield (x, y)).toDF("x", "y")
+    val viaColumn = grid
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), 4).as("d"))
+      .orderBy("x", "y").collect().map(_.getLong(2)).toSeq
+    val viaStaged = Layout
+      .hilbertKeyed(grid, col("x"), col("y"), 4, "d")
+      .orderBy("x", "y").collect()
+      .map(_.getAs[Long]("d")).toSeq
+    assert(viaStaged === viaColumn)
+  }
+
   test("q_hilbert_stats: buckets partition the events table; extents " +
       "bound their rows") {
     val rows = graft.SparkEntry.queries("q_hilbert_stats")(spark, Sf0001)

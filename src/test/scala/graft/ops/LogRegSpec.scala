@@ -82,6 +82,22 @@ class LogRegSpec extends SparkSuite {
     assert(w.toSeq === LogReg.fit(feats, "xs", "y", 129, 6, 0.25).toSeq)
   }
 
+  test("fitCurves: fused multi-rate rounds ≡ solo fitCurve per rate " +
+      "(weights and losses exactly equal)") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val feats = LogReg.hashedStdFeatures(docs, k = 128)
+      .localCheckpoint(true)
+    val lrs = Seq(0.25, 1.0, 4.0)
+    val fused = LogReg.fitCurves(feats, "xs", "y", 129,
+      iters = 4, lrs = lrs)
+    lrs.zip(fused).foreach { case (lr, (wF, lossF)) =>
+      val (wS, lossS) = LogReg.fitCurve(feats, "xs", "y", 129,
+        iters = 4, lr = lr)
+      assert(wF.toSeq === wS.toSeq, s"weights differ at lr=$lr")
+      assert(lossF === lossS, s"losses differ at lr=$lr")
+    }
+  }
+
   test("score: floored sigmoid, pred thresholds at 0.5") {
     val df = Seq((1L, 1.0, Seq(1.0)), (2L, 0.0, Seq(-1.0)))
       .toDF("doc_id", "y", "xs")

@@ -412,6 +412,15 @@ class Round17Spec extends SparkSuite {
       g0.withColumn("fresh", lit(true)), 16, 2))
     assert(flagged.toSeq == full.toSeq,
       "flag rule changed the descent result")
+    // r20 NOTE: this equivalence is NOT a depth-independent theorem —
+    // at 5 rounds on this fixture the two DIVERGE, because the
+    // rev-cap top-k by dst churns between rounds: an old edge can
+    // RE-ENTER a node's capped reverse set in a later round, forming
+    // an old-old pair the flag rule skips but full rescore generates.
+    // The 2-round warm window [[graft.ops.AnnGraph.ingest]] uses is
+    // what this test pins (and the delta oracle REPLAYS the flagged
+    // rounds, so flagged is the defined semantics there); do NOT swap
+    // build's full-rescore rounds to the flag rule.
   }
 
   /** Graph delta-ingest contract: after build-half + ingest-rest the
