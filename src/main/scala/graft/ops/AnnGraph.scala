@@ -116,49 +116,56 @@ object AnnGraph {
     * [[descendFlagged]] ≡ this on an identical init. */
   def descendFrom(e: DataFrame, g0: DataFrame, k: Int,
       rounds: Int): DataFrame = {
+    var g = g0
+    for (_ <- 1 to rounds)
+      g = descendRound(e, g, k)
+        .localCheckpoint(true) // lineage cut per descent round
+    g
+  }
+
+  /** ONE full-rescoring descent round over `g` — the pre-checkpoint
+    * frame (factored so tools can dump the round's physical plan;
+    * [[descendFrom]] is this in a loop). */
+  private[graft] def descendRound(e: DataFrame, g: DataFrame,
+      k: Int): DataFrame = {
     val wRev = Window.partitionBy("dst")
       .orderBy(col("cos").desc, col("src"))
     val wFwd = Window.partitionBy("src")
       .orderBy(col("cos").desc, col("dst"))
-    var g = g0
-    for (_ <- 1 to rounds) {
-      val rev = g.withColumn("rn", row_number().over(wRev))
-        .filter(col("rn") <= k)
-        .select(col("dst").as("node"), col("src").as("nbr"))
-      val fwd = g.select(col("src").as("node"), col("dst").as("nbr"))
-      // r20 (guide §2.4 — operations keyed the same way share one
-      // exchange): an explicit hash repartition on the key ahead of
-      // each keyed chain lets the B(v) distinct AND both sides of the
-      // pair self-join ride ONE (node)-keyed exchange (hash(node)
-      // satisfies the (node, nbr) clustering and co-partitions the
-      // self-join), the candidate distinct AND the first score join
-      // ride one (src)-keyed exchange, and the merge's distinct AND
-      // the top-k window ride another — the per-round exchange count
-      // drops from ~8 to ~5 with bit-identical rows (distinct /
-      // row_number over a total order are partitioning-independent).
-      val b = fwd.union(rev).repartition(col("node")).distinct()
-      // r20 (guide §2.3 — shuffle fewer bytes): the pair set is
-      // SYMMETRIC by construction (the self-join emits both orders of
-      // every x ≠ y in B(v)), so generate only the canonical src <
-      // dst half — half the distinct's shuffle — score it once, and
-      // MIRROR the scored rows (cos(x,y) = cos(y,x), the same
-      // deterministic expression both directions previously
-      // evaluated); the merge distinct then sees exactly the rows the
-      // both-orders form produced.
-      val canon = b.select(col("node"), col("nbr").as("src"))
-        .join(b.select(col("node"), col("nbr").as("dst")), "node")
-        .filter(col("src") < col("dst"))
-        .select("src", "dst").repartition(col("src")).distinct()
-      val scored = score(e, canon)
-      val mirrored = scored.unionByName(scored.select(
-        col("dst").as("src"), col("src").as("dst"), col("cos")))
-      g = g.unionByName(mirrored)
-        .repartition(col("src")).distinct()
-        .withColumn("rn", row_number().over(wFwd))
-        .filter(col("rn") <= k).drop("rn")
-        .localCheckpoint(true) // lineage cut per descent round
-    }
-    g
+    val rev = g.withColumn("rn", row_number().over(wRev))
+      .filter(col("rn") <= k)
+      .select(col("dst").as("node"), col("src").as("nbr"))
+    val fwd = g.select(col("src").as("node"), col("dst").as("nbr"))
+    // r20 (guide §2.4 — operations keyed the same way share one
+    // exchange): an explicit hash repartition on the key ahead of
+    // each keyed chain lets the B(v) distinct AND both sides of the
+    // pair self-join ride ONE (node)-keyed exchange (hash(node)
+    // satisfies the (node, nbr) clustering and co-partitions the
+    // self-join), the candidate distinct AND the first score join
+    // ride one (src)-keyed exchange, and the merge's distinct AND
+    // the top-k window ride another — the per-round exchange count
+    // drops from ~8 to ~5 with bit-identical rows (distinct /
+    // row_number over a total order are partitioning-independent).
+    val b = fwd.union(rev).repartition(col("node")).distinct()
+    // r20 (guide §2.3 — shuffle fewer bytes): the pair set is
+    // SYMMETRIC by construction (the self-join emits both orders of
+    // every x ≠ y in B(v)), so generate only the canonical src <
+    // dst half — half the distinct's shuffle — score it once, and
+    // MIRROR the scored rows (cos(x,y) = cos(y,x), the same
+    // deterministic expression both directions previously
+    // evaluated); the merge distinct then sees exactly the rows the
+    // both-orders form produced.
+    val canon = b.select(col("node"), col("nbr").as("src"))
+      .join(b.select(col("node"), col("nbr").as("dst")), "node")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").repartition(col("src")).distinct()
+    val scored = score(e, canon)
+    val mirrored = scored.unionByName(scored.select(
+      col("dst").as("src"), col("src").as("dst"), col("cos")))
+    g.unionByName(mirrored)
+      .repartition(col("src")).distinct()
+      .withColumn("rn", row_number().over(wFwd))
+      .filter(col("rn") <= k).drop("rn")
   }
 
   /** FLAGGED NN-descent rounds (X321 — the new/old incremental rule
